@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.olap._
+
+/** OLAP cube bindings for the TPC-H-ish star (FIXTURES.md §B) — the
+  * Spark-native analog of the reference's MondrianTest.xml catalog.
+  *
+  * Scale notes (100 TB design):
+  *  - The Sales fact is the lineitem⋈orders view. lineitem and orders are
+  *    the two big tables; on a real cluster both would be bucketed by
+  *    orderkey so this join is co-located (no shuffle). Locally AQE picks
+  *    a sort-merge join; everything downstream treats the view as the fact.
+  *  - Every dimension (region/nation/customer/supplier/part/time) is tiny
+  *    relative to the fact at any SF, so the planner broadcasts them.
+  *  - Snowflake dims (customer⋈nation⋈region, supplier⋈nation⋈region) are
+  *    pre-joined into one denormalized dimension DataFrame each, with
+  *    columns renamed per usage — the same tables used twice, mirroring the
+  *    reference's join aliases (mondrian_test.rb:23-35).
+  */
+object Cubes {
+
+  /** Customer dimension: customer ⋈ nation ⋈ region, levels
+    * Region/Nation/Customer (cf. Customers Country/State/Name in
+    * MondrianTest.xml:44-83).
+    */
+  def customerDim(spark: SparkSession, sfDir: String): BoundDim = {
+    val c = Tables.load(spark, sfDir, "customer")
+    val n = Tables.load(spark, sfDir, "nation")
+    val r = Tables.load(spark, sfDir, "region")
+    val df = c
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(c("c_custkey"),
+        r("r_name").as("cr_region"),
+        n("n_name").as("cr_nation"),
+        c("c_name"),
+        // member properties (reference schema.rb:272-284)
+        c("c_mktsegment"), c("c_acctbal"))
+    BoundDim("customer", foreignKey = "o_custkey", primaryKey = "c_custkey",
+      levels = Seq(
+        BoundLevel("region", "cr_region"),
+        BoundLevel("nation", "cr_nation"),
+        BoundLevel("customer", "c_name")),
+      df = df)
+  }
+
+  /** Supplier dimension: second usage of nation/region under different
+    * column names (table-alias pattern).
+    */
+  def supplierDim(spark: SparkSession, sfDir: String): BoundDim = {
+    val s = Tables.load(spark, sfDir, "supplier")
+    val n = Tables.load(spark, sfDir, "nation")
+    val r = Tables.load(spark, sfDir, "region")
+    val df = s
+      .join(n, s("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(s("s_suppkey"),
+        r("r_name").as("sr_region"),
+        n("n_name").as("sr_nation"),
+        s("s_name"))
+    BoundDim("supplier", foreignKey = "l_suppkey", primaryKey = "s_suppkey",
+      levels = Seq(
+        BoundLevel("region", "sr_region"),
+        BoundLevel("nation", "sr_nation"),
+        BoundLevel("supplier", "s_name")),
+      df = df)
+  }
+
+  def partDim(spark: SparkSession, sfDir: String): BoundDim = {
+    val p = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"),
+        col("p_size"), col("p_retailprice"))
+    BoundDim("part", foreignKey = "l_partkey", primaryKey = "p_partkey",
+      levels = Seq(
+        BoundLevel("brand", "p_brand"),
+        BoundLevel("part", "p_name")),
+      df = p)
+  }
+
+  /** Time dimension derived from order dates, levels
+    * Year/Quarter/Month/Day — the reference's TimeDimension with level_type
+    * tags (MondrianTest.xml:3-22) enabling Xtd/ParallelPeriod windows.
+    * The day level column doubles as the primary key.
+    */
+  def timeDim(spark: SparkSession, sfDir: String): BoundDim =
+    BoundDim("time", foreignKey = "l_datekey", primaryKey = "d_date",
+      levels = Seq(
+        BoundLevel("year", "d_year"),
+        BoundLevel("quarter", "d_yq"),
+        BoundLevel("month", "d_ym"),
+        BoundLevel("day", "d_date")),
+      df = Tables.timeDim(spark, sfDir),
+      isTime = true)
+
+  /** The Sales fact view: lineitem ⋈ orders (SQL-view-as-fact,
+    * schema.rb:81-86). Carries the time fk as l_datekey and the degenerate
+    * order attributes.
+    */
+  def salesFact(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val o = Tables.load(spark, sfDir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .withColumn("l_datekey", to_date(col("o_orderdate")))
+      .drop("o_orderkey")
+  }
+
+  /** The Sales cube (FIXTURES.md §B cube mapping). */
+  def sales(spark: SparkSession, sfDir: String): BoundCube = {
+    val fact = salesFact(spark, sfDir)
+    val priorityDim = BoundDim("priority",
+      foreignKey = "o_orderpriority", primaryKey = "o_orderpriority",
+      levels = Seq(BoundLevel("priority", "o_orderpriority")),
+      df = fact.select("o_orderpriority").distinct(),
+      degenerate = true)
+    val returnflagDim = BoundDim("returnflag",
+      foreignKey = "l_returnflag", primaryKey = "l_returnflag",
+      levels = Seq(BoundLevel("returnflag", "l_returnflag")),
+      df = fact.select("l_returnflag").distinct(),
+      degenerate = true)
+    val linestatusDim = BoundDim("linestatus",
+      foreignKey = "l_linestatus", primaryKey = "l_linestatus",
+      levels = Seq(BoundLevel("linestatus", "l_linestatus")),
+      df = fact.select("l_linestatus").distinct(),
+      degenerate = true)
+    BoundCube("Sales", fact,
+      dims = Seq(
+        customerDim(spark, sfDir), supplierDim(spark, sfDir),
+        partDim(spark, sfDir), timeDim(spark, sfDir),
+        priorityDim, returnflagDim, linestatusDim),
+      measures = Seq(
+        Measure("sum_qty", Agg.Sum, "l_quantity"),
+        Measure("sum_base_price", Agg.Sum, "l_extendedprice"),
+        // MeasureExpression measures (MondrianTest.xml:137-143 analog)
+        Measure("revenue", Agg.Sum, "l_extendedprice * (1 - l_discount)"),
+        Measure("charge", Agg.Sum,
+          "l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+        Measure("avg_qty", Agg.Avg, "l_quantity"),
+        Measure("avg_disc", Agg.Avg, "l_discount"),
+        Measure("min_price", Agg.Min, "l_extendedprice"),
+        Measure("max_price", Agg.Max, "l_extendedprice"),
+        Measure("count_order", Agg.Count, "1"),
+        Measure("n_orders", Agg.DistinctCount, "l_orderkey"),
+        Measure("n_custs", Agg.DistinctCount, "o_custkey"),
+        // distinct-count over a CASE expression
+        Measure("n_bulk_parts", Agg.DistinctCount,
+          "CASE WHEN l_quantity > 30 THEN l_partkey END")),
+      calcMembers = Seq(
+        // Profit-margin style calc member (MondrianTest.xml:107-112 analog)
+        CalcMember("margin", ExprCalc("revenue / sum_base_price"),
+          solveOrder = 0)))
+  }
+
+  /** The Events cube over the events stream table — second base cube for
+    * the virtual-cube (Sales and Warehouse) pattern.
+    */
+  def events(spark: SparkSession, sfDir: String): BoundCube = {
+    val fact = Tables.load(spark, sfDir, "events")
+      .withColumn("l_datekey", to_date(col("ts")))
+    val time = BoundDim("time", foreignKey = "l_datekey",
+      primaryKey = "d_date",
+      levels = Seq(
+        BoundLevel("year", "d_year"),
+        BoundLevel("quarter", "d_yq"),
+        BoundLevel("month", "d_ym"),
+        BoundLevel("day", "d_date")),
+      df = fact.select(col("l_datekey").as("d_date")).distinct()
+        .withColumn("d_year", year(col("d_date")))
+        .withColumn("d_quarter", quarter(col("d_date")))
+        .withColumn("d_month", month(col("d_date")))
+        .withColumn("d_yq", concat(col("d_year"), lit("-Q"),
+          col("d_quarter")))
+        .withColumn("d_ym", date_format(col("d_date"), "yyyy-MM")),
+      isTime = true)
+    val typeDim = BoundDim("event_type",
+      foreignKey = "event_type", primaryKey = "event_type",
+      levels = Seq(BoundLevel("event_type", "event_type")),
+      df = fact.select("event_type").distinct(),
+      degenerate = true)
+    BoundCube("Events", fact,
+      dims = Seq(time, typeDim),
+      measures = Seq(
+        Measure("n_events", Agg.Count, "1"),
+        Measure("sum_value", Agg.Sum, "value"),
+        Measure("n_users", Agg.DistinctCount, "user_id")))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loader for the driver-generated TPC-H-ish star (TESTDATA.md).
+  *
+  * All tables are read straight from parquet so Catalyst can push filters
+  * and prune columns into the scan. Dimension tables (region, nation,
+  * supplier, part, customer) are small relative to the fact at every scale
+  * factor, so star joins against them are broadcast by the planner — at
+  * 100 TB the same shape holds (dims ~GBs vs fact ~TBs), which keeps every
+  * star join shuffle-free on the fact side.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view named after the table, so both the
+    * DataFrame API and spark.sql(...) paths see the same catalog. Idempotent.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+
+  /** Time dimension derived from orders.o_orderdate (FIXTURES.md §B):
+    * Year / Quarter / Month / Day levels with ordinal columns.
+    * Small (≤ a few thousand rows at any SF) → always broadcastable.
+    */
+  def timeDim(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "orders")
+      .select(to_date(col("o_orderdate")).as("d_date"))
+      .distinct()
+      .withColumn("d_year", year(col("d_date")))
+      .withColumn("d_quarter", quarter(col("d_date")))
+      .withColumn("d_month", month(col("d_date")))
+      .withColumn("d_day", dayofmonth(col("d_date")))
+      .withColumn("d_yq", concat(col("d_year"), lit("-Q"), col("d_quarter")))
+      .withColumn("d_ym", date_format(col("d_date"), "yyyy-MM"))
+}

@@ -1,0 +1,101 @@
+package graft.olap
+
+/** The query IR — a typed re-expression of the reference builder's
+  * nested-array set IR (reference lib/mondrian/olap/query.rb:23-157; shapes
+  * asserted in test/query_test.rb:157-311). Axis sets are trees of SetExpr;
+  * the planner lowers them to DataFrames of member tuples (SURVEY §3 entry
+  * point B — we build the IR directly, no MDX string round-trip).
+  */
+sealed trait SetExpr
+
+/** All members of a level: [Dim].[Level].Members (LevelMembersFunDef). */
+final case class LevelMembers(dim: String, level: String) extends SetExpr
+/** Literal member set {m1, m2, ...}, paths from the root level down. */
+final case class Members(dim: String, paths: Seq[Seq[Any]]) extends SetExpr
+/** member.Children (DescendantsFunDef family). */
+final case class Children(dim: String, path: Seq[Any]) extends SetExpr
+/** Descendants(member, level). */
+final case class Descendants(dim: String, path: Seq[Any], level: String)
+    extends SetExpr
+/** Member range a : b at one level (RangeFunDef) — closed interval in
+  * ordinal order.
+  */
+final case class MemberRange(dim: String, level: String, from: String,
+    to: String) extends SetExpr
+
+/** CrossJoin(s1, s2) — sets over distinct dimensions. */
+final case class CrossJoin(left: SetExpr, right: SetExpr) extends SetExpr
+/** NonEmptyCrossJoin — combinations that actually occur in the fact. */
+final case class NonEmptyCrossJoin(left: SetExpr, right: SetExpr)
+    extends SetExpr
+final case class UnionSet(left: SetExpr, right: SetExpr, all: Boolean = false)
+    extends SetExpr
+final case class IntersectSet(left: SetExpr, right: SetExpr) extends SetExpr
+final case class ExceptSet(left: SetExpr, right: SetExpr) extends SetExpr
+final case class DistinctSet(set: SetExpr) extends SetExpr
+/** Exists(s1, s2): tuples of s1 present in s2 (left-semi). */
+final case class ExistsSet(left: SetExpr, right: SetExpr) extends SetExpr
+
+/** Filter(set, cond) — cond is a Spark SQL predicate over measure/level
+  * columns; evaluated against cells at the set's grain (HAVING semantics).
+  */
+final case class FilterSet(set: SetExpr, cond: String) extends SetExpr
+/** Order(set, expr, direction). B-variants break the hierarchy (pure value
+  * sort); non-B sort within parents (reference query.rb:110-119,
+  * fun/sort comparators).
+  */
+final case class OrderSet(set: SetExpr, expr: String, dir: SortDir)
+    extends SetExpr
+/** TopCount / BottomCount / TopPercent / TopSum family
+  * (reference query.rb:121-139).
+  */
+final case class TopCount(set: SetExpr, n: Int, expr: String,
+    bottom: Boolean = false) extends SetExpr
+final case class TopPercent(set: SetExpr, pct: Double, expr: String,
+    bottom: Boolean = false) extends SetExpr
+final case class TopSum(set: SetExpr, threshold: Double, expr: String,
+    bottom: Boolean = false) extends SetExpr
+/** Head/Tail/Subset positional slicing over the set's current order. */
+final case class HeadSet(set: SetExpr, n: Int) extends SetExpr
+final case class TailSet(set: SetExpr, n: Int) extends SetExpr
+final case class SubsetSet(set: SetExpr, start: Int, n: Int) extends SetExpr
+/** Hierarchize(set[, POST]) — hierarchical order, parents before (or after)
+  * children.
+  */
+final case class Hierarchize(set: SetExpr, post: Boolean = false)
+    extends SetExpr
+/** Reference to a WITH SET named set (query.rb:181-186). */
+final case class NamedSetRef(name: String) extends SetExpr
+
+sealed trait SortDir
+object SortDir {
+  case object Asc extends SortDir
+  case object Desc extends SortDir
+  case object BAsc extends SortDir   // breaking-hierarchy ascending
+  case object BDesc extends SortDir  // breaking-hierarchy descending
+}
+
+/** Slicer (WHERE clause) items — reference query.rb:160-172,377-394:
+  * single member, tuple of members from different dims, or a same-dim set
+  * (compound slicer = aggregate over the union, SURVEY §4 #12).
+  */
+sealed trait SlicerItem
+final case class MemberSlice(dim: String, path: Seq[Any]) extends SlicerItem
+final case class SetSlice(dim: String, paths: Seq[Seq[Any]])
+    extends SlicerItem
+/** Raw predicate over star columns — the analog of the reference's inline
+  * fact `<SQL>` condition (schema.rb:71-79).
+  */
+final case class ExprSlice(sql: String, dims: Seq[String] = Nil)
+    extends SlicerItem
+
+/** A complete query: measures on columns, one set on rows, slicer,
+  * NON EMPTY flag, named sets, extra WITH MEMBER calc members.
+  */
+final case class QueryIR(
+    measures: Seq[String],
+    rows: Option[SetExpr],
+    slicer: Seq[SlicerItem] = Nil,
+    nonEmpty: Boolean = false,
+    withSets: Map[String, SetExpr] = Map.empty,
+    withMembers: Seq[CalcMember] = Nil)

@@ -1,0 +1,190 @@
+package graft.olap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Typed OLAP schema model — the Spark-native re-expression of the
+  * reference's schema DSL (reference: lib/mondrian/olap/schema.rb:53-341,
+  * lib/mondrian/olap/schema_element.rb). Instead of rendering Mondrian XML,
+  * the model binds directly to DataFrames; queries compile to
+  * join/groupBy/window plans (SURVEY.md §1, §7).
+  */
+
+/** Measure aggregator — reference schema.rb:294-295 enumerates
+  * sum/count/min/max/avg/distinct-count (default sum).
+  */
+sealed trait Agg
+object Agg {
+  case object Sum extends Agg
+  case object Count extends Agg
+  case object Min extends Agg
+  case object Max extends Agg
+  case object Avg extends Agg
+  case object DistinctCount extends Agg
+  // Statistics family — MDX set functions Stdev/StdevP/Var/VarP, Median/
+  // Percentile, Correlation/Covariance, LinRegSlope/Intercept/R2
+  // (SURVEY §2.4; exact expected values pinned by mondrian_test.rb:608-779).
+  case object Stdev extends Agg
+  case object StdevP extends Agg
+  case object Variance extends Agg
+  case object VarianceP extends Agg
+  /** Exact interpolated percentile (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`); p=0.5 is Median.
+    */
+  final case class Percentile(p: Double) extends Agg
+  final case class Corr(expr2: String) extends Agg
+  final case class CovarS(expr2: String) extends Agg
+  final case class CovarP(expr2: String) extends Agg
+  final case class RegrSlope(expr2: String) extends Agg
+  final case class RegrIntercept(expr2: String) extends Agg
+  final case class RegrR2(expr2: String) extends Agg
+
+  /** Lower to a codegen'd Spark aggregate Column over a SQL expression
+    * string. DistinctCount is non-additive and therefore always recomputed
+    * from fact grain — never rolled up from cached sums (SURVEY §7.4
+    * item 3).
+    */
+  def toColumn(agg: Agg, e: String): Column = agg match {
+    case Sum               => expr(s"sum($e)")
+    case Count             => expr(s"count($e)")
+    case Min               => expr(s"min($e)")
+    case Max               => expr(s"max($e)")
+    case Avg               => expr(s"avg($e)")
+    case DistinctCount     => expr(s"count(DISTINCT $e)")
+    case Stdev             => expr(s"stddev_samp($e)")
+    case StdevP            => expr(s"stddev_pop($e)")
+    case Variance          => expr(s"var_samp($e)")
+    case VarianceP         => expr(s"var_pop($e)")
+    case Percentile(p)     => expr(s"percentile($e, $p)")
+    case Corr(e2)          => expr(s"corr($e, $e2)")
+    case CovarS(e2)        => expr(s"covar_samp($e, $e2)")
+    case CovarP(e2)        => expr(s"covar_pop($e, $e2)")
+    case RegrSlope(e2)     => expr(s"regr_slope($e, $e2)")
+    case RegrIntercept(e2) => expr(s"regr_intercept($e, $e2)")
+    case RegrR2(e2)        => expr(s"regr_r2($e, $e2)")
+  }
+}
+
+/** A measure: named aggregate of a SQL expression over the joined star
+  * (reference schema.rb:286-308; MeasureExpression MondrianTest.xml:137-143).
+  * `expr` is a Spark SQL expression over fact + joined dimension columns,
+  * so expression measures (e.g. CASE WHEN) come for free.
+  */
+final case class Measure(
+    name: String,
+    agg: Agg,
+    expr: String,
+    formatString: Option[String] = None)
+
+/** Post-aggregation window shapes backing MDX time navigation
+  * (SURVEY §2.5): PrevMember/Lag/Lead, ParallelPeriod, PeriodsToDate/Xtd,
+  * LastPeriods, Opening/ClosingPeriod, Rank.
+  */
+sealed trait WinKind
+object WinKind {
+  final case class LagK(k: Int) extends WinKind          // PrevMember / Lag(n) / ParallelPeriod
+  final case class LeadK(k: Int) extends WinKind         // NextMember / Lead(n)
+  case object RunningSum extends WinKind                 // PeriodsToDate / YTD
+  final case class MovingSum(n: Int) extends WinKind     // LastPeriods(n) + Sum
+  case object FirstVal extends WinKind                   // OpeningPeriod
+  case object LastVal extends WinKind                    // ClosingPeriod
+  case object RankDesc extends WinKind                   // Rank(m, set, expr DESC)
+}
+
+/** Calculated member on the Measures dimension
+  * (reference schema.rb:314-341; WITH MEMBER query.rb:175-179).
+  * Evaluated post-aggregation in solveOrder sequence, so later calcs can
+  * reference earlier ones (reference SOLVE_ORDER emission query.rb:684-687).
+  */
+sealed trait CalcDef
+/** Spark SQL expression over measure + level columns, e.g.
+  * "sum_sales - sum_cost".
+  */
+final case class ExprCalc(sql: String) extends CalcDef
+/** Window over the ordered members of `overDim`:
+  * partition = all other grain columns + `overDim` ancestors above
+  * `resetLevel` (None = partition only by other dims ⇒ window spans the
+  * whole hierarchy order).
+  */
+final case class WindowCalc(
+    baseExpr: String,
+    kind: WinKind,
+    overDim: String,
+    resetLevel: Option[String] = None) extends CalcDef
+
+final case class CalcMember(
+    name: String,
+    calc: CalcDef,
+    solveOrder: Int = 0,
+    formatString: Option[String] = None)
+
+/** One level of a hierarchy bound to output/ordinal columns of the
+  * dimension DataFrame (reference schema.rb:176-246: column, name_column,
+  * ordinal_column, level_type).
+  */
+final case class BoundLevel(
+    name: String,
+    col: String,
+    ordCol: Option[String] = None) {
+  def ordinal: String = ordCol.getOrElse(col)
+}
+
+/** A dimension bound to a (possibly snowflake-joined) DataFrame.
+  * `df` must contain `primaryKey` plus every level/ordinal column, with
+  * names already disambiguated (two usages of the same tables — e.g.
+  * customer-nation-region vs supplier-nation-region — rename on build,
+  * mirroring the reference's table aliases, mondrian_test.rb:23-35).
+  * Dimension tables are small ⇒ the planner broadcasts them.
+  */
+final case class BoundDim(
+    name: String,
+    foreignKey: String,
+    primaryKey: String,
+    levels: Seq[BoundLevel],
+    df: DataFrame,
+    isTime: Boolean = false,
+    /** Degenerate dimension: level columns live directly on the fact (the
+      * reference's private-dimension-off-the-fact pattern,
+      * MondrianTest.xml:90-95) — no join needed; `df` only serves member
+      * enumeration.
+      */
+    degenerate: Boolean = false) {
+
+  def levelIndex(levelName: String): Int = {
+    val i = levels.indexWhere(_.name == levelName)
+    require(i >= 0, s"dimension '$name' has no level '$levelName'")
+    i
+  }
+  def levelsTo(depth: Int): Seq[BoundLevel] = levels.take(depth + 1)
+  def level(levelName: String): BoundLevel = levels(levelIndex(levelName))
+}
+
+/** Access-control role (reference schema.rb:416-489): member grants become
+  * row filters applied before aggregation ("partial" rollup policy — totals
+  * reflect only visible members; SURVEY §2.4 role rollup policy).
+  */
+final case class Role(name: String, grants: Seq[(String, Seq[Any])]) {
+  def isGranted(dim: String): Boolean = grants.exists(_._1 == dim)
+}
+
+/** A cube bound to concrete DataFrames for one scale-factor directory. */
+final case class BoundCube(
+    name: String,
+    fact: DataFrame,
+    dims: Seq[BoundDim],
+    measures: Seq[Measure],
+    calcMembers: Seq[CalcMember] = Nil,
+    role: Option[Role] = None) {
+
+  def dim(name: String): BoundDim = {
+    val d = dims.find(_.name == name)
+    require(d.isDefined, s"cube '${this.name}' has no dimension '$name'")
+    d.get
+  }
+  def measure(name: String): Measure = {
+    val m = measures.find(_.name == name)
+    require(m.isDefined, s"cube '${this.name}' has no measure '$name'")
+    m.get
+  }
+  def withRole(r: Role): BoundCube = copy(role = Some(r))
+}

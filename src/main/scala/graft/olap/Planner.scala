@@ -1,0 +1,591 @@
+package graft.olap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Lowers the OLAP IR to DataFrame plans (SURVEY §3 "Spark-native pipeline").
+  *
+  * Execution shape — and why it scales:
+  *  - Axis sets evaluate against the (small) dimension DataFrames only; the
+  *    fact table is touched exactly once per required grain, as a single
+  *    `groupBy(levelCols).agg(...)` — the Spark-native analog of the
+  *    reference's batched cell reads (FastBatchingCellReader → one SQL
+  *    GROUP BY per grain, SURVEY §4 #3).
+  *  - Every fact→dimension join broadcasts the dimension side, so the fact
+  *    never shuffles for the star join; the only shuffle is the final
+  *    aggregation exchange on the grain keys. At 100 TB the fact stays
+  *    partition-local until that one exchange, and partial aggregation
+  *    (map-side combine) collapses it before the wire.
+  *  - Slicer predicates are plain `Column` filters under the aggregate, so
+  *    Catalyst pushes them into the parquet scan (PushedFilters) — the
+  *    analog of the reference's WHERE-clause pushdown (SURVEY §4 #1).
+  *  - Cell-dependent set ops (Filter/TopCount/Order…) aggregate at the
+  *    child set's grain first — the analog of Mondrian's native-SQL
+  *    pushdown of Filter/TopCount (RolapNativeFilter/TopCount, SURVEY §4
+  *    #4) — then restrict the member set; axis frames after aggregation are
+  *    at most dimension-sized, so the window/limit steps are cheap.
+  */
+final class Planner(val cube: BoundCube) {
+  import Planner._
+
+  /** Measures actually aggregated — pruned per query in execute() (the
+    * analog of Catalyst column pruning at the measure level: a q1-style
+    * single-measure query must not pay for the cube's 12 aggregates).
+    * Defaults to all measures for direct evalSet/metadata use.
+    */
+  private var neededMeasures: Seq[Measure] = cube.measures
+  private var neededCalcs: Seq[CalcMember] = cube.calcMembers
+
+  /** Expression strings referenced anywhere in a set tree (filter
+    * conditions, order keys, top-k measures).
+    */
+  private def exprTexts(set: SetExpr): Seq[String] = set match {
+    case FilterSet(s, c)          => c +: exprTexts(s)
+    case OrderSet(s, e, _)        => e +: exprTexts(s)
+    case TopCount(s, _, e, _)     => e +: exprTexts(s)
+    case TopPercent(s, _, e, _)   => e +: exprTexts(s)
+    case TopSum(s, _, e, _)       => e +: exprTexts(s)
+    case HeadSet(s, _)            => exprTexts(s)
+    case TailSet(s, _)            => exprTexts(s)
+    case SubsetSet(s, _, _)       => exprTexts(s)
+    case Hierarchize(s, _)        => exprTexts(s)
+    case DistinctSet(s)           => exprTexts(s)
+    case CrossJoin(l, r)          => exprTexts(l) ++ exprTexts(r)
+    case NonEmptyCrossJoin(l, r)  => exprTexts(l) ++ exprTexts(r)
+    case UnionSet(l, r, _)        => exprTexts(l) ++ exprTexts(r)
+    case IntersectSet(l, r)       => exprTexts(l) ++ exprTexts(r)
+    case ExceptSet(l, r)          => exprTexts(l) ++ exprTexts(r)
+    case ExistsSet(l, r)          => exprTexts(l) ++ exprTexts(r)
+    case _                        => Nil
+  }
+
+  private def referencedIn(name: String, texts: Seq[String]): Boolean = {
+    val re = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    texts.exists(t => re.findFirstIn(t).isDefined)
+  }
+
+  /** Fixpoint over calc-member dependencies: a calc is needed if its name
+    * is referenced; its formula text then pulls in further measures/calcs.
+    */
+  private def pruneFor(q: QueryIR): Unit = {
+    val allCalcs = cube.calcMembers ++ q.withMembers
+    var texts: Seq[String] =
+      q.measures ++ q.rows.toSeq.flatMap(exprTexts) ++
+        q.withSets.values.flatMap(exprTexts)
+    var active = Set.empty[String]
+    var changed = true
+    while (changed) {
+      changed = false
+      allCalcs.foreach { c =>
+        if (!active(c.name) && referencedIn(c.name, texts)) {
+          active += c.name
+          texts = texts ++ (c.calc match {
+            case ExprCalc(sql)               => Seq(sql)
+            case WindowCalc(base, _, _, _)   => Seq(base)
+          })
+          changed = true
+        }
+      }
+    }
+    neededCalcs = allCalcs.filter(c => active(c.name))
+    neededMeasures = cube.measures.filter(m => referencedIn(m.name, texts))
+    if (neededMeasures.isEmpty) neededMeasures = cube.measures
+  }
+
+  // ---------------------------------------------------------------- axes
+
+  /** Distinct members of levels 0..depth of a dimension, with ordinal
+    * columns for hierarchical sorting.
+    */
+  private def memberFrame(d: BoundDim, depth: Int): DataFrame = {
+    val cols = memberCols(d, depth)
+    val base = d.df.select(cols.map(col): _*).distinct()
+    // member grants also hide members from axes (connection_role_test.rb:
+    // 46-90): restrict the member frame to granted subtrees
+    cube.role.filter(_.isGranted(d.name)) match {
+      case Some(r) =>
+        val pred = r.grants.filter(_._1 == d.name)
+          .map { case (_, path) =>
+            ancestorPredicate(d, path.take(depth + 1))
+          }
+          .reduce(_ || _)
+        base.filter(pred)
+      case None => base
+    }
+  }
+
+  private def ancestorPredicate(d: BoundDim, path: Seq[Any]): Column =
+    path.zipWithIndex
+      .map { case (v, i) => col(d.levels(i).col) === lit(v) }
+      .reduce(_ && _)
+
+  def evalSet(set: SetExpr, slicer: Seq[SlicerItem],
+      withSets: Map[String, SetExpr] = Map.empty): AxisFrame = set match {
+    case LevelMembers(dim, level) =>
+      val d = cube.dim(dim)
+      val depth = d.levelIndex(level)
+      AxisFrame(memberFrame(d, depth), Seq(AxisDim(d, depth)))
+
+    case Members(dim, paths) =>
+      val d = cube.dim(dim)
+      require(paths.nonEmpty && paths.forall(_.length == paths.head.length),
+        "literal member set must be uniform-depth")
+      val depth = paths.head.length - 1
+      val pred = paths.map(p => ancestorPredicate(d, p)).reduce(_ || _)
+      AxisFrame(memberFrame(d, depth).filter(pred), Seq(AxisDim(d, depth)))
+
+    case Children(dim, path) =>
+      val d = cube.dim(dim)
+      val depth = path.length // child level index
+      AxisFrame(memberFrame(d, depth).filter(ancestorPredicate(d, path)),
+        Seq(AxisDim(d, depth)))
+
+    case Descendants(dim, path, level) =>
+      val d = cube.dim(dim)
+      val depth = d.levelIndex(level)
+      require(depth >= path.length, "Descendants level above member level")
+      AxisFrame(memberFrame(d, depth).filter(ancestorPredicate(d, path)),
+        Seq(AxisDim(d, depth)))
+
+    case MemberRange(dim, level, from, to) =>
+      val d = cube.dim(dim)
+      val depth = d.levelIndex(level)
+      val l = d.levels(depth)
+      AxisFrame(
+        memberFrame(d, depth).filter(col(l.col).between(lit(from), lit(to))),
+        Seq(AxisDim(d, depth)))
+
+    case CrossJoin(l, r) =>
+      val a = evalSet(l, slicer, withSets)
+      val b = evalSet(r, slicer, withSets)
+      AxisFrame(a.members.crossJoin(b.members), a.dims ++ b.dims)
+
+    case NonEmptyCrossJoin(l, r) =>
+      val a = evalSet(l, slicer, withSets)
+      val b = evalSet(r, slicer, withSets)
+      val dims = a.dims ++ b.dims
+      // combos that occur in the (slicer-restricted) fact
+      val star = joinStar(neededJoins(dims, slicer))
+      val sliced = star.filter(slicerPredicate(slicer))
+      val occurring = sliced
+        .select(dims.flatMap(ad => levelCols(ad.d, ad.depth)).map(col): _*)
+        .distinct()
+      // join member frames back to recover ordinal columns + restrict to
+      // the members of each child set
+      val joined = Seq(a, b).foldLeft(occurring) { (df, child) =>
+        val joinKeys = child.dims.flatMap(ad => levelCols(ad.d, ad.depth))
+        df.join(broadcast(child.members), joinKeys)
+      }
+      AxisFrame(joined, dims)
+
+    case UnionSet(l, r, all) =>
+      val a = evalSet(l, slicer, withSets)
+      val b = evalSet(r, slicer, withSets)
+      val cols = a.members.columns.toSeq
+      val u = a.members.unionByName(b.members.select(cols.map(col): _*))
+      AxisFrame(if (all) u else u.distinct(), a.dims)
+
+    case IntersectSet(l, r) =>
+      val a = evalSet(l, slicer, withSets)
+      val b = evalSet(r, slicer, withSets)
+      AxisFrame(
+        a.members.intersect(b.members.select(a.members.columns.map(col): _*)),
+        a.dims)
+
+    case ExceptSet(l, r) =>
+      val a = evalSet(l, slicer, withSets)
+      val b = evalSet(r, slicer, withSets)
+      val joinCols = b.dims.flatMap(ad => levelCols(ad.d, ad.depth))
+      AxisFrame(a.members.join(b.members.select(joinCols.map(col): _*)
+        .distinct(), joinCols, "left_anti"), a.dims)
+
+    case ExistsSet(l, r) =>
+      val a = evalSet(l, slicer, withSets)
+      val b = evalSet(r, slicer, withSets)
+      val common = a.members.columns.intersect(b.members.columns).toSeq
+      AxisFrame(a.members.join(b.members.select(common.map(col): _*)
+        .distinct(), common, "left_semi"), a.dims)
+
+    case DistinctSet(s) =>
+      val a = evalSet(s, slicer, withSets)
+      AxisFrame(a.members.distinct(), a.dims)
+
+    case NamedSetRef(name) =>
+      val s = withSets.getOrElse(name,
+        throw new IllegalArgumentException(s"named set '$name' not defined"))
+      evalSet(s, slicer, withSets)
+
+    case FilterSet(s, cond) =>
+      val a = evalSet(s, slicer, withSets)
+      val cells = cellsFor(a, slicer)
+      AxisFrame(cells.filter(expr(cond)).select(a.members.columns.map(col): _*),
+        a.dims)
+
+    case OrderSet(s, e, dir) =>
+      val a = evalSet(s, slicer, withSets)
+      val cells = cellsFor(a, slicer)
+      val key = expr(e)
+      val sortCols: Seq[Column] = dir match {
+        case SortDir.BAsc  => Seq(key.asc)
+        case SortDir.BDesc => Seq(key.desc)
+        case SortDir.Asc   => ancestorOrds(a).map(col(_).asc) :+ key.asc
+        case SortDir.Desc  => ancestorOrds(a).map(col(_).asc) :+ key.desc
+      }
+      ordered(a, cells, sortCols)
+
+    case TopCount(s, n, e, bottom) =>
+      val a = evalSet(s, slicer, withSets)
+      val cells = cellsFor(a, slicer)
+      val key = if (bottom) expr(e).asc else expr(e).desc
+      val o = ordered(a, cells, Seq(key))
+      AxisFrame(o.members.filter(col(OrdCol) <= n), o.dims, hasOrd = true)
+
+    case TopPercent(s, pct, e, bottom) =>
+      topAccum(s, e, bottom, slicer, withSets) { (cum, total, v) =>
+        cum - v < total * pct / 100.0
+      }
+
+    case TopSum(s, threshold, e, bottom) =>
+      topAccum(s, e, bottom, slicer, withSets) { (cum, _, v) =>
+        cum - v < threshold
+      }
+
+    case HeadSet(s, n) =>
+      val a = realizeOrd(evalSet(s, slicer, withSets))
+      AxisFrame(a.members.filter(col(OrdCol) <= n), a.dims, hasOrd = true)
+
+    case TailSet(s, n) =>
+      val a = realizeOrd(evalSet(s, slicer, withSets))
+      val w = Window.partitionBy()
+      val withCnt = a.members.withColumn("__cnt", count(lit(1)).over(w))
+      AxisFrame(withCnt.filter(col(OrdCol) > col("__cnt") - n).drop("__cnt"),
+        a.dims, hasOrd = true)
+
+    case SubsetSet(s, start, n) =>
+      val a = realizeOrd(evalSet(s, slicer, withSets))
+      AxisFrame(
+        a.members.filter(col(OrdCol) > start && col(OrdCol) <= start + n),
+        a.dims, hasOrd = true)
+
+    case Hierarchize(s, post) =>
+      val a = evalSet(s, slicer, withSets)
+      val ords = a.dims.flatMap(ad =>
+        ad.d.levelsTo(ad.depth).map(l => col(l.ordinal).asc))
+      // POST = parents after children; with uniform-depth frames this is
+      // the same ordering (depth is constant), so sort by path ordinals.
+      val w = Window.orderBy(ords: _*)
+      AxisFrame(a.members.withColumn(OrdCol, row_number().over(w)), a.dims,
+        hasOrd = true)
+  }
+
+  /** TopPercent/TopSum share the cumulative-prefix shape (SURVEY §2.6):
+    * sort by the expression, keep the prefix while the running sum of
+    * PRIOR rows is below the threshold (so the crossing row is included).
+    */
+  private def topAccum(s: SetExpr, e: String, bottom: Boolean,
+      slicer: Seq[SlicerItem], withSets: Map[String, SetExpr])(
+      keep: (Column, Column, Column) => Column): AxisFrame = {
+    val a = evalSet(s, slicer, withSets)
+    val cells = cellsFor(a, slicer)
+    val key = if (bottom) expr(e).asc else expr(e).desc
+    val wOrd = Window.orderBy(key +: tieBreak(a): _*)
+    val wAll = Window.partitionBy()
+    val annotated = cells
+      .withColumn("__v", expr(e).cast("double"))
+      .withColumn("__cum",
+        sum(col("__v")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__tot", sum(col("__v")).over(wAll))
+      .withColumn(OrdCol, row_number().over(wOrd))
+    val kept = annotated
+      .filter(keep(col("__cum"), col("__tot"), col("__v")))
+      .select((a.members.columns :+ OrdCol).map(col): _*)
+    AxisFrame(kept, a.dims, hasOrd = true)
+  }
+
+  /** Cells at the grain of `a` with all base measures + expression calc
+    * members — the working set for cell-dependent set operators.
+    */
+  private def cellsFor(a: AxisFrame, slicer: Seq[SlicerItem]): DataFrame = {
+    val agg = aggregate(a.dims, slicer)
+    val joined = a.members.join(agg, groupCols(a.dims), "left")
+    applyExprCalcs(joined)
+  }
+
+  private def ordered(a: AxisFrame, cells: DataFrame,
+      sortCols: Seq[Column]): AxisFrame = {
+    val w = Window.orderBy(sortCols ++ tieBreak(a): _*)
+    AxisFrame(
+      cells.withColumn(OrdCol, row_number().over(w))
+        .select((a.members.columns :+ OrdCol).map(col): _*),
+      a.dims, hasOrd = true)
+  }
+
+  /** Deterministic tie-break: the member key columns. */
+  private def tieBreak(a: AxisFrame): Seq[Column] =
+    groupCols(a.dims).map(col(_).asc)
+
+  private def ancestorOrds(a: AxisFrame): Seq[String] =
+    a.dims.flatMap(ad => ad.d.levelsTo(ad.depth).dropRight(1).map(_.ordinal))
+
+  /** Ensure an explicit __ord column exists (hierarchical order default). */
+  private def realizeOrd(a: AxisFrame): AxisFrame =
+    if (a.hasOrd) a
+    else {
+      val ords = a.dims.flatMap(ad =>
+        ad.d.levelsTo(ad.depth).map(l => col(l.ordinal).asc))
+      val w = Window.orderBy(ords: _*)
+      AxisFrame(a.members.withColumn(OrdCol, row_number().over(w)), a.dims,
+        hasOrd = true)
+    }
+
+  // ------------------------------------------------------------ star agg
+
+  /** Dims (with depth) that must be joined under the aggregate. */
+  private def neededJoins(axisDims: Seq[AxisDim],
+      slicer: Seq[SlicerItem]): Map[String, Int] = {
+    val fromAxis = axisDims.map(ad => ad.d.name -> ad.depth)
+    val fromSlicer = slicer.flatMap {
+      case MemberSlice(dim, path) => Seq(dim -> (path.length - 1))
+      case SetSlice(dim, paths)   => Seq(dim -> (paths.map(_.length).max - 1))
+      case ExprSlice(_, dims)     =>
+        dims.map(d => d -> (cube.dim(d).levels.length - 1))
+    }
+    (fromAxis ++ fromSlicer)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+  }
+
+  /** Fact joined with the needed dimensions — dimension side broadcast so
+    * the fact never shuffles for the star join.
+    */
+  private def joinStar(needed: Map[String, Int]): DataFrame =
+    needed.toSeq.sortBy(_._1).foldLeft(cube.fact) { case (df, (name, depth)) =>
+      val d = cube.dim(name)
+      if (d.degenerate) df // level cols already on the fact
+      else {
+        val cols = (d.primaryKey +: memberCols(d, depth)).distinct
+        val dimSel = d.df.select(cols.map(col): _*)
+        val joined =
+          df.join(broadcast(dimSel), df(d.foreignKey) === dimSel(d.primaryKey))
+        // keep the pk when it doubles as a level column (e.g. the day level
+        // of a date-keyed time dimension); otherwise drop the dim-side pk
+        if (memberCols(d, depth).contains(d.primaryKey)) joined
+        else joined.drop(dimSel(d.primaryKey))
+      }
+    }
+
+  def slicerPredicate(slicer: Seq[SlicerItem]): Column =
+    if (slicer.isEmpty) lit(true)
+    else slicer.map {
+      case MemberSlice(dim, path) => ancestorPredicate(cube.dim(dim), path)
+      case SetSlice(dim, paths) =>
+        paths.map(p => ancestorPredicate(cube.dim(dim), p)).reduce(_ || _)
+      case ExprSlice(sql, _) => expr(sql)
+    }.reduce(_ && _)
+
+  /** The one fact pass per grain: star join (broadcast dims) → slicer
+    * filter (pushed to scan) → groupBy(grain).agg(all measures).
+    */
+  def aggregate(axisDims: Seq[AxisDim],
+      slicer: Seq[SlicerItem]): DataFrame = {
+    val allSlicer = slicer ++ roleSlicer
+    val star = joinStar(neededJoins(axisDims, allSlicer))
+    val sliced = star.filter(slicerPredicate(allSlicer))
+    val aggCols = neededMeasures.map(m =>
+      Agg.toColumn(m.agg, m.expr).as(m.name))
+    val keys = groupCols(axisDims)
+    if (keys.isEmpty) sliced.agg(aggCols.head, aggCols.tail: _*)
+    else sliced.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Rollup across levels (SURVEY §2.4): one pass over the fact producing
+    * every prefix grain + the grand total ("all" member), via Spark's
+    * native `rollup` (partial aggregation applies per grain; distinct-count
+    * is recomputed per grain by the Expand, never rolled up from sums).
+    * `mode` ∈ rollup | cube.
+    */
+  def rollupAggregate(dimLevels: Seq[(String, String)],
+      slicer: Seq[SlicerItem], measureNames: Seq[String],
+      mode: String = "rollup"): DataFrame = {
+    neededMeasures = cube.measures.filter(m => measureNames.contains(m.name))
+    val axisDims = dimLevels.map { case (dn, ln) =>
+      AxisDim(cube.dim(dn), cube.dim(dn).levelIndex(ln))
+    }
+    val allSlicer = slicer ++ roleSlicer
+    val star = joinStar(neededJoins(axisDims, allSlicer))
+    val sliced = star.filter(slicerPredicate(allSlicer))
+    val aggCols = neededMeasures.map(m =>
+      Agg.toColumn(m.agg, m.expr).as(m.name))
+    val keys = groupCols(axisDims).map(col)
+    val grouped =
+      if (mode == "cube") sliced.cube(keys: _*) else sliced.rollup(keys: _*)
+    grouped.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Role member grants become row filters under the aggregate — the
+    * "partial" rollup policy of the reference (schema.rb:468-471): totals
+    * reflect only the visible members.
+    */
+  private def roleSlicer: Seq[SlicerItem] =
+    cube.role.toSeq.flatMap(_.grants.map { case (dim, path) =>
+      MemberSlice(dim, path)
+    })
+
+  /** Expression calc members whose inputs resolve against `df`; calcs with
+    * missing dependencies (e.g. referencing a window calc that needs a dim
+    * not in this context) are skipped, mirroring Mondrian's per-context
+    * member validity (ValidMeasureFunDef semantics).
+    */
+  private def applyExprCalcs(df: DataFrame): DataFrame =
+    neededCalcs.sortBy(_.solveOrder).foldLeft(df) { (acc, cm) =>
+      cm.calc match {
+        case ExprCalc(sql) =>
+          try acc.withColumn(cm.name, expr(sql))
+          catch { case _: org.apache.spark.sql.AnalysisException => acc }
+        case _ => acc
+      }
+    }
+
+  // ------------------------------------------------------------- execute
+
+  def execute(q: QueryIR): DataFrame = {
+    pruneFor(q)
+    q.rows match {
+      case None =>
+        val cells = aggregate(Nil, q.slicer)
+        val withCalcs = applyCalcs(cells, Nil)
+        withCalcs.select(q.measures.map(col): _*)
+      case Some(set) =>
+        val axis = evalSet(set, q.slicer, q.withSets)
+        val cells = aggregate(axis.dims, q.slicer)
+        val joined = axis.members.join(cells, groupCols(axis.dims), "left")
+        val withCalcs = applyCalcs(joined, axis.dims)
+        val pruned =
+          if (!q.nonEmpty) withCalcs
+          else {
+            val anyData = neededMeasures.map(m => col(m.name).isNotNull)
+              .reduce(_ || _)
+            withCalcs.filter(anyData)
+          }
+        val sortCols: Seq[Column] =
+          if (axis.hasOrd) Seq(col(OrdCol).asc)
+          else axis.dims.flatMap(ad =>
+            ad.d.levelsTo(ad.depth).map(l => col(l.ordinal).asc))
+        val out = axis.dims.flatMap(ad => levelCols(ad.d, ad.depth)) ++
+          q.measures
+        pruned.orderBy(sortCols: _*).select(out.map(col): _*)
+    }
+  }
+
+  /** Calc-member layer in solve order: Expr calcs are plain column
+    * expressions; Window calcs lower to Spark Window functions over the
+    * member ordinals (SURVEY §2.5 — MDX relative navigation → Window).
+    */
+  private def applyCalcs(df: DataFrame,
+      axisDims: Seq[AxisDim]): DataFrame =
+    neededCalcs.sortBy(_.solveOrder).foldLeft(df) {
+      (acc, cm) =>
+        cm.calc match {
+          case ExprCalc(sql) =>
+            try acc.withColumn(cm.name, expr(sql))
+            catch { case _: org.apache.spark.sql.AnalysisException => acc }
+          case WindowCalc(base, kind, overDim, resetLevel) =>
+            axisDims.find(_.d.name == overDim) match {
+              case None => acc // window dim not on axis → undefined, skip
+              case Some(ad) =>
+                acc.withColumn(cm.name,
+                  windowColumn(base, kind, ad, axisDims, resetLevel))
+            }
+        }
+    }
+
+  private def windowColumn(base: String, kind: WinKind, ad: AxisDim,
+      axisDims: Seq[AxisDim], resetLevel: Option[String]): Column = {
+    val others = axisDims.filterNot(_.d.name == ad.d.name)
+      .flatMap(o => levelCols(o.d, o.depth))
+    val resetDepth = resetLevel.map(ad.d.levelIndex).getOrElse(-1)
+    val partCols = others ++
+      ad.d.levelsTo(ad.depth).take(resetDepth + 1).map(_.col)
+    val ordCols = ad.d.levelsTo(ad.depth).drop(resetDepth + 1)
+      .map(l => col(l.ordinal).asc)
+    val part =
+      if (partCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partCols.map(col): _*)
+    val e = expr(base)
+    kind match {
+      case WinKind.LagK(k)  => lag(e, k).over(part.orderBy(ordCols: _*))
+      case WinKind.LeadK(k) => lead(e, k).over(part.orderBy(ordCols: _*))
+      case WinKind.RunningSum =>
+        sum(e).over(part.orderBy(ordCols: _*)
+          .rowsBetween(Window.unboundedPreceding, 0))
+      case WinKind.MovingSum(n) =>
+        sum(e).over(part.orderBy(ordCols: _*).rowsBetween(-(n - 1), 0))
+      case WinKind.FirstVal =>
+        first(e).over(part.orderBy(ordCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+      case WinKind.LastVal =>
+        last(e).over(part.orderBy(ordCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+      case WinKind.RankDesc =>
+        rank().over(part.orderBy(e.desc))
+    }
+  }
+
+  // --------------------------------------------------------- drill-through
+
+  /** Cell → detail rows (SURVEY §2.11): keep the cell predicate, join the
+    * needed dims, project the return fields. Pure DataFrame composition —
+    * no SQL string surgery.
+    */
+  def drillThrough(slicer: Seq[SlicerItem], returnCols: Seq[String],
+      dims: Map[String, String] = Map.empty,
+      nonEmptyCol: Option[String] = None,
+      maxRows: Option[Int] = None,
+      groupByFields: Boolean = false): DataFrame = {
+    val allSlicer = slicer ++ roleSlicer
+    val depths = dims.map { case (d, lvl) => d -> cube.dim(d).levelIndex(lvl) }
+    val needed = neededJoins(Nil, allSlicer) ++ depths
+    val star = joinStar(needed)
+    val sliced = star.filter(slicerPredicate(allSlicer))
+    val ne = nonEmptyCol.map(c => sliced.filter(col(c).isNotNull))
+      .getOrElse(sliced)
+    val base =
+      if (!groupByFields) ne.select(returnCols.map(col): _*)
+      else {
+        val (mCols, dCols) = returnCols.partition(c =>
+          cube.measures.exists(_.name == c))
+        val aggCols = mCols.map { n =>
+          val m = cube.measure(n); Agg.toColumn(m.agg, m.expr).as(n)
+        }
+        ne.groupBy(dCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      }
+    maxRows.map(base.limit).getOrElse(base)
+  }
+}
+
+object Planner {
+  val OrdCol = "__ord"
+
+  final case class AxisDim(d: BoundDim, depth: Int)
+
+  /** An evaluated axis set: member tuples + the dims/depths involved.
+    * `members` carries the level key columns and ordinal columns; when
+    * `hasOrd`, an explicit __ord column fixes the presentation order
+    * (set by Order, TopCount, Head, Tail, Hierarchize).
+    */
+  final case class AxisFrame(members: DataFrame, dims: Seq[AxisDim],
+      hasOrd: Boolean = false)
+
+  /** All level key columns (root..depth) of the dims — the aggregation
+    * grain and the axis→cells join key.
+    */
+  def groupCols(dims: Seq[AxisDim]): Seq[String] =
+    dims.flatMap(ad => levelCols(ad.d, ad.depth))
+
+  def levelCols(d: BoundDim, depth: Int): Seq[String] =
+    d.levelsTo(depth).map(_.col)
+
+  /** Level + ordinal columns (deduped) present in a member frame. */
+  def memberCols(d: BoundDim, depth: Int): Seq[String] =
+    d.levelsTo(depth).flatMap(l => Seq(l.col, l.ordinal)).distinct
+}

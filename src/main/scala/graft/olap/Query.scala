@@ -1,0 +1,139 @@
+package graft.olap
+
+import org.apache.spark.sql.DataFrame
+
+/** Fluent query builder — the Spark-native mirror of the reference's
+  * Arel-like builder (lib/mondrian/olap/query.rb:23-249; method surface
+  * listed in SURVEY §3 entry point B). Builds the typed IR directly — no
+  * MDX string round-trip — and hands it to the Planner.
+  *
+  * Set-modifier methods (crossjoin, except, filter, order, top_count, …)
+  * apply to the current rows set, matching the reference builder's
+  * "last set" semantics (query.rb:47-157).
+  */
+final class Query private (
+    cube: BoundCube,
+    measures: Seq[String],
+    rowsSet: Option[SetExpr],
+    slicer: Seq[SlicerItem],
+    nonEmptyFlag: Boolean,
+    withSets: Map[String, SetExpr],
+    withMembers: Seq[CalcMember]) {
+
+  private def copyWith(
+      measures: Seq[String] = measures,
+      rowsSet: Option[SetExpr] = rowsSet,
+      slicer: Seq[SlicerItem] = slicer,
+      nonEmptyFlag: Boolean = nonEmptyFlag,
+      withSets: Map[String, SetExpr] = withSets,
+      withMembers: Seq[CalcMember] = withMembers): Query =
+    new Query(cube, measures, rowsSet, slicer, nonEmptyFlag, withSets,
+      withMembers)
+
+  /** Measures on the COLUMNS axis (names of measures or calc members). */
+  def columns(names: String*): Query = copyWith(measures = names)
+
+  def rows(set: SetExpr): Query = copyWith(rowsSet = Some(set))
+
+  private def mapRows(f: SetExpr => SetExpr): Query = {
+    require(rowsSet.isDefined, "rows(...) must be set first")
+    copyWith(rowsSet = rowsSet.map(f))
+  }
+
+  def crossjoin(set: SetExpr): Query = mapRows(CrossJoin(_, set))
+  def nonemptyCrossjoin(set: SetExpr): Query =
+    mapRows(NonEmptyCrossJoin(_, set))
+  def except(set: SetExpr): Query = mapRows(ExceptSet(_, set))
+  def union(set: SetExpr, all: Boolean = false): Query =
+    mapRows(UnionSet(_, set, all))
+  def intersect(set: SetExpr): Query = mapRows(IntersectSet(_, set))
+  def distinct(): Query = mapRows(DistinctSet(_))
+  def filter(cond: String): Query = mapRows(FilterSet(_, cond))
+  /** FILTER(set AS S, NOT ISEMPTY(S.CURRENT)) shorthand (query.rb:92-95). */
+  def filterNonempty(measure: String): Query =
+    mapRows(FilterSet(_, s"$measure IS NOT NULL"))
+  def order(expr: String, dir: SortDir): Query =
+    mapRows(OrderSet(_, expr, dir))
+  def topCount(n: Int, expr: String): Query = mapRows(TopCount(_, n, expr))
+  def bottomCount(n: Int, expr: String): Query =
+    mapRows(TopCount(_, n, expr, bottom = true))
+  def topPercent(pct: Double, expr: String): Query =
+    mapRows(TopPercent(_, pct, expr))
+  def bottomPercent(pct: Double, expr: String): Query =
+    mapRows(TopPercent(_, pct, expr, bottom = true))
+  def topSum(threshold: Double, expr: String): Query =
+    mapRows(TopSum(_, threshold, expr))
+  def bottomSum(threshold: Double, expr: String): Query =
+    mapRows(TopSum(_, threshold, expr, bottom = true))
+  def head(n: Int): Query = mapRows(HeadSet(_, n))
+  def tail(n: Int): Query = mapRows(TailSet(_, n))
+  def subset(start: Int, n: Int): Query = mapRows(SubsetSet(_, start, n))
+  def hierarchize(post: Boolean = false): Query =
+    mapRows(Hierarchize(_, post))
+
+  /** NON EMPTY on the rows axis (query.rb:68-72). */
+  def nonempty(): Query = copyWith(nonEmptyFlag = true)
+
+  /** WHERE slicer: members/tuples/sets restrict the cube context
+    * (query.rb:160-172).
+    */
+  def where(items: SlicerItem*): Query = copyWith(slicer = slicer ++ items)
+
+  /** WITH SET name AS set (query.rb:181-186). */
+  def withSet(name: String, set: SetExpr): Query =
+    copyWith(withSets = withSets + (name -> set))
+
+  /** WITH MEMBER [Measures].name AS expr (query.rb:175-179). */
+  def withMember(cm: CalcMember): Query =
+    copyWith(withMembers = withMembers :+ cm)
+
+  def toIR: QueryIR =
+    QueryIR(measures, rowsSet, slicer, nonEmptyFlag, withSets, withMembers)
+
+  def execute(): DataFrame = new Planner(cube).execute(toIR)
+
+  /** DRILLTHROUGH through the current slicer (SURVEY §2.11). */
+  def executeDrillThrough(returnCols: Seq[String],
+      dims: Map[String, String] = Map.empty,
+      nonEmptyCol: Option[String] = None,
+      maxRows: Option[Int] = None,
+      groupBy: Boolean = false): DataFrame =
+    new Planner(cube).drillThrough(slicer, returnCols, dims, nonEmptyCol,
+      maxRows, groupBy)
+}
+
+object Query {
+  /** olap.from('Sales') (connection.rb:108-110). */
+  def from(cube: BoundCube): Query =
+    new Query(cube, Nil, None, Nil, false, Map.empty, Nil)
+}
+
+/** Metadata navigation API — entry point C of the reference
+  * (lib/mondrian/olap/cube.rb: dimensions/hierarchies/levels/members,
+  * member lookup by path, children, member counts). Level members come
+  * from cached distinct queries over the dimension DataFrames.
+  */
+final class CubeMetadata(cube: BoundCube) {
+  def dimensionNames: Seq[String] = cube.dims.map(_.name)
+  def measureNames: Seq[String] =
+    cube.measures.map(_.name) ++ cube.calcMembers.map(_.name)
+  def levelNames(dim: String): Seq[String] =
+    cube.dim(dim).levels.map(_.name)
+
+  /** All members of a level, ordered by ordinal (cube.rb:328-332). */
+  def levelMembers(dim: String, level: String): DataFrame =
+    new Planner(cube).evalSet(LevelMembers(dim, level), Nil).members
+
+  def membersCount(dim: String, level: String): Long =
+    levelMembers(dim, level).count()
+
+  /** member('[Customers].[USA].[CA]')-style lookup: true if the path
+    * resolves to an existing member (cube.rb:106-116).
+    */
+  def memberExists(dim: String, path: Seq[Any]): Boolean =
+    new Planner(cube).evalSet(Members(dim, Seq(path)), Nil)
+      .members.limit(1).count() > 0
+
+  def children(dim: String, path: Seq[Any]): DataFrame =
+    new Planner(cube).evalSet(Children(dim, path), Nil).members
+}
