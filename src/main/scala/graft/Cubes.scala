@@ -145,7 +145,26 @@ object Cubes {
         Measure("n_custs", Agg.DistinctCount, "o_custkey"),
         // distinct-count over a CASE expression
         Measure("n_bulk_parts", Agg.DistinctCount,
-          "CASE WHEN l_quantity > 30 THEN l_partkey END")),
+          "CASE WHEN l_quantity > 30 THEN l_partkey END"),
+        // statistics family (SURVEY §2.4: Stdev/Var/Median/Percentile/
+        // Correlation/Covariance/LinReg)
+        Measure("stdev_qty", Agg.Stdev, "l_quantity"),
+        Measure("stdevp_qty", Agg.StdevP, "l_quantity"),
+        Measure("var_qty", Agg.Variance, "l_quantity"),
+        Measure("varp_qty", Agg.VarianceP, "l_quantity"),
+        Measure("median_price", Agg.Percentile(0.5), "l_extendedprice"),
+        Measure("p90_price", Agg.Percentile(0.9), "l_extendedprice"),
+        Measure("corr_qty_price", Agg.Corr("l_extendedprice"), "l_quantity"),
+        Measure("covar_qty_price", Agg.CovarS("l_extendedprice"),
+          "l_quantity"),
+        Measure("covarp_qty_price", Agg.CovarP("l_extendedprice"),
+          "l_quantity"),
+        Measure("slope_price_qty", Agg.RegrSlope("l_quantity"),
+          "l_extendedprice"),
+        Measure("icept_price_qty", Agg.RegrIntercept("l_quantity"),
+          "l_extendedprice"),
+        Measure("r2_price_qty", Agg.RegrR2("l_quantity"),
+          "l_extendedprice")),
       calcMembers = Seq(
         // Profit-margin style calc member (MondrianTest.xml:107-112 analog)
         CalcMember("margin", ExprCalc("revenue / sum_base_price"),

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All operators are pure column expressions (whole-stage codegen, no
+  * UDFs), so they scale embarrassingly parallel over the documents table —
+  * no shuffle at all until a downstream groupBy.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased text. */
+  val TOKENS = "split(lower(trim(text)), '\\\\s+')"
+
+  /** Token count per document (whitespace tokenization). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"size($TOKENS)").as("n_tokens"))
+
+  /** Quality-scoring features: length, token stats, punctuation /
+    * stopword / digit ratios. The usual pre-training heuristics
+    * (length + punctuation + stopword density).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val stop = "array('the', 'a', 'of', 'and', 'to', 'in')"
+    docs.select(
+      col("doc_id"),
+      expr("length(text)").as("len_chars"),
+      expr(s"size($TOKENS)").as("n_tokens"),
+      expr(s"length(replace(text, ' ', '')) / CAST(size($TOKENS) AS DOUBLE)")
+        .as("avg_token_len"),
+      expr("length(text) - length(regexp_replace(text, '[.,;:!?]', ''))")
+        .as("n_punct"),
+      expr(s"""size(filter($TOKENS, t -> array_contains($stop, t)))
+               / CAST(size($TOKENS) AS DOUBLE)""").as("stop_ratio"))
+  }
+
+  /** Language ID via stopword-hit heuristic (n-gram/stopword counting —
+    * the classic fasttext-free fallback). Deterministic tie-break order:
+    * en, de, es, fr, else 'unknown'.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    def hits(words: String) =
+      s"size(filter($TOKENS, t -> array_contains(array($words), t)))"
+    val en = hits("'the', 'a', 'of', 'and', 'to', 'in'")
+    val de = hits("'der', 'die', 'das', 'und', 'ist'")
+    val es = hits("'el', 'la', 'de', 'y', 'es'")
+    val fr = hits("'le', 'la', 'de', 'et', 'est'")
+    docs.select(col("doc_id"),
+      expr(en).as("en_hits"), expr(de).as("de_hits"),
+      expr(es).as("es_hits"), expr(fr).as("fr_hits"))
+      .withColumn("pred_lang",
+        expr("""CASE
+                  WHEN en_hits >= de_hits AND en_hits >= es_hits
+                    AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                  WHEN de_hits >= es_hits AND de_hits >= fr_hits
+                    AND de_hits > 0 THEN 'de'
+                  WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+                  WHEN fr_hits > 0 THEN 'fr'
+                  ELSE 'unknown'
+                END"""))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercased
+    * text — the cheap exact-after-normalization dedup key.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr("md5(lower(regexp_replace(text, '\\\\s+', ' ')))").as("fp"))
+}
