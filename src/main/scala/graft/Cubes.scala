@@ -21,6 +21,19 @@ import graft.olap._
   */
 object Cubes {
 
+  /** Schema-pool analog (reference RolapSchemaPool, connection.rb:112-181):
+    * cubes are cached per (session, sfDir) so repeated queries reuse the
+    * same persisted dimension DataFrames instead of re-deriving them —
+    * the reference caches compiled schemas + member caches the same way.
+    */
+  private val pool =
+    new java.util.concurrent.ConcurrentHashMap[String, BoundCube]()
+
+  private def cached(spark: SparkSession, sfDir: String, kind: String)(
+      build: => BoundCube): BoundCube =
+    pool.computeIfAbsent(s"${System.identityHashCode(spark)}:$kind:$sfDir",
+      _ => build)
+
   /** Customer dimension: customer ⋈ nation ⋈ region, levels
     * Region/Nation/Customer (cf. Customers Country/State/Name in
     * MondrianTest.xml:44-83).
@@ -106,35 +119,63 @@ object Cubes {
       .drop("o_orderkey")
   }
 
+  /** Fact-join pruning: a query touching only lineitem columns skips the
+    * lineitem⋈orders join entirely. Catalyst cannot eliminate an inner
+    * join on its own, and at 100 TB that join is the single biggest cost
+    * of the plan (a full shuffle of both big tables unless bucketed) — so
+    * the engine prunes it, the analog of Mondrian only joining the
+    * dimension tables a query actually references (README.md:134-146).
+    */
+  private def salesFactPruner(spark: SparkSession, sfDir: String)(
+      needed: Set[String]): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val liCols = li.columns.toSet
+    val needsOrders =
+      needed.exists(c => (c.startsWith("o_") || c == "l_datekey")
+        && !liCols.contains(c))
+    if (needsOrders) salesFact(spark, sfDir) else li
+  }
+
   /** The Sales cube (FIXTURES.md §B cube mapping). */
-  def sales(spark: SparkSession, sfDir: String): BoundCube = {
+  def sales(spark: SparkSession, sfDir: String): BoundCube =
+    cached(spark, sfDir, "sales")(buildSales(spark, sfDir))
+
+  private def buildSales(spark: SparkSession, sfDir: String): BoundCube = {
     val fact = salesFact(spark, sfDir)
     val priorityDim = BoundDim("priority",
       foreignKey = "o_orderpriority", primaryKey = "o_orderpriority",
       levels = Seq(BoundLevel("priority", "o_orderpriority")),
-      df = fact.select("o_orderpriority").distinct(),
+      df = fact.select("o_orderpriority").distinct().persist(),
       degenerate = true)
     val returnflagDim = BoundDim("returnflag",
       foreignKey = "l_returnflag", primaryKey = "l_returnflag",
       levels = Seq(BoundLevel("returnflag", "l_returnflag")),
-      df = fact.select("l_returnflag").distinct(),
+      df = fact.select("l_returnflag").distinct().persist(),
       degenerate = true)
     val linestatusDim = BoundDim("linestatus",
       foreignKey = "l_linestatus", primaryKey = "l_linestatus",
       levels = Seq(BoundLevel("linestatus", "l_linestatus")),
-      df = fact.select("l_linestatus").distinct(),
+      df = fact.select("l_linestatus").distinct().persist(),
       degenerate = true)
+    // dimension member caches (reference SqlMemberSource member cache):
+    // small frames, reused by every query against this cube
+    def p(d: BoundDim): BoundDim = d.copy(df = d.df.persist())
     BoundCube("Sales", fact,
       dims = Seq(
-        customerDim(spark, sfDir), supplierDim(spark, sfDir),
-        partDim(spark, sfDir), timeDim(spark, sfDir),
+        p(customerDim(spark, sfDir)), p(supplierDim(spark, sfDir)),
+        p(partDim(spark, sfDir)), p(timeDim(spark, sfDir)),
         priorityDim, returnflagDim, linestatusDim),
+      factPruner = Some(salesFactPruner(spark, sfDir) _),
       measures = Seq(
         Measure("sum_qty", Agg.Sum, "l_quantity"),
-        Measure("sum_base_price", Agg.Sum, "l_extendedprice"),
+        // price sums are non-exact doubles → SumExact (order-independent
+        // decimal summation) so results are bit-reproducible at any
+        // parallelism and match the single-threaded oracle exactly
+        Measure("sum_base_price", Agg.SumExact, "l_extendedprice"),
         // MeasureExpression measures (MondrianTest.xml:137-143 analog)
-        Measure("revenue", Agg.Sum, "l_extendedprice * (1 - l_discount)"),
-        Measure("charge", Agg.Sum,
+        Measure("revenue", Agg.SumExact,
+          "l_extendedprice * (1 - l_discount)"),
+        Measure("charge", Agg.SumExact,
           "l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
         Measure("avg_qty", Agg.Avg, "l_quantity"),
         Measure("avg_disc", Agg.Avg, "l_discount"),
@@ -167,14 +208,20 @@ object Cubes {
           "l_extendedprice")),
       calcMembers = Seq(
         // Profit-margin style calc member (MondrianTest.xml:107-112 analog)
-        CalcMember("margin", ExprCalc("revenue / sum_base_price"),
+        // ratio of two exact-decimal aggregates: divide as doubles (a
+        // decimal/decimal quotient's scale is engine-specific)
+        CalcMember("margin",
+          ExprCalc("CAST(revenue AS DOUBLE) / CAST(sum_base_price AS DOUBLE)"),
           solveOrder = 0)))
   }
 
   /** The Events cube over the events stream table — second base cube for
     * the virtual-cube (Sales and Warehouse) pattern.
     */
-  def events(spark: SparkSession, sfDir: String): BoundCube = {
+  def events(spark: SparkSession, sfDir: String): BoundCube =
+    cached(spark, sfDir, "events")(buildEvents(spark, sfDir))
+
+  private def buildEvents(spark: SparkSession, sfDir: String): BoundCube = {
     val fact = Tables.load(spark, sfDir, "events")
       .withColumn("l_datekey", to_date(col("ts")))
     val time = BoundDim("time", foreignKey = "l_datekey",
@@ -201,7 +248,7 @@ object Cubes {
       dims = Seq(time, typeDim),
       measures = Seq(
         Measure("n_events", Agg.Count, "1"),
-        Measure("sum_value", Agg.Sum, "value"),
+        Measure("sum_value", Agg.SumExact, "value"),
         Measure("n_users", Agg.DistinctCount, "user_id")))
   }
 }

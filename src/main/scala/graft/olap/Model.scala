@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
 sealed trait Agg
 object Agg {
   case object Sum extends Agg
+  /** Order-independent sum of a double expression: the per-row double is
+    * cast to DECIMAL(38,10) (deterministic round-to-nearest), summed
+    * exactly, and cast back to double. A plain double sum's value depends
+    * on partition/merge order, so at grand-total cardinality (~60k+ rows)
+    * Spark and a single-threaded oracle drift in the last ulps; decimal
+    * summation is associative and reproducible at any parallelism — the
+    * property that matters at 1000-executor scale.
+    */
+  case object SumExact extends Agg
   case object Count extends Agg
   case object Min extends Agg
   case object Max extends Agg
@@ -46,6 +55,10 @@ object Agg {
     */
   def toColumn(agg: Agg, e: String): Column = agg match {
     case Sum               => expr(s"sum($e)")
+    // result stays DECIMAL(38,10): converting back to double is itself
+    // engine-dependent rounding (DuckDB's decimal→double is 1 ulp off),
+    // while the decimal value is identical everywhere
+    case SumExact          => expr(s"sum(CAST(($e) AS DECIMAL(38,10)))")
     case Count             => expr(s"count($e)")
     case Min               => expr(s"min($e)")
     case Max               => expr(s"max($e)")
@@ -167,14 +180,25 @@ final case class Role(name: String, grants: Seq[(String, Seq[Any])]) {
   def isGranted(dim: String): Boolean = grants.exists(_._1 == dim)
 }
 
-/** A cube bound to concrete DataFrames for one scale-factor directory. */
+/** A cube bound to concrete DataFrames for one scale-factor directory.
+  *
+  * `factPruner`, when set, maps the set of fact-side columns a query
+  * actually needs to a (possibly narrower) fact DataFrame — e.g. skipping
+  * the lineitem⋈orders join when no orders column is referenced. Spark
+  * cannot eliminate inner joins itself, so this is the engine's own
+  * join-elimination rule (SURVEY §4).
+  */
 final case class BoundCube(
     name: String,
     fact: DataFrame,
     dims: Seq[BoundDim],
     measures: Seq[Measure],
     calcMembers: Seq[CalcMember] = Nil,
-    role: Option[Role] = None) {
+    role: Option[Role] = None,
+    factPruner: Option[Set[String] => DataFrame] = None) {
+
+  def factFor(needed: Set[String]): DataFrame =
+    factPruner.map(_(needed)).getOrElse(fact)
 
   def dim(name: String): BoundDim = {
     val d = dims.find(_.name == name)

@@ -115,8 +115,12 @@ final class Planner(val cube: BoundCube) {
     }
   }
 
+  /** Path deeper than the hierarchy matches nothing (memberExists on an
+    * over-deep path must be false, not an exception — ADVICE r1).
+    */
   private def ancestorPredicate(d: BoundDim, path: Seq[Any]): Column =
-    path.zipWithIndex
+    if (path.isEmpty || path.length > d.levels.length) lit(false)
+    else path.zipWithIndex
       .map { case (v, i) => col(d.levels(i).col) === lit(v) }
       .reduce(_ && _)
 
@@ -131,15 +135,19 @@ final class Planner(val cube: BoundCube) {
       val d = cube.dim(dim)
       require(paths.nonEmpty && paths.forall(_.length == paths.head.length),
         "literal member set must be uniform-depth")
-      val depth = paths.head.length - 1
+      val depth = math.min(paths.head.length, d.levels.length) - 1
       val pred = paths.map(p => ancestorPredicate(d, p)).reduce(_ || _)
       AxisFrame(memberFrame(d, depth).filter(pred), Seq(AxisDim(d, depth)))
 
     case Children(dim, path) =>
       val d = cube.dim(dim)
-      val depth = path.length // child level index
-      AxisFrame(memberFrame(d, depth).filter(ancestorPredicate(d, path)),
-        Seq(AxisDim(d, depth)))
+      // Children of a leaf-level member is the empty set, not the member
+      // itself (Mondrian DescendantsFunDef semantics; ADVICE r1).
+      val depth = math.min(path.length, d.levels.length - 1)
+      val pred =
+        if (path.length >= d.levels.length) lit(false)
+        else ancestorPredicate(d, path)
+      AxisFrame(memberFrame(d, depth).filter(pred), Seq(AxisDim(d, depth)))
 
     case Descendants(dim, path, level) =>
       val d = cube.dim(dim)
@@ -159,57 +167,105 @@ final class Planner(val cube: BoundCube) {
     case CrossJoin(l, r) =>
       val a = evalSet(l, slicer, withSets)
       val b = evalSet(r, slicer, withSets)
-      AxisFrame(a.members.crossJoin(b.members), a.dims ++ b.dims)
+      if (!a.hasOrd && !b.hasOrd)
+        AxisFrame(a.members.crossJoin(b.members), a.dims ++ b.dims)
+      else {
+        // Mondrian CrossJoin order is lexicographic (left order major):
+        // renumber from the realized child orders, then drop the child
+        // __ord columns (renamed first so the two sides can't collide).
+        val ra = realizeOrd(a); val rb = realizeOrd(b)
+        val joined = ra.members.withColumnRenamed(OrdCol, "__ordL")
+          .crossJoin(rb.members.withColumnRenamed(OrdCol, "__ordR"))
+        val w = Window.orderBy(col("__ordL").asc, col("__ordR").asc)
+        AxisFrame(joined.withColumn(OrdCol, row_number().over(w))
+          .drop("__ordL", "__ordR"), a.dims ++ b.dims, hasOrd = true)
+      }
 
     case NonEmptyCrossJoin(l, r) =>
       val a = evalSet(l, slicer, withSets)
       val b = evalSet(r, slicer, withSets)
       val dims = a.dims ++ b.dims
       // combos that occur in the (slicer-restricted) fact
-      val star = joinStar(neededJoins(dims, slicer))
+      val star = joinStar(neededJoins(dims, slicer), slicer)
       val sliced = star.filter(slicerPredicate(slicer))
       val occurring = sliced
         .select(dims.flatMap(ad => levelCols(ad.d, ad.depth)).map(col): _*)
         .distinct()
       // join member frames back to recover ordinal columns + restrict to
-      // the members of each child set
+      // the members of each child set (child __ord dropped: NECJ returns
+      // hierarchical order, like the reference's native crossjoin SQL)
       val joined = Seq(a, b).foldLeft(occurring) { (df, child) =>
         val joinKeys = child.dims.flatMap(ad => levelCols(ad.d, ad.depth))
-        df.join(broadcast(child.members), joinKeys)
+        df.join(broadcast(child.members.drop(OrdCol)), joinKeys)
       }
       AxisFrame(joined, dims)
 
     case UnionSet(l, r, all) =>
       val a = evalSet(l, slicer, withSets)
       val b = evalSet(r, slicer, withSets)
-      val cols = a.members.columns.toSeq
-      val u = a.members.unionByName(b.members.select(cols.map(col): _*))
-      AxisFrame(if (all) u else u.distinct(), a.dims)
+      val keyCols = groupCols(a.dims)
+      if (!a.hasOrd && !b.hasOrd) {
+        val cols = a.members.columns.toSeq
+        val u = a.members.unionByName(b.members.select(cols.map(col): _*))
+        AxisFrame(if (all) u else u.distinct(), a.dims)
+      } else {
+        // order-preserving union: left members first (their order), then
+        // right members; non-ALL keeps the first occurrence (UnionFunDef)
+        val ra = realizeOrd(a); val rb = realizeOrd(b)
+        val cols = ra.members.columns.toSeq
+        val offset = lit(ra.members.count()) // axis frames are small
+        val u = ra.members.unionByName(
+          rb.members.withColumn(OrdCol, col(OrdCol) + offset)
+            .select(cols.map(col): _*))
+        val deduped =
+          if (all) u
+          else {
+            val wk = Window.partitionBy(keyCols.map(col): _*)
+            u.withColumn("__minOrd", min(col(OrdCol)).over(wk))
+              .filter(col(OrdCol) === col("__minOrd")).drop("__minOrd")
+          }
+        val w = Window.orderBy(col(OrdCol).asc)
+        AxisFrame(deduped.withColumn(OrdCol, row_number().over(w)), a.dims,
+          hasOrd = true)
+      }
 
     case IntersectSet(l, r) =>
       val a = evalSet(l, slicer, withSets)
       val b = evalSet(r, slicer, withSets)
-      AxisFrame(
-        a.members.intersect(b.members.select(a.members.columns.map(col): _*)),
-        a.dims)
+      val joinCols = groupCols(a.dims)
+      val kept = a.members.join(
+        b.members.select(joinCols.map(col): _*).distinct(),
+        joinCols, "left_semi")
+      AxisFrame(renumber(kept, a.hasOrd), a.dims, a.hasOrd)
 
     case ExceptSet(l, r) =>
       val a = evalSet(l, slicer, withSets)
       val b = evalSet(r, slicer, withSets)
       val joinCols = b.dims.flatMap(ad => levelCols(ad.d, ad.depth))
-      AxisFrame(a.members.join(b.members.select(joinCols.map(col): _*)
-        .distinct(), joinCols, "left_anti"), a.dims)
+      val kept = a.members.join(b.members.select(joinCols.map(col): _*)
+        .distinct(), joinCols, "left_anti")
+      AxisFrame(renumber(kept, a.hasOrd), a.dims, a.hasOrd)
 
     case ExistsSet(l, r) =>
       val a = evalSet(l, slicer, withSets)
       val b = evalSet(r, slicer, withSets)
-      val common = a.members.columns.intersect(b.members.columns).toSeq
-      AxisFrame(a.members.join(b.members.select(common.map(col): _*)
-        .distinct(), common, "left_semi"), a.dims)
+      val common = a.members.columns.intersect(b.members.columns)
+        .filterNot(_ == OrdCol).toSeq
+      val kept = a.members.join(b.members.select(common.map(col): _*)
+        .distinct(), common, "left_semi")
+      AxisFrame(renumber(kept, a.hasOrd), a.dims, a.hasOrd)
 
     case DistinctSet(s) =>
       val a = evalSet(s, slicer, withSets)
-      AxisFrame(a.members.distinct(), a.dims)
+      if (!a.hasOrd) AxisFrame(a.members.distinct(), a.dims)
+      else {
+        // keep the first occurrence of each member tuple (DistinctFunDef)
+        val wk = Window.partitionBy(groupCols(a.dims).map(col): _*)
+        val kept = a.members
+          .withColumn("__minOrd", min(col(OrdCol)).over(wk))
+          .filter(col(OrdCol) === col("__minOrd")).drop("__minOrd")
+        AxisFrame(renumber(kept, hasOrd = true), a.dims, hasOrd = true)
+      }
 
     case NamedSetRef(name) =>
       val s = withSets.getOrElse(name,
@@ -217,10 +273,13 @@ final class Planner(val cube: BoundCube) {
       evalSet(s, slicer, withSets)
 
     case FilterSet(s, cond) =>
+      // MDX Filter preserves the input set's order (FilterFunDef): keep and
+      // renumber __ord when the child was explicitly ordered (ADVICE r1).
       val a = evalSet(s, slicer, withSets)
       val cells = cellsFor(a, slicer)
-      AxisFrame(cells.filter(expr(cond)).select(a.members.columns.map(col): _*),
-        a.dims)
+      val kept = cells.filter(expr(cond))
+        .select(a.members.columns.map(col): _*)
+      AxisFrame(renumber(kept, a.hasOrd), a.dims, a.hasOrd)
 
     case OrderSet(s, e, dir) =>
       val a = evalSet(s, slicer, withSets)
@@ -259,13 +318,17 @@ final class Planner(val cube: BoundCube) {
       val a = realizeOrd(evalSet(s, slicer, withSets))
       val w = Window.partitionBy()
       val withCnt = a.members.withColumn("__cnt", count(lit(1)).over(w))
-      AxisFrame(withCnt.filter(col(OrdCol) > col("__cnt") - n).drop("__cnt"),
+      AxisFrame(
+        renumber(withCnt.filter(col(OrdCol) > col("__cnt") - n)
+          .drop("__cnt"), hasOrd = true),
         a.dims, hasOrd = true)
 
     case SubsetSet(s, start, n) =>
       val a = realizeOrd(evalSet(s, slicer, withSets))
       AxisFrame(
-        a.members.filter(col(OrdCol) > start && col(OrdCol) <= start + n),
+        renumber(
+          a.members.filter(col(OrdCol) > start && col(OrdCol) <= start + n),
+          hasOrd = true),
         a.dims, hasOrd = true)
 
     case Hierarchize(s, post) =>
@@ -299,9 +362,19 @@ final class Planner(val cube: BoundCube) {
       .withColumn(OrdCol, row_number().over(wOrd))
     val kept = annotated
       .filter(keep(col("__cum"), col("__tot"), col("__v")))
-      .select((a.members.columns :+ OrdCol).map(col): _*)
+      .select(
+        (a.members.columns.filterNot(_ == OrdCol) :+ OrdCol).map(col): _*)
     AxisFrame(kept, a.dims, hasOrd = true)
   }
+
+  /** Compact an explicit __ord to 1..n after row removal so downstream
+    * positional ops (Head/Subset) keep working on gap-free positions; a
+    * frame without __ord passes through.
+    */
+  private def renumber(members: DataFrame, hasOrd: Boolean): DataFrame =
+    if (!hasOrd) members
+    else members.withColumn(OrdCol,
+      row_number().over(Window.orderBy(col(OrdCol).asc)))
 
   /** Cells at the grain of `a` with all base measures + expression calc
     * members — the working set for cell-dependent set operators.
@@ -317,7 +390,8 @@ final class Planner(val cube: BoundCube) {
     val w = Window.orderBy(sortCols ++ tieBreak(a): _*)
     AxisFrame(
       cells.withColumn(OrdCol, row_number().over(w))
-        .select((a.members.columns :+ OrdCol).map(col): _*),
+        .select(
+          (a.members.columns.filterNot(_ == OrdCol) :+ OrdCol).map(col): _*),
       a.dims, hasOrd = true)
   }
 
@@ -355,11 +429,32 @@ final class Planner(val cube: BoundCube) {
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
   }
 
+  private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Fact-side columns a query touches: join keys of the needed dims,
+    * degenerate level columns, and every identifier in the measure /
+    * slicer expressions. Feeds BoundCube.factFor (engine-level join
+    * elimination — Catalyst can't drop an inner join on its own).
+    */
+  private def requiredFactCols(needed: Map[String, Int],
+      slicer: Seq[SlicerItem], extra: Seq[String]): Set[String] = {
+    val dimCols = needed.toSeq.flatMap { case (name, depth) =>
+      val d = cube.dim(name)
+      if (d.degenerate) memberCols(d, depth) else Seq(d.foreignKey)
+    }
+    val texts = neededMeasures.map(_.expr) ++ extra ++
+      slicer.collect { case ExprSlice(sql, _) => sql }
+    (dimCols ++ texts.flatMap(t => IdentRe.findAllIn(t))).toSet
+  }
+
   /** Fact joined with the needed dimensions — dimension side broadcast so
     * the fact never shuffles for the star join.
     */
-  private def joinStar(needed: Map[String, Int]): DataFrame =
-    needed.toSeq.sortBy(_._1).foldLeft(cube.fact) { case (df, (name, depth)) =>
+  private def joinStar(needed: Map[String, Int],
+      slicer: Seq[SlicerItem] = Nil,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val base = cube.factFor(requiredFactCols(needed, slicer, extraCols))
+    needed.toSeq.sortBy(_._1).foldLeft(base) { case (df, (name, depth)) =>
       val d = cube.dim(name)
       if (d.degenerate) df // level cols already on the fact
       else {
@@ -373,6 +468,7 @@ final class Planner(val cube: BoundCube) {
         else joined.drop(dimSel(d.primaryKey))
       }
     }
+  }
 
   def slicerPredicate(slicer: Seq[SlicerItem]): Column =
     if (slicer.isEmpty) lit(true)
@@ -389,7 +485,7 @@ final class Planner(val cube: BoundCube) {
   def aggregate(axisDims: Seq[AxisDim],
       slicer: Seq[SlicerItem]): DataFrame = {
     val allSlicer = slicer ++ roleSlicer
-    val star = joinStar(neededJoins(axisDims, allSlicer))
+    val star = joinStar(neededJoins(axisDims, allSlicer), allSlicer)
     val sliced = star.filter(slicerPredicate(allSlicer))
     val aggCols = neededMeasures.map(m =>
       Agg.toColumn(m.agg, m.expr).as(m.name))
@@ -412,7 +508,7 @@ final class Planner(val cube: BoundCube) {
       AxisDim(cube.dim(dn), cube.dim(dn).levelIndex(ln))
     }
     val allSlicer = slicer ++ roleSlicer
-    val star = joinStar(neededJoins(axisDims, allSlicer))
+    val star = joinStar(neededJoins(axisDims, allSlicer), allSlicer)
     val sliced = star.filter(slicerPredicate(allSlicer))
     val aggCols = neededMeasures.map(m =>
       Agg.toColumn(m.agg, m.expr).as(m.name))
@@ -463,8 +559,12 @@ final class Planner(val cube: BoundCube) {
         val pruned =
           if (!q.nonEmpty) withCalcs
           else {
-            val anyData = neededMeasures.map(m => col(m.name).isNotNull)
-              .reduce(_ || _)
+            // NON EMPTY drops rows empty in every DISPLAYED column
+            // (q.measures), not in dependency-only measures (ADVICE r1)
+            val shown = q.measures.filter(withCalcs.columns.contains)
+            val basis = if (shown.nonEmpty) shown
+                        else neededMeasures.map(_.name)
+            val anyData = basis.map(col(_).isNotNull).reduce(_ || _)
             withCalcs.filter(anyData)
           }
         val sortCols: Seq[Column] =
@@ -545,7 +645,7 @@ final class Planner(val cube: BoundCube) {
     val allSlicer = slicer ++ roleSlicer
     val depths = dims.map { case (d, lvl) => d -> cube.dim(d).levelIndex(lvl) }
     val needed = neededJoins(Nil, allSlicer) ++ depths
-    val star = joinStar(needed)
+    val star = joinStar(needed, allSlicer, returnCols)
     val sliced = star.filter(slicerPredicate(allSlicer))
     val ne = nonEmptyCol.map(c => sliced.filter(col(c).isNotNull))
       .getOrElse(sliced)

@@ -17,7 +17,8 @@ object OlapCoreQueries {
   private def sales(s: SparkSession, dir: String) = Cubes.sales(s, dir)
 
   // shared SQL fragments for the oracles
-  private val REV = "sum(l_extendedprice * (1 - l_discount))"
+  private val REV =
+    "sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,10)))"
   private val LO = "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
   private val CJOIN = s"$LO JOIN customer ON o_custkey = c_custkey " +
     "JOIN nation ON c_nationkey = n_nationkey " +
@@ -253,7 +254,8 @@ object OlapCoreQueries {
 
     "q_measure_expr" ->
       s"""SELECT l_returnflag, $REV AS revenue,
-         |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS charge
+         |  sum(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax))
+         |    AS DECIMAL(38,10))) AS charge
          |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q_distinct_count" ->
@@ -271,8 +273,9 @@ object OlapCoreQueries {
 
     "q_calc_member" ->
       s"""SELECT l_returnflag, $REV AS revenue,
-         |  sum(l_extendedprice) AS sum_base_price,
-         |  $REV / sum(l_extendedprice) AS margin
+         |  sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS sum_base_price,
+         |  CAST($REV AS DOUBLE) /
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS margin
          |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q_star_region" ->
@@ -322,11 +325,11 @@ object OlapCoreQueries {
 
     "q_topcount" ->
       s"""SELECT p_brand, $REV AS revenue
-         |$PJOIN GROUP BY 1 ORDER BY revenue DESC LIMIT 5""".stripMargin,
+         |$PJOIN GROUP BY 1 ORDER BY revenue DESC, p_brand LIMIT 5""".stripMargin,
 
     "q_bottomcount" ->
       s"""SELECT r_name AS cr_region, n_name AS cr_nation, $REV AS revenue
-         |$CJOIN GROUP BY 1, 2 ORDER BY revenue ASC LIMIT 3""".stripMargin,
+         |$CJOIN GROUP BY 1, 2 ORDER BY revenue ASC, cr_region, cr_nation LIMIT 3""".stripMargin,
 
     "q_toppercent" ->
       s"""WITH b AS (
@@ -353,16 +356,16 @@ object OlapCoreQueries {
 
     "q_head" ->
       s"""SELECT r_name AS cr_region, n_name AS cr_nation, $REV AS revenue
-         |$CJOIN GROUP BY 1, 2 ORDER BY revenue DESC LIMIT 4""".stripMargin,
+         |$CJOIN GROUP BY 1, 2 ORDER BY revenue DESC, cr_region, cr_nation LIMIT 4""".stripMargin,
 
     "q_subset" ->
       s"""SELECT r_name AS cr_region, n_name AS cr_nation, $REV AS revenue
          |$CJOIN GROUP BY 1, 2
-         |ORDER BY revenue DESC LIMIT 5 OFFSET 5""".stripMargin,
+         |ORDER BY revenue DESC, cr_region, cr_nation LIMIT 5 OFFSET 5""".stripMargin,
 
     "q_tail" ->
       s"""SELECT r_name AS cr_region, n_name AS cr_nation, $REV AS revenue
-         |$CJOIN GROUP BY 1, 2 ORDER BY revenue ASC LIMIT 3""".stripMargin,
+         |$CJOIN GROUP BY 1, 2 ORDER BY revenue ASC, cr_region, cr_nation LIMIT 3""".stripMargin,
 
     "q_order_bdesc" ->
       s"""SELECT r_name AS cr_region, n_name AS cr_nation, $REV AS revenue
@@ -393,7 +396,7 @@ object OlapCoreQueries {
 
     "q_namedset" ->
       s"""SELECT p_brand, $REV AS revenue, sum(l_quantity) AS sum_qty
-         |$PJOIN GROUP BY 1 ORDER BY revenue DESC LIMIT 3""".stripMargin,
+         |$PJOIN GROUP BY 1 ORDER BY revenue DESC, p_brand LIMIT 3""".stripMargin,
 
     "q_crossjoin" ->
       s"""WITH nations AS (

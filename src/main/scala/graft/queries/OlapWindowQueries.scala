@@ -14,7 +14,8 @@ object OlapWindowQueries {
 
   private def sales(s: SparkSession, dir: String) = Cubes.sales(s, dir)
 
-  private val REV = "sum(l_extendedprice * (1 - l_discount))"
+  private val REV =
+    "sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,10)))"
   private val LO = "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
   private val CJOIN = s"$LO JOIN customer ON o_custkey = c_custkey " +
     "JOIN nation ON c_nationkey = n_nationkey " +
@@ -40,7 +41,8 @@ object OlapWindowQueries {
         .withMember(CalcMember("prev_rev",
           WindowCalc("revenue", WinKind.LagK(1), "time")))
         .withMember(CalcMember("rev_growth",
-          ExprCalc("(revenue - prev_rev) / prev_rev"), solveOrder = 1))
+          ExprCalc("CAST((revenue - prev_rev) AS DOUBLE)" +
+            " / CAST(prev_rev AS DOUBLE)"), solveOrder = 1))
         .execute()),
 
     "q_ytd" -> ((s, dir) =>
@@ -185,8 +187,8 @@ object OlapWindowQueries {
       s"""$MCTE
          |SELECT d_year, d_yq, d_ym, revenue,
          |  lag(revenue) OVER w AS prev_rev,
-         |  (revenue - lag(revenue) OVER w) / lag(revenue) OVER w
-         |    AS rev_growth
+         |  CAST((revenue - lag(revenue) OVER w) AS DOUBLE)
+         |    / CAST(lag(revenue) OVER w AS DOUBLE) AS rev_growth
          |FROM m WINDOW w AS (ORDER BY d_ym)""".stripMargin,
 
     "q_ytd" ->
@@ -285,7 +287,7 @@ object OlapWindowQueries {
          |  SELECT $MONTH AS d_ym, $REV AS revenue $LO GROUP BY 1),
          |b AS (
          |  SELECT strftime(ts, '%Y-%m') AS d_ym, count(*) AS n_events,
-         |    sum(value) AS sum_value
+         |    sum(CAST(value AS DECIMAL(38,10))) AS sum_value
          |  FROM events GROUP BY 1)
          |SELECT d_ym, revenue, n_events, sum_value
          |FROM a FULL JOIN b USING (d_ym)""".stripMargin,
