@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Scale design (billions of vectors):
+  *  - The probe set is always the small side → broadcast; the corpus
+  *    never shuffles for brute-force scoring, and the per-probe top-k is
+  *    a partial top-k under a window (rank <= k filters map-side via
+  *    WindowGroupLimit before the final per-probe merge).
+  *  - The IVF variant is the scale path: a coarse quantizer (centroid
+  *    per cell) built once, probes routed to their nearest cell, and
+  *    scoring confined to that cell's partition — the classic
+  *    IVF-Flat layout; at 100 TB the corpus would be written
+  *    partitioned-by-cell so a probe touches one partition (partition
+  *    pruning on the cell key).
+  *  - All distance math is codegen'd column expressions (zip_with +
+  *    aggregate), double-accumulated for engine portability; no UDFs.
+  */
+object SimilarityOps {
+
+  import DedupOps.cosineExpr
+
+  /** Brute-force cosine top-k: every probe scored against every corpus
+    * vector, per-probe rank window, keep rank <= k.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
+    val scored = corpus.as("c").join(
+        broadcast(probes.select(col("vec_id").as("probe_id"),
+          col("embedding").as("probe_emb"))),
+        col("c.vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("c.vec_id").as("neighbor_id"),
+        expr(cosineExpr("probe_emb", "c.embedding")).as("cos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rank")
+  }
+
+  /** Elementwise mean of the embedding vectors per cell — the coarse
+    * quantizer codebook. posexplode → avg per (cell, dim) → re-assemble
+    * ordered array. One shuffle of n_vectors * dim skinny rows.
+    */
+  def centroids(corpus: DataFrame, cellCol: String): DataFrame =
+    corpus.select(col(cellCol).as("cell"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(avg(col("v").cast("double")).as("mv"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv"))))
+        .as("pairs"))
+      .select(col("cell"),
+        expr("transform(pairs, p -> p.mv)").as("centroid"))
+
+  /** IVF top-k: route each probe to its nearest centroid cell, then
+    * brute-force only within that cell. The corpus side is pre-bucketed
+    * by `cellCol` (here: the label column as a stand-in for a trained
+    * k-means codebook); the probe-to-cell routing is a broadcast join
+    * against the (tiny) codebook.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, cellCol: String,
+      k: Int): DataFrame = {
+    val code = centroids(corpus, cellCol)
+    val routed = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+      .crossJoin(broadcast(code))
+      .select(col("probe_id"), col("probe_emb"), col("cell"),
+        expr(cosineExpr("probe_emb", "centroid")).as("ccos"))
+    val wRoute = Window.partitionBy("probe_id")
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probeCell = routed.withColumn("r", row_number().over(wRoute))
+      .filter(col("r") === 1).select("probe_id", "probe_emb", "cell")
+    val scored = corpus.as("c")
+      .join(broadcast(probeCell), col(s"c.$cellCol") === col("cell") &&
+        col("c.vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("c.vec_id").as("neighbor_id"),
+        expr(cosineExpr("probe_emb", "c.embedding")).as("cos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rank")
+  }
+
+  /** Random-hyperplane LSH bucketing: nBits sign bits from deterministic
+    * md5-derived hyperplanes → integer bucket key. Vectors in the same
+    * bucket are ANN candidates; at scale the corpus is partitioned by
+    * bucket. Deterministic (seeded), so oracle-reproducible.
+    */
+  def lshBuckets(corpus: DataFrame, nBits: Int): DataFrame = {
+    // plane(b, d) in [-0.5, 0.5): md5-derived uniform — deterministic
+    val plane = (b: String, d: String) =>
+      s"(${DedupOps.h60(s"concat('pl', cast($b as string), '_', cast($d as string))")}" +
+        s" % 1000000) / 1000000.0 - 0.5"
+    corpus.select(col("vec_id"), col("embedding"),
+      expr(
+        s"""aggregate(transform(sequence(0, ${nBits - 1}), b ->
+           |  if(aggregate(sequence(0, size(embedding) - 1), 0D, (acc, d) ->
+           |       acc + cast(element_at(embedding, d + 1) as double)
+           |             * (${plane("b", "d")})) > 0,
+           |     shiftleft(1L, b), 0L)),
+           |  0L, (acc, v) -> acc + v)""".stripMargin).as("bucket"))
+  }
+}

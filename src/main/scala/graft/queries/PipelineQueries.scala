@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops._
+
+/** Training-data pipeline battery: deduplication (exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding near-dup), similarity search
+  * (brute-force / IVF / LSH-bucketed ANN), text analysis, and multimodal
+  * metadata — each as an engine query paired with a DuckDB oracle that
+  * reproduces the exact same deterministic (md5-derived) hashing.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- deduplication -------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) => DedupOps.exactDedup(docs(s, dir))),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      DedupOps.jaccardPairs(docs(s, dir), 0.5)),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      DedupOps.minhashLsh(docs(s, dir), bands = 4, rows = 2,
+        threshold = 0.5)),
+
+    "q_dedup_simhash" -> ((s, dir) => DedupOps.simhash(docs(s, dir))),
+
+    "q_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashPairs(docs(s, dir), maxDist = 3)),
+
+    "q_dedup_embed" -> ((s, dir) =>
+      DedupOps.embeddingPairs(emb(s, dir), 0.47)),
+
+    // -- similarity search ---------------------------------------------
+    "q_ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 5), "label", k = 10)
+    }),
+
+    "q_ann_lsh_buckets" -> ((s, dir) =>
+      SimilarityOps.lshBuckets(emb(s, dir), nBits = 12)
+        .select("vec_id", "bucket")),
+
+    // -- text analysis -------------------------------------------------
+    "q_text_tokens" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
+
+    "q_text_quality" -> ((s, dir) => TextOps.quality(docs(s, dir))),
+
+    "q_text_langid" -> ((s, dir) => TextOps.langId(docs(s, dir))),
+
+    "q_text_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+
+    // -- multimodal (stubbed decode, real plumbing) --------------------
+    "q_multimodal_meta" -> ((s, dir) =>
+      MultimodalOps.imageMeta(s, docs(s, dir))),
+
+    "q_multimodal_resize" -> ((s, dir) =>
+      MultimodalOps.resizePlan(MultimodalOps.imageMeta(s, docs(s, dir)), 64)
+        .select("doc_id", "out_w", "out_h"))
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  /** DuckDB equivalents of the Spark-side deterministic primitives. */
+  private val T = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private def H60(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  /** (doc_id, shingles) CTE fragment (word 3-grams, distinct). */
+  private val SH_CTE =
+    s"""toks AS (SELECT doc_id, $T AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |     for i in range(1, len(t) - 1)]) AS shingles
+       |  FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  /** Per-doc simhash signature select (from a toks CTE). */
+  private val SIMHASH_SQL =
+    """CAST(list_sum([
+      |  CASE WHEN list_sum([
+      |      ((('0x' || substr(md5(tok), 1, 15))::BIGINT >> p) % 2) * 2 - 1
+      |      for tok in t]) > 0
+      |    THEN (1::BIGINT << p) ELSE 0::BIGINT END
+      |  for p in range(0, 60)]) AS BIGINT)""".stripMargin
+
+  /** Explicit double-accumulated cosine — reproduces Spark's
+    * zip_with/aggregate math IEEE-exactly (same fold order).
+    */
+  private def COS(a: String, b: String) =
+    s"""(list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+       |           for i in range(1, len($a) + 1)])
+       | / (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)
+       |                   for i in range(1, len($a) + 1)]))
+       |    * sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+       |                     for i in range(1, len($b) + 1)]))))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH $SH_CTE,
+         |posts AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_common
+         |  FROM posts a JOIN posts b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(n_common AS DOUBLE)
+         |    / (len(sa.shingles) + len(sb.shingles) - n_common) AS jaccard
+         |FROM common
+         |JOIN sh sa ON sa.doc_id = doc_a
+         |JOIN sh sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_common AS DOUBLE)
+         |    / (len(sa.shingles) + len(sb.shingles) - n_common) >= 0.5"""
+        .stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $SH_CTE,
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |    [list_min([${H60("'mh' || CAST(i AS VARCHAR) || ':' || s")}
+         |      for s in shingles]) for i in range(0, 8)] AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    CAST(sig[2*b+1] AS VARCHAR) || '_' ||
+         |      CAST(sig[2*b+2] AS VARCHAR) AS band_sig
+         |  FROM sig, range(0, 4) r(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         |      AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+         |    len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = doc_a
+         |  JOIN sh sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b,
+         |  CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+         |FROM v
+         |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5"""
+        .stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents)
+         |SELECT doc_id, $SIMHASH_SQL AS simhash FROM toks""".stripMargin,
+
+    // brute-force hamming <= 3 equals the banded LSH result exactly:
+    // 4 bands over 60 bits guarantee recall at hamming <= 3 (pigeonhole)
+    "q_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |s AS (SELECT doc_id, $SIMHASH_SQL AS simhash FROM toks)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${COS("a.embedding", "b.embedding")} >= 0.47""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${COS("p.embedding", "c.embedding")} AS cos
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 5),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC)
+         |    AS INT) AS rank
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, rank FROM ranked
+         |WHERE rank <= 10""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT label AS cell, d,
+         |    avg(CAST(embedding[d] AS DOUBLE)) AS mv
+         |  FROM embeddings, range(1, 65) r(d) GROUP BY 1, 2),
+         |code AS (
+         |  SELECT cell, list(mv ORDER BY d) AS centroid
+         |  FROM cent GROUP BY 1),
+         |routed AS (
+         |  SELECT p.vec_id AS probe_id, p.embedding AS probe_emb, code.cell,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      ${COS("p.embedding", "code.centroid")} DESC, code.cell ASC)
+         |      AS r
+         |  FROM embeddings p, code WHERE p.vec_id < 5),
+         |pc AS (SELECT probe_id, probe_emb, cell FROM routed WHERE r = 1),
+         |scored AS (
+         |  SELECT pc.probe_id, c.vec_id AS neighbor_id,
+         |    ${COS("pc.probe_emb", "c.embedding")} AS cos
+         |  FROM pc JOIN embeddings c
+         |    ON c.label = pc.cell AND c.vec_id <> pc.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC)
+         |    AS INT) AS rank
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, rank FROM ranked
+         |WHERE rank <= 10""".stripMargin,
+
+    "q_ann_lsh_buckets" ->
+      s"""SELECT vec_id,
+         |  CAST(list_sum([
+         |    CASE WHEN list_sum([
+         |        CAST(embedding[d + 1] AS DOUBLE) *
+         |        ((${H60("'pl' || CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)")}
+         |          % 1000000) / 1000000.0 - 0.5)
+         |        for d in range(0, len(embedding))]) > 0
+         |      THEN (1::BIGINT << b) ELSE 0::BIGINT END
+         |    for b in range(0, 12)]) AS BIGINT) AS bucket
+         |FROM embeddings""".stripMargin,
+
+    "q_text_tokens" ->
+      s"""SELECT doc_id, CAST(len($T) AS INT) AS n_tokens
+         |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INT) AS len_chars,
+         |  CAST(len($T) AS INT) AS n_tokens,
+         |  length(replace(text, ' ', ''))
+         |    / CAST(len($T) AS DOUBLE) AS avg_token_len,
+         |  CAST(length(text) -
+         |    length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT)
+         |    AS n_punct,
+         |  len(list_filter($T, t -> list_contains(
+         |      ['the', 'a', 'of', 'and', 'to', 'in'], t)))
+         |    / CAST(len($T) AS DOUBLE) AS stop_ratio
+         |FROM documents""".stripMargin,
+
+    "q_text_langid" -> {
+      def hits(words: String) =
+        s"len(list_filter($T, t -> list_contains([$words], t)))"
+      val en = hits("'the', 'a', 'of', 'and', 'to', 'in'")
+      val de = hits("'der', 'die', 'das', 'und', 'ist'")
+      val es = hits("'el', 'la', 'de', 'y', 'es'")
+      val fr = hits("'le', 'la', 'de', 'et', 'est'")
+      s"""WITH h AS (
+         |  SELECT doc_id, CAST($en AS INT) AS en_hits,
+         |    CAST($de AS INT) AS de_hits, CAST($es AS INT) AS es_hits,
+         |    CAST($fr AS INT) AS fr_hits
+         |  FROM documents)
+         |SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+         |  CASE
+         |    WHEN en_hits >= de_hits AND en_hits >= es_hits
+         |      AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+         |    WHEN de_hits >= es_hits AND de_hits >= fr_hits
+         |      AND de_hits > 0 THEN 'de'
+         |    WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+         |    WHEN fr_hits > 0 THEN 'fr'
+         |    ELSE 'unknown'
+         |  END AS pred_lang
+         |FROM h""".stripMargin
+    },
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  16 + (('0x' || substr(md5(text), 1, 2))::INT % 128) AS width,
+        |  16 + (('0x' || substr(md5(text), 3, 2))::INT % 128) AS height,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CASE WHEN ('0x' || substr(md5(text), 5, 2))::INT % 2 = 0
+        |    THEN 'jpeg' ELSE 'png' END AS format
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    16 + (('0x' || substr(md5(text), 1, 2))::INT % 128) AS width,
+        |    16 + (('0x' || substr(md5(text), 3, 2))::INT % 128) AS height
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(floor(width * least(64.0 / width, 64.0 / height, 1.0))
+        |    AS INT) AS out_w,
+        |  CAST(floor(height * least(64.0 / width, 64.0 / height, 1.0))
+        |    AS INT) AS out_h
+        |FROM m""".stripMargin
+  )
+}

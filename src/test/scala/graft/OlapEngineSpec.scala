@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.olap._
+
+/** Engine-path specs on sf0.001: query builder → IR → Planner →
+  * DataFrame, including regressions for the ADVICE r1 findings.
+  */
+class OlapEngineSpec extends SparkSpec {
+
+  private lazy val cube = Cubes.sales(spark, Sf)
+
+  test("flagship star query returns rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("topCount after order does not duplicate __ord (ADVICE r1)") {
+    val df = Query.from(cube)
+      .columns("revenue")
+      .rows(LevelMembers("customer", "nation"))
+      .order("revenue", SortDir.BDesc)
+      .topCount(3, "revenue")
+      .execute()
+    assert(df.count() === 3)
+  }
+
+  test("filter preserves explicit order of the input set (ADVICE r1)") {
+    val df = Query.from(cube)
+      .columns("revenue")
+      .rows(LevelMembers("customer", "nation"))
+      .order("revenue", SortDir.BDesc)
+      .filter("revenue > 0")
+      .head(5)
+      .execute()
+    val revs = df.select("revenue").collect()
+      .map(_.getDecimal(0).doubleValue())
+    assert(revs.toSeq === revs.sorted(Ordering[Double].reverse).toSeq,
+      "head after order+filter must keep the value-descending order")
+  }
+
+  test("children of a leaf-level member is empty (ADVICE r1)") {
+    val nation = new CubeMetadata(cube)
+      .levelMembers("customer", "customer").limit(1).collect()
+    val path = nation.head.toSeq.take(3).map(_.toString)
+    val df = new Planner(cube)
+      .evalSet(Children("customer", path), Nil).members
+    assert(df.count() === 0)
+  }
+
+  test("over-deep member path yields empty set, not an exception") {
+    val df = new Planner(cube)
+      .evalSet(Members("customer",
+        Seq(Seq("EUROPE", "X", "Y", "TOO_DEEP"))), Nil).members
+    assert(df.count() === 0)
+  }
+
+  test("nonempty prunes on displayed measures only") {
+    val df = Query.from(cube)
+      .columns("revenue")
+      .rows(CrossJoin(LevelMembers("customer", "region"),
+        LevelMembers("part", "brand")))
+      .nonempty()
+      .execute()
+    assert(df.filter(col("revenue").isNull).count() === 0)
+  }
+
+  test("rollup emits grand-total row with null keys") {
+    val df = new Planner(cube).rollupAggregate(
+      Seq(("customer", "region")), Nil, Seq("revenue"))
+    val total = df.filter(col("cr_region").isNull).collect()
+    assert(total.length === 1)
+  }
+
+  test("union keeps left-first order; intersect/except respect sets") {
+    val eu = Children("customer", Seq("EUROPE"))
+    val asia = Children("customer", Seq("ASIA"))
+    val u = Query.from(cube).columns("revenue").rows(UnionSet(eu, asia, all = false)).execute()
+    val i = Query.from(cube).columns("revenue").rows(IntersectSet(eu, asia)).execute()
+    val e = Query.from(cube).columns("revenue").rows(ExceptSet(eu, asia)).execute()
+    assert(i.count() === 0)
+    assert(u.count() === e.count() + Query.from(cube).columns("revenue")
+      .rows(asia).execute().count())
+  }
+}

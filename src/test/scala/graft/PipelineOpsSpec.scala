@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Specs for the training-data pipeline operators (DedupOps,
+  * SimilarityOps, MultimodalOps, TextOps) on the sf0.001 smoke data.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, Sf, "documents").cache()
+  private lazy val emb = Tables.load(spark, Sf, "embeddings").cache()
+
+  test("exactDedup keeps one survivor per distinct text") {
+    val n = docs.count()
+    val nDistinct = docs.select("text").distinct().count()
+    assert(DedupOps.exactDedup(docs).count() === nDistinct)
+    assert(nDistinct <= n)
+  }
+
+  test("jaccardPairs returns only pairs above threshold, a < b") {
+    val pairs = DedupOps.jaccardPairs(docs, 0.5).collect()
+    assert(pairs.forall(r => r.getAs[Double]("jaccard") >= 0.5))
+    assert(pairs.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
+  test("minhashLsh candidates are a subset of exact jaccard pairs") {
+    val exact = DedupOps.jaccardPairs(docs, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLsh(docs, 4, 2, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("simhash signatures are deterministic 60-bit values") {
+    val a = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.values.forall(v => v >= 0 && v < (1L << 60)))
+  }
+
+  test("simhashPairs finds exactly the brute-force hamming<=3 pairs") {
+    val sigs = DedupOps.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    val banded = DedupOps.simhashPairs(docs, 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute)
+  }
+
+  test("bruteForceTopK ranks per probe 1..k without self-matches") {
+    val probes = emb.filter(col("vec_id") < 3)
+    val res = SimilarityOps.bruteForceTopK(emb, probes, 5).collect()
+    val byProbe = res.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size === 3)
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 5))
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != p))
+    }
+  }
+
+  test("ivfTopK searches only the routed cell") {
+    val probes = emb.filter(col("vec_id") < 3)
+    val res = SimilarityOps.ivfTopK(emb, probes, "label", 5)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val joined = res.collect()
+    // all neighbors of one probe share one label (the routed cell)
+    joined.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rows) =>
+      assert(rows.map(r => labels(r.getAs[Long]("neighbor_id"))).distinct.length === 1)
+    }
+  }
+
+  test("lshBuckets emits deterministic bucket ids in [0, 2^12)") {
+    val b1 = SimilarityOps.lshBuckets(emb, 12).select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = SimilarityOps.lshBuckets(emb, 12).select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === b2)
+    assert(b1.values.forall(v => v >= 0 && v < 4096))
+  }
+
+  test("multimodal stub decode is deterministic and schema-typed") {
+    val m = MultimodalOps.imageMeta(spark, docs)
+    assert(m.columns.toSeq ===
+      Seq("doc_id", "width", "height", "n_bytes", "format"))
+    val rows = m.collect()
+    assert(rows.forall { r =>
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      w >= 16 && w < 144 && h >= 16 && h < 144
+    })
+    assert(rows.forall(r =>
+      Set("jpeg", "png").contains(r.getAs[String]("format"))))
+  }
+
+  test("resizePlan fits the target box preserving aspect") {
+    val m = MultimodalOps.resizePlan(
+      MultimodalOps.imageMeta(spark, docs), 64).collect()
+    assert(m.forall { r =>
+      r.getAs[Int]("out_w") <= 64 && r.getAs[Int]("out_h") <= 64
+    })
+    // no upscale: output never exceeds input
+    assert(m.forall { r =>
+      r.getAs[Int]("out_w") <= r.getAs[Int]("width") &&
+        r.getAs[Int]("out_h") <= r.getAs[Int]("height")
+    })
+  }
+
+  test("frameSample yields stride-spaced frame indices") {
+    val f = MultimodalOps.frameSample(
+      MultimodalOps.imageMeta(spark, docs), 160, 5).collect()
+    assert(f.forall(r =>
+      r.getAs[Seq[Int]]("frame_idx").forall(_ % 5 == 0)))
+  }
+
+  test("text quality + langid + tokens agree on token counts") {
+    val t = TextOps.tokenCounts(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val q = TextOps.quality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
+    assert(t === q)
+    val langs = TextOps.langId(docs).select("pred_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr", "unknown")))
+  }
+}
