@@ -26,12 +26,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     OlapCoreQueries.queries ++ OlapWindowQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ StreamingQueries.queries ++
+      MdxQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     OlapCoreQueries.oracleSql ++ OlapWindowQueries.oracleSql ++
-      PipelineQueries.oracleSql
+      PipelineQueries.oracleSql ++ StreamingQueries.oracleSql ++
+      MdxQueries.oracleSql
 }

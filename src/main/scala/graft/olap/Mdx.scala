@@ -1,0 +1,489 @@
+package graft.olap
+
+/** MDX parser — entry point A of the reference (raw MDX text →
+  * executable query; reference lib/mondrian/olap/connection.rb:75-86 and
+  * the jar's mondrian/parser/MdxParserImpl). Hand-rolled recursive
+  * descent over the SELECT statement subset the reference's test corpus
+  * exercises:
+  *
+  *   [WITH (SET name AS setExpr | MEMBER [Measures].[name] AS expr)*]
+  *   SELECT [NON EMPTY] setOrMeasures ON COLUMNS
+  *        [, [NON EMPTY] setExpr ON ROWS]
+  *   FROM [Cube]
+  *   [WHERE tuple]
+  *
+  * Set functions map 1:1 onto the typed IR (Ir.scala); scalar
+  * expressions (Filter conditions, Order keys, calc-member formulas)
+  * are rewritten from [Measures].[x] references into Spark SQL column
+  * expressions. Names resolve case-insensitively against the bound
+  * cube's dimensions/levels/measures, with the reference's error
+  * taxonomy ("MDX object ... not found in cube", error.rb:50-61).
+  */
+object Mdx {
+
+  final case class MdxException(msg: String)
+      extends RuntimeException(msg)
+
+  // ------------------------------------------------------------ lexer
+
+  sealed trait Tok
+  final case class TIdent(s: String) extends Tok // plain identifier
+  final case class TBracket(s: String) extends Tok // [bracketed name]
+  final case class TNum(s: String) extends Tok
+  final case class TStr(s: String) extends Tok
+  final case class TPunct(s: String) extends Tok // ( ) { } , . : operators
+
+  def lex(in: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = in.length
+    while (i < n) {
+      val c = in(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '[') {
+        val j = in.indexOf(']', i)
+        if (j < 0) throw MdxException(s"Lexical error: unclosed '[' at $i")
+        out += TBracket(in.substring(i + 1, j)); i = j + 1
+      } else if (c == '\'' || c == '"') {
+        val j = in.indexOf(c, i + 1)
+        if (j < 0) throw MdxException(s"Lexical error: unclosed quote at $i")
+        out += TStr(in.substring(i + 1, j)); i = j + 1
+      } else if (c.isDigit ||
+          (c == '.' && i + 1 < n && in(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (in(i).isDigit || in(i) == '.')) i += 1
+        out += TNum(in.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (in(i).isLetterOrDigit || in(i) == '_')) i += 1
+        out += TIdent(in.substring(start, i))
+      } else if ("<>=".contains(c)) {
+        val start = i
+        while (i < n && "<>=".contains(in(i))) i += 1
+        out += TPunct(in.substring(start, i))
+      } else {
+        out += TPunct(c.toString); i += 1
+      }
+    }
+    out.result()
+  }
+
+  // ----------------------------------------------------------- parser
+
+  def parse(mdx: String, cube: BoundCube): QueryIR =
+    new P(lex(mdx), cube).query()
+
+  /** connection.execute(mdx) — parse, plan, run. */
+  def execute(mdx: String, cube: BoundCube): org.apache.spark.sql.DataFrame =
+    new Planner(cube).execute(parse(mdx, cube))
+
+  private final class P(toks: Vector[Tok], cube: BoundCube) {
+    private var pos = 0
+
+    private def peek: Option[Tok] =
+      if (pos < toks.length) Some(toks(pos)) else None
+    private def next(): Tok = {
+      if (pos >= toks.length)
+        throw MdxException("Syntax error: unexpected end of query")
+      val t = toks(pos); pos += 1; t
+    }
+    private def isKw(t: Tok, kw: String): Boolean = t match {
+      case TIdent(s) => s.equalsIgnoreCase(kw)
+      case _ => false
+    }
+    private def atKw(kw: String): Boolean = peek.exists(isKw(_, kw))
+    private def eatKw(kw: String): Unit = {
+      val t = next()
+      if (!isKw(t, kw))
+        throw MdxException(s"Syntax error: expected $kw, got $t")
+    }
+    private def atPunct(p: String): Boolean =
+      peek.contains(TPunct(p))
+    private def eatPunct(p: String): Unit = {
+      val t = next()
+      if (t != TPunct(p))
+        throw MdxException(s"Syntax error: expected '$p', got $t")
+    }
+
+    // -------- name resolution
+
+    private def dimNamed(name: String): BoundDim =
+      cube.dims.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw MdxException(
+          s"MDX object '[$name]' not found in cube '${cube.name}'"))
+
+    private def isMeasureName(s: String): Boolean =
+      cube.measures.exists(_.name.equalsIgnoreCase(s)) ||
+        cube.calcMembers.exists(_.name.equalsIgnoreCase(s))
+
+    private def pathValue(s: String): Any =
+      if (s.nonEmpty && s.forall(_.isDigit)) s.toInt else s
+
+    // -------- query
+
+    def query(): QueryIR = {
+      var withSets = Map.empty[String, SetExpr]
+      var withMembers = Seq.empty[CalcMember]
+      if (atKw("WITH")) {
+        eatKw("WITH")
+        while (atKw("SET") || atKw("MEMBER")) {
+          if (atKw("SET")) {
+            eatKw("SET")
+            val name = next() match {
+              case TBracket(s) => s
+              case TIdent(s) => s
+              case t => throw MdxException(s"Syntax error: bad set name $t")
+            }
+            eatKw("AS")
+            withSets += name -> setExpr(withSets)
+          } else {
+            eatKw("MEMBER")
+            val segs = memberPath()
+            if (segs.length != 2 || !segs.head.equalsIgnoreCase("Measures"))
+              throw MdxException(
+                "Syntax error: WITH MEMBER must target [Measures].[name]")
+            eatKw("AS")
+            withMembers :+= CalcMember(segs(1), ExprCalc(scalarExpr()))
+          }
+        }
+      }
+      eatKw("SELECT")
+      var measures = Seq.empty[String]
+      var rows: Option[SetExpr] = None
+      var nonEmpty = false
+      var first = true
+      while (first || atPunct(",")) {
+        if (!first) eatPunct(",")
+        first = false
+        var ne = false
+        if (atKw("NON")) { eatKw("NON"); eatKw("EMPTY"); ne = true }
+        val set = setOrMeasures(withSets)
+        eatKw("ON")
+        val axis = next() match {
+          case TIdent(s) => s.toUpperCase
+          case TNum(s) => s
+          case t => throw MdxException(s"Syntax error: bad axis name $t")
+        }
+        (axis, set) match {
+          case ("COLUMNS" | "0", Right(names)) =>
+            names.foreach { m =>
+              if (!isMeasureName(m) &&
+                  !withMembers.exists(_.name.equalsIgnoreCase(m)))
+                throw MdxException(
+                  s"MDX object '[Measures].[$m]' not found in cube " +
+                    s"'${cube.name}'")
+            }
+            measures = names
+          case ("COLUMNS" | "0", Left(_)) => throw MdxException(
+            "Syntax error: COLUMNS axis must be a set of [Measures] members")
+          case ("ROWS" | "1", Left(s)) =>
+            rows = Some(s); if (ne) nonEmpty = true
+          case ("ROWS" | "1", Right(_)) => throw MdxException(
+            "Syntax error: ROWS axis must be a member set")
+          case (other, _) =>
+            throw MdxException(s"Syntax error: unsupported axis $other")
+        }
+      }
+      eatKw("FROM")
+      val cubeName = next() match {
+        case TBracket(s) => s
+        case TIdent(s) => s
+        case t => throw MdxException(s"Syntax error: bad cube name $t")
+      }
+      if (!cubeName.equalsIgnoreCase(cube.name))
+        throw MdxException(
+          s"MDX cube '$cubeName' does not match connection cube " +
+            s"'${cube.name}'")
+      var slicer = Seq.empty[SlicerItem]
+      if (atKw("WHERE")) { eatKw("WHERE"); slicer = slicerItems() }
+      QueryIR(measures, rows, slicer, nonEmpty, withSets, withMembers)
+    }
+
+    // -------- set expressions
+
+    /** Either a member set (Left) or a measure-name list (Right — the
+      * COLUMNS axis shape).
+      */
+    private def setOrMeasures(
+        withSets: Map[String, SetExpr]): Either[SetExpr, Seq[String]] = {
+      if (atPunct("{")) {
+        eatPunct("{")
+        // measure set or literal member set
+        val firstPath = memberPath()
+        if (firstPath.head.equalsIgnoreCase("Measures")) {
+          var names = Seq(firstPath(1))
+          while (atPunct(",")) {
+            eatPunct(",")
+            val p = memberPath()
+            names :+= p(1)
+          }
+          eatPunct("}")
+          Right(names)
+        } else {
+          val d = dimNamed(firstPath.head)
+          var paths = Seq(firstPath.tail.map(pathValue))
+          var range: Option[SetExpr] = None
+          if (atPunct(":")) {
+            eatPunct(":")
+            val to = memberPath()
+            val depth = firstPath.tail.length - 1
+            range = Some(MemberRange(d.name, d.levels(depth).name,
+              firstPath.tail.last, to.tail.last))
+          }
+          while (atPunct(",")) {
+            eatPunct(",")
+            paths :+= memberPath().tail.map(pathValue)
+          }
+          eatPunct("}")
+          Left(range.getOrElse(Members(d.name, paths)))
+        }
+      } else Left(setExpr(withSets))
+    }
+
+    private def setExpr(withSets: Map[String, SetExpr]): SetExpr =
+      peek match {
+        case Some(TPunct("{")) => setOrMeasures(withSets) match {
+          case Left(s) => s
+          case Right(_) => throw MdxException(
+            "Syntax error: measure set not allowed here")
+        }
+        case Some(TIdent(fn)) if SetFns.contains(fn.toUpperCase) =>
+          next(); setFunction(fn.toUpperCase, withSets)
+        case Some(TIdent(name)) if withSets.contains(name) =>
+          next(); NamedSetRef(name)
+        case Some(TBracket(_)) => memberSet()
+        case Some(t) => throw MdxException(s"Syntax error: unexpected $t")
+        case None =>
+          throw MdxException("Syntax error: unexpected end of query")
+      }
+
+    private val SetFns = Set("CROSSJOIN", "NONEMPTYCROSSJOIN", "UNION",
+      "INTERSECT", "EXCEPT", "DISTINCT", "FILTER", "ORDER", "TOPCOUNT",
+      "BOTTOMCOUNT", "TOPPERCENT", "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM",
+      "HEAD", "TAIL", "SUBSET", "HIERARCHIZE", "DESCENDANTS", "EXISTS")
+
+    private def setFunction(fn: String,
+        ws: Map[String, SetExpr]): SetExpr = {
+      eatPunct("(")
+      def arg(): SetExpr = setExpr(ws)
+      def comma(): Unit = eatPunct(",")
+      val r = fn match {
+        case "CROSSJOIN" =>
+          val a = arg(); comma(); val b = arg(); CrossJoin(a, b)
+        case "NONEMPTYCROSSJOIN" =>
+          val a = arg(); comma(); val b = arg(); NonEmptyCrossJoin(a, b)
+        case "UNION" =>
+          val a = arg(); comma(); val b = arg()
+          val all = if (atPunct(",")) { comma(); eatKw("ALL"); true }
+                    else false
+          UnionSet(a, b, all)
+        case "INTERSECT" =>
+          val a = arg(); comma(); val b = arg(); IntersectSet(a, b)
+        case "EXCEPT" =>
+          val a = arg(); comma(); val b = arg(); ExceptSet(a, b)
+        case "EXISTS" =>
+          val a = arg(); comma(); val b = arg(); ExistsSet(a, b)
+        case "DISTINCT" => DistinctSet(arg())
+        case "FILTER" =>
+          val a = arg(); comma(); FilterSet(a, scalarExpr())
+        case "ORDER" =>
+          val a = arg(); comma(); val e = scalarExpr()
+          val dir = if (atPunct(",")) {
+            comma()
+            next() match {
+              case TIdent(d) => d.toUpperCase match {
+                case "ASC" => SortDir.Asc
+                case "DESC" => SortDir.Desc
+                case "BASC" => SortDir.BAsc
+                case "BDESC" => SortDir.BDesc
+                case o => throw MdxException(s"Syntax error: bad order $o")
+              }
+              case t => throw MdxException(s"Syntax error: bad order $t")
+            }
+          } else SortDir.Asc
+          OrderSet(a, e, dir)
+        case "TOPCOUNT" | "BOTTOMCOUNT" =>
+          val a = arg(); comma(); val n = num().toInt; comma()
+          TopCount(a, n, scalarExpr(), bottom = fn == "BOTTOMCOUNT")
+        case "TOPPERCENT" | "BOTTOMPERCENT" =>
+          val a = arg(); comma(); val p = num(); comma()
+          TopPercent(a, p, scalarExpr(), bottom = fn == "BOTTOMPERCENT")
+        case "TOPSUM" | "BOTTOMSUM" =>
+          val a = arg(); comma(); val s = num(); comma()
+          TopSum(a, s, scalarExpr(), bottom = fn == "BOTTOMSUM")
+        case "HEAD" =>
+          val a = arg(); comma(); HeadSet(a, num().toInt)
+        case "TAIL" =>
+          val a = arg(); comma(); TailSet(a, num().toInt)
+        case "SUBSET" =>
+          val a = arg(); comma(); val s = num().toInt; comma()
+          SubsetSet(a, s, num().toInt)
+        case "HIERARCHIZE" =>
+          val a = arg()
+          val post = if (atPunct(",")) { comma(); eatKw("POST"); true }
+                     else false
+          Hierarchize(a, post)
+        case "DESCENDANTS" =>
+          val p = memberPath(); comma()
+          val d = dimNamed(p.head)
+          val lvl = next() match {
+            case TBracket(s) => s
+            case TIdent(s) => s
+            case t => throw MdxException(s"Syntax error: bad level $t")
+          }
+          Descendants(d.name, p.tail.map(pathValue), resolveLevel(d, lvl))
+        case _ =>
+          throw MdxException(s"No function matches signature '$fn(...)'")
+      }
+      eatPunct(")")
+      r
+    }
+
+    private def num(): Double = next() match {
+      case TNum(s) => s.toDouble
+      case t => throw MdxException(s"Syntax error: expected number, got $t")
+    }
+
+    /** [Dim].[a].[b].Members / .Children / .AllMembers / plain member
+      * path set.
+      */
+    private def memberSet(): SetExpr = {
+      val segs = memberPath()
+      val d = dimNamed(segs.head)
+      if (atPunct(".")) {
+        eatPunct(".")
+        next() match {
+          case TIdent(f) if f.equalsIgnoreCase("Members") ||
+              f.equalsIgnoreCase("AllMembers") =>
+            if (segs.length != 2)
+              throw MdxException(
+                s"Syntax error: .$f applies to [Dim].[Level]")
+            LevelMembers(d.name, resolveLevel(d, segs(1)))
+          case TIdent(f) if f.equalsIgnoreCase("Children") =>
+            Children(d.name, segs.tail.map(pathValue))
+          case t => throw MdxException(s"Syntax error: unexpected .$t")
+        }
+      } else Members(d.name, Seq(segs.tail.map(pathValue)))
+    }
+
+    private def resolveLevel(d: BoundDim, name: String): String =
+      d.levels.find(_.name.equalsIgnoreCase(name)).map(_.name).getOrElse(
+        throw MdxException(
+          s"MDX object '[${d.name}].[$name]' not found in cube " +
+            s"'${cube.name}'"))
+
+    /** [A].[B].[C] — bracket path segments joined by dots (plain idents
+      * allowed too). Stops before a trailing .Function suffix.
+      */
+    private def memberPath(): Seq[String] = {
+      val first = next() match {
+        case TBracket(s) => s
+        case TIdent(s) => s
+        case t => throw MdxException(s"Syntax error: expected member, got $t")
+      }
+      var segs = Seq(first)
+      while (atPunct(".") && (pos + 1 < toks.length) &&
+          (toks(pos + 1) match {
+            case TBracket(_) => true
+            case _ => false
+          })) {
+        eatPunct(".")
+        next() match {
+          case TBracket(s) => segs :+= s
+          case t => throw MdxException(s"Syntax error: bad segment $t")
+        }
+      }
+      segs
+    }
+
+    // -------- scalar expressions ([Measures].[x] refs → SQL columns)
+
+    /** Parse a scalar expression up to an unbalanced ')' or a top-level
+      * ',' — emitted as a Spark SQL expression string with measure
+      * references rewritten to their column names (cast to double when
+      * arithmetic combines decimal measures, so ratios stay portable).
+      */
+    private def scalarExpr(): String = {
+      val sb = new StringBuilder
+      var depth = 0
+      var done = false
+      var sawDiv = false
+      var refs = List.empty[String]
+      val stopKw = Set("SELECT", "MEMBER", "SET", "FROM", "ON")
+      while (!done) {
+        peek match {
+          case None => done = true
+          case Some(TPunct(")")) if depth == 0 => done = true
+          case Some(TPunct(",")) if depth == 0 => done = true
+          case Some(TIdent(s)) if depth == 0 &&
+              stopKw(s.toUpperCase) => done = true
+          case Some(t) =>
+            next()
+            t match {
+              case TPunct("(") => depth += 1; sb.append("(")
+              case TPunct(")") => depth -= 1; sb.append(")")
+              case TBracket(s) =>
+                // [Measures].[x] or bare [x] measure reference
+                if (s.equalsIgnoreCase("Measures")) {
+                  eatPunct(".")
+                  next() match {
+                    case TBracket(m) =>
+                      refs ::= m; sb.append(s"@REF{$m}")
+                    case t2 => throw MdxException(
+                      s"Syntax error: bad measure ref $t2")
+                  }
+                } else { refs ::= s; sb.append(s"@REF{$s}") }
+              case TIdent(s) => sb.append(s" $s ")
+              case TNum(s) => sb.append(s)
+              case TStr(s) => sb.append(s"'$s'")
+              case TPunct(p) =>
+                if (p == "/") sawDiv = true
+                sb.append(s" $p ")
+            }
+        }
+      }
+      var out = sb.toString
+      refs.foreach { m =>
+        if (!isMeasureName(m))
+          throw MdxException(
+            s"MDX object '[Measures].[$m]' not found in cube " +
+              s"'${cube.name}'")
+        // decimal/decimal quotients get engine-specific scales; compute
+        // ratios in double (same policy as the builder's calc members)
+        val col = if (sawDiv) s"CAST($m AS DOUBLE)" else m
+        out = out.replace(s"@REF{$m}", col)
+      }
+      out.trim
+    }
+
+    // -------- slicer
+
+    private def slicerItems(): Seq[SlicerItem] = {
+      def one(): Seq[(String, Seq[Any])] = {
+        val p = memberPath()
+        val d = dimNamed(p.head)
+        Seq(d.name -> p.tail.map(pathValue))
+      }
+      val items: Seq[(String, Seq[Any])] =
+        if (atPunct("(")) {
+          eatPunct("(")
+          var acc = one()
+          while (atPunct(",")) { eatPunct(","); acc ++= one() }
+          eatPunct(")")
+          acc
+        } else if (atPunct("{")) {
+          eatPunct("{")
+          var acc = one()
+          while (atPunct(",")) { eatPunct(","); acc ++= one() }
+          eatPunct("}")
+          acc
+        } else one()
+      // same-dim members form a compound (set) slicer; distinct dims a
+      // tuple (query.rb:379-386)
+      items.groupBy(_._1).toSeq.map {
+        case (dim, Seq((_, path))) => MemberSlice(dim, path)
+        case (dim, many) => SetSlice(dim, many.map(_._2))
+      }
+    }
+  }
+}

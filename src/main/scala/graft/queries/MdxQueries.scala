@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Cubes
+import graft.olap.Mdx
+
+/** Raw-MDX battery (entry point A): the same star queries expressed as
+  * MDX text, parsed and executed by Mdx — proving parse → IR → plan
+  * equivalence against the DuckDB oracles.
+  */
+object MdxQueries {
+
+  private def run(mdx: String)(s: SparkSession, dir: String): DataFrame =
+    Mdx.execute(mdx, Cubes.sales(s, dir))
+
+  private val REV =
+    "sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,10)))"
+  private val LO = "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+  private val CJOIN = s"$LO JOIN customer ON o_custkey = c_custkey " +
+    "JOIN nation ON c_nationkey = n_nationkey " +
+    "JOIN region ON n_regionkey = r_regionkey"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mdx_select" -> (run(
+      """SELECT {[Measures].[sum_qty], [Measures].[revenue]} ON COLUMNS,
+        |  [customer].[nation].Members ON ROWS
+        |FROM [Sales]
+        |WHERE ([time].[1995])""".stripMargin) _),
+
+    "q_mdx_topcount" -> (run(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  TOPCOUNT([part].[brand].Members, 5, [Measures].[revenue])
+        |    ON ROWS
+        |FROM [Sales]""".stripMargin) _),
+
+    "q_mdx_filter_crossjoin" -> (run(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  NON EMPTY FILTER(
+        |    CROSSJOIN([customer].[region].Members,
+        |              [returnflag].[returnflag].Members),
+        |    [Measures].[revenue] > 0) ON ROWS
+        |FROM [Sales]""".stripMargin) _),
+
+    "q_mdx_calc" -> (run(
+      """WITH MEMBER [Measures].[margin2] AS
+        |  [Measures].[revenue] / [Measures].[sum_base_price]
+        |SELECT {[Measures].[revenue], [Measures].[margin2]} ON COLUMNS,
+        |  [returnflag].[returnflag].Members ON ROWS
+        |FROM [Sales]""".stripMargin) _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_mdx_select" ->
+      s"""SELECT r_name AS cr_region, n_name AS cr_nation,
+         |  sum(l_quantity) AS sum_qty, $REV AS revenue
+         |$CJOIN WHERE year(o_orderdate) = 1995
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_mdx_topcount" ->
+      s"""SELECT p_brand, $REV AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY revenue DESC, p_brand LIMIT 5""".stripMargin,
+
+    "q_mdx_filter_crossjoin" ->
+      s"""SELECT r_name AS cr_region, l_returnflag, $REV AS revenue
+         |$CJOIN GROUP BY 1, 2
+         |HAVING $REV > 0""".stripMargin,
+
+    "q_mdx_calc" ->
+      s"""SELECT l_returnflag, $REV AS revenue,
+         |  CAST($REV AS DOUBLE) /
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+         |    AS margin2
+         |FROM lineitem GROUP BY 1""".stripMargin
+  )
+}

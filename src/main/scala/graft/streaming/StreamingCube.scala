@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming cube maintenance — the extension flagged in
+  * SURVEY §2.10: fact deltas arrive as a stream, pre-aggregation is a
+  * watermarked windowed groupBy, and custom state (sessionization) uses
+  * flatMapGroupsWithState.
+  *
+  * Scale design:
+  *  - The stream aggregation is keyed on (window, event_type): state per
+  *    key is one partial aggregate, and the watermark bounds state size
+  *    (old windows are dropped once the watermark passes) — so a
+  *    perpetual 100 TB/day stream holds only the open windows in state.
+  *  - Sums carried as DECIMAL(38,10) partials, so merged per-batch
+  *    results are order-independent and reproducible against a batch
+  *    backfill — stream and batch agree bit-for-bit, which is what makes
+  *    the lambda-architecture "stream = incremental batch" contract
+  *    testable.
+  *  - `Trigger.AvailableNow` drains all available input then stops: the
+  *    same code path serves both continuous tailing and deterministic
+  *    catch-up/backfill runs (used by the oracle-checked query below).
+  */
+object StreamingCube {
+
+  /** Event schema (events.parquet; ts read as nanos → truncated to
+    * micros, same as the batch path in Tables.load).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long (parquet TIMESTAMP(NANOS))
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events parquet. The file source needs
+    * a directory to monitor (new files arriving = new stream data), so
+    * the single testdata file is staged into a per-sfDir directory —
+    * in production this would be the landing directory the ingest jobs
+    * append parquet files to.
+    */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(stageDir(sfDir))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Lazily create /tmp/graft_stream/<hash>/events.parquet as a link
+    * (or copy) of the read-only testdata file.
+    */
+  private def stageDir(sfDir: String): String = {
+    import java.nio.file._
+    val dir = Paths.get("/tmp/graft_stream",
+      Integer.toHexString(sfDir.hashCode))
+    Files.createDirectories(dir)
+    val target = dir.resolve("events.parquet")
+    if (!Files.exists(target)) {
+      val src = Paths.get(sfDir, "events.parquet")
+      try Files.createSymbolicLink(target, src)
+      catch { case _: Exception => Files.copy(src, target) }
+    }
+    dir.toString
+  }
+
+  /** Watermarked daily pre-aggregation per event type — the streaming
+    * analog of the cube's (time, event_type) grain aggregate.
+    */
+  def dailyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("cast(value as decimal(38,10))")).as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+
+  /** Drain-all run: AvailableNow trigger into a memory sink (complete
+    * mode emits every window, including those still inside the
+    * watermark), returning the final table.
+    */
+  def runDailyAgg(spark: SparkSession, sfDir: String,
+      name: String = "stream_daily"): DataFrame = {
+    val q = dailyAgg(eventStream(spark, sfDir))
+      .select(to_date(col("window.start")).as("d_date"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // ------------------------------------------------------- sessionization
+
+  final case class Evt(user_id: Long, tsMicros: Long)
+  final case class SessionState(lastTs: Long, nSessions: Int)
+  final case class UserSessions(user_id: Long, n_sessions: Int)
+
+  /** Per-user session counting with a gap timeout — the
+    * flatMapGroupsWithState pattern (KeyValueGroupedDataset custom
+    * state). Events within `gap` of the previous event continue a
+    * session; a larger gap opens a new one. Batch-deterministic: events
+    * are sorted per key inside the group function.
+    */
+  def sessionize(events: Dataset[Evt], gapMinutes: Long): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Evt], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.tsMicros)
+          var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0))
+          sorted.foreach { e =>
+            if (s.lastTs == Long.MinValue || e.tsMicros - s.lastTs > gapMicros)
+              s = SessionState(e.tsMicros, s.nSessions + 1)
+            else s = SessionState(e.tsMicros, s.nSessions)
+          }
+          state.update(s)
+          Iterator(UserSessions(uid, s.nSessions))
+      }
+  }
+
+  /** Batch-mode sessionization (same semantics, lag-window formulation)
+    * — the backfill path a stream restart would use, and the oracle for
+    * the stateful streaming path.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Long): DataFrame = {
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_ts", expr(
+        "lag(ts) over (partition by user_id order by ts, event_id)"))
+      .withColumn("new_sess", expr(
+        s"""case when prev_ts is null
+           |  or (unix_micros(ts) - unix_micros(prev_ts)) > ${gapMicros}L
+           |  then 1 else 0 end""".stripMargin))
+      .groupBy("user_id")
+      .agg(sum(col("new_sess")).cast("int").as("n_sessions"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.olap._
+
+/** MDX parser specs (entry point A): parse → IR golden checks, execution
+  * equivalence with the builder path, and the reference error taxonomy.
+  */
+class MdxSpec extends SparkSpec {
+
+  private lazy val cube = Cubes.sales(spark, Sf)
+
+  test("flagship SELECT parses to the expected IR") {
+    val ir = Mdx.parse(
+      """SELECT {[Measures].[sum_qty], [Measures].[revenue]} ON COLUMNS,
+        |  [customer].[nation].Members ON ROWS
+        |FROM [Sales]
+        |WHERE ([time].[1995])""".stripMargin, cube)
+    assert(ir.measures === Seq("sum_qty", "revenue"))
+    assert(ir.rows === Some(LevelMembers("customer", "nation")))
+    assert(ir.slicer === Seq(MemberSlice("time", Seq(1995))))
+  }
+
+  test("MDX executes identically to the builder path") {
+    val viaMdx = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  TOPCOUNT([part].[brand].Members, 5, [Measures].[revenue]) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val viaBuilder = Query.from(cube)
+      .columns("revenue")
+      .rows(LevelMembers("part", "brand"))
+      .topCount(5, "revenue")
+      .execute()
+    assert(viaMdx.collect().toSeq === viaBuilder.collect().toSeq)
+  }
+
+  test("set functions, children, filter and slicer tuple all parse") {
+    val ir = Mdx.parse(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  FILTER(CROSSJOIN([customer].[EUROPE].Children,
+        |                   [part].[brand].Members),
+        |         [Measures].[revenue] > 1000) ON ROWS
+        |FROM [Sales]
+        |WHERE ([time].[1995], [priority].[1-URGENT])""".stripMargin, cube)
+    val FilterSet(CrossJoin(ch, lm), cond) = ir.rows.get
+    assert(ch === Children("customer", Seq("EUROPE")))
+    assert(lm === LevelMembers("part", "brand"))
+    assert(cond.contains("revenue") && cond.contains(">") &&
+      cond.contains("1000"))
+    assert(ir.slicer.toSet === Set(MemberSlice("time", Seq(1995)),
+      MemberSlice("priority", Seq("1-URGENT"))))
+  }
+
+  test("compound (same-dim set) slicer groups into a SetSlice") {
+    val ir = Mdx.parse(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  [part].[brand].Members ON ROWS
+        |FROM [Sales]
+        |WHERE {[customer].[ASIA], [customer].[EUROPE]}""".stripMargin, cube)
+    assert(ir.slicer ===
+      Seq(SetSlice("customer", Seq(Seq("ASIA"), Seq("EUROPE")))))
+  }
+
+  test("WITH MEMBER ratio computes in double") {
+    val ir = Mdx.parse(
+      """WITH MEMBER [Measures].[m2] AS
+        |  [Measures].[revenue] / [Measures].[sum_base_price]
+        |SELECT {[Measures].[revenue], [Measures].[m2]} ON COLUMNS,
+        |  [returnflag].[returnflag].Members ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(ir.withMembers.length === 1)
+    val ExprCalc(sql) = ir.withMembers.head.calc
+    assert(sql.contains("CAST(revenue AS DOUBLE)"))
+    val df = Mdx.execute(
+      """WITH MEMBER [Measures].[m2] AS
+        |  [Measures].[revenue] / [Measures].[sum_base_price]
+        |SELECT {[Measures].[revenue], [Measures].[m2]} ON COLUMNS,
+        |  [returnflag].[returnflag].Members ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(df.columns.contains("m2") && df.count() > 0)
+  }
+
+  test("NON EMPTY flag and member range parse") {
+    val ir = Mdx.parse(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  NON EMPTY {[time].[1995].[1995-Q1].[1995-01]
+        |    : [time].[1995].[1995-Q2].[1995-06]} ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(ir.nonEmpty)
+    assert(ir.rows === Some(MemberRange("time", "month", "1995-01",
+      "1995-06")))
+  }
+
+  test("error taxonomy matches the reference wording") {
+    val e1 = intercept[Mdx.MdxException] {
+      Mdx.parse("SELECT {[Measures].[nope]} ON COLUMNS, " +
+        "[customer].[nation].Members ON ROWS FROM [Sales]", cube)
+    }
+    assert(e1.msg.contains("not found in cube"))
+    val e2 = intercept[Mdx.MdxException] {
+      Mdx.parse("SELECT {[Measures].[revenue]} ON COLUMNS FROM [Nope]",
+        cube)
+    }
+    assert(e2.msg.toLowerCase.contains("cube"))
+    val e3 = intercept[Mdx.MdxException] {
+      Mdx.parse("SELECT {[Measures].[revenue] ON COLUMNS FROM [Sales]",
+        cube)
+    }
+    assert(e3.msg.contains("Syntax error"))
+  }
+}

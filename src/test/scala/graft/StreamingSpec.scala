@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.StreamingCube
+import graft.streaming.StreamingCube.{Evt, UserSessions}
+
+/** Structured-Streaming specs: the stream paths must agree with their
+  * batch backfill equivalents on the same data.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("daily stream aggregation equals the batch aggregate") {
+    val streamed = StreamingCube.runDailyAgg(spark, Sf, "spec_daily")
+      .select("d_date", "event_type", "n_events", "sum_value")
+    val batch = Tables.load(spark, Sf, "events")
+      .groupBy(to_date(col("ts")).as("d_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(value as decimal(38,10))")).as("sum_value"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  test("stateful sessionization carries state across micro-batches") {
+    import spark.implicits._
+    val events = Tables.load(spark, Sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[Evt].collect().sortBy(_.tsMicros)
+    val (first, second) = events.splitAt(events.length / 2)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val q = StreamingCube.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("spec_sessions")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    mem.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // last emission per user is the final session count
+    val streamed = spark.table("spec_sessions").as[UserSessions]
+      .collect().zipWithIndex
+      .groupBy(_._1.user_id)
+      .map { case (u, rows) => u -> rows.maxBy(_._2)._1.n_sessions }
+    val batch = StreamingCube
+      .sessionizeBatch(Tables.load(spark, Sf, "events"), 30)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed === batch)
+  }
+}
