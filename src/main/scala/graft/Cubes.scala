@@ -140,6 +140,19 @@ object Cubes {
   def sales(spark: SparkSession, sfDir: String): BoundCube =
     cached(spark, sfDir, "sales")(buildSales(spark, sfDir))
 
+  /** Sales cube with a nation×month rollup registered for agg-table
+    * routing (built + persisted once per session/SF — the "materialize
+    * the rollup once, answer many queries" shape the router exists for).
+    */
+  def salesWithAgg(spark: SparkSession, sfDir: String): BoundCube =
+    cached(spark, sfDir, "salesAgg") {
+      val base = sales(spark, sfDir)
+      base.withAggTables(
+        new Planner(base).buildAggTable("route_nation_month",
+          Seq(("customer", "nation"), ("time", "month")),
+          Seq("revenue", "sum_qty")))
+    }
+
   private def buildSales(spark: SparkSession, sfDir: String): BoundCube = {
     val fact = salesFact(spark, sfDir)
     val priorityDim = BoundDim("priority",

@@ -27,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     OlapCoreQueries.queries ++ OlapWindowQueries.queries ++
       PipelineQueries.queries ++ StreamingQueries.queries ++
-      MdxQueries.queries
+      MdxQueries.queries ++ ScalarQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +35,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     OlapCoreQueries.oracleSql ++ OlapWindowQueries.oracleSql ++
       PipelineQueries.oracleSql ++ StreamingQueries.oracleSql ++
-      MdxQueries.oracleSql
+      MdxQueries.oracleSql ++ ScalarQueries.oracleSql
 }

@@ -1,0 +1,114 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.time.format.DateTimeFormatter
+import java.time.{LocalDate, LocalDateTime}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** VB-style format-string engine (SURVEY §2.12) — the reference applies
+  * measure/calc-member `format_string`s ('#,###.00', '$#,##0.00',
+  * '0.0%', 'Percent', 'Standard', 'dd.mm.yyyy') when producing
+  * formatted_values (schema.rb:296-297; MondrianTest.xml:97-128;
+  * jar mondrian/util/Format).
+  *
+  * Two surfaces:
+  *  - `format(value, fmt)`: driver-side Any => String for Result
+  *    formatted-values materialization (small cell grids).
+  *  - `toColumn(col, fmt)`: the same semantics as a codegen'd Column
+  *    (format_number / date_format / concat), for formatting whole
+  *    columns at scale without a UDF.
+  */
+object FormatString {
+
+  private val named: Map[String, String] = Map(
+    "standard" -> "#,##0.00",
+    "fixed" -> "0.00",
+    "general number" -> "",
+    "percent" -> "0.00%",
+    "currency" -> "$#,##0.00")
+
+  private def canonical(fmt: String): String =
+    named.getOrElse(fmt.toLowerCase, fmt)
+
+  /** Decompose a numeric VB pattern into (prefix, decimals, grouping,
+    * percent, suffix).
+    */
+  private final case class NumPat(prefix: String, decimals: Int,
+      grouping: Boolean, percent: Boolean, suffix: String)
+
+  private def numPat(fmt0: String): Option[NumPat] = {
+    val fmt = canonical(fmt0)
+    if (fmt.isEmpty) return None
+    val core = "[#0,]+(?:\\.(0+|#+))?".r
+    core.findFirstMatchIn(fmt).map { m =>
+      NumPat(
+        prefix = fmt.substring(0, m.start),
+        decimals = Option(m.group(1)).map(_.length).getOrElse(0),
+        grouping = m.matched.contains(","),
+        percent = fmt.substring(m.end).contains("%"),
+        suffix = fmt.substring(m.end))
+    }
+  }
+
+  private def isDatePattern(fmt: String): Boolean =
+    fmt.exists(c => "ymdhs".contains(c.toLower)) &&
+      !fmt.exists(c => "#0".contains(c))
+
+  /** VB date tokens → java.time pattern (dd.mm.yyyy → dd.MM.yyyy). */
+  private def datePattern(fmt: String): String =
+    fmt.replace("mm", "MM").replace("hh", "HH").replace("nn", "mm")
+
+  /** Driver-side formatter for cell values. */
+  def format(value: Any, fmt: String): String = value match {
+    case null => ""
+    case d: LocalDate =>
+      d.format(DateTimeFormatter.ofPattern(datePattern(fmt)))
+    case d: java.sql.Date =>
+      d.toLocalDate.format(DateTimeFormatter.ofPattern(datePattern(fmt)))
+    case t: LocalDateTime =>
+      t.format(DateTimeFormatter.ofPattern(datePattern(fmt)))
+    case n: Number =>
+      numPat(fmt) match {
+        case None => n.toString
+        case Some(p) =>
+          val scaled =
+            if (p.percent) new JBigDecimal(n.toString)
+              .multiply(new JBigDecimal(100))
+            else new JBigDecimal(n.toString)
+          val rounded = scaled.setScale(p.decimals, RoundingMode.HALF_EVEN)
+          val body =
+            if (p.grouping)
+              String.format(s"%,.${p.decimals}f", rounded.doubleValue())
+            else rounded.toPlainString
+          p.prefix + body + p.suffix
+      }
+    case other => other.toString
+  }
+
+  /** Column-level formatter: same pattern semantics lowered to
+    * format_number / date_format expressions (no UDF).
+    */
+  def toColumn(c: Column, fmt: String): Column = {
+    val f = canonical(fmt)
+    if (isDatePattern(f)) date_format(c, datePattern(f))
+    else numPat(f) match {
+      case None => c.cast("string")
+      case Some(p) =>
+        val scaled = if (p.percent) c * 100 else c
+        val body =
+          if (p.grouping) format_number(scaled, p.decimals)
+          else format_number(scaled, p.decimals).replaceAll(",", "")
+        val withSuffix =
+          if (p.suffix.nonEmpty) concat(body, lit(p.suffix)) else body
+        if (p.prefix.nonEmpty) concat(lit(p.prefix), withSuffix)
+        else withSuffix
+    }
+  }
+
+  private implicit class ColOps(c: Column) {
+    def replaceAll(find: String, repl: String): Column =
+      regexp_replace(c, java.util.regex.Pattern.quote(find), repl)
+  }
+}

@@ -195,10 +195,17 @@ final case class BoundCube(
     measures: Seq[Measure],
     calcMembers: Seq[CalcMember] = Nil,
     role: Option[Role] = None,
-    factPruner: Option[Set[String] => DataFrame] = None) {
+    factPruner: Option[Set[String] => DataFrame] = None,
+    /** Registered pre-aggregated rollups the router may answer from
+      * (reference AggName declarations; Aggregates.scala).
+      */
+    aggTables: Seq[AggTable] = Nil) {
 
   def factFor(needed: Set[String]): DataFrame =
     factPruner.map(_(needed)).getOrElse(fact)
+
+  def withAggTables(ats: AggTable*): BoundCube =
+    copy(aggTables = aggTables ++ ats)
 
   def dim(name: String): BoundDim = {
     val d = dims.find(_.name == name)

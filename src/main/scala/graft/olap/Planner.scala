@@ -481,17 +481,59 @@ final class Planner(val cube: BoundCube) {
 
   /** The one fact pass per grain: star join (broadcast dims) → slicer
     * filter (pushed to scan) → groupBy(grain).agg(all measures).
+    *
+    * Two engine-level optimizations sit in front of the fact scan
+    * (SURVEY §4 #5/#6):
+    *  1. aggregate-table routing — a registered rollup whose grain
+    *     covers the query answers it without touching the fact;
+    *  2. segment cache — the computed aggregate is persisted keyed by
+    *     (cube, grain, slicer, measures) and reused until flushed.
     */
   def aggregate(axisDims: Seq[AxisDim],
       slicer: Seq[SlicerItem]): DataFrame = {
     val allSlicer = slicer ++ roleSlicer
-    val star = joinStar(neededJoins(axisDims, allSlicer), allSlicer)
-    val sliced = star.filter(slicerPredicate(allSlicer))
-    val aggCols = neededMeasures.map(m =>
-      Agg.toColumn(m.agg, m.expr).as(m.name))
+    def compute: DataFrame =
+      AggRouter.route(cube, neededJoins(axisDims, allSlicer), allSlicer,
+          neededMeasures) match {
+        case Some(at) =>
+          AggRouter.reAggregate(at, cube, axisDims,
+            slicerPredicate(allSlicer), neededMeasures)
+        case None =>
+          val star = joinStar(neededJoins(axisDims, allSlicer), allSlicer)
+          val sliced = star.filter(slicerPredicate(allSlicer))
+          val aggCols = neededMeasures.map(m =>
+            Agg.toColumn(m.agg, m.expr).as(m.name))
+          val keys = groupCols(axisDims)
+          if (keys.isEmpty) sliced.agg(aggCols.head, aggCols.tail: _*)
+          else sliced.groupBy(keys.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+      }
+    if (!SegmentCache.enabled) compute
+    else {
+      val cache = SegmentCache.global
+      cache.getOrCompute(cache.SegKey(System.identityHashCode(cube),
+        groupCols(axisDims), allSlicer, neededMeasures.map(_.name)))(compute)
+    }
+  }
+
+  /** Materialize a pre-aggregated rollup at the given grain for
+    * AggTable registration (the build side of agg routing). Stores the
+    * decomposable partials per grain tuple.
+    */
+  def buildAggTable(name: String, dimLevels: Seq[(String, String)],
+      measureNames: Seq[String]): AggTable = {
+    val ms = measureNames.map(cube.measure)
+    val axisDims = dimLevels.map { case (dn, ln) =>
+      AxisDim(cube.dim(dn), cube.dim(dn).levelIndex(ln))
+    }
+    val star = joinStar(neededJoins(axisDims, Nil), Nil)
+    val aggCols = ms.map(m => Agg.toColumn(m.agg, m.expr).as(m.name))
     val keys = groupCols(axisDims)
-    if (keys.isEmpty) sliced.agg(aggCols.head, aggCols.tail: _*)
-    else sliced.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val df = star.groupBy(keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*).persist()
+    AggTable(name, df,
+      axisDims.map(ad => ad.d.name -> ad.depth),
+      ms.map(m => m.name -> m.agg).toMap)
   }
 
   /** Rollup across levels (SURVEY §2.4): one pass over the fact producing

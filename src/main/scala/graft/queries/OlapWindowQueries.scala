@@ -109,6 +109,15 @@ object OlapWindowQueries {
         .rows(LevelMembers("returnflag", "returnflag"))
         .execute()),
 
+    // -- aggregate-table routing (§4 #6): the query is answered from a
+    // registered nation×month rollup, never touching the fact ---------
+    "q_aggroute" -> ((s, dir) =>
+      Query.from(Cubes.salesWithAgg(s, dir))
+        .columns("revenue", "sum_qty")
+        .rows(LevelMembers("customer", "region"))
+        .where(MemberSlice("time", Seq(1995)))
+        .execute()),
+
     // -- rollup / grouping sets (§2.4 #3, "all" member = grand total) --
     "q_rollup" -> ((s, dir) =>
       new Planner(sales(s, dir)).rollupAggregate(
@@ -257,6 +266,12 @@ object OlapWindowQueries {
          |  regr_intercept(l_extendedprice, l_quantity) AS icept_price_qty,
          |  regr_r2(l_extendedprice, l_quantity) AS r2_price_qty
          |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_aggroute" ->
+      s"""SELECT r_name AS cr_region, $REV AS revenue,
+         |  sum(l_quantity) AS sum_qty
+         |$CJOIN WHERE year(o_orderdate) = 1995
+         |GROUP BY 1""".stripMargin,
 
     "q_rollup" ->
       s"""SELECT r_name AS cr_region, n_name AS cr_nation,

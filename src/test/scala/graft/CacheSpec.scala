@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.olap._
+
+/** Segment-cache + aggregate-table routing specs (SURVEY §4 #5/#6). */
+class CacheSpec extends SparkSpec {
+
+  private lazy val cube = Cubes.sales(spark, Sf)
+
+  test("repeated aggregates hit the segment cache") {
+    val c = SegmentCache.global
+    def run() = Query.from(cube).columns("revenue")
+      .rows(LevelMembers("customer", "region")).execute().collect()
+    val r1 = run()
+    val hitsBefore = c.hits
+    val r2 = run()
+    assert(c.hits > hitsBefore, "second run must reuse the cached segment")
+    assert(r1.toSeq === r2.toSeq)
+  }
+
+  test("region flush evicts intersecting segments, keeps disjoint ones") {
+    val c = SegmentCache.global
+    val cubeId = System.identityHashCode(cube)
+    // segment sliced to ASIA — disjoint from the EUROPE region
+    Query.from(cube).columns("revenue")
+      .rows(LevelMembers("part", "brand"))
+      .where(MemberSlice("customer", Seq("ASIA"))).execute().collect()
+    // unsliced segment — contains EUROPE cells
+    Query.from(cube).columns("sum_qty")
+      .rows(LevelMembers("part", "brand")).execute().collect()
+    val sizeBefore = c.size
+    c.flushRegion(cubeId, "customer", Seq("EUROPE"))
+    assert(c.size < sizeBefore, "unsliced segment must flush")
+    // the ASIA-sliced segment survives: re-running it hits the cache
+    val hitsBefore = c.hits
+    Query.from(cube).columns("revenue")
+      .rows(LevelMembers("part", "brand"))
+      .where(MemberSlice("customer", Seq("ASIA"))).execute().collect()
+    assert(c.hits > hitsBefore, "disjoint-slicer segment must survive")
+  }
+
+  test("agg router answers a coarser query from a registered rollup") {
+    val base = Cubes.sales(spark, Sf)
+    val at = new Planner(base).buildAggTable("nation_month",
+      Seq(("customer", "nation"), ("time", "month")),
+      Seq("revenue", "sum_qty", "count_order"))
+    val routed = base.withAggTables(at)
+    AggRouter.lastHit = None
+    val viaAgg = Query.from(routed).columns("revenue", "sum_qty")
+      .rows(LevelMembers("customer", "region"))
+      .where(MemberSlice("time", Seq(1995)))
+      .execute().collect()
+    assert(AggRouter.lastHit === Some("nation_month"),
+      "query must be answered from the rollup, not the fact")
+    SegmentCache.enabled = false
+    val direct = try Query.from(base).columns("revenue", "sum_qty")
+      .rows(LevelMembers("customer", "region"))
+      .where(MemberSlice("time", Seq(1995)))
+      .execute().collect()
+    finally SegmentCache.enabled = true
+    assert(viaAgg.toSeq === direct.toSeq)
+  }
+
+  test("non-decomposable measures fall through to the fact") {
+    val base = Cubes.sales(spark, Sf)
+    val at = new Planner(base).buildAggTable("nation_only",
+      Seq(("customer", "nation")), Seq("revenue"))
+    val routed = base.withAggTables(at)
+    AggRouter.lastHit = None
+    // n_orders is distinct-count — never routable
+    Query.from(routed).columns("n_orders")
+      .rows(LevelMembers("customer", "nation")).execute().collect()
+    assert(AggRouter.lastHit === None)
+  }
+
+  test("deeper-than-rollup grain falls through to the fact") {
+    val base = Cubes.sales(spark, Sf)
+    val at = new Planner(base).buildAggTable("region_only",
+      Seq(("customer", "region")), Seq("revenue"))
+    val routed = base.withAggTables(at)
+    AggRouter.lastHit = None
+    Query.from(routed).columns("revenue")
+      .rows(LevelMembers("customer", "customer")).execute().collect()
+    assert(AggRouter.lastHit === None)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{FormatString, Vba}
+
+/** Specs for the VBA scalar pack + format-string engine. */
+class FunctionsSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.as("v")).collect().head.get(0)
+  }
+
+  test("financial closed forms match known values") {
+    // textbook: pmt on 1000 at 1%/period over 12 periods = -88.8488
+    val pmt = one(Vba.pmt(lit(0.01), lit(12.0), lit(1000.0)))
+      .asInstanceOf[Double]
+    assert(math.abs(pmt - (-88.84878867834167)) < 1e-9)
+    val fv = one(Vba.fV(lit(0.01), lit(12.0), lit(-88.84878867834167),
+      lit(1000.0))).asInstanceOf[Double]
+    assert(math.abs(fv) < 1e-9, "paying the exact pmt amortizes to 0")
+    val nper = one(Vba.nPer(lit(0.01), lit(-88.84878867834167),
+      lit(1000.0))).asInstanceOf[Double]
+    assert(math.abs(nper - 12.0) < 1e-9)
+    // ipmt period 1 = full balance interest
+    val ip = one(Vba.iPmt(lit(0.01), lit(1.0), lit(12.0), lit(1000.0)))
+      .asInstanceOf[Double]
+    assert(math.abs(ip - (-10.0)) < 1e-9)
+  }
+
+  test("irr and rate Newton solvers converge") {
+    val irr = one(Vba.irrUdf(array(lit(-1000.0), lit(500.0), lit(500.0),
+      lit(500.0)))).asInstanceOf[Double]
+    // npv at solved rate must be ~0
+    val npv = (1 to 3).map(i => 500.0 / math.pow(1 + irr, i)).sum - 1000.0
+    assert(math.abs(npv) < 1e-6)
+    val rate = one(Vba.rateUdf(lit(12.0), lit(-88.84878867834167),
+      lit(1000.0))).asInstanceOf[Double]
+    assert(math.abs(rate - 0.01) < 1e-9)
+  }
+
+  test("InStrRev finds the last occurrence (1-based)") {
+    import spark.implicits._
+    val df = Seq("abcabc", "xyz", "aaa").toDF("s")
+    val got = df.select(Vba.inStrRev(col("s"), "a").as("p"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(4, 0, 3))
+  }
+
+  test("driver-side format matches the column formatter") {
+    val v = BigDecimal("1234567.5")
+    assert(FormatString.format(v, "#,##0.00") === "1,234,567.50")
+    assert(FormatString.format(v, "$#,##0.00") === "$1,234,567.50")
+    assert(FormatString.format(0.1234, "0.00%") === "12.34%")
+    assert(FormatString.format(null, "#,##0.00") === "")
+    assert(FormatString.format(java.sql.Date.valueOf("2010-03-04"),
+      "dd.mm.yyyy") === "04.03.2010")
+    import spark.implicits._
+    val colV = Seq(1234567.5).toDF("x")
+      .select(FormatString.toColumn(col("x").cast("decimal(12,2)"),
+        "#,##0.00"))
+      .collect().head.getString(0)
+    assert(colV === "1,234,567.50")
+  }
+
+  test("Val / Str / Fix / Int VBA edge semantics") {
+    import spark.implicits._
+    val df = Seq("  12.5abc").toDF("s")
+    assert(df.select(Vba.valOf(col("s"))).collect().head.getDouble(0)
+      === 12.5)
+    assert(one(Vba.fix(lit(-7.8))) === -7.0)
+    assert(one(Vba.int(lit(-7.8))) === -8.0)
+    assert(one(Vba.str(lit(5))).toString === " 5")
+  }
+}
