@@ -27,7 +27,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     OlapCoreQueries.queries ++ OlapWindowQueries.queries ++
       PipelineQueries.queries ++ StreamingQueries.queries ++
-      MdxQueries.queries ++ ScalarQueries.queries
+      MdxQueries.queries ++ ScalarQueries.queries ++
+      OlapExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     OlapCoreQueries.oracleSql ++ OlapWindowQueries.oracleSql ++
       PipelineQueries.oracleSql ++ StreamingQueries.oracleSql ++
-      MdxQueries.oracleSql ++ ScalarQueries.oracleSql
+      MdxQueries.oracleSql ++ ScalarQueries.oracleSql ++
+      OlapExtQueries.oracleSql
 }

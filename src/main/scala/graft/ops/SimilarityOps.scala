@@ -23,19 +23,27 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityOps {
 
-  import DedupOps.cosineExpr
+  import DedupOps.{cosineExpr, flatDot, unitCols}
 
-  /** Brute-force cosine top-k: every probe scored against every corpus
-    * vector, per-probe rank window, keep rank <= k.
+  /** Default embedding dimensionality of the testdata corpus. */
+  val Dim = 64
+
+  /** Brute-force cosine top-k: vectors L2-normalized once per side into
+    * flat scalar columns, then every probe scored against every corpus
+    * vector with a codegen'd dot product (no interpreted higher-order
+    * math and no array access in the per-pair path); per-probe rank
+    * window keeps rank <= k (Spark inserts WindowGroupLimit, so the
+    * top-k prunes map-side before the per-probe merge).
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
-      k: Int): DataFrame = {
-    val scored = corpus.as("c").join(
-        broadcast(probes.select(col("vec_id").as("probe_id"),
-          col("embedding").as("probe_emb"))),
-        col("c.vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("c.vec_id").as("neighbor_id"),
-        expr(cosineExpr("probe_emb", "c.embedding")).as("cos"))
+      k: Int, dim: Int = Dim): DataFrame = {
+    val c = unitCols(corpus.select(col("vec_id"), col("embedding")), dim)
+    val p = unitCols(probes.select(col("vec_id"), col("embedding")), dim)
+    val scored = c.as("c").join(
+        broadcast(p.as("p")), col("c.vec_id") =!= col("p.vec_id"))
+      .select(col("p.vec_id").as("probe_id"),
+        col("c.vec_id").as("neighbor_id"),
+        expr(flatDot("p", "c", dim)).as("cos"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -65,8 +73,9 @@ object SimilarityOps {
     * against the (tiny) codebook.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, cellCol: String,
-      k: Int): DataFrame = {
+      k: Int, dim: Int = Dim): DataFrame = {
     val code = centroids(corpus, cellCol)
+    // routing: few probes × few cells — the interpreted cosine is fine
     val routed = probes.select(col("vec_id").as("probe_id"),
         col("embedding").as("probe_emb"))
       .crossJoin(broadcast(code))
@@ -75,12 +84,24 @@ object SimilarityOps {
     val wRoute = Window.partitionBy("probe_id")
       .orderBy(col("ccos").desc, col("cell").asc)
     val probeCell = routed.withColumn("r", row_number().over(wRoute))
-      .filter(col("r") === 1).select("probe_id", "probe_emb", "cell")
-    val scored = corpus.as("c")
-      .join(broadcast(probeCell), col(s"c.$cellCol") === col("cell") &&
-        col("c.vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("c.vec_id").as("neighbor_id"),
-        expr(cosineExpr("probe_emb", "c.embedding")).as("cos"))
+      .filter(col("r") === 1)
+      .select(col("probe_id"), col("probe_emb").as("embedding"),
+        col("cell"))
+    val pUnit = unitCols(probeCell.withColumnRenamed("probe_id", "vec_id"),
+        dim)
+      .join(probeCell.select(col("probe_id").as("vec_id"), col("cell")),
+        "vec_id")
+    val cUnit = unitCols(corpus.select(col("vec_id"), col("embedding")),
+        dim)
+      .join(corpus.select(col("vec_id"), col(cellCol).as("__cell")),
+        "vec_id")
+    val scored = cUnit.as("c")
+      .join(broadcast(pUnit.as("p")),
+        col("c.__cell") === col("p.cell") &&
+          col("c.vec_id") =!= col("p.vec_id"))
+      .select(col("p.vec_id").as("probe_id"),
+        col("c.vec_id").as("neighbor_id"),
+        expr(flatDot("p", "c", dim)).as("cos"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

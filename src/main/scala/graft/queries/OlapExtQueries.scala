@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Cubes, Tables}
+import graft.olap._
+
+/** Coverage extensions: drilldown family (§2.8), parent-child
+  * hierarchies (§2.3), and the predicate/conditional scalar operators
+  * (§2.2: CASE, Iif, CoalesceEmpty, IsEmpty, MATCHES).
+  */
+object OlapExtQueries {
+
+  private def sales(s: SparkSession, dir: String) = Cubes.sales(s, dir)
+
+  private val REV =
+    "sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,10)))"
+  private val LO = "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+  private val CJOIN = s"$LO JOIN customer ON o_custkey = c_custkey " +
+    "JOIN nation ON c_nationkey = n_nationkey " +
+    "JOIN region ON n_regionkey = r_regionkey"
+  private val MONTH = "strftime(o_orderdate, '%Y-%m')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- DrilldownLevel (§2.8): regions + their nations, one fact pass
+    // via rollup, parents (null child key) before children ------------
+    "q_drilldown_level" -> ((s, dir) =>
+      new Planner(sales(s, dir)).rollupAggregate(
+          Seq(("customer", "nation")), Nil, Seq("revenue", "sum_qty"))
+        .filter(col("cr_region").isNotNull)
+        .orderBy(col("cr_region").asc, col("cr_nation").asc_nulls_first)),
+
+    // -- parent-child hierarchy (§2.3): region→nation as a recursive
+    // (id, parent) table; subtree totals via the materialized closure --
+    "q_parentchild" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      val members = r.select(col("r_name").as("member"),
+          lit(null).cast("string").as("parent"))
+        .unionByName(
+          n.join(r, n("n_regionkey") === r("r_regionkey"))
+            .select(col("n_name").as("member"), col("r_name").as("parent")))
+      val nationRev = Query.from(sales(s, dir))
+        .columns("revenue")
+        .rows(LevelMembers("customer", "nation"))
+        .execute()
+        .select(col("cr_nation").as("nation"), col("revenue"))
+      ParentChild.subtreeTotals(members, "member", "parent",
+        nationRev, "nation", sum(col("revenue")))
+    }),
+
+    // -- CASE / Iif / CoalesceEmpty / IsEmpty / MATCHES over cells with
+    // genuine empties (crossjoin keeps null cells) ---------------------
+    "q_predicates" -> ((s, dir) =>
+      Query.from(sales(s, dir))
+        .columns("revenue", "rev_band", "rev_nvl", "is_empty", "if_flag",
+          "name_match")
+        .rows(CrossJoin(Children("customer", Seq("EUROPE")),
+          LevelMembers("part", "brand")))
+        .where(MemberSlice("time", Seq(1995, "1995-Q1", "1995-01")))
+        .withMember(CalcMember("rev_band", ExprCalc(
+          "CASE WHEN revenue > 5000 THEN 'high' " +
+            "WHEN revenue > 1000 THEN 'mid' ELSE 'low' END")))
+        .withMember(CalcMember("rev_nvl", ExprCalc(
+          "coalesce(revenue, CAST(0 AS DECIMAL(38,10)))")))
+        .withMember(CalcMember("is_empty", ExprCalc("revenue IS NULL")))
+        .withMember(CalcMember("if_flag", ExprCalc(
+          "if(revenue IS NULL, 0, 1)")))
+        .withMember(CalcMember("name_match", ExprCalc(
+          "cr_nation rlike 'NATION_1[0-9]'")))
+        .execute())
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_drilldown_level" ->
+      s"""SELECT r_name AS cr_region, n_name AS cr_nation,
+         |  $REV AS revenue, sum(l_quantity) AS sum_qty
+         |$CJOIN
+         |GROUP BY GROUPING SETS ((r_name), (r_name, n_name))"""
+        .stripMargin,
+
+    "q_parentchild" ->
+      s"""WITH RECURSIVE memb(member, parent) AS (
+         |  SELECT r_name, CAST(NULL AS VARCHAR) FROM region
+         |  UNION ALL
+         |  SELECT n_name, r_name FROM nation
+         |  JOIN region ON n_regionkey = r_regionkey),
+         |cl(anc, des) AS (
+         |  SELECT member, member FROM memb
+         |  UNION ALL
+         |  SELECT cl.anc, m.member FROM cl
+         |  JOIN memb m ON m.parent = cl.des),
+         |rev AS (
+         |  SELECT n_name AS nation, $REV AS revenue
+         |  $CJOIN GROUP BY 1)
+         |SELECT cl.anc AS member, sum(rev.revenue) AS subtree_total
+         |FROM cl JOIN rev ON rev.nation = cl.des
+         |GROUP BY 1""".stripMargin,
+
+    "q_predicates" ->
+      s"""WITH nations AS (
+         |  SELECT DISTINCT r_name AS cr_region, n_name AS cr_nation
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |brands AS (SELECT DISTINCT p_brand FROM part),
+         |agg AS (
+         |  SELECT n_name AS cr_nation, p_brand, $REV AS revenue
+         |  $CJOIN JOIN part ON l_partkey = p_partkey
+         |  WHERE r_name = 'EUROPE' AND $MONTH = '1995-01'
+         |  GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT n.cr_region, n.cr_nation, b.p_brand, a.revenue
+         |  FROM nations n CROSS JOIN brands b
+         |  LEFT JOIN agg a
+         |    ON a.cr_nation = n.cr_nation AND a.p_brand = b.p_brand)
+         |SELECT cr_region, cr_nation, p_brand, revenue,
+         |  CASE WHEN revenue > 5000 THEN 'high'
+         |    WHEN revenue > 1000 THEN 'mid' ELSE 'low' END AS rev_band,
+         |  coalesce(revenue, CAST(0 AS DECIMAL(38,10))) AS rev_nvl,
+         |  revenue IS NULL AS is_empty,
+         |  CASE WHEN revenue IS NULL THEN 0 ELSE 1 END AS if_flag,
+         |  regexp_matches(cr_nation, 'NATION_1[0-9]') AS name_match
+         |FROM cells""".stripMargin
+  )
+}

@@ -132,11 +132,15 @@ object PipelineQueries {
 
     "q_dedup_minhash" ->
       s"""WITH $SH_CTE,
+         |base AS (
+         |  SELECT doc_id, shingles,
+         |    [${H60("s")} % 2147483647 for s in shingles] AS bh
+         |  FROM sh),
          |sig AS (
          |  SELECT doc_id, shingles,
-         |    [list_min([${H60("'mh' || CAST(i AS VARCHAR) || ':' || s")}
-         |      for s in shingles]) for i in range(0, 8)] AS sig
-         |  FROM sh),
+         |    [list_min([((2*i+3) * h + 7*i+1) % 2147483647 for h in bh])
+         |      for i in range(0, 8)] AS sig
+         |  FROM base),
          |banded AS (
          |  SELECT doc_id, b AS band_idx,
          |    CAST(sig[2*b+1] AS VARCHAR) || '_' ||
