@@ -187,7 +187,8 @@ object Cubes {
         Measure("sum_base_price", Agg.SumExact, "l_extendedprice"),
         // MeasureExpression measures (MondrianTest.xml:137-143 analog)
         Measure("revenue", Agg.SumExact,
-          "l_extendedprice * (1 - l_discount)"),
+          "l_extendedprice * (1 - l_discount)",
+          formatString = Some("#,##0.00")),
         Measure("charge", Agg.SumExact,
           "l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
         Measure("avg_qty", Agg.Avg, "l_quantity"),

@@ -172,12 +172,31 @@ final case class BoundDim(
   def level(levelName: String): BoundLevel = levels(levelIndex(levelName))
 }
 
-/** Access-control role (reference schema.rb:416-489): member grants become
-  * row filters applied before aggregation ("partial" rollup policy — totals
-  * reflect only visible members; SURVEY §2.4 role rollup policy).
+/** Role rollup policy (reference schema.rb:468-471): how totals treat
+  * members outside the grant. Partial = totals re-aggregate only the
+  * visible members (row filter under the aggregate); Full = totals keep
+  * all data, only axis member visibility is restricted.
   */
-final case class Role(name: String, grants: Seq[(String, Seq[Any])]) {
+sealed trait RollupPolicy
+object RollupPolicy {
+  case object Partial extends RollupPolicy
+  case object Full extends RollupPolicy
+}
+
+/** Access-control role (reference schema.rb:416-489): member grants on
+  * dimension subtrees. Multiple grants on one dimension are a union of
+  * subtrees (never an intersection).
+  */
+final case class Role(name: String, grants: Seq[(String, Seq[Any])],
+    policy: RollupPolicy = RollupPolicy.Partial) {
   def isGranted(dim: String): Boolean = grants.exists(_._1 == dim)
+}
+
+object Role {
+  /** Union role (connection.rb role_names= — grants of all members). */
+  def union(roles: Role*): Role =
+    Role(roles.map(_.name).mkString("+"), roles.flatMap(_.grants),
+      roles.head.policy)
 }
 
 /** A cube bound to concrete DataFrames for one scale-factor directory.

@@ -561,13 +561,19 @@ final class Planner(val cube: BoundCube) {
   }
 
   /** Role member grants become row filters under the aggregate — the
-    * "partial" rollup policy of the reference (schema.rb:468-471): totals
-    * reflect only the visible members.
+    * "partial" rollup policy of the reference (schema.rb:468-471):
+    * totals reflect only the visible members. Grants on the same
+    * dimension union (SetSlice), never intersect. Under the Full
+    * policy only axis visibility is restricted (memberFrame), so no
+    * fact filter is emitted.
     */
   private def roleSlicer: Seq[SlicerItem] =
-    cube.role.toSeq.flatMap(_.grants.map { case (dim, path) =>
-      MemberSlice(dim, path)
-    })
+    cube.role.toSeq
+      .filter(_.policy == RollupPolicy.Partial)
+      .flatMap(_.grants.groupBy(_._1).map {
+        case (dim, Seq((_, path))) => MemberSlice(dim, path)
+        case (dim, many) => SetSlice(dim, many.map(_._2))
+      })
 
   /** Expression calc members whose inputs resolve against `df`; calcs with
     * missing dependencies (e.g. referencing a window calc that needs a dim

@@ -92,6 +92,12 @@ final class Query private (
 
   def execute(): DataFrame = new Planner(cube).execute(toIR)
 
+  /** Execute and materialize into the cell-set Result (axis positions,
+    * value transposition, formatted values — reference result.rb).
+    */
+  def executeResult(): Result =
+    Result.fromDataFrame(execute(), measures, cube)
+
   /** DRILLTHROUGH through the current slicer (SURVEY §2.11). */
   def executeDrillThrough(returnCols: Seq[String],
       dims: Map[String, String] = Map.empty,
@@ -136,4 +142,19 @@ final class CubeMetadata(cube: BoundCube) {
 
   def children(dim: String, path: Seq[Any]): DataFrame =
     new Planner(cube).evalSet(Children(dim, path), Nil).members
+
+  /** member('[customer].[EUROPE].[NATION_3]')-style lookup by full MDX
+    * name (cube.rb:106-116): parses the bracketed identifier and
+    * resolves the path; None when no such member exists.
+    */
+  def member(fullName: String): Option[Seq[Any]] = {
+    val segs = Mdx.lex(fullName).collect { case Mdx.TBracket(s) => s }
+    if (segs.isEmpty) return None
+    val dim = cube.dims.find(_.name.equalsIgnoreCase(segs.head))
+    dim.flatMap { d =>
+      val path = segs.tail.map(s =>
+        if (s.nonEmpty && s.forall(_.isDigit)) (s.toInt: Any) else (s: Any))
+      if (path.nonEmpty && memberExists(d.name, path)) Some(path) else None
+    }
+  }
 }

@@ -1,0 +1,94 @@
+package graft.olap
+
+import org.apache.spark.sql.DataFrame
+
+import graft.functions.FormatString
+
+/** Result / cell-set sink (reference lib/mondrian/olap/result.rb:8-110,
+  * 606-650): axis positions, the cell grid, axis-order transposition
+  * (`values(axesOrder*)` = recursive_values), formatted values through
+  * the measure format strings, and an HTML table rendering.
+  *
+  * Axis grids are presentation-sized by construction (dimension-scale,
+  * never fact-scale), so collecting to the driver here is the same
+  * boundary the reference crosses when materializing a CellSet.
+  */
+final class Result(
+    val columnNames: Seq[String],   // measure/calc names (COLUMNS axis)
+    val rowAxis: Seq[Seq[Any]],     // row-axis member tuples, in order
+    val rowAxisNames: Seq[String],  // level column names of the row axis
+    cells: Seq[Seq[Any]],           // cells(rowIdx)(colIdx)
+    formats: Map[String, String]) {
+
+  def rowCount: Int = rowAxis.length
+  def columnCount: Int = columnNames.length
+
+  /** Cell value at (row, column). */
+  def value(row: Int, column: Int): Any = cells(row)(column)
+
+  /** values(0) = rows of column-vectors; values(1) (default) = rows of
+    * row-vectors — the reference's axes_sequence transposition
+    * (result.rb:48-63,639-650).
+    */
+  def values(axesOrder: Int*): Seq[Seq[Any]] = {
+    val order = if (axesOrder.isEmpty) Seq(1) else axesOrder
+    order.head match {
+      case 1 => cells
+      case 0 => cells.transpose
+      case other =>
+        throw new IllegalArgumentException(s"axis $other out of range")
+    }
+  }
+
+  /** Formatted cell grid through each measure's format string
+    * (result.rb formatted_values; '' for empty cells).
+    */
+  def formattedValues: Seq[Seq[String]] =
+    cells.map(_.zip(columnNames).map { case (v, name) =>
+      formats.get(name) match {
+        case _ if v == null => ""
+        case Some(f) => FormatString.format(v, f)
+        case None => v.toString
+      }
+    })
+
+  /** Simple 2-axis HTML table (result.rb:66-110). */
+  def toHtml: String = {
+    val sb = new StringBuilder("<table><thead><tr>")
+    rowAxisNames.foreach(n => sb.append(s"<th>$n</th>"))
+    columnNames.foreach(n => sb.append(s"<th>$n</th>"))
+    sb.append("</tr></thead><tbody>")
+    rowAxis.zip(formattedValues).foreach { case (members, vals) =>
+      sb.append("<tr>")
+      members.foreach(m => sb.append(s"<td>${String.valueOf(m)}</td>"))
+      vals.foreach(v => sb.append(s"<td>$v</td>"))
+      sb.append("</tr>")
+    }
+    sb.append("</tbody></table>").toString
+  }
+}
+
+object Result {
+
+  /** Materialize an executed query DataFrame into a Result: the first
+    * columns are the row-axis level keys (everything not a measure),
+    * the rest the measure cells.
+    */
+  def fromDataFrame(df: DataFrame, measures: Seq[String],
+      cube: BoundCube): Result = {
+    val all = df.columns.toSeq
+    val axisCols = all.filterNot(measures.contains)
+    val rows = df.collect().toSeq
+    val axisIdx = axisCols.map(all.indexOf)
+    val cellIdx = measures.map(all.indexOf)
+    val formats = (cube.measures.flatMap(m =>
+      m.formatString.map(m.name -> _)) ++
+      cube.calcMembers.flatMap(c => c.formatString.map(c.name -> _))).toMap
+    new Result(
+      columnNames = measures,
+      rowAxis = rows.map(r => axisIdx.map(r.get)),
+      rowAxisNames = axisCols,
+      cells = rows.map(r => cellIdx.map(r.get)),
+      formats = formats)
+  }
+}

@@ -70,4 +70,17 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       expr("md5(lower(regexp_replace(text, '\\\\s+', ' ')))").as("fp"))
+
+  /** BPE-ish sub-word token counting: a GPT-2-style pre-tokenizer regex
+    * (word pieces, digit runs, punctuation runs, leading-space bound),
+    * the standard cheap proxy for "how many tokens will the tokenizer
+    * emit" when budgeting a corpus — still a pure codegen'd expression.
+    */
+  val BPE_RE = "( ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\\\s]+|\\\\s+)"
+
+  def bpeTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"size(regexp_extract_all(text, '$BPE_RE', 0))")
+        .as("n_bpe_tokens"),
+      expr(s"size($TOKENS)").as("n_ws_tokens"))
 }

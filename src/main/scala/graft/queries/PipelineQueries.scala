@@ -62,6 +62,9 @@ object PipelineQueries {
 
     "q_text_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
 
+    "q_text_bpe_tokens" -> ((s, dir) =>
+      TextOps.bpeTokenCounts(docs(s, dir))),
+
     // -- multimodal (stubbed decode, real plumbing) --------------------
     "q_multimodal_meta" -> ((s, dir) =>
       MultimodalOps.imageMeta(s, docs(s, dir))),
@@ -284,6 +287,14 @@ object PipelineQueries {
       """SELECT doc_id,
         |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "q_text_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '( ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+)', 0))
+         |    AS INT) AS n_bpe_tokens,
+         |  CAST(len($T) AS INT) AS n_ws_tokens
+         |FROM documents""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,68 @@
+package graft
+
+import graft.olap._
+
+/** Cell-set Result, role policies, and metadata member lookup specs. */
+class ResultSpec extends SparkSpec {
+
+  private lazy val cube = Cubes.sales(spark, Sf)
+
+  test("Result exposes axis positions, transposition, formatted values") {
+    val r = Query.from(cube)
+      .columns("revenue", "sum_qty")
+      .rows(LevelMembers("customer", "region"))
+      .executeResult()
+    assert(r.columnNames === Seq("revenue", "sum_qty"))
+    assert(r.rowAxisNames === Seq("cr_region"))
+    assert(r.rowCount > 0 && r.columnCount === 2)
+    // values(1) = row-major (default); values(0) = transposed
+    assert(r.values() === r.values(1))
+    assert(r.values(0).length === 2)
+    assert(r.values(0).head.length === r.rowCount)
+    // revenue has a '#,##0.00' format string → grouped decimal text
+    val fv = r.formattedValues.head.head
+    assert(fv.matches("[0-9,]+\\.[0-9]{2}"), s"formatted: $fv")
+    assert(r.toHtml.startsWith("<table>") && r.toHtml.contains("<td>"))
+  }
+
+  test("Full rollup policy restricts axes but not totals") {
+    val partial = cube.withRole(Role("p",
+      Seq("customer" -> Seq("EUROPE"))))
+    val full = cube.withRole(Role("f",
+      Seq("customer" -> Seq("EUROPE")), RollupPolicy.Full))
+    def total(c: BoundCube): BigDecimal =
+      Query.from(c).columns("revenue")
+        .rows(LevelMembers("returnflag", "returnflag"))
+        .execute().collect().map(r => BigDecimal(r.getDecimal(1))).sum
+    val all = total(cube)
+    assert(total(full) === all,
+      "Full policy totals must include all data")
+    assert(total(partial) < all,
+      "Partial policy totals must reflect only granted members")
+    // both policies hide non-granted members from axes
+    Seq(partial, full).foreach { c =>
+      val regions = Query.from(c).columns("revenue")
+        .rows(LevelMembers("customer", "region"))
+        .execute().collect().map(_.getString(0)).toSet
+      assert(regions === Set("EUROPE"))
+    }
+  }
+
+  test("union roles merge grants as a union of subtrees") {
+    val u = Role.union(
+      Role("eu", Seq("customer" -> Seq("EUROPE"))),
+      Role("asia", Seq("customer" -> Seq("ASIA"))))
+    val regions = Query.from(cube.withRole(u)).columns("revenue")
+      .rows(LevelMembers("customer", "region"))
+      .execute().collect().map(_.getString(0)).toSet
+    assert(regions === Set("EUROPE", "ASIA"))
+  }
+
+  test("member lookup by full MDX name") {
+    val md = new CubeMetadata(cube)
+    assert(md.member("[customer].[EUROPE]") === Some(Seq("EUROPE")))
+    assert(md.member("[customer].[NOWHERE]") === None)
+    assert(md.member("[time].[1995]") === Some(Seq(1995)))
+    assert(md.member("[nope].[x]") === None)
+  }
+}
