@@ -99,6 +99,35 @@ object StreamingCube {
     spark.table(name)
   }
 
+  // ------------------------------------------------- cube maintenance
+
+  /** Incremental cube maintenance: as fact deltas arrive, flush the
+    * segment-cache regions their member coordinates touch, so the next
+    * query at an affected grain recomputes while unaffected segments
+    * stay cached — the streaming analog of the reference's
+    * flush_region_cache after fact-table updates
+    * (cube_cache_control_test.rb:116-218: delete/update rows → flush
+    * region → new totals).
+    *
+    * `regionDims` maps a delta column to the cube dimension it
+    * coordinates (e.g. "event_type" -> "event_type"). Each micro-batch
+    * collects the distinct touched members (delta batches are small;
+    * the distinct is batch-local) and evicts intersecting segments.
+    */
+  def maintain(events: DataFrame, cubeId: Int,
+      regionDims: Map[String, String],
+      cache: graft.olap.SegmentCache): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        regionDims.foreach { case (column, dim) =>
+          batch.select(column).distinct().collect().foreach { r =>
+            cache.flushRegion(cubeId, dim, Seq(r.get(0)))
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // ------------------------------------------------------- sessionization
 
   final case class Evt(user_id: Long, tsMicros: Long)

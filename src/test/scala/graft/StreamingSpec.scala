@@ -23,6 +23,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("stream maintenance flushes touched cache regions only") {
+    val cube = Cubes.events(spark, Sf)
+    val cubeId = System.identityHashCode(cube)
+    val cache = graft.olap.SegmentCache.global
+    // seed two segments: one sliced to 'click' events, one to 'view'
+    def run(t: String) = graft.olap.Query.from(cube).columns("n_events")
+      .rows(graft.olap.LevelMembers("time", "month"))
+      .where(graft.olap.MemberSlice("event_type", Seq(t)))
+      .execute().collect()
+    run("click"); run("view")
+    // a delta stream containing only 'click' events
+    import org.apache.spark.sql.functions._
+    val deltas = StreamingCube.eventStream(spark, Sf)
+      .filter(col("event_type") === "click")
+    val q = StreamingCube.maintain(deltas, cubeId,
+      Map("event_type" -> "event_type"), cache)
+    q.awaitTermination()
+    // click segment flushed → recompute (miss); view segment survives
+    val missesBefore = cache.misses
+    val hitsBefore = cache.hits
+    run("view")
+    assert(cache.hits > hitsBefore, "untouched region must stay cached")
+    run("click")
+    assert(cache.misses > missesBefore, "touched region must recompute")
+  }
+
   test("stateful sessionization carries state across micro-batches") {
     import spark.implicits._
     val events = Tables.load(spark, Sf, "events")
