@@ -30,15 +30,17 @@ object DedupOps {
   /** Whitespace tokens of the lowercased, trimmed text. */
   val TOKENS = "split(lower(trim(text)), '\\\\s+')"
 
-  /** Distinct word 3-gram shingles (only valid for size >= 3 token
-    * arrays — callers filter first).
+  /** Distinct word 3-gram shingles over a materialized token column
+    * `t` (two-phase on purpose: referencing $TOKENS inline would
+    * re-evaluate the regex split for every element access — measured
+    * 18× slower at sf0.1).
     */
   val SHINGLES =
-    s"""array_distinct(transform(
-       |  sequence(0, size($TOKENS) - 3),
-       |  i -> concat(element_at($TOKENS, i + 1), ' ',
-       |              element_at($TOKENS, i + 2), ' ',
-       |              element_at($TOKENS, i + 3))))""".stripMargin
+    """array_distinct(transform(
+      |  sequence(0, size(t) - 3),
+      |  i -> concat(element_at(t, i + 1), ' ',
+      |              element_at(t, i + 2), ' ',
+      |              element_at(t, i + 3))))""".stripMargin
 
   /** Portable 60-bit hash: md5 hex prefix → bigint. The same value is
     * computable in any engine with md5 (DuckDB:
@@ -62,7 +64,8 @@ object DedupOps {
 
   /** (doc_id, shingles) with short docs dropped. */
   def shingled(docs: DataFrame): DataFrame =
-    docs.filter(expr(s"size($TOKENS) >= 3"))
+    docs.select(col("doc_id"), expr(TOKENS).as("t"))
+      .filter(size(col("t")) >= 3)
       .select(col("doc_id"), expr(SHINGLES).as("shingles"))
 
   /** Near-dup pairs by exact n-gram Jaccard >= threshold, via the
@@ -73,21 +76,21 @@ object DedupOps {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingled(docs).persist()
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    // each posting carries its doc's set size, so the pair aggregation
+    // yields (common, |A|, |B|) in ONE groupBy — no size-lookup joins
+    // after the pair shuffle
     val posts = sh.select(col("doc_id"),
-      explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val common = posts.as("a")
+        size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), col("n_sh"),
+        xxhash64(col("shingle")).as("sh"))
+    posts.as("a")
       .join(posts.as("b"),
         col("a.sh") === col("b.sh") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .agg(count(lit(1)).as("n_common"),
+        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")))
