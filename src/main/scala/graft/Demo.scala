@@ -47,6 +47,35 @@ object Demo {
       case e: IllegalArgumentException => println(s"ok: ${e.getMessage}")
     }
 
+    println("== raw MDX (entry point A) ==")
+    Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  TOPCOUNT([part].[brand].Members, 3, [Measures].[revenue])
+        |    ON ROWS
+        |FROM [Sales] WHERE ([time].[1995])""".stripMargin, cube).show(false)
+
+    println("== cell-set Result with formatted values ==")
+    val res = Query.from(cube)
+      .columns("revenue", "sum_qty")
+      .rows(LevelMembers("customer", "region"))
+      .executeResult()
+    res.rowAxis.zip(res.formattedValues)
+      .foreach { case (m, v) => println(s"${m.mkString("/")} -> $v") }
+
+    println("== profiled execute ==")
+    val prof = Execution.profiled(Query.from(cube).columns("revenue")
+      .rows(LevelMembers("customer", "nation")).execute())
+    println(s"plan ${prof.profile.planMs}ms, " +
+      s"execute ${prof.profile.executeMs}ms, rows=${prof.rows.length}")
+
+    println("== pipeline: near-dup + ANN smoke ==")
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    println(s"jaccard>=0.5 pairs: " +
+      graft.ops.DedupOps.jaccardPairs(docs, 0.5).count())
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    println(s"ann top3 rows: " + graft.ops.SimilarityOps
+      .bruteForceTopK(emb, emb.filter("vec_id < 2"), 3).count())
+
     println("== explain: flagship plan ==")
     SparkEntry.entry(spark).explain("formatted")
     spark.stop()

@@ -237,4 +237,41 @@ final case class BoundCube(
     m.get
   }
   def withRole(r: Role): BoundCube = copy(role = Some(r))
+
+  /** Eager schema validation (reference: connection-time schema errors,
+    * schema_definition_test.rb:1477-1488 — "Must specify fact table of
+    * cube 'Sales'"): every declared binding must resolve against its
+    * DataFrame schema before the first query.
+    */
+  def validate(): Unit = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"Schema error in cube '$name': $msg")
+    if (fact.columns.isEmpty) fail("must specify a fact table")
+    if (measures.isEmpty) fail("must specify at least one measure")
+    dims.foreach { d =>
+      val cols = d.df.columns.toSet
+      d.levels.foreach { l =>
+        if (!cols.contains(l.col))
+          fail(s"level '${d.name}.${l.name}' column '${l.col}' not found " +
+            s"in dimension table (has: ${cols.mkString(", ")})")
+        l.ordCol.foreach { o =>
+          if (!cols.contains(o))
+            fail(s"level '${d.name}.${l.name}' ordinal column '$o' " +
+              "not found in dimension table")
+        }
+      }
+      if (!d.degenerate) {
+        if (!cols.contains(d.primaryKey))
+          fail(s"dimension '${d.name}' primary key '${d.primaryKey}' " +
+            "not found in dimension table")
+        if (!fact.columns.contains(d.foreignKey))
+          fail(s"dimension '${d.name}' foreign key '${d.foreignKey}' " +
+            "not found in fact table")
+      }
+    }
+    val dupes = (measures.map(_.name) ++ calcMembers.map(_.name))
+      .groupBy(identity).collect { case (n, v) if v.length > 1 => n }
+    if (dupes.nonEmpty)
+      fail(s"duplicate measure/calc names: ${dupes.mkString(", ")}")
+  }
 }

@@ -1,0 +1,51 @@
+package graft.olap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Virtual cube (reference schema.rb:343-372; fixture
+  * MondrianTest.xml:146-159; semantics pinned by
+  * query_test.rb:1060-1098): measures from several base cubes aligned
+  * on conformed dimensions. Cells for (member, measure) combinations
+  * the measure's base cube does not cover are empty (NULL) — the
+  * ValidMeasure semantics.
+  *
+  * Spark-native: each base cube aggregates at the conformed grain
+  * independently (its own one-pass fact aggregation, broadcast star
+  * joins, segment cache), then the per-cube aggregates full-outer-join
+  * on the conformed level keys. The join inputs are grain-sized, so
+  * the virtual-cube overhead is dimension-scale regardless of fact
+  * sizes.
+  */
+final class VirtualCube(
+    val name: String,
+    bases: Seq[(BoundCube, Seq[String])]) { // cube -> its measure names
+
+  require(bases.nonEmpty, s"virtual cube '$name' needs base cubes")
+
+  def measureNames: Seq[String] = bases.flatMap(_._2)
+
+  /** Aggregate every base cube at the conformed (dim, level) grain and
+    * align on the shared level key columns.
+    */
+  def aggregate(dimLevels: Seq[(String, String)],
+      slicer: Seq[SlicerItem] = Nil): DataFrame = {
+    val parts = bases.map { case (cube, measures) =>
+      val planner = new Planner(cube)
+      val axisDims = dimLevels.map { case (dn, ln) =>
+        Planner.AxisDim(cube.dim(dn), cube.dim(dn).levelIndex(ln))
+      }
+      // only slicer items whose dimension the base cube shares apply
+      val applicable = slicer.filter {
+        case MemberSlice(d, _) => cube.dims.exists(_.name == d)
+        case SetSlice(d, _) => cube.dims.exists(_.name == d)
+        case ExprSlice(_, _) => true
+      }
+      val keys = Planner.groupCols(axisDims)
+      (planner.aggregate(axisDims, applicable)
+        .select((keys.map(col) ++ measures.map(col)): _*), keys)
+    }
+    val keys = parts.head._2
+    parts.map(_._1).reduce((a, b) => a.join(b, keys, "full_outer"))
+  }
+}

@@ -154,15 +154,12 @@ object OlapWindowQueries {
         .execute()),
 
     // -- virtual cube (§2.3): conformed time dim over Sales + Events ---
-    "q_virtual" -> ((s, dir) => {
-      val li = Query.from(Cubes.sales(s, dir))
-        .columns("revenue").rows(LevelMembers("time", "month"))
-        .execute().select("d_ym", "revenue")
-      val ev = Query.from(Cubes.events(s, dir))
-        .columns("n_events", "sum_value").rows(LevelMembers("time", "month"))
-        .execute().select("d_ym", "n_events", "sum_value")
-      li.join(ev, Seq("d_ym"), "full_outer")
-    }),
+    "q_virtual" -> ((s, dir) =>
+      new VirtualCube("SalesAndEvents", Seq(
+        Cubes.sales(s, dir) -> Seq("revenue"),
+        Cubes.events(s, dir) -> Seq("n_events", "sum_value")))
+        .aggregate(Seq(("time", "month")))
+        .select("d_ym", "revenue", "n_events", "sum_value")),
 
     // -- drill-through (§2.11) -----------------------------------------
     "q_drill_cell" -> ((s, dir) =>
