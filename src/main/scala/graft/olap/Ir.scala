@@ -66,6 +66,10 @@ final case class Hierarchize(set: SetExpr, post: Boolean = false)
     extends SetExpr
 /** Reference to a WITH SET named set (query.rb:181-186). */
 final case class NamedSetRef(name: String) extends SetExpr
+/** Extract(set, dim...) — project the tuple set onto the given
+  * dimensions and dedup (ExtractFunDef).
+  */
+final case class ExtractSet(set: SetExpr, dims: Seq[String]) extends SetExpr
 
 sealed trait SortDir
 object SortDir {

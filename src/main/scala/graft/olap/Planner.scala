@@ -57,6 +57,7 @@ final class Planner(val cube: BoundCube) {
     case IntersectSet(l, r)       => exprTexts(l) ++ exprTexts(r)
     case ExceptSet(l, r)          => exprTexts(l) ++ exprTexts(r)
     case ExistsSet(l, r)          => exprTexts(l) ++ exprTexts(r)
+    case ExtractSet(s, _)         => exprTexts(s)
     case _                        => Nil
   }
 
@@ -330,6 +331,13 @@ final class Planner(val cube: BoundCube) {
           a.members.filter(col(OrdCol) > start && col(OrdCol) <= start + n),
           hasOrd = true),
         a.dims, hasOrd = true)
+
+    case ExtractSet(s, dimNames) =>
+      val a = evalSet(s, slicer, withSets)
+      val kept = a.dims.filter(ad => dimNames.contains(ad.d.name))
+      require(kept.nonEmpty, s"Extract: no matching dims in $dimNames")
+      val cols = kept.flatMap(ad => memberCols(ad.d, ad.depth))
+      AxisFrame(a.members.select(cols.map(col): _*).distinct(), kept)
 
     case Hierarchize(s, post) =>
       val a = evalSet(s, slicer, withSets)

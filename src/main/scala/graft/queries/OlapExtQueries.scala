@@ -49,6 +49,51 @@ object OlapExtQueries {
         nationRev, "nation", sum(col("revenue")))
     }),
 
+    // -- Extract (§2.7): project a crossjoin set onto one hierarchy --
+    "q_extract" -> ((s, dir) =>
+      Query.from(sales(s, dir))
+        .columns("revenue")
+        .rows(ExtractSet(
+          NonEmptyCrossJoin(Children("customer", Seq("EUROPE")),
+            LevelMembers("part", "brand")),
+          Seq("part")))
+        .execute()),
+
+    // -- Generate string form (§2.7): per-region member-name join -----
+    "q_generate_string" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val members = new CubeMetadata(sales(s, dir))
+        .levelMembers("customer", "nation")
+      members.groupBy(col("cr_region"))
+        .agg(expr("array_join(sort_array(collect_list(cr_nation)), ', ')")
+          .as("nations"))
+    }),
+
+    // -- events cube (second base fact) --------------------------------
+    "q_events_agg" -> ((s, dir) =>
+      Query.from(Cubes.events(s, dir))
+        .columns("n_events", "sum_value", "n_users")
+        .rows(LevelMembers("event_type", "event_type"))
+        .execute()),
+
+    // -- approximate distinct (HLL sketch — no exact oracle, the
+    // driver records a rows-only check) --------------------------------
+    "q_approx_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_orderkey").as("approx_orders"))
+    }),
+
+    // -- stratified sampling for corpus curation (seeded, deterministic
+    // within Spark; no cross-engine oracle) ----------------------------
+    "q_sample_stratified" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.load(s, dir, "documents")
+        .stat.sampleBy("lang", Map("en" -> 0.5, "de" -> 0.5), 42L)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+    }),
+
     // -- CASE / Iif / CoalesceEmpty / IsEmpty / MATCHES over cells with
     // genuine empties (crossjoin keeps null cells) ---------------------
     "q_predicates" -> ((s, dir) =>
@@ -96,6 +141,33 @@ object OlapExtQueries {
          |SELECT cl.anc AS member, sum(rev.revenue) AS subtree_total
          |FROM cl JOIN rev ON rev.nation = cl.des
          |GROUP BY 1""".stripMargin,
+
+    // Extract projects the NECJ set onto brands; cells then aggregate
+    // in the full query context (no slicer), so revenue is the TOTAL
+    // per brand, limited to brands that co-occur with EUROPE customers
+    "q_extract" ->
+      s"""SELECT p_brand, $REV AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand IN (
+         |  SELECT DISTINCT p_brand
+         |  $CJOIN JOIN part ON l_partkey = p_partkey
+         |  WHERE r_name = 'EUROPE')
+         |GROUP BY 1""".stripMargin,
+
+    "q_generate_string" ->
+      """SELECT cr_region,
+        |  string_agg(cr_nation, ', ' ORDER BY cr_nation) AS nations
+        |FROM (
+        |  SELECT DISTINCT r_name AS cr_region, n_name AS cr_nation
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q_events_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(38,10))) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_predicates" ->
       s"""WITH nations AS (
