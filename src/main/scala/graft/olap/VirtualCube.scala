@@ -30,7 +30,11 @@ final class VirtualCube(
     */
   def aggregate(dimLevels: Seq[(String, String)],
       slicer: Seq[SlicerItem] = Nil): DataFrame = {
-    val parts = bases.map { case (cube, measures) =>
+    val parts = bases.map { case (cube0, measures) =>
+      // prune to the requested measures BEFORE planning: the virtual
+      // cube must not pay for the base cube's full measure battery
+      val cube = cube0.copy(measures =
+        cube0.measures.filter(m => measures.contains(m.name)))
       val planner = new Planner(cube)
       val axisDims = dimLevels.map { case (dn, ln) =>
         Planner.AxisDim(cube.dim(dn), cube.dim(dn).levelIndex(ln))
