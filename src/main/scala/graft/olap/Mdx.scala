@@ -24,6 +24,81 @@ object Mdx {
   final case class MdxException(msg: String)
       extends RuntimeException(msg)
 
+  // --------------------------------------------------------- rendering
+
+  /** Render a set expression back to MDX text (the builder's to_mdx
+    * surface, reference query.rb:230-237; golden-tested and
+    * parse-roundtrip-tested in MdxSpec).
+    */
+  def render(set: SetExpr): String = set match {
+    case LevelMembers(d, l) => s"[$d].[$l].Members"
+    case Members(d, paths) =>
+      paths.map(p => s"[$d]." + p.map(v => s"[$v]").mkString("."))
+        .mkString("{", ", ", "}")
+    case Children(d, path) =>
+      s"[$d]." + path.map(v => s"[$v]").mkString(".") + ".Children"
+    case Descendants(d, path, l) =>
+      s"DESCENDANTS([$d]." + path.map(v => s"[$v]").mkString(".") +
+        s", [$l])"
+    case MemberRange(d, l, from, to) =>
+      s"{[$d].[$l].[$from] : [$d].[$l].[$to]}"
+    case CrossJoin(a, b) => s"CROSSJOIN(${render(a)}, ${render(b)})"
+    case NonEmptyCrossJoin(a, b) =>
+      s"NONEMPTYCROSSJOIN(${render(a)}, ${render(b)})"
+    case UnionSet(a, b, all) =>
+      s"UNION(${render(a)}, ${render(b)}${if (all) ", ALL" else ""})"
+    case IntersectSet(a, b) => s"INTERSECT(${render(a)}, ${render(b)})"
+    case ExceptSet(a, b) => s"EXCEPT(${render(a)}, ${render(b)})"
+    case ExistsSet(a, b) => s"EXISTS(${render(a)}, ${render(b)})"
+    case DistinctSet(s) => s"DISTINCT(${render(s)})"
+    case ExtractSet(s, dims) =>
+      s"EXTRACT(${render(s)}, ${dims.map(d => s"[$d]").mkString(", ")})"
+    case FilterSet(s, cond) => s"FILTER(${render(s)}, $cond)"
+    case OrderSet(s, e, dir) =>
+      val d = dir match {
+        case SortDir.Asc => "ASC"; case SortDir.Desc => "DESC"
+        case SortDir.BAsc => "BASC"; case SortDir.BDesc => "BDESC"
+      }
+      s"ORDER(${render(s)}, $e, $d)"
+    case TopCount(s, n, e, bottom) =>
+      s"${if (bottom) "BOTTOMCOUNT" else "TOPCOUNT"}(${render(s)}, $n, $e)"
+    case TopPercent(s, p, e, bottom) =>
+      s"${if (bottom) "BOTTOMPERCENT" else "TOPPERCENT"}(${render(s)}, $p, $e)"
+    case TopSum(s, t, e, bottom) =>
+      s"${if (bottom) "BOTTOMSUM" else "TOPSUM"}(${render(s)}, $t, $e)"
+    case HeadSet(s, n) => s"HEAD(${render(s)}, $n)"
+    case TailSet(s, n) => s"TAIL(${render(s)}, $n)"
+    case SubsetSet(s, a, n) => s"SUBSET(${render(s)}, $a, $n)"
+    case Hierarchize(s, post) =>
+      s"HIERARCHIZE(${render(s)}${if (post) ", POST" else ""})"
+    case NamedSetRef(n) => n
+  }
+
+  /** Render a full query IR to MDX (to_mdx). */
+  def renderQuery(ir: QueryIR, cubeName: String): String = {
+    val withPart =
+      (ir.withSets.map { case (n, s) => s"SET [$n] AS ${render(s)}" } ++
+        ir.withMembers.collect { case CalcMember(n, ExprCalc(sql), _, _) =>
+          s"MEMBER [Measures].[$n] AS $sql"
+        }).mkString(" ")
+    val cols = ir.measures.map(m => s"[Measures].[$m]")
+      .mkString("{", ", ", "}")
+    val rowsPart = ir.rows.map(r =>
+      s",\n  ${if (ir.nonEmpty) "NON EMPTY " else ""}${render(r)} ON ROWS")
+      .getOrElse("")
+    val wherePart =
+      if (ir.slicer.isEmpty) ""
+      else "\nWHERE (" + ir.slicer.flatMap {
+        case MemberSlice(d, p) =>
+          Seq(s"[$d]." + p.map(v => s"[$v]").mkString("."))
+        case SetSlice(d, ps) =>
+          ps.map(p => s"[$d]." + p.map(v => s"[$v]").mkString("."))
+        case ExprSlice(sql, _) => Seq(sql)
+      }.mkString(", ") + ")"
+    (if (withPart.nonEmpty) s"WITH $withPart\n" else "") +
+      s"SELECT $cols ON COLUMNS$rowsPart\nFROM [$cubeName]$wherePart"
+  }
+
   // ------------------------------------------------------------ lexer
 
   sealed trait Tok
@@ -73,9 +148,36 @@ object Mdx {
   def parse(mdx: String, cube: BoundCube): QueryIR =
     new P(lex(mdx), cube).query()
 
-  /** connection.execute(mdx) — parse, plan, run. */
-  def execute(mdx: String, cube: BoundCube): org.apache.spark.sql.DataFrame =
-    new Planner(cube).execute(parse(mdx, cube))
+  /** connection.execute(mdx) — parse, plan, run. DRILLTHROUGH
+    * statements (reference query.rb:243-249) route to the drill-through
+    * planner: `DRILLTHROUGH [MAXROWS n] SELECT ... RETURN col, ...`.
+    */
+  def execute(mdx: String, cube: BoundCube): org.apache.spark.sql.DataFrame = {
+    val trimmed = mdx.trim
+    if (trimmed.toUpperCase.startsWith("DRILLTHROUGH"))
+      executeDrillThrough(trimmed, cube)
+    else new Planner(cube).execute(parse(mdx, cube))
+  }
+
+  private def executeDrillThrough(mdx: String,
+      cube: BoundCube): org.apache.spark.sql.DataFrame = {
+    val upper = mdx.toUpperCase
+    val maxRows = "MAXROWS\\s+(\\d+)".r.findFirstMatchIn(upper)
+      .map(_.group(1).toInt)
+    val returnIdx = upper.lastIndexOf("RETURN")
+    val returnCols =
+      if (returnIdx < 0) Nil
+      else mdx.substring(returnIdx + "RETURN".length)
+        .split(",").map(_.trim.stripPrefix("[").stripSuffix("]")).toSeq
+    val selectIdx = upper.indexOf("SELECT")
+    if (selectIdx < 0)
+      throw MdxException("Syntax error: DRILLTHROUGH requires SELECT")
+    val inner = mdx.substring(selectIdx,
+      if (returnIdx < 0) mdx.length else returnIdx)
+    val ir = parse(inner, cube)
+    new Planner(cube).drillThrough(ir.slicer, returnCols,
+      maxRows = maxRows)
+  }
 
   private final class P(toks: Vector[Tok], cube: BoundCube) {
     private var pos = 0
@@ -240,13 +342,23 @@ object Mdx {
       } else Left(setExpr(withSets))
     }
 
-    private def setExpr(withSets: Map[String, SetExpr]): SetExpr =
+    private def setExpr(withSets: Map[String, SetExpr]): SetExpr = {
+      val first = setTerm(withSets)
+      // infix '*' = CrossJoin (left-associative)
+      var acc = first
+      while (atPunct("*")) { eatPunct("*"); acc = CrossJoin(acc, setTerm(withSets)) }
+      acc
+    }
+
+    private def setTerm(withSets: Map[String, SetExpr]): SetExpr =
       peek match {
         case Some(TPunct("{")) => setOrMeasures(withSets) match {
           case Left(s) => s
           case Right(_) => throw MdxException(
             "Syntax error: measure set not allowed here")
         }
+        case Some(TPunct("(")) =>
+          eatPunct("("); val s = setExpr(withSets); eatPunct(")"); s
         case Some(TIdent(fn)) if SetFns.contains(fn.toUpperCase) =>
           next(); setFunction(fn.toUpperCase, withSets)
         case Some(TIdent(name)) if withSets.contains(name) =>

@@ -90,6 +90,12 @@ final class Query private (
   def toIR: QueryIR =
     QueryIR(measures, rowsSet, slicer, nonEmptyFlag, withSets, withMembers)
 
+  /** Render the built query as MDX text (reference to_mdx,
+    * query.rb:230-237) — kept for debugging/compat; execution goes
+    * straight from the IR.
+    */
+  def toMdx: String = Mdx.renderQuery(toIR, cube.name)
+
   def execute(): DataFrame = new Planner(cube).execute(toIR)
 
   /** Execute and materialize into the cell-set Result (axis positions,

@@ -90,6 +90,44 @@ class MdxSpec extends SparkSpec {
       "1995-06")))
   }
 
+  test("infix * crossjoin parses left-associative") {
+    val ir = Mdx.parse(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  [customer].[region].Members * [returnflag].[returnflag].Members
+        |    ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(ir.rows === Some(CrossJoin(
+      LevelMembers("customer", "region"),
+      LevelMembers("returnflag", "returnflag"))))
+  }
+
+  test("DRILLTHROUGH statement routes to the drill planner") {
+    val df = Mdx.execute(
+      """DRILLTHROUGH MAXROWS 10
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE ([customer].[EUROPE])
+        |RETURN [l_orderkey], [l_quantity]""".stripMargin, cube)
+    assert(df.columns.toSeq === Seq("l_orderkey", "l_quantity"))
+    assert(df.count() === 10)
+  }
+
+  test("toMdx renders and parse-roundtrips the builder query") {
+    val q = Query.from(cube)
+      .columns("revenue", "sum_qty")
+      .rows(LevelMembers("customer", "nation"))
+      .topCount(5, "revenue")
+      .where(MemberSlice("time", Seq(1995)))
+    val mdx = q.toMdx
+    assert(mdx.contains("TOPCOUNT([customer].[nation].Members, 5, revenue)"))
+    assert(mdx.contains("FROM [Sales]"))
+    assert(mdx.contains("WHERE ([time].[1995])"))
+    val reparsed = Mdx.parse(mdx, cube)
+    assert(reparsed.measures === q.toIR.measures)
+    assert(reparsed.rows === q.toIR.rows)
+    assert(reparsed.slicer === q.toIR.slicer)
+  }
+
   test("error taxonomy matches the reference wording") {
     val e1 = intercept[Mdx.MdxException] {
       Mdx.parse("SELECT {[Measures].[nope]} ON COLUMNS, " +
