@@ -107,6 +107,27 @@ object Cubes {
       df = Tables.timeDim(spark, sfDir),
       isTime = true)
 
+  /** Second Time hierarchy — ISO weekly (the reference's Time.Weekly
+    * pattern, MondrianTest.xml:3-22: two hierarchies over one
+    * dimension, modeled as a sibling BoundDim sharing the foreign key).
+    * Week key = isoyear*100 + isoweek, an integer that sorts correctly
+    * across year boundaries.
+    */
+  def timeWeeklyDim(spark: SparkSession, sfDir: String): BoundDim =
+    BoundDim("time_weekly", foreignKey = "l_datekey",
+      primaryKey = "d_date",
+      levels = Seq(
+        BoundLevel("isoyear", "w_year"),
+        BoundLevel("week", "w_week")),
+      df = Tables.timeDim(spark, sfDir)
+        .select(col("d_date"))
+        .withColumn("w_year", expr("extract(YEAROFWEEK FROM d_date)")
+          .cast("int"))
+        .withColumn("w_week",
+          expr("extract(YEAROFWEEK FROM d_date) * 100 + weekofyear(d_date)")
+            .cast("int")),
+      isTime = true)
+
   /** The Sales fact view: lineitem ⋈ orders (SQL-view-as-fact,
     * schema.rb:81-86). Carries the time fk as l_datekey and the degenerate
     * order attributes.
@@ -177,6 +198,7 @@ object Cubes {
       dims = Seq(
         p(customerDim(spark, sfDir)), p(supplierDim(spark, sfDir)),
         p(partDim(spark, sfDir)), p(timeDim(spark, sfDir)),
+        p(timeWeeklyDim(spark, sfDir)),
         priorityDim, returnflagDim, linestatusDim),
       factPruner = Some(salesFactPruner(spark, sfDir) _),
       measures = Seq(

@@ -149,6 +149,31 @@ final class CubeMetadata(cube: BoundCube) {
   def children(dim: String, path: Seq[Any]): DataFrame =
     new Planner(cube).evalSet(Children(dim, path), Nil).members
 
+  /** Member property values (reference schema.rb:272-284 property
+    * columns; read API cube.rb:470-480): extra attribute columns the
+    * dimension DataFrame carries beyond the level keys, for the member
+    * at `path`.
+    */
+  def memberProperties(dim: String, path: Seq[Any]): Map[String, Any] = {
+    val d = cube.dim(dim)
+    val planner = new Planner(cube)
+    val levelCols = d.levels.take(path.length).map(_.col)
+    val propCols = d.df.columns.toSeq
+      .filterNot(c => d.levels.exists(l => l.col == c || l.ordinal == c))
+      .filterNot(_ == d.primaryKey)
+    if (propCols.isEmpty) return Map.empty
+    val pred = levelCols.zip(path)
+      .map { case (c, v) =>
+        org.apache.spark.sql.functions.col(c) ===
+          org.apache.spark.sql.functions.lit(v)
+      }.reduce(_ && _)
+    d.df.filter(pred)
+      .select(propCols.map(org.apache.spark.sql.functions.col): _*)
+      .limit(1).collect().headOption
+      .map(r => propCols.zip(r.toSeq).toMap)
+      .getOrElse(Map.empty)
+  }
+
   /** member('[customer].[EUROPE].[NATION_3]')-style lookup by full MDX
     * name (cube.rb:106-116): parses the bracketed identifier and
     * resolves the path; None when no such member exists.

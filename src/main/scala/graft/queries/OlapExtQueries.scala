@@ -69,6 +69,15 @@ object OlapExtQueries {
           .as("nations"))
     }),
 
+    // -- second Time hierarchy (ISO weekly — Time.Weekly pattern) ------
+    "q_weekly_agg" -> ((s, dir) =>
+      Query.from(sales(s, dir))
+        .columns("revenue", "count_order")
+        .rows(LevelMembers("time_weekly", "week"))
+        .where(MemberSlice("time_weekly", Seq(1995)))
+        .nonempty()
+        .execute()),
+
     // -- events cube (second base fact) --------------------------------
     "q_events_agg" -> ((s, dir) =>
       Query.from(Cubes.events(s, dir))
@@ -162,6 +171,14 @@ object OlapExtQueries {
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey)
         |GROUP BY 1""".stripMargin,
+
+    "q_weekly_agg" ->
+      s"""SELECT CAST(isoyear(o_orderdate) AS INT) AS w_year,
+         |  CAST(isoyear(o_orderdate) * 100 + weekofyear(o_orderdate)
+         |    AS INT) AS w_week,
+         |  $REV AS revenue, count(*) AS count_order
+         |$LO WHERE isoyear(o_orderdate) = 1995
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_events_agg" ->
       """SELECT event_type, count(*) AS n_events,

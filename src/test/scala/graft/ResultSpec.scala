@@ -58,6 +58,16 @@ class ResultSpec extends SparkSpec {
     assert(regions === Set("EUROPE", "ASIA"))
   }
 
+  test("member properties surface the extra dimension columns") {
+    val md = new CubeMetadata(cube)
+    val nations = md.levelMembers("customer", "customer").limit(1)
+      .collect()
+    val path = nations.head.toSeq.take(3)
+    val props = md.memberProperties("customer", path)
+    assert(props.contains("c_mktsegment") && props.contains("c_acctbal"))
+    assert(md.memberProperties("customer", Seq("NOWHERE")) === Map.empty)
+  }
+
   test("member lookup by full MDX name") {
     val md = new CubeMetadata(cube)
     assert(md.member("[customer].[EUROPE]") === Some(Seq("EUROPE")))
