@@ -68,6 +68,19 @@ class ResultSpec extends SparkSpec {
     assert(md.memberProperties("customer", Seq("NOWHERE")) === Map.empty)
   }
 
+  test("drill-through respects role grants (role-filtered details)") {
+    val granted = cube.withRole(Role("eu",
+      Seq("customer" -> Seq("EUROPE"))))
+    val rows = Query.from(granted)
+      .executeDrillThrough(
+        returnCols = Seq("l_orderkey", "cr_region"),
+        dims = Map("customer" -> "region"))
+      .select("cr_region").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(rows === Set("EUROPE"),
+      "detail rows outside the granted subtree must not be visible")
+  }
+
   test("member lookup by full MDX name") {
     val md = new CubeMetadata(cube)
     assert(md.member("[customer].[EUROPE]") === Some(Seq("EUROPE")))
