@@ -128,6 +128,16 @@ class MdxSpec extends SparkSpec {
     assert(reparsed.slicer === q.toIR.slicer)
   }
 
+  test("CASE WHEN passes through MDX scalar expressions") {
+    val df = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  FILTER([customer].[nation].Members,
+        |    CASE WHEN [Measures].[revenue] > 0 THEN 1 ELSE 0 END = 1)
+        |    ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(df.count() > 0)
+  }
+
   test("error taxonomy matches the reference wording") {
     val e1 = intercept[Mdx.MdxException] {
       Mdx.parse("SELECT {[Measures].[nope]} ON COLUMNS, " +
