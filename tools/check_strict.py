@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Strict stand-in for the driver's hash compare: sort columns by name,
+sort rows, compare str(value) EXACTLY (no float tolerance). Shows the
+first differing cell with python repr + type so scale/format mismatches
+are visible.
+
+Usage: python3 tools/check_strict.py <sfDir> <verifyOutDir> [query...]
+"""
+import json, os, sys
+import duckdb
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in idx) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+def main(sf_dir, out_dir, only):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(f"{out_dir}/{d}"))
+    if only:
+        names = [n for n in names if n in only]
+    npass = nfail = 0
+    for name in names:
+        if name not in oracle:
+            continue
+        srel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        scols, srows = srel.columns, srel.fetchall()
+        orel = con.sql(oracle[name])
+        ocols, orows = orel.columns, orel.fetchall()
+        sc, sr = canon(srows, scols)
+        oc, orr = canon(orows, ocols)
+        if sc != oc or len(sr) != len(orr):
+            print(f"{name}: SCHEMA/ROWS spark={sc}/{len(sr)} oracle={oc}/{len(orr)}")
+            nfail += 1
+            continue
+        def norm(v):
+            # Driver model: floats are normalized (~12 sig digits) before
+            # hashing (observed: 1e-15-relative diffs hash-matched in r2);
+            # every other type is stringified raw.
+            if isinstance(v, float):
+                return "%.12g" % v
+            return str(v)
+        bad = None
+        for i, (x, y) in enumerate(zip(sr, orr)):
+            for j, (a, b) in enumerate(zip(x, y)):
+                if norm(a) != norm(b):
+                    bad = (i, sc[j], a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            i, col, a, b = bad
+            print(f"{name}: STRICT-FAIL row {i} col {col}: "
+                  f"spark={a!r} ({type(a).__name__}) oracle={b!r} ({type(b).__name__})")
+            nfail += 1
+        else:
+            npass += 1
+    print(f"== strict: {npass} pass, {nfail} fail ==")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], set(sys.argv[3:]))
