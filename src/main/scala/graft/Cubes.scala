@@ -29,9 +29,22 @@ object Cubes {
   private val pool =
     new java.util.concurrent.ConcurrentHashMap[String, BoundCube]()
 
+  // Weak identity map so ids are unique per live session without
+  // pinning stopped sessions in memory.
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Long]())
+  private val sessionIdGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def sessionId(spark: SparkSession): Long =
+    sessionIds.computeIfAbsent(spark, _ => sessionIdGen.incrementAndGet())
+
   private def cached(spark: SparkSession, sfDir: String, kind: String)(
       build: => BoundCube): BoundCube =
-    pool.computeIfAbsent(s"${System.identityHashCode(spark)}:$kind:$sfDir",
+    // Identity-keyed counter, not identityHashCode: identity hashes are
+    // not unique across live sessions, and a collision would hand one
+    // session's cached cube (with its persisted dimension frames) to
+    // another.
+    pool.computeIfAbsent(s"${sessionId(spark)}:$kind:$sfDir",
       _ => build)
 
   /** Customer dimension: customer ⋈ nation ⋈ region, levels

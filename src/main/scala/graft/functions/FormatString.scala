@@ -79,9 +79,17 @@ object FormatString {
             else new JBigDecimal(n.toString)
           val rounded = scaled.setScale(p.decimals, RoundingMode.HALF_EVEN)
           val body =
-            if (p.grouping)
-              String.format(s"%,.${p.decimals}f", rounded.doubleValue())
-            else rounded.toPlainString
+            if (p.grouping) {
+              // Locale-pinned grouping (format_number's Column path is
+              // en-US; a default-locale String.format would emit
+              // "1.234.567,50" on e.g. a de_DE JVM), formatting the
+              // BigDecimal directly — no double round-trip re-round.
+              val sym = new java.text.DecimalFormatSymbols(java.util.Locale.US)
+              val df = new java.text.DecimalFormat("#,##0", sym)
+              df.setMinimumFractionDigits(p.decimals)
+              df.setMaximumFractionDigits(p.decimals)
+              df.format(rounded)
+            } else rounded.toPlainString
           p.prefix + body + p.suffix
       }
     case other => other.toString

@@ -103,7 +103,7 @@ object AggRouter {
   */
 final class SegmentCache {
 
-  final case class SegKey(cubeId: Int, grain: Seq[String],
+  final case class SegKey(cubeId: Long, grain: Seq[String],
       slicer: Seq[SlicerItem], measures: Seq[String])
 
   private val segments = TrieMap.empty[SegKey, DataFrame]
@@ -124,7 +124,7 @@ final class SegmentCache {
     }
 
   /** Flush every segment of a cube (reference flush_schema_cache). */
-  def flushCube(cubeId: Int): Unit =
+  def flushCube(cubeId: Long): Unit =
     segments.keys.filter(_.cubeId == cubeId).foreach(evict)
 
   /** Flush segments whose cells can intersect the (dim, path-prefix)
@@ -133,7 +133,7 @@ final class SegmentCache {
     * excludes the region; a segment with no slicer on the dimension
     * contains the region's cells (e.g. in its totals), so it flushes.
     */
-  def flushRegion(cubeId: Int, dim: String, path: Seq[Any]): Unit =
+  def flushRegion(cubeId: Long, dim: String, path: Seq[Any]): Unit =
     segments.keys
       .filter(_.cubeId == cubeId)
       .filterNot(k => excludesRegion(k.slicer, dim, path))

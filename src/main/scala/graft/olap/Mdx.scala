@@ -159,22 +159,52 @@ object Mdx {
     else new Planner(cube).execute(parse(mdx, cube))
   }
 
+  /** Token-based DRILLTHROUGH dissection. Substring scanning for
+    * RETURN/MAXROWS is wrong here: the Sales cube has a [returnflag]
+    * dimension, so `... WHERE ([returnflag].[R])` contains the literal
+    * text RETURN inside a bracketed name. The lexer already knows what
+    * is inside brackets, so keyword detection only looks at standalone
+    * TIdent tokens. */
   private def executeDrillThrough(mdx: String,
       cube: BoundCube): org.apache.spark.sql.DataFrame = {
-    val upper = mdx.toUpperCase
-    val maxRows = "MAXROWS\\s+(\\d+)".r.findFirstMatchIn(upper)
-      .map(_.group(1).toInt)
-    val returnIdx = upper.lastIndexOf("RETURN")
-    val returnCols =
-      if (returnIdx < 0) Nil
-      else mdx.substring(returnIdx + "RETURN".length)
-        .split(",").map(_.trim.stripPrefix("[").stripSuffix("]")).toSeq
-    val selectIdx = upper.indexOf("SELECT")
+    val toks = lex(mdx)
+    def kwIdx(kw: String, from: Int): Int =
+      toks.indexWhere({ case TIdent(s) => s.equalsIgnoreCase(kw)
+                        case _ => false }, from)
+    val selectIdx = kwIdx("SELECT", 0)
     if (selectIdx < 0)
       throw MdxException("Syntax error: DRILLTHROUGH requires SELECT")
-    val inner = mdx.substring(selectIdx,
-      if (returnIdx < 0) mdx.length else returnIdx)
-    val ir = parse(inner, cube)
+    val maxRows = kwIdx("MAXROWS", 0) match {
+      case i if i >= 0 && i < selectIdx => toks.lift(i + 1) match {
+        case Some(TNum(n)) => Some(n.toInt)
+        case other => throw MdxException(
+          s"Syntax error: MAXROWS requires a number, got $other")
+      }
+      case _ => None
+    }
+    val returnIdx = kwIdx("RETURN", selectIdx + 1)
+    val inner = if (returnIdx < 0) toks.drop(selectIdx)
+                else toks.slice(selectIdx, returnIdx)
+    val returnCols: Seq[String] =
+      if (returnIdx < 0) Nil
+      else {
+        // Comma-separated field list; each field is a bracketed or bare
+        // name (dots between segments keep the last segment, matching
+        // the previous [dim].[col] → col behavior).
+        val fields = Vector.newBuilder[String]
+        var cur: Option[String] = None
+        toks.drop(returnIdx + 1).foreach {
+          case TPunct(",") => fields ++= cur; cur = None
+          case TPunct(".") => ()
+          case TBracket(s) => cur = Some(s)
+          case TIdent(s) => cur = Some(s)
+          case t => throw MdxException(
+            s"Syntax error: unexpected $t in DRILLTHROUGH RETURN list")
+        }
+        fields ++= cur
+        fields.result()
+      }
+    val ir = new P(inner, cube).query()
     new Planner(cube).drillThrough(ir.slicer, returnCols,
       maxRows = maxRows)
   }
@@ -313,11 +343,15 @@ object Mdx {
         // measure set or literal member set
         val firstPath = memberPath()
         if (firstPath.head.equalsIgnoreCase("Measures")) {
-          var names = Seq(firstPath(1))
+          def measureSeg(p: Seq[String]): String =
+            if (p.length < 2) throw MdxException(
+              "Syntax error: expected [Measures].[name], got [" +
+                p.mkString("].[") + "]")
+            else p(1)
+          var names = Seq(measureSeg(firstPath))
           while (atPunct(",")) {
             eatPunct(",")
-            val p = memberPath()
-            names :+= p(1)
+            names :+= measureSeg(memberPath())
           }
           eatPunct("}")
           Right(names)
@@ -519,8 +553,19 @@ object Mdx {
       val sb = new StringBuilder
       var depth = 0
       var done = false
-      var sawDiv = false
-      var refs = List.empty[String]
+      // Per-OCCURRENCE measure refs: (name, needsDoubleCast). Only the
+      // operands adjacent to a '/' are cast to double — a global flag
+      // would silently turn e.g. the subtraction in `a - b / c` from
+      // exact decimal into double math.
+      val refs = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      var lastTokRef = -1     // refs index, when the previous token was a ref
+      var pendingDiv = false  // previous token was '/'
+      def addRef(m: String): Unit = {
+        refs += ((m, pendingDiv))
+        sb.append(s"@REF{${refs.size - 1}}")
+        lastTokRef = refs.size - 1
+        pendingDiv = false
+      }
       val stopKw = Set("SELECT", "MEMBER", "SET", "FROM", "ON")
       while (!done) {
         peek match {
@@ -532,38 +577,44 @@ object Mdx {
           case Some(t) =>
             next()
             t match {
-              case TPunct("(") => depth += 1; sb.append("(")
-              case TPunct(")") => depth -= 1; sb.append(")")
               case TBracket(s) =>
                 // [Measures].[x] or bare [x] measure reference
                 if (s.equalsIgnoreCase("Measures")) {
                   eatPunct(".")
                   next() match {
-                    case TBracket(m) =>
-                      refs ::= m; sb.append(s"@REF{$m}")
+                    case TBracket(m) => addRef(m)
                     case t2 => throw MdxException(
                       s"Syntax error: bad measure ref $t2")
                   }
-                } else { refs ::= s; sb.append(s"@REF{$s}") }
-              case TIdent(s) => sb.append(s" $s ")
-              case TNum(s) => sb.append(s)
-              case TStr(s) => sb.append(s"'$s'")
-              case TPunct(p) =>
-                if (p == "/") sawDiv = true
-                sb.append(s" $p ")
+                } else addRef(s)
+              case other =>
+                val wasDiv = other == TPunct("/")
+                if (wasDiv && lastTokRef >= 0)
+                  refs(lastTokRef) = (refs(lastTokRef)._1, true)
+                other match {
+                  case TPunct("(") => depth += 1; sb.append("(")
+                  case TPunct(")") => depth -= 1; sb.append(")")
+                  case TIdent(s) => sb.append(s" $s ")
+                  case TNum(s) => sb.append(s)
+                  case TStr(s) => sb.append(s"'$s'")
+                  case TPunct(p) => sb.append(s" $p ")
+                  case TBracket(_) => () // unreachable: handled above
+                }
+                pendingDiv = wasDiv
+                lastTokRef = -1
             }
         }
       }
       var out = sb.toString
-      refs.foreach { m =>
+      refs.zipWithIndex.foreach { case ((m, cast), i) =>
         if (!isMeasureName(m))
           throw MdxException(
             s"MDX object '[Measures].[$m]' not found in cube " +
               s"'${cube.name}'")
         // decimal/decimal quotients get engine-specific scales; compute
         // ratios in double (same policy as the builder's calc members)
-        val col = if (sawDiv) s"CAST($m AS DOUBLE)" else m
-        out = out.replace(s"@REF{$m}", col)
+        val col = if (cast) s"CAST($m AS DOUBLE)" else m
+        out = out.replace(s"@REF{$i}", col)
       }
       out.trim
     }

@@ -220,6 +220,15 @@ final case class BoundCube(
       */
     aggTables: Seq[AggTable] = Nil) {
 
+  /** Process-unique identity for cache keys. identityHashCode is NOT
+    * unique across live objects, so a collision could serve one cube's
+    * cached segment for another (or flush the wrong cube's region); an
+    * AtomicLong cannot collide. A body val, so every copy() (withRole,
+    * withAggTables) gets a fresh id — same per-instance scoping the
+    * identity hash had, minus the collisions.
+    */
+  val cubeId: Long = BoundCube.ids.incrementAndGet()
+
   def factFor(needed: Set[String]): DataFrame =
     factPruner.map(_(needed)).getOrElse(fact)
 
@@ -274,4 +283,8 @@ final case class BoundCube(
     if (dupes.nonEmpty)
       fail(s"duplicate measure/calc names: ${dupes.mkString(", ")}")
   }
+}
+
+object BoundCube {
+  private[olap] val ids = new java.util.concurrent.atomic.AtomicLong(0L)
 }

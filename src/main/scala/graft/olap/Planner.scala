@@ -519,7 +519,7 @@ final class Planner(val cube: BoundCube) {
     if (!SegmentCache.enabled) compute
     else {
       val cache = SegmentCache.global
-      cache.getOrCompute(cache.SegKey(System.identityHashCode(cube),
+      cache.getOrCompute(cache.SegKey(cube.cubeId,
         groupCols(axisDims), allSlicer, neededMeasures.map(_.name)))(compute)
     }
   }
@@ -706,7 +706,9 @@ final class Planner(val cube: BoundCube) {
     val ne = nonEmptyCol.map(c => sliced.filter(col(c).isNotNull))
       .getOrElse(sliced)
     val base =
-      if (!groupByFields) ne.select(returnCols.map(col): _*)
+      // no RETURN clause → the full drill row (reference default)
+      if (returnCols.isEmpty && !groupByFields) ne
+      else if (!groupByFields) ne.select(returnCols.map(col): _*)
       else {
         val (mCols, dCols) = returnCols.partition(c =>
           cube.measures.exists(_.name == c))

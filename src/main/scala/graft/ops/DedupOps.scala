@@ -69,10 +69,16 @@ object DedupOps {
       .select(col("doc_id"), expr(SHINGLES).as("shingles"))
 
   /** Near-dup pairs by exact n-gram Jaccard >= threshold, via the
-    * postings-list pattern: explode shingles, shuffle on the shingle
-    * (as a 64-bit hash — narrower shuffle keys than raw strings), count
-    * common shingles per candidate pair, then Jaccard from set sizes.
-    * Only pairs sharing >= 1 shingle are ever materialized.
+    * postings-list pattern: explode shingles, shuffle on the shingle,
+    * count common shingles per candidate pair, then Jaccard from set
+    * sizes. Only pairs sharing >= 1 shingle are ever materialized.
+    *
+    * The postings join keys on the RAW shingle, so n_common is exact —
+    * keying on a 64-bit hash would overcount whenever two distinct
+    * shingles collide, which is statistically certain at a 100 TB
+    * corpus. At that scale, narrow the shuffle by keying on
+    * `unhex(md5(shingle))` (16-byte digest, ~2^-64 residual collision
+    * odds) instead of the string; this operator stays exact.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingled(docs).persist()
@@ -82,11 +88,9 @@ object DedupOps {
     val posts = sh.select(col("doc_id"),
         size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), col("n_sh"),
-        xxhash64(col("shingle")).as("sh"))
     posts.as("a")
       .join(posts.as("b"),
-        col("a.sh") === col("b.sh") &&
+        col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"),

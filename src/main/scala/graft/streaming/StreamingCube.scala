@@ -114,7 +114,7 @@ object StreamingCube {
     * collects the distinct touched members (delta batches are small;
     * the distinct is batch-local) and evicts intersecting segments.
     */
-  def maintain(events: DataFrame, cubeId: Int,
+  def maintain(events: DataFrame, cubeId: Long,
       regionDims: Map[String, String],
       cache: graft.olap.SegmentCache): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream

@@ -21,7 +21,7 @@ class CacheSpec extends SparkSpec {
 
   test("region flush evicts intersecting segments, keeps disjoint ones") {
     val c = SegmentCache.global
-    val cubeId = System.identityHashCode(cube)
+    val cubeId = cube.cubeId
     // segment sliced to ASIA — disjoint from the EUROPE region
     Query.from(cube).columns("revenue")
       .rows(LevelMembers("part", "brand"))

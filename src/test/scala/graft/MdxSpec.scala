@@ -112,6 +112,36 @@ class MdxSpec extends SparkSpec {
     assert(df.count() === 10)
   }
 
+  test("DRILLTHROUGH with a [returnflag] slicer and no RETURN clause") {
+    // 'RETURN' is a substring of the bracketed [returnflag] member —
+    // substring keyword scanning truncated the inner SELECT mid-token.
+    val df = Mdx.execute(
+      """DRILLTHROUGH SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE ([returnflag].[R])""".stripMargin, cube)
+    assert(df.count() > 0)
+    val flags = df.select("l_returnflag").distinct().collect().map(_.get(0))
+    assert(flags.toSeq === Seq("R"))
+  }
+
+  test("one-segment measure set raises MdxException, not IOOBE") {
+    val ex = intercept[Mdx.MdxException] {
+      Mdx.parse("SELECT {[Measures]} ON COLUMNS FROM [Sales]", cube)
+    }
+    assert(ex.getMessage.contains("expected [Measures].[name]"))
+  }
+
+  test("division casts only its operands, not the whole expression") {
+    // revenue - sum_qty / sum_qty: the quotient is double but the
+    // subtraction's left side must stay the exact decimal measure.
+    val df = Mdx.execute(
+      """WITH MEMBER [Measures].[m] AS
+        |  [Measures].[revenue] - [Measures].[revenue] / [Measures].[revenue]
+        |SELECT {[Measures].[m]} ON COLUMNS FROM [Sales]""".stripMargin, cube)
+    val got = df.collect()(0).getAs[Any]("m")
+    assert(got != null)
+  }
+
   test("toMdx renders and parse-roundtrips the builder query") {
     val q = Query.from(cube)
       .columns("revenue", "sum_qty")

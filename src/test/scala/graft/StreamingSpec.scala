@@ -25,7 +25,7 @@ class StreamingSpec extends SparkSpec {
 
   test("stream maintenance flushes touched cache regions only") {
     val cube = Cubes.events(spark, Sf)
-    val cubeId = System.identityHashCode(cube)
+    val cubeId = cube.cubeId
     val cache = graft.olap.SegmentCache.global
     // seed two segments: one sliced to 'click' events, one to 'view'
     def run(t: String) = graft.olap.Query.from(cube).columns("n_events")
