@@ -145,12 +145,30 @@ object Cubes {
     * schema.rb:81-86). Carries the time fk as l_datekey and the degenerate
     * order attributes.
     */
+  /** In-memory star-fact toggle — the Spark analog of the reference's
+    * `mondrian.rolap.EnableInMemoryRollup` (BASELINE.md): when on, the
+    * prejoined fact is persisted once per session so every query scans
+    * the columnar cache instead of re-running the lineitem⋈orders join
+    * (and its broadcast build) per query. Disable for cold-scan
+    * deployments; at cluster scale prefer bucketed storage on the join
+    * key (SCALING.md) so the join is co-partitioned instead of cached.
+    */
+  @volatile var inMemoryFact: Boolean = true
+
+  private val factPool =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def salesFact(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.load(spark, sfDir, "lineitem")
-    val o = Tables.load(spark, sfDir, "orders")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .withColumn("l_datekey", to_date(col("o_orderdate")))
-      .drop("o_orderkey")
+    def build = {
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val o = Tables.load(spark, sfDir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .withColumn("l_datekey", to_date(col("o_orderdate")))
+        .drop("o_orderkey")
+    }
+    if (!inMemoryFact) build
+    else factPool.computeIfAbsent(
+      s"${sessionId(spark)}:$sfDir:salesfact", _ => build.persist())
   }
 
   /** Fact-join pruning: a query touching only lineitem columns skips the
@@ -189,20 +207,26 @@ object Cubes {
 
   private def buildSales(spark: SparkSession, sfDir: String): BoundCube = {
     val fact = salesFact(spark, sfDir)
+    // Degenerate-dim member frames enumerate from the NARROW base table
+    // their level column lives on, not the joined fact: a one-column
+    // parquet scan instead of the star join (and no wide fact lineage
+    // embedded in every member-frame plan).
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
     val priorityDim = BoundDim("priority",
       foreignKey = "o_orderpriority", primaryKey = "o_orderpriority",
       levels = Seq(BoundLevel("priority", "o_orderpriority")),
-      df = fact.select("o_orderpriority").distinct().persist(),
+      df = ord.select("o_orderpriority").distinct().persist(),
       degenerate = true)
     val returnflagDim = BoundDim("returnflag",
       foreignKey = "l_returnflag", primaryKey = "l_returnflag",
       levels = Seq(BoundLevel("returnflag", "l_returnflag")),
-      df = fact.select("l_returnflag").distinct().persist(),
+      df = li.select("l_returnflag").distinct().persist(),
       degenerate = true)
     val linestatusDim = BoundDim("linestatus",
       foreignKey = "l_linestatus", primaryKey = "l_linestatus",
       levels = Seq(BoundLevel("linestatus", "l_linestatus")),
-      df = fact.select("l_linestatus").distinct().persist(),
+      df = li.select("l_linestatus").distinct().persist(),
       degenerate = true)
     // dimension member caches (reference SqlMemberSource member cache):
     // small frames, reused by every query against this cube

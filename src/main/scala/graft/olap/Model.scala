@@ -163,6 +163,22 @@ final case class BoundDim(
       */
     degenerate: Boolean = false) {
 
+  /** Member cache: the distinct member frame per level depth, persisted
+    * on first use (the reference's member cache — README.md
+    * high-cardinality notes: Mondrian caches dimension members and only
+    * `high_cardinality` opts out). Axis evaluation re-reads the same
+    * level's members in nearly every query, so caching replaces a
+    * distinct-aggregate subtree (scan + exchange + codegen) with an
+    * InMemoryTableScan. Role grants are filtered AFTER this cache, so
+    * restricted roles never poison the shared frame.
+    */
+  @transient private lazy val memberFrames =
+    scala.collection.concurrent.TrieMap.empty[Int, DataFrame]
+  def membersAt(depth: Int, cols: Seq[String]): DataFrame =
+    memberFrames.getOrElseUpdate(depth,
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().persist())
+
   def levelIndex(levelName: String): Int = {
     val i = levels.indexWhere(_.name == levelName)
     require(i >= 0, s"dimension '$name' has no level '$levelName'")

@@ -101,7 +101,7 @@ final class Planner(val cube: BoundCube) {
     */
   private def memberFrame(d: BoundDim, depth: Int): DataFrame = {
     val cols = memberCols(d, depth)
-    val base = d.df.select(cols.map(col): _*).distinct()
+    val base = d.membersAt(depth, cols)
     // member grants also hide members from axes (connection_role_test.rb:
     // 46-90): restrict the member frame to granted subtrees
     cube.role.filter(_.isGranted(d.name)) match {
