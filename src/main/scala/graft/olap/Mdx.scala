@@ -212,8 +212,18 @@ object Mdx {
   private final class P(toks: Vector[Tok], cube: BoundCube) {
     private var pos = 0
 
+    /** Hidden calc members synthesized while parsing (set-aggregate
+      * subexpressions like Sum(set, m) inside WITH MEMBER formulas);
+      * negative solveOrder so they evaluate before the members that
+      * reference them.
+      */
+    private var auxCalcs = Vector.empty[CalcMember]
+
     private def peek: Option[Tok] =
       if (pos < toks.length) Some(toks(pos)) else None
+    private def peekAt(k: Int): Option[Tok] =
+      if (pos + k < toks.length) Some(toks(pos + k)) else None
+    private def atEnd: Boolean = pos >= toks.length
     private def next(): Tok = {
       if (pos >= toks.length)
         throw MdxException("Syntax error: unexpected end of query")
@@ -275,7 +285,7 @@ object Mdx {
               throw MdxException(
                 "Syntax error: WITH MEMBER must target [Measures].[name]")
             eatKw("AS")
-            withMembers :+= CalcMember(segs(1), ExprCalc(scalarExpr()))
+            withMembers :+= CalcMember(segs(1), ExprCalc(scalarExpr(withSets)))
           }
         }
       }
@@ -328,7 +338,8 @@ object Mdx {
             s"'${cube.name}'")
       var slicer = Seq.empty[SlicerItem]
       if (atKw("WHERE")) { eatKw("WHERE"); slicer = slicerItems() }
-      QueryIR(measures, rows, slicer, nonEmpty, withSets, withMembers)
+      QueryIR(measures, rows, slicer, nonEmpty, withSets,
+        auxCalcs ++ withMembers)
     }
 
     // -------- set expressions
@@ -340,6 +351,24 @@ object Mdx {
         withSets: Map[String, SetExpr]): Either[SetExpr, Seq[String]] = {
       if (atPunct("{")) {
         eatPunct("{")
+        // {set-fn(...), ...} — brace-wrapped set expressions (e.g.
+        // {Ancestor(m, lvl)}): parse items as general sets, union them
+        val fnItem = peek match {
+          case Some(TIdent(f)) =>
+            SetFns.contains(f.toUpperCase) ||
+              f.equalsIgnoreCase("STRTOSET") ||
+              f.equalsIgnoreCase("STRTOMEMBER") ||
+              withSets.contains(f)
+          case _ => false
+        }
+        if (fnItem) {
+          var acc = setExpr(withSets)
+          while (atPunct(",")) {
+            eatPunct(","); acc = UnionSet(acc, setExpr(withSets), all = true)
+          }
+          eatPunct("}")
+          return Left(acc)
+        }
         // measure set or literal member set
         val firstPath = memberPath()
         if (firstPath.head.equalsIgnoreCase("Measures")) {
@@ -393,6 +422,23 @@ object Mdx {
         }
         case Some(TPunct("(")) =>
           eatPunct("("); val s = setExpr(withSets); eatPunct(")"); s
+        case Some(TIdent(fn)) if fn.equalsIgnoreCase("STRTOSET") ||
+            fn.equalsIgnoreCase("STRTOMEMBER") =>
+          // StrToSet('{...}') / StrToMember('[d].[m]') — re-lex the
+          // string literal and parse it with a nested parser.
+          next(); eatPunct("(")
+          val body = next() match {
+            case TStr(s) => s
+            case t => throw MdxException(
+              s"Syntax error: $fn requires a string literal, got $t")
+          }
+          eatPunct(")")
+          val sub = new P(lex(body), cube)
+          val r = if (fn.equalsIgnoreCase("STRTOSET")) sub.setExpr(withSets)
+                  else sub.memberSet()
+          if (!sub.atEnd)
+            throw MdxException(s"Syntax error: trailing tokens in $fn string")
+          r
         case Some(TIdent(fn)) if SetFns.contains(fn.toUpperCase) =>
           next(); setFunction(fn.toUpperCase, withSets)
         case Some(TIdent(name)) if withSets.contains(name) =>
@@ -406,7 +452,8 @@ object Mdx {
     private val SetFns = Set("CROSSJOIN", "NONEMPTYCROSSJOIN", "UNION",
       "INTERSECT", "EXCEPT", "DISTINCT", "FILTER", "ORDER", "TOPCOUNT",
       "BOTTOMCOUNT", "TOPPERCENT", "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM",
-      "HEAD", "TAIL", "SUBSET", "HIERARCHIZE", "DESCENDANTS", "EXISTS")
+      "HEAD", "TAIL", "SUBSET", "HIERARCHIZE", "DESCENDANTS", "EXISTS",
+      "EXTRACT", "GENERATE", "ANCESTOR", "ADDCALCULATEDMEMBERS")
 
     private def setFunction(fn: String,
         ws: Map[String, SetExpr]): SetExpr = {
@@ -431,9 +478,9 @@ object Mdx {
           val a = arg(); comma(); val b = arg(); ExistsSet(a, b)
         case "DISTINCT" => DistinctSet(arg())
         case "FILTER" =>
-          val a = arg(); comma(); FilterSet(a, scalarExpr())
+          val a = arg(); comma(); FilterSet(a, scalarExpr(ws))
         case "ORDER" =>
-          val a = arg(); comma(); val e = scalarExpr()
+          val a = arg(); comma(); val e = scalarExpr(ws)
           val dir = if (atPunct(",")) {
             comma()
             next() match {
@@ -450,13 +497,13 @@ object Mdx {
           OrderSet(a, e, dir)
         case "TOPCOUNT" | "BOTTOMCOUNT" =>
           val a = arg(); comma(); val n = num().toInt; comma()
-          TopCount(a, n, scalarExpr(), bottom = fn == "BOTTOMCOUNT")
+          TopCount(a, n, scalarExpr(ws), bottom = fn == "BOTTOMCOUNT")
         case "TOPPERCENT" | "BOTTOMPERCENT" =>
           val a = arg(); comma(); val p = num(); comma()
-          TopPercent(a, p, scalarExpr(), bottom = fn == "BOTTOMPERCENT")
+          TopPercent(a, p, scalarExpr(ws), bottom = fn == "BOTTOMPERCENT")
         case "TOPSUM" | "BOTTOMSUM" =>
           val a = arg(); comma(); val s = num(); comma()
-          TopSum(a, s, scalarExpr(), bottom = fn == "BOTTOMSUM")
+          TopSum(a, s, scalarExpr(ws), bottom = fn == "BOTTOMSUM")
         case "HEAD" =>
           val a = arg(); comma(); HeadSet(a, num().toInt)
         case "TAIL" =>
@@ -478,6 +525,58 @@ object Mdx {
             case t => throw MdxException(s"Syntax error: bad level $t")
           }
           Descendants(d.name, p.tail.map(pathValue), resolveLevel(d, lvl))
+        case "EXTRACT" =>
+          // Extract(set, [dim][, [dim]...]) — project onto dimensions
+          val a = arg()
+          var dims = Vector.empty[String]
+          while (atPunct(",")) {
+            comma()
+            dims :+= (next() match {
+              case TBracket(s) => dimNamed(s).name
+              case TIdent(s) => dimNamed(s).name
+              case t => throw MdxException(s"Syntax error: bad dimension $t")
+            })
+          }
+          if (dims.isEmpty)
+            throw MdxException("Syntax error: EXTRACT requires dimensions")
+          ExtractSet(a, dims)
+        case "GENERATE" =>
+          // Generate(set, [dim].CurrentMember[, ALL]) — the reference's
+          // usage (query_test.rb:660-675): identity scan over the set;
+          // ALL keeps duplicates, default dedups.
+          val a = arg(); comma()
+          val d = next() match {
+            case TBracket(s) => dimNamed(s)
+            case t => throw MdxException(
+              s"Syntax error: GENERATE pattern must be a member expr, got $t")
+          }
+          eatPunct(".")
+          next() match {
+            case TIdent(f) if f.equalsIgnoreCase("CurrentMember") => ()
+            case t => throw MdxException(
+              s"Syntax error: unsupported GENERATE pattern .$t " +
+                s"(only [${d.name}].CurrentMember)")
+          }
+          val all = if (atPunct(",")) { comma(); eatKw("ALL"); true }
+                    else false
+          if (all) a else DistinctSet(a)
+        case "ANCESTOR" =>
+          // Ancestor(member, level) — the member's ancestor at the level
+          val p = memberPath(); comma()
+          val d = dimNamed(p.head)
+          val lp = memberPath()
+          val lvlName = resolveLevel(d,
+            if (lp.head.equalsIgnoreCase(d.name)) lp.last else lp.head)
+          val depth = d.levelIndex(lvlName)
+          val path = p.tail.map(pathValue)
+          if (path.length <= depth)
+            throw MdxException(
+              s"Ancestor level '$lvlName' is below member [${p.mkString("].[")}]")
+          Members(d.name, Seq(path.take(depth + 1)))
+        case "ADDCALCULATEDMEMBERS" =>
+          // calc members live on [Measures] in this engine, so a member
+          // set is unchanged (AddCalculatedMembersFunDef passthrough)
+          arg()
         case _ =>
           throw MdxException(s"No function matches signature '$fn(...)'")
       }
@@ -496,6 +595,14 @@ object Mdx {
     private def memberSet(): SetExpr = {
       val segs = memberPath()
       val d = dimNamed(segs.head)
+      def path = segs.tail.map(pathValue)
+      def parentPath = {
+        if (path.isEmpty) throw MdxException(
+          s"Syntax error: [${d.name}] has no parent (dimension reference)")
+        if (path.length == 1) throw MdxException(
+          s"MDX object: root member [${d.name}].[${path.head}] has no parent")
+        path.dropRight(1)
+      }
       if (atPunct(".")) {
         eatPunct(".")
         next() match {
@@ -506,10 +613,22 @@ object Mdx {
                 s"Syntax error: .$f applies to [Dim].[Level]")
             LevelMembers(d.name, resolveLevel(d, segs(1)))
           case TIdent(f) if f.equalsIgnoreCase("Children") =>
-            Children(d.name, segs.tail.map(pathValue))
+            Children(d.name, path)
+          // member navigation (reference cube.rb member API / Mondrian
+          // FirstChild/LastChild/Siblings/Parent FunDefs). Children are
+          // in hierarchical (ordinal) order, so First/Last = Head/Tail.
+          case TIdent(f) if f.equalsIgnoreCase("Parent") =>
+            Members(d.name, Seq(parentPath))
+          case TIdent(f) if f.equalsIgnoreCase("FirstChild") =>
+            HeadSet(Children(d.name, path), 1)
+          case TIdent(f) if f.equalsIgnoreCase("LastChild") =>
+            TailSet(Children(d.name, path), 1)
+          case TIdent(f) if f.equalsIgnoreCase("Siblings") =>
+            if (path.length <= 1) LevelMembers(d.name, d.levels.head.name)
+            else Children(d.name, path.dropRight(1))
           case t => throw MdxException(s"Syntax error: unexpected .$t")
         }
-      } else Members(d.name, Seq(segs.tail.map(pathValue)))
+      } else Members(d.name, Seq(path))
     }
 
     private def resolveLevel(d: BoundDim, name: String): String =
@@ -549,7 +668,68 @@ object Mdx {
       * references rewritten to their column names (cast to double when
       * arithmetic combines decimal measures, so ratios stay portable).
       */
-    private def scalarExpr(): String = {
+    /** MDX set-aggregates allowed inside scalar formulas:
+      * Sum/Avg/Min/Max/Count/Aggregate(set[, measure]) — lowered to a
+      * hidden SetAggCalc member (negative solveOrder) that the formula
+      * references as a plain column.
+      */
+    private val SetAggFns =
+      Set("SUM", "AVG", "MIN", "MAX", "COUNT", "AGGREGATE")
+
+    /** Lookahead: is the first argument of Fn( ... a SET (vs a plain SQL
+      * scalar like MIN(col1, col2))? A set starts with '{', a set
+      * function name, a StrToSet, or a bracketed DIMENSION name.
+      */
+    private def setAggArgIsSet: Boolean = peekAt(2) match {
+      case Some(TPunct("{")) => true
+      case Some(TIdent(f)) =>
+        SetFns.contains(f.toUpperCase) || f.equalsIgnoreCase("STRTOSET") ||
+          f.equalsIgnoreCase("STRTOMEMBER")
+      case Some(TBracket(nm)) =>
+        cube.dims.exists(_.name.equalsIgnoreCase(nm))
+      case _ => false
+    }
+
+    /** Parse `Fn(set[, [Measures].[m] | EXCLUDEEMPTY|INCLUDEEMPTY])`,
+      * register the hidden calc, return its column name.
+      */
+    private def setAggRef(fnU: String, ws: Map[String, SetExpr]): String = {
+      eatPunct("(")
+      val set = setExpr(ws)
+      var measure = ""
+      var includeEmpty = fnU == "COUNT" // MDX Count defaults INCLUDEEMPTY
+      if (atPunct(",")) {
+        eatPunct(",")
+        peek match {
+          case Some(TIdent(f)) if f.equalsIgnoreCase("EXCLUDEEMPTY") =>
+            next(); includeEmpty = false
+          case Some(TIdent(f)) if f.equalsIgnoreCase("INCLUDEEMPTY") =>
+            next(); includeEmpty = true
+          case _ =>
+            val p = memberPath()
+            measure =
+              if (p.head.equalsIgnoreCase("Measures")) {
+                if (p.length < 2) throw MdxException(
+                  "Syntax error: expected [Measures].[name]")
+                p(1)
+              } else p.head
+            if (!isMeasureName(measure)) throw MdxException(
+              s"MDX object '[Measures].[$measure]' not found in cube " +
+                s"'${cube.name}'")
+        }
+      }
+      eatPunct(")")
+      if (measure.isEmpty && fnU != "COUNT")
+        throw MdxException(
+          s"Syntax error: $fnU(set, [Measures].[m]) requires a measure")
+      val name = s"__setagg${auxCalcs.size}"
+      auxCalcs :+= CalcMember(name,
+        SetAggCalc(fnU, measure, set, includeEmpty),
+        solveOrder = -1000 + auxCalcs.size)
+      name
+    }
+
+    private def scalarExpr(ws: Map[String, SetExpr] = Map.empty): String = {
       val sb = new StringBuilder
       var depth = 0
       var done = false
@@ -574,6 +754,11 @@ object Mdx {
           case Some(TPunct(",")) if depth == 0 => done = true
           case Some(TIdent(s)) if depth == 0 &&
               stopKw(s.toUpperCase) => done = true
+          case Some(TIdent(s)) if SetAggFns(s.toUpperCase) &&
+              peekAt(1).contains(TPunct("(")) && setAggArgIsSet =>
+            next()
+            sb.append(setAggRef(s.toUpperCase, ws))
+            lastTokRef = -1; pendingDiv = false
           case Some(t) =>
             next()
             t match {

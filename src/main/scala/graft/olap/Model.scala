@@ -124,6 +124,19 @@ final case class WindowCalc(
     kind: WinKind,
     overDim: String,
     resetLevel: Option[String] = None) extends CalcDef
+/** Aggregate over a member-set-restricted subcube, per axis cell —
+  * MDX Sum/Avg/Min/Max/Count/Aggregate(set[, measure]) (Mondrian
+  * AggregateFunDef + the compound-slicer fast path the reference's
+  * changelog cites). `fn` ∈ SUM|AVG|MIN|MAX|COUNT|AGGREGATE;
+  * AVG/MIN/MAX/COUNT operate over the per-member aggregated VALUES
+  * (MDX semantics), not fact rows. COUNT with includeEmpty counts set
+  * members regardless of data.
+  */
+final case class SetAggCalc(
+    fn: String,
+    measure: String,
+    set: SetExpr,
+    includeEmpty: Boolean = false) extends CalcDef
 
 final case class CalcMember(
     name: String,

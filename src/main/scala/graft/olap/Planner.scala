@@ -84,6 +84,7 @@ final class Planner(val cube: BoundCube) {
           texts = texts ++ (c.calc match {
             case ExprCalc(sql)               => Seq(sql)
             case WindowCalc(base, _, _, _)   => Seq(base)
+            case SetAggCalc(_, m, set, _)    => m +: exprTexts(set)
           })
           changed = true
         }
@@ -605,13 +606,13 @@ final class Planner(val cube: BoundCube) {
     q.rows match {
       case None =>
         val cells = aggregate(Nil, q.slicer)
-        val withCalcs = applyCalcs(cells, Nil)
+        val withCalcs = applyCalcs(cells, Nil, q.slicer, q.withSets)
         withCalcs.select(q.measures.map(col): _*)
       case Some(set) =>
         val axis = evalSet(set, q.slicer, q.withSets)
         val cells = aggregate(axis.dims, q.slicer)
         val joined = axis.members.join(cells, groupCols(axis.dims), "left")
-        val withCalcs = applyCalcs(joined, axis.dims)
+        val withCalcs = applyCalcs(joined, axis.dims, q.slicer, q.withSets)
         val pruned =
           if (!q.nonEmpty) withCalcs
           else {
@@ -638,7 +639,9 @@ final class Planner(val cube: BoundCube) {
     * member ordinals (SURVEY §2.5 — MDX relative navigation → Window).
     */
   private def applyCalcs(df: DataFrame,
-      axisDims: Seq[AxisDim]): DataFrame =
+      axisDims: Seq[AxisDim],
+      slicer: Seq[SlicerItem] = Nil,
+      withSets: Map[String, SetExpr] = Map.empty): DataFrame =
     neededCalcs.sortBy(_.solveOrder).foldLeft(df) {
       (acc, cm) =>
         cm.calc match {
@@ -652,8 +655,63 @@ final class Planner(val cube: BoundCube) {
                 acc.withColumn(cm.name,
                   windowColumn(base, kind, ad, axisDims, resetLevel))
             }
+          case sac: SetAggCalc =>
+            setAggColumn(acc, cm.name, sac, axisDims, slicer, withSets)
         }
     }
+
+  /** MDX Sum/Avg/Min/Max/Count/Aggregate(set[, measure]) per axis cell:
+    * aggregate the subcube at (axis grain × set grain) restricted to the
+    * set's members, then fold the per-member values back to the axis
+    * grain. One extra aggregation + a broadcast join — the set member
+    * frame stays on the dimension side, never a fact re-scan per cell.
+    */
+  private def setAggColumn(acc: DataFrame, name: String, sac: SetAggCalc,
+      axisDims: Seq[AxisDim], slicer: Seq[SlicerItem],
+      withSets: Map[String, SetExpr]): DataFrame = {
+    val frame = evalSet(sac.set, slicer, withSets)
+    val setKeys = frame.dims.flatMap(fd => levelCols(fd.d, fd.depth))
+    if (sac.fn == "COUNT" && sac.includeEmpty) {
+      // member count is axis-independent: no fact scan at all
+      val n = frame.members.select(setKeys.map(col): _*).distinct().count()
+      return acc.withColumn(name, lit(n))
+    }
+    // MDX context override: a set over a hierarchy that is ALSO on the
+    // axis replaces that hierarchy's cell coordinate (its members carry
+    // their own ancestors), so the axis dim drops out of the grain and
+    // the value repeats per overridden row.
+    val keptAxis = axisDims.filterNot(ad =>
+      frame.dims.exists(_.d.name == ad.d.name))
+    val keptKeys = groupCols(keptAxis)
+    val inner = aggregate(keptAxis ++ frame.dims, slicer)
+    val restricted = inner.join(
+      broadcast(frame.members.select(setKeys.map(col): _*).distinct()),
+      setKeys, "left_semi")
+    val m = cube.measures.find(_.name == sac.measure)
+    val valueCol = col(sac.measure)
+    val aggCol = (sac.fn match {
+      case "SUM" => sum(valueCol)
+      case "AVG" => avg(valueCol)
+      case "MIN" => min(valueCol)
+      case "MAX" => max(valueCol)
+      case "COUNT" => count(if (sac.measure.isEmpty) lit(1) else valueCol)
+      case "AGGREGATE" => m.map(_.agg) match {
+        case Some(Agg.Sum) | Some(Agg.SumExact) | Some(Agg.Count) =>
+          sum(valueCol)
+        case Some(Agg.Min) => min(valueCol)
+        case Some(Agg.Max) => max(valueCol)
+        case other => throw new IllegalArgumentException(
+          s"Aggregate(set) needs a decomposable measure, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown set aggregate '$other'")
+    }).as(name)
+    val outer =
+      if (keptKeys.isEmpty) restricted.agg(aggCol)
+      else restricted.groupBy(keptKeys.map(col): _*).agg(aggCol)
+    if (keptKeys.isEmpty) acc.crossJoin(broadcast(outer))
+    else acc.join(broadcast(outer), keptKeys, "left")
+  }
 
   private def windowColumn(base: String, kind: WinKind, ad: AxisDim,
       axisDims: Seq[AxisDim], resetLevel: Option[String]): Column = {

@@ -46,6 +46,24 @@ object MdxQueries {
         |  [Measures].[revenue] / [Measures].[sum_base_price]
         |SELECT {[Measures].[revenue], [Measures].[margin2]} ON COLUMNS,
         |  [returnflag].[returnflag].Members ON ROWS
+        |FROM [Sales]""".stripMargin) _),
+
+    // set-aggregate calc members (Mondrian Sum/Avg/Count(set) FunDefs +
+    // the compound-slicer Aggregate the reference changelog cites):
+    // Sum over a member range restricted subcube, Avg over per-member
+    // values with hierarchy context override, member Count.
+    "q_mdx_setagg" -> (run(
+      """WITH MEMBER [Measures].[h1_rev] AS
+        |  Sum({[time].[1995].[1995-Q1] : [time].[1995].[1995-Q2]},
+        |      [Measures].[revenue])
+        |MEMBER [Measures].[avg_nation_qty] AS
+        |  Avg([customer].[nation].Members, [Measures].[avg_qty])
+        |MEMBER [Measures].[n_nations] AS
+        |  Count([customer].[nation].Members)
+        |SELECT {[Measures].[revenue], [Measures].[h1_rev],
+        |        [Measures].[avg_nation_qty], [Measures].[n_nations]}
+        |  ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
         |FROM [Sales]""".stripMargin) _)
   )
 
@@ -71,6 +89,30 @@ object MdxQueries {
          |  CAST($REV AS DOUBLE) /
          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
          |    AS margin2
-         |FROM lineitem GROUP BY 1""".stripMargin
+         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_mdx_setagg" ->
+      s"""WITH base AS (
+         |  SELECT r_name, n_name, o_orderdate, l_extendedprice,
+         |         l_discount, l_quantity
+         |  $CJOIN),
+         |region_rev AS (
+         |  SELECT r_name AS cr_region, $REV AS revenue
+         |  FROM base GROUP BY 1),
+         |h1 AS (
+         |  SELECT r_name AS cr_region, $REV AS h1_rev
+         |  FROM base
+         |  WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) <= 2
+         |  GROUP BY 1),
+         |nrev AS (
+         |  SELECT n_name, avg(l_quantity) AS aq FROM base GROUP BY 1),
+         |const AS (
+         |  SELECT avg(aq) AS avg_nation_qty,
+         |    (SELECT count(DISTINCT n_name) FROM customer
+         |       JOIN nation ON c_nationkey = n_nationkey) AS n_nations
+         |  FROM nrev)
+         |SELECT cr_region, revenue, h1_rev, avg_nation_qty, n_nations
+         |FROM region_rev LEFT JOIN h1 USING (cr_region)
+         |CROSS JOIN const""".stripMargin
   )
 }

@@ -142,6 +142,82 @@ class MdxSpec extends SparkSpec {
     assert(got != null)
   }
 
+  test("Extract, Generate, Ancestor and StrToSet parse to the typed IR") {
+    val ir = Mdx.parse(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  EXTRACT(CROSSJOIN([customer].[region].Members,
+        |                    [returnflag].[returnflag].Members),
+        |          [customer]) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(ir.rows === Some(ExtractSet(CrossJoin(
+      LevelMembers("customer", "region"),
+      LevelMembers("returnflag", "returnflag")), Seq("customer"))))
+
+    val g = Mdx.parse(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  GENERATE([customer].[region].Members,
+        |           [customer].CurrentMember) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(g.rows === Some(DistinctSet(LevelMembers("customer", "region"))))
+    val gAll = Mdx.parse(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  GENERATE([customer].[region].Members,
+        |           [customer].CurrentMember, ALL) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(gAll.rows === Some(LevelMembers("customer", "region")))
+
+    val a = Mdx.parse(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  {ANCESTOR([customer].[EUROPE].[NATION_13], [region])} ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(a.rows === Some(Members("customer", Seq(Seq("EUROPE")))))
+
+    val s = Mdx.parse(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  StrToSet('{[customer].[ASIA], [customer].[EUROPE]}') ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(s.rows === Some(Members("customer",
+      Seq(Seq("ASIA"), Seq("EUROPE")))))
+  }
+
+  test("member navigation: Parent, FirstChild, LastChild, Siblings") {
+    def rows(setText: String) = Mdx.parse(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS,
+         |  $setText ON ROWS
+         |FROM [Sales]""".stripMargin, cube).rows.get
+    assert(rows("[customer].[EUROPE].[NATION_13].Parent") ===
+      Members("customer", Seq(Seq("EUROPE"))))
+    assert(rows("[customer].[EUROPE].FirstChild") ===
+      HeadSet(Children("customer", Seq("EUROPE")), 1))
+    assert(rows("[customer].[EUROPE].LastChild") ===
+      TailSet(Children("customer", Seq("EUROPE")), 1))
+    assert(rows("[customer].[EUROPE].[NATION_13].Siblings") ===
+      Children("customer", Seq("EUROPE")))
+    val e = intercept[Mdx.MdxException] {
+      rows("[customer].[EUROPE].Parent")
+    }
+    assert(e.msg.contains("no parent"))
+  }
+
+  test("set-aggregate calc members compute restricted subcube values") {
+    val df = Mdx.execute(
+      """WITH MEMBER [Measures].[y95_rev] AS
+        |  Sum({[time].[1995]}, [Measures].[revenue])
+        |SELECT {[Measures].[revenue], [Measures].[y95_rev]} ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val via95 = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [Sales]
+        |WHERE ([time].[1995])""".stripMargin, cube)
+    val got = df.select("cr_region", "y95_rev").collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    via95.collect().foreach { r =>
+      assert(got(r.getString(0)) === r.getDecimal(1))
+    }
+  }
+
   test("toMdx renders and parse-roundtrips the builder query") {
     val q = Query.from(cube)
       .columns("revenue", "sum_qty")
