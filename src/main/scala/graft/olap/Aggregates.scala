@@ -127,6 +127,63 @@ final class SegmentCache {
   def flushCube(cubeId: Long): Unit =
     segments.keys.filter(_.cubeId == cubeId).foreach(evict)
 
+  /** Incremental maintenance on an insert-delta: merge each cached
+    * segment in place when its measures are decomposable, evict the
+    * rest (they recompute lazily on next use). `deltaFor` returns the
+    * delta aggregated at the segment's exact grain plus the per-measure
+    * partial-merge functions ("sum" | "min" | "max"), or None when the
+    * segment is not mergeable.
+    *
+    * The merged frame is localCheckpoint'ed (eager) before the old
+    * segment is released: block loss must NOT re-run the lineage, which
+    * would re-read a landing directory that meanwhile contains the
+    * delta and double-count it.
+    */
+  def mergeOrEvict(cubeId: Long)(
+      deltaFor: SegKey => Option[(DataFrame, Seq[(String, String)])]): Unit =
+    segments.keys.filter(_.cubeId == cubeId).foreach { k =>
+      deltaFor(k) match {
+        case None => evict(k)
+        case Some((delta, mergeFns)) => segments.get(k).foreach { old =>
+          val merged = mergeFrames(old, delta, k.grain, mergeFns)
+            .localCheckpoint(true)
+          segments.put(k, merged)
+          old.unpersist(blocking = false)
+          mergedCount += 1
+        }
+      }
+    }
+
+  @volatile private var mergedCount = 0L
+  def merges: Long = mergedCount
+
+  /** old ⟗ delta on the grain keys; each measure column combined with
+    * its partial-merge fn, null-safe on either side (a grain tuple may
+    * exist only in the delta or only in the old segment).
+    */
+  private def mergeFrames(old: DataFrame, delta: DataFrame,
+      grain: Seq[String], mergeFns: Seq[(String, String)]): DataFrame = {
+    val suffixed = delta.select(
+      (grain.map(col) ++
+        mergeFns.map { case (m, _) => col(m).as(s"${m}__d") }): _*)
+    val joined = old.join(suffixed, grain.toSeq, "full_outer")
+    val outCols = grain.map(col) ++ mergeFns.map { case (m, fn) =>
+      val a = col(m); val b = col(s"${m}__d")
+      (fn match {
+        case "sum" =>
+          // decimal(38,s)+decimal(38,s) overflows to scale s-1 under
+          // Spark's result-type rule; cast back to the segment's type
+          when(a.isNull, b).when(b.isNull, a).otherwise(a + b)
+            .cast(old.schema(m).dataType)
+        case "min" => least(a, b)
+        case "max" => greatest(a, b)
+        case other => throw new IllegalArgumentException(
+          s"unknown merge fn '$other'")
+      }).as(m)
+    }
+    joined.select(outCols: _*)
+  }
+
   /** Flush segments whose cells can intersect the (dim, path-prefix)
     * member region (reference flush_region_cache_with_full_names). A
     * segment survives only when its slicer on that dimension provably

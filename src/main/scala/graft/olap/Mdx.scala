@@ -185,28 +185,88 @@ object Mdx {
     val returnIdx = kwIdx("RETURN", selectIdx + 1)
     val inner = if (returnIdx < 0) toks.drop(selectIdx)
                 else toks.slice(selectIdx, returnIdx)
-    val returnCols: Seq[String] =
-      if (returnIdx < 0) Nil
-      else {
-        // Comma-separated field list; each field is a bracketed or bare
-        // name (dots between segments keep the last segment, matching
-        // the previous [dim].[col] → col behavior).
-        val fields = Vector.newBuilder[String]
-        var cur: Option[String] = None
-        toks.drop(returnIdx + 1).foreach {
-          case TPunct(",") => fields ++= cur; cur = None
-          case TPunct(".") => ()
-          case TBracket(s) => cur = Some(s)
-          case TIdent(s) => cur = Some(s)
-          case t => throw MdxException(
-            s"Syntax error: unexpected $t in DRILLTHROUGH RETURN list")
+    // RETURN field forms (reference result.rb parse_return_fields):
+    //   Name([dim].[level])            → the level's name column
+    //   Property([dim].[level], 'p')   → a member-property column
+    //   [dim].[level]                  → the level's key column
+    //   [col] / col                    → a plain star column
+    // Dim-qualified fields also force that dimension into the drill
+    // star at the referenced depth.
+    var returnCols = Vector.empty[String]
+    var dimLevels = Map.empty[String, String]
+    if (returnIdx >= 0) {
+      val fts = toks.drop(returnIdx + 1)
+      var i = 0
+      def at(k: Int): Option[Tok] = fts.lift(i + k)
+      def dimLevel(d: String, l: String): String = {
+        val bd = cube.dims.find(_.name.equalsIgnoreCase(d)).getOrElse(
+          throw MdxException(s"MDX object '[$d]' not found in cube " +
+            s"'${cube.name}'"))
+        val lvl = bd.levels.find(_.name.equalsIgnoreCase(l)).getOrElse(
+          throw MdxException(
+            s"MDX object '[$d].[$l]' not found in cube '${cube.name}'"))
+        // deepest referenced level wins when a dim appears twice
+        val keep = dimLevels.get(bd.name) match {
+          case Some(prev)
+            if bd.levelIndex(prev) >= bd.levelIndex(lvl.name) => prev
+          case _ => lvl.name
         }
-        fields ++= cur
-        fields.result()
+        dimLevels += bd.name -> keep
+        bd.name
       }
+      while (i < fts.length) {
+        (at(0), at(1)) match {
+          case (Some(TIdent(f)), Some(TPunct("(")))
+              if f.equalsIgnoreCase("Name") =>
+            (at(2), at(3), at(4), at(5)) match {
+              case (Some(TBracket(d)), Some(TPunct(".")),
+                    Some(TBracket(l)), Some(TPunct(")"))) =>
+                val dn = dimLevel(d, l)
+                returnCols :+= cube.dim(dn).level(
+                  cube.dim(dn).levels.find(_.name.equalsIgnoreCase(l)).get
+                    .name).col
+                i += 6
+              case _ => throw MdxException(
+                "Syntax error: Name([dim].[level]) expected")
+            }
+          case (Some(TIdent(f)), Some(TPunct("(")))
+              if f.equalsIgnoreCase("Property") =>
+            (at(2), at(3), at(4), at(5), at(6), at(7)) match {
+              case (Some(TBracket(d)), Some(TPunct(".")),
+                    Some(TBracket(l)), Some(TPunct(",")),
+                    Some(TStr(p)), Some(TPunct(")"))) =>
+                val dn = dimLevel(d, l)
+                if (!cube.dim(dn).df.columns.contains(p))
+                  throw MdxException(
+                    s"MDX object: property '$p' not found on [$dn]")
+                returnCols :+= p
+                i += 8
+              case _ => throw MdxException(
+                "Syntax error: Property([dim].[level], 'name') expected")
+            }
+          case (Some(TBracket(a)), Some(TPunct(".")))
+              if cube.dims.exists(_.name.equalsIgnoreCase(a)) =>
+            fts.lift(i + 2) match {
+              case Some(TBracket(l)) =>
+                val dn = dimLevel(a, l)
+                returnCols :+= cube.dim(dn).levels
+                  .find(_.name.equalsIgnoreCase(l)).get.col
+                i += 3
+              case other => throw MdxException(
+                s"Syntax error: bad RETURN field [$a].$other")
+            }
+          case (Some(TBracket(c)), _) => returnCols :+= c; i += 1
+          case (Some(TIdent(c)), _) => returnCols :+= c; i += 1
+          case (Some(TPunct(",")), _) => i += 1
+          case (Some(t), _) => throw MdxException(
+            s"Syntax error: unexpected $t in DRILLTHROUGH RETURN list")
+          case (None, _) => i += 1
+        }
+      }
+    }
     val ir = new P(inner, cube).query()
     new Planner(cube).drillThrough(ir.slicer, returnCols,
-      maxRows = maxRows)
+      dims = dimLevels, maxRows = maxRows)
   }
 
   private final class P(toks: Vector[Tok], cube: BoundCube) {

@@ -467,7 +467,10 @@ final class Planner(val cube: BoundCube) {
       val d = cube.dim(name)
       if (d.degenerate) df // level cols already on the fact
       else {
-        val cols = (d.primaryKey +: memberCols(d, depth)).distinct
+        // extraCols may name member-property columns that live on the
+        // dim table (drill-through RETURN Property(...) fields)
+        val cols = (d.primaryKey +: (memberCols(d, depth) ++
+          extraCols.filter(d.df.columns.contains))).distinct
         val dimSel = d.df.select(cols.map(col): _*)
         val joined =
           df.join(broadcast(dimSel), df(d.foreignKey) === dimSel(d.primaryKey))
@@ -745,6 +748,58 @@ final class Planner(val cube: BoundCube) {
     }
   }
 
+  // ------------------------------------------------- incremental merge
+
+  /** Reconstruct the (dim, depth) grain from a segment key's column
+    * list: for each dimension take the deepest level whose key columns
+    * are all present; the chosen dims must cover the grain exactly.
+    */
+  private def axisDimsForGrain(grain: Seq[String]): Option[Seq[AxisDim]] = {
+    val want = grain.toSet
+    var covered = Set.empty[String]
+    val dims = Vector.newBuilder[AxisDim]
+    cube.dims.foreach { d =>
+      val depths = d.levels.indices
+        .filter(dep => levelCols(d, dep).forall(want.contains))
+      if (depths.nonEmpty) {
+        val dep = depths.max
+        dims += AxisDim(d, dep)
+        covered ++= levelCols(d, dep)
+      }
+    }
+    if (covered == want) Some(dims.result()) else None
+  }
+
+  /** Aggregate an INSERT-delta batch at a cached segment's exact
+    * (grain, slicer, measures) so the segment can be merged in place
+    * instead of evicted — the streaming-maintenance analog of the
+    * reference's segment update after fact inserts. None when the
+    * segment holds a non-decomposable measure (avg, distinct count,
+    * stats): those must recompute. Min/Max merge is insert-only (a
+    * delete could shift them) — deletes should evict.
+    */
+  def deltaSegment(grain: Seq[String], slicer: Seq[SlicerItem],
+      measureNames: Seq[String], delta: DataFrame): Option[DataFrame] = {
+    val ms = measureNames.flatMap(n => cube.measures.find(_.name == n))
+    if (ms.length != measureNames.length) return None
+    if (!ms.forall(m => Planner.mergeFnOf(m.agg).isDefined)) return None
+    axisDimsForGrain(grain).map { axisDims =>
+      val p2 = new Planner(
+        cube.copy(fact = delta, factPruner = None, aggTables = Nil))
+      val star = p2.joinStar(p2.neededJoins(axisDims, slicer), slicer)
+      val sliced = star.filter(p2.slicerPredicate(slicer))
+      val aggCols = ms.map(m => Agg.toColumn(m.agg, m.expr).as(m.name))
+      if (grain.isEmpty) sliced.agg(aggCols.head, aggCols.tail: _*)
+      else sliced.groupBy(grain.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+    }
+  }
+
+  /** Merge plan for a segment's measures: measure → partial-merge fn. */
+  def mergePlanFor(measureNames: Seq[String]): Seq[(String, String)] =
+    measureNames.flatMap(n => cube.measures.find(_.name == n)
+      .flatMap(m => Planner.mergeFnOf(m.agg)).map(n -> _))
+
   // --------------------------------------------------------- drill-through
 
   /** Cell → detail rows (SURVEY §2.11): keep the cell predicate, join the
@@ -783,6 +838,16 @@ object Planner {
   val OrdCol = "__ord"
 
   final case class AxisDim(d: BoundDim, depth: Int)
+
+  /** Partial-merge function per aggregator for insert-delta segment
+    * merge; None = non-decomposable (must recompute).
+    */
+  def mergeFnOf(agg: Agg): Option[String] = agg match {
+    case Agg.Sum | Agg.SumExact | Agg.Count => Some("sum")
+    case Agg.Min => Some("min")
+    case Agg.Max => Some("max")
+    case _ => None
+  }
 
   /** An evaluated axis set: member tuples + the dims/depths involved.
     * `members` carries the level key columns and ordinal columns; when

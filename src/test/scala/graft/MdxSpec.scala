@@ -124,6 +124,28 @@ class MdxSpec extends SparkSpec {
     assert(flags.toSeq === Seq("R"))
   }
 
+  test("DRILLTHROUGH RETURN Name/Property field forms") {
+    val df = Mdx.execute(
+      """DRILLTHROUGH MAXROWS 20
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE ([customer].[EUROPE])
+        |RETURN Name([customer].[nation]),
+        |  Property([customer].[customer], 'c_mktsegment'),
+        |  [l_quantity]""".stripMargin, cube)
+    assert(df.columns.toSeq === Seq("cr_nation", "c_mktsegment",
+      "l_quantity"))
+    assert(df.count() === 20)
+    val e = intercept[Mdx.MdxException] {
+      Mdx.execute(
+        """DRILLTHROUGH SELECT {[Measures].[revenue]} ON COLUMNS
+          |FROM [Sales]
+          |RETURN Property([customer].[customer], 'nope')""".stripMargin,
+        cube)
+    }
+    assert(e.msg.contains("property 'nope' not found"))
+  }
+
   test("one-segment measure set raises MdxException, not IOOBE") {
     val ex = intercept[Mdx.MdxException] {
       Mdx.parse("SELECT {[Measures]} ON COLUMNS FROM [Sales]", cube)

@@ -49,6 +49,41 @@ class StreamingSpec extends SparkSpec {
     assert(cache.misses > missesBefore, "touched region must recompute")
   }
 
+  test("delta merge updates decomposable segments in place") {
+    val cube = Cubes.events(spark, Sf)
+    val cache = graft.olap.SegmentCache.global
+    val planner = new graft.olap.Planner(cube)
+    def run() = graft.olap.Query.from(cube)
+      .columns("n_events", "sum_value")
+      .rows(graft.olap.LevelMembers("time", "day"))
+      .execute().collect()
+      .map(r => String.valueOf(r.getAs[Any]("d_date")) ->
+        (r.getAs[Long]("n_events"), r.getAs[java.math.BigDecimal]("sum_value")))
+      .toMap
+    val before = run()
+    // replay one day's click events as an insert-delta
+    val day = Tables.load(spark, Sf, "events")
+      .select(to_date(min(col("ts"))).as("d")).collect()(0).getDate(0)
+    val delta = Tables.load(spark, Sf, "events")
+      .filter(col("event_type") === "click" &&
+        to_date(col("ts")) === lit(day))
+      .withColumn("l_datekey", to_date(col("ts")))
+    val deltaN = delta.count()
+    assert(deltaN > 0)
+    val mergesBefore = cache.merges
+    val hitsBefore = cache.hits
+    StreamingCube.applyDeltaBatch(delta, cube, cache, planner)
+    assert(cache.merges > mergesBefore, "segment must merge, not evict")
+    val after = run()
+    assert(cache.hits > hitsBefore, "merged segment must serve from cache")
+    val dayKey = String.valueOf(day)
+    assert(after(dayKey)._1 === before(dayKey)._1 + deltaN)
+    assert(after(dayKey)._2.subtract(before(dayKey)._2).signum > 0)
+    // an untouched day is unchanged
+    val other = before.keys.filterNot(_ == dayKey).head
+    assert(after(other) === before(other))
+  }
+
   test("stateful sessionization carries state across micro-batches") {
     import spark.implicits._
     val events = Tables.load(spark, Sf, "events")
