@@ -109,6 +109,116 @@ object SimilarityOps {
       .select("probe_id", "neighbor_id", "rank")
   }
 
+  /** Deterministic seeded Lloyd's k-means over the embedding column —
+    * the trained coarse quantizer for IVF (replaces the label stand-in).
+    * Returns (vec_id, cell).
+    *
+    * Engine-portability design (the assignment must be bit-reproducible
+    * against a DuckDB oracle):
+    *  - seeds = the k vectors with the smallest md5-derived hash of
+    *    vec_id (portable, no RNG);
+    *  - centroid components accumulate as DECIMAL(38,12) sums + count —
+    *    exact and order-independent at any parallelism (a double sum
+    *    would vary with partial-aggregation order); the mean is the
+    *    correctly-rounded double of the exact sum divided by the count;
+    *  - distances fold (v_d - m_d)² in index order on both engines, so
+    *    the doubles compare bit-identically; ties break on cell id.
+    *
+    * The model (k × dim doubles) is collected to the driver each round
+    * and re-embedded as literals — it is a MODEL, not data; the per-row
+    * assignment stays a single codegen'd projection over the corpus
+    * with no join and no shuffle (at 100 TB: one map-only pass per
+    * Lloyd iteration plus one grid aggregation).
+    */
+  def kmeansCells(corpus: DataFrame, k: Int, iters: Int,
+      dim: Int = Dim): DataFrame = {
+    val flat = corpus.select((col("vec_id") +: (1 to dim).map(d =>
+      expr(s"cast(element_at(embedding, $d) as double)")
+        .as(s"v$d"))): _*).persist()
+    val w = Window.orderBy(col("__h").asc, col("vec_id").asc)
+    // Seed centroids pass through the same decimal(38,12) rounding the
+    // update step applies, so iteration 1 is bit-identical to an oracle
+    // that derives them via the shared centroid CTE.
+    def snap(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    var centroids: Seq[(Int, Array[Double])] = flat
+      .withColumn("__h", expr(DedupOps.h60("cast(vec_id as string)")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .collect()
+      .map(r => (r.getAs[Int]("__rn") - 1,
+        (1 to dim).map(d => snap(r.getAs[Double](s"v$d"))).toArray))
+      .toSeq
+    def assign(): DataFrame = {
+      val structs = centroids.sortBy(_._1).map { case (cid, m) =>
+        val dist = (1 to dim)
+          .map(d => s"(v$d - ${m(d - 1)}) * (v$d - ${m(d - 1)})")
+          .mkString(" + ")
+        s"named_struct('d', $dist, 'c', $cid)"
+      }
+      flat.withColumn("cell",
+        expr(s"element_at(array_sort(array(${structs.mkString(", ")})), 1).c"))
+    }
+    for (_ <- 1 until iters) {
+      val sums = assign().groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          (1 to dim).map(d =>
+            sum(expr(s"cast(v$d as decimal(38,12))")).as(s"s$d")): _*)
+        .collect()
+      // empty cells drop out (identically on the oracle side)
+      centroids = sums.map { r =>
+        val n = r.getAs[Long]("n")
+        (r.getAs[Int]("cell"), (1 to dim).map(d =>
+          r.getAs[java.math.BigDecimal](s"s$d").doubleValue() / n).toArray)
+      }.toSeq
+    }
+    assign().select(col("vec_id"), col("cell"))
+  }
+
+  /** The DuckDB-equivalent SQL of kmeansCells (unrolled Lloyd
+    * iterations), for the oracle compare. Mirrors the exact arithmetic:
+    * decimal component sums, via-varchar double cast, index-order
+    * distance folds, (dist, cell) tie-break.
+    */
+  def kmeansOracleSql(k: Int, iters: Int, dim: Int = Dim): String = {
+    def cent(i: Int, from: String) =
+      s"""cent$i AS (
+         |  SELECT cell, d,
+         |    CAST(CAST(sum(CAST(val AS DECIMAL(38,12))) AS VARCHAR)
+         |      AS DOUBLE) / count(*) AS m
+         |  FROM (SELECT cell, unnest(e) AS val,
+         |          generate_subscripts(e, 1) AS d FROM $from) ex$i
+         |  GROUP BY cell, d),
+         |clist$i AS (
+         |  SELECT cell, list(m ORDER BY d) AS c FROM cent$i GROUP BY cell)"""
+        .stripMargin
+    def assign(i: Int) =
+      s"""assign$i AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, ${dim + 1}),
+         |          i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))),
+         |        c.cell) AS rn
+         |    FROM v CROSS JOIN clist$i c) WHERE rn = 1)""".stripMargin
+    val steps = (1 to iters).map(i =>
+      cent(i, s"assign${i - 1}") + ",\n" + assign(i)).mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |assign0 AS (
+       |  SELECT vec_id, e,
+       |    CAST(row_number() OVER (ORDER BY
+       |      ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT,
+       |      vec_id) - 1 AS INT) AS cell
+       |  FROM v
+       |  QUALIFY cell < $k),
+       |${steps}
+       |SELECT vec_id, cell FROM assign${iters}""".stripMargin
+  }
+
   /** Random-hyperplane LSH bucketing: nBits sign bits from deterministic
     * md5-derived hyperplanes → integer bucket key. Vectors in the same
     * bucket are ANN candidates; at scale the corpus is partitioned by

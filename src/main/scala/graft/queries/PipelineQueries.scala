@@ -53,6 +53,10 @@ object PipelineQueries {
       SimilarityOps.lshBuckets(emb(s, dir), nBits = 12)
         .select("vec_id", "bucket")),
 
+    // trained IVF coarse quantizer: deterministic seeded Lloyd's
+    "q_ann_kmeans" -> ((s, dir) =>
+      SimilarityOps.kmeansCells(emb(s, dir), k = 8, iters = 3)),
+
     // -- text analysis -------------------------------------------------
     "q_text_tokens" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
 
@@ -239,6 +243,8 @@ object PipelineQueries {
          |      THEN (1::BIGINT << b) ELSE 0::BIGINT END
          |    for b in range(0, 12)]) AS BIGINT) AS bucket
          |FROM embeddings""".stripMargin,
+
+    "q_ann_kmeans" -> SimilarityOps.kmeansOracleSql(k = 8, iters = 3),
 
     "q_text_tokens" ->
       s"""SELECT doc_id, CAST(len($T) AS INT) AS n_tokens

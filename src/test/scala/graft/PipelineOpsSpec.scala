@@ -75,6 +75,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmeansCells trains a usable IVF codebook") {
+    val cells = SimilarityOps.kmeansCells(emb, k = 8, iters = 3)
+    val assign = cells.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+    assert(assign.length === emb.count())
+    val sizes = assign.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.keys.forall(c => c >= 0 && c < 8))
+    assert(sizes.size > 1, "k-means must produce multiple cells")
+    // deterministic across runs
+    val again = SimilarityOps.kmeansCells(emb, k = 8, iters = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+    assert(assign.toMap === again.toMap)
+    // trained cells drive ivfTopK end to end
+    val withCells = emb.join(cells, "vec_id")
+    val res = SimilarityOps.ivfTopK(withCells,
+      withCells.filter(col("vec_id") < 3), "cell", 5)
+    assert(res.groupBy("probe_id").count().collect()
+      .forall(_.getLong(1) === 5))
+  }
+
   test("lshBuckets emits deterministic bucket ids in [0, 2^12)") {
     val b1 = SimilarityOps.lshBuckets(emb, 12).select("vec_id", "bucket")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
