@@ -823,7 +823,11 @@ object Mdx {
             next()
             t match {
               case TBracket(s) =>
-                // [Measures].[x] or bare [x] measure reference
+                // [Measures].[x] or bare [x] measure reference; or
+                // [dim].CurrentMember[.Name|.Caption] inside a Filter/
+                // Order condition (reference query_test.rb:295-297) —
+                // emitted as a macro the planner resolves to the set's
+                // deepest level column for that dimension.
                 if (s.equalsIgnoreCase("Measures")) {
                   eatPunct(".")
                   next() match {
@@ -831,6 +835,18 @@ object Mdx {
                     case t2 => throw MdxException(
                       s"Syntax error: bad measure ref $t2")
                   }
+                } else if (cube.dims.exists(_.name.equalsIgnoreCase(s)) &&
+                    atPunct(".") && peekAt(1).exists(
+                      isKw(_, "CurrentMember"))) {
+                  eatPunct("."); next() // CurrentMember
+                  if (atPunct(".") && peekAt(1).exists(t2 =>
+                      isKw(t2, "Name") || isKw(t2, "Caption"))) {
+                    eatPunct("."); next()
+                  }
+                  val dn = cube.dims
+                    .find(_.name.equalsIgnoreCase(s)).get.name
+                  sb.append(s" __CURRENT_NAME_${dn}__ ")
+                  lastTokRef = -1; pendingDiv = false
                 } else addRef(s)
               case other =>
                 val wasDiv = other == TPunct("/")

@@ -144,6 +144,20 @@ final case class CalcMember(
     solveOrder: Int = 0,
     formatString: Option[String] = None)
 
+/** Ragged-hierarchy member visibility (reference schema.rb
+  * hide_member_if: Never | IfBlankName | IfParentsName — the Israel-
+  * has-no-state pattern): a hidden member is skipped during member
+  * enumeration; its row still aggregates into ancestors.
+  */
+sealed trait HideIf
+object HideIf {
+  case object Never extends HideIf
+  /** Hide when the member name is NULL or blank. */
+  case object IfBlankName extends HideIf
+  /** Hide when the member name equals its parent's name. */
+  case object IfParentsName extends HideIf
+}
+
 /** One level of a hierarchy bound to output/ordinal columns of the
   * dimension DataFrame (reference schema.rb:176-246: column, name_column,
   * ordinal_column, level_type).
@@ -151,7 +165,8 @@ final case class CalcMember(
 final case class BoundLevel(
     name: String,
     col: String,
-    ordCol: Option[String] = None) {
+    ordCol: Option[String] = None,
+    hideMemberIf: HideIf = HideIf.Never) {
   def ordinal: String = ordCol.getOrElse(col)
 }
 

@@ -102,7 +102,19 @@ final class Planner(val cube: BoundCube) {
     */
   private def memberFrame(d: BoundDim, depth: Int): DataFrame = {
     val cols = memberCols(d, depth)
-    val base = d.membersAt(depth, cols)
+    val cached = d.membersAt(depth, cols)
+    // ragged hierarchies (schema.rb hide_member_if): members hidden at
+    // the enumerated level drop out of the frame; rows with a hidden
+    // ANCESTOR stay (the descendant attaches to its grandparent).
+    val lvl = d.levels(depth)
+    val base = lvl.hideMemberIf match {
+      case HideIf.Never => cached
+      case HideIf.IfBlankName =>
+        cached.filter(col(lvl.col).isNotNull && col(lvl.col) =!= lit(""))
+      case HideIf.IfParentsName if depth > 0 =>
+        cached.filter(!(col(lvl.col) <=> col(d.levels(depth - 1).col)))
+      case _ => cached
+    }
     // member grants also hide members from axes (connection_role_test.rb:
     // 46-90): restrict the member frame to granted subtrees
     cube.role.filter(_.isGranted(d.name)) match {
@@ -279,14 +291,14 @@ final class Planner(val cube: BoundCube) {
       // renumber __ord when the child was explicitly ordered (ADVICE r1).
       val a = evalSet(s, slicer, withSets)
       val cells = cellsFor(a, slicer)
-      val kept = cells.filter(expr(cond))
+      val kept = cells.filter(expr(resolveCurrent(cond, a.dims)))
         .select(a.members.columns.map(col): _*)
       AxisFrame(renumber(kept, a.hasOrd), a.dims, a.hasOrd)
 
     case OrderSet(s, e, dir) =>
       val a = evalSet(s, slicer, withSets)
       val cells = cellsFor(a, slicer)
-      val key = expr(e)
+      val key = expr(resolveCurrent(e, a.dims))
       val sortCols: Seq[Column] = dir match {
         case SortDir.BAsc  => Seq(key.asc)
         case SortDir.BDesc => Seq(key.desc)
@@ -481,6 +493,16 @@ final class Planner(val cube: BoundCube) {
       }
     }
   }
+
+  /** Resolve `[dim].CurrentMember.Name` macros emitted by the MDX
+    * parser to the set's deepest level column for that dimension.
+    */
+  private def resolveCurrent(cond: String, dims: Seq[AxisDim]): String =
+    if (!cond.contains("__CURRENT_NAME_")) cond
+    else dims.foldLeft(cond) { (c, ad) =>
+      c.replace(s"__CURRENT_NAME_${ad.d.name}__",
+        s"cast(${levelCols(ad.d, ad.depth).last} as string)")
+    }
 
   def slicerPredicate(slicer: Seq[SlicerItem]): Column =
     if (slicer.isEmpty) lit(true)

@@ -240,6 +240,17 @@ class MdxSpec extends SparkSpec {
     }
   }
 
+  test("CurrentMember.Name resolves inside Filter conditions") {
+    val df = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  FILTER([customer].[nation].Members,
+        |    [customer].CurrentMember.Name = 'NATION_13') ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val rows = df.collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("cr_nation") === "NATION_13")
+  }
+
   test("toMdx renders and parse-roundtrips the builder query") {
     val q = Query.from(cube)
       .columns("revenue", "sum_qty")

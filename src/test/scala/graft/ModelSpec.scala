@@ -33,6 +33,53 @@ class ModelSpec extends SparkSpec {
     assert(e3.getMessage.contains("duplicate"))
   }
 
+  test("ragged hierarchy hides blank and parent-named members") {
+    import spark.implicits._
+    val geo = Seq(
+      ("USA", "CA", "San Francisco"),
+      ("USA", "CA", "Los Angeles"),
+      ("Israel", "", "Tel Aviv"),          // no state level
+      ("Vatican", "Vatican", "Vatican City") // state repeats country
+    ).toDF("country", "state", "city")
+    val fact = Seq(
+      ("San Francisco", 10.0), ("Los Angeles", 5.0),
+      ("Tel Aviv", 7.0), ("Vatican City", 2.0)
+    ).toDF("city_fk", "amount")
+    def cubeWith(hide: HideIf) = BoundCube("Geo", fact,
+      dims = Seq(BoundDim("geo", foreignKey = "city_fk",
+        primaryKey = "city",
+        levels = Seq(
+          BoundLevel("country", "country"),
+          BoundLevel("state", "state", hideMemberIf = hide),
+          BoundLevel("city", "city")),
+        df = geo)),
+      measures = Seq(Measure("amount", Agg.Sum, "amount")))
+
+    // IfBlankName: Israel's empty state member is not enumerated
+    val blankCube = cubeWith(HideIf.IfBlankName)
+    val states = Query.from(blankCube).columns("amount")
+      .rows(LevelMembers("geo", "state")).execute()
+      .select("state").collect().map(_.getString(0)).toSet
+    assert(states === Set("CA", "Vatican"))
+    // descendants of a hidden member stay reachable at their own level
+    val cities = Query.from(blankCube).columns("amount")
+      .rows(LevelMembers("geo", "city")).execute()
+      .select("city").collect().map(_.getString(0)).toSet
+    assert(cities.contains("Tel Aviv"))
+    // hidden rows still aggregate into their ancestors
+    val countries = Query.from(blankCube).columns("amount")
+      .rows(LevelMembers("geo", "country")).execute()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(countries("Israel") === 7.0)
+
+    // IfParentsName: Vatican's repeated state member is hidden
+    val parentCube = cubeWith(HideIf.IfParentsName)
+    val states2 = Query.from(parentCube).columns("amount")
+      .rows(LevelMembers("geo", "state")).execute()
+      .select("state").collect().map(_.getString(0)).toSet
+    assert(states2 === Set("CA", ""))
+  }
+
   test("virtual cube aligns measures and leaves unshared cells empty") {
     val vc = new VirtualCube("SalesAndEvents", Seq(
       Cubes.sales(spark, Sf) -> Seq("revenue"),
