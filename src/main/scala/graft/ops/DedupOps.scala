@@ -68,17 +68,19 @@ object DedupOps {
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), expr(SHINGLES).as("shingles"))
 
-  /** Near-dup pairs by exact n-gram Jaccard >= threshold, via the
-    * postings-list pattern: explode shingles, shuffle on the shingle,
-    * count common shingles per candidate pair, then Jaccard from set
-    * sizes. Only pairs sharing >= 1 shingle are ever materialized.
-    *
-    * The postings join keys on the RAW shingle, so n_common is exact —
-    * keying on a 64-bit hash would overcount whenever two distinct
-    * shingles collide, which is statistically certain at a 100 TB
-    * corpus. At that scale, narrow the shuffle by keying on
-    * `unhex(md5(shingle))` (16-byte digest, ~2^-64 residual collision
-    * odds) instead of the string; this operator stays exact.
+  /** Near-dup pairs by EXACT n-gram Jaccard >= threshold, in two
+    * phases:
+    *  1. candidate generation over 64-bit shingle hashes — the narrow
+    *     shuffle keys that make the quadratic postings self-join cheap.
+    *     A hash collision can only MERGE two distinct shingles, so the
+    *     approximate n_common (and therefore the approximate Jaccard)
+    *     is an upper bound: every true pair survives the threshold
+    *     filter — no false negatives.
+    *  2. exact verification of the (small) candidate set on the real
+    *     shingle arrays via array_intersect, which removes any
+    *     collision-inflated false positives.
+    * The result is exact at any corpus size; the exact-arrays work is
+    * proportional to the candidates, not the 100 TB postings.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingled(docs).persist()
@@ -88,16 +90,32 @@ object DedupOps {
     val posts = sh.select(col("doc_id"),
         size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("shingle"))
-    posts.as("a")
+      .select(col("doc_id"), col("n_sh"),
+        xxhash64(col("shingle")).as("shh"))
+    val cand = posts.as("a")
       .join(posts.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.shh") === col("b.shh") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"),
+      // count(1), not countDistinct: posting multiplicity from hash
+      // collisions only ADDS rows, so the plain count stays an upper
+      // bound — and avoids a distinct-aggregate over the pair stream
+      .agg(count(lit(1)).as("n_common_ub"),
         first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
+      .filter(col("n_common_ub").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common_ub")) >= threshold)
+      .select("doc_a", "doc_b")
+    cand
+      .join(broadcast(sh.select(col("doc_id").as("doc_a"),
+        col("shingles").as("sa"))), "doc_a")
+      .join(broadcast(sh.select(col("doc_id").as("doc_b"),
+        col("shingles").as("sb"))), "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")))
+          (size(array_distinct(col("sa"))) +
+            size(array_distinct(col("sb"))) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

@@ -173,7 +173,10 @@ object SimilarityOps {
           r.getAs[java.math.BigDecimal](s"s$d").doubleValue() / n).toArray)
       }.toSeq
     }
-    assign().select(col("vec_id"), col("cell"))
+    val out = assign().select(col("vec_id"), col("cell"))
+      .localCheckpoint(true)
+    flat.unpersist(blocking = false)
+    out
   }
 
   /** The DuckDB-equivalent SQL of kmeansCells (unrolled Lloyd
