@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.olap._
+import graft.sources.Sources
+
+/** Format parity: the same cube definition over CSV / JSON / ORC
+  * sources answers queries identically to the parquet-backed cube
+  * (the reference's one-schema-many-databases contract).
+  */
+class SourcesSpec extends SparkSpec {
+
+  private def eventsCubeOver(
+      fact: org.apache.spark.sql.DataFrame): BoundCube = {
+    val withKey = fact.withColumn("l_datekey", to_date(col("ts")))
+    BoundCube("EventsX", withKey,
+      dims = Seq(BoundDim("event_type",
+        foreignKey = "event_type", primaryKey = "event_type",
+        levels = Seq(BoundLevel("event_type", "event_type")),
+        df = withKey.select("event_type").distinct(),
+        degenerate = true)),
+      measures = Seq(
+        Measure("n_events", Agg.Count, "1"),
+        Measure("sum_value", Agg.SumExact, "value")))
+  }
+
+  private def byType(cube: BoundCube): Map[String, (Long, BigDecimal)] =
+    Query.from(cube).columns("n_events", "sum_value")
+      .rows(LevelMembers("event_type", "event_type"))
+      .execute().collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+
+  test("CSV, JSON and ORC sources answer identically to parquet") {
+    val base = Tables.load(spark, Sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sources").toString
+    val expected = byType(eventsCubeOver(base))
+    assert(expected.nonEmpty)
+
+    for (fmt <- Seq("csv", "json", "orc")) {
+      Sources.write(base, s"$dir/events_$fmt", fmt)
+      val schema = fmt match {
+        case "orc" => None
+        // row formats: take the exact schema from the parquet source
+        case _ => Some(base.schema)
+      }
+      val back = Sources.load(spark, s"$dir/events_$fmt",
+        Some(fmt), schema)
+      assert(byType(eventsCubeOver(back)) === expected, s"format $fmt")
+    }
+  }
+
+  test("unknown formats raise a schema error") {
+    val e = intercept[IllegalArgumentException] {
+      Sources.load(spark, "/tmp/nope.xyz")
+    }
+    assert(e.getMessage.contains("unsupported source format"))
+  }
+}
