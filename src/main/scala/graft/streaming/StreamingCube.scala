@@ -86,15 +86,25 @@ object StreamingCube {
     */
   def runDailyAgg(spark: SparkSession, sfDir: String,
       name: String = "stream_daily"): DataFrame = {
-    val q = dailyAgg(eventStream(spark, sfDir))
-      .select(to_date(col("window.start")).as("d_date"),
-        col("event_type"), col("n_events"), col("sum_value"))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // Streaming state partitioning is fixed at the query's first run;
+    // the aggregation state here is (open windows × event types) —
+    // tiny — so a wide shuffle only multiplies state-store setup cost
+    // (one HDFSBackedStateStore per partition per batch). 8 partitions
+    // is plenty for state while the stateless pre-aggregation still
+    // parallelizes across input files/cores.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try dailyAgg(eventStream(spark, sfDir))
+        .select(to_date(col("window.start")).as("d_date"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     spark.table(name)
   }
