@@ -102,4 +102,10 @@ final case class QueryIR(
     slicer: Seq[SlicerItem] = Nil,
     nonEmpty: Boolean = false,
     withSets: Map[String, SetExpr] = Map.empty,
-    withMembers: Seq[CalcMember] = Nil)
+    withMembers: Seq[CalcMember] = Nil,
+    /** PAGES axis (reference query.rb AXIS_ALIASES): lowered as the
+      * page-major outer product with the rows axis — pages(2) is the
+      * slowest-varying coordinate of the grid, matching Mondrian's
+      * axis ordinal semantics.
+      */
+    pages: Option[SetExpr] = None)

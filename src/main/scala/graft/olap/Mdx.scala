@@ -352,6 +352,7 @@ object Mdx {
       eatKw("SELECT")
       var measures = Seq.empty[String]
       var rows: Option[SetExpr] = None
+      var pages: Option[SetExpr] = None
       var nonEmpty = false
       var first = true
       while (first || atPunct(",")) {
@@ -382,6 +383,10 @@ object Mdx {
             rows = Some(s); if (ne) nonEmpty = true
           case ("ROWS" | "1", Right(_)) => throw MdxException(
             "Syntax error: ROWS axis must be a member set")
+          case ("PAGES" | "2", Left(s)) =>
+            pages = Some(s); if (ne) nonEmpty = true
+          case ("PAGES" | "2", Right(_)) => throw MdxException(
+            "Syntax error: PAGES axis must be a member set")
           case (other, _) =>
             throw MdxException(s"Syntax error: unsupported axis $other")
         }
@@ -399,7 +404,7 @@ object Mdx {
       var slicer = Seq.empty[SlicerItem]
       if (atKw("WHERE")) { eatKw("WHERE"); slicer = slicerItems() }
       QueryIR(measures, rows, slicer, nonEmpty, withSets,
-        auxCalcs ++ withMembers)
+        auxCalcs ++ withMembers, pages = pages)
     }
 
     // -------- set expressions

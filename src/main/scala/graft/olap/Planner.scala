@@ -626,7 +626,16 @@ final class Planner(val cube: BoundCube) {
 
   // ------------------------------------------------------------- execute
 
-  def execute(q: QueryIR): DataFrame = {
+  def execute(q0: QueryIR): DataFrame = {
+    // PAGES lowers to the page-major outer product with ROWS: CrossJoin
+    // order is left-major, which is exactly Mondrian's axis-ordinal
+    // iteration (pages vary slowest).
+    val q = q0.pages match {
+      case Some(p) => q0.copy(
+        rows = Some(q0.rows.map(r => CrossJoin(p, r)).getOrElse(p)),
+        pages = None)
+      case None => q0
+    }
     pruneFor(q)
     q.rows match {
       case None =>

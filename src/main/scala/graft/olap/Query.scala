@@ -18,7 +18,8 @@ final class Query private (
     slicer: Seq[SlicerItem],
     nonEmptyFlag: Boolean,
     withSets: Map[String, SetExpr],
-    withMembers: Seq[CalcMember]) {
+    withMembers: Seq[CalcMember],
+    pagesSet: Option[SetExpr] = None) {
 
   private def copyWith(
       measures: Seq[String] = measures,
@@ -26,14 +27,20 @@ final class Query private (
       slicer: Seq[SlicerItem] = slicer,
       nonEmptyFlag: Boolean = nonEmptyFlag,
       withSets: Map[String, SetExpr] = withSets,
-      withMembers: Seq[CalcMember] = withMembers): Query =
+      withMembers: Seq[CalcMember] = withMembers,
+      pagesSet: Option[SetExpr] = pagesSet): Query =
     new Query(cube, measures, rowsSet, slicer, nonEmptyFlag, withSets,
-      withMembers)
+      withMembers, pagesSet)
 
   /** Measures on the COLUMNS axis (names of measures or calc members). */
   def columns(names: String*): Query = copyWith(measures = names)
 
   def rows(set: SetExpr): Query = copyWith(rowsSet = Some(set))
+
+  /** PAGES axis (reference query.rb pages/sections aliases): the
+    * page-major outer coordinate of the result grid.
+    */
+  def pages(set: SetExpr): Query = copyWith(pagesSet = Some(set))
 
   private def mapRows(f: SetExpr => SetExpr): Query = {
     require(rowsSet.isDefined, "rows(...) must be set first")
@@ -88,7 +95,8 @@ final class Query private (
     copyWith(withMembers = withMembers :+ cm)
 
   def toIR: QueryIR =
-    QueryIR(measures, rowsSet, slicer, nonEmptyFlag, withSets, withMembers)
+    QueryIR(measures, rowsSet, slicer, nonEmptyFlag, withSets, withMembers,
+      pages = pagesSet)
 
   /** Render the built query as MDX text (reference to_mdx,
     * query.rb:230-237) — kept for debugging/compat; execution goes

@@ -48,6 +48,13 @@ object MdxQueries {
         |  [returnflag].[returnflag].Members ON ROWS
         |FROM [Sales]""".stripMargin) _),
 
+    // third axis: PAGES is the page-major outer coordinate of the grid
+    "q_mdx_pages" -> (run(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  [returnflag].[returnflag].Members ON ROWS,
+        |  [customer].[region].Members ON PAGES
+        |FROM [Sales]""".stripMargin) _),
+
     // set-aggregate calc members (Mondrian Sum/Avg/Count(set) FunDefs +
     // the compound-slicer Aggregate the reference changelog cites):
     // Sum over a member range restricted subcube, Avg over per-member
@@ -90,6 +97,10 @@ object MdxQueries {
          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
          |    AS margin2
          |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_mdx_pages" ->
+      s"""SELECT r_name AS cr_region, l_returnflag, $REV AS revenue
+         |$CJOIN GROUP BY 1, 2""".stripMargin,
 
     "q_mdx_setagg" ->
       s"""WITH base AS (

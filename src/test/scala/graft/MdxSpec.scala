@@ -240,6 +240,20 @@ class MdxSpec extends SparkSpec {
     }
   }
 
+  test("PAGES axis is the page-major outer coordinate") {
+    val df = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  [returnflag].[returnflag].Members ON ROWS,
+        |  [customer].[region].Members ON PAGES
+        |FROM [Sales]""".stripMargin, cube)
+    val rows = df.collect()
+    assert(rows.length === 15) // 5 regions x 3 returnflags
+    // pages vary slowest: first column is the region
+    assert(df.columns.head === "cr_region")
+    val regions = rows.map(_.getString(0))
+    assert(regions.grouped(3).forall(w => w.distinct.length == 1))
+  }
+
   test("CurrentMember.Name resolves inside Filter conditions") {
     val df = Mdx.execute(
       """SELECT {[Measures].[revenue]} ON COLUMNS,
