@@ -148,15 +148,30 @@ object Mdx {
   def parse(mdx: String, cube: BoundCube): QueryIR =
     new P(lex(mdx), cube).query()
 
+  /** Parse with parameter values overriding Parameter(...) defaults
+    * (reference connection.rb set_statement_parameters /
+    * query.setParameter).
+    */
+  def parse(mdx: String, cube: BoundCube,
+      params: Map[String, Any]): QueryIR =
+    new P(lex(mdx), cube, params).query()
+
   /** connection.execute(mdx) — parse, plan, run. DRILLTHROUGH
     * statements (reference query.rb:243-249) route to the drill-through
     * planner: `DRILLTHROUGH [MAXROWS n] SELECT ... RETURN col, ...`.
     */
-  def execute(mdx: String, cube: BoundCube): org.apache.spark.sql.DataFrame = {
+  def execute(mdx: String, cube: BoundCube): org.apache.spark.sql.DataFrame =
+    execute(mdx, cube, Map.empty[String, Any])
+
+  /** execute with statement parameters: values override each
+    * Parameter('name', Type, default) occurrence in the query text.
+    */
+  def execute(mdx: String, cube: BoundCube,
+      params: Map[String, Any]): org.apache.spark.sql.DataFrame = {
     val trimmed = mdx.trim
     if (trimmed.toUpperCase.startsWith("DRILLTHROUGH"))
       executeDrillThrough(trimmed, cube)
-    else new Planner(cube).execute(parse(mdx, cube))
+    else new Planner(cube).execute(parse(mdx, cube, params))
   }
 
   /** Token-based DRILLTHROUGH dissection. Substring scanning for
@@ -269,7 +284,42 @@ object Mdx {
       dims = dimLevels, maxRows = maxRows)
   }
 
-  private final class P(toks: Vector[Tok], cube: BoundCube) {
+  private final class P(toks: Vector[Tok], cube: BoundCube,
+      params: Map[String, Any] = Map.empty) {
+
+    /** Parameter('name', String|Numeric, default) — the supplied
+      * parameter value (or the default) as a SQL literal / raw string.
+      */
+    private def parameterValue(): Any = {
+      eatPunct("(")
+      val name = next() match {
+        case TStr(s) => s
+        case t => throw MdxException(
+          s"Syntax error: Parameter name must be a string, got $t")
+      }
+      eatPunct(",")
+      next() match {
+        case TIdent(ty) if ty.equalsIgnoreCase("String") ||
+          ty.equalsIgnoreCase("Numeric") => ()
+        case t => throw MdxException(
+          s"Syntax error: Parameter type must be String|Numeric, got $t")
+      }
+      eatPunct(",")
+      val default: Any = next() match {
+        case TStr(s) => s
+        case TNum(n) => n
+        case t => throw MdxException(
+          s"Syntax error: bad Parameter default $t")
+      }
+      eatPunct(")")
+      params.getOrElse(name, default)
+    }
+
+    private def atParameter: Boolean = peek match {
+      case Some(TIdent(f)) => f.equalsIgnoreCase("Parameter") &&
+        peekAt(1).contains(TPunct("("))
+      case _ => false
+    }
     private var pos = 0
 
     /** Hidden calc members synthesized while parsing (set-aggregate
@@ -492,11 +542,13 @@ object Mdx {
           // StrToSet('{...}') / StrToMember('[d].[m]') — re-lex the
           // string literal and parse it with a nested parser.
           next(); eatPunct("(")
-          val body = next() match {
-            case TStr(s) => s
-            case t => throw MdxException(
-              s"Syntax error: $fn requires a string literal, got $t")
-          }
+          val body =
+            if (atParameter) { next(); String.valueOf(parameterValue()) }
+            else next() match {
+              case TStr(s) => s
+              case t => throw MdxException(
+                s"Syntax error: $fn requires a string literal, got $t")
+            }
           eatPunct(")")
           val sub = new P(lex(body), cube)
           val r = if (fn.equalsIgnoreCase("STRTOSET")) sub.setExpr(withSets)
@@ -823,6 +875,14 @@ object Mdx {
               peekAt(1).contains(TPunct("(")) && setAggArgIsSet =>
             next()
             sb.append(setAggRef(s.toUpperCase, ws))
+            lastTokRef = -1; pendingDiv = false
+          case Some(TIdent(s)) if s.equalsIgnoreCase("Parameter") &&
+              peekAt(1).contains(TPunct("(")) =>
+            next()
+            sb.append(parameterValue() match {
+              case str: String => s"'${str.replace("'", "''")}'"
+              case other => other.toString
+            })
             lastTokRef = -1; pendingDiv = false
           case Some(t) =>
             next()

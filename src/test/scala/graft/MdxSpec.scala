@@ -254,6 +254,26 @@ class MdxSpec extends SparkSpec {
     assert(regions.grouped(3).forall(w => w.distinct.length == 1))
   }
 
+  test("Parameter() resolves from defaults and execute overrides") {
+    val mdx =
+      """WITH MEMBER [Measures].[thresholded] AS
+        |  CASE WHEN [Measures].[revenue] >
+        |    Parameter('min_rev', Numeric, 0) THEN 1 ELSE 0 END
+        |SELECT {[Measures].[revenue], [Measures].[thresholded]} ON COLUMNS,
+        |  StrToSet(Parameter('regions', String,
+        |    '{[customer].[ASIA], [customer].[EUROPE]}')) ON ROWS
+        |FROM [Sales]""".stripMargin
+    val viaDefault = Mdx.execute(mdx, cube).collect()
+    assert(viaDefault.length === 2)
+    assert(viaDefault.forall(_.getAs[Int]("thresholded") === 1))
+    val overridden = Mdx.execute(mdx, cube, Map(
+      "regions" -> "{[customer].[AFRICA]}",
+      "min_rev" -> 1e18)).collect()
+    assert(overridden.length === 1)
+    assert(overridden(0).getAs[String]("cr_region") === "AFRICA")
+    assert(overridden(0).getAs[Int]("thresholded") === 0)
+  }
+
   test("CurrentMember.Name resolves inside Filter conditions") {
     val df = Mdx.execute(
       """SELECT {[Measures].[revenue]} ON COLUMNS,
