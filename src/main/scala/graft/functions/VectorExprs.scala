@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst vector expressions (SURVEY §2.12 custom-Expression
+  * tier). Spark's higher-order functions (`aggregate`/`zip_with`) are
+  * CodegenFallback — interpreted per element — which measured ~25×
+  * slower than generated code on 64-dim float embeddings. These
+  * expressions generate a tight primitive loop inside whole-stage
+  * codegen instead: no per-element virtual calls, no boxing, and they
+  * stay fused with the surrounding operators.
+  *
+  * Determinism: each accumulator (dot, |a|², |b|²) folds in index
+  * order, so results are bit-identical to a sequential fold in any
+  * engine (the DuckDB oracle's list_sum) — same contract as the
+  * flat-column formulation they replace.
+  */
+object VectorExprs {
+
+  /** cosine_f32(a, b): cosine similarity of two float32 vectors. */
+  final case class CosineF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    private def floatArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (floatArray(left.dataType) && floatArray(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_f32"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double dot = 0.0, na = 0.0, nb = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  double xi = $a.getFloat(i);
+           |  double yi = $b.getFloat(i);
+           |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+           |}
+           |${ev.value} = dot / java.lang.Math.sqrt(na * nb);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** dot_f32(a, b): plain dot product of two float32 vectors. */
+  final case class DotF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    private def floatArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (floatArray(left.dataType) && floatArray(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_f32"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double dot = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+           |}
+           |${ev.value} = dot;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Register cosine_f32 / dot_f32 with the session's function registry
+    * so SQL text and expr(...) can call them. Idempotent.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("cosine_f32"),
+      new ExpressionInfo(classOf[CosineF32].getName, "cosine_f32"),
+      (exprs: Seq[Expression]) => CosineF32(exprs(0), exprs(1)))
+    reg.registerFunction(
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+      (exprs: Seq[Expression]) => DotF32(exprs(0), exprs(1)))
+  }
+}

@@ -57,6 +57,25 @@ object PipelineQueries {
     "q_ann_kmeans" -> ((s, dir) =>
       SimilarityOps.kmeansCells(emb(s, dir), k = 8, iters = 3)),
 
+    // native codegen'd Catalyst expression (functions/VectorExprs):
+    // nearest neighbor per probe straight over the array columns
+    "q_ann_cosine_expr" -> ((s, dir) => {
+      graft.functions.VectorExprs.register(s)
+      val e = emb(s, dir)
+      val pairs = e.as("a").join(broadcast(
+          e.filter(col("vec_id") < 50).as("p")),
+          col("a.vec_id") =!= col("p.vec_id"))
+        .select(col("p.vec_id").as("probe_id"),
+          col("a.vec_id").as("neighbor_id"),
+          expr("cosine_f32(p.embedding, a.embedding)").as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("probe_id", "neighbor_id")
+    }),
+
     // -- text analysis -------------------------------------------------
     "q_text_tokens" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
 
@@ -245,6 +264,26 @@ object PipelineQueries {
          |FROM embeddings""".stripMargin,
 
     "q_ann_kmeans" -> SimilarityOps.kmeansOracleSql(k = 8, iters = 3),
+
+    "q_ann_cosine_expr" ->
+      s"""WITH pairs AS (
+         |  SELECT p.vec_id AS probe_id, a.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, 65), i ->
+         |      CAST(p.embedding[i] AS DOUBLE) *
+         |      CAST(a.embedding[i] AS DOUBLE))) /
+         |    sqrt(list_sum(list_transform(range(1, 65), i ->
+         |        CAST(p.embedding[i] AS DOUBLE) *
+         |        CAST(p.embedding[i] AS DOUBLE))) *
+         |      list_sum(list_transform(range(1, 65), i ->
+         |        CAST(a.embedding[i] AS DOUBLE) *
+         |        CAST(a.embedding[i] AS DOUBLE)))) AS cos
+         |  FROM embeddings p JOIN embeddings a ON a.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 50)
+         |SELECT probe_id, neighbor_id FROM (
+         |  SELECT probe_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM pairs) WHERE rn = 1""".stripMargin,
 
     "q_text_tokens" ->
       s"""SELECT doc_id, CAST(len($T) AS INT) AS n_tokens

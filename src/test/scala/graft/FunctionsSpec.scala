@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{FormatString, Vba}
+import graft.functions.{FormatString, Vba, VectorExprs}
 
 /** Specs for the VBA scalar pack + format-string engine. */
 class FunctionsSpec extends SparkSpec {
@@ -71,5 +71,33 @@ class FunctionsSpec extends SparkSpec {
     assert(one(Vba.fix(lit(-7.8))) === -7.0)
     assert(one(Vba.int(lit(-7.8))) === -8.0)
     assert(one(Vba.str(lit(5))).toString === " 5")
+  }
+
+  test("cosine_f32 codegen expression matches the interpreted formula") {
+    VectorExprs.register(spark)
+    val emb = Tables.load(spark, Sf, "embeddings").limit(50)
+    val pairs = emb.as("a").join(emb.as("b"),
+      col("a.vec_id") < col("b.vec_id"))
+    val both = pairs.select(
+      expr("cosine_f32(a.embedding, b.embedding)").as("fast"),
+      expr(graft.ops.DedupOps.cosineExpr("a.embedding", "b.embedding"))
+        .as("slow"))
+    both.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+    }
+    // the custom expression stays inside whole-stage codegen (the
+    // interpreted HOF comparison column above would force its project
+    // out of codegen, so check a fast-only plan)
+    val fastOnly = pairs.select(
+      expr("cosine_f32(a.embedding, b.embedding)").as("fast"))
+    fastOnly.collect()
+    val plan = fastOnly.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[cosine_f32".r.findFirstIn(plan)
+      .isDefined, s"expected codegen'd cosine_f32 project in:\n$plan")
+    // type misuse is an analysis error, not a runtime crash
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      emb.select(expr("cosine_f32(vec_id, embedding)")).collect()
+    }
+    assert(e.getMessage.contains("array<float>"))
   }
 }
