@@ -60,8 +60,19 @@ object FormatString {
   private def datePattern(fmt: String): String =
     fmt.replace("mm", "MM").replace("hh", "HH").replace("nn", "mm")
 
-  /** Driver-side formatter for cell values. */
-  def format(value: Any, fmt: String): String = value match {
+  /** Driver-side formatter for cell values (en-US separators — the
+    * Column path's format_number locale).
+    */
+  def format(value: Any, fmt: String): String =
+    format(value, fmt, java.util.Locale.US)
+
+  /** Locale-aware driver-side formatter (the reference's connection
+    * locale, connection.rb:213-223: setLocale changes number/date
+    * rendering): grouping and decimal separators come from `locale`,
+    * e.g. "1.234.567,50" under Locale.GERMANY.
+    */
+  def format(value: Any, fmt: String,
+      locale: java.util.Locale): String = value match {
     case null => ""
     case d: LocalDate =>
       d.format(DateTimeFormatter.ofPattern(datePattern(fmt)))
@@ -80,16 +91,24 @@ object FormatString {
           val rounded = scaled.setScale(p.decimals, RoundingMode.HALF_EVEN)
           val body =
             if (p.grouping) {
-              // Locale-pinned grouping (format_number's Column path is
-              // en-US; a default-locale String.format would emit
-              // "1.234.567,50" on e.g. a de_DE JVM), formatting the
-              // BigDecimal directly — no double round-trip re-round.
-              val sym = new java.text.DecimalFormatSymbols(java.util.Locale.US)
+              // Locale-pinned (never the JVM default — a de_DE JVM
+              // would silently emit "1.234.567,50" for en-US callers),
+              // formatting the BigDecimal directly — no double
+              // round-trip re-round.
+              val sym = new java.text.DecimalFormatSymbols(locale)
               val df = new java.text.DecimalFormat("#,##0", sym)
               df.setMinimumFractionDigits(p.decimals)
               df.setMaximumFractionDigits(p.decimals)
               df.format(rounded)
-            } else rounded.toPlainString
+            } else if (locale == java.util.Locale.US) rounded.toPlainString
+            else {
+              val sym = new java.text.DecimalFormatSymbols(locale)
+              val df = new java.text.DecimalFormat("0", sym)
+              df.setMinimumFractionDigits(p.decimals)
+              df.setMaximumFractionDigits(p.decimals)
+              df.setGroupingUsed(false)
+              df.format(rounded)
+            }
           p.prefix + body + p.suffix
       }
     case other => other.toString

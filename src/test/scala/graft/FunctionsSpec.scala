@@ -73,6 +73,15 @@ class FunctionsSpec extends SparkSpec {
     assert(one(Vba.str(lit(5))).toString === " 5")
   }
 
+  test("locale-aware formatting renders locale separators") {
+    assert(FormatString.format(1234567.5, "#,##0.00") === "1,234,567.50")
+    assert(FormatString.format(1234567.5, "#,##0.00",
+      java.util.Locale.GERMANY) === "1.234.567,50")
+    assert(FormatString.format(12.345, "0.00",
+      java.util.Locale.GERMANY) === "12,34")
+    assert(FormatString.format(12.345, "0.00") === "12.34")
+  }
+
   test("cosine_f32 codegen expression matches the interpreted formula") {
     VectorExprs.register(spark)
     val emb = Tables.load(spark, Sf, "embeddings").limit(50)
