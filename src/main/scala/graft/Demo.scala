@@ -76,6 +76,48 @@ object Demo {
     println(s"ann top3 rows: " + graft.ops.SimilarityOps
       .bruteForceTopK(emb, emb.filter("vec_id < 2"), 3).count())
 
+    println("== connection facade + parameters + pages ==")
+    val conn = graft.olap.Connection.create(spark, "/root/testdata/sf0.001")
+    val paged = conn.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  [returnflag].[returnflag].Members ON ROWS,
+        |  StrToSet(Parameter('regions', String,
+        |    '{[customer].[ASIA], [customer].[EUROPE]}')) ON PAGES
+        |FROM [Sales]""".stripMargin,
+      Map("regions" -> "{[customer].[AFRICA]}"))
+    println(s"pages grid rows=${paged.count()} " +
+      s"cols=${paged.columns.mkString(",")}")
+
+    println("== set-aggregate calc member ==")
+    conn.execute(
+      """WITH MEMBER [Measures].[h1_rev] AS
+        |  Sum({[time].[1995].[1995-Q1] : [time].[1995].[1995-Q2]},
+        |      [Measures].[revenue])
+        |SELECT {[Measures].[revenue], [Measures].[h1_rev]} ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [Sales]""".stripMargin).show(3, truncate = false)
+
+    println("== codegen'd vector expression + trained IVF cells ==")
+    graft.functions.VectorExprs.register(spark)
+    println("cosine_f32(self, self) = " + emb.limit(1)
+      .selectExpr("cosine_f32(embedding, embedding)").collect()(0).get(0))
+    println("kmeans cell sizes: " + graft.ops.SimilarityOps
+      .kmeansCells(emb, k = 4, iters = 2).groupBy("cell").count()
+      .orderBy("cell").collect().map(r => s"${r.get(0)}:${r.get(1)}")
+      .mkString(" "))
+
+    println("== Catalyst rule: declared-FK join elimination ==")
+    graft.plans.GraftExtensions.install(spark)
+    graft.plans.GraftExtensions.declareFk("l_orderkey", "o_orderkey")
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val pruned = spark.sql(
+      """SELECT l_returnflag, sum(l_quantity) FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin)
+    println("join eliminated: " +
+      !pruned.queryExecution.optimizedPlan.toString.contains("Join"))
+    graft.plans.GraftExtensions.clearFks()
+
     println("== explain: flagship plan ==")
     SparkEntry.entry(spark).explain("formatted")
     spark.stop()
