@@ -793,6 +793,12 @@ object Mdx {
     private val SetAggFns =
       Set("SUM", "AVG", "MIN", "MAX", "COUNT", "AGGREGATE")
 
+    /** MDX scalar-function names → Spark SQL function names. */
+    private val MdxToSparkFn = Map(
+      "IIF" -> "if",
+      "COALESCEEMPTY" -> "coalesce",
+      "ISEMPTY" -> "isnull")
+
     /** Lookahead: is the first argument of Fn( ... a SET (vs a plain SQL
       * scalar like MIN(col1, col2))? A set starts with '{', a set
       * function name, a StrToSet, or a bracketed DIMENSION name.
@@ -920,7 +926,15 @@ object Mdx {
                 other match {
                   case TPunct("(") => depth += 1; sb.append("(")
                   case TPunct(")") => depth -= 1; sb.append(")")
-                  case TIdent(s) => sb.append(s" $s ")
+                  case TIdent(s) =>
+                    // MDX scalar functions → Spark SQL equivalents
+                    // (IIF/CoalesceEmpty/IsEmpty are MDX names Spark
+                    // does not know); only when called as a function.
+                    val mapped =
+                      if (atPunct("(")) MdxToSparkFn
+                        .getOrElse(s.toUpperCase, s)
+                      else s
+                    sb.append(s" $mapped ")
                   case TNum(s) => sb.append(s)
                   case TStr(s) => sb.append(s"'$s'")
                   case TPunct(p) => sb.append(s" $p ")

@@ -254,6 +254,25 @@ class MdxSpec extends SparkSpec {
     assert(regions.grouped(3).forall(w => w.distinct.length == 1))
   }
 
+  test("IIF, CoalesceEmpty and IsEmpty translate to Spark functions") {
+    val df = Mdx.execute(
+      """WITH MEMBER [Measures].[flag] AS
+        |  IIF([Measures].[revenue] > 0, 1, 0)
+        |MEMBER [Measures].[ce] AS
+        |  CoalesceEmpty([Measures].[revenue], 0)
+        |MEMBER [Measures].[empty] AS
+        |  IIF(IsEmpty([Measures].[revenue]), 1, 0)
+        |SELECT {[Measures].[flag], [Measures].[ce], [Measures].[empty]}
+        |  ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val rows = df.collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Int]("flag") === 1))
+    assert(rows.forall(_.getAs[Int]("empty") === 0))
+    assert(rows.forall(r => r.getAs[Any]("ce") != null))
+  }
+
   test("Parameter() resolves from defaults and execute overrides") {
     val mdx =
       """WITH MEMBER [Measures].[thresholded] AS
