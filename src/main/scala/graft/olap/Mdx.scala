@@ -799,6 +799,54 @@ object Mdx {
       "COALESCEEMPTY" -> "coalesce",
       "ISEMPTY" -> "isnull")
 
+    /** Lookahead: `([Measures].[m], [dim].[v]...)` — a tuple-valued
+      * cell reference (the measure evaluated at pinned coordinates).
+      */
+    private def atTupleStart: Boolean =
+      peek.contains(TPunct("(")) && (peekAt(1) match {
+        case Some(TBracket(x)) if x.equalsIgnoreCase("Measures") =>
+          peekAt(2).contains(TPunct(".")) && (peekAt(3) match {
+            case Some(TBracket(_)) => peekAt(4).contains(TPunct(","))
+            case _ => false
+          })
+        case Some(TBracket(x)) =>
+          isMeasureName(x) && peekAt(2).contains(TPunct(","))
+        case _ => false
+      })
+
+    /** Parse the tuple, register a hidden CELL SetAggCalc (the measure
+      * aggregated under the pinned members — at most one row per axis
+      * cell), return its column name.
+      */
+    private def tupleRef(): String = {
+      eatPunct("(")
+      val mp = memberPath()
+      val measure =
+        if (mp.head.equalsIgnoreCase("Measures")) {
+          if (mp.length < 2) throw MdxException(
+            "Syntax error: expected [Measures].[name]")
+          mp(1)
+        } else mp.head
+      if (!isMeasureName(measure)) throw MdxException(
+        s"MDX object '[Measures].[$measure]' not found in cube " +
+          s"'${cube.name}'")
+      var sets = Vector.empty[SetExpr]
+      while (atPunct(",")) {
+        eatPunct(",")
+        val p = memberPath()
+        val d = dimNamed(p.head)
+        sets :+= Members(d.name, Seq(p.tail.map(pathValue)))
+      }
+      eatPunct(")")
+      if (sets.isEmpty) throw MdxException(
+        "Syntax error: tuple requires at least one member")
+      val set = sets.reduce(CrossJoin(_, _))
+      val name = s"__setagg${auxCalcs.size}"
+      auxCalcs :+= CalcMember(name, SetAggCalc("CELL", measure, set),
+        solveOrder = -1000 + auxCalcs.size)
+      name
+    }
+
     /** Lookahead: is the first argument of Fn( ... a SET (vs a plain SQL
       * scalar like MIN(col1, col2))? A set starts with '{', a set
       * function name, a StrToSet, or a bracketed DIMENSION name.
@@ -856,6 +904,9 @@ object Mdx {
       val sb = new StringBuilder
       var depth = 0
       var done = false
+      // a '(' right after an identifier is a function call's argument
+      // list, never a tuple literal
+      var prevWasIdent = false
       // Per-OCCURRENCE measure refs: (name, needsDoubleCast). Only the
       // operands adjacent to a '/' are cast to double — a global flag
       // would silently turn e.g. the subtraction in `a - b / c` from
@@ -877,11 +928,16 @@ object Mdx {
           case Some(TPunct(",")) if depth == 0 => done = true
           case Some(TIdent(s)) if depth == 0 &&
               stopKw(s.toUpperCase) => done = true
+          case Some(TPunct("(")) if !prevWasIdent && atTupleStart =>
+            sb.append(tupleRef())
+            lastTokRef = -1; pendingDiv = false
+            prevWasIdent = false
           case Some(TIdent(s)) if SetAggFns(s.toUpperCase) &&
               peekAt(1).contains(TPunct("(")) && setAggArgIsSet =>
             next()
             sb.append(setAggRef(s.toUpperCase, ws))
             lastTokRef = -1; pendingDiv = false
+            prevWasIdent = false
           case Some(TIdent(s)) if s.equalsIgnoreCase("Parameter") &&
               peekAt(1).contains(TPunct("(")) =>
             next()
@@ -892,6 +948,7 @@ object Mdx {
             lastTokRef = -1; pendingDiv = false
           case Some(t) =>
             next()
+            prevWasIdent = t.isInstanceOf[TIdent]
             t match {
               case TBracket(s) =>
                 // [Measures].[x] or bare [x] measure reference; or

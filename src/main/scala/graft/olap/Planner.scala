@@ -729,6 +729,10 @@ final class Planner(val cube: BoundCube) {
       case "MIN" => min(valueCol)
       case "MAX" => max(valueCol)
       case "COUNT" => count(if (sac.measure.isEmpty) lit(1) else valueCol)
+      // tuple calc member ([Measures].[m], member...): the set pins one
+      // coordinate per dimension, so the fold sees at most one row —
+      // first() is the identity for every measure type
+      case "CELL" => first(valueCol, ignoreNulls = false)
       case "AGGREGATE" => m.map(_.agg) match {
         case Some(Agg.Sum) | Some(Agg.SumExact) | Some(Agg.Count) =>
           sum(valueCol)

@@ -55,6 +55,14 @@ object MdxQueries {
         |  [customer].[region].Members ON PAGES
         |FROM [Sales]""".stripMargin) _),
 
+    // tuple-valued calc member: measure at pinned coordinates
+    "q_mdx_tuple" -> (run(
+      """WITH MEMBER [Measures].[rev95] AS
+        |  ([Measures].[revenue], [time].[1995])
+        |SELECT {[Measures].[revenue], [Measures].[rev95]} ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [Sales]""".stripMargin) _),
+
     // set-aggregate calc members (Mondrian Sum/Avg/Count(set) FunDefs +
     // the compound-slicer Aggregate the reference changelog cites):
     // Sum over a member range restricted subcube, Avg over per-member
@@ -101,6 +109,16 @@ object MdxQueries {
     "q_mdx_pages" ->
       s"""SELECT r_name AS cr_region, l_returnflag, $REV AS revenue
          |$CJOIN GROUP BY 1, 2""".stripMargin,
+
+    "q_mdx_tuple" ->
+      s"""WITH rr AS (
+         |  SELECT r_name AS cr_region, $REV AS revenue
+         |  $CJOIN GROUP BY 1),
+         |r95 AS (
+         |  SELECT r_name AS cr_region, $REV AS rev95
+         |  $CJOIN WHERE year(o_orderdate) = 1995 GROUP BY 1)
+         |SELECT cr_region, revenue, rev95
+         |FROM rr LEFT JOIN r95 USING (cr_region)""".stripMargin,
 
     "q_mdx_setagg" ->
       s"""WITH base AS (

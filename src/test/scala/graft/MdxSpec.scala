@@ -254,6 +254,31 @@ class MdxSpec extends SparkSpec {
     assert(regions.grouped(3).forall(w => w.distinct.length == 1))
   }
 
+  test("tuple-valued calc members pin measure coordinates") {
+    // growth vs a fixed year: ([Measures].[revenue], [time].[1995])
+    val df = Mdx.execute(
+      """WITH MEMBER [Measures].[rev95] AS
+        |  ([Measures].[revenue], [time].[1995])
+        |MEMBER [Measures].[share95] AS
+        |  ([Measures].[revenue], [time].[1995]) / [Measures].[revenue]
+        |SELECT {[Measures].[revenue], [Measures].[rev95],
+        |        [Measures].[share95]} ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val rows = df.collect()
+    assert(rows.length === 5)
+    // rev95 must equal the slicer-restricted revenue per region
+    val via95 = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [Sales] WHERE ([time].[1995])""".stripMargin, cube)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    rows.foreach { r =>
+      assert(r.getDecimal(2) === via95(r.getString(0)))
+      assert(r.getAs[Any]("share95") != null)
+    }
+  }
+
   test("IIF, CoalesceEmpty and IsEmpty translate to Spark functions") {
     val df = Mdx.execute(
       """WITH MEMBER [Measures].[flag] AS
