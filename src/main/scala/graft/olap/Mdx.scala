@@ -528,7 +528,20 @@ object Mdx {
       acc
     }
 
-    private def setTerm(withSets: Map[String, SetExpr]): SetExpr =
+    private def setTerm(withSets: Map[String, SetExpr]): SetExpr = {
+      var t = setTermBase(withSets)
+      // postfix .Item(n): the n-th tuple of the set (ItemFunDef) — a
+      // 1-tuple set in this uniform-grid model
+      while (atPunct(".") && peekAt(1).exists(isKw(_, "Item"))) {
+        eatPunct("."); next(); eatPunct("(")
+        val i = num().toInt
+        eatPunct(")")
+        t = SubsetSet(t, i, 1)
+      }
+      t
+    }
+
+    private def setTermBase(withSets: Map[String, SetExpr]): SetExpr =
       peek match {
         case Some(TPunct("{")) => setOrMeasures(withSets) match {
           case Left(s) => s
@@ -720,7 +733,13 @@ object Mdx {
           s"MDX object: root member [${d.name}].[${path.head}] has no parent")
         path.dropRight(1)
       }
-      if (atPunct(".")) {
+      val knownSuffix = Set("MEMBERS", "ALLMEMBERS", "CHILDREN",
+        "PARENT", "FIRSTCHILD", "LASTCHILD", "SIBLINGS")
+      val hasSuffix = atPunct(".") && (peekAt(1) match {
+        case Some(TIdent(f)) => knownSuffix(f.toUpperCase)
+        case _ => false
+      })
+      if (hasSuffix) {
         eatPunct(".")
         next() match {
           case TIdent(f) if f.equalsIgnoreCase("Members") ||
@@ -797,7 +816,9 @@ object Mdx {
     private val MdxToSparkFn = Map(
       "IIF" -> "if",
       "COALESCEEMPTY" -> "coalesce",
-      "ISEMPTY" -> "isnull")
+      "ISEMPTY" -> "isnull",
+      // VBA Val over numeric expressions is a double conversion
+      "VAL" -> "double")
 
     /** Lookahead: `([Measures].[m], [dim].[v]...)` — a tuple-valued
       * cell reference (the measure evaluated at pinned coordinates).
@@ -928,6 +949,17 @@ object Mdx {
           case Some(TPunct(",")) if depth == 0 => done = true
           case Some(TIdent(s)) if depth == 0 &&
               stopKw(s.toUpperCase) => done = true
+          case Some(TIdent(s)) if s.equalsIgnoreCase("Measures") &&
+              peekAt(1).contains(TPunct(".")) &&
+              peekAt(2).exists(_.isInstanceOf[TBracket]) =>
+            // unbracketed reference style: Measures.[x]
+            next(); eatPunct(".")
+            next() match {
+              case TBracket(m) => addRef(m)
+              case t2 => throw MdxException(
+                s"Syntax error: bad measure ref $t2")
+            }
+            prevWasIdent = false
           case Some(TPunct("(")) if !prevWasIdent && atTupleStart =>
             sb.append(tupleRef())
             lastTokRef = -1; pendingDiv = false
@@ -985,8 +1017,8 @@ object Mdx {
                   case TPunct(")") => depth -= 1; sb.append(")")
                   case TIdent(s) =>
                     // MDX scalar functions → Spark SQL equivalents
-                    // (IIF/CoalesceEmpty/IsEmpty are MDX names Spark
-                    // does not know); only when called as a function.
+                    // (IIF/CoalesceEmpty/IsEmpty/Val are MDX names
+                    // Spark does not know); only when called as a fn.
                     val mapped =
                       if (atPunct("(")) MdxToSparkFn
                         .getOrElse(s.toUpperCase, s)

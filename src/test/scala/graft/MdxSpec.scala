@@ -279,6 +279,32 @@ class MdxSpec extends SparkSpec {
     }
   }
 
+  test("unbracketed Measures refs, Val() and .Item(n) parse") {
+    // the reference's own formula style (query_test.rb:343-344):
+    // Val((Measures.[a] - Measures.[b]) / Measures.[a])
+    val df = Mdx.execute(
+      """WITH MEMBER [Measures].[pct] AS
+        |  Val((Measures.[revenue] - Measures.[sum_qty])
+        |      / Measures.[revenue])
+        |SELECT {[Measures].[pct]} ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(df.collect().forall(_.getAs[Double]("pct") > 0))
+
+    // Head(set).Item(0) — the first tuple of a set (ItemFunDef)
+    val item = Mdx.parse(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  Head([customer].[region].Members, 3).Item(0) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(item.rows === Some(SubsetSet(
+      HeadSet(LevelMembers("customer", "region"), 3), 0, 1)))
+    val rows = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  [customer].[region].Members.Item(2) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(rows.length === 1)
+  }
+
   test("IIF, CoalesceEmpty and IsEmpty translate to Spark functions") {
     val df = Mdx.execute(
       """WITH MEMBER [Measures].[flag] AS
