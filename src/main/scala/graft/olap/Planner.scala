@@ -403,7 +403,7 @@ final class Planner(val cube: BoundCube) {
   private def cellsFor(a: AxisFrame, slicer: Seq[SlicerItem]): DataFrame = {
     val agg = aggregate(a.dims, slicer)
     val joined = a.members.join(agg, groupCols(a.dims), "left")
-    applyExprCalcs(joined)
+    applyExprCalcs(joined, a.dims, slicer)
   }
 
   private def ordered(a: AxisFrame, cells: DataFrame,
@@ -614,11 +614,21 @@ final class Planner(val cube: BoundCube) {
     * not in this context) are skipped, mirroring Mondrian's per-context
     * member validity (ValidMeasureFunDef semantics).
     */
-  private def applyExprCalcs(df: DataFrame): DataFrame =
+  /** Scalar + set-aggregate calcs at a set's own grain — used by the
+    * cell-dependent set ops (Filter/Order/TopK), whose key expressions
+    * can reference calc members (e.g. ORDER(set, ([Measures].[m],
+    * [dim].[member]), ASC) lowers the tuple to a hidden SetAggCalc).
+    * Window calcs stay post-axis (they need the final member order).
+    */
+  private def applyExprCalcs(df: DataFrame, dims: Seq[AxisDim] = Nil,
+      slicer: Seq[SlicerItem] = Nil): DataFrame =
     neededCalcs.sortBy(_.solveOrder).foldLeft(df) { (acc, cm) =>
       cm.calc match {
         case ExprCalc(sql) =>
           try acc.withColumn(cm.name, expr(sql))
+          catch { case _: org.apache.spark.sql.AnalysisException => acc }
+        case sac: SetAggCalc =>
+          try setAggColumn(acc, cm.name, sac, dims, slicer, Map.empty)
           catch { case _: org.apache.spark.sql.AnalysisException => acc }
         case _ => acc
       }

@@ -305,6 +305,23 @@ class MdxSpec extends SparkSpec {
     assert(rows.length === 1)
   }
 
+  test("ORDER and FILTER accept tuple keys at the set's grain") {
+    // order regions by their 1995 revenue, descending
+    val df = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  ORDER([customer].[region].Members,
+        |        ([Measures].[revenue], [time].[1995]), BDESC) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val got = df.select("cr_region").collect().map(_.getString(0))
+    val expect = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [Sales] WHERE ([time].[1995])""".stripMargin, cube)
+      .collect().sortBy(r => r.getDecimal(1)).reverse
+      .map(_.getString(0))
+    assert(got.toSeq === expect.toSeq)
+  }
+
   test("IIF, CoalesceEmpty and IsEmpty translate to Spark functions") {
     val df = Mdx.execute(
       """WITH MEMBER [Measures].[flag] AS
