@@ -398,6 +398,23 @@ class MdxSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("session-registered UDFs are callable from MDX formulas") {
+    // the reference's schema UDF story (schema_udf.rb: Ruby/JS factories
+    // compiled into Mondrian) maps to spark.udf.register + scalar
+    // passthrough — user functions compose with measure refs.
+    spark.udf.register("mdx_spec_half", (x: Double) => x / 2.0)
+    val df = Mdx.execute(
+      """WITH MEMBER [Measures].[half_qty] AS
+        |  mdx_spec_half(Measures.[avg_qty])
+        |SELECT {[Measures].[avg_qty], [Measures].[half_qty]} ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    df.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("half_qty") * 2 -
+        r.getAs[Double]("avg_qty")) < 1e-12)
+    }
+  }
+
   test("error taxonomy matches the reference wording") {
     val e1 = intercept[Mdx.MdxException] {
       Mdx.parse("SELECT {[Measures].[nope]} ON COLUMNS, " +
