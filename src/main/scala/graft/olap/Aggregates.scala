@@ -68,6 +68,70 @@ object AggRouter {
     candidates.sortBy(_.width).headOption
   }
 
+  /** Workload-driven rollup recommendation — the analog of the
+    * reference's AggGen aggregate-table generator: given the grains a
+    * workload actually queries (dim name → level depth per query),
+    * propose the fewest rollup grains that cover them all, each within
+    * a cardinality budget.
+    *
+    * Greedy merge: start from the distinct query grains; repeatedly
+    * merge the pair whose union (per-dim max depth) has the smallest
+    * estimated cardinality, while that estimate stays ≤ maxRows.
+    * Estimates come from the dimension member counts at each depth
+    * (their product — the upper bound; real rollups are smaller). A
+    * finer/extra-dim rollup still answers coarser queries because the
+    * router re-aggregates decomposable partials.
+    */
+  def recommend(cube: BoundCube, workload: Seq[Map[String, Int]],
+      maxRows: Long): Seq[Map[String, Int]] = {
+    def card(grain: Map[String, Int]): Long =
+      grain.foldLeft(1L) { case (acc, (dn, depth)) =>
+        val d = cube.dim(dn)
+        val n = d.membersAt(depth,
+          d.levelsTo(depth).map(_.col)).count()
+        math.min(acc * math.max(n, 1L), Long.MaxValue / 2)
+      }
+    def union(a: Map[String, Int], b: Map[String, Int]): Map[String, Int] =
+      (a.keySet ++ b.keySet).map { d =>
+        d -> math.max(a.getOrElse(d, -1), b.getOrElse(d, -1))
+      }.toMap
+    var grains = workload.distinct.filter(_.nonEmpty)
+    var merged = true
+    while (merged && grains.length > 1) {
+      merged = false
+      val candidates = for {
+        i <- grains.indices; j <- grains.indices if i < j
+        u = union(grains(i), grains(j))
+        c = card(u) if c <= maxRows
+      } yield (c, i, j, u)
+      if (candidates.nonEmpty) {
+        val (_, i, j, u) = candidates.minBy(_._1)
+        grains = grains.zipWithIndex.collect {
+          case (g, k) if k != i && k != j => g
+        } :+ u
+        merged = true
+      }
+    }
+    grains
+  }
+
+  /** Build + register the recommended rollups on the cube (decomposable
+    * measures only — the router refuses the rest anyway).
+    */
+  def buildRecommended(cube: BoundCube, workload: Seq[Map[String, Int]],
+      maxRows: Long): BoundCube = {
+    val planner = new Planner(cube)
+    val ms = cube.measures.filter(m => reAggable(m.agg)).map(_.name)
+    val ats = recommend(cube, workload, maxRows).zipWithIndex.map {
+      case (grain, i) =>
+        planner.buildAggTable(s"agg_rec_$i",
+          grain.toSeq.sortBy(_._1).map { case (d, depth) =>
+            d -> cube.dim(d).levels(depth).name
+          }, ms)
+    }
+    cube.withAggTables(ats: _*)
+  }
+
   /** Re-aggregate the routed table to the requested grain: the same
     * groupBy shape as the fact path, but over the (much smaller)
     * pre-aggregate, with each measure folded from its partials.

@@ -1,4 +1,5 @@
 package graft
+// (AggGen-style recommendation specs live at the bottom of this file)
 
 import org.apache.spark.sql.functions._
 import graft.olap._
@@ -83,5 +84,28 @@ class CacheSpec extends SparkSpec {
     Query.from(routed).columns("revenue")
       .rows(LevelMembers("customer", "customer")).execute().collect()
     assert(AggRouter.lastHit === None)
+  }
+
+  test("AggGen-style recommendation merges coverable grains") {
+    val base = Cubes.sales(spark, Sf)
+    // workload: three grains whose union (nation x month x returnflag)
+    // is small — one merged rollup should cover all
+    val workload = Seq(
+      Map("customer" -> 1),                      // nation
+      Map("customer" -> 1, "time" -> 2),         // nation x month
+      Map("time" -> 2, "returnflag" -> 0))       // month x returnflag
+    val rec = AggRouter.recommend(base, workload, maxRows = 100000)
+    assert(rec.length === 1, s"expected one merged grain, got $rec")
+    assert(rec.head === Map("customer" -> 1, "time" -> 2,
+      "returnflag" -> 0))
+    // a tiny budget forbids merging — each grain stands alone
+    val rec2 = AggRouter.recommend(base, workload, maxRows = 30)
+    assert(rec2.toSet === workload.toSet)
+    // built rollups actually serve the workload queries
+    val routed = AggRouter.buildRecommended(base, workload, 100000)
+    AggRouter.lastHit = None
+    Query.from(routed).columns("revenue")
+      .rows(LevelMembers("customer", "nation")).execute().collect()
+    assert(AggRouter.lastHit === Some("agg_rec_0"))
   }
 }
