@@ -151,14 +151,23 @@ object SimilarityOps {
         (1 to dim).map(d => snap(r.getAs[Double](s"v$d"))).toArray))
       .toSeq
     def assign(): DataFrame = {
-      val structs = centroids.sortBy(_._1).map { case (cid, m) =>
-        val dist = (1 to dim)
+      // codegen-only argmin: distances as flat columns, least() for the
+      // minimum, first-match CASE for the cell id (= tie-break on the
+      // smaller cell, same as ORDER BY dist, cell) — array_sort over
+      // structs would run interpreted per row
+      val sorted = centroids.sortBy(_._1)
+      val withD = flat.select(col("*") +: sorted.map { case (cid, m) =>
+        expr((1 to dim)
           .map(d => s"(v$d - ${m(d - 1)}) * (v$d - ${m(d - 1)})")
-          .mkString(" + ")
-        s"named_struct('d', $dist, 'c', $cid)"
+          .mkString(" + ")).as(s"__d$cid")
+      }: _*)
+      val minD = least(sorted.map { case (cid, _) => col(s"__d$cid") }: _*)
+      val cell = sorted.tail.foldLeft(
+        when(col(s"__d${sorted.head._1}") === minD, sorted.head._1)) {
+        case (acc, (cid, _)) => acc.when(col(s"__d$cid") === minD, cid)
       }
-      flat.withColumn("cell",
-        expr(s"element_at(array_sort(array(${structs.mkString(", ")})), 1).c"))
+      withD.withColumn("cell", cell)
+        .drop(sorted.map { case (cid, _) => s"__d$cid" }: _*)
     }
     for (_ <- 1 until iters) {
       val sums = assign().groupBy("cell")
