@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data cleaning pipeline — the composition the
+  * individual operators exist for: quality filter → exact dedup →
+  * near-dup removal → per-language corpus stats. Every stage is a
+  * deterministic DataFrame transform, so the whole pipeline is one
+  * lazy plan (Catalyst fuses the projections; the only shuffles are
+  * the dedup groupBys and the near-dup postings join).
+  *
+  * Scale shape: filters are map-side; exact dedup shuffles on the
+  * 128-bit digest; near-dup uses the two-phase hash-candidate join
+  * (work ∝ shared-shingle pairs); the final stats aggregate is
+  * language-cardinality sized.
+  */
+object CleanPipeline {
+
+  /** Surviving doc ids + text after the three cleaning stages.
+    *
+    * Near-dup policy: any doc that appears as the LARGER id of a
+    * >= `jaccard` pair drops (keep-first-seen) — deterministic and
+    * engine-portable, no union-find iteration.
+    */
+  def clean(docs: DataFrame, minTokens: Int = 30,
+      minStopRatio: Double = 0.04,
+      jaccard: Double = 0.5): DataFrame = {
+    val keepQ = TextOps.quality(docs)
+      .filter(col("n_tokens") >= minTokens &&
+        col("stop_ratio") >= minStopRatio)
+      .select("doc_id")
+    val kept1 = docs.join(keepQ, "doc_id")
+    val keepE = DedupOps.exactDedup(kept1).select("doc_id")
+    val kept2 = kept1.join(keepE, "doc_id")
+    val dropNear = DedupOps.jaccardPairs(kept2, jaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    kept2.join(dropNear, Seq("doc_id"), "left_anti")
+  }
+
+  /** Cleaned-corpus statistics per predicted language: surviving doc
+    * count and total token count.
+    */
+  def cleanStats(docs: DataFrame): DataFrame = {
+    val kept = clean(docs)
+    val lang = TextOps.langId(kept).select("doc_id", "pred_lang")
+    val toks = TextOps.tokenCounts(kept)
+    kept.select("doc_id").join(lang, "doc_id").join(toks, "doc_id")
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+  }
+}

@@ -76,6 +76,10 @@ object PipelineQueries {
         .select("probe_id", "neighbor_id")
     }),
 
+    // -- end-to-end cleaning pipeline ----------------------------------
+    "q_pipeline_clean" -> ((s, dir) =>
+      CleanPipeline.cleanStats(docs(s, dir))),
+
     // -- text analysis -------------------------------------------------
     "q_text_tokens" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
 
@@ -264,6 +268,66 @@ object PipelineQueries {
          |FROM embeddings""".stripMargin,
 
     "q_ann_kmeans" -> SimilarityOps.kmeansOracleSql(k = 8, iters = 3),
+
+    "q_pipeline_clean" -> {
+      val stopHits =
+        s"len(list_filter($T, t -> list_contains(" +
+          "['the', 'a', 'of', 'and', 'to', 'in'], t)))"
+      def hits(words: String) =
+        s"len(list_filter(t, x -> list_contains([$words], x)))"
+      s"""WITH q AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE len($T) >= 30
+         |    AND $stopHits / CAST(len($T) AS DOUBLE) >= 0.04),
+         |e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         |k2 AS (SELECT q.doc_id, q.text FROM q JOIN e USING (doc_id)),
+         |toks2 AS (SELECT doc_id, $T AS t FROM k2),
+         |sh2 AS (
+         |  SELECT doc_id, list_distinct(
+         |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |     for i in range(1, len(t) - 1)]) AS shingles
+         |  FROM toks2 WHERE len(t) >= 3),
+         |posts AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_common
+         |  FROM posts a JOIN posts b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |nd AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM common
+         |  JOIN sh2 sa ON sa.doc_id = doc_a
+         |  JOIN sh2 sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE)
+         |    / (len(sa.shingles) + len(sb.shingles) - n_common) >= 0.5),
+         |lt AS (
+         |  SELECT doc_id, $T AS t FROM k2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+         |h AS (
+         |  SELECT doc_id, len(t) AS n_tokens,
+         |    CAST(${hits("'the', 'a', 'of', 'and', 'to', 'in'")} AS INT)
+         |      AS en_hits,
+         |    CAST(${hits("'der', 'die', 'das', 'und', 'ist'")} AS INT)
+         |      AS de_hits,
+         |    CAST(${hits("'el', 'la', 'de', 'y', 'es'")} AS INT)
+         |      AS es_hits,
+         |    CAST(${hits("'le', 'la', 'de', 'et', 'est'")} AS INT)
+         |      AS fr_hits
+         |  FROM lt)
+         |SELECT
+         |  CASE
+         |    WHEN en_hits >= de_hits AND en_hits >= es_hits
+         |      AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+         |    WHEN de_hits >= es_hits AND de_hits >= fr_hits
+         |      AND de_hits > 0 THEN 'de'
+         |    WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+         |    WHEN fr_hits > 0 THEN 'fr'
+         |    ELSE 'unknown'
+         |  END AS pred_lang,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM h GROUP BY 1""".stripMargin
+    },
 
     "q_ann_cosine_expr" ->
       s"""WITH pairs AS (

@@ -104,6 +104,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(b1.values.forall(v => v >= 0 && v < 4096))
   }
 
+  test("clean pipeline drops low-quality, duplicate and near-dup docs") {
+    val all = docs.count()
+    val kept = graft.ops.CleanPipeline.clean(docs)
+    val keptIds = kept.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty && keptIds.size < all)
+    // no surviving near-dup pair: every >=0.5 jaccard pair among
+    // survivors would contradict the drop rule
+    val pairs = DedupOps.jaccardPairs(kept, 0.5).collect()
+    assert(pairs.isEmpty,
+      s"near-dup pairs must not survive: ${pairs.mkString(",")}")
+    // stats cover exactly the survivors
+    val stats = graft.ops.CleanPipeline.cleanStats(docs)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()(0)
+    assert(stats.getLong(0) === keptIds.size)
+  }
+
   test("multimodal stub decode is deterministic and schema-typed") {
     val m = MultimodalOps.imageMeta(spark, docs)
     assert(m.columns.toSeq ===
