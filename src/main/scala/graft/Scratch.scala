@@ -34,6 +34,28 @@ object Scratch {
         val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
       }
     }
+    if (name == "sweep") {
+      import org.apache.spark.sql.functions._
+      for (parts <- Seq("8", "32", "128");
+           mpb <- Seq("16m", "128m")) {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", parts)
+        s2.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+        val li = s2.read.parquet(s"$sfDir/lineitem.parquet")
+        val o = s2.read.parquet(s"$sfDir/orders.parquet")
+        val c = s2.read.parquet(s"$sfDir/customer.parquet")
+        def q = li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(sum(expr("cast(l_extendedprice*(1-l_discount)" +
+            " as decimal(38,10))")).as("rev"))
+        q.collect() // warm
+        val t0 = System.nanoTime(); q.collect()
+        println(f"parts=$parts%-4s mpb=$mpb%-5s " +
+          f"${(System.nanoTime() - t0) / 1e9}%5.2f s")
+      }
+      spark.stop(); return
+    }
     if (name == "factagg") {
       import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
