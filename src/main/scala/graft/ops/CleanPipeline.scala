@@ -32,7 +32,9 @@ object CleanPipeline {
       .select("doc_id")
     val kept1 = docs.join(keepQ, "doc_id")
     val keepE = DedupOps.exactDedup(kept1).select("doc_id")
-    val kept2 = kept1.join(keepE, "doc_id")
+    // kept2 feeds the near-dup join, the anti-join, and the callers'
+    // stats joins — persist so the quality/dedup stages run once
+    val kept2 = kept1.join(keepE, "doc_id").persist()
     val dropNear = DedupOps.jaccardPairs(kept2, jaccard)
       .select(col("doc_b").as("doc_id")).distinct()
     kept2.join(dropNear, Seq("doc_id"), "left_anti")
@@ -42,7 +44,7 @@ object CleanPipeline {
     * count and total token count.
     */
   def cleanStats(docs: DataFrame): DataFrame = {
-    val kept = clean(docs)
+    val kept = clean(docs).persist()
     val lang = TextOps.langId(kept).select("doc_id", "pred_lang")
     val toks = TextOps.tokenCounts(kept)
     kept.select("doc_id").join(lang, "doc_id").join(toks, "doc_id")
