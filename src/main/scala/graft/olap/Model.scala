@@ -78,6 +78,16 @@ object Agg {
   }
 }
 
+/** Presentation/annotation metadata shared by schema elements
+  * (reference schema elements carry caption, description and
+  * annotations — cube.rb:39-56, schema_element.rb; annotations are
+  * the reference's tool-metadata escape hatch).
+  */
+final case class ElementMeta(
+    caption: Option[String] = None,
+    description: Option[String] = None,
+    annotations: Map[String, String] = Map.empty)
+
 /** A measure: named aggregate of a SQL expression over the joined star
   * (reference schema.rb:286-308; MeasureExpression MondrianTest.xml:137-143).
   * `expr` is a Spark SQL expression over fact + joined dimension columns,
@@ -87,7 +97,10 @@ final case class Measure(
     name: String,
     agg: Agg,
     expr: String,
-    formatString: Option[String] = None)
+    formatString: Option[String] = None,
+    meta: ElementMeta = ElementMeta()) {
+  def caption: String = meta.caption.getOrElse(name)
+}
 
 /** Post-aggregation window shapes backing MDX time navigation
   * (SURVEY §2.5): PrevMember/Lag/Lead, ParallelPeriod, PeriodsToDate/Xtd,
@@ -166,8 +179,10 @@ final case class BoundLevel(
     name: String,
     col: String,
     ordCol: Option[String] = None,
-    hideMemberIf: HideIf = HideIf.Never) {
+    hideMemberIf: HideIf = HideIf.Never,
+    meta: ElementMeta = ElementMeta()) {
   def ordinal: String = ordCol.getOrElse(col)
+  def caption: String = meta.caption.getOrElse(name)
 }
 
 /** A dimension bound to a (possibly snowflake-joined) DataFrame.
@@ -189,7 +204,11 @@ final case class BoundDim(
       * MondrianTest.xml:90-95) — no join needed; `df` only serves member
       * enumeration.
       */
-    degenerate: Boolean = false) {
+    degenerate: Boolean = false,
+    meta: ElementMeta = ElementMeta()) {
+
+  def caption: String = meta.caption.getOrElse(name)
+
 
   /** Member cache: the distinct member frame per level depth, persisted
     * on first use (the reference's member cache — README.md
@@ -262,7 +281,11 @@ final case class BoundCube(
     /** Registered pre-aggregated rollups the router may answer from
       * (reference AggName declarations; Aggregates.scala).
       */
-    aggTables: Seq[AggTable] = Nil) {
+    aggTables: Seq[AggTable] = Nil,
+    meta: ElementMeta = ElementMeta()) {
+
+  def caption: String = meta.caption.getOrElse(name)
+
 
   /** Process-unique identity for cache keys. identityHashCode is NOT
     * unique across live objects, so a collision could serve one cube's

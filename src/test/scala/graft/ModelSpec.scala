@@ -80,6 +80,23 @@ class ModelSpec extends SparkSpec {
     assert(states2 === Set("CA", ""))
   }
 
+  test("captions, descriptions and annotations surface on elements") {
+    val annotated = cube.copy(
+      meta = ElementMeta(caption = Some("Sales Cube"),
+        description = Some("TPC-H lineitem star"),
+        annotations = Map("owner" -> "analytics")),
+      measures = cube.measures.map(m =>
+        if (m.name == "revenue")
+          m.copy(meta = ElementMeta(caption = Some("Revenue ($)")))
+        else m))
+    assert(annotated.caption === "Sales Cube")
+    assert(annotated.meta.annotations("owner") === "analytics")
+    assert(annotated.measure("revenue").caption === "Revenue ($)")
+    // defaults fall back to names
+    assert(annotated.measure("sum_qty").caption === "sum_qty")
+    assert(annotated.dim("customer").caption === "customer")
+  }
+
   test("virtual cube aligns measures and leaves unshared cells empty") {
     val vc = new VirtualCube("SalesAndEvents", Seq(
       Cubes.sales(spark, Sf) -> Seq("revenue"),
