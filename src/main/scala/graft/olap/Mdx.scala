@@ -395,7 +395,27 @@ object Mdx {
               throw MdxException(
                 "Syntax error: WITH MEMBER must target [Measures].[name]")
             eatKw("AS")
-            withMembers :+= CalcMember(segs(1), ExprCalc(scalarExpr(withSets)))
+            val formula = ExprCalc(scalarExpr(withSets))
+            // trailing options (reference query.rb:684-687 emission):
+            // , SOLVE_ORDER = n  |  , FORMAT_STRING = 'fmt'
+            var solveOrder = 0
+            var fmt: Option[String] = None
+            while (atPunct(",") && peekAt(1).exists(t =>
+                isKw(t, "SOLVE_ORDER") || isKw(t, "FORMAT_STRING"))) {
+              eatPunct(",")
+              val opt = next()
+              eatPunct("=")
+              (opt, next()) match {
+                case (o, TNum(n)) if isKw(o, "SOLVE_ORDER") =>
+                  solveOrder = n.toDouble.toInt
+                case (o, TStr(f)) if isKw(o, "FORMAT_STRING") =>
+                  fmt = Some(f)
+                case (o, v) => throw MdxException(
+                  s"Syntax error: bad WITH MEMBER option $o = $v")
+              }
+            }
+            withMembers :+= CalcMember(segs(1), formula,
+              solveOrder = solveOrder, formatString = fmt)
           }
         }
       }

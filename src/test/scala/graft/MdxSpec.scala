@@ -415,6 +415,26 @@ class MdxSpec extends SparkSpec {
     }
   }
 
+  test("WITH MEMBER accepts SOLVE_ORDER and FORMAT_STRING options") {
+    val ir = Mdx.parse(
+      """WITH MEMBER [Measures].[pct] AS
+        |  [Measures].[revenue] / [Measures].[sum_base_price],
+        |  SOLVE_ORDER = 2, FORMAT_STRING = 'Percent'
+        |SELECT {[Measures].[pct]} ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val cm = ir.withMembers.find(_.name == "pct").get
+    assert(cm.solveOrder === 2)
+    assert(cm.formatString === Some("Percent"))
+    assert(Mdx.execute(
+      """WITH MEMBER [Measures].[pct] AS
+        |  [Measures].[revenue] / [Measures].[sum_base_price],
+        |  SOLVE_ORDER = 2, FORMAT_STRING = 'Percent'
+        |SELECT {[Measures].[pct]} ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [Sales]""".stripMargin, cube).count() === 5)
+  }
+
   test("error taxonomy matches the reference wording") {
     val e1 = intercept[Mdx.MdxException] {
       Mdx.parse("SELECT {[Measures].[nope]} ON COLUMNS, " +
