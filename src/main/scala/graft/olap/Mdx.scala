@@ -284,8 +284,22 @@ object Mdx {
       dims = dimLevels, maxRows = maxRows)
   }
 
-  private final class P(toks: Vector[Tok], cube: BoundCube,
+  private final class P(toks0: Vector[Tok], cube: BoundCube,
       params: Map[String, Any] = Map.empty) {
+
+    /** Token stream — mutable so quoted WITH formulas (the reference
+      * always emits `AS 'formula'`, query.rb quote_value) can be
+      * re-lexed and spliced in place of the string token.
+      */
+    private var toks: Vector[Tok] = toks0
+
+    /** If the next token is a string literal, replace it with its lexed
+      * content (called after AS in WITH SET / WITH MEMBER).
+      */
+    private def inlineQuotedFormula(): Unit = peek match {
+      case Some(TStr(body)) => toks = toks.patch(pos, lex(body), 1)
+      case _ => ()
+    }
 
     /** Parameter('name', String|Numeric, default) — the supplied
       * parameter value (or the default) as a SQL literal / raw string.
@@ -387,6 +401,7 @@ object Mdx {
               case t => throw MdxException(s"Syntax error: bad set name $t")
             }
             eatKw("AS")
+            inlineQuotedFormula()
             withSets += name -> setExpr(withSets)
           } else {
             eatKw("MEMBER")
@@ -395,6 +410,7 @@ object Mdx {
               throw MdxException(
                 "Syntax error: WITH MEMBER must target [Measures].[name]")
             eatKw("AS")
+            inlineQuotedFormula()
             val formula = ExprCalc(scalarExpr(withSets))
             // trailing options (reference query.rb:684-687 emission):
             // , SOLVE_ORDER = n  |  , FORMAT_STRING = 'fmt'

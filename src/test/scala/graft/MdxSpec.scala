@@ -435,6 +435,28 @@ class MdxSpec extends SparkSpec {
         |FROM [Sales]""".stripMargin, cube).count() === 5)
   }
 
+  test("quoted WITH formulas parse (the reference's emission style)") {
+    // the reference always quotes: SET [S] AS '...', MEMBER m AS '...'
+    val ir = Mdx.parse(
+      """WITH SET [Best] AS
+        |  'TOPCOUNT([customer].[nation].Members, 3, [Measures].[revenue])'
+        |MEMBER [Measures].[m2] AS
+        |  '[Measures].[revenue] / [Measures].[sum_base_price]',
+        |  SOLVE_ORDER = 1
+        |SELECT {[Measures].[revenue], [Measures].[m2]} ON COLUMNS,
+        |  Best ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(ir.withSets("Best") ===
+      TopCount(LevelMembers("customer", "nation"), 3, "revenue"))
+    assert(ir.withMembers.exists(cm =>
+      cm.name == "m2" && cm.solveOrder == 1))
+    assert(Mdx.execute(
+      """WITH SET [Best] AS
+        |  'TOPCOUNT([customer].[nation].Members, 3, [Measures].[revenue])'
+        |SELECT {[Measures].[revenue]} ON COLUMNS, Best ON ROWS
+        |FROM [Sales]""".stripMargin, cube).count() === 3)
+  }
+
   test("error taxonomy matches the reference wording") {
     val e1 = intercept[Mdx.MdxException] {
       Mdx.parse("SELECT {[Measures].[nope]} ON COLUMNS, " +
