@@ -74,6 +74,21 @@ object FormatString {
   def format(value: Any, fmt: String,
       locale: java.util.Locale): String = value match {
     case null => ""
+    // VB sign sections 'positive;negative[;zero]': pick the section by
+    // the value's sign, formatting the magnitude (the negative section
+    // supplies its own sign marks, e.g. parentheses)
+    case n: Number if canonical(fmt).contains(';') =>
+      val sections = canonical(fmt).split(";", -1)
+      val v = new JBigDecimal(n.toString)
+      val (section, mag) = v.signum() match {
+        case s if s < 0 => (sections(1), v.negate())
+        case 0 if sections.length > 2 => (sections(2), v)
+        case _ => (sections(0), v)
+      }
+      // a section without digit placeholders is a literal (VB: e.g. a
+      // zero section of just "-")
+      if (!section.exists(c => c == '#' || c == '0')) section
+      else format(mag, section, locale)
     case d: LocalDate =>
       d.format(DateTimeFormatter.ofPattern(datePattern(fmt)))
     case d: java.sql.Date =>

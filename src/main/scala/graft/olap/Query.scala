@@ -75,6 +75,13 @@ final class Query private (
   def head(n: Int): Query = mapRows(HeadSet(_, n))
   def tail(n: Int): Query = mapRows(TailSet(_, n))
   def subset(start: Int, n: Int): Query = mapRows(SubsetSet(_, start, n))
+  /** Generate(rows, [dim].CurrentMember[, ALL]) — reference
+    * query.rb:97-110: identity scan of the set; ALL keeps duplicates,
+    * default dedups.
+    */
+  def generate(all: Boolean = false): Query =
+    if (all) this else mapRows(DistinctSet(_))
+
   def hierarchize(post: Boolean = false): Query =
     mapRows(Hierarchize(_, post))
 

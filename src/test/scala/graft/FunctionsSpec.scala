@@ -73,6 +73,16 @@ class FunctionsSpec extends SparkSpec {
     assert(one(Vba.str(lit(5))).toString === " 5")
   }
 
+  test("sign-section format strings pick the section by sign") {
+    val fmt = "#,##0.00;(#,##0.00);-"
+    assert(FormatString.format(1234.5, fmt) === "1,234.50")
+    assert(FormatString.format(-1234.5, fmt) === "(1,234.50)")
+    assert(FormatString.format(0, fmt) === "-")
+    // two-section form: negatives use section 2, zero falls to positive
+    assert(FormatString.format(-7.1, "0.0;0.0 CR") === "7.1 CR")
+    assert(FormatString.format(0, "0.0;0.0 CR") === "0.0")
+  }
+
   test("locale-aware formatting renders locale separators") {
     assert(FormatString.format(1234567.5, "#,##0.00") === "1,234,567.50")
     assert(FormatString.format(1234567.5, "#,##0.00",
