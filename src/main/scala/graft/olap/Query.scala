@@ -116,8 +116,13 @@ final class Query private (
   /** Execute and materialize into the cell-set Result (axis positions,
     * value transposition, formatted values — reference result.rb).
     */
-  def executeResult(): Result =
-    Result.fromDataFrame(execute(), measures, cube)
+  def executeResult(): Result = {
+    val pageCols = pagesSet.toSeq.flatMap { p =>
+      new Planner(cube).evalSet(p, slicer, withSets).dims
+        .flatMap(ad => Planner.levelCols(ad.d, ad.depth))
+    }
+    Result.fromDataFrame(execute(), measures, cube, pageCols)
+  }
 
   /** DRILLTHROUGH through the current slicer (SURVEY §2.11). */
   def executeDrillThrough(returnCols: Seq[String],

@@ -18,10 +18,34 @@ final class Result(
     val rowAxis: Seq[Seq[Any]],     // row-axis member tuples, in order
     val rowAxisNames: Seq[String],  // level column names of the row axis
     cells: Seq[Seq[Any]],           // cells(rowIdx)(colIdx)
-    formats: Map[String, String]) {
+    formats: Map[String, String],
+    /** PAGES level columns (prefix of rowAxisNames) when the query had
+      * a third axis — pages fold into the row grid page-major.
+      */
+    val pageAxisNames: Seq[String] = Nil) {
 
   def rowCount: Int = rowAxis.length
   def columnCount: Int = columnNames.length
+
+  /** Distinct page tuples, in grid (page-major) order. */
+  def pageAxis: Seq[Seq[Any]] = {
+    val k = pageAxisNames.length
+    if (k == 0) Nil else rowAxis.map(_.take(k)).distinct
+  }
+  def pageCount: Int = pageAxis.length
+
+  /** The 2-axis sub-Result of one page (axis(2) ordinal `i`). */
+  def page(i: Int): Result = {
+    val k = pageAxisNames.length
+    require(k > 0, "no PAGES axis on this result")
+    val key = pageAxis(i)
+    val keep = rowAxis.zipWithIndex.filter(_._1.take(k) == key)
+    new Result(columnNames,
+      keep.map(_._1.drop(k)),
+      rowAxisNames.drop(k),
+      keep.map { case (_, idx) => cells(idx) },
+      formats)
+  }
 
   /** Cell value at (row, column). */
   def value(row: Int, column: Int): Any = cells(row)(column)
@@ -75,7 +99,7 @@ object Result {
     * the rest the measure cells.
     */
   def fromDataFrame(df: DataFrame, measures: Seq[String],
-      cube: BoundCube): Result = {
+      cube: BoundCube, pageCols: Seq[String] = Nil): Result = {
     val all = df.columns.toSeq
     val axisCols = all.filterNot(measures.contains)
     val rows = df.collect().toSeq
@@ -89,6 +113,7 @@ object Result {
       rowAxis = rows.map(r => axisIdx.map(r.get)),
       rowAxisNames = axisCols,
       cells = rows.map(r => cellIdx.map(r.get)),
-      formats = formats)
+      formats = formats,
+      pageAxisNames = pageCols.filter(axisCols.contains))
   }
 }

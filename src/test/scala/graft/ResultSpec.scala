@@ -25,6 +25,22 @@ class ResultSpec extends SparkSpec {
     assert(r.toHtml.startsWith("<table>") && r.toHtml.contains("<td>"))
   }
 
+  test("PAGES axis surfaces as page sub-results") {
+    val r = Query.from(cube)
+      .columns("revenue")
+      .rows(LevelMembers("returnflag", "returnflag"))
+      .pages(LevelMembers("customer", "region"))
+      .executeResult()
+    assert(r.pageAxisNames === Seq("cr_region"))
+    assert(r.pageCount === 5)
+    val p0 = r.page(0)
+    assert(p0.rowAxisNames === Seq("l_returnflag"))
+    assert(p0.rowCount === 3)
+    assert(p0.pageAxisNames.isEmpty)
+    // page cells are the matching slice of the full grid
+    assert(r.rowCount === 15)
+  }
+
   test("Full rollup policy restricts axes but not totals") {
     val partial = cube.withRole(Role("p",
       Seq("customer" -> Seq("EUROPE"))))
