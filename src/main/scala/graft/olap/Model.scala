@@ -282,7 +282,14 @@ final case class BoundCube(
       * (reference AggName declarations; Aggregates.scala).
       */
     aggTables: Seq[AggTable] = Nil,
-    meta: ElementMeta = ElementMeta()) {
+    meta: ElementMeta = ElementMeta(),
+    /** Measure used when a query names none (the reference's cube
+      * default_measure; falls back to the first declared measure).
+      */
+    defaultMeasure: Option[String] = None) {
+
+  def defaultMeasureName: String =
+    defaultMeasure.getOrElse(measures.head.name)
 
   def caption: String = meta.caption.getOrElse(name)
 

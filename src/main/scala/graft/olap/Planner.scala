@@ -639,13 +639,17 @@ final class Planner(val cube: BoundCube) {
   def execute(q0: QueryIR): DataFrame = {
     // PAGES lowers to the page-major outer product with ROWS: CrossJoin
     // order is left-major, which is exactly Mondrian's axis-ordinal
-    // iteration (pages vary slowest).
-    val q = q0.pages match {
+    // iteration (pages vary slowest). A query naming no measures gets
+    // the cube's default measure (reference: queries without a COLUMNS
+    // axis still evaluate cells, query_test.rb:743-746).
+    val q1 = q0.pages match {
       case Some(p) => q0.copy(
         rows = Some(q0.rows.map(r => CrossJoin(p, r)).getOrElse(p)),
         pages = None)
       case None => q0
     }
+    val q = if (q1.measures.nonEmpty) q1
+            else q1.copy(measures = Seq(cube.defaultMeasureName))
     pruneFor(q)
     q.rows match {
       case None =>

@@ -457,6 +457,19 @@ class MdxSpec extends SparkSpec {
         |FROM [Sales]""".stripMargin, cube).count() === 3)
   }
 
+  test("a query without a COLUMNS axis uses the default measure") {
+    val df = Mdx.execute(
+      """SELECT [customer].[region].Members ON ROWS
+        |FROM [Sales]""".stripMargin,
+      cube.copy(defaultMeasure = Some("revenue")))
+    assert(df.columns.toSeq === Seq("cr_region", "revenue"))
+    assert(df.count() === 5)
+    // unset default falls back to the first declared measure
+    val df2 = Query.from(cube)
+      .rows(LevelMembers("customer", "region")).execute()
+    assert(df2.columns.contains(cube.measures.head.name))
+  }
+
   test("error taxonomy matches the reference wording") {
     val e1 = intercept[Mdx.MdxException] {
       Mdx.parse("SELECT {[Measures].[nope]} ON COLUMNS, " +
