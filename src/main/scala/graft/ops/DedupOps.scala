@@ -76,22 +76,38 @@ object DedupOps {
     *     approximate n_common (and therefore the approximate Jaccard)
     *     is an upper bound: every true pair survives the threshold
     *     filter — no false negatives.
-    *  2. exact verification of the (small) candidate set on the real
-    *     shingle arrays via array_intersect, which removes any
-    *     collision-inflated false positives.
-    * The result is exact at any corpus size; the exact-arrays work is
-    * proportional to the candidates, not the 100 TB postings.
+    *  2. exact verification of the candidate set on the real shingle
+    *     arrays. The shingled corpus is first SEMI-JOINED down to the
+    *     doc_ids that appear in some candidate pair (candidates are
+    *     small by construction), then joined with plain shuffle joins —
+    *     never broadcast: at 100 TB the full shingled corpus does not
+    *     fit on any single executor.
+    * Pair work in phase 1 is Σ df² per shingle hash, so one boilerplate
+    * shingle shared by 1M docs would create a 10¹²-row bucket. `maxDf`
+    * caps the document frequency a posting may have: ubiquitous
+    * shingles carry ~zero Jaccard signal but all of the skew. The cap
+    * is computed with a window over the SAME `shh` partitioning the
+    * self-join shuffles on, so it adds no extra exchange. With the cap
+    * active a pair whose overlap is exclusively df>maxDf shingles can
+    * be missed (bound recorded in SCALING.md); corpora where that
+    * matters should route to [[minhashLsh]].
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+      maxDf: Int = 100000): DataFrame = {
     val sh = shingled(docs).persist()
     // each posting carries its doc's set size, so the pair aggregation
     // yields (common, |A|, |B|) in ONE groupBy — no size-lookup joins
     // after the pair shuffle
-    val posts = sh.select(col("doc_id"),
+    val rawPosts = sh.select(col("doc_id"),
         size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("shingle"))
       .select(col("doc_id"), col("n_sh"),
         xxhash64(col("shingle")).as("shh"))
+    val byShh = org.apache.spark.sql.expressions.Window.partitionBy("shh")
+    val posts = rawPosts
+      .withColumn("df", count(lit(1)).over(byShh))
+      .filter(col("df") <= maxDf)
+      .drop("df")
     val cand = posts.as("a")
       .join(posts.as("b"),
         col("a.shh") === col("b.shh") &&
@@ -105,11 +121,21 @@ object DedupOps {
       .filter(col("n_common_ub").cast("double") /
         (col("n_a") + col("n_b") - col("n_common_ub")) >= threshold)
       .select("doc_a", "doc_b")
+    // verify phase: shrink the shingled corpus to candidate docs with a
+    // semi-join (small by construction), then plain shuffle joins — the
+    // pattern minhashLsh uses. No broadcast of sh at any scale.
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val candSh = sh.join(candIds, Seq("doc_id"), "left_semi")
+    // shuffle_hash hints: the candidate set is unbounded (worst case a
+    // near-duplicate-heavy corpus), so the shingle-carrying sides are
+    // partitioned, never broadcast — regardless of optimizer stats
     cand
-      .join(broadcast(sh.select(col("doc_id").as("doc_a"),
-        col("shingles").as("sa"))), "doc_a")
-      .join(broadcast(sh.select(col("doc_id").as("doc_b"),
-        col("shingles").as("sb"))), "doc_b")
+      .join(candSh.select(col("doc_id").as("doc_a"),
+        col("shingles").as("sa")).hint("shuffle_hash"), "doc_a")
+      .join(candSh.select(col("doc_id").as("doc_b"),
+        col("shingles").as("sb")).hint("shuffle_hash"), "doc_b")
       .withColumn("n_common",
         size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",

@@ -106,6 +106,20 @@ class PlanSpec extends SparkSpec {
       s"expected partial aggregation:\n$p")
   }
 
+  test("jaccard verify phase never broadcasts the shingled corpus") {
+    val docs = Tables.load(spark, Sf, "documents")
+    val df = graft.ops.DedupOps.jaccardPairs(docs, 0.5)
+    // the verify joins must be plain shuffle joins against the
+    // semi-joined candidate shingles: a BroadcastExchange whose build
+    // side carries the `shingles` column would be the full corpus on
+    // one executor — the 100 TB OOM the r3/r4 verdicts flagged
+    val p = df.queryExecution.executedPlan.toString
+    val broadcastsShingles = p.linesIterator.exists(l =>
+      l.contains("BroadcastExchange") && l.contains("shingles"))
+    assert(!broadcastsShingles,
+      s"shingled corpus must not be broadcast:\n$p")
+  }
+
   test("pipeline signature ops stay shuffle-free until the pair join") {
     val docs = Tables.load(spark, Sf, "documents")
     val p = plan(graft.ops.DedupOps.simhash(docs))
