@@ -205,6 +205,76 @@ object Cubes {
           Seq("revenue", "sum_qty")))
     }
 
+  /** Schema-scope named formatters + typed UDFs for the Sales cube —
+    * the reference's user_defined_cell_formatter / user_defined_function
+    * declarations (schema_udf.rb:64-261; shapes mirror the 12 UDFs of
+    * schema_definition_test.rb:900-1139). Scalar UDFs are SQL macros
+    * (expand into the calc expression, stay codegen'd); member/set/
+    * hierarchy/level UDFs read plan-time member metadata.
+    */
+  val salesFuncs: SchemaFunctions = {
+    def nameSqlOf(a: UdfArg): String = a match {
+      case MemberArg(_, sql, _) => sql
+      case other => throw new IllegalArgumentException(s"expected member, got $other")
+    }
+    SchemaFunctions.empty
+      // "%020d"-style integer formatter (Integer20Digits,
+      // schema_definition_test.rb:1173-1177)
+      .withCellFormatter("Pad20")(v => "%020d".format(v match {
+        case n: Number => n.longValue()
+        case other => String.valueOf(other).toDouble.toLong
+      }))
+      .withCellFormatter("Currency2")(v => "$%,.2f".formatLocal(
+        java.util.Locale.US, v match {
+          case n: Number => n.doubleValue()
+          case other => String.valueOf(other).toDouble
+        }))
+      .withMemberFormatter("UpperCaption")(m => m.nameString.toUpperCase)
+      .withPropertyFormatter("UpperProp")((_, _, v) =>
+        String.valueOf(v).toUpperCase)
+      .withUdf(UdfDef("Factorial", Seq(UdfType.Numeric), UdfType.Numeric,
+        UdfSyntax.Function,
+        (_, as) => SqlResult(
+          s"CAST(factorial(CAST(${as.head.asInstanceOf[ScalarArg].sql} " +
+            "AS INT)) AS DOUBLE)")))
+      .withUdf(UdfDef("PctOf", Seq(UdfType.Numeric, UdfType.Numeric),
+        UdfType.Numeric, UdfSyntax.Function,
+        (_, as) => SqlResult(
+          s"100.0 * CAST(${as(0).asInstanceOf[ScalarArg].sql} AS DOUBLE) " +
+            s"/ CAST(${as(1).asInstanceOf[ScalarArg].sql} AS DOUBLE)")))
+      .withUdf(UdfDef("UpperName", Seq(UdfType.Member), UdfType.Str,
+        UdfSyntax.Property,
+        (_, as) => SqlResult(s"upper(${nameSqlOf(as.head)})")))
+      .withUdf(UdfDef("toUpperName", Seq(UdfType.Member, UdfType.Str),
+        UdfType.Str, UdfSyntax.Method,
+        (_, as) => SqlResult(s"upper(${nameSqlOf(as.head)})")))
+      .withUdf(UdfDef("firstUpperName", Seq(UdfType.MemberSet), UdfType.Str,
+        UdfSyntax.Property,
+        (ctx, as) => UdfResult.lit(ctx.firstMemberName(
+          as.head.asInstanceOf[SetArg].set).toUpperCase)))
+      .withUdf(UdfDef("firstToUpperName",
+        Seq(UdfType.MemberSet, UdfType.Str), UdfType.Str, UdfSyntax.Method,
+        (ctx, as) => UdfResult.lit(ctx.firstMemberName(
+          as.head.asInstanceOf[SetArg].set).toUpperCase)))
+      .withUdf(UdfDef("firstChildUpperName", Seq(UdfType.Hierarchy),
+        UdfType.Str, UdfSyntax.Property,
+        (ctx, as) => UdfResult.lit(ctx.childrenNames(
+          as.head.asInstanceOf[HierarchyArg].dim, Nil).head.toUpperCase)))
+      .withUdf(UdfDef("firstLevelChildUpperName", Seq(UdfType.Level),
+        UdfType.Str, UdfSyntax.Property,
+        (ctx, as) => {
+          val LevelArg(d, lvl) = as.head: @unchecked
+          UdfResult.lit(ctx.levelMemberNames(d, lvl).head.toUpperCase)
+        }))
+      .withUdf(UdfDef("ChildrenSet", Seq(UdfType.Member), UdfType.MemberSet,
+        UdfSyntax.Function,
+        (_, as) => as.head match {
+          case MemberArg(d, _, Some(path)) => SetResult(Children(d.name, path))
+          case _ => throw new IllegalArgumentException(
+            "ChildrenSet requires an explicit member path")
+        }))
+  }
+
   private def buildSales(spark: SparkSession, sfDir: String): BoundCube = {
     val fact = salesFact(spark, sfDir)
     // Degenerate-dim member frames enumerate from the NARROW base table
@@ -285,7 +355,8 @@ object Cubes {
         // decimal/decimal quotient's scale is engine-specific)
         CalcMember("margin",
           ExprCalc("CAST(revenue AS DOUBLE) / CAST(sum_base_price AS DOUBLE)"),
-          solveOrder = 0)))
+          solveOrder = 0)),
+      funcs = salesFuncs)
   }
 
   /** The Events cube over the events stream table — second base cube for

@@ -78,8 +78,17 @@ object Mdx {
   def renderQuery(ir: QueryIR, cubeName: String): String = {
     val withPart =
       (ir.withSets.map { case (n, s) => s"SET [$n] AS ${render(s)}" } ++
-        ir.withMembers.collect { case CalcMember(n, ExprCalc(sql), _, _) =>
-          s"MEMBER [Measures].[$n] AS $sql"
+        ir.withMembers.collect {
+          case cm @ CalcMember(n, ExprCalc(sql), _, _, _) =>
+            // option order mirrors the reference's emission
+            // (query_test.rb:679-704): SOLVE_ORDER, FORMAT_STRING,
+            // CELL_FORMATTER
+            val opts =
+              (if (cm.solveOrder != 0) s", SOLVE_ORDER = ${cm.solveOrder}"
+               else "") +
+              cm.formatString.map(f => s", FORMAT_STRING = '$f'").getOrElse("") +
+              cm.cellFormatter.map(f => s", CELL_FORMATTER = '$f'").getOrElse("")
+            s"MEMBER [Measures].[$n] AS $sql$opts"
         }).mkString(" ")
     val cols = ir.measures.map(m => s"[Measures].[$m]")
       .mkString("{", ", ", "}")
@@ -413,11 +422,13 @@ object Mdx {
             inlineQuotedFormula()
             val formula = ExprCalc(scalarExpr(withSets))
             // trailing options (reference query.rb:684-687 emission):
-            // , SOLVE_ORDER = n  |  , FORMAT_STRING = 'fmt'
+            // , SOLVE_ORDER = n | , FORMAT_STRING = 'f' | , CELL_FORMATTER = 'n'
             var solveOrder = 0
             var fmt: Option[String] = None
+            var cellFmt: Option[String] = None
             while (atPunct(",") && peekAt(1).exists(t =>
-                isKw(t, "SOLVE_ORDER") || isKw(t, "FORMAT_STRING"))) {
+                isKw(t, "SOLVE_ORDER") || isKw(t, "FORMAT_STRING") ||
+                isKw(t, "CELL_FORMATTER"))) {
               eatPunct(",")
               val opt = next()
               eatPunct("=")
@@ -426,12 +437,19 @@ object Mdx {
                   solveOrder = n.toDouble.toInt
                 case (o, TStr(f)) if isKw(o, "FORMAT_STRING") =>
                   fmt = Some(f)
+                case (o, TStr(f)) if isKw(o, "CELL_FORMATTER") =>
+                  if (cube.funcs.cellFormatter(f).isEmpty)
+                    throw MdxException(
+                      s"MDX object: cell formatter '$f' not registered " +
+                        s"in cube '${cube.name}'")
+                  cellFmt = Some(f)
                 case (o, v) => throw MdxException(
                   s"Syntax error: bad WITH MEMBER option $o = $v")
               }
             }
             withMembers :+= CalcMember(segs(1), formula,
-              solveOrder = solveOrder, formatString = fmt)
+              solveOrder = solveOrder, formatString = fmt,
+              cellFormatter = cellFmt)
           }
         }
       }
@@ -512,7 +530,27 @@ object Mdx {
               withSets.contains(f)
           case _ => false
         }
-        if (fnItem) {
+        // `.Members`-style suffixes inside braces ({[d].[l].Members},
+        // {[d].[m].Children, ...}) need the general set parser, not the
+        // literal member-path branch: scan to the matching '}' for a
+        // `.Suffix` pattern
+        val braceSuffixes = Set("MEMBERS", "ALLMEMBERS", "CHILDREN",
+          "PARENT", "FIRSTCHILD", "LASTCHILD", "SIBLINGS", "ITEM")
+        def braceHasSuffix: Boolean = {
+          var k = 0; var depth = 0; var found = false
+          while (!found && pos + k < toks.length && depth >= 0) {
+            (toks(pos + k), toks.lift(pos + k + 1)) match {
+              case (TPunct("{"), _) => depth += 1
+              case (TPunct("}"), _) => depth -= 1
+              case (TPunct("."), Some(TIdent(f)))
+                  if braceSuffixes(f.toUpperCase) => found = true
+              case _ => ()
+            }
+            k += 1
+          }
+          found
+        }
+        if (fnItem || braceHasSuffix) {
           var acc = setExpr(withSets)
           while (atPunct(",")) {
             eatPunct(","); acc = UnionSet(acc, setExpr(withSets), all = true)
@@ -605,6 +643,18 @@ object Mdx {
           if (!sub.atEnd)
             throw MdxException(s"Syntax error: trailing tokens in $fn string")
           r
+        case Some(TIdent(fn)) if udfByName(fn).exists(u =>
+            u.syntax == UdfSyntax.Function &&
+              u.returns == UdfType.MemberSet) =>
+          // set-returning UDF (ChildrenSet(...) shape,
+          // schema_definition_test.rb:1003-1014) — composes with every
+          // set operator
+          next()
+          udfInvoke(udfByName(fn).get, Nil, withSets) match {
+            case SetResult(s) => s
+            case SqlResult(_) => throw MdxException(
+              s"Syntax error: function '$fn' does not return a set")
+          }
         case Some(TIdent(fn)) if SetFns.contains(fn.toUpperCase) =>
           next(); setFunction(fn.toUpperCase, withSets)
         case Some(TIdent(name)) if withSets.contains(name) =>
@@ -833,6 +883,105 @@ object Mdx {
       segs
     }
 
+    // -------- typed user-defined functions (reference schema_udf.rb:
+    // 64-213; 12 UDF shapes tested at schema_definition_test.rb:900-1139)
+
+    private lazy val udfCtx = new UdfContext(cube)
+
+    private def udfByName(s: String): Option[UdfDef] = cube.funcs.udf(s)
+
+    /** Parse one UDF argument according to its declared type. */
+    private def udfArg(t: UdfType, ws: Map[String, SetExpr]): UdfArg =
+      t match {
+        case UdfType.MemberSet => SetArg(setExpr(ws))
+        case UdfType.Hierarchy => next() match {
+          case TBracket(s) => HierarchyArg(dimNamed(s))
+          case t2 => throw MdxException(
+            s"Syntax error: expected hierarchy, got $t2")
+        }
+        case UdfType.Level =>
+          val p = memberPath()
+          if (p.length != 2)
+            throw MdxException("Syntax error: expected [Dim].[Level]")
+          val d = dimNamed(p.head)
+          LevelArg(d, resolveLevel(d, p(1)))
+        case UdfType.Member => memberUdfArg()
+        case _ => ScalarArg(scalarExpr(ws))
+      }
+
+    /** `[dim].CurrentMember` (lowered to the axis-column macro) or an
+      * explicit `[dim].[a].[b]` path.
+      */
+    private def memberUdfArg(): MemberArg = {
+      val dn = next() match {
+        case TBracket(s) => s
+        case t2 => throw MdxException(s"Syntax error: expected member, got $t2")
+      }
+      val d = dimNamed(dn)
+      if (atPunct(".") && peekAt(1).exists(isKw(_, "CurrentMember"))) {
+        eatPunct("."); next()
+        MemberArg(d, s"__CURRENT_NAME_${d.name}__", None)
+      } else {
+        var segs = Seq.empty[String]
+        while (atPunct(".") && peekAt(1).exists(_.isInstanceOf[TBracket])) {
+          eatPunct(".")
+          next() match { case TBracket(s) => segs :+= s; case _ => () }
+        }
+        if (segs.isEmpty)
+          throw MdxException(
+            s"Syntax error: expected member path after [${d.name}]")
+        val path = segs.map(pathValue)
+        MemberArg(d, UdfResult.lit(String.valueOf(path.last)).sql, Some(path))
+      }
+    }
+
+    /** Invoke a UDF: `pre` holds already-parsed object args (property/
+      * method syntax); the remaining declared parameters are read from a
+      * parenthesized list.
+      */
+    private def udfInvoke(u: UdfDef, pre: Seq[UdfArg],
+        ws: Map[String, SetExpr]): UdfResult = {
+      val rest = u.parameters.drop(pre.length)
+      val args =
+        if (rest.isEmpty) pre
+        else {
+          eatPunct("(")
+          val buf = scala.collection.mutable.ArrayBuffer(pre: _*)
+          rest.zipWithIndex.foreach { case (t, i) =>
+            if (i > 0) eatPunct(",")
+            buf += udfArg(t, ws)
+          }
+          eatPunct(")")
+          buf.toSeq
+        }
+      u.body(udfCtx, args)
+    }
+
+    private def udfSql(r: UdfResult, name: String): String = r match {
+      case SqlResult(sql) => sql
+      case SetResult(_) => throw MdxException(
+        s"Syntax error: set-valued function '$name' used in a scalar " +
+          "position")
+    }
+
+    /** Postfix `.udf` / `.udf(args)` on a parsed object argument —
+      * consumed only when the identifier is a registered property/method
+      * UDF.
+      */
+    private def udfPostfix(obj: UdfArg,
+        ws: Map[String, SetExpr]): Option[String] =
+      if (!atPunct(".")) None
+      else peekAt(1) match {
+        case Some(TIdent(f)) => udfByName(f) match {
+          case Some(u) if u.syntax == UdfSyntax.Property ||
+              u.syntax == UdfSyntax.Method =>
+            eatPunct("."); next()
+            Some(udfSql(udfInvoke(u, Seq(obj), ws), f))
+          case _ => None
+        }
+        case _ => None
+      }
+
     // -------- scalar expressions ([Measures].[x] refs → SQL columns)
 
     /** Parse a scalar expression up to an unbalanced ')' or a top-level
@@ -1006,6 +1155,30 @@ object Mdx {
             sb.append(setAggRef(s.toUpperCase, ws))
             lastTokRef = -1; pendingDiv = false
             prevWasIdent = false
+          case Some(TIdent(s)) if udfByName(s).exists(u =>
+              u.syntax == UdfSyntax.Function &&
+                u.returns != UdfType.MemberSet) &&
+              peekAt(1).contains(TPunct("(")) =>
+            // function-syntax scalar UDF: expands to a SQL fragment in
+            // place (stays codegen'd with the surrounding expression)
+            next()
+            sb.append(" " + udfSql(udfInvoke(udfByName(s).get, Nil, ws), s) +
+              " ")
+            lastTokRef = -1; pendingDiv = false
+            prevWasIdent = false
+          case Some(TPunct("{")) =>
+            // a set literal in scalar position only makes sense as the
+            // object of a set-typed property/method UDF:
+            // {...}.firstUpperName (schema_definition_test.rb:1074-1090)
+            val set = setTermBase(ws)
+            udfPostfix(SetArg(set), ws) match {
+              case Some(sql) => sb.append(" " + sql + " ")
+              case None => throw MdxException(
+                "Syntax error: set literal in scalar position requires " +
+                  "a set-typed UDF property/method")
+            }
+            lastTokRef = -1; pendingDiv = false
+            prevWasIdent = false
           case Some(TIdent(s)) if s.equalsIgnoreCase("Parameter") &&
               peekAt(1).contains(TPunct("(")) =>
             next()
@@ -1034,15 +1207,69 @@ object Mdx {
                 } else if (cube.dims.exists(_.name.equalsIgnoreCase(s)) &&
                     atPunct(".") && peekAt(1).exists(
                       isKw(_, "CurrentMember"))) {
+                  val d = cube.dims.find(_.name.equalsIgnoreCase(s)).get
                   eatPunct("."); next() // CurrentMember
                   if (atPunct(".") && peekAt(1).exists(t2 =>
                       isKw(t2, "Name") || isKw(t2, "Caption"))) {
                     eatPunct("."); next()
+                    sb.append(s" __CURRENT_NAME_${d.name}__ ")
+                  } else {
+                    // .UpperName property / .toUpperName('x') method UDF
+                    // on the current member; bare CurrentMember otherwise
+                    val obj = MemberArg(d, s"__CURRENT_NAME_${d.name}__",
+                      None)
+                    sb.append(udfPostfix(obj, ws) match {
+                      case Some(sql) => s" $sql "
+                      case None => s" __CURRENT_NAME_${d.name}__ "
+                    })
                   }
-                  val dn = cube.dims
-                    .find(_.name.equalsIgnoreCase(s)).get.name
-                  sb.append(s" __CURRENT_NAME_${dn}__ ")
                   lastTokRef = -1; pendingDiv = false
+                } else if (cube.dims.exists(_.name.equalsIgnoreCase(s)) &&
+                    !isMeasureName(s)) {
+                  // [dim](.[seg])*.udf — hierarchy / level / member
+                  // object of a property/method UDF, dispatched by the
+                  // UDF's declared first parameter type
+                  val d = cube.dims.find(_.name.equalsIgnoreCase(s)).get
+                  var segs = Seq.empty[String]
+                  while (atPunct(".") &&
+                      peekAt(1).exists(_.isInstanceOf[TBracket])) {
+                    eatPunct(".")
+                    next() match {
+                      case TBracket(x) => segs :+= x
+                      case _ => ()
+                    }
+                  }
+                  val udfName = if (atPunct(".")) peekAt(1).collect {
+                    case TIdent(f) if udfByName(f).exists(u =>
+                      u.syntax != UdfSyntax.Function) => f
+                  } else None
+                  udfName match {
+                    case Some(f) =>
+                      eatPunct("."); next()
+                      val u = udfByName(f).get
+                      val obj: UdfArg = u.parameters.headOption match {
+                        case Some(UdfType.Hierarchy) => HierarchyArg(d)
+                        case Some(UdfType.Level) if segs.length == 1 =>
+                          LevelArg(d, resolveLevel(d, segs.head))
+                        case Some(UdfType.MemberSet) =>
+                          SetArg(if (segs.isEmpty)
+                            LevelMembers(d.name, d.levels.head.name)
+                          else Members(d.name, Seq(segs.map(pathValue))))
+                        case _ =>
+                          if (segs.isEmpty) throw MdxException(
+                            s"Syntax error: '$f' needs a member, " +
+                              s"[${d.name}] is a dimension")
+                          MemberArg(d,
+                            UdfResult.lit(segs.last).sql,
+                            Some(segs.map(pathValue)))
+                      }
+                      sb.append(" " + udfSql(udfInvoke(u, Seq(obj), ws), f)
+                        + " ")
+                      lastTokRef = -1; pendingDiv = false
+                    case None => throw MdxException(
+                      s"Syntax error: dimension reference [${d.name}] " +
+                        "in scalar position")
+                  }
                 } else addRef(s)
               case other =>
                 val wasDiv = other == TPunct("/")

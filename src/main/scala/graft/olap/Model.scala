@@ -98,7 +98,12 @@ final case class Measure(
     agg: Agg,
     expr: String,
     formatString: Option[String] = None,
-    meta: ElementMeta = ElementMeta()) {
+    meta: ElementMeta = ElementMeta(),
+    /** Named cell formatter from the cube's [[SchemaFunctions]] registry
+      * (reference CellFormatter schema element; takes precedence over
+      * `formatString` in Result.formattedValues).
+      */
+    cellFormatter: Option[String] = None) {
   def caption: String = meta.caption.getOrElse(name)
 }
 
@@ -155,7 +160,11 @@ final case class CalcMember(
     name: String,
     calc: CalcDef,
     solveOrder: Int = 0,
-    formatString: Option[String] = None)
+    formatString: Option[String] = None,
+    /** Named cell formatter (WITH MEMBER ... CELL_FORMATTER = 'name',
+      * reference query.rb:211-216).
+      */
+    cellFormatter: Option[String] = None)
 
 /** Ragged-hierarchy member visibility (reference schema.rb
   * hide_member_if: Never | IfBlankName | IfParentsName — the Israel-
@@ -180,7 +189,15 @@ final case class BoundLevel(
     col: String,
     ordCol: Option[String] = None,
     hideMemberIf: HideIf = HideIf.Never,
-    meta: ElementMeta = ElementMeta()) {
+    meta: ElementMeta = ElementMeta(),
+    /** Named member formatter: formats this level's member captions
+      * (reference MemberFormatter on a level, schema_udf.rb:243-249).
+      */
+    memberFormatter: Option[String] = None,
+    /** Property column → named property formatter
+      * (reference PropertyFormatter on a level property).
+      */
+    propertyFormatters: Map[String, String] = Map.empty) {
   def ordinal: String = ordCol.getOrElse(col)
   def caption: String = meta.caption.getOrElse(name)
 }
@@ -286,7 +303,11 @@ final case class BoundCube(
     /** Measure used when a query names none (the reference's cube
       * default_measure; falls back to the first declared measure).
       */
-    defaultMeasure: Option[String] = None) {
+    defaultMeasure: Option[String] = None,
+    /** Schema-scope named formatters + typed UDFs (reference
+      * user_defined_cell_formatter / user_defined_function elements).
+      */
+    funcs: SchemaFunctions = SchemaFunctions.empty) {
 
   def defaultMeasureName: String =
     defaultMeasure.getOrElse(measures.head.name)

@@ -625,7 +625,7 @@ final class Planner(val cube: BoundCube) {
     neededCalcs.sortBy(_.solveOrder).foldLeft(df) { (acc, cm) =>
       cm.calc match {
         case ExprCalc(sql) =>
-          try acc.withColumn(cm.name, expr(sql))
+          try acc.withColumn(cm.name, expr(resolveCurrent(sql, dims)))
           catch { case _: org.apache.spark.sql.AnalysisException => acc }
         case sac: SetAggCalc =>
           try setAggColumn(acc, cm.name, sac, dims, slicer, Map.empty)
@@ -694,7 +694,8 @@ final class Planner(val cube: BoundCube) {
       (acc, cm) =>
         cm.calc match {
           case ExprCalc(sql) =>
-            try acc.withColumn(cm.name, expr(sql))
+            try acc.withColumn(cm.name,
+              expr(resolveCurrent(sql, axisDims)))
             catch { case _: org.apache.spark.sql.AnalysisException => acc }
           case WindowCalc(base, kind, overDim, resetLevel) =>
             axisDims.find(_.d.name == overDim) match {

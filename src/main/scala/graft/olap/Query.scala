@@ -121,7 +121,8 @@ final class Query private (
       new Planner(cube).evalSet(p, slicer, withSets).dims
         .flatMap(ad => Planner.levelCols(ad.d, ad.depth))
     }
-    Result.fromDataFrame(execute(), measures, cube, pageCols)
+    Result.fromDataFrame(execute(), measures, cube, pageCols,
+      queryCalcs = withMembers)
   }
 
   /** DRILLTHROUGH through the current slicer (SURVEY §2.11). */
@@ -192,6 +193,63 @@ final class CubeMetadata(cube: BoundCube) {
       .limit(1).collect().headOption
       .map(r => propCols.zip(r.toSeq).toMap)
       .getOrElse(Map.empty)
+  }
+
+  private def measureLike(fullName: String): Option[String] = {
+    val segs = Mdx.lex(fullName).collect { case Mdx.TBracket(s) => s }
+    val name = segs match {
+      case Seq(m, n) if m.equalsIgnoreCase("Measures") => n
+      case Seq(n) => n
+      case _ => fullName
+    }
+    (cube.measures.map(_.name) ++ cube.calcMembers.map(_.name))
+      .find(_.equalsIgnoreCase(name))
+  }
+
+  /** Named cell formatter of a measure/calc member, when declared
+    * (reference member.cell_formatter_name,
+    * schema_definition_test.rb:1237-1243).
+    */
+  def cellFormatterName(fullName: String): Option[String] =
+    measureLike(fullName).flatMap(n =>
+      cube.measures.find(_.name == n).flatMap(_.cellFormatter)
+        .orElse(cube.calcMembers.find(_.name == n).flatMap(_.cellFormatter)))
+
+  /** The resolved cell formatter function (reference member.cell_formatter). */
+  def cellFormatter(fullName: String): Option[Any => String] =
+    cellFormatterName(fullName).flatMap(cube.funcs.cellFormatter)
+
+  /** VB format string of a measure (reference member.format_string). */
+  def formatString(fullName: String): Option[String] =
+    measureLike(fullName).flatMap(n =>
+      cube.measures.find(_.name == n).flatMap(_.formatString)
+        .orElse(cube.calcMembers.find(_.name == n).flatMap(_.formatString)))
+
+  /** Member caption through the level's member formatter (reference
+    * member.caption with a MemberFormatter declared on the level).
+    */
+  def memberCaption(dim: String, path: Seq[Any]): String = {
+    val d = cube.dim(dim)
+    val name = path.last
+    val l = d.levels(path.length - 1)
+    l.memberFormatter.flatMap(cube.funcs.memberFormatter)
+      .map(f => f(MemberView(d.name, l.name, name)))
+      .getOrElse(String.valueOf(name))
+  }
+
+  /** Property value through the level's property formatter (reference
+    * member.property_formatted_value('City')).
+    */
+  def memberPropertyFormatted(dim: String, path: Seq[Any],
+      property: String): Option[String] = {
+    val d = cube.dim(dim)
+    val l = d.levels(path.length - 1)
+    memberProperties(dim, path).get(property).map { v =>
+      l.propertyFormatters.get(property)
+        .flatMap(cube.funcs.propertyFormatter)
+        .map(f => f(MemberView(d.name, l.name, path.last), property, v))
+        .getOrElse(String.valueOf(v))
+    }
   }
 
   /** member('[customer].[EUROPE].[NATION_3]')-style lookup by full MDX

@@ -22,7 +22,17 @@ final class Result(
     /** PAGES level columns (prefix of rowAxisNames) when the query had
       * a third axis — pages fold into the row grid page-major.
       */
-    val pageAxisNames: Seq[String] = Nil) {
+    val pageAxisNames: Seq[String] = Nil,
+    /** Named cell formatters resolved per output column — take
+      * precedence over format strings (reference CellFormatter;
+      * schema_definition_test.rb:1229-1235).
+      */
+    cellFmts: Map[String, Any => String] = Map.empty,
+    /** Member formatters resolved per axis column: format the member
+      * caption (reference MemberFormatter, schema_definition_test.rb
+      * "should format members").
+      */
+    memberFmts: Map[String, Any => String] = Map.empty) {
 
   def rowCount: Int = rowAxis.length
   def columnCount: Int = columnNames.length
@@ -44,7 +54,7 @@ final class Result(
       keep.map(_._1.drop(k)),
       rowAxisNames.drop(k),
       keep.map { case (_, idx) => cells(idx) },
-      formats)
+      formats, cellFmts = cellFmts, memberFmts = memberFmts)
   }
 
   /** Cell value at (row, column). */
@@ -64,17 +74,36 @@ final class Result(
     }
   }
 
-  /** Formatted cell grid through each measure's format string
-    * (result.rb formatted_values; '' for empty cells).
+  /** Formatted cell grid: a named cell formatter wins over the VB
+    * format string (result.rb formatted_values through Mondrian's
+    * CellFormatter; '' for empty cells).
     */
   def formattedValues: Seq[Seq[String]] =
     cells.map(_.zip(columnNames).map { case (v, name) =>
-      formats.get(name) match {
-        case _ if v == null => ""
-        case Some(f) => FormatString.format(v, f)
-        case None => v.toString
+      if (v == null) ""
+      else cellFmts.get(name) match {
+        case Some(cf) => cf(v)
+        case None => formats.get(name) match {
+          case Some(f) => FormatString.format(v, f)
+          case None => v.toString
+        }
       }
     })
+
+  /** Row-axis member captions through each level's member formatter
+    * (reference member.caption; unformatted levels pass through).
+    */
+  def formattedRowAxis: Seq[Seq[String]] =
+    rowAxis.map(_.zip(rowAxisNames).map { case (m, axisCol) =>
+      memberFmts.get(axisCol) match {
+        case Some(mf) => mf(m)
+        case None => String.valueOf(m)
+      }
+    })
+
+  /** Formatted caption of one row-axis member (row, axis column). */
+  def memberCaption(row: Int, axisCol: Int): String =
+    formattedRowAxis(row)(axisCol)
 
   /** Simple 2-axis HTML table (result.rb:66-110). */
   def toHtml: String = {
@@ -82,9 +111,9 @@ final class Result(
     rowAxisNames.foreach(n => sb.append(s"<th>$n</th>"))
     columnNames.foreach(n => sb.append(s"<th>$n</th>"))
     sb.append("</tr></thead><tbody>")
-    rowAxis.zip(formattedValues).foreach { case (members, vals) =>
+    formattedRowAxis.zip(formattedValues).foreach { case (members, vals) =>
       sb.append("<tr>")
-      members.foreach(m => sb.append(s"<td>${String.valueOf(m)}</td>"))
+      members.foreach(m => sb.append(s"<td>$m</td>"))
       vals.foreach(v => sb.append(s"<td>$v</td>"))
       sb.append("</tr>")
     }
@@ -99,21 +128,42 @@ object Result {
     * the rest the measure cells.
     */
   def fromDataFrame(df: DataFrame, measures: Seq[String],
-      cube: BoundCube, pageCols: Seq[String] = Nil): Result = {
+      cube: BoundCube, pageCols: Seq[String] = Nil,
+      queryCalcs: Seq[CalcMember] = Nil): Result = {
     val all = df.columns.toSeq
     val axisCols = all.filterNot(measures.contains)
     val rows = df.collect().toSeq
     val axisIdx = axisCols.map(all.indexOf)
     val cellIdx = measures.map(all.indexOf)
+    // query-level WITH MEMBERs carry format strings / cell formatters
+    // too (reference: with_member(...).as(..., format_string:,
+    // cell_formatter:))
+    val calcs = cube.calcMembers ++ queryCalcs
     val formats = (cube.measures.flatMap(m =>
       m.formatString.map(m.name -> _)) ++
-      cube.calcMembers.flatMap(c => c.formatString.map(c.name -> _))).toMap
+      calcs.flatMap(c => c.formatString.map(c.name -> _))).toMap
+    // resolve named formatters once, at materialization: unknown names
+    // fail here (the reference fails at schema load), not per cell
+    def resolveCell(owner: String, n: String): (String, Any => String) =
+      owner -> cube.funcs.cellFormatter(n).getOrElse(
+        throw new IllegalArgumentException(
+          s"cell formatter '$n' is not registered in cube '${cube.name}'"))
+    val cellFmts = (cube.measures.flatMap(m =>
+      m.cellFormatter.map(resolveCell(m.name, _))) ++
+      calcs.flatMap(c =>
+        c.cellFormatter.map(resolveCell(c.name, _)))).toMap
+    val memberFmts = (for {
+      d <- cube.dims; l <- d.levels; fn <- l.memberFormatter
+      f <- cube.funcs.memberFormatter(fn)
+    } yield l.col -> ((v: Any) => f(MemberView(d.name, l.name, v)))).toMap
     new Result(
       columnNames = measures,
       rowAxis = rows.map(r => axisIdx.map(r.get)),
       rowAxisNames = axisCols,
       cells = rows.map(r => cellIdx.map(r.get)),
       formats = formats,
-      pageAxisNames = pageCols.filter(axisCols.contains))
+      pageAxisNames = pageCols.filter(axisCols.contains),
+      cellFmts = cellFmts,
+      memberFmts = memberFmts)
   }
 }

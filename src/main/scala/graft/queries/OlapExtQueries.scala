@@ -103,6 +103,38 @@ object OlapExtQueries {
         .groupBy("lang").agg(count(lit(1)).as("n"))
     }),
 
+    // -- typed UDF surface (§2.12, schema_udf.rb): scalar macro UDFs +
+    // a member-typed property UDF, all through the MDX parser ----------
+    "q_udf_scalar" -> ((s, dir) =>
+      Mdx.execute(
+        """WITH MEMBER [Measures].[nation_upper] AS
+          |  '[customer].CurrentMember.UpperName'
+          | MEMBER [Measures].[rev_pct] AS
+          |  'PctOf([Measures].[revenue], [Measures].[sum_base_price])'
+          | MEMBER [Measures].[fact5] AS 'Factorial(5)'
+          |SELECT {[Measures].[revenue], [Measures].[nation_upper],
+          |  [Measures].[rev_pct], [Measures].[fact5]} ON COLUMNS,
+          |  [customer].[nation].Members ON ROWS
+          |FROM [Sales]""".stripMargin, sales(s, dir))),
+
+    // -- named cell formatter (§2.12): CELL_FORMATTER on a WITH MEMBER,
+    // applied in Result.formattedValues, grid re-emitted as a frame so
+    // the oracle can printf the same value -----------------------------
+    "q_formatter_cell" -> ((s, dir) => {
+      val res = Query.from(sales(s, dir))
+        .columns("count_order", "pad_orders")
+        .rows(LevelMembers("customer", "nation"))
+        .withMember(CalcMember("pad_orders", ExprCalc("count_order"),
+          cellFormatter = Some("Pad20")))
+        .executeResult()
+      val pi = res.columnNames.indexOf("pad_orders")
+      val grid = res.rowAxis.zip(res.formattedValues).map { case (ax, vs) =>
+        (String.valueOf(ax(0)), String.valueOf(ax(1)), vs(pi))
+      }
+      import s.implicits._
+      grid.toDF("cr_region", "cr_nation", "pad_orders")
+    }),
+
     // -- CASE / Iif / CoalesceEmpty / IsEmpty / MATCHES over cells with
     // genuine empties (crossjoin keeps null cells) ---------------------
     "q_predicates" -> ((s, dir) =>
@@ -126,6 +158,23 @@ object OlapExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_udf_scalar" ->
+      s"""SELECT r_name AS cr_region, n_name AS cr_nation,
+         |  $REV AS revenue,
+         |  upper(n_name) AS nation_upper,
+         |  100.0 * CAST($REV AS DOUBLE)
+         |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+         |    AS rev_pct,
+         |  CAST(120 AS DOUBLE) AS fact5
+         |$CJOIN
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_formatter_cell" ->
+      s"""SELECT r_name AS cr_region, n_name AS cr_nation,
+         |  printf('%020d', count(*)) AS pad_orders
+         |$CJOIN
+         |GROUP BY 1, 2""".stripMargin,
+
     "q_drilldown_level" ->
       s"""SELECT r_name AS cr_region, n_name AS cr_nation,
          |  $REV AS revenue, sum(l_quantity) AS sum_qty
