@@ -138,6 +138,51 @@ final class Planner(val cube: BoundCube) {
       .map { case (v, i) => col(d.levels(i).col) === lit(v) }
       .reduce(_ && _)
 
+  /** Pad a single-dimension member frame to `target` depth: missing
+    * level + ordinal columns become typed nulls (from the dimension
+    * frame's schema); [[DepthCol]] records each member's own depth.
+    */
+  private def padFrame(f: AxisFrame, target: Int): DataFrame = {
+    val ad = f.dims.head
+    val types = ad.d.df.schema.map(sf => sf.name -> sf.dataType).toMap
+    val missing = memberCols(ad.d, target).diff(memberCols(ad.d, ad.depth))
+    val base = missing.foldLeft(f.members)((df, c) =>
+      df.withColumn(c, lit(null).cast(types(c))))
+    if (base.columns.contains(DepthCol)) base
+    else base.withColumn(DepthCol, lit(ad.depth))
+  }
+
+  /** Axis members ⋈ their cells. Uniform frames join on the grain
+    * columns; a mixed-depth frame aggregates once PER PRESENT DEPTH
+    * (each grain is one ordinary star pass that reuses the segment
+    * cache — the same work a user would issue as separate queries) and
+    * joins null-safely on the padded level columns + depth marker.
+    */
+  private def joinCells(a: AxisFrame, slicer: Seq[SlicerItem]): DataFrame =
+    a.mixedDim match {
+      case None =>
+        a.members.join(aggregate(a.dims, slicer), groupCols(a.dims), "left")
+      case Some(dn) =>
+        val md = a.dims.find(_.d.name == dn).get
+        val others = a.dims.filterNot(_.d.name == dn)
+        val levels = levelCols(md.d, md.depth)
+        val types = md.d.df.schema.map(sf => sf.name -> sf.dataType).toMap
+        val cells = a.mixedDepths.map { dep =>
+          val agg = aggregate(others :+ AxisDim(md.d, dep), slicer)
+          val padded = levels.drop(dep + 1).foldLeft(agg)((df, c) =>
+            df.withColumn(c, lit(null).cast(types(c))))
+          padded.withColumn(DepthCol, lit(dep))
+        }.reduce(_ unionByName _)
+        val keyCols = (groupCols(others) ++ levels) :+ DepthCol
+        val renamed = cells.select(
+          (keyCols.map(c => col(c).as(s"__c_$c")) ++
+            cells.columns.filterNot(keyCols.contains).map(col)): _*)
+        val cond = keyCols.map(c => col(c) <=> col(s"__c_$c"))
+          .reduce(_ && _)
+        a.members.join(renamed, cond, "left")
+          .drop(keyCols.map(c => s"__c_$c"): _*)
+    }
+
   def evalSet(set: SetExpr, slicer: Seq[SlicerItem],
       withSets: Map[String, SetExpr] = Map.empty): AxisFrame = set match {
     case LevelMembers(dim, level) =>
@@ -147,11 +192,18 @@ final class Planner(val cube: BoundCube) {
 
     case Members(dim, paths) =>
       val d = cube.dim(dim)
-      require(paths.nonEmpty && paths.forall(_.length == paths.head.length),
-        "literal member set must be uniform-depth")
-      val depth = math.min(paths.head.length, d.levels.length) - 1
-      val pred = paths.map(p => ancestorPredicate(d, p)).reduce(_ || _)
-      AxisFrame(memberFrame(d, depth).filter(pred), Seq(AxisDim(d, depth)))
+      require(paths.nonEmpty, "empty member set")
+      if (paths.forall(_.length == paths.head.length)) {
+        val depth = math.min(paths.head.length, d.levels.length) - 1
+        val pred = paths.map(p => ancestorPredicate(d, p)).reduce(_ || _)
+        AxisFrame(memberFrame(d, depth).filter(pred), Seq(AxisDim(d, depth)))
+      } else {
+        // mixed-depth literal set ({[d].[a], [d].[a].[b]}): lower to a
+        // union of the per-depth subsets (padded-frame path)
+        val byLen = paths.groupBy(_.length).toSeq.sortBy(_._1)
+          .map { case (_, ps) => Members(dim, ps): SetExpr }
+        evalSet(byLen.reduce(UnionSet(_, _, all = true)), slicer, withSets)
+      }
 
     case Children(dim, path) =>
       val d = cube.dim(dim)
@@ -181,8 +233,13 @@ final class Planner(val cube: BoundCube) {
     case CrossJoin(l, r) =>
       val a = evalSet(l, slicer, withSets)
       val b = evalSet(r, slicer, withSets)
+      require(a.mixedDim.isEmpty || b.mixedDim.isEmpty,
+        "CrossJoin of two mixed-depth sets is not supported")
+      val mixedDepths = a.mixedDepths ++ b.mixedDepths
+      val mixedDim = a.mixedDim.orElse(b.mixedDim)
       if (!a.hasOrd && !b.hasOrd)
-        AxisFrame(a.members.crossJoin(b.members), a.dims ++ b.dims)
+        AxisFrame(a.members.crossJoin(b.members), a.dims ++ b.dims,
+          mixedDepths = mixedDepths, mixedDim = mixedDim)
       else {
         // Mondrian CrossJoin order is lexicographic (left order major):
         // renumber from the realized child orders, then drop the child
@@ -192,12 +249,16 @@ final class Planner(val cube: BoundCube) {
           .crossJoin(rb.members.withColumnRenamed(OrdCol, "__ordR"))
         val w = Window.orderBy(col("__ordL").asc, col("__ordR").asc)
         AxisFrame(joined.withColumn(OrdCol, row_number().over(w))
-          .drop("__ordL", "__ordR"), a.dims ++ b.dims, hasOrd = true)
+          .drop("__ordL", "__ordR"), a.dims ++ b.dims, hasOrd = true,
+          mixedDepths = mixedDepths, mixedDim = mixedDim)
       }
 
     case NonEmptyCrossJoin(l, r) =>
       val a = evalSet(l, slicer, withSets)
       val b = evalSet(r, slicer, withSets)
+      require(a.mixedDim.isEmpty && b.mixedDim.isEmpty,
+        "NonEmptyCrossJoin of a mixed-depth set is not supported; " +
+          "apply NON EMPTY to the query instead")
       val dims = a.dims ++ b.dims
       // combos that occur in the (slicer-restricted) fact
       val star = joinStar(neededJoins(dims, slicer), slicer)
@@ -215,13 +276,35 @@ final class Planner(val cube: BoundCube) {
       AxisFrame(joined, dims)
 
     case UnionSet(l, r, all) =>
-      val a = evalSet(l, slicer, withSets)
-      val b = evalSet(r, slicer, withSets)
-      val keyCols = groupCols(a.dims)
+      val a0 = evalSet(l, slicer, withSets)
+      val b0 = evalSet(r, slicer, withSets)
+      // same-dimension sides at DIFFERENT levels union into a
+      // mixed-depth frame: both sides padded to the deepest level
+      // (typed nulls) with a __depth marker (reference unions members
+      // of different levels, query_test.rb:231-260)
+      val mixable = a0.dims.length == 1 && b0.dims.length == 1 &&
+        a0.dims.head.d.name == b0.dims.head.d.name &&
+        (a0.dims.head.depth != b0.dims.head.depth ||
+          a0.mixedDepths.nonEmpty || b0.mixedDepths.nonEmpty)
+      val (a, b) =
+        if (!mixable) (a0, b0)
+        else {
+          val d = a0.dims.head.d
+          val target = math.max(a0.dims.head.depth, b0.dims.head.depth)
+          val dims = Seq(AxisDim(d, target))
+          val depths = (a0.depthsOf ++ b0.depthsOf).distinct.sorted
+          (a0.copy(members = padFrame(a0, target), dims = dims,
+            mixedDepths = depths, mixedDim = Some(d.name)),
+           b0.copy(members = padFrame(b0, target), dims = dims,
+             mixedDepths = depths, mixedDim = Some(d.name)))
+        }
+      val keyCols =
+        if (a.mixedDepths.isEmpty) groupCols(a.dims)
+        else groupCols(a.dims) :+ DepthCol
       if (!a.hasOrd && !b.hasOrd) {
         val cols = a.members.columns.toSeq
         val u = a.members.unionByName(b.members.select(cols.map(col): _*))
-        AxisFrame(if (all) u else u.distinct(), a.dims)
+        a.copy(members = if (all) u else u.distinct())
       } else {
         // order-preserving union: left members first (their order), then
         // right members; non-ALL keeps the first occurrence (UnionFunDef)
@@ -239,7 +322,7 @@ final class Planner(val cube: BoundCube) {
               .filter(col(OrdCol) === col("__minOrd")).drop("__minOrd")
           }
         val w = Window.orderBy(col(OrdCol).asc)
-        AxisFrame(deduped.withColumn(OrdCol, row_number().over(w)), a.dims,
+        a.copy(members = deduped.withColumn(OrdCol, row_number().over(w)),
           hasOrd = true)
       }
 
@@ -250,7 +333,7 @@ final class Planner(val cube: BoundCube) {
       val kept = a.members.join(
         b.members.select(joinCols.map(col): _*).distinct(),
         joinCols, "left_semi")
-      AxisFrame(renumber(kept, a.hasOrd), a.dims, a.hasOrd)
+      a.copy(members = renumber(kept, a.hasOrd))
 
     case ExceptSet(l, r) =>
       val a = evalSet(l, slicer, withSets)
@@ -258,7 +341,7 @@ final class Planner(val cube: BoundCube) {
       val joinCols = b.dims.flatMap(ad => levelCols(ad.d, ad.depth))
       val kept = a.members.join(b.members.select(joinCols.map(col): _*)
         .distinct(), joinCols, "left_anti")
-      AxisFrame(renumber(kept, a.hasOrd), a.dims, a.hasOrd)
+      a.copy(members = renumber(kept, a.hasOrd))
 
     case ExistsSet(l, r) =>
       val a = evalSet(l, slicer, withSets)
@@ -267,18 +350,18 @@ final class Planner(val cube: BoundCube) {
         .filterNot(_ == OrdCol).toSeq
       val kept = a.members.join(b.members.select(common.map(col): _*)
         .distinct(), common, "left_semi")
-      AxisFrame(renumber(kept, a.hasOrd), a.dims, a.hasOrd)
+      a.copy(members = renumber(kept, a.hasOrd))
 
     case DistinctSet(s) =>
       val a = evalSet(s, slicer, withSets)
-      if (!a.hasOrd) AxisFrame(a.members.distinct(), a.dims)
+      if (!a.hasOrd) a.copy(members = a.members.distinct())
       else {
         // keep the first occurrence of each member tuple (DistinctFunDef)
         val wk = Window.partitionBy(groupCols(a.dims).map(col): _*)
         val kept = a.members
           .withColumn("__minOrd", min(col(OrdCol)).over(wk))
           .filter(col(OrdCol) === col("__minOrd")).drop("__minOrd")
-        AxisFrame(renumber(kept, hasOrd = true), a.dims, hasOrd = true)
+        a.copy(members = renumber(kept, hasOrd = true), hasOrd = true)
       }
 
     case NamedSetRef(name) =>
@@ -293,7 +376,7 @@ final class Planner(val cube: BoundCube) {
       val cells = cellsFor(a, slicer)
       val kept = cells.filter(expr(resolveCurrent(cond, a.dims)))
         .select(a.members.columns.map(col): _*)
-      AxisFrame(renumber(kept, a.hasOrd), a.dims, a.hasOrd)
+      a.copy(members = renumber(kept, a.hasOrd))
 
     case OrderSet(s, e, dir) =>
       val a = evalSet(s, slicer, withSets)
@@ -312,7 +395,7 @@ final class Planner(val cube: BoundCube) {
       val cells = cellsFor(a, slicer)
       val key = if (bottom) expr(e).asc else expr(e).desc
       val o = ordered(a, cells, Seq(key))
-      AxisFrame(o.members.filter(col(OrdCol) <= n), o.dims, hasOrd = true)
+      o.copy(members = o.members.filter(col(OrdCol) <= n))
 
     case TopPercent(s, pct, e, bottom) =>
       topAccum(s, e, bottom, slicer, withSets) { (cum, total, v) =>
@@ -326,24 +409,21 @@ final class Planner(val cube: BoundCube) {
 
     case HeadSet(s, n) =>
       val a = realizeOrd(evalSet(s, slicer, withSets))
-      AxisFrame(a.members.filter(col(OrdCol) <= n), a.dims, hasOrd = true)
+      a.copy(members = a.members.filter(col(OrdCol) <= n))
 
     case TailSet(s, n) =>
       val a = realizeOrd(evalSet(s, slicer, withSets))
       val w = Window.partitionBy()
       val withCnt = a.members.withColumn("__cnt", count(lit(1)).over(w))
-      AxisFrame(
-        renumber(withCnt.filter(col(OrdCol) > col("__cnt") - n)
-          .drop("__cnt"), hasOrd = true),
-        a.dims, hasOrd = true)
+      a.copy(members = renumber(withCnt
+        .filter(col(OrdCol) > col("__cnt") - n).drop("__cnt"),
+        hasOrd = true))
 
     case SubsetSet(s, start, n) =>
       val a = realizeOrd(evalSet(s, slicer, withSets))
-      AxisFrame(
-        renumber(
-          a.members.filter(col(OrdCol) > start && col(OrdCol) <= start + n),
-          hasOrd = true),
-        a.dims, hasOrd = true)
+      a.copy(members = renumber(
+        a.members.filter(col(OrdCol) > start && col(OrdCol) <= start + n),
+        hasOrd = true))
 
     case ExtractSet(s, dimNames) =>
       val a = evalSet(s, slicer, withSets)
@@ -354,12 +434,16 @@ final class Planner(val cube: BoundCube) {
 
     case Hierarchize(s, post) =>
       val a = evalSet(s, slicer, withSets)
+      // PRE (default) = parents before their children; POST = parents
+      // after. On a mixed-depth (padded) frame a parent's deeper
+      // ordinal columns are null, so null placement IS the pre/post
+      // switch; uniform frames have no nulls and sort identically.
       val ords = a.dims.flatMap(ad =>
-        ad.d.levelsTo(ad.depth).map(l => col(l.ordinal).asc))
-      // POST = parents after children; with uniform-depth frames this is
-      // the same ordering (depth is constant), so sort by path ordinals.
+        ad.d.levelsTo(ad.depth).map(l =>
+          if (post) col(l.ordinal).asc_nulls_last
+          else col(l.ordinal).asc_nulls_first))
       val w = Window.orderBy(ords: _*)
-      AxisFrame(a.members.withColumn(OrdCol, row_number().over(w)), a.dims,
+      a.copy(members = a.members.withColumn(OrdCol, row_number().over(w)),
         hasOrd = true)
   }
 
@@ -385,7 +469,7 @@ final class Planner(val cube: BoundCube) {
       .filter(keep(col("__cum"), col("__tot"), col("__v")))
       .select(
         (a.members.columns.filterNot(_ == OrdCol) :+ OrdCol).map(col): _*)
-    AxisFrame(kept, a.dims, hasOrd = true)
+    a.copy(members = kept, hasOrd = true)
   }
 
   /** Compact an explicit __ord to 1..n after row removal so downstream
@@ -400,20 +484,16 @@ final class Planner(val cube: BoundCube) {
   /** Cells at the grain of `a` with all base measures + expression calc
     * members — the working set for cell-dependent set operators.
     */
-  private def cellsFor(a: AxisFrame, slicer: Seq[SlicerItem]): DataFrame = {
-    val agg = aggregate(a.dims, slicer)
-    val joined = a.members.join(agg, groupCols(a.dims), "left")
-    applyExprCalcs(joined, a.dims, slicer)
-  }
+  private def cellsFor(a: AxisFrame, slicer: Seq[SlicerItem]): DataFrame =
+    applyExprCalcs(joinCells(a, slicer), a.dims, slicer)
 
   private def ordered(a: AxisFrame, cells: DataFrame,
       sortCols: Seq[Column]): AxisFrame = {
     val w = Window.orderBy(sortCols ++ tieBreak(a): _*)
-    AxisFrame(
-      cells.withColumn(OrdCol, row_number().over(w))
+    a.copy(members = cells.withColumn(OrdCol, row_number().over(w))
         .select(
           (a.members.columns.filterNot(_ == OrdCol) :+ OrdCol).map(col): _*),
-      a.dims, hasOrd = true)
+      hasOrd = true)
   }
 
   /** Deterministic tie-break: the member key columns. */
@@ -427,10 +507,13 @@ final class Planner(val cube: BoundCube) {
   private def realizeOrd(a: AxisFrame): AxisFrame =
     if (a.hasOrd) a
     else {
+      // default asc places nulls first, so a mixed-depth frame's
+      // parents (null deeper ordinals) precede their children — the
+      // hierarchical (PRE) default
       val ords = a.dims.flatMap(ad =>
         ad.d.levelsTo(ad.depth).map(l => col(l.ordinal).asc))
       val w = Window.orderBy(ords: _*)
-      AxisFrame(a.members.withColumn(OrdCol, row_number().over(w)), a.dims,
+      a.copy(members = a.members.withColumn(OrdCol, row_number().over(w)),
         hasOrd = true)
     }
 
@@ -658,8 +741,7 @@ final class Planner(val cube: BoundCube) {
         withCalcs.select(q.measures.map(col): _*)
       case Some(set) =>
         val axis = evalSet(set, q.slicer, q.withSets)
-        val cells = aggregate(axis.dims, q.slicer)
-        val joined = axis.members.join(cells, groupCols(axis.dims), "left")
+        val joined = joinCells(axis, q.slicer)
         val withCalcs = applyCalcs(joined, axis.dims, q.slicer, q.withSets)
         val pruned =
           if (!q.nonEmpty) withCalcs
@@ -887,6 +969,14 @@ final class Planner(val cube: BoundCube) {
 object Planner {
   val OrdCol = "__ord"
 
+  /** Depth marker column of a mixed-depth axis frame (union of members
+    * at different levels of one hierarchy — reference
+    * query_test.rb:231-260: rows('[Customers].[Country].Members',
+    * '[Customers].[City].Members')). Frames are padded to the deepest
+    * level with typed nulls; __depth records each member's own level.
+    */
+  val DepthCol = "__depth"
+
   final case class AxisDim(d: BoundDim, depth: Int)
 
   /** Partial-merge function per aggregator for insert-delta segment
@@ -905,7 +995,22 @@ object Planner {
     * (set by Order, TopCount, Head, Tail, Hierarchize).
     */
   final case class AxisFrame(members: DataFrame, dims: Seq[AxisDim],
-      hasOrd: Boolean = false)
+      hasOrd: Boolean = false,
+      /** Distinct member depths when the frame is mixed-depth (empty =
+        * uniform). Mixed frames carry [[DepthCol]] and null-padded
+        * deeper level columns; cells join per depth grain.
+        */
+      mixedDepths: Seq[Int] = Nil,
+      /** The dimension the mixed depths belong to (one hierarchy may be
+        * mixed per frame).
+        */
+      mixedDim: Option[String] = None) {
+    /** Depths present for the mixed dim (its own uniform depth when the
+      * frame is not mixed).
+      */
+    def depthsOf: Seq[Int] =
+      if (mixedDepths.nonEmpty) mixedDepths else Seq(dims.head.depth)
+  }
 
   /** All level key columns (root..depth) of the dims — the aggregation
     * grain and the axis→cells join key.

@@ -103,6 +103,35 @@ object OlapExtQueries {
         .groupBy("lang").agg(count(lit(1)).as("n"))
     }),
 
+    // -- mixed-depth member sets (§2.6): union of region- and
+    // nation-level members on one axis; cells aggregate at each
+    // member's OWN grain (query_test.rb:231-260 semantics) ------------
+    "q_mixed_depth_union" -> ((s, dir) =>
+      Mdx.execute(
+        """SELECT {[Measures].[revenue], [Measures].[count_order]} ON COLUMNS,
+          |  {[customer].[region].Members, [customer].[nation].Members}
+          |    ON ROWS
+          |FROM [Sales]""".stripMargin, sales(s, dir))),
+
+    // -- Hierarchize POST on a mixed-depth set: children before their
+    // parent; the engine's __ord is exposed so the oracle can check the
+    // ORDER, not just the rows --------------------------------------
+    "q_hierarchize_post" -> ((s, dir) => {
+      val res = Query.from(sales(s, dir))
+        .columns("count_order")
+        .rows(Hierarchize(UnionSet(
+          LevelMembers("customer", "region"),
+          LevelMembers("customer", "nation"), all = true), post = true))
+        .executeResult()
+      val grid = res.rowAxis.zipWithIndex.map { case (ax, i) =>
+        (i + 1, String.valueOf(ax(0)),
+          Option(ax(1)).map(String.valueOf).orNull,
+          res.value(i, 0).asInstanceOf[Number].longValue())
+      }
+      import s.implicits._
+      grid.toDF("ord", "cr_region", "cr_nation", "count_order")
+    }),
+
     // -- typed UDF surface (§2.12, schema_udf.rb): scalar macro UDFs +
     // a member-typed property UDF, all through the MDX parser ----------
     "q_udf_scalar" -> ((s, dir) =>
@@ -158,6 +187,27 @@ object OlapExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_mixed_depth_union" ->
+      s"""SELECT r_name AS cr_region, n_name AS cr_nation,
+         |  $REV AS revenue, count(*) AS count_order
+         |$CJOIN
+         |GROUP BY GROUPING SETS ((r_name), (r_name, n_name))"""
+        .stripMargin,
+
+    // POST order: within a region, nations (ordered) first, then the
+    // region's own row
+    "q_hierarchize_post" ->
+      s"""WITH cells AS (
+         |  SELECT r_name AS cr_region, n_name AS cr_nation,
+         |    count(*) AS count_order
+         |  $CJOIN
+         |  GROUP BY GROUPING SETS ((r_name), (r_name, n_name)))
+         |SELECT CAST(row_number() OVER (ORDER BY cr_region,
+         |    CASE WHEN cr_nation IS NULL THEN 1 ELSE 0 END, cr_nation)
+         |    AS INT) AS ord,
+         |  cr_region, cr_nation, count_order
+         |FROM cells""".stripMargin,
+
     "q_udf_scalar" ->
       s"""SELECT r_name AS cr_region, n_name AS cr_nation,
          |  $REV AS revenue,
