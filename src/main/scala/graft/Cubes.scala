@@ -348,7 +348,15 @@ object Cubes {
         Measure("icept_price_qty", Agg.RegrIntercept("l_quantity"),
           "l_extendedprice"),
         Measure("r2_price_qty", Agg.RegrR2("l_quantity"),
-          "l_extendedprice")),
+          "l_extendedprice"),
+        Measure("var_price_qty", Agg.RegrVariance("l_quantity"),
+          "l_extendedprice"),
+        // LinRegPoint at x = 25 units (mid-range quantity)
+        Measure("point_price_q25", Agg.RegrPoint("l_quantity", 25.0),
+          "l_extendedprice"),
+        // NthQuartile (jar extra/NthQuartileFunDef): first + third
+        Measure("q1_price", Agg.NthQuartile(1), "l_extendedprice"),
+        Measure("q3_price", Agg.NthQuartile(3), "l_extendedprice")),
       calcMembers = Seq(
         // Profit-margin style calc member (MondrianTest.xml:107-112 analog)
         // ratio of two exact-decimal aggregates: divide as doubles (a

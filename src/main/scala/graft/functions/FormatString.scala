@@ -153,4 +153,28 @@ object FormatString {
     def replaceAll(find: String, repl: String): Column =
       regexp_replace(c, java.util.regex.Pattern.quote(find), repl)
   }
+
+  /** The same lowering as [[toColumn]], emitted as a Spark SQL fragment
+    * over an inner SQL expression — for callers that splice formatting
+    * into a larger SQL string (the MDX Format() expression).
+    */
+  def sqlFor(inner: String, fmt: String): String = {
+    def esc(s: String): String = s.replace("'", "''")
+    val f = canonical(fmt)
+    if (isDatePattern(f)) s"date_format($inner, '${esc(datePattern(f))}')"
+    else numPat(f) match {
+      case None => s"CAST(($inner) AS STRING)"
+      case Some(p) =>
+        val scaled = if (p.percent) s"(($inner) * 100)" else s"($inner)"
+        val body0 = s"format_number($scaled, ${p.decimals})"
+        val body =
+          if (p.grouping) body0
+          else s"regexp_replace($body0, ',', '')"
+        val withSuffix =
+          if (p.suffix.nonEmpty) s"concat($body, '${esc(p.suffix)}')"
+          else body
+        if (p.prefix.nonEmpty) s"concat('${esc(p.prefix)}', $withSuffix)"
+        else withSuffix
+    }
+  }
 }

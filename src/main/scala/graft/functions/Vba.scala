@@ -116,6 +116,79 @@ object Vba {
     }
   def now(): Column = current_timestamp()
   def dateValue(c: Column): Column = to_date(c)
+  /** VBA TimeSerial(h, m, s) rendered as HH:mm:ss (VBA's fractional-day
+    * Date is meaningless in a date-typed engine; the clock string is
+    * the observable the reference tests compare).
+    */
+  def timeSerial(h: Column, m: Column, s: Column): Column =
+    format_string("%02d:%02d:%02d",
+      h.cast("int"), m.cast("int"), s.cast("int"))
+  /** VBA TimeValue: the time-of-day part of a date/timestamp. */
+  def timeValue(c: Column): Column = date_format(c, "HH:mm:ss")
+  /** VBA Timer: seconds since midnight of the given timestamp (the
+    * argless VBA form reads the wall clock — pass Vba.now() for that).
+    */
+  def timer(ts: Column): Column =
+    org.apache.spark.sql.functions.hour(ts) * 3600 +
+      org.apache.spark.sql.functions.minute(ts) * 60 +
+      org.apache.spark.sql.functions.second(ts)
+  /** VBA IsDate: does the value parse as a date/timestamp? (try_ parse —
+    * never throws, ANSI-safe.)
+    */
+  def isDate(c: Column): Column =
+    try_to_timestamp(c.cast("string")).isNotNull
+
+  // ---- VBA type casts (cBool, cByte, cCur, cDbl, cInt, cLng, cSng,
+  // cStr, cDate). cInt/cLng use banker's rounding (VBA rounds to even),
+  // which Spark's bround implements exactly.
+  def cBool(c: Column): Column = c.cast("boolean")
+  def cByte(c: Column): Column = bround(c).cast("tinyint")
+  /** VBA Currency: fixed-point with 4 decimal places. */
+  def cCur(c: Column): Column = c.cast("decimal(19,4)")
+  def cDbl(c: Column): Column = c.cast("double")
+  def cInt(c: Column): Column = bround(c).cast("int")
+  def cLng(c: Column): Column = bround(c).cast("bigint")
+  def cSng(c: Column): Column = c.cast("float")
+  def cStr(c: Column): Column = c.cast("string")
+  def cDate(c: Column): Column = c.cast("date")
+  /** VBA TypeName of a column's Spark type (plan-time metadata — the
+    * engine analog of VBA's runtime type inspection).
+    */
+  def typeName(dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    lit(dt match {
+      case DoubleType => "Double"
+      case FloatType => "Single"
+      case LongType => "Long"
+      case IntegerType | ShortType | ByteType => "Integer"
+      case StringType => "String"
+      case BooleanType => "Boolean"
+      case DateType | TimestampType => "Date"
+      case _: DecimalType => "Currency"
+      case other => other.simpleString.capitalize
+    })
+  }
+
+  // ---- VB Format* convenience formatters (reference formatCurrency/
+  // formatDateTime/formatNumber/formatPercent) — all codegen'd builtins.
+  def formatNumber(c: Column, decimals: Int = 2): Column =
+    format_number(c, decimals)
+  def formatCurrency(c: Column, decimals: Int = 2): Column =
+    concat(lit("$"), format_number(c, decimals))
+  def formatPercent(c: Column, decimals: Int = 2): Column =
+    concat(format_number(c * 100, decimals), lit("%"))
+  /** vbGeneralDate(0) | vbLongDate(1) | vbShortDate(2) | vbLongTime(3)
+    * | vbShortTime(4).
+    */
+  def formatDateTime(c: Column, mode: Int = 0): Column = mode match {
+    case 0 => date_format(c, "M/d/yyyy h:mm:ss a")
+    case 1 => date_format(c, "EEEE, MMMM d, yyyy")
+    case 2 => date_format(c, "M/d/yyyy")
+    case 3 => date_format(c, "h:mm:ss a")
+    case 4 => date_format(c, "HH:mm")
+    case other =>
+      throw new IllegalArgumentException(s"FormatDateTime mode $other")
+  }
 
   // ---- financial (no Spark built-ins) --------------------------------
   // Closed forms follow the standard annuity algebra; all double math.
@@ -191,6 +264,27 @@ object Vba {
       zip_with(flows, sequence(lit(1), size(flows)),
         (v, i) => v.cast("double") / pow(lit(1.0) + rate, i.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Modified IRR over a cashflow array column: closed form (no
+    * iteration) — positive flows compound at the reinvest rate, negative
+    * flows discount at the finance rate.
+    */
+  def mIRR(flows: Column, financeRate: Column,
+      reinvestRate: Column): Column = {
+    val n = size(flows).cast("double")
+    val idx = sequence(lit(0), size(flows) - 1)
+    def npvOf(pred: Column => Column, rate: Column): Column =
+      aggregate(
+        zip_with(flows, idx, (v, i) =>
+          when(pred(v), v.cast("double") /
+            pow(lit(1.0) + rate, i.cast("double"))).otherwise(lit(0.0))),
+        lit(0.0), (acc, v) => acc + v)
+    val npvPos = npvOf(_ > 0, reinvestRate)
+    val npvNeg = npvOf(_ < 0, financeRate)
+    pow(-npvPos * pow(lit(1.0) + reinvestRate, n) /
+      (npvNeg * (lit(1.0) + financeRate)),
+      lit(1.0) / (n - lit(1.0))) - lit(1.0)
+  }
 
   /** IRR over a cashflow array — iterative (Newton) driver-side scalar,
     * exposed as the engine's only UDF pair with Rate.

@@ -93,9 +93,17 @@ final class Connection private (
 }
 
 object Connection {
-  /** Create over an explicit cube registry. */
+  /** Create over an explicit cube registry. Every cube is interned
+    * through the content-checksum [[SchemaPool]], so two Connections
+    * built from equal-content definitions share one resolved cube
+    * instance — and with it the member caches and segment-cache
+    * identity (the reference's RolapSchemaPool,
+    * connection.rb:112-181,325-326: schemas are pooled by a checksum of
+    * the schema content unless an explicit schema key is given).
+    */
   def create(spark: SparkSession, cubes: Seq[BoundCube]): Connection =
-    new Connection(spark, cubes.map(c => c.name -> c).toMap)
+    new Connection(spark,
+      cubes.map(SchemaPool.intern).map(c => c.name -> c).toMap)
 
   /** Create over the standard testdata cubes of one scale-factor dir
     * (the analog of connecting to one database).
@@ -104,4 +112,62 @@ object Connection {
     create(spark, Seq(
       graft.Cubes.sales(spark, sfDir),
       graft.Cubes.events(spark, sfDir)))
+
+  /** Drop every pooled schema (reference flush_schema_cache: the next
+    * connection re-resolves its cubes from scratch).
+    */
+  def flushSchemaPool(): Unit = SchemaPool.flush()
+
+  def schemaPoolSize: Int = SchemaPool.size
+}
+
+/** Content-checksum schema pool (reference RolapSchemaPool via
+  * connection.rb:112-181: `schema.checksum` of the generated XML keys
+  * the pool, so equal-content schemas resolve once). The checksum here
+  * covers the MODEL (dims/levels/measures/calcs/role/registered
+  * function names) plus the identity of the bound DataFrames
+  * (`semanticHash` of their logical plans — two cubes over different
+  * data directories never pool together).
+  */
+private[olap] object SchemaPool {
+  private val pool =
+    scala.collection.concurrent.TrieMap.empty[String, BoundCube]
+
+  def intern(c: BoundCube): BoundCube =
+    pool.getOrElseUpdate(checksum(c), c)
+
+  def size: Int = pool.size
+  def flush(): Unit = pool.clear()
+
+  def checksum(c: BoundCube): String = {
+    val sb = new StringBuilder(c.name)
+    def app(parts: Any*): Unit =
+      parts.foreach(p => sb.append('|').append(p))
+    c.dims.foreach { d =>
+      app(d.name, d.foreignKey, d.primaryKey, d.degenerate, d.isTime,
+        d.df.semanticHash())
+      d.levels.foreach(l => app(l.name, l.col, l.ordCol, l.hideMemberIf,
+        l.memberFormatter, l.propertyFormatters.toSeq.sorted))
+    }
+    c.measures.foreach(m =>
+      app(m.name, m.agg, m.expr, m.formatString, m.cellFormatter))
+    c.calcMembers.foreach(cm =>
+      app(cm.name, cm.calc, cm.solveOrder, cm.formatString,
+        cm.cellFormatter))
+    c.role.foreach(r => app(r.name, r.grants, r.policy))
+    app(c.defaultMeasure)
+    app(c.fact.semanticHash())
+    app(c.aggTables.map(_.name).sorted)
+    // function registries hold closures: names + declared signatures
+    // are the content (the reference hashes the generated XML, which
+    // also carries only names/classes)
+    app(c.funcs.cellFormatters.keys.toSeq.sorted,
+      c.funcs.memberFormatters.keys.toSeq.sorted,
+      c.funcs.propertyFormatters.keys.toSeq.sorted,
+      c.funcs.udfs.values.toSeq.sortBy(_.name)
+        .map(u => (u.name, u.parameters, u.returns, u.syntax)))
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sb.toString.getBytes("UTF-8"))
+    digest.map("%02x".format(_)).mkString
+  }
 }

@@ -22,6 +22,15 @@ final case class Descendants(dim: String, path: Seq[Any], level: String)
   */
 final case class MemberRange(dim: String, level: String, from: String,
     to: String) extends SetExpr
+/** CurrentDateMember([Time], format|level[, match]) — the member of
+  * `level` containing "now" (reference CurrentDateMemberFunDef,
+  * schema_definition_test.rb:577-597). `now` comes from the session
+  * conf `spark.graft.now` (ISO date) so results are deterministic;
+  * matchType ∈ EXACT | BEFORE | AFTER (BEFORE = closest earlier
+  * member, the reference's fallback behavior).
+  */
+final case class CurrentDateMember(dim: String, level: String,
+    matchType: String = "BEFORE") extends SetExpr
 
 /** CrossJoin(s1, s2) — sets over distinct dimensions. */
 final case class CrossJoin(left: SetExpr, right: SetExpr) extends SetExpr
@@ -66,6 +75,26 @@ final case class Hierarchize(set: SetExpr, post: Boolean = false)
     extends SetExpr
 /** Reference to a WITH SET named set (query.rb:181-186). */
 final case class NamedSetRef(name: String) extends SetExpr
+/** DrilldownMember(set, members): members of `set`, with the children
+  * of every member that is also in `members` inserted after it
+  * (DrilldownMemberFunDef; SURVEY §2.8 drilldown family).
+  */
+final case class DrilldownMember(set: SetExpr, members: SetExpr)
+    extends SetExpr
+/** DrilldownLevelTop/Bottom(set, n[, level], expr): each member plus
+  * its top/bottom-n children ranked by `expr`.
+  */
+final case class DrilldownLevelTop(set: SetExpr, n: Int, expr: String,
+    bottom: Boolean = false) extends SetExpr
+/** ToggleDrillState(set, members): per toggle member — collapse its
+  * descendants when already drilled, expand its children when not.
+  */
+final case class ToggleDrillState(set: SetExpr, members: SetExpr)
+    extends SetExpr
+/** Unorder(set) — semantic no-op (UnorderFunDef releases ordering
+  * constraints; this planner never orders unless forced).
+  */
+final case class UnorderSet(set: SetExpr) extends SetExpr
 /** Extract(set, dim...) — project the tuple set onto the given
   * dimensions and dedup (ExtractFunDef).
   */

@@ -72,6 +72,16 @@ object Mdx {
     case Hierarchize(s, post) =>
       s"HIERARCHIZE(${render(s)}${if (post) ", POST" else ""})"
     case NamedSetRef(n) => n
+    case CurrentDateMember(d, l, mt) =>
+      s"CURRENTDATEMEMBER([$d].[$l]${if (mt == "EXACT") "" else s", $mt"})"
+    case DrilldownMember(a, b) =>
+      s"DRILLDOWNMEMBER(${render(a)}, ${render(b)})"
+    case DrilldownLevelTop(s, n, e, bottom) =>
+      s"${if (bottom) "DRILLDOWNLEVELBOTTOM" else "DRILLDOWNLEVELTOP"}" +
+        s"(${render(s)}, $n, $e)"
+    case ToggleDrillState(a, b) =>
+      s"TOGGLEDRILLSTATE(${render(a)}, ${render(b)})"
+    case UnorderSet(s) => s"UNORDER(${render(s)})"
   }
 
   /** Render a full query IR to MDX (to_mdx). */
@@ -669,7 +679,9 @@ object Mdx {
       "INTERSECT", "EXCEPT", "DISTINCT", "FILTER", "ORDER", "TOPCOUNT",
       "BOTTOMCOUNT", "TOPPERCENT", "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM",
       "HEAD", "TAIL", "SUBSET", "HIERARCHIZE", "DESCENDANTS", "EXISTS",
-      "EXTRACT", "GENERATE", "ANCESTOR", "ADDCALCULATEDMEMBERS")
+      "EXTRACT", "GENERATE", "ANCESTOR", "ADDCALCULATEDMEMBERS",
+      "CURRENTDATEMEMBER", "DRILLDOWNMEMBER", "DRILLDOWNLEVELTOP",
+      "DRILLDOWNLEVELBOTTOM", "TOGGLEDRILLSTATE", "UNORDER")
 
     private def setFunction(fn: String,
         ws: Map[String, SetExpr]): SetExpr = {
@@ -793,6 +805,72 @@ object Mdx {
           // calc members live on [Measures] in this engine, so a member
           // set is unchanged (AddCalculatedMembersFunDef passthrough)
           arg()
+        case "UNORDER" => UnorderSet(arg())
+        case "DRILLDOWNMEMBER" =>
+          val a = arg(); comma(); val b = arg(); DrilldownMember(a, b)
+        case "TOGGLEDRILLSTATE" =>
+          val a = arg(); comma(); val b = arg(); ToggleDrillState(a, b)
+        case "DRILLDOWNLEVELTOP" | "DRILLDOWNLEVELBOTTOM" =>
+          val a = arg(); comma(); val n = num().toInt
+          var e: String = cube.defaultMeasureName
+          if (atPunct(",")) {
+            comma()
+            // optional Level argument: a short bracket path naming a
+            // level; accepted-but-unused (the drill is always one level
+            // down). Anything else — including [Measures].[x] — is the
+            // ranking expression; backtrack and parse it as such.
+            val save = pos
+            val isLevel = peek match {
+              case Some(TBracket(_)) =>
+                try {
+                  val p = memberPath()
+                  val ok = p.length <= 2 && {
+                    val d = cube.dims.find(_.name.equalsIgnoreCase(p.head))
+                    d match {
+                      case Some(dd) => p.length == 1 ||
+                        dd.levels.exists(_.name.equalsIgnoreCase(p.last))
+                      case None => p.length == 1 && cube.dims.exists(
+                        _.levels.exists(_.name.equalsIgnoreCase(p.head)))
+                    }
+                  }
+                  if (!ok) pos = save
+                  ok
+                } catch { case _: MdxException => pos = save; false }
+              case _ => false
+            }
+            if (isLevel) {
+              if (atPunct(",")) { comma(); e = scalarExpr(ws) }
+            } else e = scalarExpr(ws)
+          }
+          DrilldownLevelTop(a, n, e,
+            bottom = fn == "DRILLDOWNLEVELBOTTOM")
+        case "CURRENTDATEMEMBER" =>
+          // CurrentDateMember([Time], '[Time].[yyyy].[Qq]'[, match]) or
+          // CurrentDateMember([time].[month][, match]); the format
+          // string's segment count under the hierarchy name selects the
+          // level (reference CurrentDateMemberFunDef,
+          // schema_definition_test.rb:577-597)
+          val p = memberPath()
+          val d = dimNamed(p.head)
+          var level: Option[String] =
+            if (p.tail.nonEmpty) Some(resolveLevel(d, p.tail.last)) else None
+          var mt = "EXACT"
+          while (atPunct(",")) {
+            comma()
+            next() match {
+              case TStr(fmt) =>
+                val segs = lex(fmt).collect { case TBracket(s) => s }
+                val depth = math.min(math.max(segs.length - 2, 0),
+                  d.levels.length - 1)
+                level = Some(d.levels(depth).name)
+              case TIdent(m)
+                  if Set("EXACT", "BEFORE", "AFTER")(m.toUpperCase) =>
+                mt = m.toUpperCase
+              case t => throw MdxException(
+                s"Syntax error: bad CurrentDateMember argument $t")
+            }
+          }
+          CurrentDateMember(d.name, level.getOrElse(d.levels.last.name), mt)
         case _ =>
           throw MdxException(s"No function matches signature '$fn(...)'")
       }
@@ -1106,7 +1184,8 @@ object Mdx {
       name
     }
 
-    private def scalarExpr(ws: Map[String, SetExpr] = Map.empty): String = {
+    private def scalarExpr(ws: Map[String, SetExpr] = Map.empty,
+        stopAtAs: Boolean = false): String = {
       val sb = new StringBuilder
       var depth = 0
       var done = false
@@ -1134,6 +1213,8 @@ object Mdx {
           case Some(TPunct(",")) if depth == 0 => done = true
           case Some(TIdent(s)) if depth == 0 &&
               stopKw(s.toUpperCase) => done = true
+          case Some(TIdent(s)) if depth == 0 && stopAtAs &&
+              s.equalsIgnoreCase("AS") => done = true
           case Some(TIdent(s)) if s.equalsIgnoreCase("Measures") &&
               peekAt(1).contains(TPunct(".")) &&
               peekAt(2).exists(_.isInstanceOf[TBracket]) =>
@@ -1187,6 +1268,79 @@ object Mdx {
               case other => other.toString
             })
             lastTokRef = -1; pendingDiv = false
+          case Some(TIdent(s)) if s.equalsIgnoreCase("CAST") &&
+              peekAt(1).contains(TPunct("(")) =>
+            // MDX Cast(expr AS Type) (CastFunDef, mondrian_test.rb
+            // Cast tests): MDX type names → Spark SQL types
+            next(); eatPunct("(")
+            val inner = scalarExpr(ws, stopAtAs = true)
+            eatKw("AS")
+            val tname = next() match {
+              case TIdent(t) => t
+              case TBracket(t) => t
+              case t => throw MdxException(
+                s"Syntax error: bad Cast type $t")
+            }
+            val sparkType = tname.toUpperCase match {
+              case "BOOLEAN" => "BOOLEAN"
+              case "STRING" => "STRING"
+              case "INTEGER" | "INT" => "INT"
+              case "LONG" => "BIGINT"
+              // MDX NUMERIC is double-typed (CastFunDef)
+              case "NUMERIC" | "DOUBLE" | "SINGLE" => "DOUBLE"
+              case "DECIMAL" | "CURRENCY" => "DECIMAL(19,4)"
+              case "DATE" | "DATETIME" => "TIMESTAMP"
+              case o => throw MdxException(s"Cast: unknown type '$o'")
+            }
+            eatPunct(")")
+            sb.append(s" CAST($inner AS $sparkType) ")
+            lastTokRef = -1; pendingDiv = false; prevWasIdent = false
+          case Some(TIdent(s)) if s.equalsIgnoreCase("FORMAT") &&
+              peekAt(1).contains(TPunct("(")) =>
+            // MDX Format(expr, 'vb-format') — lowered through the VB
+            // format engine's Column surface, spliced back as SQL so it
+            // stays inside the surrounding codegen'd expression
+            next(); eatPunct("(")
+            val inner = scalarExpr(ws)
+            eatPunct(",")
+            val fmt = next() match {
+              case TStr(f) => f
+              case t => throw MdxException(
+                s"Syntax error: Format needs a format string, got $t")
+            }
+            eatPunct(")")
+            sb.append(" " + graft.functions.FormatString.sqlFor(inner, fmt)
+              + " ")
+            lastTokRef = -1; pendingDiv = false; prevWasIdent = false
+          case Some(TIdent(s)) if s.equalsIgnoreCase("SETTOSTR") &&
+              peekAt(1).contains(TPunct("(")) =>
+            // SetToStr(set) — constant-folded at parse time to the MDX
+            // rendering of the set (SetToStrFunDef)
+            next(); eatPunct("(")
+            val set = setExpr(ws)
+            eatPunct(")")
+            sb.append(s" '${render(set).replace("'", "''")}' ")
+            lastTokRef = -1; pendingDiv = false; prevWasIdent = false
+          case Some(TIdent(s)) if s.equalsIgnoreCase("TUPLETOSTR") &&
+              peekAt(1).contains(TPunct("(")) =>
+            // TupleToStr((m1, m2, ...)) — "(member, member)" rendering
+            next(); eatPunct("(")
+            val wrapped = atPunct("(")
+            if (wrapped) eatPunct("(")
+            var parts = Vector.empty[String]
+            def onePath(): Unit = {
+              val p = memberPath()
+              parts :+= ("[" + p.mkString("].[") + "]")
+            }
+            onePath()
+            while (atPunct(",")) { eatPunct(","); onePath() }
+            if (wrapped) eatPunct(")")
+            eatPunct(")")
+            val rendered =
+              if (parts.length == 1) parts.head
+              else parts.mkString("(", ", ", ")")
+            sb.append(s" '${rendered.replace("'", "''")}' ")
+            lastTokRef = -1; pendingDiv = false; prevWasIdent = false
           case Some(t) =>
             next()
             prevWasIdent = t.isInstanceOf[TIdent]

@@ -47,6 +47,19 @@ object Agg {
   final case class RegrSlope(expr2: String) extends Agg
   final case class RegrIntercept(expr2: String) extends Agg
   final case class RegrR2(expr2: String) extends Agg
+  /** NthQuartile (the jar's extra/NthQuartileFunDef; FirstQuartile = 1,
+    * ThirdQuartile = 3): exact interpolated quantile at n/4.
+    */
+  final case class NthQuartile(n: Int) extends Agg {
+    require(n >= 1 && n <= 3, s"quartile $n out of range")
+  }
+  /** LinRegVariance: residual mean square of the y-on-x regression,
+    * SS_res / (n - 2) = Syy·(1 − R²) / (n − 2) — unbiased residual
+    * variance (the jar's LinReg Variance).
+    */
+  final case class RegrVariance(expr2: String) extends Agg
+  /** LinRegPoint at x = `at`: slope·at + intercept. */
+  final case class RegrPoint(expr2: String, at: Double) extends Agg
 
   /** Lower to a codegen'd Spark aggregate Column over a SQL expression
     * string. DistinctCount is non-additive and therefore always recomputed
@@ -75,6 +88,13 @@ object Agg {
     case RegrSlope(e2)     => expr(s"regr_slope($e, $e2)")
     case RegrIntercept(e2) => expr(s"regr_intercept($e, $e2)")
     case RegrR2(e2)        => expr(s"regr_r2($e, $e2)")
+    case NthQuartile(n)    => expr(s"percentile($e, ${n / 4.0})")
+    case RegrVariance(e2)  => expr(
+      s"regr_syy($e, $e2) * (1.0 - regr_r2($e, $e2)) " +
+        s"/ (regr_count($e, $e2) - 2)")
+    case RegrPoint(e2, at) => expr(
+      s"regr_slope($e, $e2) * CAST($at AS DOUBLE) " +
+        s"+ regr_intercept($e, $e2)")
   }
 }
 

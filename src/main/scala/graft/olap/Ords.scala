@@ -1,0 +1,78 @@
+package graft.olap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Global row-numbering over a sort order, scale-guarded.
+  *
+  * A bare `Window.orderBy(...)` plans an Exchange to ONE partition —
+  * fine for dimension-bounded axis frames (tens..thousands of rows),
+  * fatal for a high-cardinality axis (a 100M-member level would
+  * single-thread and OOM one task). This helper keeps the cheap
+  * single-partition window for small frames (by Catalyst's plan-size
+  * estimate) and switches to a distributed two-phase numbering above
+  * the threshold:
+  *
+  *   1. range-repartition by the sort key (parallel range sort),
+  *   2. per-partition `row_number` (window partitioned by partition id),
+  *   3. add per-partition offsets — a partition-count-sized prefix-sum
+  *      frame, broadcast back. No driver-side action anywhere.
+  *
+  * The result is the same 1..n numbering a global window produces, at
+  * any cardinality.
+  */
+object Ords {
+
+  /** Plan-size threshold: below this the single-partition window wins
+    * (two extra shuffles + a range-sampling pass aren't worth it).
+    * Overridable for tests via spark conf `spark.graft.ord.smallBytes`.
+    */
+  val DefaultSmallBytes: Long = 64L << 20
+
+  private def smallBytes(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.ord.smallBytes")
+      .map(_.toLong).getOrElse(DefaultSmallBytes)
+
+  /** `df` + `out` = 1..n row number in `sort` order. */
+  def rowNumber(df: DataFrame, sort: Seq[Column], out: String): DataFrame = {
+    require(sort.nonEmpty, "rowNumber needs a sort order")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= smallBytes(df))
+      df.withColumn(out, row_number().over(Window.orderBy(sort: _*)))
+    else distributed(df, sort, out)
+  }
+
+  private def distributed(df: DataFrame, sort: Seq[Column],
+      out: String): DataFrame = {
+    // monotonically_increasing_id() = (partitionId << 33) + rowIndex,
+    // and after sortWithinPartitions the row index follows the sort
+    // order — so the within-partition rank costs NO window and NO
+    // second shuffle of the data. Both branches below share the one
+    // range exchange (Spark's ReuseExchange dedupes the identical
+    // subtree, so the partitioning they see is the same).
+    val parted = df.repartitionByRange(sort: _*)
+      .sortWithinPartitions(sort: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val within = parted.withColumn("__rn",
+      col("__mid") - shiftleft(col("__pid").cast("long"), 33))
+    // per-partition counts → prefix-sum offsets: a frame with one row
+    // per partition, the only single-partition hop in the plan
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    within.join(broadcast(offsets), "__pid")
+      .withColumn(out, (col("__rn") + col("__off") + 1L).cast("int"))
+      .drop("__pid", "__mid", "__rn", "__off")
+  }
+
+  /** Scalar total row count joined in as a broadcast column — replaces
+    * `count(*) over ()` (which also exchanges to one partition).
+    */
+  def withTotal(df: DataFrame, out: String): DataFrame =
+    df.crossJoin(broadcast(df.agg(count(lit(1)).as(out))))
+}

@@ -58,6 +58,10 @@ final class Planner(val cube: BoundCube) {
     case ExceptSet(l, r)          => exprTexts(l) ++ exprTexts(r)
     case ExistsSet(l, r)          => exprTexts(l) ++ exprTexts(r)
     case ExtractSet(s, _)         => exprTexts(s)
+    case DrilldownMember(a, b)    => exprTexts(a) ++ exprTexts(b)
+    case DrilldownLevelTop(s, _, e, _) => e +: exprTexts(s)
+    case ToggleDrillState(a, b)   => exprTexts(a) ++ exprTexts(b)
+    case UnorderSet(s)            => exprTexts(s)
     case _                        => Nil
   }
 
@@ -230,6 +234,36 @@ final class Planner(val cube: BoundCube) {
         memberFrame(d, depth).filter(col(l.col).between(lit(from), lit(to))),
         Seq(AxisDim(d, depth)))
 
+    case CurrentDateMember(dim, level, matchType) =>
+      val d = cube.dim(dim)
+      val depth = d.levelIndex(level)
+      // deterministic "now": session conf, else today. The dimension's
+      // date axis is its date-typed primary key (time dims) or the
+      // deepest level column.
+      val spark = d.df.sparkSession
+      val nowStr = spark.conf.getOption("spark.graft.now")
+        .getOrElse(java.time.LocalDate.now().toString)
+      val now = lit(nowStr).cast("date")
+      val dateCol =
+        if (d.df.schema.exists(f => f.name == d.primaryKey &&
+            f.dataType == org.apache.spark.sql.types.DateType)) d.primaryKey
+        else d.levels.last.col
+      val cols = memberCols(d, depth)
+      val picked = matchType.toUpperCase match {
+        case "EXACT" =>
+          d.df.filter(col(dateCol) === now).select(cols.map(col): _*)
+            .distinct()
+        case "AFTER" =>
+          d.df.filter(col(dateCol) >= now).select(cols.map(col): _*)
+            .orderBy(d.levelsTo(depth).map(l => col(l.ordinal).asc): _*)
+            .limit(1)
+        case _ => // BEFORE: closest member at or before now
+          d.df.filter(col(dateCol) <= now).select(cols.map(col): _*)
+            .orderBy(d.levelsTo(depth).map(l => col(l.ordinal).desc): _*)
+            .limit(1)
+      }
+      AxisFrame(picked, Seq(AxisDim(d, depth)))
+
     case CrossJoin(l, r) =>
       val a = evalSet(l, slicer, withSets)
       val b = evalSet(r, slicer, withSets)
@@ -247,8 +281,8 @@ final class Planner(val cube: BoundCube) {
         val ra = realizeOrd(a); val rb = realizeOrd(b)
         val joined = ra.members.withColumnRenamed(OrdCol, "__ordL")
           .crossJoin(rb.members.withColumnRenamed(OrdCol, "__ordR"))
-        val w = Window.orderBy(col("__ordL").asc, col("__ordR").asc)
-        AxisFrame(joined.withColumn(OrdCol, row_number().over(w))
+        AxisFrame(Ords.rowNumber(joined,
+            Seq(col("__ordL").asc, col("__ordR").asc), OrdCol)
           .drop("__ordL", "__ordR"), a.dims ++ b.dims, hasOrd = true,
           mixedDepths = mixedDepths, mixedDim = mixedDim)
       }
@@ -276,55 +310,8 @@ final class Planner(val cube: BoundCube) {
       AxisFrame(joined, dims)
 
     case UnionSet(l, r, all) =>
-      val a0 = evalSet(l, slicer, withSets)
-      val b0 = evalSet(r, slicer, withSets)
-      // same-dimension sides at DIFFERENT levels union into a
-      // mixed-depth frame: both sides padded to the deepest level
-      // (typed nulls) with a __depth marker (reference unions members
-      // of different levels, query_test.rb:231-260)
-      val mixable = a0.dims.length == 1 && b0.dims.length == 1 &&
-        a0.dims.head.d.name == b0.dims.head.d.name &&
-        (a0.dims.head.depth != b0.dims.head.depth ||
-          a0.mixedDepths.nonEmpty || b0.mixedDepths.nonEmpty)
-      val (a, b) =
-        if (!mixable) (a0, b0)
-        else {
-          val d = a0.dims.head.d
-          val target = math.max(a0.dims.head.depth, b0.dims.head.depth)
-          val dims = Seq(AxisDim(d, target))
-          val depths = (a0.depthsOf ++ b0.depthsOf).distinct.sorted
-          (a0.copy(members = padFrame(a0, target), dims = dims,
-            mixedDepths = depths, mixedDim = Some(d.name)),
-           b0.copy(members = padFrame(b0, target), dims = dims,
-             mixedDepths = depths, mixedDim = Some(d.name)))
-        }
-      val keyCols =
-        if (a.mixedDepths.isEmpty) groupCols(a.dims)
-        else groupCols(a.dims) :+ DepthCol
-      if (!a.hasOrd && !b.hasOrd) {
-        val cols = a.members.columns.toSeq
-        val u = a.members.unionByName(b.members.select(cols.map(col): _*))
-        a.copy(members = if (all) u else u.distinct())
-      } else {
-        // order-preserving union: left members first (their order), then
-        // right members; non-ALL keeps the first occurrence (UnionFunDef)
-        val ra = realizeOrd(a); val rb = realizeOrd(b)
-        val cols = ra.members.columns.toSeq
-        val offset = lit(ra.members.count()) // axis frames are small
-        val u = ra.members.unionByName(
-          rb.members.withColumn(OrdCol, col(OrdCol) + offset)
-            .select(cols.map(col): _*))
-        val deduped =
-          if (all) u
-          else {
-            val wk = Window.partitionBy(keyCols.map(col): _*)
-            u.withColumn("__minOrd", min(col(OrdCol)).over(wk))
-              .filter(col(OrdCol) === col("__minOrd")).drop("__minOrd")
-          }
-        val w = Window.orderBy(col(OrdCol).asc)
-        a.copy(members = deduped.withColumn(OrdCol, row_number().over(w)),
-          hasOrd = true)
-      }
+      unionFrames(evalSet(l, slicer, withSets),
+        evalSet(r, slicer, withSets), all)
 
     case IntersectSet(l, r) =>
       val a = evalSet(l, slicer, withSets)
@@ -413,8 +400,7 @@ final class Planner(val cube: BoundCube) {
 
     case TailSet(s, n) =>
       val a = realizeOrd(evalSet(s, slicer, withSets))
-      val w = Window.partitionBy()
-      val withCnt = a.members.withColumn("__cnt", count(lit(1)).over(w))
+      val withCnt = Ords.withTotal(a.members, "__cnt")
       a.copy(members = renumber(withCnt
         .filter(col(OrdCol) > col("__cnt") - n).drop("__cnt"),
         hasOrd = true))
@@ -433,18 +419,187 @@ final class Planner(val cube: BoundCube) {
       AxisFrame(a.members.select(cols.map(col): _*).distinct(), kept)
 
     case Hierarchize(s, post) =>
+      hierarchizeFrame(evalSet(s, slicer, withSets), post)
+
+    case UnorderSet(s) =>
+      // Unorder is a semantic no-op in a set-based engine (the jar's
+      // UnorderFunDef exists to release ordering constraints for
+      // optimization; our planner already ignores order unless forced)
+      evalSet(s, slicer, withSets)
+
+    case DrilldownMember(s, ms) =>
       val a = evalSet(s, slicer, withSets)
-      // PRE (default) = parents before their children; POST = parents
-      // after. On a mixed-depth (padded) frame a parent's deeper
-      // ordinal columns are null, so null placement IS the pre/post
-      // switch; uniform frames have no nulls and sort identically.
-      val ords = a.dims.flatMap(ad =>
-        ad.d.levelsTo(ad.depth).map(l =>
-          if (post) col(l.ordinal).asc_nulls_last
-          else col(l.ordinal).asc_nulls_first))
-      val w = Window.orderBy(ords: _*)
-      a.copy(members = a.members.withColumn(OrdCol, row_number().over(w)),
-        hasOrd = true)
+      val b = evalSet(ms, slicer, withSets)
+      val bd = singleHierarchy(a, b, "DrilldownMember")
+      if (bd.depth + 1 >= bd.d.levels.length) a // leaf members: no-op
+      else {
+        val keys = levelCols(bd.d, bd.depth)
+        // members of the base set at exactly the drill depth...
+        val aAtDepth = atDepth(a, bd.depth).select(keys.map(col): _*)
+          .distinct()
+        // ...that are also in the drill set
+        val toDrill = aAtDepth.join(
+          b.members.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        val children = memberFrame(bd.d, bd.depth + 1)
+          .join(broadcast(toDrill), keys, "left_semi")
+        hierarchizeFrame(unionFrames(a,
+          AxisFrame(children, Seq(AxisDim(bd.d, bd.depth + 1))),
+          all = false), post = false)
+      }
+
+    case DrilldownLevelTop(s, n, e, bottom) =>
+      val a = evalSet(s, slicer, withSets)
+      require(a.dims.length == 1 && a.mixedDim.isEmpty,
+        "DrilldownLevelTop needs a uniform single-hierarchy set")
+      val ad = a.dims.head
+      if (ad.depth + 1 >= ad.d.levels.length) a
+      else {
+        val keys = levelCols(ad.d, ad.depth)
+        val children = memberFrame(ad.d, ad.depth + 1)
+          .join(broadcast(a.members.select(keys.map(col): _*).distinct()),
+            keys, "left_semi")
+        val cf = AxisFrame(children, Seq(AxisDim(ad.d, ad.depth + 1)))
+        // rank children WITHIN each parent by the cell expression — the
+        // window partitions on the parent keys, so no global sort
+        val cells = cellsFor(cf, slicer)
+        val key = if (bottom) expr(e).asc else expr(e).desc
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(key +: tieBreak(cf): _*)
+        val top = cells.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= n)
+          .select(cf.members.columns.map(col): _*)
+        hierarchizeFrame(unionFrames(a, cf.copy(members = top),
+          all = false), post = false)
+      }
+
+    case ToggleDrillState(s, ms) =>
+      val a = evalSet(s, slicer, withSets)
+      val b = evalSet(ms, slicer, withSets)
+      val bd = singleHierarchy(a, b, "ToggleDrillState")
+      if (bd.depth + 1 >= bd.d.levels.length) a
+      else {
+        val pd = bd.depth
+        val keys = levelCols(bd.d, pd)
+        val withDepth =
+          if (a.members.columns.contains(DepthCol)) a.members
+          else a.members.withColumn(DepthCol, lit(a.dims.head.depth))
+        val bKeys = b.members.select(keys.map(col): _*).distinct()
+        // a toggle member is "drilled" when any of its children is
+        // already present in the set
+        val drilled = bKeys.join(
+          withDepth.filter(col(DepthCol) === pd + 1)
+            .select(keys.map(col): _*).distinct(), keys, "left_semi")
+        // drilled parents collapse: drop their strict descendants
+        val marked = withDepth.join(
+          broadcast(drilled.withColumn("__drilled", lit(1))), keys, "left")
+        val kept = marked
+          .filter(col("__drilled").isNull || col(DepthCol) <= pd)
+          .drop("__drilled")
+        // un-drilled toggle members present in the set expand
+        val toOpen = atDepth(a, pd).select(keys.map(col): _*).distinct()
+          .join(bKeys, keys, "left_semi")
+          .join(drilled, keys, "left_anti")
+        val children = memberFrame(bd.d, pd + 1)
+          .join(broadcast(toOpen), keys, "left_semi")
+        val keptFrame = a.copy(members =
+          if (a.members.columns.contains(DepthCol)) kept
+          else kept.drop(DepthCol))
+        hierarchizeFrame(unionFrames(keptFrame,
+          AxisFrame(children, Seq(AxisDim(bd.d, pd + 1))),
+          all = false), post = false)
+      }
+  }
+
+  /** The drill-set side of a drilldown op: both sets must live on one
+    * hierarchy, the drill set uniform-depth.
+    */
+  private def singleHierarchy(a: AxisFrame, b: AxisFrame,
+      op: String): AxisDim = {
+    require(b.dims.length == 1 && b.mixedDim.isEmpty,
+      s"$op: the member set must be a uniform single-hierarchy set")
+    require(a.dims.length == 1 && a.dims.head.d.name == b.dims.head.d.name,
+      s"$op: both sets must be over the same hierarchy")
+    b.dims.head
+  }
+
+  /** Rows of a (possibly mixed-depth) frame whose member's own depth is
+    * exactly `depth`.
+    */
+  private def atDepth(a: AxisFrame, depth: Int): DataFrame =
+    if (a.members.columns.contains(DepthCol))
+      a.members.filter(col(DepthCol) === depth)
+    else if (a.dims.head.depth == depth) a.members
+    else a.members.limit(0)
+
+  /** Union of two evaluated axis frames (the UnionSet lowering, shared
+    * by the drilldown family). Same-dimension sides at DIFFERENT levels
+    * union into a mixed-depth frame: both sides padded to the deepest
+    * level (typed nulls) with a __depth marker (reference unions members
+    * of different levels, query_test.rb:231-260).
+    */
+  private def unionFrames(a0: AxisFrame, b0: AxisFrame,
+      all: Boolean): AxisFrame = {
+    val mixable = a0.dims.length == 1 && b0.dims.length == 1 &&
+      a0.dims.head.d.name == b0.dims.head.d.name &&
+      (a0.dims.head.depth != b0.dims.head.depth ||
+        a0.mixedDepths.nonEmpty || b0.mixedDepths.nonEmpty)
+    val (a, b) =
+      if (!mixable) (a0, b0)
+      else {
+        val d = a0.dims.head.d
+        val target = math.max(a0.dims.head.depth, b0.dims.head.depth)
+        val dims = Seq(AxisDim(d, target))
+        val depths = (a0.depthsOf ++ b0.depthsOf).distinct.sorted
+        (a0.copy(members = padFrame(a0, target), dims = dims,
+          mixedDepths = depths, mixedDim = Some(d.name)),
+         b0.copy(members = padFrame(b0, target), dims = dims,
+           mixedDepths = depths, mixedDim = Some(d.name)))
+      }
+    val keyCols =
+      if (a.mixedDepths.isEmpty) groupCols(a.dims)
+      else groupCols(a.dims) :+ DepthCol
+    if (!a.hasOrd && !b.hasOrd) {
+      val cols = a.members.columns.toSeq
+      val u = a.members.unionByName(b.members.select(cols.map(col): _*))
+      a.copy(members = if (all) u else u.distinct())
+    } else {
+      // order-preserving union: left members first (their order), then
+      // right members; non-ALL keeps the first occurrence (UnionFunDef).
+      // The right side's offset is the left side's max __ord, joined in
+      // as a broadcast scalar — NOT a driver-side count() (an eager job
+      // per ordered union would serialize plan construction).
+      val ra = realizeOrd(a); val rb = realizeOrd(b)
+      val cols = ra.members.columns.toSeq
+      val offset = ra.members.agg(
+        coalesce(max(col(OrdCol)), lit(0L)).as("__off"))
+      val shifted = rb.members.crossJoin(broadcast(offset))
+        .withColumn(OrdCol, col(OrdCol) + col("__off"))
+        .select(cols.map(col): _*)
+      val u = ra.members.unionByName(shifted)
+      val deduped =
+        if (all) u
+        else {
+          val wk = Window.partitionBy(keyCols.map(col): _*)
+          u.withColumn("__minOrd", min(col(OrdCol)).over(wk))
+            .filter(col(OrdCol) === col("__minOrd")).drop("__minOrd")
+        }
+      a.copy(members = renumber(deduped, hasOrd = true), hasOrd = true)
+    }
+  }
+
+  /** Hierarchize lowering (shared by the drilldown family). PRE
+    * (default) = parents before their children; POST = parents after.
+    * On a mixed-depth (padded) frame a parent's deeper ordinal columns
+    * are null, so null placement IS the pre/post switch; uniform frames
+    * have no nulls and sort identically.
+    */
+  private def hierarchizeFrame(a: AxisFrame, post: Boolean): AxisFrame = {
+    val ords = a.dims.flatMap(ad =>
+      ad.d.levelsTo(ad.depth).map(l =>
+        if (post) col(l.ordinal).asc_nulls_last
+        else col(l.ordinal).asc_nulls_first))
+    a.copy(members = Ords.rowNumber(a.members, ords, OrdCol),
+      hasOrd = true)
   }
 
   /** TopPercent/TopSum share the cumulative-prefix shape (SURVEY §2.6):
@@ -457,13 +612,18 @@ final class Planner(val cube: BoundCube) {
     val a = evalSet(s, slicer, withSets)
     val cells = cellsFor(a, slicer)
     val key = if (bottom) expr(e).asc else expr(e).desc
+    // the cumulative prefix genuinely needs one ordered pass; cells are
+    // at the set's post-aggregation grain (dimension-bounded), so the
+    // single-partition window here is over axis-scale data, never fact
+    // rows. The grand total joins in as a broadcast scalar instead of a
+    // second global window.
     val wOrd = Window.orderBy(key +: tieBreak(a): _*)
-    val wAll = Window.partitionBy()
-    val annotated = cells
+    val total = cells.agg(
+      sum(expr(e).cast("double")).as("__tot"))
+    val annotated = cells.crossJoin(broadcast(total))
       .withColumn("__v", expr(e).cast("double"))
       .withColumn("__cum",
         sum(col("__v")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("__tot", sum(col("__v")).over(wAll))
       .withColumn(OrdCol, row_number().over(wOrd))
     val kept = annotated
       .filter(keep(col("__cum"), col("__tot"), col("__v")))
@@ -478,8 +638,7 @@ final class Planner(val cube: BoundCube) {
     */
   private def renumber(members: DataFrame, hasOrd: Boolean): DataFrame =
     if (!hasOrd) members
-    else members.withColumn(OrdCol,
-      row_number().over(Window.orderBy(col(OrdCol).asc)))
+    else Ords.rowNumber(members, Seq(col(OrdCol).asc), OrdCol)
 
   /** Cells at the grain of `a` with all base measures + expression calc
     * members — the working set for cell-dependent set operators.
@@ -488,13 +647,11 @@ final class Planner(val cube: BoundCube) {
     applyExprCalcs(joinCells(a, slicer), a.dims, slicer)
 
   private def ordered(a: AxisFrame, cells: DataFrame,
-      sortCols: Seq[Column]): AxisFrame = {
-    val w = Window.orderBy(sortCols ++ tieBreak(a): _*)
-    a.copy(members = cells.withColumn(OrdCol, row_number().over(w))
+      sortCols: Seq[Column]): AxisFrame =
+    a.copy(members = Ords.rowNumber(cells, sortCols ++ tieBreak(a), OrdCol)
         .select(
           (a.members.columns.filterNot(_ == OrdCol) :+ OrdCol).map(col): _*),
       hasOrd = true)
-  }
 
   /** Deterministic tie-break: the member key columns. */
   private def tieBreak(a: AxisFrame): Seq[Column] =
@@ -512,8 +669,7 @@ final class Planner(val cube: BoundCube) {
       // hierarchical (PRE) default
       val ords = a.dims.flatMap(ad =>
         ad.d.levelsTo(ad.depth).map(l => col(l.ordinal).asc))
-      val w = Window.orderBy(ords: _*)
-      a.copy(members = a.members.withColumn(OrdCol, row_number().over(w)),
+      a.copy(members = Ords.rowNumber(a.members, ords, OrdCol),
         hasOrd = true)
     }
 

@@ -85,22 +85,35 @@ object OlapExtQueries {
         .rows(LevelMembers("event_type", "event_type"))
         .execute()),
 
-    // -- approximate distinct (HLL sketch — no exact oracle, the
-    // driver records a rows-only check) --------------------------------
+    // -- approximate distinct (HLL sketch): oracled as an exact/approx
+    // pair — the exact distinct count hash-matches DuckDB, and the
+    // sketch is pinned by a relative-error bound (HLL++ default rsd
+    // 0.05; we assert 3×rsd) the oracle states as a constant ----------
     "q_approx_distinct" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_orderkey").as("approx_orders"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct("l_orderkey").as("approx"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx") - col("exact_orders"))
+            <= col("exact_orders") * 0.15).as("approx_ok"))
     }),
 
-    // -- stratified sampling for corpus curation (seeded, deterministic
-    // within Spark; no cross-engine oracle) ----------------------------
+    // -- stratified sampling for corpus curation: deterministic
+    // hash-based Bernoulli per stratum (md5 of the stable doc_id, first
+    // hex byte < threshold) — engine-independent, so DuckDB reproduces
+    // the EXACT same sample: en keeps 50% ('80'/256), de keeps 25%
+    // ('40'/256). At 100 TB this is a map-only filter + one partial agg.
     "q_sample_stratified" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
+      val rate = map(lit("en"), lit("80"), lit("de"), lit("40"))
       Tables.load(s, dir, "documents")
-        .stat.sampleBy("lang", Map("en" -> 0.5, "de" -> 0.5), 42L)
-        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .filter(col("lang").isin("en", "de"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2)
+          < element_at(rate, col("lang")))
+        .groupBy("lang").agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sample_chars"))
     }),
 
     // -- mixed-depth member sets (§2.6): union of region- and
@@ -164,6 +177,66 @@ object OlapExtQueries {
       grid.toDF("cr_region", "cr_nation", "pad_orders")
     }),
 
+    // -- CurrentDateMember (§2.5): the member of the month level
+    // containing the seeded "now" (deterministic via spark.graft.now;
+    // reference schema_definition_test.rb:577-597) ---------------------
+    "q_currentdate" -> ((s, dir) => {
+      s.conf.set("spark.graft.now", "1996-07-15")
+      Query.from(sales(s, dir))
+        .columns("revenue")
+        .rows(CurrentDateMember("time", "month", "BEFORE"))
+        .execute()
+    }),
+
+    // -- DrilldownMember (§2.8): all regions, with the nations of
+    // EUROPE and ASIA inserted under their parents ---------------------
+    "q_drilldown_member" -> ((s, dir) =>
+      Mdx.execute(
+        """SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  DRILLDOWNMEMBER({[customer].[region].Members},
+          |    {[customer].[EUROPE], [customer].[ASIA]}) ON ROWS
+          |FROM [Sales]""".stripMargin, sales(s, dir))),
+
+    // -- DrilldownLevelTop (§2.8): every region plus its top-2 nations
+    // by revenue (rank window partitioned by the parent — no global
+    // sort) ------------------------------------------------------------
+    "q_drilldown_topn" -> ((s, dir) =>
+      Query.from(sales(s, dir))
+        .columns("revenue")
+        .rows(DrilldownLevelTop(LevelMembers("customer", "region"), 2,
+          "revenue"))
+        .execute()),
+
+    // -- ToggleDrillState (§2.8): EUROPE is already drilled (its
+    // nations are in the set) so it collapses; ASIA is not, so it
+    // expands ------------------------------------------------------------
+    "q_toggle_drill" -> ((s, dir) =>
+      Mdx.execute(
+        """SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  TOGGLEDRILLSTATE(
+          |    UNION({[customer].[region].Members},
+          |      [customer].[EUROPE].Children, ALL),
+          |    {[customer].[EUROPE], [customer].[ASIA]}) ON ROWS
+          |FROM [Sales]""".stripMargin, sales(s, dir))),
+
+    // -- MDX string/conversion expressions (§2.8: Cast, Format,
+    // SetToStr, TupleToStr — mondrian_test.rb:491-517) -----------------
+    "q_mdx_strfns" -> ((s, dir) =>
+      Mdx.execute(
+        """WITH MEMBER [Measures].[cnt_dbl] AS
+          |    Cast([Measures].[count_order] AS NUMERIC)
+          |  MEMBER [Measures].[price_fmt] AS
+          |    Format([Measures].[min_price], '#,##0.00')
+          |  MEMBER [Measures].[set_str] AS
+          |    SetToStr({[customer].[EUROPE], [customer].[ASIA]})
+          |  MEMBER [Measures].[tup_str] AS
+          |    TupleToStr(([customer].[EUROPE], [time].[1995]))
+          |SELECT {[Measures].[count_order], [Measures].[cnt_dbl],
+          |  [Measures].[price_fmt], [Measures].[set_str],
+          |  [Measures].[tup_str]} ON COLUMNS,
+          |  [customer].[region].Members ON ROWS
+          |FROM [Sales]""".stripMargin, sales(s, dir))),
+
     // -- CASE / Iif / CoalesceEmpty / IsEmpty / MATCHES over cells with
     // genuine empties (crossjoin keeps null cells) ---------------------
     "q_predicates" -> ((s, dir) =>
@@ -187,6 +260,74 @@ object OlapExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sample_chars
+        |FROM documents
+        |WHERE lang IN ('en', 'de')
+        |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |    CASE lang WHEN 'en' THEN '80' ELSE '40' END
+        |GROUP BY 1""".stripMargin,
+
+    "q_mdx_strfns" ->
+      s"""WITH cells AS (
+         |  SELECT r_name AS cr_region, count(*) AS count_order,
+         |    min(l_extendedprice) AS min_price
+         |  $CJOIN GROUP BY 1)
+         |SELECT cr_region, count_order,
+         |  CAST(count_order AS DOUBLE) AS cnt_dbl,
+         |  format('{:,}', CAST(floor(min_price) AS BIGINT)) || '.' ||
+         |    lpad(CAST(CAST(min_price * 100 AS BIGINT) % 100
+         |      AS VARCHAR), 2, '0') AS price_fmt,
+         |  '{[customer].[EUROPE], [customer].[ASIA]}' AS set_str,
+         |  '([customer].[EUROPE], [time].[1995])' AS tup_str
+         |FROM cells""".stripMargin,
+
+    "q_currentdate" ->
+      s"""SELECT CAST(1996 AS INT) AS d_year, '1996-Q3' AS d_yq,
+         |  '1996-07' AS d_ym, $REV AS revenue
+         |$LO WHERE $MONTH = '1996-07'""".stripMargin,
+
+    "q_drilldown_member" ->
+      s"""SELECT r_name AS cr_region, CAST(NULL AS VARCHAR) AS cr_nation,
+         |  $REV AS revenue
+         |$CJOIN GROUP BY 1
+         |UNION ALL
+         |SELECT r_name, n_name, $REV
+         |$CJOIN WHERE r_name IN ('EUROPE', 'ASIA') GROUP BY 1, 2"""
+        .stripMargin,
+
+    "q_drilldown_topn" ->
+      s"""WITH nat AS (
+         |  SELECT r_name AS cr_region, n_name AS cr_nation,
+         |    $REV AS revenue
+         |  $CJOIN GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT cr_region, cr_nation, revenue, row_number() OVER (
+         |    PARTITION BY cr_region
+         |    ORDER BY revenue DESC, cr_nation) AS rk
+         |  FROM nat)
+         |SELECT r_name AS cr_region, CAST(NULL AS VARCHAR) AS cr_nation,
+         |  $REV AS revenue
+         |$CJOIN GROUP BY 1
+         |UNION ALL
+         |SELECT cr_region, cr_nation, revenue FROM ranked
+         |WHERE rk <= 2""".stripMargin,
+
+    "q_toggle_drill" ->
+      s"""SELECT r_name AS cr_region, CAST(NULL AS VARCHAR) AS cr_nation,
+         |  $REV AS revenue
+         |$CJOIN GROUP BY 1
+         |UNION ALL
+         |SELECT r_name, n_name, $REV
+         |$CJOIN WHERE r_name = 'ASIA' GROUP BY 1, 2""".stripMargin,
+
     "q_mixed_depth_union" ->
       s"""SELECT r_name AS cr_region, n_name AS cr_nation,
          |  $REV AS revenue, count(*) AS count_order

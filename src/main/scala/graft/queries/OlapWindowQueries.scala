@@ -99,13 +99,14 @@ object OlapWindowQueries {
 
     "q_percentile" -> ((s, dir) =>
       Query.from(sales(s, dir))
-        .columns("median_price", "p90_price")
+        .columns("median_price", "p90_price", "q1_price", "q3_price")
         .rows(LevelMembers("returnflag", "returnflag"))
         .execute()),
 
     "q_linreg" -> ((s, dir) =>
       Query.from(sales(s, dir))
-        .columns("slope_price_qty", "icept_price_qty", "r2_price_qty")
+        .columns("slope_price_qty", "icept_price_qty", "r2_price_qty",
+          "var_price_qty", "point_price_q25")
         .rows(LevelMembers("returnflag", "returnflag"))
         .execute()),
 
@@ -254,14 +255,23 @@ object OlapWindowQueries {
     "q_percentile" ->
       s"""SELECT l_returnflag,
          |  quantile_cont(l_extendedprice, 0.5) AS median_price,
-         |  quantile_cont(l_extendedprice, 0.9) AS p90_price
+         |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+         |  quantile_cont(l_extendedprice, 0.25) AS q1_price,
+         |  quantile_cont(l_extendedprice, 0.75) AS q3_price
          |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q_linreg" ->
       s"""SELECT l_returnflag,
          |  regr_slope(l_extendedprice, l_quantity) AS slope_price_qty,
          |  regr_intercept(l_extendedprice, l_quantity) AS icept_price_qty,
-         |  regr_r2(l_extendedprice, l_quantity) AS r2_price_qty
+         |  regr_r2(l_extendedprice, l_quantity) AS r2_price_qty,
+         |  regr_syy(l_extendedprice, l_quantity)
+         |    * (1.0 - regr_r2(l_extendedprice, l_quantity))
+         |    / (regr_count(l_extendedprice, l_quantity) - 2)
+         |    AS var_price_qty,
+         |  regr_slope(l_extendedprice, l_quantity) * CAST(25.0 AS DOUBLE)
+         |    + regr_intercept(l_extendedprice, l_quantity)
+         |    AS point_price_q25
          |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q_aggroute" ->

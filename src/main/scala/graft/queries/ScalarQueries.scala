@@ -72,7 +72,35 @@ object ScalarQueries {
         Vba.sYD(col("p_retailprice"), lit(50.0), lit(5.0),
           lit(2.0)).as("syd2"),
         Vba.nPV(lit(0.08), array(lit(-1000.0), col("p_retailprice"),
-          col("p_retailprice"), lit(500.0))).as("npv"))),
+          col("p_retailprice"), lit(500.0))).as("npv"),
+        Vba.mIRR(array(lit(-1000.0), col("p_retailprice"), lit(500.0)),
+          lit(0.10), lit(0.12)).as("mirr"))),
+
+    // -- VBA casts + time + IsDate + Format* family (§2.9 remainder) --
+    "q_scalar_casts" -> ((s, dir) => {
+      val p = part(s, dir)
+      p.select(
+        col("p_partkey"),
+        Vba.cInt(col("p_retailprice") / 7).as("cint7"),
+        Vba.cLng(col("p_retailprice") * 3).as("clng3"),
+        Vba.cCur(col("p_retailprice") / 3).as("ccur3"),
+        Vba.cDbl(col("p_size")).as("cdbl"),
+        Vba.cStr(col("p_size")).as("cstr"),
+        Vba.cBool(col("p_size") % 2).as("cbool"),
+        Vba.timeSerial(col("p_size") % 24, (col("p_size") * 7) % 60,
+          (col("p_size") * 13) % 60).as("tserial"),
+        Vba.timeValue(timestamp_seconds(col("p_partkey") % 86400))
+          .as("tvalue"),
+        Vba.isDate(concat(lit("1995-01-"),
+          lpad((col("p_size") % 28 + 1).cast("string"), 2, "0")))
+          .as("is_date_y"),
+        Vba.isDate(col("p_name")).as("is_date_n"),
+        Vba.typeName(p.schema("p_retailprice").dataType).as("tn_price"),
+        Vba.typeName(p.schema("p_name").dataType).as("tn_name"),
+        Vba.formatNumber(col("p_retailprice"), 2).as("fnum"),
+        Vba.formatCurrency(col("p_retailprice"), 2).as("fcur"),
+        Vba.formatPercent(col("p_size") / lit(200.0), 2).as("fpct"))
+    }),
 
     "q_scalar_format" -> ((s, dir) =>
       part(s, dir).select(
@@ -135,6 +163,39 @@ object ScalarQueries {
         |    CAST(month(o_orderdate) AS INT), 1) AS month_start
         |FROM orders""".stripMargin,
 
+    "q_scalar_casts" ->
+      """WITH g AS (
+        |  SELECT p_partkey, p_name, p_size, p_retailprice,
+        |    (p_size / 200.0) * 100 AS pctv
+        |  FROM part),
+        |f AS (
+        |  SELECT *,
+        |    format('{:,}', CAST(floor(p_retailprice) AS BIGINT)) || '.' ||
+        |      lpad(CAST(CAST(p_retailprice * 100 AS BIGINT) % 100
+        |        AS VARCHAR), 2, '0') AS grouped
+        |  FROM g)
+        |SELECT p_partkey,
+        |  CAST(round_even(p_retailprice / 7, 0) AS INTEGER) AS cint7,
+        |  CAST(round_even(p_retailprice * 3, 0) AS BIGINT) AS clng3,
+        |  CAST(p_retailprice / 3 AS DECIMAL(19,4)) AS ccur3,
+        |  CAST(p_size AS DOUBLE) AS cdbl,
+        |  CAST(p_size AS VARCHAR) AS cstr,
+        |  CAST(p_size % 2 AS BOOLEAN) AS cbool,
+        |  printf('%02d:%02d:%02d', p_size % 24, (p_size * 7) % 60,
+        |    (p_size * 13) % 60) AS tserial,
+        |  strftime(epoch_ms((p_partkey % 86400) * 1000), '%H:%M:%S')
+        |    AS tvalue,
+        |  TRY_CAST('1995-01-' ||
+        |    lpad(CAST(p_size % 28 + 1 AS VARCHAR), 2, '0') AS TIMESTAMP)
+        |    IS NOT NULL AS is_date_y,
+        |  TRY_CAST(p_name AS TIMESTAMP) IS NOT NULL AS is_date_n,
+        |  'Double' AS tn_price,
+        |  'String' AS tn_name,
+        |  grouped AS fnum,
+        |  '$' || grouped AS fcur,
+        |  format('{:.2f}', pctv) || '%' AS fpct
+        |FROM f""".stripMargin,
+
     "q_scalar_financial" ->
       """SELECT p_partkey,
         |  -(p_retailprice * pow(1.0 + 0.05/12, 36.0) + 0.0)
@@ -150,7 +211,13 @@ object ScalarQueries {
         |    / (5.0 * (5.0 + 1.0)) AS syd2,
         |  (-1000.0) / pow(1.08, 1.0) + p_retailprice / pow(1.08, 2.0)
         |    + p_retailprice / pow(1.08, 3.0) + 500.0 / pow(1.08, 4.0)
-        |    AS npv
+        |    AS npv,
+        |  pow(
+        |    -(p_retailprice / pow(1.0 + 0.12, 1.0)
+        |        + 500.0 / pow(1.0 + 0.12, 2.0))
+        |      * pow(1.0 + 0.12, 3.0)
+        |      / ((-1000.0) * (1.0 + 0.10)),
+        |    1.0 / 2.0) - 1.0 AS mirr
         |FROM part""".stripMargin,
 
     "q_scalar_format" ->

@@ -28,6 +28,39 @@ class ConnectionSpec extends SparkSpec {
     assert(e.msg.contains("not found"))
   }
 
+  test("content-checksum schema pool shares resolved cubes across connections") {
+    Connection.flushSchemaPool()
+    // two connections over INDEPENDENTLY built but equal-content cubes
+    // must share one pooled instance (reference RolapSchemaPool:
+    // equal schema content => same schema object)
+    def freshCube() = {
+      val t = Tables.load(spark, Sf, "lineitem")
+      olap.BoundCube("PoolCube", t,
+        dims = Seq(olap.BoundDim("returnflag",
+          foreignKey = "l_returnflag", primaryKey = "l_returnflag",
+          levels = Seq(olap.BoundLevel("returnflag", "l_returnflag")),
+          df = t.select("l_returnflag").distinct(), degenerate = true)),
+        measures = Seq(olap.Measure("sum_qty", olap.Agg.Sum, "l_quantity")))
+    }
+    val c1 = Connection.create(spark, Seq(freshCube()))
+    val c2 = Connection.create(spark, Seq(freshCube()))
+    assert(c1.cube("PoolCube") eq c2.cube("PoolCube"),
+      "equal-content cubes must resolve to one pooled instance")
+    assert(Connection.schemaPoolSize == 1)
+    // different content (extra measure) => different pooled instance
+    val changed = freshCube().copy(measures = Seq(
+      olap.Measure("sum_qty", olap.Agg.Sum, "l_quantity"),
+      olap.Measure("n", olap.Agg.Count, "1")))
+    val c3 = Connection.create(spark, Seq(changed))
+    assert(!(c3.cube("PoolCube") eq c1.cube("PoolCube")))
+    assert(Connection.schemaPoolSize == 2)
+    // flush empties the pool; the next connection re-resolves
+    Connection.flushSchemaPool()
+    assert(Connection.schemaPoolSize == 0)
+    val c4 = Connection.create(spark, Seq(freshCube()))
+    assert(!(c4.cube("PoolCube") eq c1.cube("PoolCube")))
+  }
+
   test("close flushes segments and refuses further queries") {
     val conn = Connection.create(spark, Sf)
     conn.execute(
