@@ -279,10 +279,12 @@ object Vba {
           when(pred(v), v.cast("double") /
             pow(lit(1.0) + rate, i.cast("double"))).otherwise(lit(0.0))),
         lit(0.0), (acc, v) => acc + v)
+    // with 0-indexed discounting, FV(positives at period n-1)
+    // = npvPos · (1+rr)^(n-1) and PV(negatives) = -npvNeg — the
+    // Excel/VBA MIRR definition
     val npvPos = npvOf(_ > 0, reinvestRate)
     val npvNeg = npvOf(_ < 0, financeRate)
-    pow(-npvPos * pow(lit(1.0) + reinvestRate, n) /
-      (npvNeg * (lit(1.0) + financeRate)),
+    pow(-npvPos * pow(lit(1.0) + reinvestRate, n - lit(1.0)) / npvNeg,
       lit(1.0) / (n - lit(1.0))) - lit(1.0)
   }
 

@@ -635,9 +635,11 @@ object Mdx {
         case Some(TPunct("(")) =>
           eatPunct("("); val s = setExpr(withSets); eatPunct(")"); s
         case Some(TIdent(fn)) if fn.equalsIgnoreCase("STRTOSET") ||
-            fn.equalsIgnoreCase("STRTOMEMBER") =>
-          // StrToSet('{...}') / StrToMember('[d].[m]') — re-lex the
-          // string literal and parse it with a nested parser.
+            fn.equalsIgnoreCase("STRTOMEMBER") ||
+            fn.equalsIgnoreCase("STRTOTUPLE") =>
+          // StrToSet('{...}') / StrToMember('[d].[m]') /
+          // StrToTuple('([d].[m], [e].[n])') — re-lex the string
+          // literal and parse it with a nested parser.
           next(); eatPunct("(")
           val body =
             if (atParameter) { next(); String.valueOf(parameterValue()) }
@@ -648,8 +650,10 @@ object Mdx {
             }
           eatPunct(")")
           val sub = new P(lex(body), cube)
-          val r = if (fn.equalsIgnoreCase("STRTOSET")) sub.setExpr(withSets)
-                  else sub.memberSet()
+          val r =
+            if (fn.equalsIgnoreCase("STRTOSET")) sub.setExpr(withSets)
+            else if (fn.equalsIgnoreCase("STRTOTUPLE")) sub.tupleSet()
+            else sub.memberSet()
           if (!sub.atEnd)
             throw MdxException(s"Syntax error: trailing tokens in $fn string")
           r
@@ -680,8 +684,9 @@ object Mdx {
       "BOTTOMCOUNT", "TOPPERCENT", "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM",
       "HEAD", "TAIL", "SUBSET", "HIERARCHIZE", "DESCENDANTS", "EXISTS",
       "EXTRACT", "GENERATE", "ANCESTOR", "ADDCALCULATEDMEMBERS",
-      "CURRENTDATEMEMBER", "DRILLDOWNMEMBER", "DRILLDOWNLEVELTOP",
-      "DRILLDOWNLEVELBOTTOM", "TOGGLEDRILLSTATE", "UNORDER")
+      "CURRENTDATEMEMBER", "DRILLDOWNMEMBER", "DRILLDOWNLEVEL",
+      "DRILLDOWNLEVELTOP", "DRILLDOWNLEVELBOTTOM", "TOGGLEDRILLSTATE",
+      "UNORDER")
 
     private def setFunction(fn: String,
         ws: Map[String, SetExpr]): SetExpr = {
@@ -806,6 +811,10 @@ object Mdx {
           // set is unchanged (AddCalculatedMembersFunDef passthrough)
           arg()
         case "UNORDER" => UnorderSet(arg())
+        case "DRILLDOWNLEVEL" =>
+          // DrilldownLevel(set): every member drills into its children —
+          // exactly DrilldownMember with the set as its own drill list
+          val a = arg(); DrilldownMember(a, a)
         case "DRILLDOWNMEMBER" =>
           val a = arg(); comma(); val b = arg(); DrilldownMember(a, b)
         case "TOGGLEDRILLSTATE" =>
@@ -881,6 +890,24 @@ object Mdx {
     private def num(): Double = next() match {
       case TNum(s) => s.toDouble
       case t => throw MdxException(s"Syntax error: expected number, got $t")
+    }
+
+    /** '([d].[m], [e].[n])' tuple body (StrToTuple): one member per
+      * hierarchy, crossjoined; a bare member (no parens) is a 1-tuple.
+      */
+    private def tupleSet(): SetExpr = {
+      if (!atPunct("(")) return memberSet()
+      eatPunct("(")
+      var sets = Vector.empty[SetExpr]
+      def one(): Unit = {
+        val p = memberPath()
+        val d = dimNamed(p.head)
+        sets :+= Members(d.name, Seq(p.tail.map(pathValue)))
+      }
+      one()
+      while (atPunct(",")) { eatPunct(","); one() }
+      eatPunct(")")
+      sets.reduce(CrossJoin(_, _))
     }
 
     /** [Dim].[a].[b].Members / .Children / .AllMembers / plain member

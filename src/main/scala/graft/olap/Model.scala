@@ -242,6 +242,13 @@ final case class BoundDim(
       * enumeration.
       */
     degenerate: Boolean = false,
+    /** The reference's `high_cardinality` hint (schema.rb:100-101,
+      * README high-cardinality notes): axis frames over this dimension
+      * are NOT dimension-bounded — member caching is skipped and axis
+      * ordering takes the distributed range-partitioned path instead of
+      * a single-partition window.
+      */
+    highCardinality: Boolean = false,
     meta: ElementMeta = ElementMeta()) {
 
   def caption: String = meta.caption.getOrElse(name)
@@ -259,7 +266,13 @@ final case class BoundDim(
   @transient private lazy val memberFrames =
     scala.collection.concurrent.TrieMap.empty[Int, DataFrame]
   def membersAt(depth: Int, cols: Seq[String]): DataFrame =
-    memberFrames.getOrElseUpdate(depth,
+    if (highCardinality)
+      // the reference's high_cardinality opt-out: never pin a frame
+      // that may not fit in memory — recompute from the (columnar,
+      // pruned) scan each time
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .distinct()
+    else memberFrames.getOrElseUpdate(depth,
       df.select(cols.map(org.apache.spark.sql.functions.col): _*)
         .distinct().persist())
 

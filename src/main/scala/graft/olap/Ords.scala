@@ -34,11 +34,30 @@ object Ords {
     df.sparkSession.conf.getOption("spark.graft.ord.smallBytes")
       .map(_.toLong).getOrElse(DefaultSmallBytes)
 
+  /** Caller knowledge about the frame's cardinality. The Planner knows
+    * whether an axis frame is dimension-bounded (every dim enumerable —
+    * the reference's default, where member caches exist) or involves a
+    * `high_cardinality` dimension (the reference's opt-out hint,
+    * README.md): Catalyst's sizeInBytes estimate for a post-aggregate
+    * frame is fact-sized and useless for this call, so the hint beats
+    * the estimate whenever the caller has one.
+    */
+  sealed trait SizeHint
+  case object Small extends SizeHint   // dimension-bounded: single window
+  case object Large extends SizeHint   // high-cardinality: distributed
+  case object Auto extends SizeHint    // no knowledge: plan-size estimate
+
   /** `df` + `out` = 1..n row number in `sort` order. */
-  def rowNumber(df: DataFrame, sort: Seq[Column], out: String): DataFrame = {
+  def rowNumber(df: DataFrame, sort: Seq[Column], out: String,
+      hint: SizeHint = Auto): DataFrame = {
     require(sort.nonEmpty, "rowNumber needs a sort order")
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= smallBytes(df))
+    val small = hint match {
+      case Small => true
+      case Large => false
+      case Auto =>
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes(df)
+    }
+    if (small)
       df.withColumn(out, row_number().over(Window.orderBy(sort: _*)))
     else distributed(df, sort, out)
   }

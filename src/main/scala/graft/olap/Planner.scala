@@ -282,7 +282,8 @@ final class Planner(val cube: BoundCube) {
         val joined = ra.members.withColumnRenamed(OrdCol, "__ordL")
           .crossJoin(rb.members.withColumnRenamed(OrdCol, "__ordR"))
         AxisFrame(Ords.rowNumber(joined,
-            Seq(col("__ordL").asc, col("__ordR").asc), OrdCol)
+            Seq(col("__ordL").asc, col("__ordR").asc), OrdCol,
+            hintOf(a.dims ++ b.dims))
           .drop("__ordL", "__ordR"), a.dims ++ b.dims, hasOrd = true,
           mixedDepths = mixedDepths, mixedDim = mixedDim)
       }
@@ -320,7 +321,7 @@ final class Planner(val cube: BoundCube) {
       val kept = a.members.join(
         b.members.select(joinCols.map(col): _*).distinct(),
         joinCols, "left_semi")
-      a.copy(members = renumber(kept, a.hasOrd))
+      a.copy(members = renumber(kept, a.hasOrd, hintOf(a.dims)))
 
     case ExceptSet(l, r) =>
       val a = evalSet(l, slicer, withSets)
@@ -328,7 +329,7 @@ final class Planner(val cube: BoundCube) {
       val joinCols = b.dims.flatMap(ad => levelCols(ad.d, ad.depth))
       val kept = a.members.join(b.members.select(joinCols.map(col): _*)
         .distinct(), joinCols, "left_anti")
-      a.copy(members = renumber(kept, a.hasOrd))
+      a.copy(members = renumber(kept, a.hasOrd, hintOf(a.dims)))
 
     case ExistsSet(l, r) =>
       val a = evalSet(l, slicer, withSets)
@@ -337,7 +338,7 @@ final class Planner(val cube: BoundCube) {
         .filterNot(_ == OrdCol).toSeq
       val kept = a.members.join(b.members.select(common.map(col): _*)
         .distinct(), common, "left_semi")
-      a.copy(members = renumber(kept, a.hasOrd))
+      a.copy(members = renumber(kept, a.hasOrd, hintOf(a.dims)))
 
     case DistinctSet(s) =>
       val a = evalSet(s, slicer, withSets)
@@ -348,7 +349,8 @@ final class Planner(val cube: BoundCube) {
         val kept = a.members
           .withColumn("__minOrd", min(col(OrdCol)).over(wk))
           .filter(col(OrdCol) === col("__minOrd")).drop("__minOrd")
-        a.copy(members = renumber(kept, hasOrd = true), hasOrd = true)
+        a.copy(members = renumber(kept, hasOrd = true,
+        hintOf(a.dims)), hasOrd = true)
       }
 
     case NamedSetRef(name) =>
@@ -363,7 +365,7 @@ final class Planner(val cube: BoundCube) {
       val cells = cellsFor(a, slicer)
       val kept = cells.filter(expr(resolveCurrent(cond, a.dims)))
         .select(a.members.columns.map(col): _*)
-      a.copy(members = renumber(kept, a.hasOrd))
+      a.copy(members = renumber(kept, a.hasOrd, hintOf(a.dims)))
 
     case OrderSet(s, e, dir) =>
       val a = evalSet(s, slicer, withSets)
@@ -403,13 +405,13 @@ final class Planner(val cube: BoundCube) {
       val withCnt = Ords.withTotal(a.members, "__cnt")
       a.copy(members = renumber(withCnt
         .filter(col(OrdCol) > col("__cnt") - n).drop("__cnt"),
-        hasOrd = true))
+        hasOrd = true, hintOf(a.dims)))
 
     case SubsetSet(s, start, n) =>
       val a = realizeOrd(evalSet(s, slicer, withSets))
       a.copy(members = renumber(
         a.members.filter(col(OrdCol) > start && col(OrdCol) <= start + n),
-        hasOrd = true))
+        hasOrd = true, hintOf(a.dims)))
 
     case ExtractSet(s, dimNames) =>
       val a = evalSet(s, slicer, withSets)
@@ -583,7 +585,8 @@ final class Planner(val cube: BoundCube) {
           u.withColumn("__minOrd", min(col(OrdCol)).over(wk))
             .filter(col(OrdCol) === col("__minOrd")).drop("__minOrd")
         }
-      a.copy(members = renumber(deduped, hasOrd = true), hasOrd = true)
+      a.copy(members = renumber(deduped, hasOrd = true,
+        hintOf(a.dims)), hasOrd = true)
     }
   }
 
@@ -598,7 +601,8 @@ final class Planner(val cube: BoundCube) {
       ad.d.levelsTo(ad.depth).map(l =>
         if (post) col(l.ordinal).asc_nulls_last
         else col(l.ordinal).asc_nulls_first))
-    a.copy(members = Ords.rowNumber(a.members, ords, OrdCol),
+    a.copy(members = Ords.rowNumber(a.members, ords, OrdCol,
+        hintOf(a.dims)),
       hasOrd = true)
   }
 
@@ -636,9 +640,17 @@ final class Planner(val cube: BoundCube) {
     * positional ops (Head/Subset) keep working on gap-free positions; a
     * frame without __ord passes through.
     */
-  private def renumber(members: DataFrame, hasOrd: Boolean): DataFrame =
+  /** Cardinality hint for an axis frame's ordering ops: a frame is
+    * dimension-bounded (single-window cheap path) unless one of its
+    * dims carries the reference's high_cardinality hint.
+    */
+  private def hintOf(dims: Seq[AxisDim]): Ords.SizeHint =
+    if (dims.exists(_.d.highCardinality)) Ords.Large else Ords.Small
+
+  private def renumber(members: DataFrame, hasOrd: Boolean,
+      hint: Ords.SizeHint = Ords.Small): DataFrame =
     if (!hasOrd) members
-    else Ords.rowNumber(members, Seq(col(OrdCol).asc), OrdCol)
+    else Ords.rowNumber(members, Seq(col(OrdCol).asc), OrdCol, hint)
 
   /** Cells at the grain of `a` with all base measures + expression calc
     * members — the working set for cell-dependent set operators.
@@ -648,7 +660,8 @@ final class Planner(val cube: BoundCube) {
 
   private def ordered(a: AxisFrame, cells: DataFrame,
       sortCols: Seq[Column]): AxisFrame =
-    a.copy(members = Ords.rowNumber(cells, sortCols ++ tieBreak(a), OrdCol)
+    a.copy(members = Ords.rowNumber(cells, sortCols ++ tieBreak(a), OrdCol,
+        hintOf(a.dims))
         .select(
           (a.members.columns.filterNot(_ == OrdCol) :+ OrdCol).map(col): _*),
       hasOrd = true)
@@ -669,7 +682,8 @@ final class Planner(val cube: BoundCube) {
       // hierarchical (PRE) default
       val ords = a.dims.flatMap(ad =>
         ad.d.levelsTo(ad.depth).map(l => col(l.ordinal).asc))
-      a.copy(members = Ords.rowNumber(a.members, ords, OrdCol),
+      a.copy(members = Ords.rowNumber(a.members, ords, OrdCol,
+          hintOf(a.dims)),
         hasOrd = true)
     }
 

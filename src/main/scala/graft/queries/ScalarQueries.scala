@@ -215,9 +215,9 @@ object ScalarQueries {
         |  pow(
         |    -(p_retailprice / pow(1.0 + 0.12, 1.0)
         |        + 500.0 / pow(1.0 + 0.12, 2.0))
-        |      * pow(1.0 + 0.12, 3.0)
-        |      / ((-1000.0) * (1.0 + 0.10)),
-        |    1.0 / 2.0) - 1.0 AS mirr
+        |      * pow(1.0 + 0.12, 3.0 - 1.0)
+        |      / (-1000.0),
+        |    1.0 / (3.0 - 1.0)) - 1.0 AS mirr
         |FROM part""".stripMargin,
 
     "q_scalar_format" ->

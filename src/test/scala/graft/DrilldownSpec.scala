@@ -69,6 +69,26 @@ class DrilldownSpec extends SparkSpec {
     assert(rows.count(_.isNullAt(1)) == 5)
   }
 
+  test("DrilldownLevel expands every member one level down") {
+    val rows = Mdx.execute(
+      """SELECT {[Measures].[count_order]} ON COLUMNS,
+        |  DRILLDOWNLEVEL({[customer].[EUROPE], [customer].[ASIA]})
+        |    ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    // 2 regions + their 2x5 nations
+    assert(rows.length == 12)
+    assert(rows.count(_.isNullAt(1)) == 2)
+  }
+
+  test("StrToTuple pins one member per hierarchy") {
+    val rows = Mdx.execute(
+      """SELECT {[Measures].[count_order]} ON COLUMNS,
+        |  STRTOTUPLE('([customer].[EUROPE], [returnflag].[R])') ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "EUROPE")
+  }
+
   test("Unorder parses and is a semantic no-op") {
     val rows = Mdx.execute(
       """SELECT {[Measures].[count_order]} ON COLUMNS,

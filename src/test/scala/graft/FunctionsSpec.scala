@@ -39,6 +39,51 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(rate - 0.01) < 1e-9)
   }
 
+  test("MIRR closed form matches the textbook value") {
+    // classic example: flows [-120000, 39000, 30000, 21000, 37000,
+    // 46000], finance 10%, reinvest 12% => MIRR ~ 12.61%
+    val mirr = one(Vba.mIRR(
+      array(lit(-120000.0), lit(39000.0), lit(30000.0), lit(21000.0),
+        lit(37000.0), lit(46000.0)),
+      lit(0.10), lit(0.12))).asInstanceOf[Double]
+    assert(math.abs(mirr - 0.126094) < 1e-6, s"got $mirr")
+  }
+
+  test("VBA casts use banker's rounding; type names map to VB names") {
+    assert(one(Vba.cInt(lit(2.5))) === 2)   // half to even
+    assert(one(Vba.cInt(lit(3.5))) === 4)
+    assert(one(Vba.cLng(lit(-2.5))) === -2L)
+    assert(one(Vba.cStr(lit(42))) === "42")
+    assert(one(Vba.cBool(lit(1))) === true)
+    assert(String.valueOf(one(Vba.cCur(lit(1.23456)))) === "1.2346")
+    import org.apache.spark.sql.types._
+    assert(one(Vba.typeName(DoubleType)) === "Double")
+    assert(one(Vba.typeName(StringType)) === "String")
+    assert(one(Vba.typeName(IntegerType)) === "Integer")
+    assert(one(Vba.typeName(DecimalType(19, 4))) === "Currency")
+    assert(one(Vba.typeName(DateType)) === "Date")
+  }
+
+  test("time functions and IsDate behave like their VBA namesakes") {
+    assert(one(Vba.timeSerial(lit(5), lit(7), lit(9))) === "05:07:09")
+    assert(one(Vba.timeValue(lit("2010-03-04 13:14:15")
+      .cast("timestamp"))) === "13:14:15")
+    assert(one(Vba.timer(lit("2010-03-04 01:01:01").cast("timestamp")))
+      === 3661)
+    assert(one(Vba.isDate(lit("1995-01-05"))) === true)
+    assert(one(Vba.isDate(lit("not a date"))) === false)
+  }
+
+  test("Format* family renders grouped, currency, percent, and date modes") {
+    assert(one(Vba.formatNumber(lit(1234567.5), 2)) === "1,234,567.50")
+    assert(one(Vba.formatCurrency(lit(1234.5), 2)) === "$1,234.50")
+    assert(one(Vba.formatPercent(lit(0.125), 2)) === "12.50%")
+    val ts = lit("2010-03-04 13:14:15").cast("timestamp")
+    assert(one(Vba.formatDateTime(ts, 2)) === "3/4/2010")
+    assert(one(Vba.formatDateTime(ts, 3)) === "1:14:15 PM")
+    assert(one(Vba.formatDateTime(ts, 4)) === "13:14")
+  }
+
   test("InStrRev finds the last occurrence (1-based)") {
     import spark.implicits._
     val df = Seq("abcabc", "xyz", "aaa").toDF("s")

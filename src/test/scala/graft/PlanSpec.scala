@@ -128,6 +128,33 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"simhash should shuffle once:\n$p")
   }
 
+  test("high_cardinality dimension opts axis ordering into the distributed path") {
+    val li = Tables.load(spark, Sf, "lineitem")
+    val dim = BoundDim("ok", foreignKey = "l_orderkey",
+      primaryKey = "l_orderkey",
+      levels = Seq(BoundLevel("orderkey", "l_orderkey")),
+      df = li.select("l_orderkey").distinct(), degenerate = true,
+      highCardinality = true)
+    val hc = BoundCube("HC", li, Seq(dim),
+      Seq(Measure("sum_qty", Agg.Sum, "l_quantity")))
+    val df = Query.from(hc).columns("sum_qty")
+      .rows(OrderSet(LevelMembers("ok", "orderkey"), "sum_qty",
+        SortDir.BDesc))
+      .execute()
+    val p = df.queryExecution.executedPlan.toString
+    // the single-partition window path would show row_number(); the
+    // hinted distributed path numbers via range partition + offsets
+    assert(!p.contains("row_number()"),
+      s"high-cardinality axis must not use a global window:\n$p")
+    // a dimension-bounded axis keeps the cheap single-window plan
+    val small = Query.from(cube).columns("revenue")
+      .rows(OrderSet(LevelMembers("customer", "region"), "revenue",
+        SortDir.BDesc))
+      .execute()
+    assert(small.queryExecution.executedPlan.toString
+      .contains("row_number()"))
+  }
+
   test("axis ordering never single-partitions a high-cardinality frame") {
     import org.apache.spark.sql.functions._
     // a 10M-row "axis": far above the small-frame threshold, so the

@@ -25,6 +25,40 @@ class ResultSpec extends SparkSpec {
     assert(r.toHtml.startsWith("<table>") && r.toHtml.contains("<td>"))
   }
 
+  test("HTML table sink renders golden 1- and 2-axis grids") {
+    // golden over a hand-built Result (result.rb:66-110): deterministic
+    // markup, formatted cells, member captions
+    val oneAxis = new Result(
+      columnNames = Seq("revenue"),
+      rowAxis = Seq(Seq("EUROPE"), Seq("ASIA")),
+      rowAxisNames = Seq("cr_region"),
+      cells = Seq(Seq(BigDecimal(1234.5)), Seq(null)),
+      formats = Map("revenue" -> "#,##0.00"))
+    assert(oneAxis.toHtml ===
+      "<table><thead><tr><th>cr_region</th><th>revenue</th></tr></thead>" +
+        "<tbody>" +
+        "<tr><td>EUROPE</td><td>1,234.50</td></tr>" +
+        "<tr><td>ASIA</td><td></td></tr>" +
+        "</tbody></table>")
+    val twoAxis = new Result(
+      columnNames = Seq("qty", "orders"),
+      rowAxis = Seq(Seq("EUROPE", "NATION_1"), Seq("EUROPE", "NATION_3")),
+      rowAxisNames = Seq("cr_region", "cr_nation"),
+      cells = Seq(Seq(7L, 2L), Seq(9L, 4L)),
+      formats = Map.empty)
+    assert(twoAxis.toHtml ===
+      "<table><thead><tr><th>cr_region</th><th>cr_nation</th>" +
+        "<th>qty</th><th>orders</th></tr></thead><tbody>" +
+        "<tr><td>EUROPE</td><td>NATION_1</td><td>7</td><td>2</td></tr>" +
+        "<tr><td>EUROPE</td><td>NATION_3</td><td>9</td><td>4</td></tr>" +
+        "</tbody></table>")
+    // an engine-produced result renders the same shape end-to-end
+    val r = Query.from(cube).columns("count_order")
+      .rows(LevelMembers("customer", "region")).executeResult()
+    assert(r.toHtml.startsWith("<table><thead>") &&
+      "<tr>".r.findAllIn(r.toHtml).length == 1 + r.rowCount)
+  }
+
   test("PAGES axis surfaces as page sub-results") {
     val r = Query.from(cube)
       .columns("revenue")
