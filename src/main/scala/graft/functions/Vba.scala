@@ -96,21 +96,49 @@ object Vba {
   def weekdayName(c: Column): Column = date_format(c, "EEEE")
   def dateSerial(y: Column, m: Column, d: Column): Column =
     make_date(y, m, d)
+  /** VBA DateAdd intervals: yyyy year, q quarter, m month, ww week,
+    * d/y/w day, h hour, n minute, s second.
+    */
   def dateAdd(interval: String, n: Int, c: Column): Column =
     interval match {
-      case "d" => date_add(c, n)
+      case "d" | "y" | "w" => date_add(c, n)
+      case "ww" => date_add(c, n * 7)
       case "m" => add_months(c, n)
+      case "q" => add_months(c, n * 3)
       case "yyyy" => add_months(c, n * 12)
+      case "h" => c.cast("timestamp") +
+        make_dt_interval(lit(0), lit(n), lit(0), lit(0))
+      case "n" => c.cast("timestamp") +
+        make_dt_interval(lit(0), lit(0), lit(n), lit(0))
+      case "s" => c.cast("timestamp") +
+        make_dt_interval(lit(0), lit(0), lit(0), lit(n))
       case other =>
         throw new IllegalArgumentException(s"DateAdd interval '$other'")
     }
+  /** VBA DateDiff: boundary-counting for yyyy/q/m (VBA counts calendar
+    * boundaries crossed, not elapsed periods), elapsed units for
+    * d/ww/h/n/s.
+    */
   def dateDiff(interval: String, a: Column, b: Column): Column =
     interval match {
-      case "d" => datediff(b, a)
-      case "m" => months_between(b, a).cast("int")
+      case "d" | "y" | "w" => datediff(b, a)
+      case "ww" => floor(datediff(b, a) / 7).cast("int")
+      case "m" =>
+        (org.apache.spark.sql.functions.year(b) * 12 +
+          org.apache.spark.sql.functions.month(b)) -
+          (org.apache.spark.sql.functions.year(a) * 12 +
+            org.apache.spark.sql.functions.month(a))
+      case "q" =>
+        (org.apache.spark.sql.functions.year(b) * 4 + quarter(b)) -
+          (org.apache.spark.sql.functions.year(a) * 4 + quarter(a))
       case "yyyy" =>
         org.apache.spark.sql.functions.year(b) -
           org.apache.spark.sql.functions.year(a)
+      case "h" => ((unix_timestamp(b) - unix_timestamp(a)) / 3600)
+        .cast("int")
+      case "n" => ((unix_timestamp(b) - unix_timestamp(a)) / 60)
+        .cast("int")
+      case "s" => (unix_timestamp(b) - unix_timestamp(a)).cast("int")
       case other =>
         throw new IllegalArgumentException(s"DateDiff interval '$other'")
     }

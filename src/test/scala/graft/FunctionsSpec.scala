@@ -84,6 +84,28 @@ class FunctionsSpec extends SparkSpec {
     assert(one(Vba.formatDateTime(ts, 4)) === "13:14")
   }
 
+  test("DateAdd/DateDiff cover the full VBA interval set") {
+    val d = lit("2010-01-31").cast("date")
+    assert(String.valueOf(one(Vba.dateAdd("q", 1, d))) === "2010-04-30")
+    assert(String.valueOf(one(Vba.dateAdd("ww", 2, d))) === "2010-02-14")
+    val ts = lit("2010-01-31 23:00:00").cast("timestamp")
+    assert(String.valueOf(one(Vba.dateAdd("h", 5, ts)))
+      .startsWith("2010-02-01 04:00"))
+    assert(String.valueOf(one(Vba.dateAdd("n", 90, ts)))
+      .startsWith("2010-02-01 00:30"))
+    // VBA counts calendar boundaries crossed, not elapsed periods
+    val a = lit("2010-12-31").cast("date")
+    val b = lit("2011-01-01").cast("date")
+    assert(one(Vba.dateDiff("yyyy", a, b)) === 1)
+    assert(one(Vba.dateDiff("m", a, b)) === 1)
+    assert(one(Vba.dateDiff("q", a, b)) === 1)
+    assert(one(Vba.dateDiff("d", a, b)) === 1)
+    val t0 = lit("2010-01-01 00:00:00").cast("timestamp")
+    val t1 = lit("2010-01-01 00:01:30").cast("timestamp")
+    assert(one(Vba.dateDiff("s", t0, t1)) === 90)
+    assert(one(Vba.dateDiff("n", t0, t1)) === 1)
+  }
+
   test("InStrRev finds the last occurrence (1-based)") {
     import spark.implicits._
     val df = Seq("abcabc", "xyz", "aaa").toDF("s")
