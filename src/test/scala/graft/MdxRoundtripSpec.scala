@@ -43,7 +43,15 @@ class MdxRoundtripSpec extends SparkSpec {
       1 -> (for { a <- nodeGen(depth - 1); b <- nodeGen(depth - 1) }
         yield IntersectSet(a, b)),
       1 -> (for { a <- nodeGen(depth - 1); b <- nodeGen(depth - 1) }
-        yield ExceptSet(a, b)))
+        yield ExceptSet(a, b)),
+      1 -> (for { a <- nodeGen(depth - 1) } yield UnorderSet(a)),
+      1 -> (for { a <- nodeGen(depth - 1) } yield
+        DrilldownMember(a, Members("customer", Seq(Seq("EUROPE"))))),
+      1 -> (for { a <- nodeGen(depth - 1) } yield
+        DrilldownLevelTop(a, 2, "revenue")),
+      1 -> (for { a <- nodeGen(depth - 1) } yield
+        ToggleDrillState(a, Members("customer", Seq(Seq("ASIA"))))),
+      1 -> Gen.const(CurrentDateMember("time", "month", "BEFORE")))
 
   test("render → parse roundtrips arbitrary set trees") {
     val params = Gen.Parameters.default
