@@ -137,4 +137,10 @@ final case class QueryIR(
       * slowest-varying coordinate of the grid, matching Mondrian's
       * axis ordinal semantics.
       */
-    pages: Option[SetExpr] = None)
+    pages: Option[SetExpr] = None,
+    /** CHAPTERS(3) / SECTIONS(4) — the remaining reference axis
+      * aliases; higher ordinals vary slower, so they fold as further
+      * outer products above PAGES.
+      */
+    chapters: Option[SetExpr] = None,
+    sections: Option[SetExpr] = None)

@@ -467,6 +467,8 @@ object Mdx {
       var measures = Seq.empty[String]
       var rows: Option[SetExpr] = None
       var pages: Option[SetExpr] = None
+      var chapters: Option[SetExpr] = None
+      var sections: Option[SetExpr] = None
       var nonEmpty = false
       var first = true
       while (first || atPunct(",")) {
@@ -501,6 +503,13 @@ object Mdx {
             pages = Some(s); if (ne) nonEmpty = true
           case ("PAGES" | "2", Right(_)) => throw MdxException(
             "Syntax error: PAGES axis must be a member set")
+          case ("CHAPTERS" | "3", Left(s)) =>
+            chapters = Some(s); if (ne) nonEmpty = true
+          case ("SECTIONS" | "4", Left(s)) =>
+            sections = Some(s); if (ne) nonEmpty = true
+          case ("CHAPTERS" | "3" | "SECTIONS" | "4", Right(_)) =>
+            throw MdxException(
+              s"Syntax error: $axis axis must be a member set")
           case (other, _) =>
             throw MdxException(s"Syntax error: unsupported axis $other")
         }
@@ -518,7 +527,8 @@ object Mdx {
       var slicer = Seq.empty[SlicerItem]
       if (atKw("WHERE")) { eatKw("WHERE"); slicer = slicerItems() }
       QueryIR(measures, rows, slicer, nonEmpty, withSets,
-        auxCalcs ++ withMembers, pages = pages)
+        auxCalcs ++ withMembers, pages = pages, chapters = chapters,
+        sections = sections)
     }
 
     // -------- set expressions

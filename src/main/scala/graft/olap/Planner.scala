@@ -890,17 +890,18 @@ final class Planner(val cube: BoundCube) {
   // ------------------------------------------------------------- execute
 
   def execute(q0: QueryIR): DataFrame = {
-    // PAGES lowers to the page-major outer product with ROWS: CrossJoin
-    // order is left-major, which is exactly Mondrian's axis-ordinal
-    // iteration (pages vary slowest). A query naming no measures gets
-    // the cube's default measure (reference: queries without a COLUMNS
-    // axis still evaluate cells, query_test.rb:743-746).
-    val q1 = q0.pages match {
-      case Some(p) => q0.copy(
-        rows = Some(q0.rows.map(r => CrossJoin(p, r)).getOrElse(p)),
-        pages = None)
-      case None => q0
-    }
+    // PAGES/CHAPTERS/SECTIONS lower to outer products with ROWS:
+    // CrossJoin order is left-major, which is exactly Mondrian's
+    // axis-ordinal iteration (higher axes vary slowest, so SECTIONS is
+    // outermost). A query naming no measures gets the cube's default
+    // measure (reference: queries without a COLUMNS axis still
+    // evaluate cells, query_test.rb:743-746).
+    val outerAxes = Seq(q0.sections, q0.chapters, q0.pages).flatten
+    val q1 =
+      if (outerAxes.isEmpty) q0
+      else q0.copy(
+        rows = Some((outerAxes ++ q0.rows.toSeq).reduceRight(CrossJoin(_, _))),
+        pages = None, chapters = None, sections = None)
     val q = if (q1.measures.nonEmpty) q1
             else q1.copy(measures = Seq(cube.defaultMeasureName))
     pruneFor(q)

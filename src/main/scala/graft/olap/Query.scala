@@ -19,7 +19,9 @@ final class Query private (
     nonEmptyFlag: Boolean,
     withSets: Map[String, SetExpr],
     withMembers: Seq[CalcMember],
-    pagesSet: Option[SetExpr] = None) {
+    pagesSet: Option[SetExpr] = None,
+    chaptersSet: Option[SetExpr] = None,
+    sectionsSet: Option[SetExpr] = None) {
 
   private def copyWith(
       measures: Seq[String] = measures,
@@ -28,19 +30,25 @@ final class Query private (
       nonEmptyFlag: Boolean = nonEmptyFlag,
       withSets: Map[String, SetExpr] = withSets,
       withMembers: Seq[CalcMember] = withMembers,
-      pagesSet: Option[SetExpr] = pagesSet): Query =
+      pagesSet: Option[SetExpr] = pagesSet,
+      chaptersSet: Option[SetExpr] = chaptersSet,
+      sectionsSet: Option[SetExpr] = sectionsSet): Query =
     new Query(cube, measures, rowsSet, slicer, nonEmptyFlag, withSets,
-      withMembers, pagesSet)
+      withMembers, pagesSet, chaptersSet, sectionsSet)
 
   /** Measures on the COLUMNS axis (names of measures or calc members). */
   def columns(names: String*): Query = copyWith(measures = names)
 
   def rows(set: SetExpr): Query = copyWith(rowsSet = Some(set))
 
-  /** PAGES axis (reference query.rb pages/sections aliases): the
-    * page-major outer coordinate of the result grid.
+  /** PAGES axis (reference query.rb AXIS_ALIASES): the page-major
+    * outer coordinate of the result grid.
     */
   def pages(set: SetExpr): Query = copyWith(pagesSet = Some(set))
+
+  /** CHAPTERS(3) / SECTIONS(4) — higher axes vary slower. */
+  def chapters(set: SetExpr): Query = copyWith(chaptersSet = Some(set))
+  def sections(set: SetExpr): Query = copyWith(sectionsSet = Some(set))
 
   private def mapRows(f: SetExpr => SetExpr): Query = {
     require(rowsSet.isDefined, "rows(...) must be set first")
@@ -103,7 +111,7 @@ final class Query private (
 
   def toIR: QueryIR =
     QueryIR(measures, rowsSet, slicer, nonEmptyFlag, withSets, withMembers,
-      pages = pagesSet)
+      pages = pagesSet, chapters = chaptersSet, sections = sectionsSet)
 
   /** Render the built query as MDX text (reference to_mdx,
     * query.rb:230-237) — kept for debugging/compat; execution goes
@@ -117,10 +125,13 @@ final class Query private (
     * value transposition, formatted values — reference result.rb).
     */
   def executeResult(): Result = {
-    val pageCols = pagesSet.toSeq.flatMap { p =>
-      new Planner(cube).evalSet(p, slicer, withSets).dims
-        .flatMap(ad => Planner.levelCols(ad.d, ad.depth))
-    }
+    // every outer axis (sections slowest, then chapters, then pages)
+    // contributes page-key columns, in grid-major order
+    val pageCols = Seq(sectionsSet, chaptersSet, pagesSet).flatten
+      .flatMap { p =>
+        new Planner(cube).evalSet(p, slicer, withSets).dims
+          .flatMap(ad => Planner.levelCols(ad.d, ad.depth))
+      }
     Result.fromDataFrame(execute(), measures, cube, pageCols,
       queryCalcs = withMembers)
   }

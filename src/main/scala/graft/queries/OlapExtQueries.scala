@@ -219,6 +219,19 @@ object OlapExtQueries {
           |    {[customer].[EUROPE], [customer].[ASIA]}) ON ROWS
           |FROM [Sales]""".stripMargin, sales(s, dir))),
 
+    // -- five-axis grid (§2.1: COLUMNS/ROWS/PAGES/CHAPTERS/SECTIONS —
+    // the reference's full AXIS_ALIASES surface; higher axes vary
+    // slowest in the folded grid) --------------------------------------
+    "q_mdx_chapters" -> ((s, dir) =>
+      Mdx.execute(
+        """SELECT {[Measures].[count_order], [Measures].[sum_qty]}
+          |    ON COLUMNS,
+          |  [returnflag].[returnflag].Members ON ROWS,
+          |  [customer].[region].Members ON PAGES,
+          |  [linestatus].[linestatus].Members ON CHAPTERS,
+          |  [priority].[priority].Members ON SECTIONS
+          |FROM [Sales]""".stripMargin, sales(s, dir))),
+
     // -- MDX string/conversion expressions (§2.8: Cast, Format,
     // SetToStr, TupleToStr — mondrian_test.rb:491-517) -----------------
     "q_mdx_strfns" -> ((s, dir) =>
@@ -260,6 +273,25 @@ object OlapExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_mdx_chapters" ->
+      s"""WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+         |ls AS (SELECT DISTINCT l_linestatus FROM lineitem),
+         |rg AS (SELECT DISTINCT r_name FROM region),
+         |rf AS (SELECT DISTINCT l_returnflag FROM lineitem),
+         |agg AS (
+         |  SELECT o_orderpriority, l_linestatus, r_name, l_returnflag,
+         |    count(*) AS count_order, sum(l_quantity) AS sum_qty
+         |  $CJOIN GROUP BY 1, 2, 3, 4)
+         |SELECT pr.o_orderpriority, ls.l_linestatus,
+         |  rg.r_name AS cr_region, rf.l_returnflag,
+         |  a.count_order, a.sum_qty
+         |FROM pr CROSS JOIN ls CROSS JOIN rg CROSS JOIN rf
+         |LEFT JOIN agg a
+         |  ON a.o_orderpriority = pr.o_orderpriority
+         |  AND a.l_linestatus = ls.l_linestatus
+         |  AND a.r_name = rg.r_name
+         |  AND a.l_returnflag = rf.l_returnflag""".stripMargin,
+
     "q_approx_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_orderkey) AS exact_orders,

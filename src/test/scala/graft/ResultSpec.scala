@@ -75,6 +75,19 @@ class ResultSpec extends SparkSpec {
     assert(r.rowCount === 15)
   }
 
+  test("CHAPTERS and SECTIONS fold as outer page-major axes") {
+    val r = Query.from(cube).columns("count_order")
+      .rows(LevelMembers("returnflag", "returnflag"))
+      .pages(LevelMembers("customer", "region"))
+      .chapters(LevelMembers("linestatus", "linestatus"))
+      .executeResult()
+    // chapters vary slower than pages: page key = (chapter, page)
+    assert(r.pageAxisNames === Seq("l_linestatus", "cr_region"))
+    assert(r.rowCount === 2 * 5 * 3)
+    assert(r.pageCount === 10)
+    assert(r.page(0).rowCount === 3)
+  }
+
   test("Full rollup policy restricts axes but not totals") {
     val partial = cube.withRole(Role("p",
       Seq("customer" -> Seq("EUROPE"))))
