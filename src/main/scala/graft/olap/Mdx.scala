@@ -1404,6 +1404,19 @@ object Mdx {
                       isKw(t2, "Name") || isKw(t2, "Caption"))) {
                     eatPunct("."); next()
                     sb.append(s" __CURRENT_NAME_${d.name}__ ")
+                  } else if (atPunct(".") &&
+                      peekAt(1).exists(isKw(_, "Properties"))) {
+                    // .Properties('P') — member property of the current
+                    // member (PropertiesFunDef; cube.rb:470-480): the
+                    // planner joins the dimension's property column in
+                    eatPunct("."); next(); eatPunct("(")
+                    val prop = next() match {
+                      case TStr(p) => p
+                      case t => throw MdxException(
+                        s"Syntax error: Properties needs a name, got $t")
+                    }
+                    eatPunct(")")
+                    sb.append(s" __CURRENT_PROP_${d.name}__${prop}__ ")
                   } else {
                     // .UpperName property / .toUpperName('x') method UDF
                     // on the current member; bare CurrentMember otherwise

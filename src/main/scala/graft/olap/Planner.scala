@@ -757,6 +757,37 @@ final class Planner(val cube: BoundCube) {
         s"cast(${levelCols(ad.d, ad.depth).last} as string)")
     }
 
+  /** Resolve `[dim].CurrentMember.Properties('P')` macros: join the
+    * dimension's property column in by the deepest level key (one
+    * broadcast of a two-column dim projection), then substitute the
+    * property column name into the expression.
+    */
+  private def resolveProps(df0: DataFrame, sql0: String,
+      dims: Seq[AxisDim]): (DataFrame, String) = {
+    if (!sql0.contains("__CURRENT_PROP_")) return (df0, sql0)
+    var df = df0; var sql = sql0
+    dims.foreach { ad =>
+      val marker = s"__CURRENT_PROP_${ad.d.name}__"
+      var i = sql.indexOf(marker)
+      while (i >= 0) {
+        val rest = sql.substring(i + marker.length)
+        val end = rest.indexOf("__")
+        require(end > 0, s"malformed property macro in: $sql")
+        val prop = rest.substring(0, end)
+        require(ad.d.df.columns.contains(prop),
+          s"dimension '${ad.d.name}' has no property column '$prop'")
+        val key = levelCols(ad.d, ad.depth).last
+        if (!df.columns.contains(prop))
+          df = df.join(
+            broadcast(ad.d.df.select(col(key), col(prop)).distinct()),
+            Seq(key), "left")
+        sql = sql.replace(marker + prop + "__", prop)
+        i = sql.indexOf(marker)
+      }
+    }
+    (df, sql)
+  }
+
   def slicerPredicate(slicer: Seq[SlicerItem]): Column =
     if (slicer.isEmpty) lit(true)
     else slicer.map {
@@ -878,8 +909,10 @@ final class Planner(val cube: BoundCube) {
     neededCalcs.sortBy(_.solveOrder).foldLeft(df) { (acc, cm) =>
       cm.calc match {
         case ExprCalc(sql) =>
-          try acc.withColumn(cm.name, expr(resolveCurrent(sql, dims)))
-          catch { case _: org.apache.spark.sql.AnalysisException => acc }
+          try {
+            val (d2, s2) = resolveProps(acc, resolveCurrent(sql, dims), dims)
+            d2.withColumn(cm.name, expr(s2))
+          } catch { case _: org.apache.spark.sql.AnalysisException => acc }
         case sac: SetAggCalc =>
           try setAggColumn(acc, cm.name, sac, dims, slicer, Map.empty)
           catch { case _: org.apache.spark.sql.AnalysisException => acc }
@@ -947,9 +980,11 @@ final class Planner(val cube: BoundCube) {
       (acc, cm) =>
         cm.calc match {
           case ExprCalc(sql) =>
-            try acc.withColumn(cm.name,
-              expr(resolveCurrent(sql, axisDims)))
-            catch { case _: org.apache.spark.sql.AnalysisException => acc }
+            try {
+              val (d2, s2) =
+                resolveProps(acc, resolveCurrent(sql, axisDims), axisDims)
+              d2.withColumn(cm.name, expr(s2))
+            } catch { case _: org.apache.spark.sql.AnalysisException => acc }
           case WindowCalc(base, kind, overDim, resetLevel) =>
             axisDims.find(_.d.name == overDim) match {
               case None => acc // window dim not on axis → undefined, skip

@@ -219,6 +219,17 @@ object OlapExtQueries {
           |    {[customer].[EUROPE], [customer].[ASIA]}) ON ROWS
           |FROM [Sales]""".stripMargin, sales(s, dir))),
 
+    // -- member property in MDX scalar position (§2.8
+    // PropertiesFunDef): the planner joins the dim's property column
+    // in by the deepest level key -------------------------------------
+    "q_member_props" -> ((s, dir) =>
+      Mdx.execute(
+        """WITH MEMBER [Measures].[segment] AS
+          |    [customer].CurrentMember.Properties('c_mktsegment')
+          |SELECT {[Measures].[revenue], [Measures].[segment]} ON COLUMNS,
+          |  HEAD([customer].[customer].Members, 20) ON ROWS
+          |FROM [Sales]""".stripMargin, sales(s, dir))),
+
     // -- five-axis grid (§2.1: COLUMNS/ROWS/PAGES/CHAPTERS/SECTIONS —
     // the reference's full AXIS_ALIASES surface; higher axes vary
     // slowest in the folded grid) --------------------------------------
@@ -273,6 +284,23 @@ object OlapExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_member_props" ->
+      s"""WITH m AS (
+         |  SELECT r_name AS cr_region, n_name AS cr_nation, c_name,
+         |    c_mktsegment,
+         |    row_number() OVER (ORDER BY r_name, n_name, c_name) AS rk
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey),
+         |agg AS (
+         |  SELECT r_name, n_name, c_name, $REV AS revenue
+         |  $CJOIN GROUP BY 1, 2, 3)
+         |SELECT m.cr_region, m.cr_nation, m.c_name, a.revenue,
+         |  m.c_mktsegment AS segment
+         |FROM m LEFT JOIN agg a
+         |  ON a.r_name = m.cr_region AND a.n_name = m.cr_nation
+         |  AND a.c_name = m.c_name
+         |WHERE m.rk <= 20""".stripMargin,
+
     "q_mdx_chapters" ->
       s"""WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
          |ls AS (SELECT DISTINCT l_linestatus FROM lineitem),
