@@ -27,16 +27,36 @@ object Bench {
       SparkEntry.queries("q1_agg")(spark, sfDir).count()
       SparkEntry.queries("q_star_region")(spark, sfDir).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness keeps only the last ~2000 chars of stdout; a map of
+    // 100+ queries at full double precision overflows that window and
+    // the line is lost. Round to ms and keep the heaviest queries that
+    // fit a fixed byte budget; account for the rest explicitly.
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    val rounded = results.map { case (k, v) => k -> ms(v) }
+    val total = ms(rounded.map(_._2).sum)
+    val keep = scala.collection.mutable.LinkedHashSet.empty[String]
+    var used = 0
+    rounded.sortBy(-_._2).foreach { case (k, v) =>
+      val len = k.length + v.toString.length + 4
+      if (used + len <= 1600) { used += len; keep += k }
+    }
+    val qs = rounded.filter(p => keep(p._1))
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val omitted = rounded.filterNot(p => keep(p._1))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${rounded.size},"queries":$qs,"omitted":${omitted.size},"omitted_sec":${ms(omitted.map(_._2).sum)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
