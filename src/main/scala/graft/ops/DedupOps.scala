@@ -121,13 +121,18 @@ object DedupOps {
       .filter(col("n_common_ub").cast("double") /
         (col("n_a") + col("n_b") - col("n_common_ub")) >= threshold)
       .select("doc_a", "doc_b")
+      // consumed twice (candIds + the verify join): without a persist
+      // the whole postings self-join re-runs per consumer
+      .persist()
     // verify phase: shrink the shingled corpus to candidate docs with a
     // semi-join (small by construction), then plain shuffle joins — the
     // pattern minhashLsh uses. No broadcast of sh at any scale.
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
-    val candSh = sh.join(candIds, Seq("doc_id"), "left_semi")
+    // also two consumers (the doc_a and doc_b sides); bounded by the
+    // candidate count, so persisting is safe at corpus scale
+    val candSh = sh.join(candIds, Seq("doc_id"), "left_semi").persist()
     // shuffle_hash hints: the candidate set is unbounded (worst case a
     // near-duplicate-heavy corpus), so the shingle-carrying sides are
     // partitioned, never broadcast — regardless of optimizer stats
