@@ -96,6 +96,46 @@ object Agg {
       s"regr_slope($e, $e2) * CAST($at AS DOUBLE) " +
         s"+ regr_intercept($e, $e2)")
   }
+
+  private def pctOf(a: Agg): Option[Double] = a match {
+    case Percentile(p)  => Some(p)
+    case NthQuartile(n) => Some(n / 4.0)
+    case _              => None
+  }
+
+  /** Lower a measure list to (aggregate columns, post-agg projections),
+    * fusing percentile-family measures that share a source expression
+    * into ONE `percentile(e, array(p1..pk))` aggregate. Spark's
+    * Percentile builds a value→count map per aggregate instance, so k
+    * separate quartile measures over one column would otherwise build k
+    * identical maps per group. Callers apply the projections after the
+    * groupBy to restore one named column per measure.
+    */
+  def toColumnsFused(ms: Seq[Measure]): (Seq[Column], Seq[Column]) = {
+    val fused = ms.filter(m => pctOf(m.agg).isDefined)
+      .groupBy(_.expr).filter(_._2.length > 1)
+    if (fused.isEmpty)
+      (ms.map(m => toColumn(m.agg, m.expr).as(m.name)),
+        ms.map(m => col(m.name)))
+    else {
+      val slot = fused.keys.zipWithIndex.toMap
+      val aggCols = fused.toSeq.map { case (e, group) =>
+        val ps = group.map(m => pctOf(m.agg).get)
+        expr(s"percentile($e, array(${ps.mkString(", ")}))")
+          .as(s"__pct_${slot(e)}")
+      } ++ ms.collect {
+        case m if !(pctOf(m.agg).isDefined && fused.contains(m.expr)) =>
+          toColumn(m.agg, m.expr).as(m.name)
+      }
+      val post = ms.map { m =>
+        if (pctOf(m.agg).isDefined && fused.contains(m.expr)) {
+          val i = fused(m.expr).indexWhere(_.name == m.name)
+          element_at(col(s"__pct_${slot(m.expr)}"), i + 1).as(m.name)
+        } else col(m.name)
+      }
+      (aggCols, post)
+    }
+  }
 }
 
 /** Presentation/annotation metadata shared by schema elements

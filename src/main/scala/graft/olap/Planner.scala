@@ -819,12 +819,13 @@ final class Planner(val cube: BoundCube) {
         case None =>
           val star = joinStar(neededJoins(axisDims, allSlicer), allSlicer)
           val sliced = star.filter(slicerPredicate(allSlicer))
-          val aggCols = neededMeasures.map(m =>
-            Agg.toColumn(m.agg, m.expr).as(m.name))
+          val (aggCols, post) = Agg.toColumnsFused(neededMeasures)
           val keys = groupCols(axisDims)
-          if (keys.isEmpty) sliced.agg(aggCols.head, aggCols.tail: _*)
-          else sliced.groupBy(keys.map(col): _*)
-            .agg(aggCols.head, aggCols.tail: _*)
+          val agged =
+            if (keys.isEmpty) sliced.agg(aggCols.head, aggCols.tail: _*)
+            else sliced.groupBy(keys.map(col): _*)
+              .agg(aggCols.head, aggCols.tail: _*)
+          agged.select(keys.map(col) ++ post: _*)
       }
     if (!SegmentCache.enabled) compute
     else {
@@ -870,12 +871,13 @@ final class Planner(val cube: BoundCube) {
     val allSlicer = slicer ++ roleSlicer
     val star = joinStar(neededJoins(axisDims, allSlicer), allSlicer)
     val sliced = star.filter(slicerPredicate(allSlicer))
-    val aggCols = neededMeasures.map(m =>
-      Agg.toColumn(m.agg, m.expr).as(m.name))
-    val keys = groupCols(axisDims).map(col)
+    val (aggCols, post) = Agg.toColumnsFused(neededMeasures)
+    val keys = groupCols(axisDims)
     val grouped =
-      if (mode == "cube") sliced.cube(keys: _*) else sliced.rollup(keys: _*)
+      if (mode == "cube") sliced.cube(keys.map(col): _*)
+      else sliced.rollup(keys.map(col): _*)
     grouped.agg(aggCols.head, aggCols.tail: _*)
+      .select(keys.map(col) ++ post: _*)
   }
 
   /** Role member grants become row filters under the aggregate — the
