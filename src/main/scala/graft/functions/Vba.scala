@@ -54,6 +54,16 @@ object Vba {
   // ---- strings -------------------------------------------------------
   def asc(c: Column): Column = org.apache.spark.sql.functions.ascii(c)
   def chr(c: Column): Column = char(c)
+  /** AscB: first byte of the string's UTF-8 encoding (binary substring
+    * → hex → base-10); AscW: first Unicode code point, which Spark's
+    * `ascii` already returns. ChrB wraps the code into one byte; ChrW
+    * is code-point chr.
+    */
+  def ascB(c: Column): Column =
+    conv(hex(substring(encode(c, "UTF-8"), 1, 1)), 16, 10).cast("int")
+  def ascW(c: Column): Column = org.apache.spark.sql.functions.ascii(c)
+  def chrB(c: Column): Column = char(pmod(c, lit(256)))
+  def chrW(c: Column): Column = char(c)
   def lCase(c: Column): Column = lower(c)
   def uCase(c: Column): Column = upper(c)
   def lTrim(c: Column): Column = ltrim(c)
@@ -143,6 +153,28 @@ object Vba {
         throw new IllegalArgumentException(s"DateDiff interval '$other'")
     }
   def now(): Column = current_timestamp()
+  /** VBA Date / Time: the current date / the current clock reading
+    * (rendered HH:mm:ss, consistent with [[timeValue]]).
+    */
+  def dateFn(): Column = current_date()
+  def timeFn(): Column = date_format(current_timestamp(), "HH:mm:ss")
+  /** VBA DatePart(interval, date): the component DateAdd/DateDiff
+    * address by the same interval codes.
+    */
+  def datePart(interval: String, c: Column): Column = interval match {
+    case "yyyy" => org.apache.spark.sql.functions.year(c)
+    case "q"    => quarter(c)
+    case "m"    => org.apache.spark.sql.functions.month(c)
+    case "y"    => dayofyear(c)
+    case "d"    => dayofmonth(c)
+    case "w"    => dayofweek(c)
+    case "ww"   => weekofyear(c)
+    case "h"    => org.apache.spark.sql.functions.hour(c)
+    case "n"    => org.apache.spark.sql.functions.minute(c)
+    case "s"    => org.apache.spark.sql.functions.second(c)
+    case other =>
+      throw new IllegalArgumentException(s"DatePart interval '$other'")
+  }
   def dateValue(c: Column): Column = to_date(c)
   /** VBA TimeSerial(h, m, s) rendered as HH:mm:ss (VBA's fractional-day
     * Date is meaningless in a date-typed engine; the clock string is

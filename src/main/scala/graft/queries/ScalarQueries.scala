@@ -28,7 +28,10 @@ object ScalarQueries {
         Vba.replace(col("p_name"), " ", "_").as("unders"),
         Vba.strReverse(col("p_name")).as("rev"),
         Vba.len(col("p_name")).as("nlen"),
-        Vba.asc(col("p_name")).as("first_code"))),
+        Vba.asc(col("p_name")).as("first_code"),
+        Vba.ascB(col("p_name")).as("first_byte"),
+        Vba.ascW(col("p_name")).as("first_cp"),
+        Vba.chrW(col("p_size") + 64).as("chr_size"))),
 
     "q_scalar_math" -> ((s, dir) =>
       part(s, dir).select(
@@ -57,7 +60,9 @@ object ScalarQueries {
         Vba.dateDiff("d", to_date(col("o_orderdate")),
           lit("1998-01-01").cast("date")).as("days_to_98"),
         Vba.dateSerial(Vba.year(col("o_orderdate")),
-          Vba.month(col("o_orderdate")), lit(1)).as("month_start"))),
+          Vba.month(col("o_orderdate")), lit(1)).as("month_start"),
+        Vba.datePart("q", col("o_orderdate")).as("dp_quarter"),
+        Vba.datePart("y", col("o_orderdate")).as("dp_doy"))),
 
     "q_scalar_financial" -> ((s, dir) =>
       part(s, dir).select(
@@ -132,7 +137,10 @@ object ScalarQueries {
         |  replace(p_name, ' ', '_') AS unders,
         |  reverse(p_name) AS rev,
         |  CAST(length(p_name) AS INT) AS nlen,
-        |  CAST(ascii(p_name) AS INT) AS first_code
+        |  CAST(ascii(p_name) AS INT) AS first_code,
+        |  CAST(ascii(p_name) AS INT) AS first_byte,
+        |  CAST(ascii(p_name) AS INT) AS first_cp,
+        |  chr(p_size + 64) AS chr_size
         |FROM part""".stripMargin,
 
     "q_scalar_math" ->
@@ -160,7 +168,9 @@ object ScalarQueries {
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
         |    DATE '1998-01-01') AS INT) AS days_to_98,
         |  make_date(CAST(year(o_orderdate) AS INT),
-        |    CAST(month(o_orderdate) AS INT), 1) AS month_start
+        |    CAST(month(o_orderdate) AS INT), 1) AS month_start,
+        |  CAST(quarter(o_orderdate) AS INT) AS dp_quarter,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS dp_doy
         |FROM orders""".stripMargin,
 
     "q_scalar_casts" ->
