@@ -58,15 +58,19 @@ object VectorExprs {
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        // fresh names: two instances of this expression can be fused
+        // into one codegen stage, where fixed locals would collide
+        val (n, dot, na, nb, i) = (ctx.freshName("n"), ctx.freshName("dot"),
+          ctx.freshName("na"), ctx.freshName("nb"), ctx.freshName("i"))
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double dot = 0.0, na = 0.0, nb = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double xi = $a.getFloat(i);
-           |  double yi = $b.getFloat(i);
-           |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double xi$i = $a.getFloat($i);
+           |  double yi$i = $b.getFloat($i);
+           |  $dot += xi$i * yi$i; $na += xi$i * xi$i; $nb += yi$i * yi$i;
            |}
-           |${ev.value} = dot / java.lang.Math.sqrt(na * nb);
+           |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
          """.stripMargin
       })
 
@@ -108,13 +112,15 @@ object VectorExprs {
     override protected def doGenCode(ctx: CodegenContext,
         ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (n, dot, i) =
+          (ctx.freshName("n"), ctx.freshName("dot"), ctx.freshName("i"))
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double dot = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
            |}
-           |${ev.value} = dot;
+           |${ev.value} = $dot;
          """.stripMargin
       })
 

@@ -135,20 +135,23 @@ object SimilarityOps {
     val flat = corpus.select((col("vec_id") +: (1 to dim).map(d =>
       expr(s"cast(element_at(embedding, $d) as double)")
         .as(s"v$d"))): _*).persist()
-    val w = Window.orderBy(col("__h").asc, col("vec_id").asc)
     // Seed centroids pass through the same decimal(38,12) rounding the
     // update step applies, so iteration 1 is bit-identical to an oracle
     // that derives them via the shared centroid CTE.
     def snap(v: Double): Double =
       new java.math.BigDecimal(v)
         .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    // k smallest hashes via TakeOrdered (orderBy+limit) — no
+    // single-partition window even on a billion-vector corpus
     var centroids: Seq[(Int, Array[Double])] = flat
       .withColumn("__h", expr(DedupOps.h60("cast(vec_id as string)")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
+      .orderBy(col("__h").asc, col("vec_id").asc)
+      .limit(k)
       .collect()
-      .map(r => (r.getAs[Int]("__rn") - 1,
-        (1 to dim).map(d => snap(r.getAs[Double](s"v$d"))).toArray))
+      .zipWithIndex
+      .map { case (r, cid) =>
+        (cid, (1 to dim).map(d => snap(r.getAs[Double](s"v$d"))).toArray)
+      }
       .toSeq
     def assign(): DataFrame = {
       // codegen-only argmin: distances as flat columns, least() for the
@@ -170,17 +173,24 @@ object SimilarityOps {
         .drop(sorted.map { case (cid, _) => s"__d$cid" }: _*)
     }
     for (_ <- 1 until iters) {
-      val sums = assign().groupBy("cell")
+      // update step on skinny (cell, dim, v) rows: ONE decimal sum
+      // instead of a 64-wide decimal aggregate (which defeats codegen
+      // and hashes a huge row), and k×dim grouped partials combine
+      // map-side — the shape that holds at any corpus size
+      val grid = assign()
+        .select(col("cell"), posexplode(
+          array((1 to dim).map(d => col(s"v$d")): _*)).as(Seq("d", "v")))
+        .groupBy("cell", "d")
         .agg(count(lit(1)).as("n"),
-          (1 to dim).map(d =>
-            sum(expr(s"cast(v$d as decimal(38,12))")).as(s"s$d")): _*)
+          sum(expr("cast(v as decimal(38,12))")).as("s"))
         .collect()
       // empty cells drop out (identically on the oracle side)
-      centroids = sums.map { r =>
-        val n = r.getAs[Long]("n")
-        (r.getAs[Int]("cell"), (1 to dim).map(d =>
-          r.getAs[java.math.BigDecimal](s"s$d").doubleValue() / n).toArray)
-      }.toSeq
+      centroids = grid.groupBy(_.getAs[Int]("cell")).toSeq.map {
+        case (cell, rows) =>
+          (cell, rows.sortBy(_.getAs[Int]("d")).map(r =>
+            r.getAs[java.math.BigDecimal]("s").doubleValue() /
+              r.getAs[Long]("n")).toArray)
+      }
     }
     val out = assign().select(col("vec_id"), col("cell"))
       .localCheckpoint(true)
