@@ -555,7 +555,8 @@ object Mdx {
         // literal member-path branch: scan to the matching '}' for a
         // `.Suffix` pattern
         val braceSuffixes = Set("MEMBERS", "ALLMEMBERS", "CHILDREN",
-          "PARENT", "FIRSTCHILD", "LASTCHILD", "SIBLINGS", "ITEM")
+          "PARENT", "FIRSTCHILD", "LASTCHILD", "SIBLINGS",
+          "FIRSTSIBLING", "LASTSIBLING", "ITEM")
         def braceHasSuffix: Boolean = {
           var k = 0; var depth = 0; var found = false
           while (!found && pos + k < toks.length && depth >= 0) {
@@ -693,7 +694,8 @@ object Mdx {
       "INTERSECT", "EXCEPT", "DISTINCT", "FILTER", "ORDER", "TOPCOUNT",
       "BOTTOMCOUNT", "TOPPERCENT", "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM",
       "HEAD", "TAIL", "SUBSET", "HIERARCHIZE", "DESCENDANTS", "EXISTS",
-      "EXTRACT", "GENERATE", "ANCESTOR", "ADDCALCULATEDMEMBERS",
+      "EXTRACT", "GENERATE", "ANCESTOR", "ANCESTORS",
+      "ADDCALCULATEDMEMBERS", "STRIPCALCULATEDMEMBERS",
       "CURRENTDATEMEMBER", "DRILLDOWNMEMBER", "DRILLDOWNLEVEL",
       "DRILLDOWNLEVELTOP", "DRILLDOWNLEVELBOTTOM", "TOGGLEDRILLSTATE",
       "UNORDER")
@@ -721,7 +723,21 @@ object Mdx {
           val a = arg(); comma(); val b = arg(); ExistsSet(a, b)
         case "DISTINCT" => DistinctSet(arg())
         case "FILTER" =>
-          val a = arg(); comma(); FilterSet(a, scalarExpr(ws))
+          // optional `set AS S` alias names the set for S.Current /
+          // S.CurrentOrdinal in the condition (NamedSetCurrentFunDef,
+          // reference query_test.rb:635-655)
+          val a = arg()
+          val alias =
+            if (atKw("AS")) {
+              eatKw("AS")
+              Some(next() match {
+                case TIdent(s2) => s2
+                case TBracket(s2) => s2
+                case t => throw MdxException(
+                  s"Syntax error: bad set alias $t")
+              })
+            } else None
+          comma(); FilterSet(a, scalarExpr(ws, setAlias = alias))
         case "ORDER" =>
           val a = arg(); comma(); val e = scalarExpr(ws)
           val dir = if (atPunct(",")) {
@@ -816,9 +832,28 @@ object Mdx {
             throw MdxException(
               s"Ancestor level '$lvlName' is below member [${p.mkString("].[")}]")
           Members(d.name, Seq(path.take(depth + 1)))
+        case "ANCESTORS" =>
+          // Ancestors(member, level) — the set form of Ancestor
+          // (AncestorsFunDef): at a single named level the set holds
+          // exactly the one ancestor
+          val p = memberPath(); comma()
+          val d = dimNamed(p.head)
+          val lp = memberPath()
+          val lvlName = resolveLevel(d,
+            if (lp.head.equalsIgnoreCase(d.name)) lp.last else lp.head)
+          val depth = d.levelIndex(lvlName)
+          val path = p.tail.map(pathValue)
+          if (path.length <= depth)
+            throw MdxException(
+              s"Ancestors level '$lvlName' is below member [${p.mkString("].[")}]")
+          Members(d.name, Seq(path.take(depth + 1)))
         case "ADDCALCULATEDMEMBERS" =>
           // calc members live on [Measures] in this engine, so a member
           // set is unchanged (AddCalculatedMembersFunDef passthrough)
+          arg()
+        case "STRIPCALCULATEDMEMBERS" =>
+          // dual of AddCalculatedMembers: level member sets carry no
+          // calc members here, so the set passes through unchanged
           arg()
         case "UNORDER" => UnorderSet(arg())
         case "DRILLDOWNLEVEL" =>
@@ -935,7 +970,8 @@ object Mdx {
         path.dropRight(1)
       }
       val knownSuffix = Set("MEMBERS", "ALLMEMBERS", "CHILDREN",
-        "PARENT", "FIRSTCHILD", "LASTCHILD", "SIBLINGS")
+        "PARENT", "FIRSTCHILD", "LASTCHILD", "SIBLINGS",
+        "FIRSTSIBLING", "LASTSIBLING")
       val hasSuffix = atPunct(".") && (peekAt(1) match {
         case Some(TIdent(f)) => knownSuffix(f.toUpperCase)
         case _ => false
@@ -963,6 +999,14 @@ object Mdx {
           case TIdent(f) if f.equalsIgnoreCase("Siblings") =>
             if (path.length <= 1) LevelMembers(d.name, d.levels.head.name)
             else Children(d.name, path.dropRight(1))
+          case TIdent(f) if f.equalsIgnoreCase("FirstSibling") =>
+            if (path.length <= 1)
+              HeadSet(LevelMembers(d.name, d.levels.head.name), 1)
+            else HeadSet(Children(d.name, path.dropRight(1)), 1)
+          case TIdent(f) if f.equalsIgnoreCase("LastSibling") =>
+            if (path.length <= 1)
+              TailSet(LevelMembers(d.name, d.levels.head.name), 1)
+            else TailSet(Children(d.name, path.dropRight(1)), 1)
           case t => throw MdxException(s"Syntax error: unexpected .$t")
         }
       } else Members(d.name, Seq(path))
@@ -1222,7 +1266,8 @@ object Mdx {
     }
 
     private def scalarExpr(ws: Map[String, SetExpr] = Map.empty,
-        stopAtAs: Boolean = false): String = {
+        stopAtAs: Boolean = false,
+        setAlias: Option[String] = None): String = {
       val sb = new StringBuilder
       var depth = 0
       var done = false
@@ -1297,6 +1342,37 @@ object Mdx {
             }
             lastTokRef = -1; pendingDiv = false
             prevWasIdent = false
+          case Some(TIdent(s)) if s.equalsIgnoreCase("IsEmpty") &&
+              peekAt(1).contains(TPunct("(")) =>
+            // IsEmpty(expr) → NULL test (IsEmptyFunDef);
+            // IsEmpty(S.Current) with the Filter set alias → "every
+            // measure of the current tuple is empty" macro the planner
+            // expands over the cell frame's measure columns
+            next(); eatPunct("(")
+            val aliasCurrent = setAlias.isDefined && (peek match {
+              case Some(TIdent(s2)) =>
+                s2.equalsIgnoreCase(setAlias.get) &&
+                  peekAt(1).contains(TPunct(".")) &&
+                  peekAt(2).exists(isKw(_, "Current"))
+              case _ => false
+            })
+            if (aliasCurrent) {
+              next(); eatPunct("."); next()
+              sb.append(" __CURRENT_EMPTY__ ")
+            } else {
+              val inner = scalarExpr(ws, setAlias = setAlias)
+              sb.append(s" (($inner) IS NULL) ")
+            }
+            eatPunct(")")
+            lastTokRef = -1; pendingDiv = false; prevWasIdent = false
+          case Some(TIdent(s)) if setAlias.exists(_.equalsIgnoreCase(s)) &&
+              peekAt(1).contains(TPunct(".")) &&
+              peekAt(2).exists(isKw(_, "CurrentOrdinal")) =>
+            // S.CurrentOrdinal — 0-based position of the current tuple
+            // in the aliased set (NamedSetCurrentOrdinalFunDef)
+            next(); eatPunct("."); next()
+            sb.append(" __CURRENT_ORDINAL__ ")
+            lastTokRef = -1; pendingDiv = false; prevWasIdent = false
           case Some(TIdent(s)) if s.equalsIgnoreCase("Parameter") &&
               peekAt(1).contains(TPunct("(")) =>
             next()

@@ -361,9 +361,24 @@ final class Planner(val cube: BoundCube) {
     case FilterSet(s, cond) =>
       // MDX Filter preserves the input set's order (FilterFunDef): keep and
       // renumber __ord when the child was explicitly ordered (ADVICE r1).
-      val a = evalSet(s, slicer, withSets)
+      val a0 = evalSet(s, slicer, withSets)
+      // S.CurrentOrdinal needs an explicit position column
+      val a = if (cond.contains("__CURRENT_ORDINAL__")) realizeOrd(a0)
+              else a0
       val cells = cellsFor(a, slicer)
-      val kept = cells.filter(expr(resolveCurrent(cond, a.dims)))
+      var c = resolveCurrent(cond, a.dims)
+      if (c.contains("__CURRENT_EMPTY__")) {
+        // IsEmpty(S.Current): every measure cell of the tuple is empty
+        val memberCols = a.members.columns.toSet
+        val ms = cells.columns.filterNot(memberCols.contains)
+        val empty =
+          if (ms.isEmpty) "TRUE"
+          else ms.map(m => s"(`$m` IS NULL)").mkString("(", " AND ", ")")
+        c = c.replace("__CURRENT_EMPTY__", empty)
+      }
+      if (c.contains("__CURRENT_ORDINAL__"))
+        c = c.replace("__CURRENT_ORDINAL__", s"(`$OrdCol` - 1)")
+      val kept = cells.filter(expr(c))
         .select(a.members.columns.map(col): _*)
       a.copy(members = renumber(kept, a.hasOrd, hintOf(a.dims)))
 

@@ -145,6 +145,27 @@ object OlapExtQueries {
       grid.toDF("ord", "cr_region", "cr_nation", "count_order")
     }),
 
+    // -- Filter set alias (§2.8 NamedSetCurrent/-OrdinalFunDef;
+    // reference query_test.rb:635-655): S.CurrentOrdinal positions and
+    // IsEmpty(S.Current) over the aliased set ------------------------
+    "q_filter_alias" -> ((s, dir) =>
+      Mdx.execute(
+        """SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  Filter([customer].[nation].Members AS S,
+          |    S.CurrentOrdinal < 10 AND NOT IsEmpty(S.Current)) ON ROWS
+          |FROM [Sales]""".stripMargin, sales(s, dir))),
+
+    // -- sibling navigation + Ancestors set form (§2.8): first/last
+    // child of the member's parent, the region ancestor as a set ------
+    "q_siblings" -> ((s, dir) =>
+      Mdx.execute(
+        """SELECT {[Measures].[count_order]} ON COLUMNS,
+          |  {[customer].[AFRICA].[NATION_0].FirstSibling,
+          |   [customer].[AFRICA].[NATION_0].LastSibling,
+          |   Ancestors([customer].[AFRICA].[NATION_0],
+          |     [customer].[region])} ON ROWS
+          |FROM [Sales]""".stripMargin, sales(s, dir))),
+
     // -- typed UDF surface (§2.12, schema_udf.rb): scalar macro UDFs +
     // a member-typed property UDF, all through the MDX parser ----------
     "q_udf_scalar" -> ((s, dir) =>
@@ -394,6 +415,44 @@ object OlapExtQueries {
          |$CJOIN
          |GROUP BY GROUPING SETS ((r_name), (r_name, n_name))"""
         .stripMargin,
+
+    // hierarchical order = (region, nation); first 10 positions with a
+    // non-empty revenue cell
+    "q_filter_alias" ->
+      s"""WITH cells AS (
+         |  SELECT r_name AS cr_region, n_name AS cr_nation,
+         |    $REV AS revenue
+         |  $CJOIN
+         |  GROUP BY 1, 2),
+         |pos AS (
+         |  SELECT n.n_name AS cr_nation, r.r_name AS cr_region,
+         |    row_number() OVER (ORDER BY r.r_name, n.n_name) - 1 AS ord
+         |  FROM nation n JOIN region r ON n_regionkey = r_regionkey)
+         |SELECT c.cr_region, c.cr_nation, c.revenue FROM cells c
+         |JOIN pos p ON c.cr_nation = p.cr_nation
+         |WHERE p.ord < 10 AND c.revenue IS NOT NULL""".stripMargin,
+
+    // first/last sibling = min/max nation name under AFRICA (member
+    // ordinal = name); members enumerate from the dim, so LEFT JOIN
+    // keeps them even with no fact rows
+    "q_siblings" ->
+      s"""WITH afr AS (
+         |  SELECT n_name FROM nation
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'AFRICA'),
+         |mems AS (
+         |  SELECT 'AFRICA' AS cr_region, min(n_name) AS cr_nation FROM afr
+         |  UNION ALL SELECT 'AFRICA', max(n_name) FROM afr
+         |  UNION ALL SELECT 'AFRICA', NULL),
+         |cells AS (
+         |  SELECT r_name AS cr_region, n_name AS cr_nation,
+         |    count(*) AS count_order
+         |  $CJOIN
+         |  GROUP BY GROUPING SETS ((r_name), (r_name, n_name)))
+         |SELECT m.cr_region, m.cr_nation, c.count_order
+         |FROM mems m LEFT JOIN cells c
+         |  ON m.cr_region = c.cr_region
+         |  AND m.cr_nation IS NOT DISTINCT FROM c.cr_nation""".stripMargin,
 
     // POST order: within a region, nations (ordered) first, then the
     // region's own row
