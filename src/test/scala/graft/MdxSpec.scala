@@ -470,6 +470,49 @@ class MdxSpec extends SparkSpec {
     assert(df2.columns.contains(cube.measures.head.name))
   }
 
+  test("sibling navigation and the Ancestors set form") {
+    // first/last child of the member's parent = min/max nation name
+    val df = Mdx.execute(
+      """SELECT {[Measures].[count_order]} ON COLUMNS,
+        |  {[customer].[AFRICA].[NATION_0].FirstSibling,
+        |   [customer].[AFRICA].[NATION_0].LastSibling} ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val nations = df.collect().map(_.getString(1)).toSeq
+    assert(nations.length === 2)
+    assert(nations.head < nations.last)
+    // Ancestors at a single level holds exactly the one ancestor
+    val anc = Mdx.execute(
+      """SELECT {[Measures].[count_order]} ON COLUMNS,
+        |  {Ancestors([customer].[AFRICA].[NATION_0],
+        |    [customer].[region])} ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(anc.collect().map(_.getString(0)).toSeq === Seq("AFRICA"))
+    // StripCalculatedMembers passes a plain member set through
+    val strip = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  StripCalculatedMembers([customer].[region].Members) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(strip.count() === 5)
+  }
+
+  test("Filter set alias: S.CurrentOrdinal and IsEmpty(S.Current)") {
+    val df = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  Filter([customer].[nation].Members AS S,
+        |    S.CurrentOrdinal < 3 AND NOT IsEmpty(S.Current)) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(df.count() <= 3)
+    // general IsEmpty(expr) — nations whose revenue cell is empty (none
+    // at this SF would match the negation of every-nation coverage, so
+    // just assert it parses and yields a subset)
+    val emptyOnly = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  Filter([customer].[nation].Members,
+        |    IsEmpty([Measures].[revenue])) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(emptyOnly.count() <= 25)
+  }
+
   test("error taxonomy matches the reference wording") {
     val e1 = intercept[Mdx.MdxException] {
       Mdx.parse("SELECT {[Measures].[nope]} ON COLUMNS, " +
