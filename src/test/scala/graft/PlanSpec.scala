@@ -155,6 +155,23 @@ class PlanSpec extends SparkSpec {
       .contains("row_number()"))
   }
 
+  test("same-column percentile measures fuse into one aggregate") {
+    val df = Query.from(Cubes.sales(spark, Sf))
+      .columns("median_price", "p90_price", "q1_price", "q3_price")
+      .rows(LevelMembers("returnflag", "returnflag"))
+      .execute()
+    val plan = df.queryExecution.optimizedPlan.toString
+    // every percentile call must carry the fused fraction array (the
+    // cached two-phase physical plan legitimately prints partial+final,
+    // so count array-less calls instead of total occurrences)
+    val calls = "percentile\\([^)\\]]*.".r.findAllIn(plan).toSeq
+    assert(calls.nonEmpty, s"expected a percentile aggregate in:\n$plan")
+    // the fused fraction array constant-folds to a [p1,p2,...] literal
+    assert(calls.forall(c => c.contains("array(") ||
+        "\\[[0-9.]+,[0-9.]+".r.findFirstIn(c).isDefined),
+      s"unfused single-fraction percentile found:\n${calls.mkString("\n")}")
+  }
+
   test("axis ordering never single-partitions a high-cardinality frame") {
     import org.apache.spark.sql.functions._
     // a 10M-row "axis": far above the small-frame threshold, so the
