@@ -62,9 +62,21 @@ object DedupOps {
     docs.select(expr("md5(text)").as("fp"), col("doc_id"))
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
 
+  /** Rebalance a frame whose scan delivered far fewer partitions than
+    * the session's parallelism (a single small parquet row-group reads
+    * as ONE task, serializing all per-doc CPU work downstream of it).
+    * At corpus scale a scan already carries thousands of partitions, so
+    * this never fires — the repartition is a small-input guard, not a
+    * shuffle the big path pays.
+    */
+  private def rebalanced(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
+  }
+
   /** (doc_id, shingles) with short docs dropped. */
   def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(TOKENS).as("t"))
+    rebalanced(docs).select(col("doc_id"), expr(TOKENS).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), expr(SHINGLES).as("shingles"))
 
@@ -85,12 +97,15 @@ object DedupOps {
     * Pair work in phase 1 is Σ df² per shingle hash, so one boilerplate
     * shingle shared by 1M docs would create a 10¹²-row bucket. `maxDf`
     * caps the document frequency a posting may have: ubiquitous
-    * shingles carry ~zero Jaccard signal but all of the skew. The cap
-    * is computed with a window over the SAME `shh` partitioning the
-    * self-join shuffles on, so it adds no extra exchange. With the cap
-    * active a pair whose overlap is exclusively df>maxDf shingles can
-    * be missed (bound recorded in SCALING.md); corpora where that
-    * matters should route to [[minhashLsh]].
+    * shingles carry ~zero Jaccard signal but all of the skew. The
+    * df>maxDf shingles are the head of a Zipf curve — FEW distinct
+    * values however large the corpus — so they're computed as a tiny
+    * blacklist (map-side-combined groupBy) and removed with a broadcast
+    * anti-join; every surviving bucket is then ≤ maxDf postings, which
+    * bounds the collect_list pair-generation buffer at maxDf × 16 B.
+    * With the cap active a pair whose overlap is exclusively df>maxDf
+    * shingles can be missed (bound recorded in SCALING.md); corpora
+    * where that matters should route to [[minhashLsh]].
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
       maxDf: Int = 100000): DataFrame = {
@@ -103,15 +118,22 @@ object DedupOps {
         explode(col("shingles")).as("shingle"))
       .select(col("doc_id"), col("n_sh"),
         xxhash64(col("shingle")).as("shh"))
-    val byShh = org.apache.spark.sql.expressions.Window.partitionBy("shh")
-    val posts = rawPosts
-      .withColumn("df", count(lit(1)).over(byShh))
-      .filter(col("df") <= maxDf)
-      .drop("df")
-    val cand = posts.as("a")
-      .join(posts.as("b"),
-        col("a.shh") === col("b.shh") &&
-          col("a.doc_id") < col("b.doc_id"))
+    // Zipf head: the ubiquitous shingles. Partial aggregation collapses
+    // the postings map-side, so the shuffle carries ~distinct(shh) rows.
+    val hot = rawPosts.groupBy("shh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("shh")
+    val posts = rawPosts.join(broadcast(hot), Seq("shh"), "left_anti")
+    // pair generation WITHIN each posting bucket: one shuffle on shh,
+    // then a bounded double-explode — no self-join, no window sort, and
+    // the postings pipeline runs exactly once
+    val buckets = posts.groupBy("shh")
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    val pairRows = buckets
+      .select(col("ps"), explode(col("ps")).as("a"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+    val cand = pairRows
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       // count(1), not countDistinct: posting multiplicity from hash
       // collisions only ADDS rows, so the plain count stays an upper
@@ -122,7 +144,7 @@ object DedupOps {
         (col("n_a") + col("n_b") - col("n_common_ub")) >= threshold)
       .select("doc_a", "doc_b")
       // consumed twice (candIds + the verify join): without a persist
-      // the whole postings self-join re-runs per consumer
+      // the whole postings pair-generation re-runs per consumer
       .persist()
     // verify phase: shrink the shingled corpus to candidate docs with a
     // semi-join (small by construction), then plain shuffle joins — the
@@ -212,7 +234,7 @@ object DedupOps {
     * corpus size with a single shuffle on doc_id.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    val toks = rebalanced(docs).select(col("doc_id"),
       explode(expr(TOKENS)).as("tok"))
     val hashed = toks.withColumn("h", expr(h60("tok")))
     val votes = (0 until 60).map(p =>
