@@ -322,4 +322,50 @@ object DedupOps {
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b")
   }
+
+  /** Embedding near-dup pairs AT SCALE: banded random-hyperplane LSH
+    * candidate generation + exact cosine verify — the scale path whose
+    * absence made [[embeddingPairs]] a labeled baseline.
+    *
+    * Banding mirrors [[simhashPairs]]: the nBits = bands × bitsPerBand
+    * sign bits from [[SimilarityOps.lshBuckets]] split into `bands`
+    * sub-keys; vectors sharing ANY band key become candidates, so pair
+    * work is Σ |bucket|² per band key, never the corpus crossJoin.
+    * Recall is the LSH union bound 1 − (1 − p^r)^b for per-plane
+    * collision p = 1 − θ/π (deterministic, oracle-reproducible —
+    * DuckDB computes the identical md5-derived planes, band keys, and
+    * verify dot products). The verify phase joins the bounded
+    * candidate set against the flat unit-vector frame with shuffle
+    * joins on vec_id — the corpus side is never broadcast.
+    */
+  def embeddingPairsLsh(emb: DataFrame, threshold: Double,
+      bands: Int = 4, bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+    val nBits = bands * bitsPerBand
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val banded = SimilarityOps.lshBuckets(base, nBits)
+      .select(col("vec_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${bands - 1}), b ->
+             |  shiftright(bucket, b * $bitsPerBand) % ${1 << bitsPerBand})"""
+            .stripMargin)).as(Seq("band_idx", "band_val")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val e = unitCols(base, dim)
+    val ea = e.select(col("vec_id").as("vec_a") +:
+      (1 to dim).map(i => col(s"u$i").as(s"au$i")): _*)
+    val eb = e.select(col("vec_id").as("vec_b") +:
+      (1 to dim).map(i => col(s"u$i").as(s"bu$i")): _*)
+    cand
+      .join(ea.hint("shuffle_hash"), "vec_a")
+      .join(eb.hint("shuffle_hash"), "vec_b")
+      .withColumn("cos",
+        expr((1 to dim).map(i => s"au$i * bu$i").mkString(" + ")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b")
+  }
 }

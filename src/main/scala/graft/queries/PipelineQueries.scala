@@ -38,6 +38,10 @@ object PipelineQueries {
     "q_dedup_embed" -> ((s, dir) =>
       DedupOps.embeddingPairs(emb(s, dir), 0.47)),
 
+    // the scale path: banded hyperplane-LSH candidates + exact verify
+    "q_dedup_embed_lsh" -> ((s, dir) =>
+      DedupOps.embeddingPairsLsh(emb(s, dir), 0.47)),
+
     // -- similarity search ---------------------------------------------
     "q_ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -212,6 +216,33 @@ object PipelineQueries {
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${COS("a.embedding", "b.embedding")} >= 0.47""".stripMargin,
+
+    "q_dedup_embed_lsh" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id,
+         |    CAST(list_sum([
+         |      CASE WHEN list_sum([
+         |          CAST(embedding[d + 1] AS DOUBLE) *
+         |          ((${H60("'pl' || CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)")}
+         |            % 1000000) / 1000000.0 - 0.5)
+         |          for d in range(0, len(embedding))]) > 0
+         |        THEN (1::BIGINT << b) ELSE 0::BIGINT END
+         |      for b in range(0, 16)]) AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |banded AS (
+         |  SELECT vec_id, bs.b AS band_idx,
+         |    (bucket >> (bs.b * 4)) % 16 AS band_val
+         |  FROM bucketed, (SELECT unnest(range(0, 4)) AS b) bs),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |      AND a.vec_id < b.vec_id)
+         |SELECT c.vec_a, c.vec_b
+         |FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = c.vec_b
+         |WHERE ${COS("ea.embedding", "eb.embedding")} >= 0.47""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH scored AS (

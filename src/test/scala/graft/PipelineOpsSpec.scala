@@ -32,6 +32,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("embeddingPairsLsh candidates are a subset of brute-force pairs") {
+    val brute = DedupOps.embeddingPairs(emb, 0.47)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.embeddingPairsLsh(emb, 0.47)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    assert(lsh.forall { case (a, b) => a < b })
+  }
+
   test("simhash signatures are deterministic 60-bit values") {
     val a = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

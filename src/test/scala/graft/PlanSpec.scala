@@ -118,6 +118,27 @@ class PlanSpec extends SparkSpec {
       l.contains("BroadcastExchange") && l.contains("shingles"))
     assert(!broadcastsShingles,
       s"shingled corpus must not be broadcast:\n$p")
+    // candidate generation is bucket-based (groupBy shh + bounded
+    // double-explode): no window sort over the postings, and the only
+    // broadcast join is the tiny hot-shingle blacklist anti-join
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"jaccard candidate phase must not use a window:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"hot-shingle blacklist anti-join missing:\n$p")
+  }
+
+  test("embedding LSH verify never broadcasts the unit-vector corpus") {
+    val emb = Tables.load(spark, Sf, "embeddings")
+    val df = graft.ops.DedupOps.embeddingPairsLsh(emb, 0.47)
+    val p = df.queryExecution.executedPlan.toString
+    // the flat unit-vector sides join the bounded candidate set on
+    // vec_id as shuffle joins; broadcasting them would put the whole
+    // corpus on one executor
+    val broadcastsUnits = p.linesIterator.exists(l =>
+      l.contains("BroadcastExchange") &&
+        (l.contains("au1") || l.contains("bu1")))
+    assert(!broadcastsUnits,
+      s"unit-vector corpus must not be broadcast:\n$p")
   }
 
   test("pipeline signature ops stay shuffle-free until the pair join") {
