@@ -1026,9 +1026,12 @@ final class Planner(val cube: BoundCube) {
     val frame = evalSet(sac.set, slicer, withSets)
     val setKeys = frame.dims.flatMap(fd => levelCols(fd.d, fd.depth))
     if (sac.fn == "COUNT" && sac.includeEmpty) {
-      // member count is axis-independent: no fact scan at all
-      val n = frame.members.select(setKeys.map(col): _*).distinct().count()
-      return acc.withColumn(name, lit(n))
+      // member count is axis-independent: no fact scan at all. Joined
+      // in as a lazy broadcast scalar — not a driver-side count() —
+      // so building the query plan never runs a job.
+      val cnt = frame.members.select(setKeys.map(col): _*).distinct()
+        .agg(count(lit(1)).as(name))
+      return acc.crossJoin(broadcast(cnt))
     }
     // MDX context override: a set over a hierarchy that is ALSO on the
     // axis replaces that hierarchy's cell coordinate (its members carry

