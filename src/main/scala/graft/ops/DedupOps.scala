@@ -342,12 +342,16 @@ object DedupOps {
       bands: Int = 4, bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
     val nBits = bands * bitsPerBand
     val base = emb.select(col("vec_id"), col("embedding"))
+    // persisted like minhashLsh's banded frame: O(n) narrow rows, and
+    // without it the self-join recomputes the wide hyperplane-sign
+    // expression once per join side and once per downstream stage
     val banded = SimilarityOps.lshBuckets(base, nBits)
       .select(col("vec_id"),
         posexplode(expr(
           s"""transform(sequence(0, ${bands - 1}), b ->
              |  shiftright(bucket, b * $bitsPerBand) % ${1 << bitsPerBand})"""
             .stripMargin)).as(Seq("band_idx", "band_val")))
+      .persist()
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -355,16 +359,18 @@ object DedupOps {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    val e = unitCols(base, dim)
-    val ea = e.select(col("vec_id").as("vec_a") +:
-      (1 to dim).map(i => col(s"u$i").as(s"au$i")): _*)
-    val eb = e.select(col("vec_id").as("vec_b") +:
-      (1 to dim).map(i => col(s"u$i").as(s"bu$i")): _*)
+    // exact verify with the native codegen'd cosine over the compact
+    // float arrays (half the row width of 64 flat doubles through the
+    // two joins, and no separate normalize pass)
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val ea = base.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val eb = base.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
     cand
       .join(ea.hint("shuffle_hash"), "vec_a")
       .join(eb.hint("shuffle_hash"), "vec_b")
-      .withColumn("cos",
-        expr((1 to dim).map(i => s"au$i * bu$i").mkString(" + ")))
+      .withColumn("cos", expr("cosine_f32(emb_a, emb_b)"))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b")
   }

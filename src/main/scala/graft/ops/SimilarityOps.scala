@@ -241,23 +241,39 @@ object SimilarityOps {
        |SELECT vec_id, cell FROM assign${iters}""".stripMargin
   }
 
+  /** plane(b, d) ∈ [-0.5, 0.5): md5-derived uniform — deterministic.
+    * Computed ONCE on the driver (the planes depend only on the bit and
+    * dimension indices, never on data); inlining them as literals keeps
+    * the per-row bucket computation pure codegen'd arithmetic instead
+    * of nBits × dim interpreted md5 calls per vector. The derivation is
+    * bit-identical to the SQL `h60('pl<b>_<d>') % 1000000 / 1e6 - 0.5`
+    * the DuckDB oracle computes.
+    */
+  def planeConst(b: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"pl${b}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1000000.0 - 0.5
+  }
+
   /** Random-hyperplane LSH bucketing: nBits sign bits from deterministic
     * md5-derived hyperplanes → integer bucket key. Vectors in the same
     * bucket are ANN candidates; at scale the corpus is partitioned by
     * bucket. Deterministic (seeded), so oracle-reproducible.
+    *
+    * Per-bit sign: a left-folded literal sum over the embedding
+    * components, same accumulation order as the oracle's list_sum fold,
+    * so the doubles (and therefore the sign tests) compare
+    * bit-identically.
     */
-  def lshBuckets(corpus: DataFrame, nBits: Int): DataFrame = {
-    // plane(b, d) in [-0.5, 0.5): md5-derived uniform — deterministic
-    val plane = (b: String, d: String) =>
-      s"(${DedupOps.h60(s"concat('pl', cast($b as string), '_', cast($d as string))")}" +
-        s" % 1000000) / 1000000.0 - 0.5"
+  def lshBuckets(corpus: DataFrame, nBits: Int, dim: Int = Dim): DataFrame = {
+    val bits = (0 until nBits).map { b =>
+      val dot = (0 until dim).map(d =>
+        s"cast(element_at(embedding, ${d + 1}) as double) * ${planeConst(b, d)}")
+        .mkString("(", ") + (", ")")
+      s"if(($dot) > 0, ${1L << b}L, 0L)"
+    }
     corpus.select(col("vec_id"), col("embedding"),
-      expr(
-        s"""aggregate(transform(sequence(0, ${nBits - 1}), b ->
-           |  if(aggregate(sequence(0, size(embedding) - 1), 0D, (acc, d) ->
-           |       acc + cast(element_at(embedding, d + 1) as double)
-           |             * (${plane("b", "d")})) > 0,
-           |     shiftleft(1L, b), 0L)),
-           |  0L, (acc, v) -> acc + v)""".stripMargin).as("bucket"))
+      expr(bits.mkString("(", ") + (", ")")).as("bucket"))
   }
 }

@@ -131,14 +131,14 @@ class PlanSpec extends SparkSpec {
     val emb = Tables.load(spark, Sf, "embeddings")
     val df = graft.ops.DedupOps.embeddingPairsLsh(emb, 0.47)
     val p = df.queryExecution.executedPlan.toString
-    // the flat unit-vector sides join the bounded candidate set on
-    // vec_id as shuffle joins; broadcasting them would put the whole
-    // corpus on one executor
-    val broadcastsUnits = p.linesIterator.exists(l =>
+    // the embedding sides join the bounded candidate set on vec_id as
+    // shuffle joins; broadcasting them would put the whole corpus on
+    // one executor
+    val broadcastsEmb = p.linesIterator.exists(l =>
       l.contains("BroadcastExchange") &&
-        (l.contains("au1") || l.contains("bu1")))
-    assert(!broadcastsUnits,
-      s"unit-vector corpus must not be broadcast:\n$p")
+        (l.contains("emb_a") || l.contains("emb_b")))
+    assert(!broadcastsEmb,
+      s"embedding corpus must not be broadcast:\n$p")
   }
 
   test("pipeline signature ops stay shuffle-free until the pair join") {
