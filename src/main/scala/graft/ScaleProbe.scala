@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc scale-curve probe (SCALING.md evidence): replicate the sf0.1
+  * corpus Nx with shifted ids and time the dedup paths. Replicated docs
+  * are textually distinct (suffix token) so pair counts don't explode.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($r)")
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val n = docs.count()
+    for (mult <- Seq(1, 8)) {
+      val big = docs.crossJoin(
+          spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") + col("rep") * lit(n)).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+        .repartition(32).persist()
+      val bigEmb = emb.crossJoin(
+          spark.range(mult).select(col("id").as("rep")))
+        .select((col("vec_id") + col("rep") * lit(2000)).as("vec_id"),
+          col("embedding"))
+        .repartition(32).persist()
+      println(s"-- mult=$mult docs=${big.count()} embs=${bigEmb.count()}")
+      time(s"jaccard x$mult")(
+        graft.ops.DedupOps.jaccardPairs(big, 0.5).count())
+      time(s"minhash x$mult")(
+        graft.ops.DedupOps.minhashLsh(big, 4, 2, 0.5).count())
+      time(s"embed_lsh x$mult")(
+        graft.ops.DedupOps.embeddingPairsLsh(bigEmb, 0.47).count())
+      big.unpersist(); bigEmb.unpersist()
+    }
+    spark.stop()
+  }
+}
