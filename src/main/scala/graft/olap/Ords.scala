@@ -67,13 +67,24 @@ object Ords {
     // monotonically_increasing_id() = (partitionId << 33) + rowIndex,
     // and after sortWithinPartitions the row index follows the sort
     // order — so the within-partition rank costs NO window and NO
-    // second shuffle of the data. Both branches below share the one
-    // range exchange (Spark's ReuseExchange dedupes the identical
-    // subtree, so the partitioning they see is the same).
+    // second shuffle of the data.
+    //
+    // PERSISTED, not shared-by-ReuseExchange: the rows branch and the
+    // per-partition-count branch below both consume this frame, and as
+    // two independent materializations each would run its own
+    // RangePartitioner sampling with a different per-RDD seed —
+    // slightly different range bounds, so the counts would describe a
+    // DIFFERENT partitioning than the rows they offset (observed: 1..n
+    // drifts from the third partition on at 10M rows). The persist
+    // pins one lineage — both branches see identical bounds, and an
+    // eviction-recompute reuses the same seed. Global numbering
+    // inherently takes two passes over the frame; materializing it
+    // once is that cost, spill-backed at scale.
     val parted = df.repartitionByRange(sort: _*)
       .sortWithinPartitions(sort: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val within = parted.withColumn("__rn",
       col("__mid") - shiftleft(col("__pid").cast("long"), 33))
     // per-partition counts → prefix-sum offsets: a frame with one row

@@ -213,8 +213,11 @@ class PlanSpec extends SparkSpec {
       s"distributed numbering must not window over the data:\n$p")
     assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
       s"expected a range-partitioned sort:\n$p")
-    // numbering is still the exact global 1..n order
-    val sample = numbered.filter(col("k") < 5).orderBy(col("k")).collect()
+    // numbering is still the exact global 1..n order — probe every
+    // millionth key so the check crosses every range partition (a
+    // wrong per-partition offset anywhere would show up here)
+    val sample = numbered.filter(col("k") % 1000000 === 0 || col("k") < 5)
+      .orderBy(col("k")).collect()
     assert(sample.map(_.getAs[Int]("__ord")).toSeq ==
       sample.map(_.getAs[Long]("k").toInt + 1).toSeq)
     // small frames keep the cheap single-window plan
