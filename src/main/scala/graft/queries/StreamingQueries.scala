@@ -21,6 +21,12 @@ object StreamingQueries {
       StreamingCube.runDailyAgg(s, dir,
         s"stream_daily_${runId.incrementAndGet()}")),
 
+    // streaming exact dedup: incremental min-doc_id-per-content-hash
+    // (the stream form of q_dedup_exact; AvailableNow == batch parity)
+    "q_stream_dedup" -> ((s, dir) =>
+      StreamingCube.runStreamDedup(s, dir,
+        s"stream_dedup_${runId.incrementAndGet()}")),
+
     // flatMapGroupsWithState sessionization (batch-mode execution of
     // the same stateful function; the streaming path is spec-tested
     // with MemoryStream batches)
@@ -34,6 +40,10 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
     "q_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS d_date, event_type,
         |  count(*) AS n_events,

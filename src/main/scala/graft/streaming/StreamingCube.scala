@@ -51,21 +51,59 @@ object StreamingCube {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** Lazily create /tmp/graft_stream/<hash>/events.parquet as a link
+  /** Lazily create /tmp/graft_stream/<hash>/<table>.parquet as a link
     * (or copy) of the read-only testdata file.
     */
-  private def stageDir(sfDir: String): String = {
+  private def stageDir(sfDir: String, table: String = "events"): String = {
     import java.nio.file._
     val dir = Paths.get("/tmp/graft_stream",
-      Integer.toHexString(sfDir.hashCode))
+      Integer.toHexString(sfDir.hashCode), table)
     Files.createDirectories(dir)
-    val target = dir.resolve("events.parquet")
+    val target = dir.resolve(s"$table.parquet")
     if (!Files.exists(target)) {
-      val src = Paths.get(sfDir, "events.parquet")
+      val src = Paths.get(sfDir, s"$table.parquet")
       try Files.createSymbolicLink(target, src)
       catch { case _: Exception => Files.copy(src, target) }
     }
     dir.toString
+  }
+
+  /** File-source stream over the documents parquet (schema read once
+    * from the footer — driver-side metadata, no data scan).
+    */
+  def docStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(schema).parquet(stageDir(sfDir, "documents"))
+  }
+
+  /** Streaming exact dedup — the stream form of `DedupOps.exactDedup`:
+    * survivors = min doc_id per content hash, maintained incrementally
+    * as documents arrive. Complete-mode aggregation: the state IS the
+    * distinct-content table, inherently O(distinct docs) for EXACT
+    * dedup in any engine (an infinite stream that must never re-admit
+    * an old duplicate has to remember every content hash; bound the
+    * state with a watermark only when re-admission after the horizon
+    * is acceptable). Hash grouping keys and integer min are
+    * order-independent, so the AvailableNow drain reproduces the batch
+    * backfill bit-for-bit.
+    */
+  def runStreamDedup(spark: SparkSession, sfDir: String,
+      name: String = "stream_dedup"): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try docStream(spark, sfDir)
+        .select(expr("md5(text)").as("fp"), col("doc_id"))
+        .groupBy("fp").agg(min("doc_id").as("doc_id"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    spark.table(name)
   }
 
   /** Watermarked daily pre-aggregation per event type — the streaming
