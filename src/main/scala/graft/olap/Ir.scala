@@ -29,6 +29,15 @@ final case class MemberRange(dim: String, level: String, from: String,
   * matchType ∈ EXACT | BEFORE | AFTER (BEFORE = closest earlier
   * member, the reference's fallback behavior).
   */
+/** Cousin(member, ancestor): the member at the same relative position
+  * under `ancestorPath` that `memberPath` occupies under ITS ancestor
+  * at that depth (CousinFunDef) — e.g. Cousin(1995-Q2, 1996) = 1996-Q2.
+  * Positions are sibling ordinals per level, resolved from data, so
+  * ragged position gaps yield an empty set (same as the jar's null).
+  */
+final case class CousinSet(dim: String, memberPath: Seq[Any],
+    ancestorPath: Seq[Any]) extends SetExpr
+
 final case class CurrentDateMember(dim: String, level: String,
     matchType: String = "BEFORE") extends SetExpr
 

@@ -82,6 +82,9 @@ object Mdx {
     case ToggleDrillState(a, b) =>
       s"TOGGLEDRILLSTATE(${render(a)}, ${render(b)})"
     case UnorderSet(s) => s"UNORDER(${render(s)})"
+    case CousinSet(d, m, a) =>
+      s"COUSIN([$d]." + m.map(v => s"[$v]").mkString(".") +
+        s", [$d]." + a.map(v => s"[$v]").mkString(".") + ")"
   }
 
   /** Render a full query IR to MDX (to_mdx). */
@@ -694,7 +697,8 @@ object Mdx {
       "INTERSECT", "EXCEPT", "DISTINCT", "FILTER", "ORDER", "TOPCOUNT",
       "BOTTOMCOUNT", "TOPPERCENT", "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM",
       "HEAD", "TAIL", "SUBSET", "HIERARCHIZE", "DESCENDANTS", "EXISTS",
-      "EXTRACT", "GENERATE", "ANCESTOR", "ANCESTORS",
+      "EXTRACT", "GENERATE", "ANCESTOR", "ANCESTORS", "ASCENDANTS",
+      "COUSIN",
       "ADDCALCULATEDMEMBERS", "STRIPCALCULATEDMEMBERS",
       "CURRENTDATEMEMBER", "DRILLDOWNMEMBER", "DRILLDOWNLEVEL",
       "DRILLDOWNLEVELTOP", "DRILLDOWNLEVELBOTTOM", "TOGGLEDRILLSTATE",
@@ -819,6 +823,32 @@ object Mdx {
           val all = if (atPunct(",")) { comma(); eatKw("ALL"); true }
                     else false
           if (all) a else DistinctSet(a)
+        case "ASCENDANTS" =>
+          // Ascendants(member): the member and ALL its ancestors up to
+          // the root (AscendantsFunDef) — a literal mixed-depth member
+          // set, expanded at parse time
+          val p = memberPath()
+          val d = dimNamed(p.head)
+          val path = p.tail.map(pathValue)
+          if (path.isEmpty) throw MdxException(
+            "Ascendants: expected a member, got a dimension")
+          Members(d.name,
+            (1 to path.length).reverse.map(n => path.take(n)))
+        case "COUSIN" =>
+          // Cousin(member, ancestor) — same-dimension positional
+          // navigation (CousinFunDef)
+          val p = memberPath(); comma()
+          val d = dimNamed(p.head)
+          val ap = memberPath()
+          val d2 = dimNamed(ap.head)
+          if (d2.name != d.name) throw MdxException(
+            s"Cousin: members of different hierarchies " +
+              s"([${d.name}], [${d2.name}])")
+          val mPath = p.tail.map(pathValue)
+          val aPath = ap.tail.map(pathValue)
+          if (aPath.length >= mPath.length) throw MdxException(
+            "Cousin: ancestor must be above the member's level")
+          CousinSet(d.name, mPath, aPath)
         case "ANCESTOR" =>
           // Ancestor(member, level) — the member's ancestor at the level
           val p = memberPath(); comma()

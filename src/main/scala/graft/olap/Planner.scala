@@ -234,6 +234,40 @@ final class Planner(val cube: BoundCube) {
         memberFrame(d, depth).filter(col(l.col).between(lit(from), lit(to))),
         Seq(AxisDim(d, depth)))
 
+    case CousinSet(dim, mPath, aPath) =>
+      // Cousin(member, ancestor): sibling positions per level below the
+      // ancestor depth (dense_rank over the dimension-bounded member
+      // frame — j-level siblings within their parent), then the row
+      // under the NEW ancestor with the member's position vector. A
+      // position gap in the target subtree yields an empty set (the
+      // jar's null member).
+      val d = cube.dim(dim)
+      require(aPath.length < mPath.length,
+        "Cousin: ancestor must be above the member's level")
+      require(mPath.length <= d.levels.length,
+        s"Cousin: member path deeper than [${d.name}]")
+      val depth = mPath.length - 1
+      val aDepth = aPath.length - 1
+      val lvls = d.levels
+      val posCols = (aDepth + 1 to depth).map { j =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(d.levelsTo(j - 1).map(l => col(l.col)): _*)
+          .orderBy(col(lvls(j).ordinal).asc, col(lvls(j).col).asc)
+        s"__pos$j" -> dense_rank().over(w)
+      }
+      val withPos = posCols.foldLeft(memberFrame(d, depth)) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }
+      val src = withPos.filter(ancestorPredicate(d, mPath))
+        .select(posCols.map { case (n, _) => col(n).as(s"s$n") }: _*)
+        .limit(1)
+      val out = withPos.filter(ancestorPredicate(d, aPath))
+        .join(broadcast(src),
+          posCols.map { case (n, _) => col(n) === col(s"s$n") }
+            .reduce(_ && _))
+        .select(memberCols(d, depth).map(col): _*)
+      AxisFrame(out, Seq(AxisDim(d, depth)))
+
     case CurrentDateMember(dim, level, matchType) =>
       val d = cube.dim(dim)
       val depth = d.levelIndex(level)

@@ -209,6 +209,25 @@ object OlapExtQueries {
         .execute()
     }),
 
+    // -- Cousin (§2.8, CousinFunDef): the quarter of 1996 at the same
+    // position 1995-Q2 holds under 1995 — positional, resolved from
+    // data (through the raw-MDX surface) -------------------------------
+    "q_cousin" -> ((s, dir) =>
+      Mdx.execute(
+        """SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  COUSIN([time].[1995].[1995-Q2], [time].[1996]) ON ROWS
+          |FROM [Sales]""".stripMargin,
+        sales(s, dir))),
+
+    // -- Ascendants (§2.8, AscendantsFunDef): a month member and all
+    // its ancestors — a mixed-depth axis -------------------------------
+    "q_ascendants" -> ((s, dir) =>
+      Mdx.execute(
+        """SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  ASCENDANTS([time].[1995].[1995-Q2].[1995-05]) ON ROWS
+          |FROM [Sales]""".stripMargin,
+        sales(s, dir))),
+
     // -- DrilldownMember (§2.8): all regions, with the nations of
     // EUROPE and ASIA inserted under their parents ---------------------
     "q_drilldown_member" -> ((s, dir) =>
@@ -374,6 +393,40 @@ object OlapExtQueries {
       s"""SELECT CAST(1996 AS INT) AS d_year, '1996-Q3' AS d_yq,
          |  '1996-07' AS d_ym, $REV AS revenue
          |$LO WHERE $MONTH = '1996-07'""".stripMargin,
+
+    // positional mirror of CousinSet: sibling position by dense_rank
+    // within the parent, transplanted under the new ancestor
+    "q_cousin" ->
+      s"""WITH t AS (
+         |  SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS d_year,
+         |    CAST(year(o_orderdate) AS VARCHAR) || '-Q' ||
+         |      CAST(quarter(o_orderdate) AS VARCHAR) AS d_yq
+         |  FROM orders),
+         |pos AS (
+         |  SELECT d_year, d_yq,
+         |    dense_rank() OVER (PARTITION BY d_year ORDER BY d_yq) AS p
+         |  FROM t),
+         |tgt AS (
+         |  SELECT pos.d_year, pos.d_yq FROM pos
+         |  JOIN (SELECT p FROM pos WHERE d_yq = '1995-Q2') s USING (p)
+         |  WHERE pos.d_year = 1996)
+         |SELECT tgt.d_year, tgt.d_yq, $REV AS revenue
+         |FROM tgt, lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE CAST(year(o_orderdate) AS VARCHAR) || '-Q' ||
+         |  CAST(quarter(o_orderdate) AS VARCHAR) = tgt.d_yq
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_ascendants" ->
+      s"""SELECT CAST(1995 AS INT) AS d_year,
+         |  CAST('1995-Q2' AS VARCHAR) AS d_yq,
+         |  CAST('1995-05' AS VARCHAR) AS d_ym, $REV AS revenue
+         |$LO WHERE $MONTH = '1995-05'
+         |UNION ALL
+         |SELECT 1995, '1995-Q2', CAST(NULL AS VARCHAR), $REV
+         |$LO WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 2
+         |UNION ALL
+         |SELECT 1995, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), $REV
+         |$LO WHERE year(o_orderdate) = 1995""".stripMargin,
 
     "q_drilldown_member" ->
       s"""SELECT r_name AS cr_region, CAST(NULL AS VARCHAR) AS cr_nation,

@@ -495,6 +495,30 @@ class MdxSpec extends SparkSpec {
     assert(strip.count() === 5)
   }
 
+  test("Cousin navigates by sibling position; Ascendants is mixed-depth") {
+    // the quarter of 1996 at 1995-Q2's position under 1995
+    val df = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  COUSIN([time].[1995].[1995-Q2], [time].[1996]) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(df.collect().map(_.getString(1)).toSeq === Seq("1996-Q2"))
+    // member + every ancestor, one row per grain
+    val asc = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  ASCENDANTS([time].[1995].[1995-Q2].[1995-05]) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val rows = asc.collect()
+    assert(rows.length === 3)
+    assert(rows.count(_.isNullAt(2)) === 2)  // quarter + year rows
+    assert(rows.count(_.isNullAt(1)) === 1)  // year row
+    // cross-hierarchy Cousin is rejected with the reference's wording
+    val e = intercept[Mdx.MdxException](Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  COUSIN([time].[1995], [customer].[AFRICA]) ON ROWS
+        |FROM [Sales]""".stripMargin, cube))
+    assert(e.getMessage.contains("different hierarchies"))
+  }
+
   test("Filter set alias: S.CurrentOrdinal and IsEmpty(S.Current)") {
     val df = Mdx.execute(
       """SELECT {[Measures].[revenue]} ON COLUMNS,
