@@ -52,4 +52,37 @@ final class VirtualCube(
     val keys = parts.head._2
     parts.map(_._1).reduce((a, b) => a.join(b, keys, "full_outer"))
   }
+
+  /** Drill-through on a virtual-cube cell: detail rows come from the
+    * base cube that OWNS `measure`; requested return fields that exist
+    * only in other base cubes come back as empty (null) columns — the
+    * reference's virtual-cube drill-through contract
+    * (result.rb:421-506, query_test.rb:1060-1098).
+    */
+  def drillThrough(measure: String, slicer: Seq[SlicerItem],
+      returnCols: Seq[String], dims: Map[String, String] = Map.empty,
+      maxRows: Option[Int] = None): DataFrame = {
+    val (owner, _) = bases.find(_._2.contains(measure)).getOrElse(
+      throw new IllegalArgumentException(
+        s"measure '$measure' not found in virtual cube '$name' " +
+          s"(have: ${measureNames.mkString(", ")})"))
+    def resolvable(c: String): Boolean =
+      owner.measures.exists(_.name == c) ||
+        owner.fact.columns.contains(c) ||
+        owner.dims.exists(d => d.df.columns.contains(c))
+    val (own, foreign) = returnCols.partition(resolvable)
+    val ownerDims = dims.filter { case (d, _) =>
+      owner.dims.exists(_.name == d)
+    }
+    val ownerSlicer = slicer.filter {
+      case MemberSlice(d, _) => owner.dims.exists(_.name == d)
+      case SetSlice(d, _)    => owner.dims.exists(_.name == d)
+      case ExprSlice(_, _)   => true
+    }
+    val base = new Planner(owner)
+      .drillThrough(ownerSlicer, own, ownerDims, maxRows = maxRows)
+    foreign.foldLeft(base)((df, c) =>
+      df.withColumn(c, lit(null).cast("string")))
+      .select(returnCols.map(col): _*)
+  }
 }

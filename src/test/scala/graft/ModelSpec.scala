@@ -112,6 +112,28 @@ class ModelSpec extends SparkSpec {
       "non-overlapping years must yield one-sided (empty) cells")
   }
 
+  test("virtual-cube drill-through sources the owning cube; foreign fields empty") {
+    val vc = new VirtualCube("SalesAndEvents", Seq(
+      Cubes.sales(spark, Sf) -> Seq("revenue"),
+      Cubes.events(spark, Sf) -> Seq("n_events")))
+    // revenue lives on Sales: details are lineitem rows; event_type
+    // belongs only to the Events cube and must come back empty
+    // (reference query_test.rb:1060-1098)
+    val dt = vc.drillThrough("revenue",
+      Seq(MemberSlice("customer", Seq("EUROPE"))),
+      returnCols = Seq("l_orderkey", "l_quantity", "event_type"),
+      maxRows = Some(20))
+    val rows = dt.collect()
+    assert(rows.length === 20)
+    assert(dt.columns.toSeq === Seq("l_orderkey", "l_quantity", "event_type"))
+    assert(rows.forall(_.isNullAt(2)),
+      "fields of another base cube must be empty in drill-through")
+    // unknown measure names fail with the reference's wording
+    val e = intercept[IllegalArgumentException](
+      vc.drillThrough("nope", Nil, Nil))
+    assert(e.getMessage.contains("not found in virtual cube"))
+  }
+
   test("virtual cube applies slicers only to cubes sharing the dim") {
     val vc = new VirtualCube("SalesAndEvents", Seq(
       Cubes.sales(spark, Sf) -> Seq("revenue"),
