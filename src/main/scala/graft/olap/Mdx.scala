@@ -1593,9 +1593,15 @@ object Mdx {
                     // (IIF/CoalesceEmpty/IsEmpty/Val are MDX names
                     // Spark does not know); only when called as a fn.
                     val mapped =
-                      if (atPunct("(")) MdxToSparkFn
-                        .getOrElse(s.toUpperCase, s)
-                      else s
+                      if (atPunct("(")) {
+                        // Cache(expr) = expr (jar CacheFunDef, SURVEY
+                        // §4 #11): the engine's segment cache and
+                        // Catalyst exchange reuse provide the caching,
+                        // so the wrapper is identity — the following
+                        // parens keep the grouping
+                        if (s.equalsIgnoreCase("CACHE")) ""
+                        else MdxToSparkFn.getOrElse(s.toUpperCase, s)
+                      } else s
                     sb.append(s" $mapped ")
                   case TNum(s) => sb.append(s)
                   case TStr(s) => sb.append(s"'$s'")

@@ -495,6 +495,23 @@ class MdxSpec extends SparkSpec {
     assert(strip.count() === 5)
   }
 
+  test("Cache(expr) is identity in formulas (CacheFunDef)") {
+    val cached = Mdx.execute(
+      """WITH MEMBER [Measures].[m] AS
+        |  'Cache([Measures].[revenue] / [Measures].[sum_qty])'
+        |SELECT {[Measures].[m]} ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val plain = Mdx.execute(
+      """WITH MEMBER [Measures].[m] AS
+        |  '[Measures].[revenue] / [Measures].[sum_qty]'
+        |SELECT {[Measures].[m]} ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(cached.collect().map(_.toSeq).toSeq ===
+      plain.collect().map(_.toSeq).toSeq)
+  }
+
   test("Cousin navigates by sibling position; Ascendants is mixed-depth") {
     // the quarter of 1996 at 1995-Q2's position under 1995
     val df = Mdx.execute(
