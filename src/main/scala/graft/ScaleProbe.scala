@@ -28,9 +28,10 @@ object ScaleProbe {
         .select((col("doc_id") + col("rep") * lit(n)).as("doc_id"),
           concat(col("text"), lit(" rep"), col("rep")).as("text"))
         .repartition(32).persist()
+      val nEmb = emb.count()
       val bigEmb = emb.crossJoin(
           spark.range(mult).select(col("id").as("rep")))
-        .select((col("vec_id") + col("rep") * lit(2000)).as("vec_id"),
+        .select((col("vec_id") + col("rep") * lit(nEmb)).as("vec_id"),
           col("embedding"))
         .repartition(32).persist()
       println(s"-- mult=$mult docs=${big.count()} embs=${bigEmb.count()}")
