@@ -21,11 +21,19 @@ object ParentChild {
 
   /** (ancestor, descendant, depth) closure rows, including the
     * reflexive (m, m, 0) pair. `maxDepth` caps runaway cycles.
+    * `nullParentValue` is the reference's sentinel root marker
+    * (schema.rb:196: `null_parent_value` — e.g. 0 instead of NULL);
+    * rows whose parent equals it are roots, not children of a phantom
+    * member.
     */
   def closure(members: DataFrame, idCol: String, parentCol: String,
-      maxDepth: Int = 32): DataFrame = {
+      maxDepth: Int = 32, nullParentValue: Option[Any] = None): DataFrame = {
+    val isRoot = nullParentValue match {
+      case Some(v) => col("anc").isNull || col("anc") === lit(v)
+      case None    => col("anc").isNull
+    }
     val edges = members.select(col(parentCol).as("anc"),
-      col(idCol).as("desc")).filter(col("anc").isNotNull)
+      col(idCol).as("desc")).filter(!isRoot)
     var acc = members.select(col(idCol).as("anc"), col(idCol).as("desc"),
       lit(0).as("depth"))
     var frontier = edges.withColumn("depth", lit(1))
@@ -51,8 +59,10 @@ object ParentChild {
     */
   def subtreeTotals(members: DataFrame, idCol: String, parentCol: String,
       facts: DataFrame, factKeyCol: String,
-      aggCol: org.apache.spark.sql.Column): DataFrame = {
-    val cl = closure(members, idCol, parentCol)
+      aggCol: org.apache.spark.sql.Column,
+      nullParentValue: Option[Any] = None): DataFrame = {
+    val cl = closure(members, idCol, parentCol,
+      nullParentValue = nullParentValue)
     facts
       .join(broadcast(cl), facts(factKeyCol) === cl("desc"))
       .groupBy(col("anc").as(idCol))
