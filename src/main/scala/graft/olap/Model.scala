@@ -257,7 +257,13 @@ final case class BoundLevel(
     /** Property column → named property formatter
       * (reference PropertyFormatter on a level property).
       */
-    propertyFormatters: Map[String, String] = Map.empty) {
+    propertyFormatters: Map[String, String] = Map.empty,
+    /** The reference's `approx_row_count` (schema.rb:231-233): a
+      * declared member count that short-circuits the COUNT query in
+      * the metadata API (cube.rb:308-314) — an XMLA/browser perf hint,
+      * never used for query answers.
+      */
+    approxRowCount: Option[Long] = None) {
   def ordinal: String = ordCol.getOrElse(col)
   def caption: String = meta.caption.getOrElse(name)
 }

@@ -168,8 +168,15 @@ final class CubeMetadata(cube: BoundCube) {
   def levelMembers(dim: String, level: String): DataFrame =
     new Planner(cube).evalSet(LevelMembers(dim, level), Nil).members
 
-  def membersCount(dim: String, level: String): Long =
-    levelMembers(dim, level).count()
+  /** Member count of a level; a declared `approx_row_count` answers
+    * without running a count job (cube.rb:308-314).
+    */
+  def membersCount(dim: String, level: String): Long = {
+    val d = cube.dim(dim)
+    d.levels.find(_.name.equalsIgnoreCase(level))
+      .flatMap(_.approxRowCount)
+      .getOrElse(levelMembers(dim, level).count())
+  }
 
   /** member('[Customers].[USA].[CA]')-style lookup: true if the path
     * resolves to an existing member (cube.rb:106-116).

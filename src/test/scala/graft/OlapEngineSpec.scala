@@ -15,6 +15,25 @@ class OlapEngineSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("approx_row_count short-circuits membersCount (cube.rb:308-314)") {
+    val md = new CubeMetadata(cube)
+    val real = md.membersCount("customer", "region")
+    assert(real === 5)
+    // declare a (deliberately wrong) approx count: metadata must report
+    // it verbatim without running a count job — it is a browser hint,
+    // never a query answer
+    val hinted = cube.copy(dims = cube.dims.map { d =>
+      if (d.name != "customer") d
+      else d.copy(levels = d.levels.map(l =>
+        if (l.name != "region") l else l.copy(approxRowCount = Some(42L))))
+    })
+    assert(new CubeMetadata(hinted).membersCount("customer", "region") === 42)
+    // query answers are unaffected by the hint
+    val rows = Query.from(hinted).columns("revenue")
+      .rows(LevelMembers("customer", "region")).execute().count()
+    assert(rows === 5)
+  }
+
   test("topCount after order does not duplicate __ord (ADVICE r1)") {
     val df = Query.from(cube)
       .columns("revenue")
