@@ -284,25 +284,27 @@ object DedupOps {
        |   * sqrt(aggregate($b, 0D, (acc, x) ->
        |     acc + cast(x as double) * cast(x as double))))""".stripMargin
 
-  /** L2-normalized FLAT columns (vec_id, u1..u<dim>): per-pair vector
-    * math over scalar doubles codegens ~25× faster than element_at
-    * chains over array columns (measured: 61s → 2.6s for 12.5M pairs
-    * at dim 64), and ~100× faster than interpreted aggregate/zip_with.
+  /** L2-normalized double-array column (vec_id, u). The norm folds
+    * e_i² in index order via the native [[graft.functions.VectorExprs]]
+    * dot_f64 loop, and each component divides by that norm — the same
+    * arithmetic (and bit pattern) as the flat u1..u64 columns this
+    * replaces, but with CONSTANT generated-code size: the flat
+    * formulation inlined the 64-term norm into each of 64 projected
+    * columns, and the fused projection overflowed Janino's 64 KB method
+    * limit mid-bench (BENCH_r05; reproduced r6), silently degrading the
+    * whole ANN family to interpreted execution. Per-pair scoring is
+    * `dot_f64(a.u, b.u)` — a tight generated loop.
     * Persisted: one normalize pass per vector, never per pair.
     */
-  def unitCols(emb: DataFrame, dim: Int): DataFrame = {
-    val flat = emb.select(col("vec_id") +:
-      (1 to dim).map(i =>
-        expr(s"cast(element_at(embedding, $i) as double)").as(s"e$i")): _*)
-    val normSq = (1 to dim).map(i => s"e$i * e$i").mkString(" + ")
-    flat.select(col("vec_id") +:
-      (1 to dim).map(i => expr(s"e$i / sqrt($normSq)").as(s"u$i")): _*)
+  def unitArr(emb: DataFrame, dim: Int): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    emb.select(col("vec_id"),
+        expr(s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)")
+          .as("__e"))
+      .select(col("vec_id"),
+        expr("transform(__e, x -> x / sqrt(dot_f64(__e, __e)))").as("u"))
       .persist()
   }
-
-  /** Codegen'd dot product over two flat unit-column sides. */
-  def flatDot(a: String, b: String, dim: Int): String =
-    (1 to dim).map(i => s"$a.u$i * $b.u$i").mkString(" + ")
 
   /** Embedding near-dup pairs: cosine >= threshold.
     *
@@ -314,11 +316,11 @@ object DedupOps {
     */
   def embeddingPairs(emb: DataFrame, threshold: Double,
       dim: Int = 64): DataFrame = {
-    val e = unitCols(emb.select(col("vec_id"), col("embedding")), dim)
+    val e = unitArr(emb.select(col("vec_id"), col("embedding")), dim)
     e.as("a").join(broadcast(e.as("b")),
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        expr(flatDot("a", "b", dim)).as("cos"))
+        expr("dot_f64(a.u, b.u)").as("cos"))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b")
   }
@@ -345,7 +347,7 @@ object DedupOps {
     // persisted like minhashLsh's banded frame: O(n) narrow rows, and
     // without it the self-join recomputes the wide hyperplane-sign
     // expression once per join side and once per downstream stage
-    val banded = SimilarityOps.lshBuckets(base, nBits)
+    val banded = SimilarityOps.lshBuckets(base, nBits, dim)
       .select(col("vec_id"),
         posexplode(expr(
           s"""transform(sequence(0, ${bands - 1}), b ->

@@ -23,7 +23,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityOps {
 
-  import DedupOps.{cosineExpr, flatDot, unitCols}
+  import DedupOps.{cosineExpr, unitArr}
 
   /** Default embedding dimensionality of the testdata corpus. */
   val Dim = 64
@@ -37,13 +37,13 @@ object SimilarityOps {
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
       k: Int, dim: Int = Dim): DataFrame = {
-    val c = unitCols(corpus.select(col("vec_id"), col("embedding")), dim)
-    val p = unitCols(probes.select(col("vec_id"), col("embedding")), dim)
+    val c = unitArr(corpus.select(col("vec_id"), col("embedding")), dim)
+    val p = unitArr(probes.select(col("vec_id"), col("embedding")), dim)
     val scored = c.as("c").join(
         broadcast(p.as("p")), col("c.vec_id") =!= col("p.vec_id"))
       .select(col("p.vec_id").as("probe_id"),
         col("c.vec_id").as("neighbor_id"),
-        expr(flatDot("p", "c", dim)).as("cos"))
+        expr("dot_f64(p.u, c.u)").as("cos"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -87,11 +87,11 @@ object SimilarityOps {
       .filter(col("r") === 1)
       .select(col("probe_id"), col("probe_emb").as("embedding"),
         col("cell"))
-    val pUnit = unitCols(probeCell.withColumnRenamed("probe_id", "vec_id"),
+    val pUnit = unitArr(probeCell.withColumnRenamed("probe_id", "vec_id"),
         dim)
       .join(probeCell.select(col("probe_id").as("vec_id"), col("cell")),
         "vec_id")
-    val cUnit = unitCols(corpus.select(col("vec_id"), col("embedding")),
+    val cUnit = unitArr(corpus.select(col("vec_id"), col("embedding")),
         dim)
       .join(corpus.select(col("vec_id"), col(cellCol).as("__cell")),
         "vec_id")
@@ -101,7 +101,7 @@ object SimilarityOps {
           col("c.vec_id") =!= col("p.vec_id"))
       .select(col("p.vec_id").as("probe_id"),
         col("c.vec_id").as("neighbor_id"),
-        expr(flatDot("p", "c", dim)).as("cos"))
+        expr("dot_f64(p.u, c.u)").as("cos"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -132,9 +132,10 @@ object SimilarityOps {
     */
   def kmeansCells(corpus: DataFrame, k: Int, iters: Int,
       dim: Int = Dim): DataFrame = {
-    val flat = corpus.select((col("vec_id") +: (1 to dim).map(d =>
-      expr(s"cast(element_at(embedding, $d) as double)")
-        .as(s"v$d"))): _*).persist()
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    val flat = corpus.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .persist()
     // Seed centroids pass through the same decimal(38,12) rounding the
     // update step applies, so iteration 1 is bit-identical to an oracle
     // that derives them via the shared centroid CTE.
@@ -150,27 +151,26 @@ object SimilarityOps {
       .collect()
       .zipWithIndex
       .map { case (r, cid) =>
-        (cid, (1 to dim).map(d => snap(r.getAs[Double](s"v$d"))).toArray)
+        (cid,
+          r.getSeq[Double](r.fieldIndex("e")).take(dim).map(snap).toArray)
       }
       .toSeq
     def assign(): DataFrame = {
-      // codegen-only argmin: distances as flat columns, least() for the
-      // minimum, first-match CASE for the cell id (= tie-break on the
-      // smaller cell, same as ORDER BY dist, cell) — array_sort over
-      // structs would run interpreted per row
+      // native codegen'd argmin (argmin_sq): the collected model rides
+      // into generated code as a double[][] reference object and the
+      // distance scan is a short nested loop — constant generated-code
+      // size at any k × dim (the k-unrolled distance columns + chained
+      // CASE this replaces overflowed Janino at realistic k). Distances
+      // fold in index order with tie-break on the lower index = the
+      // ORDER BY dist, cell the oracle uses; element_at maps the argmin
+      // index back to the (possibly non-contiguous) surviving cell ids.
       val sorted = centroids.sortBy(_._1)
-      val withD = flat.select(col("*") +: sorted.map { case (cid, m) =>
-        expr((1 to dim)
-          .map(d => s"(v$d - ${m(d - 1)}) * (v$d - ${m(d - 1)})")
-          .mkString(" + ")).as(s"__d$cid")
-      }: _*)
-      val minD = least(sorted.map { case (cid, _) => col(s"__d$cid") }: _*)
-      val cell = sorted.tail.foldLeft(
-        when(col(s"__d${sorted.head._1}") === minD, sorted.head._1)) {
-        case (acc, (cid, _)) => acc.when(col(s"__d$cid") === minD, cid)
-      }
-      withD.withColumn("cell", cell)
-        .drop(sorted.map { case (cid, _) => s"__d$cid" }: _*)
+      val cb = sorted.map { case (_, m) =>
+        m.map(v => s"${v}D").mkString("array(", ", ", ")")
+      }.mkString("array(", ", ", ")")
+      val cids = sorted.map(_._1).mkString("array(", ", ", ")")
+      flat.withColumn("cell",
+        expr(s"element_at($cids, argmin_sq(e, $cb) + 1)"))
     }
     for (_ <- 1 until iters) {
       // update step on skinny (cell, dim, v) rows: ONE decimal sum
@@ -178,8 +178,7 @@ object SimilarityOps {
       // and hashes a huge row), and k×dim grouped partials combine
       // map-side — the shape that holds at any corpus size
       val grid = assign()
-        .select(col("cell"), posexplode(
-          array((1 to dim).map(d => col(s"v$d")): _*)).as(Seq("d", "v")))
+        .select(col("cell"), posexplode(col("e")).as(Seq("d", "v")))
         .groupBy("cell", "d")
         .agg(count(lit(1)).as("n"),
           sum(expr("cast(v as decimal(38,12))")).as("s"))
@@ -267,13 +266,17 @@ object SimilarityOps {
     * bit-identically.
     */
   def lshBuckets(corpus: DataFrame, nBits: Int, dim: Int = Dim): DataFrame = {
-    val bits = (0 until nBits).map { b =>
-      val dot = (0 until dim).map(d =>
-        s"cast(element_at(embedding, ${d + 1}) as double) * ${planeConst(b, d)}")
-        .mkString("(", ") + (", ")")
-      s"if(($dot) > 0, ${1L << b}L, 0L)"
-    }
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    // native lsh_bits loop: the planes ride in as a literal matrix and
+    // the generated method stays a few lines at any nBits × dim — the
+    // single ~nBits×dim-term expression this replaces was a Janino
+    // 64 KB / deep-recursion hazard. Fold order per plane matches the
+    // oracle's list_sum, so the buckets are bit-identical.
+    val planes = (0 until nBits).map { b =>
+      (0 until dim).map(d => s"${planeConst(b, d)}D")
+        .mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
     corpus.select(col("vec_id"), col("embedding"),
-      expr(bits.mkString("(", ") + (", ")")).as("bucket"))
+      expr(s"lsh_bits(embedding, $planes)").as("bucket"))
   }
 }
