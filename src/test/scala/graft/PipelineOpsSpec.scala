@@ -104,6 +104,23 @@ class PipelineOpsSpec extends SparkSpec {
       .forall(_.getLong(1) === 5))
   }
 
+  test("argmin/lsh codegen compiles at realistic model sizes (no fallback)") {
+    // spark.sql.codegen.fallback=false turns a Janino compile failure
+    // into a hard error instead of a silent interpreted fallback — the
+    // BENCH_r05 failure mode. k=64 / nBits=32 are realistic model sizes
+    // the old unrolled expressions could not survive.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val cells = SimilarityOps.kmeansCells(emb, k = 64, iters = 2)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+      assert(cells.forall { case (_, c) => c >= 0 && c < 64 })
+      assert(cells.map(_._2).distinct.length > 1)
+      val buckets = SimilarityOps.lshBuckets(emb, 32).select("bucket")
+        .collect().map(_.getLong(0))
+      assert(buckets.forall(b => b >= 0 && b < (1L << 32)))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("lshBuckets emits deterministic bucket ids in [0, 2^12)") {
     val b1 = SimilarityOps.lshBuckets(emb, 12).select("vec_id", "bucket")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
