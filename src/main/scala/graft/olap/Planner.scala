@@ -157,10 +157,9 @@ final class Planner(val cube: BoundCube) {
   }
 
   /** Axis members ⋈ their cells. Uniform frames join on the grain
-    * columns; a mixed-depth frame aggregates once PER PRESENT DEPTH
-    * (each grain is one ordinary star pass that reuses the segment
-    * cache — the same work a user would issue as separate queries) and
-    * joins null-safely on the padded level columns + depth marker.
+    * columns; a mixed-depth frame fetches every present grain in ONE
+    * grouping-sets pass over the fact ([[mixedCells]]) and joins
+    * null-safely on the padded level columns + depth marker.
     */
   private def joinCells(a: AxisFrame, slicer: Seq[SlicerItem]): DataFrame =
     a.mixedDim match {
@@ -170,13 +169,7 @@ final class Planner(val cube: BoundCube) {
         val md = a.dims.find(_.d.name == dn).get
         val others = a.dims.filterNot(_.d.name == dn)
         val levels = levelCols(md.d, md.depth)
-        val types = md.d.df.schema.map(sf => sf.name -> sf.dataType).toMap
-        val cells = a.mixedDepths.map { dep =>
-          val agg = aggregate(others :+ AxisDim(md.d, dep), slicer)
-          val padded = levels.drop(dep + 1).foldLeft(agg)((df, c) =>
-            df.withColumn(c, lit(null).cast(types(c))))
-          padded.withColumn(DepthCol, lit(dep))
-        }.reduce(_ unionByName _)
+        val cells = mixedCells(others, md, a.mixedDepths, slicer)
         val keyCols = (groupCols(others) ++ levels) :+ DepthCol
         val renamed = cells.select(
           (keyCols.map(c => col(c).as(s"__c_$c")) ++
@@ -186,6 +179,67 @@ final class Planner(val cube: BoundCube) {
         a.members.join(renamed, cond, "left")
           .drop(keyCols.map(c => s"__c_$c"): _*)
     }
+
+  /** Cells of a mixed-depth axis: all present grains of the mixed
+    * hierarchy are nested prefixes of the deepest one, so ONE
+    * grouping-sets pass over the fact (a single Expand + exchange —
+    * the batched-grain shape of Mondrian's GroupingSetsCollector,
+    * SURVEY §4 #3) produces every depth's cells; grouping_id() tells
+    * which grain a row belongs to (the trailing un-grouped level
+    * columns are its low bits), which becomes the [[DepthCol]] marker —
+    * so a genuine NULL level value is never confused with a rolled-up
+    * one. Falls back to one [[aggregate]] per depth only when an agg
+    * table routes (each depth is then a cheap re-aggregation of the
+    * registered rollup, no fact scan at all). The result is cached as
+    * one segment keyed by the full key list + depth set.
+    */
+  private def mixedCells(others: Seq[AxisDim], md: AxisDim,
+      depths: Seq[Int], slicer: Seq[SlicerItem]): DataFrame = {
+    val levels = levelCols(md.d, md.depth)
+    val types = md.d.df.schema.map(sf => sf.name -> sf.dataType).toMap
+    val allSlicer = slicer ++ roleSlicer
+    val deepDims = others :+ md
+    def perDepth: DataFrame = depths.map { dep =>
+      val agg = aggregate(others :+ AxisDim(md.d, dep), slicer)
+      val padded = levels.drop(dep + 1).foldLeft(agg)((df, c) =>
+        df.withColumn(c, lit(null).cast(types(c))))
+      padded.withColumn(DepthCol, lit(dep))
+    }.reduce(_ unionByName _)
+    if (AggRouter.route(cube, neededJoins(deepDims, allSlicer), allSlicer,
+        neededMeasures).isDefined) return perDepth
+    val sortedDepths = depths.sorted
+    def compute: DataFrame = {
+      val star = joinStar(neededJoins(deepDims, allSlicer), allSlicer)
+      val sliced = star.filter(slicerPredicate(allSlicer))
+      val (aggCols, post) = Agg.toColumnsFused(neededMeasures)
+      val oKeys = groupCols(others)
+      val keys = oKeys ++ levels
+      val sets = sortedDepths.map(dep =>
+        (oKeys ++ levels.take(dep + 1)).map(col))
+      val gs = sliced.groupingSets(sets, keys.map(col): _*)
+        .agg(aggCols.head, (aggCols.tail :+ grouping_id().as("__gid")): _*)
+      // grouping set at depth dep leaves the trailing
+      // (#levels - dep - 1) level columns un-grouped → those low bits
+      // of grouping_id are 1: gid == 2^trailing - 1, distinct per depth
+      def gidOf(dep: Int): Long = (1L << (levels.length - dep - 1)) - 1L
+      val depthCol = sortedDepths.tail.foldLeft(
+        when(col("__gid") === lit(gidOf(sortedDepths.head)),
+          sortedDepths.head)) { (acc, dep) =>
+        acc.when(col("__gid") === lit(gidOf(dep)), dep)
+      }
+      gs.select((keys.map(col) :+ col("__gid")) ++ post: _*)
+        .withColumn(DepthCol, depthCol)
+        .drop("__gid")
+    }
+    if (!SegmentCache.enabled) compute
+    else {
+      val cache = SegmentCache.global
+      cache.getOrCompute(cache.SegKey(cube.cubeId,
+        (groupCols(others) ++ levels) :+
+          s"__depths=${sortedDepths.mkString(",")}",
+        allSlicer, neededMeasures.map(_.name)))(compute)
+    }
+  }
 
   def evalSet(set: SetExpr, slicer: Seq[SlicerItem],
       withSets: Map[String, SetExpr] = Map.empty): AxisFrame = set match {

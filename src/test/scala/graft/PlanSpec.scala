@@ -32,6 +32,24 @@ class PlanSpec extends SparkSpec {
     assert(smjCount <= 1, s"unexpected sort-merge joins in plan:\n$p")
   }
 
+  test("mixed-depth axis fetches all grains in one grouping-sets pass") {
+    // Ascendants = 4 grains (month, quarter, year, all) — must lower to
+    // ONE Expand over ONE fact scan (Mondrian's GroupingSetsCollector
+    // batching, SURVEY §4 #3), not one aggregate per depth.
+    SegmentCache.global.clear()
+    val df = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  ASCENDANTS([time].[1995].[1995-Q2].[1995-05]) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val p = plan(df)
+    val expands = "Expand".r.findAllIn(p).length
+    assert(expands === 1, s"expected exactly one Expand, got $expands:\n$p")
+    val factScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(factScans <= 1,
+      s"mixed-depth fetch must scan the fact once, got $factScans:\n$p")
+  }
+
   test("slicer predicate is pushed into the dimension parquet scan") {
     // fresh, unpersisted dim binding: the pooled cube persists member
     // frames (the reference's member cache), which pins the filter
