@@ -85,6 +85,25 @@ object OlapExtQueries {
         .rows(LevelMembers("event_type", "event_type"))
         .execute()),
 
+    // -- JDBC dimension source (§2.1, connection.rb dialect parity):
+    // the region dim round-trips through embedded Derby and answers
+    // joined to the parquet nation table — same rows the oracle reads
+    // straight from parquet ------------------------------------------
+    "q_jdbc_dim" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val url =
+        s"jdbc:derby:/tmp/graft_derby_${math.abs(dir.hashCode)};create=true"
+      graft.sources.Sources.writeJdbc(Tables.load(s, dir, "region"),
+        url, "region_jdbc",
+        Map("createTableColumnTypes" -> "r_name VARCHAR(64)"))
+      graft.sources.Sources.loadJdbc(s, url, "region_jdbc")
+        .join(Tables.load(s, dir, "nation"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"))
+        .select(col("r_name").as("region"), col("n_nations"))
+    }),
+
     // -- approximate distinct (HLL sketch): oracled as an exact/approx
     // pair — the exact distinct count hash-matches DuckDB, and the
     // sketch is pinned by a relative-error bound (HLL++ default rsd
@@ -597,6 +616,11 @@ object OlapExtQueries {
         |  sum(CAST(value AS DECIMAL(38,10))) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_jdbc_dim" ->
+      """SELECT r_name AS region, count(*) AS n_nations
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
 
     "q_predicates" ->
       s"""WITH nations AS (

@@ -44,6 +44,36 @@ object Sources {
     }
   }
 
+  /** JDBC table source — the Spark analog of the reference's
+    * dialect-keyed JDBC connectivity (connection.rb:323-457 registers
+    * nine dialect builders; the engine-side parity is Spark's own
+    * JdbcDialects registry, which already covers the same databases).
+    * `options` passes through any spark-jdbc option; the scale path is
+    * partitioned reads (partitionColumn/lowerBound/upperBound/
+    * numPartitions → one parallel query per stride) and automatic
+    * predicate/column pushdown into the remote database. Exercised
+    * against embedded Derby (on the Spark classpath) since this
+    * environment has no network databases.
+    */
+  def loadJdbc(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    options.foldLeft(
+        spark.read.format("jdbc").option("url", url)
+          .option("dbtable", table)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+
+  /** Seed/replace a JDBC table from a DataFrame (test fixture + the
+    * write half of JDBC round-trips).
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      options: Map[String, String] = Map.empty): Unit =
+    options.foldLeft(
+        df.write.format("jdbc").option("url", url)
+          .option("dbtable", table)) {
+      case (w, (k, v)) => w.option(k, v)
+    }.mode("overwrite").save()
+
   /** Write a frame out in the given format (round-trip helper for
     * interchange and the format-parity spec).
     */

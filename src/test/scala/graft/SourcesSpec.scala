@@ -52,6 +52,28 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("JDBC source (embedded Derby) answers identically to parquet") {
+    val base = Tables.load(spark, Sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val expected = byType(eventsCubeOver(base))
+    val db = java.nio.file.Files
+      .createTempDirectory("graft_derby").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    // VARCHAR instead of Derby's default CLOB mapping so remote-side
+    // predicates on the string column stay legal
+    Sources.writeJdbc(base, url, "events_jdbc",
+      Map("createTableColumnTypes" -> "event_type VARCHAR(64)"))
+    val back = Sources.loadJdbc(spark, url, "events_jdbc")
+    assert(byType(eventsCubeOver(back)) === expected)
+    // the scale path: stride-partitioned parallel read — one remote
+    // query per partition
+    val parts = Sources.loadJdbc(spark, url, "events_jdbc", Map(
+      "partitionColumn" -> "event_id", "lowerBound" -> "0",
+      "upperBound" -> base.count().toString, "numPartitions" -> "4"))
+    assert(parts.rdd.getNumPartitions === 4)
+    assert(parts.count() === base.count())
+  }
+
   test("unknown formats raise a schema error") {
     val e = intercept[IllegalArgumentException] {
       Sources.load(spark, "/tmp/nope.xyz")
