@@ -157,6 +157,120 @@ object AggRouter {
   }
 }
 
+/** One declared level mapping of a physical aggregate table: the
+  * cube's (dimension, level) stored in physical column `column` —
+  * AggLevel (schema.rb:390-393).
+  */
+final case class AggLevelMap(dim: String, level: String, column: String)
+
+/** One declared measure mapping: the cube measure's decomposable
+  * partial stored in physical column `column` — AggMeasure
+  * (schema.rb:385-388).
+  */
+final case class AggMeasureMap(measure: String, column: String)
+
+/** AggExclude (schema.rb:411-414): reject a matched table by exact
+  * name or regex, optionally case-insensitive.
+  */
+final case class AggExcludeRule(value: String, isPattern: Boolean = false,
+    ignoreCase: Boolean = false) {
+  def excludes(table: String): Boolean =
+    if (isPattern) table.matches((if (ignoreCase) "(?i)" else "") + value)
+    else if (ignoreCase) table.equalsIgnoreCase(value)
+    else table == value
+}
+
+/** A declarative aggregate-table declaration — AggName / AggPattern
+  * (schema.rb:374-414; matched by the jar's rolap/aggmatcher). Exactly
+  * one of `name` (exact physical table name) or `pattern` (regex over
+  * physical table names) must be given; `excludes` applies to pattern
+  * matches. The declared column mappings bind the physical table's
+  * columns to the cube's level/measure columns — the table itself
+  * pre-exists (built by an external pipeline), it is never built here.
+  */
+final case class AggDecl(
+    name: Option[String] = None,
+    pattern: Option[String] = None,
+    levels: Seq[AggLevelMap] = Nil,
+    measures: Seq[AggMeasureMap] = Nil,
+    factCount: Option[String] = None,
+    excludes: Seq[AggExcludeRule] = Nil) {
+  require(name.isDefined != pattern.isDefined,
+    "declare exactly one of name | pattern")
+  def matches(table: String): Boolean =
+    name.map(_ == table).getOrElse(table.matches(pattern.get)) &&
+      !excludes.exists(_.excludes(table))
+}
+
+/** Matches [[AggDecl]] declarations against the PHYSICAL tables
+  * actually present (a name → frame catalog, e.g. the parquet rollup
+  * directory an external build pipeline maintains) and binds each hit
+  * into a routable [[AggTable]]: physical columns are renamed to the
+  * cube's level/measure columns, and the grain is the per-dimension
+  * deepest declared level. Validation is eager — a declared column
+  * missing from the physical schema, or a gap in the root..depth level
+  * prefix (the routing join needs every prefix column), fails at
+  * registration, not at first query.
+  */
+object AggMatcher {
+
+  /** All physical parquet tables under `dir` (one subdirectory per
+    * table) — the discovery half of the jar's JDBC-catalog scan.
+    */
+  def physicalFromDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, DataFrame] = {
+    val root = new java.io.File(dir)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(f => f.getName -> spark.read.parquet(f.getAbsolutePath))
+      .toMap
+  }
+
+  /** Register every declaration's matches on the cube. */
+  def register(cube: BoundCube, decls: Seq[AggDecl],
+      physical: Map[String, DataFrame]): BoundCube =
+    cube.withAggTables(matchTables(cube, decls, physical): _*)
+
+  def matchTables(cube: BoundCube, decls: Seq[AggDecl],
+      physical: Map[String, DataFrame]): Seq[AggTable] =
+    for {
+      decl <- decls
+      (tname, df) <- physical.toSeq.sortBy(_._1) if decl.matches(tname)
+    } yield bind(cube, decl, tname, df)
+
+  private def bind(cube: BoundCube, decl: AggDecl, tname: String,
+      df: DataFrame): AggTable = {
+    val physCols = df.columns.toSet
+    val declared = decl.levels.map(_.column) ++
+      decl.measures.map(_.column) ++ decl.factCount
+    val missing = declared.filterNot(physCols)
+    require(missing.isEmpty,
+      s"agg table '$tname' lacks declared columns: ${missing.mkString(", ")}")
+    val lvlMaps = decl.levels.distinct
+    val grain = lvlMaps.groupBy(_.dim).toSeq.sortBy(_._1).map {
+      case (dn, ms) =>
+        val d = cube.dim(dn)
+        val depths = ms.map(m => d.levelIndex(m.level))
+        val depth = depths.max
+        val gaps = (0 to depth).filterNot(depths.contains)
+        require(gaps.isEmpty, s"agg table '$tname': dimension '$dn' " +
+          s"missing level mappings at depths ${gaps.mkString(",")}")
+        dn -> depth
+    }
+    val renames =
+      lvlMaps.map(m =>
+        m.column -> cube.dim(m.dim).levels(
+          cube.dim(m.dim).levelIndex(m.level)).col) ++
+      decl.measures.map(m => m.column -> m.measure) ++
+      decl.factCount.map(_ -> "__fact_count")
+    val bound = df.select(renames.map {
+      case (from, to) => col(from).as(to)
+    }: _*)
+    AggTable(tname, bound, grain,
+      decl.measures.map(m => m.measure -> cube.measure(m.measure).agg).toMap)
+  }
+}
+
 /** Keyed cache of aggregated segments with region invalidation — the
   * analog of the reference's SegmentCacheManager + flush_region_cache
   * (cube.rb:519-546; semantics pinned by cube_cache_control_test.rb:

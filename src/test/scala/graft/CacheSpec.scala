@@ -63,6 +63,103 @@ class CacheSpec extends SparkSpec {
     assert(viaAgg.toSeq === direct.toSeq)
   }
 
+  test("declared AggPattern matches physical rollups, applies excludes, and routes") {
+    val base = Cubes.sales(spark, Sf)
+    // simulate PRE-EXISTING physical rollup tables (an external build
+    // pipeline's output, physical column names unknown to the cube):
+    // content at the nation x month grain, then parquet under three
+    // names — one real hit, one AggExclude'd, one non-matching
+    val content = new Planner(base).buildAggTable("tmp",
+        Seq(("customer", "nation"), ("time", "month")),
+        Seq("revenue", "sum_qty", "count_order")).df
+      .withColumnRenamed("cr_region", "cust_region")
+      .withColumnRenamed("cr_nation", "cust_nation")
+      .withColumnRenamed("d_year", "t_year")
+      .withColumnRenamed("d_yq", "t_quarter")
+      .withColumnRenamed("d_ym", "t_month")
+      .withColumnRenamed("revenue", "rev_sum")
+      .withColumnRenamed("sum_qty", "qty_sum")
+      .withColumnRenamed("count_order", "fact_count")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_aggdir").toString
+    for (t <- Seq("agg_nm_sales", "agg_c_14_sales", "other_table"))
+      content.write.mode("overwrite").parquet(s"$dir/$t")
+    val decl = AggDecl(
+      pattern = Some("agg_.*_sales"),
+      levels = Seq(
+        AggLevelMap("customer", "region", "cust_region"),
+        AggLevelMap("customer", "nation", "cust_nation"),
+        AggLevelMap("time", "year", "t_year"),
+        AggLevelMap("time", "quarter", "t_quarter"),
+        AggLevelMap("time", "month", "t_month")),
+      measures = Seq(
+        AggMeasureMap("revenue", "rev_sum"),
+        AggMeasureMap("sum_qty", "qty_sum")),
+      factCount = Some("fact_count"),
+      excludes = Seq(AggExcludeRule("agg_c_14_sales")))
+    val physical = AggMatcher.physicalFromDir(spark, dir)
+    assert(physical.keySet === Set("agg_nm_sales", "agg_c_14_sales",
+      "other_table"))
+    val matched = AggMatcher.matchTables(base, Seq(decl), physical)
+    assert(matched.map(_.name) === Seq("agg_nm_sales"),
+      "pattern must match, excludes must reject, non-matches must drop")
+    // the declared (never programmatically built) table answers the
+    // q_aggroute-shaped query identically to the fact path
+    val routed = AggMatcher.register(base, Seq(decl), physical)
+    AggRouter.lastHit = None
+    val viaDecl = Query.from(routed).columns("revenue", "sum_qty")
+      .rows(LevelMembers("customer", "region"))
+      .where(MemberSlice("time", Seq(1995)))
+      .execute().collect()
+    assert(AggRouter.lastHit === Some("agg_nm_sales"))
+    SegmentCache.enabled = false
+    val direct = try Query.from(base).columns("revenue", "sum_qty")
+      .rows(LevelMembers("customer", "region"))
+      .where(MemberSlice("time", Seq(1995)))
+      .execute().collect()
+    finally SegmentCache.enabled = true
+    assert(viaDecl.toSeq === direct.toSeq)
+  }
+
+  test("AggName exact match binds a single declared table") {
+    val base = Cubes.sales(spark, Sf)
+    val content = new Planner(base).buildAggTable("tmp2",
+        Seq(("customer", "nation")), Seq("revenue")).df
+      .withColumnRenamed("cr_region", "r").withColumnRenamed("cr_nation", "n")
+      .withColumnRenamed("revenue", "rev")
+    val decl = AggDecl(name = Some("agg_exact"),
+      levels = Seq(AggLevelMap("customer", "region", "r"),
+        AggLevelMap("customer", "nation", "n")),
+      measures = Seq(AggMeasureMap("revenue", "rev")))
+    val matched = AggMatcher.matchTables(base, Seq(decl),
+      Map("agg_exact" -> content, "agg_other" -> content))
+    assert(matched.map(_.name) === Seq("agg_exact"))
+    assert(matched.head.grain === Seq("customer" -> 1))
+  }
+
+  test("declared mappings validate eagerly: missing columns and level gaps") {
+    val base = Cubes.sales(spark, Sf)
+    val content = new Planner(base).buildAggTable("tmp3",
+        Seq(("customer", "nation")), Seq("revenue")).df
+    // a declared physical column absent from the table
+    val badCol = AggDecl(name = Some("t"),
+      levels = Seq(AggLevelMap("customer", "region", "cr_region"),
+        AggLevelMap("customer", "nation", "nope")),
+      measures = Seq(AggMeasureMap("revenue", "revenue")))
+    val e1 = intercept[IllegalArgumentException] {
+      AggMatcher.matchTables(base, Seq(badCol), Map("t" -> content))
+    }
+    assert(e1.getMessage.contains("nope"))
+    // nation mapped without its region prefix level
+    val gap = AggDecl(name = Some("t"),
+      levels = Seq(AggLevelMap("customer", "nation", "cr_nation")),
+      measures = Seq(AggMeasureMap("revenue", "revenue")))
+    val e2 = intercept[IllegalArgumentException] {
+      AggMatcher.matchTables(base, Seq(gap), Map("t" -> content))
+    }
+    assert(e2.getMessage.contains("missing level mappings"))
+  }
+
   test("non-decomposable measures fall through to the fact") {
     val base = Cubes.sales(spark, Sf)
     val at = new Planner(base).buildAggTable("nation_only",
