@@ -263,7 +263,15 @@ final case class BoundLevel(
       * the metadata API (cube.rb:308-314) — an XMLA/browser perf hint,
       * never used for query answers.
       */
-    approxRowCount: Option[Long] = None) {
+    approxRowCount: Option[Long] = None,
+    /** Property columns declared functionally dependent on this
+      * level's value — the reference's `depends_on_level_value`
+      * (schema.rb:277-281): the property may be dropped from the
+      * grouping, so the property join aggregates by the level key
+      * alone (first() of the dependent column) instead of a
+      * two-column distinct.
+      */
+    dependentProps: Set[String] = Set.empty) {
   def ordinal: String = ordCol.getOrElse(col)
   def caption: String = meta.caption.getOrElse(name)
 }
@@ -295,7 +303,14 @@ final case class BoundDim(
       * a single-partition window.
       */
     highCardinality: Boolean = false,
-    meta: ElementMeta = ElementMeta()) {
+    meta: ElementMeta = ElementMeta(),
+    /** The reference's `unique_key_level_name` (schema.rb:152-156):
+      * the level at (and below) whose depth every dimension row is
+      * already a unique member tuple, so member enumeration needs no
+      * GROUP BY/DISTINCT at all — the distinct (a full exchange over
+      * the dimension, real money on a 100M-row dim) is eliminated.
+      */
+    uniqueKeyLevel: Option[String] = None) {
 
   def caption: String = meta.caption.getOrElse(name)
 
@@ -311,16 +326,22 @@ final case class BoundDim(
     */
   @transient private lazy val memberFrames =
     scala.collection.concurrent.TrieMap.empty[Int, DataFrame]
-  def membersAt(depth: Int, cols: Seq[String]): DataFrame =
+  def membersAt(depth: Int, cols: Seq[String]): DataFrame = {
+    // unique_key_level_name: at or below the declared unique level the
+    // dimension rows already ARE the member tuples — no distinct
+    val unique = uniqueKeyLevel.exists(u => depth >= levelIndex(u))
+    def enumerate = {
+      val base =
+        df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      if (unique) base else base.distinct()
+    }
     if (highCardinality)
       // the reference's high_cardinality opt-out: never pin a frame
       // that may not fit in memory — recompute from the (columnar,
       // pruned) scan each time
-      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
-        .distinct()
-    else memberFrames.getOrElseUpdate(depth,
-      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
-        .distinct().persist())
+      enumerate
+    else memberFrames.getOrElseUpdate(depth, enumerate.persist())
+  }
 
   def levelIndex(levelName: String): Int = {
     val i = levels.indexWhere(_.name == levelName)

@@ -880,10 +880,17 @@ final class Planner(val cube: BoundCube) {
         require(ad.d.df.columns.contains(prop),
           s"dimension '${ad.d.name}' has no property column '$prop'")
         val key = levelCols(ad.d, ad.depth).last
-        if (!df.columns.contains(prop))
-          df = df.join(
-            broadcast(ad.d.df.select(col(key), col(prop)).distinct()),
-            Seq(key), "left")
+        if (!df.columns.contains(prop)) {
+          // depends_on_level_value (schema.rb:277-281): a dependent
+          // property needs no place in the grouping — aggregate by the
+          // level key alone (any value is THE value) instead of a
+          // two-column distinct
+          val propFrame =
+            if (ad.d.levels(ad.depth).dependentProps.contains(prop))
+              ad.d.df.groupBy(col(key)).agg(first(col(prop)).as(prop))
+            else ad.d.df.select(col(key), col(prop)).distinct()
+          df = df.join(broadcast(propFrame), Seq(key), "left")
+        }
         sql = sql.replace(marker + prop + "__", prop)
         i = sql.indexOf(marker)
       }

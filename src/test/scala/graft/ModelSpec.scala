@@ -33,6 +33,22 @@ class ModelSpec extends SparkSpec {
     assert(e3.getMessage.contains("duplicate"))
   }
 
+  test("group-by elimination hints round-trip and validate") {
+    val hinted = cube.copy(dims = cube.dims.map(d =>
+      if (d.name == "customer")
+        d.copy(uniqueKeyLevel = Some("customer"),
+          levels = d.levels.map(l =>
+            if (l.name == "customer")
+              l.copy(dependentProps = Set("c_mktsegment"))
+            else l))
+      else d))
+    hinted.validate()
+    val cd = hinted.dim("customer")
+    assert(cd.uniqueKeyLevel === Some("customer"))
+    assert(cd.level("customer").dependentProps === Set("c_mktsegment"))
+    assert(cd.level("nation").dependentProps === Set.empty)
+  }
+
   test("ragged hierarchy hides blank and parent-named members") {
     import spark.implicits._
     val geo = Seq(

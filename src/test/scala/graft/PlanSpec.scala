@@ -50,6 +50,47 @@ class PlanSpec extends SparkSpec {
       s"mixed-depth fetch must scan the fact once, got $factScans:\n$p")
   }
 
+  test("unique_key_level_name eliminates member-enumeration distinct") {
+    val d = Cubes.customerDim(spark, Sf)
+    val hinted = d.copy(uniqueKeyLevel = Some("customer"))
+    // at the declared unique depth: straight scan, no aggregate/exchange
+    val pUnique = hinted.membersAt(2, Planner.memberCols(hinted, 2))
+      .queryExecution.executedPlan.toString
+    assert(!pUnique.contains("HashAggregate"),
+      s"unique-level member scan must not group:\n$pUnique")
+    // above it: distinct still required (nation repeats per customer)
+    val pAbove = hinted.membersAt(1, Planner.memberCols(hinted, 1))
+      .queryExecution.executedPlan.toString
+    assert(pAbove.contains("HashAggregate"),
+      s"non-unique depth must still distinct:\n$pAbove")
+  }
+
+  test("depends_on_level_value drops the property from the grouping") {
+    val hinted = cube.copy(dims = cube.dims.map(d =>
+      if (d.name == "customer")
+        d.copy(levels = d.levels.map(l =>
+          if (l.name == "customer")
+            l.copy(dependentProps = Set("c_mktsegment"))
+          else l))
+      else d))
+    val mdx =
+      """WITH MEMBER [Measures].[segment] AS
+        |    [customer].CurrentMember.Properties('c_mktsegment')
+        |SELECT {[Measures].[revenue], [Measures].[segment]} ON COLUMNS,
+        |  HEAD([customer].[customer].Members, 20) ON ROWS
+        |FROM [Sales]""".stripMargin
+    SegmentCache.enabled = false
+    try {
+      val viaHint = Mdx.execute(mdx, hinted)
+      val p = plan(viaHint)
+      assert(p.contains("first(c_mktsegment"),
+        s"dependent property must aggregate by the key alone:\n$p")
+      assert(viaHint.collect().toSeq ===
+        Mdx.execute(mdx, cube).collect().toSeq,
+        "hinted plan must answer identically")
+    } finally SegmentCache.enabled = true
+  }
+
   test("slicer predicate is pushed into the dimension parquet scan") {
     // fresh, unpersisted dim binding: the pooled cube persists member
     // frames (the reference's member cache), which pins the filter
