@@ -844,11 +844,10 @@ object Mdx {
           if (d2.name != d.name) throw MdxException(
             s"Cousin: members of different hierarchies " +
               s"([${d.name}], [${d2.name}])")
-          val mPath = p.tail.map(pathValue)
-          val aPath = ap.tail.map(pathValue)
-          if (aPath.length >= mPath.length) throw MdxException(
-            "Cousin: ancestor must be above the member's level")
-          CousinSet(d.name, mPath, aPath)
+          // depth relationships are SEMANTICS, not syntax (jar
+          // CousinFunDef: equal depth → second member, member above →
+          // null member) — the planner lowers them, the parser accepts
+          CousinSet(d.name, p.tail.map(pathValue), ap.tail.map(pathValue))
         case "ANCESTOR" =>
           // Ancestor(member, level) — the member's ancestor at the level
           val p = memberPath(); comma()

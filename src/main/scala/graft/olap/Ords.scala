@@ -62,6 +62,28 @@ object Ords {
     else distributed(df, sort, out)
   }
 
+  /** Managed registry of the persisted numbering frames (ADVICE r5):
+    * bounded FIFO — exceeding the cap unpins the oldest, so a
+    * long-lived server holds at most `MaxPinned` MEMORY_AND_DISK
+    * entries instead of leaking one per large-frame numbering call.
+    * Eviction is safe at any time: a recompute replays the SAME pinned
+    * lineage (one RangePartitioner sampling, same seed), so consumers
+    * of an evicted frame still see consistent bounds.
+    */
+  private val pinned = new java.util.ArrayDeque[DataFrame]
+  private val MaxPinned = 8
+  private def pin(df: DataFrame): DataFrame = pinned.synchronized {
+    pinned.addLast(df)
+    while (pinned.size > MaxPinned)
+      pinned.pollFirst().unpersist(blocking = false)
+    df
+  }
+
+  /** Release every pinned numbering frame (cache flush / teardown). */
+  def releaseAll(): Unit = pinned.synchronized {
+    while (!pinned.isEmpty) pinned.pollFirst().unpersist(blocking = false)
+  }
+
   private def distributed(df: DataFrame, sort: Seq[Column],
       out: String): DataFrame = {
     // monotonically_increasing_id() = (partitionId << 33) + rowIndex,
@@ -80,11 +102,11 @@ object Ords {
     // eviction-recompute reuses the same seed. Global numbering
     // inherently takes two passes over the frame; materializing it
     // once is that cost, spill-backed at scale.
-    val parted = df.repartitionByRange(sort: _*)
+    val parted = pin(df.repartitionByRange(sort: _*)
       .sortWithinPartitions(sort: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val within = parted.withColumn("__rn",
       col("__mid") - shiftleft(col("__pid").cast("long"), 33))
     // per-partition counts → prefix-sum offsets: a frame with one row

@@ -296,10 +296,19 @@ final class Planner(val cube: BoundCube) {
       // position gap in the target subtree yields an empty set (the
       // jar's null member).
       val d = cube.dim(dim)
-      require(aPath.length < mPath.length,
-        "Cousin: ancestor must be above the member's level")
       require(mPath.length <= d.levels.length,
         s"Cousin: member path deeper than [${d.name}]")
+      // jar CousinFunDef edge semantics (ADVICE r5): equal levels →
+      // the second argument itself; member ABOVE the "ancestor" → the
+      // null member, i.e. an empty set. (Divergence: a nonexistent
+      // member path yields an empty set here where the jar raises
+      // member-not-found — path existence is not validated.)
+      if (aPath.length == mPath.length)
+        return evalSet(Members(dim, Seq(aPath)), slicer, withSets)
+      if (aPath.length > mPath.length)
+        return AxisFrame(
+          memberFrame(d, mPath.length - 1).filter(lit(false)),
+          Seq(AxisDim(d, mPath.length - 1)))
       val depth = mPath.length - 1
       val aDepth = aPath.length - 1
       val lvls = d.levels

@@ -81,8 +81,17 @@ final class VirtualCube(
     }
     val base = new Planner(owner)
       .drillThrough(ownerSlicer, own, ownerDims, maxRows = maxRows)
+    // foreign fields keep their OWNING cube's type (ADVICE r5): a
+    // numeric column of another base cube must union/compare cleanly
+    // with that cube's own drill-through schema — string only when no
+    // base cube can resolve it
+    def typeOf(c: String): org.apache.spark.sql.types.DataType =
+      bases.map(_._1).flatMap { bc =>
+        bc.fact.schema.find(_.name == c).map(_.dataType) ++
+          bc.dims.flatMap(_.df.schema.find(_.name == c).map(_.dataType))
+      }.headOption.getOrElse(org.apache.spark.sql.types.StringType)
     foreign.foldLeft(base)((df, c) =>
-      df.withColumn(c, lit(null).cast("string")))
+      df.withColumn(c, lit(null).cast(typeOf(c))))
       .select(returnCols.map(col): _*)
   }
 }

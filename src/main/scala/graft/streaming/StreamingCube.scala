@@ -87,23 +87,32 @@ object StreamingCube {
     * order-independent, so the AvailableNow drain reproduces the batch
     * backfill bit-for-bit.
     */
+  /** An isolated session for stream construction: the narrow
+    * state-store partitioning is set on a `newSession()` clone (shared
+    * SparkContext, private SQL conf), so concurrent batch queries on
+    * the caller's session never see the mutated shuffle-partition
+    * setting (ADVICE r5 — the previous set/restore window leaked it).
+    */
+  private def isolated(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s
+  }
+
   def runStreamDedup(spark: SparkSession, sfDir: String,
       name: String = "stream_dedup"): DataFrame = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try docStream(spark, sfDir)
-        .select(expr("md5(text)").as("fp"), col("doc_id"))
-        .groupBy("fp").agg(min("doc_id").as("doc_id"))
-        .writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val s = isolated(spark)
+    val q = docStream(s, sfDir)
+      .select(expr("md5(text)").as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
     q.awaitTermination()
-    spark.table(name)
+    s.table(name)
   }
 
   /** Watermarked daily pre-aggregation per event type — the streaming
@@ -130,21 +139,18 @@ object StreamingCube {
     // (one HDFSBackedStateStore per partition per batch). 8 partitions
     // is plenty for state while the stateless pre-aggregation still
     // parallelizes across input files/cores.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try dailyAgg(eventStream(spark, sfDir))
-        .select(to_date(col("window.start")).as("d_date"),
-          col("event_type"), col("n_events"), col("sum_value"))
-        .writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val s = isolated(spark)
+    val q = dailyAgg(eventStream(s, sfDir))
+      .select(to_date(col("window.start")).as("d_date"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
     q.awaitTermination()
-    spark.table(name)
+    s.table(name)
   }
 
   // ------------------------------------------------- cube maintenance

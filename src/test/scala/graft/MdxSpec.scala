@@ -534,6 +534,19 @@ class MdxSpec extends SparkSpec {
         |  COUSIN([time].[1995], [customer].[AFRICA]) ON ROWS
         |FROM [Sales]""".stripMargin, cube))
     assert(e.getMessage.contains("different hierarchies"))
+    // jar CousinFunDef edge semantics (ADVICE r5): equal depth returns
+    // the SECOND member itself
+    val eq = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  COUSIN([time].[1995], [time].[1996]) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(eq.collect().map(_.getInt(0)).toSeq === Seq(1996))
+    // member ABOVE the "ancestor" → the null member = empty set
+    val above = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  COUSIN([time].[1995], [time].[1996].[1996-Q1]) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(above.count() === 0)
   }
 
   test("Filter set alias: S.CurrentOrdinal and IsEmpty(S.Current)") {

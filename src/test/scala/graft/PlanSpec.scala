@@ -42,12 +42,13 @@ class PlanSpec extends SparkSpec {
         |  ASCENDANTS([time].[1995].[1995-Q2].[1995-05]) ON ROWS
         |FROM [Sales]""".stripMargin, cube)
     val p = plan(df)
+    // the per-depth path has ZERO Expands (one plain aggregate per
+    // grain); exactly one Expand = the single grouping-sets fact pass.
+    // (Don't count fact scans textually: persisted member frames print
+    // their InMemoryRelation children, whose subtree content depends on
+    // which suites materialized them first.)
     val expands = "Expand".r.findAllIn(p).length
     assert(expands === 1, s"expected exactly one Expand, got $expands:\n$p")
-    val factScans = p.linesIterator
-      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
-    assert(factScans <= 1,
-      s"mixed-depth fetch must scan the fact once, got $factScans:\n$p")
   }
 
   test("unique_key_level_name eliminates member-enumeration distinct") {
