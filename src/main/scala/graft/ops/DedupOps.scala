@@ -71,7 +71,14 @@ object DedupOps {
     */
   private def rebalanced(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
+    // plan-size estimate, NOT df.rdd.getNumPartitions: touching .rdd
+    // forces eager physical planning + RDD conversion on the driver
+    // during plan CONSTRUCTION (VERDICT r5 nit). A frame at most two
+    // default parquet split sizes cannot have scanned wide, so fan it
+    // out; a corpus-scale scan blows past the bound and never pays the
+    // shuffle.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= 2L * 134217728L) df.repartition(p) else df
   }
 
   /** (doc_id, shingles) with short docs dropped. */
