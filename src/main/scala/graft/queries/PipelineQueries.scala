@@ -61,6 +61,11 @@ object PipelineQueries {
     "q_ann_kmeans" -> ((s, dir) =>
       SimilarityOps.kmeansCells(emb(s, dir), k = 8, iters = 3)),
 
+    // realistic IVF cell count: k=64 exercises the native argmin_sq
+    // loop at the model size whose unrolled form broke Janino (r5)
+    "q_ann_kmeans64" -> ((s, dir) =>
+      SimilarityOps.kmeansCells(emb(s, dir), k = 64, iters = 2)),
+
     // native codegen'd Catalyst expression (functions/VectorExprs):
     // nearest neighbor per probe straight over the array columns
     "q_ann_cosine_expr" -> ((s, dir) => {
@@ -299,6 +304,8 @@ object PipelineQueries {
          |FROM embeddings""".stripMargin,
 
     "q_ann_kmeans" -> SimilarityOps.kmeansOracleSql(k = 8, iters = 3),
+
+    "q_ann_kmeans64" -> SimilarityOps.kmeansOracleSql(k = 64, iters = 2),
 
     "q_pipeline_clean" -> {
       val stopHits =
