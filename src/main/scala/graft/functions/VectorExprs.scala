@@ -178,9 +178,14 @@ object VectorExprs {
 
     @transient private lazy val codebook: Array[Array[Double]] =
       matrixOf(right)
+    @transient private lazy val minDim: Int =
+      if (codebook.isEmpty) 0 else codebook.map(_.length).max
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val v = a.asInstanceOf[ArrayData]
+      if (v.numElements() < minDim) throw new IllegalArgumentException(
+        s"argmin_sq: vector has ${v.numElements()} components, " +
+          s"codebook expects $minDim")
       var best = -1; var bestD = Double.PositiveInfinity
       var c = 0
       while (c < codebook.length) {
@@ -203,6 +208,10 @@ object VectorExprs {
           ctx.freshName("bestD"), ctx.freshName("c"), ctx.freshName("m"),
           ctx.freshName("acc"), ctx.freshName("d"), ctx.freshName("diff"))
         s"""
+           |if ($a.numElements() < $minDim)
+           |  throw new IllegalArgumentException(
+           |    "argmin_sq: vector has " + $a.numElements() +
+           |    " components, codebook expects $minDim");
            |int $best = -1;
            |double $bestD = Double.POSITIVE_INFINITY;
            |for (int $c = 0; $c < $mat.length; $c++) {
@@ -245,9 +254,14 @@ object VectorExprs {
 
     @transient private lazy val planes: Array[Array[Double]] =
       matrixOf(right)
+    @transient private lazy val minDim: Int =
+      if (planes.isEmpty) 0 else planes.map(_.length).max
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val v = a.asInstanceOf[ArrayData]
+      if (v.numElements() < minDim) throw new IllegalArgumentException(
+        s"lsh_bits: vector has ${v.numElements()} components, " +
+          s"planes expect $minDim")
       var bucket = 0L
       var p = 0
       while (p < planes.length) {
@@ -270,6 +284,10 @@ object VectorExprs {
           ctx.freshName("p"), ctx.freshName("pl"), ctx.freshName("acc"),
           ctx.freshName("d"))
         s"""
+           |if ($a.numElements() < $minDim)
+           |  throw new IllegalArgumentException(
+           |    "lsh_bits: vector has " + $a.numElements() +
+           |    " components, planes expect $minDim");
            |long $bucket = 0L;
            |for (int $p = 0; $p < $mat.length; $p++) {
            |  double[] $pl = $mat[$p];
