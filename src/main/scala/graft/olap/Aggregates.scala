@@ -169,6 +169,15 @@ final case class AggLevelMap(dim: String, level: String, column: String)
   */
 final case class AggMeasureMap(measure: String, column: String)
 
+/** AggForeignKey (schema.rb:395-398): the agg table did NOT collapse
+  * this dimension into level columns — it kept the fact's foreign key
+  * (as physical column `aggColumn`). The dimension joins in at
+  * registration (broadcast, lazily planned), making EVERY level of
+  * that dimension available from the rollup. `factColumn` names the
+  * fact-side FK, which identifies the dimension.
+  */
+final case class AggFkMap(factColumn: String, aggColumn: String)
+
 /** AggExclude (schema.rb:411-414): reject a matched table by exact
   * name or regex, optionally case-insensitive.
   */
@@ -194,7 +203,8 @@ final case class AggDecl(
     levels: Seq[AggLevelMap] = Nil,
     measures: Seq[AggMeasureMap] = Nil,
     factCount: Option[String] = None,
-    excludes: Seq[AggExcludeRule] = Nil) {
+    excludes: Seq[AggExcludeRule] = Nil,
+    foreignKeys: Seq[AggFkMap] = Nil) {
   require(name.isDefined != pattern.isDefined,
     "declare exactly one of name | pattern")
   def matches(table: String): Boolean =
@@ -242,12 +252,13 @@ object AggMatcher {
       df: DataFrame): AggTable = {
     val physCols = df.columns.toSet
     val declared = decl.levels.map(_.column) ++
-      decl.measures.map(_.column) ++ decl.factCount
+      decl.measures.map(_.column) ++ decl.factCount ++
+      decl.foreignKeys.map(_.aggColumn)
     val missing = declared.filterNot(physCols)
     require(missing.isEmpty,
       s"agg table '$tname' lacks declared columns: ${missing.mkString(", ")}")
     val lvlMaps = decl.levels.distinct
-    val grain = lvlMaps.groupBy(_.dim).toSeq.sortBy(_._1).map {
+    val lvlGrain = lvlMaps.groupBy(_.dim).toSeq.sortBy(_._1).map {
       case (dn, ms) =>
         val d = cube.dim(dn)
         val depths = ms.map(m => d.levelIndex(m.level))
@@ -262,11 +273,31 @@ object AggMatcher {
         m.column -> cube.dim(m.dim).levels(
           cube.dim(m.dim).levelIndex(m.level)).col) ++
       decl.measures.map(m => m.column -> m.measure) ++
-      decl.factCount.map(_ -> "__fact_count")
-    val bound = df.select(renames.map {
+      decl.factCount.map(_ -> "__fact_count") ++
+      decl.foreignKeys.map(fk => fk.aggColumn -> s"__fk_${fk.aggColumn}")
+    val selected = df.select(renames.map {
       case (from, to) => col(from).as(to)
     }: _*)
-    AggTable(tname, bound, grain,
+    // AggForeignKey: the rollup kept a dimension's FK instead of its
+    // collapsed levels — broadcast-join the dimension in (lazy, planned
+    // into the routed scan), exposing EVERY level of that dimension
+    val (bound, fkGrain) = decl.foreignKeys
+      .foldLeft((selected, Seq.empty[(String, Int)])) {
+        case ((acc, grains), fk) =>
+          val d = cube.dims.find(_.foreignKey == fk.factColumn).getOrElse(
+            throw new IllegalArgumentException(s"agg table '$tname': no " +
+              s"dimension joins the fact on '${fk.factColumn}'"))
+          val depth = d.levels.length - 1
+          val cols = (d.primaryKey +: Planner.memberCols(d, depth)).distinct
+          val dimSel = d.df.select(cols.map(col): _*)
+          val joined = acc.join(broadcast(dimSel),
+            acc(s"__fk_${fk.aggColumn}") === dimSel(d.primaryKey))
+          val dropped =
+            if (Planner.memberCols(d, depth).contains(d.primaryKey)) joined
+            else joined.drop(dimSel(d.primaryKey))
+          (dropped.drop(s"__fk_${fk.aggColumn}"), grains :+ (d.name -> depth))
+      }
+    AggTable(tname, bound, lvlGrain ++ fkGrain,
       decl.measures.map(m => m.measure -> cube.measure(m.measure).agg).toMap)
   }
 }

@@ -137,6 +137,50 @@ class CacheSpec extends SparkSpec {
     assert(matched.head.grain === Seq("customer" -> 1))
   }
 
+  test("AggForeignKey joins the dimension into a declared rollup") {
+    val base = Cubes.sales(spark, Sf)
+    // an FK-style physical rollup: customer collapsed to levels, but
+    // time kept only the fact's date key — no time level columns
+    val content = new Planner(base).buildAggTable("tmpfk",
+        Seq(("customer", "nation"), ("time", "day")),
+        Seq("revenue", "sum_qty")).df
+      .withColumnRenamed("cr_region", "cust_region")
+      .withColumnRenamed("cr_nation", "cust_nation")
+      .withColumnRenamed("d_date", "date_key")
+      .drop("d_year", "d_yq", "d_ym")
+      .withColumnRenamed("revenue", "rev_sum")
+      .withColumnRenamed("sum_qty", "qty_sum")
+    val decl = AggDecl(name = Some("agg_fk"),
+      levels = Seq(AggLevelMap("customer", "region", "cust_region"),
+        AggLevelMap("customer", "nation", "cust_nation")),
+      measures = Seq(AggMeasureMap("revenue", "rev_sum"),
+        AggMeasureMap("sum_qty", "qty_sum")),
+      foreignKeys = Seq(AggFkMap("l_datekey", "date_key")))
+    val routed = AggMatcher.register(base, Seq(decl),
+      Map("agg_fk" -> content))
+    AggRouter.lastHit = None
+    val viaFk = Query.from(routed).columns("revenue", "sum_qty")
+      .rows(LevelMembers("customer", "region"))
+      .where(MemberSlice("time", Seq(1995)))
+      .execute().collect()
+    assert(AggRouter.lastHit === Some("agg_fk"),
+      "the FK-joined rollup must cover every time level")
+    SegmentCache.enabled = false
+    val direct = try Query.from(base).columns("revenue", "sum_qty")
+      .rows(LevelMembers("customer", "region"))
+      .where(MemberSlice("time", Seq(1995)))
+      .execute().collect()
+    finally SegmentCache.enabled = true
+    assert(viaFk.toSeq === direct.toSeq)
+    // an FK column the fact doesn't join on is rejected eagerly
+    val bad = decl.copy(name = Some("agg_bad"),
+      foreignKeys = Seq(AggFkMap("l_nope", "date_key")))
+    val e = intercept[IllegalArgumentException] {
+      AggMatcher.matchTables(base, Seq(bad), Map("agg_bad" -> content))
+    }
+    assert(e.getMessage.contains("l_nope"))
+  }
+
   test("declared mappings validate eagerly: missing columns and level gaps") {
     val base = Cubes.sales(spark, Sf)
     val content = new Planner(base).buildAggTable("tmp3",
