@@ -34,7 +34,7 @@ object CleanPipeline {
     val keepE = DedupOps.exactDedup(kept1).select("doc_id")
     // kept2 feeds the near-dup join, the anti-join, and the callers'
     // stats joins — persist so the quality/dedup stages run once
-    val kept2 = kept1.join(keepE, "doc_id").persist()
+    val kept2 = DedupOps.pin(kept1.join(keepE, "doc_id").persist())
     val dropNear = DedupOps.jaccardPairs(kept2, jaccard)
       .select(col("doc_b").as("doc_id")).distinct()
     kept2.join(dropNear, Seq("doc_id"), "left_anti")
@@ -44,7 +44,7 @@ object CleanPipeline {
     * count and total token count.
     */
   def cleanStats(docs: DataFrame): DataFrame = {
-    val kept = clean(docs).persist()
+    val kept = DedupOps.pin(clean(docs).persist())
     val lang = TextOps.langId(kept).select("doc_id", "pred_lang")
     val toks = TextOps.tokenCounts(kept)
     kept.select("doc_id").join(lang, "doc_id").join(toks, "doc_id")

@@ -54,6 +54,29 @@ object DedupOps {
     */
   val P = 2147483647L
 
+  /** Bounded registry for the intermediate frames the dedup/ANN paths
+    * persist (shingles, candidate sets, unit vectors, band frames):
+    * the persists are load-bearing — each frame feeds 2+ consumers and
+    * recomputing the postings pipeline per consumer is the alternative
+    * — but un-released they accumulate one MEMORY_AND_DISK entry per
+    * call for the session lifetime (the Ords leak class, ADVICE r5).
+    * FIFO-bounded: exceeding the cap unpins the oldest; eviction only
+    * costs a deterministic recompute if a stale plan is re-collected.
+    */
+  private val pinned = new java.util.ArrayDeque[DataFrame]
+  private val MaxPinned = 32
+  private[ops] def pin(df: DataFrame): DataFrame = pinned.synchronized {
+    pinned.addLast(df)
+    while (pinned.size > MaxPinned)
+      pinned.pollFirst().unpersist(blocking = false)
+    df
+  }
+
+  /** Release every pinned intermediate frame (teardown / tests). */
+  def releaseAll(): Unit = pinned.synchronized {
+    while (!pinned.isEmpty) pinned.pollFirst().unpersist(blocking = false)
+  }
+
   /** Exact dedup survivors: min doc_id per content hash. The classic
     * hash-groupBy — one shuffle on the 128-bit digest, no skew (hashes
     * are uniform).
@@ -116,7 +139,7 @@ object DedupOps {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
       maxDf: Int = 100000): DataFrame = {
-    val sh = shingled(docs).persist()
+    val sh = pin(shingled(docs).persist())
     // each posting carries its doc's set size, so the pair aggregation
     // yields (common, |A|, |B|) in ONE groupBy — no size-lookup joins
     // after the pair shuffle
@@ -153,6 +176,7 @@ object DedupOps {
       // consumed twice (candIds + the verify join): without a persist
       // the whole postings pair-generation re-runs per consumer
       .persist()
+      .transform(pin)
     // verify phase: shrink the shingled corpus to candidate docs with a
     // semi-join (small by construction), then plain shuffle joins — the
     // pattern minhashLsh uses. No broadcast of sh at any scale.
@@ -161,7 +185,7 @@ object DedupOps {
       .distinct()
     // also two consumers (the doc_a and doc_b sides); bounded by the
     // candidate count, so persisting is safe at corpus scale
-    val candSh = sh.join(candIds, Seq("doc_id"), "left_semi").persist()
+    val candSh = pin(sh.join(candIds, Seq("doc_id"), "left_semi").persist())
     // shuffle_hash hints: the candidate set is unbounded (worst case a
     // near-duplicate-heavy corpus), so the shingle-carrying sides are
     // partitioned, never broadcast — regardless of optimizer stats
@@ -198,7 +222,7 @@ object DedupOps {
   def minhashLsh(docs: DataFrame, bands: Int, rows: Int,
       threshold: Double): DataFrame = {
     val k = bands * rows
-    val sh = shingled(docs).persist()
+    val sh = pin(shingled(docs).persist())
     val sigs = sh
       .withColumn("bh", expr(s"transform(shingles, s -> ${h60("s")} % $P)"))
       .withColumn("sig", expr(minhashExpr(k)))
@@ -208,6 +232,7 @@ object DedupOps {
            |  concat_ws('_', transform(sequence(0, ${rows - 1}),
            |    r -> cast(element_at(sig, b * $rows + r + 1) as string))))"""
           .stripMargin)).as(Seq("band_idx", "band_sig"))).persist()
+      .transform(pin)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -259,7 +284,7 @@ object DedupOps {
     * pigeonhole), then exact hamming verify on the integer signatures.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    val sigs = simhash(docs).persist()
+    val sigs = pin(simhash(docs).persist())
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         """transform(sequence(0, 3), b ->
@@ -311,6 +336,7 @@ object DedupOps {
       .select(col("vec_id"),
         expr("transform(__e, x -> x / sqrt(dot_f64(__e, __e)))").as("u"))
       .persist()
+      .transform(pin)
   }
 
   /** Embedding near-dup pairs: cosine >= threshold.
@@ -361,6 +387,7 @@ object DedupOps {
              |  shiftright(bucket, b * $bitsPerBand) % ${1 << bitsPerBand})"""
             .stripMargin)).as(Seq("band_idx", "band_val")))
       .persist()
+      .transform(pin)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
