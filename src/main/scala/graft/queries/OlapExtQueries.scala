@@ -104,6 +104,46 @@ object OlapExtQueries {
         .select(col("r_name").as("region"), col("n_nations"))
     }),
 
+    // -- Mondrian XML catalog (§2.1 catalog sources): a reference
+    // user's <Schema> string binds to the parquet tables and answers
+    // through the same planner — snowflake <Join>, DimensionUsage,
+    // MeasureExpression, distinct-count ------------------------------
+    "q_xml_catalog" -> ((s, dir) => {
+      val catalog =
+        """<Schema name="g">
+          |  <Dimension name="customer">
+          |    <Hierarchy hasAll="true" primaryKey="c_custkey">
+          |      <Join leftKey="c_nationkey" rightKey="n_nationkey">
+          |        <Table name="customer"/>
+          |        <Join leftKey="n_regionkey" rightKey="r_regionkey">
+          |          <Table name="nation"/>
+          |          <Table name="region"/>
+          |        </Join>
+          |      </Join>
+          |      <Level name="region" column="r_name"/>
+          |      <Level name="nation" column="n_name"/>
+          |    </Hierarchy>
+          |  </Dimension>
+          |  <Cube name="OrdersX">
+          |    <Table name="orders"/>
+          |    <DimensionUsage name="customer" source="customer"
+          |                    foreignKey="o_custkey"/>
+          |    <Measure name="total" aggregator="sum">
+          |      <MeasureExpression>
+          |        <SQL>cast(o_totalprice as decimal(38,10))</SQL>
+          |      </MeasureExpression>
+          |    </Measure>
+          |    <Measure name="n_orders" column="o_orderkey"
+          |             aggregator="distinct-count"/>
+          |  </Cube>
+          |</Schema>""".stripMargin
+      val cube = graft.sources.XmlSchema
+        .load(catalog, name => Tables.load(s, dir, name)).head
+      Query.from(cube).columns("total", "n_orders")
+        .rows(LevelMembers("customer", "region"))
+        .execute()
+    }),
+
     // -- approximate distinct (HLL sketch): oracled as an exact/approx
     // pair — the exact distinct count hash-matches DuckDB, and the
     // sketch is pinned by a relative-error bound (HLL++ default rsd
@@ -620,6 +660,15 @@ object OlapExtQueries {
     "q_jdbc_dim" ->
       """SELECT r_name AS region, count(*) AS n_nations
         |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_xml_catalog" ->
+      """SELECT r_name, sum(CAST(o_totalprice AS DECIMAL(38,10))) AS total,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1""".stripMargin,
 
     "q_predicates" ->

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.olap._
+import graft.sources.XmlSchema
+
+/** Mondrian XML catalog reader specs: a reference user's <Schema>
+  * binds to DataFrames and answers identically to a hand-built cube.
+  */
+class XmlSchemaSpec extends SparkSpec {
+
+  private val catalog =
+    """<Schema name="graft-test">
+      |  <Dimension name="customer">
+      |    <Hierarchy hasAll="true" primaryKey="c_custkey"
+      |               uniqueKeyLevelName="customer">
+      |      <Join leftKey="c_nationkey" rightKey="n_nationkey">
+      |        <Table name="customer"/>
+      |        <Join leftKey="n_regionkey" rightKey="r_regionkey">
+      |          <Table name="nation"/>
+      |          <Table name="region"/>
+      |        </Join>
+      |      </Join>
+      |      <Level name="region" column="r_name"/>
+      |      <Level name="nation" column="n_name"/>
+      |      <Level name="customer" column="c_name">
+      |        <Property name="segment" column="c_mktsegment"
+      |                  dependsOnLevelValue="true"/>
+      |      </Level>
+      |    </Hierarchy>
+      |  </Dimension>
+      |  <Cube name="OrdersX" defaultMeasure="total">
+      |    <Table name="orders"/>
+      |    <DimensionUsage name="customer" source="customer"
+      |                    foreignKey="o_custkey"/>
+      |    <Dimension name="status" foreignKey="o_orderstatus">
+      |      <Hierarchy hasAll="true">
+      |        <Level name="status" column="o_orderstatus"/>
+      |      </Hierarchy>
+      |    </Dimension>
+      |    <Measure name="total" column="o_totalprice" aggregator="sum"
+      |             formatString="#,##0.00"/>
+      |    <Measure name="n_orders" column="o_orderkey"
+      |             aggregator="distinct-count"/>
+      |    <Measure name="max_price" column="o_totalprice"
+      |             aggregator="max"/>
+      |    <CalculatedMember name="avg_order" dimension="Measures">
+      |      <Formula>[Measures].[total] / [Measures].[n_orders]</Formula>
+      |    </CalculatedMember>
+      |  </Cube>
+      |</Schema>""".stripMargin
+
+  private lazy val cubes = XmlSchema.load(catalog,
+    name => Tables.load(spark, Sf, name))
+  private lazy val cube = cubes.head
+
+  test("XML catalog binds: snowflake join, usage, degenerate, measures") {
+    assert(cubes.map(_.name) === Seq("OrdersX"))
+    assert(cube.dims.map(_.name) === Seq("customer", "status"))
+    val cust = cube.dim("customer")
+    assert(cust.levels.map(_.name) === Seq("region", "nation", "customer"))
+    assert(cust.uniqueKeyLevel === Some("customer"))
+    assert(cust.level("customer").dependentProps === Set("c_mktsegment"))
+    assert(cube.dim("status").degenerate)
+    assert(cube.measures.map(_.name) ===
+      Seq("total", "n_orders", "max_price"))
+    assert(cube.measure("total").formatString === Some("#,##0.00"))
+    assert(cube.defaultMeasureName === "total")
+    assert(cube.calcMembers.map(_.name) === Seq("avg_order"))
+  }
+
+  test("XML-bound cube answers identically to direct SQL") {
+    val got = Query.from(cube)
+      .columns("total", "n_orders", "max_price")
+      .rows(LevelMembers("customer", "region"))
+      .execute()
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    val direct = Tables.load(spark, Sf, "orders")
+      .join(Tables.load(spark, Sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, Sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.load(spark, Sf, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(sum("o_totalprice").as("total"),
+        countDistinct("o_orderkey").as("n_orders"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._3)) === direct.map(t => (t._1, t._3)))
+    got.zip(direct).foreach { case (g, d) =>
+      assert(math.abs(g._2 - d._2) < 1e-6 * math.abs(d._2)) }
+    // the degenerate dimension slices the fact directly
+    val sliced = Query.from(cube).columns("n_orders")
+      .rows(LevelMembers("status", "status"))
+      .execute().collect()
+    assert(sliced.nonEmpty)
+    // the translated calc member evaluates post-aggregation
+    val calc = Query.from(cube).columns("total", "avg_order")
+      .rows(LevelMembers("customer", "region"))
+      .execute().collect()
+    calc.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= r.getDouble(1)) }
+  }
+
+  test("XML validation fails fast on broken bindings") {
+    val bad = catalog.replace("""<Level name="nation" column="n_name"/>""",
+      """<Level name="nation" column="n_nope"/>""")
+    val e = intercept[IllegalArgumentException] {
+      XmlSchema.load(bad, name => Tables.load(spark, Sf, name))
+    }
+    assert(e.getMessage.contains("n_nope"))
+    // structural errors name the element
+    val noFormula = catalog.replace(
+      "<Formula>[Measures].[total] / [Measures].[n_orders]</Formula>", "")
+    val e2 = intercept[IllegalArgumentException] {
+      XmlSchema.load(noFormula, name => Tables.load(spark, Sf, name))
+    }
+    assert(e2.getMessage.contains("avg_order"))
+  }
+}
