@@ -31,18 +31,38 @@ import graft.olap._
   *  - `<CalculatedMember>` whose `<Formula>` is arithmetic over
   *    `[Measures].[x]` references (rewritten to measure columns;
   *    richer formulas belong in per-query WITH MEMBER MDX)
-  *  - roles / virtual cubes: declare via the Scala surface (Role /
-  *    VirtualCube) — not read from XML yet.
+  *  - `<VirtualCube>` with `<VirtualCubeMeasure cubeName
+  *    name="[Measures].[x]">` (conformed dims come from the base
+  *    cubes, as in the engine's VirtualCube)
+  *  - `<Role>` with `SchemaGrant/CubeGrant/HierarchyGrant/
+  *    MemberGrant access="all"` member grants and the
+  *    HierarchyGrant's rollupPolicy (full | partial); revocation
+  *    grants (access="none" below schema level) are not modeled.
   */
 object XmlSchema {
 
+  /** Everything a catalog declares: cubes, virtual cubes over them,
+    * and named roles (attach with `cube.withRole(...)` / pass to
+    * Connection, mirroring the reference's `role_name:` option).
+    */
+  final case class Catalog(cubes: Seq[BoundCube],
+      virtualCubes: Seq[VirtualCube], roles: Map[String, Role]) {
+    def cube(name: String): BoundCube =
+      cubes.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"catalog has no cube '$name' (have: ${cubes.map(_.name).mkString(", ")})"))
+  }
+
   /** Load every `<Cube>` of a Mondrian XML catalog string. */
   def load(xml: String, tables: String => DataFrame): Seq[BoundCube] =
-    loadElem(XML.loadString(xml), tables)
+    loadCatalog(xml, tables).cubes
+
+  /** Load the full catalog: cubes + virtual cubes + roles. */
+  def loadCatalog(xml: String, tables: String => DataFrame): Catalog =
+    catalogOf(XML.loadString(xml), tables)
 
   /** Load from a file path (the reference's `catalog:` option). */
-  def loadFile(path: String, tables: String => DataFrame): Seq[BoundCube] =
-    loadElem(XML.loadFile(path), tables)
+  def loadFile(path: String, tables: String => DataFrame): Catalog =
+    catalogOf(XML.loadFile(path), tables)
 
   /** Convenience resolver over a directory of parquet tables
     * (`<Table name="x">` → `dir/x.parquet`).
@@ -50,12 +70,62 @@ object XmlSchema {
   def parquetResolver(spark: SparkSession, dir: String): String => DataFrame =
     name => spark.read.parquet(s"$dir/$name.parquet")
 
-  private def loadElem(root: Elem,
-      tables: String => DataFrame): Seq[BoundCube] = {
+  private def catalogOf(root: Elem,
+      tables: String => DataFrame): Catalog = {
     require(root.label == "Schema", s"expected <Schema>, got <${root.label}>")
     val shared = (root \ "Dimension").map(d => attr(d, "name") -> d).toMap
-    (root \ "Cube").map(cube => bindCube(cube, shared, tables))
+    val cubes = (root \ "Cube").map(cube => bindCube(cube, shared, tables))
+    val virtuals = (root \ "VirtualCube").map { vc =>
+      val byCube = (vc \ "VirtualCubeMeasure").map { m =>
+        attr(m, "cubeName") -> stripMeasure(attr(m, "name"))
+      }
+      val bases = byCube.map(_._1).distinct.map { cn =>
+        val base = cubes.find(_.name == cn).getOrElse(
+          throw new IllegalArgumentException(
+            s"virtual cube '${attr(vc, "name")}': unknown base cube '$cn'"))
+        base -> byCube.collect { case (`cn`, m) => m }
+      }
+      new VirtualCube(attr(vc, "name"), bases)
+    }
+    val roles = (root \ "Role").map { r =>
+      val hierarchyGrants = r \\ "HierarchyGrant"
+      val policy = hierarchyGrants
+        .flatMap(h => attrOpt(h, "rollupPolicy")).headOption match {
+        case Some("full") => RollupPolicy.Full
+        case _            => RollupPolicy.Partial
+      }
+      val grants = hierarchyGrants.flatMap { h =>
+        (h \ "MemberGrant").map { g =>
+          require((g \@ "access") == "all", "only access=\"all\" member " +
+            "grants are modeled (no revocations)")
+          val segs = bracketPath(attr(g, "member"))
+          segs.head -> segs.tail.map(pathValue)
+        }
+      }
+      attr(r, "name") -> Role(attr(r, "name"), grants, policy)
+    }.toMap
+    Catalog(cubes, virtuals, roles)
   }
+
+  /** `[Measures].[Store Sales]` → `Store Sales`. */
+  private def stripMeasure(s: String): String =
+    bracketPath(s) match {
+      case Seq("Measures", m) => m
+      case _ => s
+    }
+
+  /** `[customer].[EUROPE].[NATION_3]` → Seq(customer, EUROPE, NATION_3). */
+  private def bracketPath(s: String): Seq[String] = {
+    val segs = "\\[([^\\]]*)\\]".r.findAllMatchIn(s).map(_.group(1)).toSeq
+    require(segs.nonEmpty, s"expected a [bracketed] member path, got '$s'")
+    segs
+  }
+
+  /** Numeric path segments bind as ints (the MDX parser's convention,
+    * so `[time].[1995]` grants match Seq(1995) slicer paths).
+    */
+  private def pathValue(s: String): Any =
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toInt else s
 
   private def attr(n: Node, name: String): String = {
     val v = n \@ name

@@ -106,6 +106,79 @@ class XmlSchemaSpec extends SparkSpec {
       assert(r.getDouble(2) > 0 && r.getDouble(2) <= r.getDouble(1)) }
   }
 
+  test("XML virtual cubes and roles bind to the engine surfaces") {
+    val catalog2 =
+      """<Schema name="g2">
+        |  <Dimension name="customer">
+        |    <Hierarchy hasAll="true" primaryKey="c_custkey">
+        |      <Join leftKey="c_nationkey" rightKey="n_nationkey">
+        |        <Table name="customer"/>
+        |        <Join leftKey="n_regionkey" rightKey="r_regionkey">
+        |          <Table name="nation"/>
+        |          <Table name="region"/>
+        |        </Join>
+        |      </Join>
+        |      <Level name="region" column="r_name"/>
+        |      <Level name="nation" column="n_name"/>
+        |    </Hierarchy>
+        |  </Dimension>
+        |  <Cube name="OrdersC">
+        |    <Table name="orders"/>
+        |    <DimensionUsage name="customer" source="customer"
+        |                    foreignKey="o_custkey"/>
+        |    <Measure name="total" aggregator="sum">
+        |      <MeasureExpression>
+        |        <SQL>cast(o_totalprice as decimal(38,10))</SQL>
+        |      </MeasureExpression>
+        |    </Measure>
+        |  </Cube>
+        |  <Cube name="CustomerC">
+        |    <Table name="customer"/>
+        |    <DimensionUsage name="customer" source="customer"
+        |                    foreignKey="c_custkey"/>
+        |    <Measure name="n_customers" column="c_custkey"
+        |             aggregator="distinct-count"/>
+        |  </Cube>
+        |  <VirtualCube name="OrdersAndCustomers">
+        |    <VirtualCubeDimension name="customer"/>
+        |    <VirtualCubeMeasure cubeName="OrdersC"
+        |                        name="[Measures].[total]"/>
+        |    <VirtualCubeMeasure cubeName="CustomerC"
+        |                        name="[Measures].[n_customers]"/>
+        |  </VirtualCube>
+        |  <Role name="euroAsia">
+        |    <SchemaGrant access="none">
+        |      <CubeGrant cube="OrdersC" access="all">
+        |        <HierarchyGrant hierarchy="[customer]" access="custom"
+        |                        rollupPolicy="partial">
+        |          <MemberGrant member="[customer].[EUROPE]" access="all"/>
+        |          <MemberGrant member="[customer].[ASIA]" access="all"/>
+        |        </HierarchyGrant>
+        |      </CubeGrant>
+        |    </SchemaGrant>
+        |  </Role>
+        |</Schema>""".stripMargin
+    val cat = XmlSchema.loadCatalog(catalog2,
+      name => Tables.load(spark, Sf, name))
+    assert(cat.cubes.map(_.name) === Seq("OrdersC", "CustomerC"))
+    // virtual cube: both cubes' measures aligned at the conformed grain
+    val vc = cat.virtualCubes.head
+    assert(vc.name === "OrdersAndCustomers")
+    val rows = vc.aggregate(Seq(("customer", "region"))).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2),
+        "every region has orders and customers at this SF") }
+    // role: member grants restrict axes + totals (partial rollup)
+    val role = cat.roles("euroAsia")
+    assert(role.policy === RollupPolicy.Partial)
+    val granted = Query.from(cat.cube("OrdersC").withRole(role))
+      .columns("total")
+      .rows(LevelMembers("customer", "region"))
+      .execute().collect().map(_.getString(0)).sorted
+    assert(granted === Array("ASIA", "EUROPE"))
+  }
+
   test("XML validation fails fast on broken bindings") {
     val bad = catalog.replace("""<Level name="nation" column="n_name"/>""",
       """<Level name="nation" column="n_nope"/>""")
