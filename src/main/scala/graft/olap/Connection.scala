@@ -113,6 +113,22 @@ object Connection {
       graft.Cubes.sales(spark, sfDir),
       graft.Cubes.events(spark, sfDir)))
 
+  /** The reference's `catalog:`/`catalog_content:` + `role_name:`
+    * connection options (connection.rb:459-475): bind a Mondrian XML
+    * catalog through [[graft.sources.XmlSchema]] and optionally attach
+    * one of its declared roles to every cube.
+    */
+  def createFromCatalog(spark: SparkSession, xml: String,
+      tables: String => org.apache.spark.sql.DataFrame,
+      roleName: Option[String] = None): Connection = {
+    val cat = graft.sources.XmlSchema.loadCatalog(xml, tables)
+    val role = roleName.map(n => cat.roles.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"catalog declares no role '$n' " +
+          s"(have: ${cat.roles.keys.mkString(", ")})")))
+    create(spark, cat.cubes.map(c => role.fold(c)(c.withRole)))
+  }
+
   /** Drop every pooled schema (reference flush_schema_cache: the next
     * connection re-resolves its cubes from scratch).
     */

@@ -28,6 +28,58 @@ class ConnectionSpec extends SparkSpec {
     assert(e.msg.contains("not found"))
   }
 
+  test("createFromCatalog binds an XML catalog with an attached role") {
+    val catalog =
+      """<Schema name="gx">
+        |  <Cube name="OrdersCat">
+        |    <Table name="orders"/>
+        |    <Dimension name="customer" foreignKey="o_custkey">
+        |      <Hierarchy hasAll="true" primaryKey="c_custkey">
+        |        <Join leftKey="c_nationkey" rightKey="n_nationkey">
+        |          <Table name="customer"/>
+        |          <Join leftKey="n_regionkey" rightKey="r_regionkey">
+        |            <Table name="nation"/>
+        |            <Table name="region"/>
+        |          </Join>
+        |        </Join>
+        |        <Level name="region" column="r_name"/>
+        |        <Level name="nation" column="n_name"/>
+        |      </Hierarchy>
+        |    </Dimension>
+        |    <Measure name="total" aggregator="sum">
+        |      <MeasureExpression>
+        |        <SQL>cast(o_totalprice as decimal(38,10))</SQL>
+        |      </MeasureExpression>
+        |    </Measure>
+        |  </Cube>
+        |  <Role name="euro">
+        |    <SchemaGrant access="none">
+        |      <CubeGrant cube="OrdersCat" access="all">
+        |        <HierarchyGrant hierarchy="[customer]" access="custom"
+        |                        rollupPolicy="partial">
+        |          <MemberGrant member="[customer].[EUROPE]" access="all"/>
+        |        </HierarchyGrant>
+        |      </CubeGrant>
+        |    </SchemaGrant>
+        |  </Role>
+        |</Schema>""".stripMargin
+    val resolver = (name: String) => Tables.load(spark, Sf, name)
+    val conn = Connection.createFromCatalog(spark, catalog, resolver,
+      roleName = Some("euro"))
+    val rows = conn.execute(
+      """SELECT {[Measures].[total]} ON COLUMNS,
+        |  [customer].[region].Members ON ROWS
+        |FROM [OrdersCat]""".stripMargin).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("EUROPE"),
+      "the role must restrict the axis to granted members")
+    val unknown = intercept[IllegalArgumentException] {
+      Connection.createFromCatalog(spark, catalog, resolver,
+        roleName = Some("nope"))
+    }
+    assert(unknown.getMessage.contains("nope"))
+    conn.close()
+  }
+
   test("content-checksum schema pool shares resolved cubes across connections") {
     Connection.flushSchemaPool()
     // two connections over INDEPENDENTLY built but equal-content cubes
