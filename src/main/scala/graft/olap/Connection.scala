@@ -120,12 +120,24 @@ object Connection {
     */
   def createFromCatalog(spark: SparkSession, xml: String,
       tables: String => org.apache.spark.sql.DataFrame,
-      roleName: Option[String] = None): Connection = {
+      roleName: Option[String] = None): Connection =
+    createFromCatalog(spark, xml, tables, roleName.toSeq)
+
+  /** Multiple role names union their grants (the reference's
+    * `role_name: [a, b]` array form, connection.rb role_names=).
+    */
+  def createFromCatalog(spark: SparkSession, xml: String,
+      tables: String => org.apache.spark.sql.DataFrame,
+      roleNames: Seq[String]): Connection = {
     val cat = graft.sources.XmlSchema.loadCatalog(xml, tables)
-    val role = roleName.map(n => cat.roles.getOrElse(n,
+    val roles = roleNames.map(n => cat.roles.getOrElse(n,
       throw new IllegalArgumentException(
         s"catalog declares no role '$n' " +
           s"(have: ${cat.roles.keys.mkString(", ")})")))
+    val role =
+      if (roles.isEmpty) None
+      else if (roles.length == 1) Some(roles.head)
+      else Some(Role.union(roles: _*))
     create(spark, cat.cubes.map(c => role.fold(c)(c.withRole)))
   }
 
