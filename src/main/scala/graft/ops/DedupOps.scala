@@ -219,8 +219,11 @@ object DedupOps {
     * shuffle on band key → pair docs sharing any band → distinct pairs
     * → exact Jaccard verify of the candidates only.
     */
-  def minhashLsh(docs: DataFrame, bands: Int, rows: Int,
-      threshold: Double): DataFrame = {
+  /** (shingled frame, banded signature frame) for one corpus — the
+    * shared front half of [[minhashLsh]] and [[crossContamination]].
+    */
+  private def shingleBands(docs: DataFrame, bands: Int,
+      rows: Int): (DataFrame, DataFrame) = {
     val k = bands * rows
     val sh = pin(shingled(docs).persist())
     val sigs = sh
@@ -231,8 +234,14 @@ object DedupOps {
         s"""transform(sequence(0, ${bands - 1}), b ->
            |  concat_ws('_', transform(sequence(0, ${rows - 1}),
            |    r -> cast(element_at(sig, b * $rows + r + 1) as string))))"""
-          .stripMargin)).as(Seq("band_idx", "band_sig"))).persist()
-      .transform(pin)
+          .stripMargin)).as(Seq("band_idx", "band_sig")))
+    (sh, banded)
+  }
+
+  def minhashLsh(docs: DataFrame, bands: Int, rows: Int,
+      threshold: Double): DataFrame = {
+    val (sh, banded0) = shingleBands(docs, bands, rows)
+    val banded = pin(banded0.persist())
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -254,6 +263,42 @@ object DedupOps {
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Train/eval DECONTAMINATION: near-dup document pairs ACROSS two
+    * corpora — the pretraining-hygiene primitive ("is any eval
+    * document a near-dup of a training document?"). Candidate
+    * generation is the same banded MinHash as [[minhashLsh]], but the
+    * band join runs BETWEEN the corpora, so pair work is
+    * Σ |train-bucket| × |eval-bucket| per band key — never the
+    * train × eval cross product, and the (typically tiny) eval side's
+    * banded frame shuffles on the band key like any join side.
+    * Candidates are exact-Jaccard-verified on the shingle arrays.
+    * Returns (train_id, eval_id, jaccard).
+    */
+  def crossContamination(train: DataFrame, eval0: DataFrame,
+      bands: Int, rows: Int, threshold: Double): DataFrame = {
+    val (shT, bandedT) = shingleBands(train, bands, rows)
+    val (shE, bandedE) = shingleBands(eval0, bands, rows)
+    val cand = bandedT.as("a")
+      .join(bandedE.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_sig") === col("b.band_sig"))
+      .select(col("a.doc_id").as("train_id"),
+        col("b.doc_id").as("eval_id"))
+      .distinct()
+    cand
+      .join(shT.select(col("doc_id").as("train_id"),
+        col("shingles").as("sh_a")), "train_id")
+      .join(shE.select(col("doc_id").as("eval_id"),
+        col("shingles").as("sh_b")), "eval_id")
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("train_id", "eval_id", "jaccard")
   }
 
   /** 60-bit SimHash over the token multiset: per bit position, tokens

@@ -30,6 +30,15 @@ object PipelineQueries {
       DedupOps.minhashLsh(docs(s, dir), bands = 4, rows = 2,
         threshold = 0.5)),
 
+    // train/eval decontamination: cross-corpus near-dup pairs (the
+    // low-id half plays the eval set)
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.crossContamination(
+        d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
+        bands = 4, rows = 2, threshold = 0.5)
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => DedupOps.simhash(docs(s, dir))),
 
     "q_simhash_pairs" -> ((s, dir) =>
@@ -198,6 +207,40 @@ object PipelineQueries {
          |  JOIN sh sa ON sa.doc_id = doc_a
          |  JOIN sh sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b,
+         |  CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+         |FROM v
+         |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5"""
+        .stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH $SH_CTE,
+         |base AS (
+         |  SELECT doc_id, shingles,
+         |    [${H60("s")} % 2147483647 for s in shingles] AS bh
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |    [list_min([((2*i+3) * h + 7*i+1) % 2147483647 for h in bh])
+         |      for i in range(0, 8)] AS sig
+         |  FROM base),
+         |banded AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    CAST(sig[2*b+1] AS VARCHAR) || '_' ||
+         |      CAST(sig[2*b+2] AS VARCHAR) AS band_sig
+         |  FROM sig, range(0, 4) r(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         |  WHERE a.doc_id >= 250 AND b.doc_id < 250),
+         |v AS (
+         |  SELECT train_id, eval_id,
+         |    len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+         |    len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = train_id
+         |  JOIN sh sb ON sb.doc_id = eval_id)
+         |SELECT train_id, eval_id,
          |  CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
          |FROM v
          |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5"""

@@ -41,6 +41,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh.forall { case (a, b) => a < b })
   }
 
+  test("crossContamination equals whole-corpus minhash restricted to the split") {
+    val evalSet = docs.filter(col("doc_id") < 250)
+    val train = docs.filter(col("doc_id") >= 250)
+    val cross = DedupOps.crossContamination(train, evalSet, 4, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // signatures don't depend on the split, so cross pairs must be
+    // exactly the whole-corpus banded pairs straddling the boundary
+    val whole = DedupOps.minhashLsh(docs, 4, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = whole.collect {
+      case (a, b) if a < 250 && b >= 250 => (b, a)
+    }
+    assert(cross === expected)
+    // and every reported pair is a genuine >=0.5 exact-jaccard pair
+    val exact = DedupOps.jaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross.forall { case (t, e) => exact.contains((e, t)) })
+  }
+
   test("simhash signatures are deterministic 60-bit values") {
     val a = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = DedupOps.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
