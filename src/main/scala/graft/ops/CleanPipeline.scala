@@ -26,7 +26,7 @@ object CleanPipeline {
   def clean(docs: DataFrame, minTokens: Int = 30,
       minStopRatio: Double = 0.04,
       jaccard: Double = 0.5): DataFrame = {
-    val keepQ = TextOps.quality(docs)
+    val keepQ = TextOps.profile(docs)
       .filter(col("n_tokens") >= minTokens &&
         col("stop_ratio") >= minStopRatio)
       .select("doc_id")
@@ -43,13 +43,11 @@ object CleanPipeline {
   /** Cleaned-corpus statistics per predicted language: surviving doc
     * count and total token count.
     */
-  def cleanStats(docs: DataFrame): DataFrame = {
-    val kept = DedupOps.pin(clean(docs).persist())
-    val lang = TextOps.langId(kept).select("doc_id", "pred_lang")
-    val toks = TextOps.tokenCounts(kept)
-    kept.select("doc_id").join(lang, "doc_id").join(toks, "doc_id")
+  def cleanStats(docs: DataFrame): DataFrame =
+    // one fused profile pass over the survivors: language + token
+    // count come from a single tokenization, no self-joins
+    TextOps.profile(clean(docs))
       .groupBy("pred_lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("total_tokens"))
-  }
 }

@@ -71,6 +71,39 @@ object TextOps {
                 END"""))
   }
 
+  /** One-pass text profile: token count, stopword ratio, and language
+    * in a single tokenized projection — the fused pass
+    * [[CleanPipeline]] consumes so a cleaning run tokenizes the corpus
+    * ONCE per stage instead of once per feature (three regex passes
+    * over 100 TB → one). Column expressions are textually identical to
+    * [[quality]]/[[langId]]/[[tokenCounts]], so values bit-match the
+    * individual operators (and their oracles).
+    */
+  def profile(docs: DataFrame): DataFrame = {
+    val stop = "array('the', 'a', 'of', 'and', 'to', 'in')"
+    def hits(words: String) =
+      s"size(filter(t, x -> array_contains(array($words), x)))"
+    tokenized(docs).select(col("doc_id"),
+      size(col("t")).as("n_tokens"),
+      expr(s"""size(filter(t, x -> array_contains($stop, x)))
+               / CAST(size(t) AS DOUBLE)""").as("stop_ratio"),
+      expr(hits("'the', 'a', 'of', 'and', 'to', 'in'")).as("en_hits"),
+      expr(hits("'der', 'die', 'das', 'und', 'ist'")).as("de_hits"),
+      expr(hits("'el', 'la', 'de', 'y', 'es'")).as("es_hits"),
+      expr(hits("'le', 'la', 'de', 'et', 'est'")).as("fr_hits"))
+      .withColumn("pred_lang",
+        expr("""CASE
+                  WHEN en_hits >= de_hits AND en_hits >= es_hits
+                    AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                  WHEN de_hits >= es_hits AND de_hits >= fr_hits
+                    AND de_hits > 0 THEN 'de'
+                  WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+                  WHEN fr_hits > 0 THEN 'fr'
+                  ELSE 'unknown'
+                END"""))
+      .select("doc_id", "n_tokens", "stop_ratio", "pred_lang")
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercased
     * text — the cheap exact-after-normalization dedup key.
     */
