@@ -281,6 +281,12 @@ object AggMatcher {
     // AggForeignKey: the rollup kept a dimension's FK instead of its
     // collapsed levels — broadcast-join the dimension in (lazy, planned
     // into the routed scan), exposing EVERY level of that dimension
+    decl.foreignKeys.foreach { fk =>
+      val d = cube.dims.find(_.foreignKey == fk.factColumn)
+      require(!d.exists(dd => lvlMaps.exists(_.dim == dd.name)),
+        s"agg table '$tname': dimension '${d.map(_.name).getOrElse("")}' " +
+          "declared both as AggLevel columns and as an AggForeignKey")
+    }
     val (bound, fkGrain) = decl.foreignKeys
       .foldLeft((selected, Seq.empty[(String, Int)])) {
         case ((acc, grains), fk) =>

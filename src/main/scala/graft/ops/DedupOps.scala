@@ -100,7 +100,12 @@ object DedupOps {
     // default parquet split sizes cannot have scanned wide, so fan it
     // out; a corpus-scale scan blows past the bound and never pays the
     // shuffle.
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // sum LEAF stats, not the plan root's: join selectivity guesses
+    // inflate root sizeInBytes multiplicatively, which would skip the
+    // fan-out exactly on the joined inputs (CleanPipeline's filtered
+    // corpus) that need it most
+    val bytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
     if (bytes <= 2L * 134217728L) df.repartition(p) else df
   }
 
@@ -375,11 +380,17 @@ object DedupOps {
     */
   def unitArr(emb: DataFrame, dim: Int): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
+    // the norm is a SIBLING column, not inlined into the transform
+    // lambda: ArrayTransform is interpreted and re-evaluates the lambda
+    // body per element, so an inlined norm would cost O(dim²) per
+    // vector; same division, same bit pattern
     emb.select(col("vec_id"),
         expr(s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)")
           .as("__e"))
+      .select(col("vec_id"), col("__e"),
+        expr("sqrt(dot_f64(__e, __e))").as("__n"))
       .select(col("vec_id"),
-        expr("transform(__e, x -> x / sqrt(dot_f64(__e, __e)))").as("u"))
+        expr("transform(__e, x -> x / __n)").as("u"))
       .persist()
       .transform(pin)
   }

@@ -133,8 +133,12 @@ object SimilarityOps {
   def kmeansCells(corpus: DataFrame, k: Int, iters: Int,
       dim: Int = Dim): DataFrame = {
     graft.functions.VectorExprs.register(corpus.sparkSession)
+    // slice to `dim`: centroids, distances, and the oracle all fold
+    // over exactly dim components even when the stored embedding is
+    // wider (the flat-column formulation projected v1..v<dim>)
     val flat = corpus.select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("e"))
+      expr(s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)")
+        .as("e"))
       .persist()
     // Seed centroids pass through the same decimal(38,12) rounding the
     // update step applies, so iteration 1 is bit-identical to an oracle

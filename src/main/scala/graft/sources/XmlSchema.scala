@@ -89,10 +89,19 @@ object XmlSchema {
     }
     val roles = (root \ "Role").map { r =>
       val hierarchyGrants = r \\ "HierarchyGrant"
-      val policy = hierarchyGrants
-        .flatMap(h => attrOpt(h, "rollupPolicy")).headOption match {
-        case Some("full") => RollupPolicy.Full
-        case _            => RollupPolicy.Partial
+      // Mondrian's rollupPolicy DEFAULT is "full" (totals keep all
+      // data, only axis visibility restricted) — an absent attribute
+      // must not silently change totals. The engine's Role carries ONE
+      // policy, so mixed per-hierarchy policies are rejected rather
+      // than collapsed.
+      val policies = hierarchyGrants.map(h =>
+        attrOpt(h, "rollupPolicy").getOrElse("full")).distinct
+      require(policies.length <= 1,
+        s"role '${attr(r, "name")}': mixed rollupPolicy values " +
+          s"(${policies.mkString(", ")}) are not supported")
+      val policy = policies.headOption match {
+        case Some("partial") => RollupPolicy.Partial
+        case _               => RollupPolicy.Full
       }
       val grants = hierarchyGrants.flatMap { h =>
         (h \ "MemberGrant").map { g =>
@@ -143,12 +152,15 @@ object XmlSchema {
     val fact = tables(attr(factTables.head, "name"))
     val dims = (cube \ "_").collect {
       case d if d.label == "Dimension" =>
-        bindDim(d, attr(d, "foreignKey"), fact, tables)
+        // real Mondrian catalogs omit foreignKey on degenerate
+        // dimensions (level columns live on the fact); require it only
+        // when the hierarchy actually joins a table
+        bindDim(d, attrOpt(d, "foreignKey"), fact, tables)
       case u if u.label == "DimensionUsage" =>
         val src = attr(u, "source")
         val node = shared.getOrElse(src, throw new IllegalArgumentException(
           s"cube '$cubeName': DimensionUsage source '$src' not declared"))
-        bindDim(node, attr(u, "foreignKey"), fact, tables,
+        bindDim(node, Some(attr(u, "foreignKey")), fact, tables,
           nameOverride = attrOpt(u, "name"))
     }
     val measures = (cube \ "Measure").map(bindMeasure)
@@ -181,7 +193,7 @@ object XmlSchema {
         throw new IllegalArgumentException(s"unexpected <$other> in join")
     }
 
-  private def bindDim(d: Node, foreignKey: String, fact: DataFrame,
+  private def bindDim(d: Node, foreignKey: Option[String], fact: DataFrame,
       tables: String => DataFrame,
       nameOverride: Option[String] = None): BoundDim = {
     val dimName = nameOverride.getOrElse(attr(d, "name"))
@@ -219,7 +231,10 @@ object XmlSchema {
         uniqueKeyLevel = attrOpt(h, "uniqueKeyLevelName"))
     } else {
       val df = joinTree(joinNodes.head, tables)
-      BoundDim(dimName, foreignKey = foreignKey,
+      BoundDim(dimName,
+        foreignKey = foreignKey.getOrElse(
+          throw new IllegalArgumentException(
+            s"dimension '$dimName' joins a table and needs foreignKey")),
         primaryKey = attr(h, "primaryKey"),
         levels = levels, df = df,
         uniqueKeyLevel = attrOpt(h, "uniqueKeyLevelName"))
@@ -258,7 +273,8 @@ object XmlSchema {
       .getOrElse(throw new IllegalArgumentException(
         s"calculated member '${attr(c, "name")}' has no formula"))
     val sql = "\\[Measures\\]\\.\\[([^\\]]+)\\]".r
-      .replaceAllIn(formula, m => s"`${m.group(1)}`")
+      .replaceAllIn(formula,
+        m => scala.util.matching.Regex.quoteReplacement(s"`${m.group(1)}`"))
     CalcMember(attr(c, "name"), ExprCalc(sql),
       formatString = attrOpt(c, "formatString"))
   }
