@@ -179,6 +179,15 @@ class CacheSpec extends SparkSpec {
       AggMatcher.matchTables(base, Seq(bad), Map("agg_bad" -> content))
     }
     assert(e.getMessage.contains("l_nope"))
+    // a dimension declared BOTH as collapsed AggLevel columns and as an
+    // AggForeignKey is contradictory — rejected, not silently joined
+    val both = decl.copy(name = Some("agg_both"),
+      levels = decl.levels :+ AggLevelMap("time", "year", "date_key"),
+      foreignKeys = Seq(AggFkMap("l_datekey", "date_key")))
+    val e2 = intercept[IllegalArgumentException] {
+      AggMatcher.matchTables(base, Seq(both), Map("agg_both" -> content))
+    }
+    assert(e2.getMessage.contains("declared both"))
   }
 
   test("declared mappings validate eagerly: missing columns and level gaps") {

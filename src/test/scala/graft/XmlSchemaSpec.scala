@@ -179,6 +179,105 @@ class XmlSchemaSpec extends SparkSpec {
     assert(granted === Array("ASIA", "EUROPE"))
   }
 
+  private def roleCatalog(grants: String): String =
+    s"""<Schema name="g3">
+       |  <Cube name="O3">
+       |    <Table name="orders"/>
+       |    <Dimension name="status" foreignKey="o_orderstatus">
+       |      <Hierarchy hasAll="true">
+       |        <Level name="status" column="o_orderstatus"/>
+       |      </Hierarchy>
+       |    </Dimension>
+       |    <Measure name="total" column="o_totalprice" aggregator="sum"/>
+       |  </Cube>
+       |  <Role name="r">
+       |    <SchemaGrant access="none">
+       |      <CubeGrant cube="O3" access="all">
+       |$grants
+       |      </CubeGrant>
+       |    </SchemaGrant>
+       |  </Role>
+       |</Schema>""".stripMargin
+
+  private def hierarchyGrant(policyAttr: String): String =
+    s"""<HierarchyGrant hierarchy="[status]" access="custom"$policyAttr>
+       |  <MemberGrant member="[status].[O]" access="all"/>
+       |</HierarchyGrant>""".stripMargin
+
+  test("rollupPolicy defaults to full; mixed values are rejected") {
+    // Mondrian's default is "full": an absent attribute must not
+    // silently switch totals to partial rollup
+    val defaulted = XmlSchema.loadCatalog(roleCatalog(hierarchyGrant("")),
+      name => Tables.load(spark, Sf, name))
+    assert(defaulted.roles("r").policy === RollupPolicy.Full)
+    val explicit = XmlSchema.loadCatalog(
+      roleCatalog(hierarchyGrant(""" rollupPolicy="partial"""")),
+      name => Tables.load(spark, Sf, name))
+    assert(explicit.roles("r").policy === RollupPolicy.Partial)
+    // one Role carries one policy — mixed per-hierarchy values fail
+    // fast instead of collapsing to an arbitrary winner
+    val e = intercept[IllegalArgumentException] {
+      XmlSchema.loadCatalog(
+        roleCatalog(hierarchyGrant(""" rollupPolicy="partial"""") + "\n" +
+          hierarchyGrant(""" rollupPolicy="full"""")),
+        name => Tables.load(spark, Sf, name))
+    }
+    assert(e.getMessage.contains("mixed rollupPolicy"))
+  }
+
+  test("degenerate dimension binds without foreignKey; joins require it") {
+    // real Mondrian catalogs omit foreignKey when level columns live
+    // on the fact
+    val noFk = catalog.replace(
+      """<Dimension name="status" foreignKey="o_orderstatus">""",
+      """<Dimension name="status">""")
+    val bound = XmlSchema.load(noFk, name => Tables.load(spark, Sf, name))
+      .head
+    assert(bound.dim("status").degenerate)
+    val sliced = Query.from(bound).columns("n_orders")
+      .rows(LevelMembers("status", "status"))
+      .execute().collect()
+    assert(sliced.nonEmpty)
+    // a dimension that joins a table still needs the fact-side key
+    val joinedNoFk =
+      """<Schema name="g4">
+        |  <Cube name="O4">
+        |    <Table name="orders"/>
+        |    <Dimension name="customer">
+        |      <Hierarchy hasAll="true" primaryKey="c_custkey">
+        |        <Table name="customer"/>
+        |        <Level name="segment" column="c_mktsegment"/>
+        |      </Hierarchy>
+        |    </Dimension>
+        |    <Measure name="total" column="o_totalprice" aggregator="sum"/>
+        |  </Cube>
+        |</Schema>""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      XmlSchema.load(joinedNoFk, name => Tables.load(spark, Sf, name))
+    }
+    assert(e.getMessage.contains("needs foreignKey"))
+  }
+
+  test("calc-member formula rewrite survives $ in measure names") {
+    // replaceAllIn's replacement string treats $ as a group reference
+    // unless quoted — a measure named with $ must round-trip literally
+    val dollar = catalog
+      .replace("""<Measure name="total" column="o_totalprice"""",
+        """<Measure name="usd$total" column="o_totalprice"""")
+      .replace("defaultMeasure=\"total\"", "defaultMeasure=\"usd$total\"")
+      .replace("<Formula>[Measures].[total] / [Measures].[n_orders]",
+        "<Formula>[Measures].[usd$total] / [Measures].[n_orders]")
+    val bound = XmlSchema.load(dollar,
+      name => Tables.load(spark, Sf, name)).head
+    assert(bound.calcMembers.head.calc ===
+      ExprCalc("`usd$total` / `n_orders`"))
+    val rows = Query.from(bound).columns("usd$total", "avg_order")
+      .rows(LevelMembers("customer", "region"))
+      .execute().collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= r.getDouble(1)) }
+  }
+
   test("XML validation fails fast on broken bindings") {
     val bad = catalog.replace("""<Level name="nation" column="n_name"/>""",
       """<Level name="nation" column="n_nope"/>""")
