@@ -122,6 +122,59 @@ object Ords {
       .drop("__pid", "__mid", "__rn", "__off")
   }
 
+  /** `df` + `out` = inclusive running sum of `value` in `sort` order,
+    * scale-guarded like [[rowNumber]]: small frames keep the cheap
+    * single-partition window; large frames run a two-phase
+    * range-partitioned prefix sum — per-partition running sums plus a
+    * broadcast partition-offset join, so no data-sized frame ever
+    * exchanges to one partition. `value` is accumulated as long.
+    */
+  def runningSum(df: DataFrame, sort: Seq[Column], value: Column,
+      out: String, hint: SizeHint = Auto): DataFrame = {
+    require(sort.nonEmpty, "runningSum needs a sort order")
+    val small = hint match {
+      case Small => true
+      case Large => false
+      case Auto =>
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes(df)
+    }
+    if (small)
+      df.withColumn(out, sum(value.cast("long"))
+        .over(Window.orderBy(sort: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    else distributedSum(df, sort, value, out)
+  }
+
+  private def distributedSum(df: DataFrame, sort: Seq[Column],
+      value: Column, out: String): DataFrame = {
+    // Same persisted-range-partition skeleton as [[distributed]] (one
+    // RangePartitioner sampling shared by both consumers). Unlike
+    // row-numbering there is no window-free trick for a running sum, so
+    // the within-partition prefix costs one extra hash exchange on
+    // __pid — paid by the NARROW (sort key, value) frame a caller
+    // passes here, never the full rows, and every hop stays parallel.
+    val parted = pin(df.repartitionByRange(sort: _*)
+      .sortWithinPartitions(sort: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value.cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val within = parted.withColumn("__ps",
+      sum(col("__v")).over(Window.partitionBy(col("__pid"))
+        .orderBy(sort: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // one row per partition → exclusive prefix of partition totals;
+    // the only single-partition hop in the plan
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    within.join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__ps") + col("__off"))
+      .drop("__pid", "__v", "__ps", "__off")
+  }
+
   /** Scalar total row count joined in as a broadcast column — replaces
     * `count(*) over ()` (which also exchanges to one partition).
     */

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.olap.Ords
+
+/** Corpus-curation operators for training-data pipelines: per-source
+  * document caps (the CommonCrawl-style per-domain cap) and
+  * token-budget shard packing.
+  *
+  * Both are deliberately window-shaped: the cap is a bounded top-N per
+  * key, the packing a global prefix sum — the two curation primitives a
+  * 100 TB pipeline runs after cleaning and before tokenization.
+  */
+object CurationOps {
+
+  /** Keep at most `maxDocs` documents per source, preferring longer
+    * documents (`n_chars` DESC, `doc_id` ASC tie-break — fully
+    * deterministic).
+    *
+    * Scale: the rank predicate is recognized by Spark 3.5+ as a
+    * WindowGroupLimit, so each map task keeps only `maxDocs` rows per
+    * source BEFORE the exchange — the shuffle carries
+    * O(sources × maxDocs) rows, not the corpus. A pathologically hot
+    * source therefore costs its map-side winners, not its row count.
+    */
+  def capPerSource(docs: DataFrame, maxDocs: Int): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxDocs)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  /** Assign documents (in `doc_id` order) to contiguous training
+    * shards of ≈`budget` whitespace tokens each: shard = the exclusive
+    * token prefix divided by the budget, so a document straddling a
+    * boundary lands in the shard its first token falls in.
+    *
+    * The global prefix sum goes through [[Ords.runningSum]] — the
+    * scale-guarded two-phase form — over the narrow (doc_id, n_tokens)
+    * frame, never the document text.
+    */
+  def packShards(docs: DataFrame, budget: Long,
+      hint: Ords.SizeHint = Ords.Auto): DataFrame = {
+    val counts = TextOps.tokenCounts(docs)
+    Ords.runningSum(counts, Seq(col("doc_id").asc), col("n_tokens"),
+        "cum_tokens", hint)
+      .withColumn("shard",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(budget.toDouble))
+          .cast("int"))
+  }
+}

@@ -123,4 +123,27 @@ object TextOps {
       expr(s"size(regexp_extract_all(text, '$BPE_RE', 0))")
         .as("n_bpe_tokens"),
       size(col("t")).as("n_ws_tokens"))
+
+  /** PII scrubbing patterns — ASCII-only so Java regex (Spark) and RE2
+    * (the DuckDB oracle) match identically; `\b` is an ASCII word
+    * boundary in both.
+    */
+  val EMAIL_RE = "[A-Za-z0-9+._%-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IP_RE =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** Redact emails / IPv4 addresses / phone-shaped digit runs in
+    * `column` into `out` — the standard pre-release scrub pass. Three
+    * chained codegen'd regexp_replace calls (global by default), one
+    * projection, no shuffle; email first so its dotted host is consumed
+    * before the IP pattern sees it.
+    */
+  def redactPii(df: DataFrame, column: String, out: String): DataFrame =
+    df.withColumn(out,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(column), lit(EMAIL_RE), lit("<EMAIL>")),
+          lit(IP_RE), lit("<IP>")),
+        lit(PHONE_RE), lit("<PHONE>")))
 }

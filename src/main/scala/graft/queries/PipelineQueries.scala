@@ -110,6 +110,29 @@ object PipelineQueries {
     "q_text_bpe_tokens" -> ((s, dir) =>
       TextOps.bpeTokenCounts(docs(s, dir))),
 
+    // -- corpus curation -----------------------------------------------
+    // per-source document cap (per-domain cap): top-40 by length
+    "q_curate_cap" -> ((s, dir) =>
+      CurationOps.capPerSource(docs(s, dir), maxDocs = 40)),
+
+    // token-budget shard packing: global prefix sum over the narrow
+    // counts frame (Ords.runningSum scale guard)
+    "q_pack_shards" -> ((s, dir) =>
+      CurationOps.packShards(docs(s, dir), budget = 2000L)),
+
+    // PII scrub over deterministic contact-shaped text derived from
+    // table columns (the corpus itself is synthetic and PII-free)
+    "q_pii_redact" -> ((s, dir) =>
+      TextOps.redactPii(
+        docs(s, dir).select(col("doc_id"),
+          concat(lit("contact "), col("source"), lit("_"), col("doc_id"),
+            lit("@mail.example.com on 10.0."), col("doc_id") % 200,
+            lit(".7 or 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+            .as("contact")),
+        "contact", "redacted")
+        .select("doc_id", "redacted")),
+
     // -- multimodal (stubbed decode, real plumbing) --------------------
     "q_multimodal_meta" -> ((s, dir) =>
       MultimodalOps.imageMeta(s, docs(s, dir))),
@@ -433,6 +456,39 @@ object PipelineQueries {
     "q_text_tokens" ->
       s"""SELECT doc_id, CAST(len($T) AS INT) AS n_tokens
          |FROM documents""".stripMargin,
+
+    "q_curate_cap" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 40""".stripMargin,
+
+    "q_pack_shards" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, CAST(len($T) AS INT) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+         |  CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2000.0)
+         |    AS INT) AS shard
+         |FROM c
+         |WINDOW w AS (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    'contact ' || source || '_' || doc_id ||
+        |      '@mail.example.com on 10.0.' || (doc_id % 200) ||
+        |      '.7 or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |    '[A-Za-z0-9+._%-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |    '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
 
     "q_text_quality" ->
       s"""SELECT doc_id,

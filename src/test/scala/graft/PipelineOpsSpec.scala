@@ -209,4 +209,67 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "de", "es", "fr", "unknown")))
   }
+
+  test("capPerSource keeps top-N per source via a WindowGroupLimit") {
+    val capped = CurationOps.capPerSource(docs, maxDocs = 3)
+    val got = capped.collect()
+    got.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getInt(2)).sorted.toSeq ===
+        (1 to rows.length)) }
+    // the kept docs per source are exactly the longest 3
+    val bySource = docs.collect()
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.sortBy(r =>
+        (-r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+        .take(3).map(_.getAs[Long]("doc_id")).toSet)
+    got.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(0)).toSet === bySource(src)) }
+    // scale guard: the rank filter must push as a group limit so the
+    // exchange carries O(sources x N) rows, not the corpus
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a pushed per-key limit:\n$plan")
+  }
+
+  test("packShards distributed prefix sum matches the single-window path") {
+    import graft.olap.Ords
+    val small = CurationOps.packShards(docs, budget = 2000L,
+        hint = Ords.Small).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).sortBy(_._1)
+    val dist = CurationOps.packShards(docs, budget = 2000L,
+      hint = Ords.Large)
+    // capture the pre-execution plan: after collect() the AQE string
+    // repeats the initial plan and double-counts its exchanges
+    val p = dist.queryExecution.executedPlan.toString
+    val large = dist.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).sortBy(_._1)
+    assert(large === small)
+    // shards are contiguous 0..max in doc order and budget-bounded
+    // (a shard can only exceed budget via its final straddling doc)
+    val shards = small.map(_._3)
+    assert(shards.head === 0 && shards.toSeq === shards.sorted.toSeq)
+    // no data-sized single-partition hop in the distributed plan: only
+    // the partition-count offset frame may collapse to one partition
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1,
+      s"data path must not exchange to one partition:\n$p")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"expected a range-partitioned prefix sum:\n$p")
+  }
+
+  test("redactPii scrubs emails, IPs and phones, leaves clean text") {
+    import spark.implicits._
+    val rows = Seq(
+      ("mail a.b-c%d@sub.example.org end", "mail <EMAIL> end"),
+      ("ips 10.0.3.77 and 192.168.0.1.", "ips <IP> and <IP>."),
+      ("call 555-0134 or 800-9999 now", "call <PHONE> or <PHONE> now"),
+      ("all: x@y.io 1.2.3.4 555-1234", "all: <EMAIL> <IP> <PHONE>"),
+      ("clean text stays intact 12345", "clean text stays intact 12345"),
+      ("version 1.2.3 is not an ip", "version 1.2.3 is not an ip"))
+      .toDF("raw", "want")
+    val got = TextOps.redactPii(rows, "raw", "got")
+      .filter(col("got") =!= col("want"))
+      .select("raw", "got", "want").collect()
+    assert(got.isEmpty, got.mkString("\n"))
+  }
 }
