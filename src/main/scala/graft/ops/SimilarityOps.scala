@@ -66,14 +66,17 @@ object SimilarityOps {
       .select(col("cell"),
         expr("transform(pairs, p -> p.mv)").as("centroid"))
 
-  /** IVF top-k: route each probe to its nearest centroid cell, then
-    * brute-force only within that cell. The corpus side is pre-bucketed
-    * by `cellCol` (here: the label column as a stand-in for a trained
-    * k-means codebook); the probe-to-cell routing is a broadcast join
-    * against the (tiny) codebook.
+  /** IVF top-k: route each probe to its `nprobe` nearest centroid
+    * cells, then brute-force only within those cells. The corpus side
+    * is pre-bucketed by `cellCol` (here: the label column as a stand-in
+    * for a trained k-means codebook); the probe-to-cell routing is a
+    * broadcast join against the (tiny) codebook. `nprobe` is the
+    * classic IVF recall knob — scored work grows linearly in probed
+    * cells while the corpus-side plan is unchanged (each extra cell is
+    * one more pruned partition at 100 TB, not a wider scan).
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, cellCol: String,
-      k: Int, dim: Int = Dim): DataFrame = {
+      k: Int, dim: Int = Dim, nprobe: Int = 1): DataFrame = {
     val code = centroids(corpus, cellCol)
     // routing: few probes × few cells — the interpreted cosine is fine
     val routed = probes.select(col("vec_id").as("probe_id"),
@@ -83,14 +86,14 @@ object SimilarityOps {
         expr(cosineExpr("probe_emb", "centroid")).as("ccos"))
     val wRoute = Window.partitionBy("probe_id")
       .orderBy(col("ccos").desc, col("cell").asc)
-    val probeCell = routed.withColumn("r", row_number().over(wRoute))
-      .filter(col("r") === 1)
-      .select(col("probe_id"), col("probe_emb").as("embedding"),
-        col("cell"))
-    val pUnit = unitArr(probeCell.withColumnRenamed("probe_id", "vec_id"),
+    val probeCells = routed.withColumn("r", row_number().over(wRoute))
+      .filter(col("r") <= nprobe)
+      .select(col("probe_id"), col("cell"))
+    // unit-normalize each probe ONCE, then fan out to its probed cells
+    // (cells are disjoint per corpus vector, so no dedup is needed)
+    val pUnit = unitArr(probes.select(col("vec_id"), col("embedding")),
         dim)
-      .join(probeCell.select(col("probe_id").as("vec_id"), col("cell")),
-        "vec_id")
+      .join(probeCells.withColumnRenamed("probe_id", "vec_id"), "vec_id")
     val cUnit = unitArr(corpus.select(col("vec_id"), col("embedding")),
         dim)
       .join(corpus.select(col("vec_id"), col(cellCol).as("__cell")),

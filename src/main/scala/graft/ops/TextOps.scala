@@ -124,6 +124,36 @@ object TextOps {
         .as("n_bpe_tokens"),
       size(col("t")).as("n_ws_tokens"))
 
+  /** Repetition quality signals (the Gopher/C4 boilerplate detectors):
+    * duplicate-token fraction (1 − distinct/total) and the fraction of
+    * tokens covered by the most frequent word 2-gram. The dup fraction
+    * is a pure projection; the top-bigram count goes through an
+    * explode + two map-side-combinable groupBys on (doc_id, bigram) —
+    * the shuffle rows are per-DISTINCT-bigram counts, and both
+    * aggregations partition by doc_id, so the shape holds at corpus
+    * scale (a boilerplate-heavy doc produces FEWER distinct bigrams,
+    * not more shuffle).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val base = tokenized(docs).select(col("doc_id"),
+      size(col("t")).as("n_tokens"),
+      (lit(1.0) - size(array_distinct(col("t"))).cast("double") /
+        size(col("t"))).as("dup_token_frac"),
+      col("t"))
+    val top = base.filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, n_tokens - 1),
+          |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""
+          .stripMargin)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_count"))
+    base.select("doc_id", "n_tokens", "dup_token_frac")
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        (coalesce(col("top_bigram_count"), lit(0L)) * 2 /
+          col("n_tokens")).as("top_bigram_frac"))
+  }
+
   /** PII scrubbing patterns — ASCII-only so Java regex (Spark) and RE2
     * (the DuckDB oracle) match identically; `\b` is an ASCII word
     * boundary in both.

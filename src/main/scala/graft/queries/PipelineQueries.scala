@@ -62,6 +62,13 @@ object PipelineQueries {
       SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 5), "label", k = 10)
     }),
 
+    // the IVF recall knob: probe the 2 nearest cells per query vector
+    "q_ann_ivf_nprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.ivfTopK(e, e.filter(col("vec_id") < 5), "label",
+        k = 10, nprobe = 2)
+    }),
+
     "q_ann_lsh_buckets" -> ((s, dir) =>
       SimilarityOps.lshBuckets(emb(s, dir), nBits = 12)
         .select("vec_id", "bucket")),
@@ -109,6 +116,10 @@ object PipelineQueries {
 
     "q_text_bpe_tokens" -> ((s, dir) =>
       TextOps.bpeTokenCounts(docs(s, dir))),
+
+    // Gopher/C4 repetition signals: dup-token + top-bigram fractions
+    "q_text_repetition" -> ((s, dir) =>
+      TextOps.repetition(docs(s, dir))),
 
     // -- corpus curation -----------------------------------------------
     // per-source document cap (per-domain cap): top-40 by length
@@ -357,6 +368,34 @@ object PipelineQueries {
          |SELECT probe_id, neighbor_id, rank FROM ranked
          |WHERE rank <= 10""".stripMargin,
 
+    "q_ann_ivf_nprobe" ->
+      s"""WITH cent AS (
+         |  SELECT label AS cell, d,
+         |    avg(CAST(embedding[d] AS DOUBLE)) AS mv
+         |  FROM embeddings, range(1, 65) r(d) GROUP BY 1, 2),
+         |code AS (
+         |  SELECT cell, list(mv ORDER BY d) AS centroid
+         |  FROM cent GROUP BY 1),
+         |routed AS (
+         |  SELECT p.vec_id AS probe_id, p.embedding AS probe_emb, code.cell,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      ${COS("p.embedding", "code.centroid")} DESC, code.cell ASC)
+         |      AS r
+         |  FROM embeddings p, code WHERE p.vec_id < 5),
+         |pc AS (SELECT probe_id, probe_emb, cell FROM routed WHERE r <= 2),
+         |scored AS (
+         |  SELECT pc.probe_id, c.vec_id AS neighbor_id,
+         |    ${COS("pc.probe_emb", "c.embedding")} AS cos
+         |  FROM pc JOIN embeddings c
+         |    ON c.label = pc.cell AND c.vec_id <> pc.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC)
+         |    AS INT) AS rank
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, rank FROM ranked
+         |WHERE rank <= 10""".stripMargin,
+
     "q_ann_lsh_buckets" ->
       s"""SELECT vec_id,
          |  CAST(list_sum([
@@ -456,6 +495,25 @@ object PipelineQueries {
     "q_text_tokens" ->
       s"""SELECT doc_id, CAST(len($T) AS INT) AS n_tokens
          |FROM documents""".stripMargin,
+
+    "q_text_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(len($T) AS INT) AS n_tokens,
+         |    1.0 - len(list_distinct($T)) / CAST(len($T) AS DOUBLE)
+         |      AS dup_token_frac,
+         |    $T AS t
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+         |      AS bg
+         |  FROM base WHERE len(t) >= 2),
+         |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS tc FROM cnt GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+         |  coalesce(tc, 0) * 2 / CAST(b.n_tokens AS DOUBLE)
+         |    AS top_bigram_frac
+         |FROM base b LEFT JOIN top USING (doc_id)""".stripMargin,
 
     "q_curate_cap" ->
       """SELECT doc_id, source, rk FROM (

@@ -210,6 +210,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(langs.subsetOf(Set("en", "de", "es", "fr", "unknown")))
   }
 
+  test("ivfTopK nprobe=2 recall dominates nprobe=1 against brute force") {
+    val probes = emb.filter(col("vec_id") < 5)
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val brute = hits(SimilarityOps.bruteForceTopK(emb, probes, k = 10))
+    val one = hits(SimilarityOps.ivfTopK(emb, probes, "label", k = 10))
+    val two = hits(SimilarityOps.ivfTopK(emb, probes, "label", k = 10,
+      nprobe = 2))
+    brute.keys.foreach { p =>
+      // widening the candidate pool can only keep or improve recall:
+      // a global top-10 vector in the probed cells never drops out
+      val r1 = (one(p) & brute(p)).size
+      val r2 = (two(p) & brute(p)).size
+      assert(r2 >= r1, s"probe $p: recall fell $r1 -> $r2 with nprobe=2")
+      assert(two(p).size === 10)
+    }
+  }
+
+  test("repetition flags duplicate-heavy docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"), // dup 1-2/5, top bigram "a b" x2 -> 4/5
+      (2L, "x y z w"),   // all distinct, every bigram unique -> 2/4
+      (3L, "solo"))      // single token, no bigram
+      .toDF("doc_id", "text")
+    val got = TextOps.repetition(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((5, 1.0 - 2.0 / 5, 0.8)))
+    assert(got(2L) === ((4, 0.0, 0.5)))
+    assert(got(3L) === ((1, 0.0, 0.0)))
+    // corpus-wide: dup frac in [0,1]; bigram frac counts 2 tokens per
+    // occurrence so an "a a a" run can exceed 1 but never reaches 2
+    val corpus = TextOps.repetition(docs).collect()
+    corpus.foreach { r =>
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) < 2) }
+  }
+
   test("capPerSource keeps top-N per source via a WindowGroupLimit") {
     val capped = CurationOps.capPerSource(docs, maxDocs = 3)
     val got = capped.collect()
