@@ -19,14 +19,15 @@ object ScaleProbe {
       println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($r)")
     }
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-      .select("doc_id", "text")
+      .select("doc_id", "text", "source", "n_chars")
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val n = docs.count()
     for (mult <- Seq(1, 8)) {
       val big = docs.crossJoin(
           spark.range(mult).select(col("id").as("rep")))
         .select((col("doc_id") + col("rep") * lit(n)).as("doc_id"),
-          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+          concat(col("text"), lit(" rep"), col("rep")).as("text"),
+          col("source"), col("n_chars"))
         .repartition(32).persist()
       val nEmb = emb.count()
       val bigEmb = emb.crossJoin(
@@ -41,6 +42,15 @@ object ScaleProbe {
         graft.ops.DedupOps.minhashLsh(big, 4, 2, 0.5).count())
       time(s"embed_lsh x$mult")(
         graft.ops.DedupOps.embeddingPairsLsh(bigEmb, 0.47).count())
+      time(s"repetition x$mult")(
+        graft.ops.TextOps.repetition(big).count())
+      time(s"curate_cap x$mult")(
+        graft.ops.CurationOps.capPerSource(big, 40).count())
+      time(s"pack_shards x$mult")(
+        graft.ops.CurationOps.packShards(big, 2000L).count())
+      time(s"pack_shards_dist x$mult")(
+        graft.ops.CurationOps.packShards(big, 2000L,
+          hint = graft.olap.Ords.Large).count())
       big.unpersist(); bigEmb.unpersist()
     }
     spark.stop()
