@@ -182,7 +182,8 @@ private[olap] object SchemaPool {
     c.calcMembers.foreach(cm =>
       app(cm.name, cm.calc, cm.solveOrder, cm.formatString,
         cm.cellFormatter))
-    c.role.foreach(r => app(r.name, r.grants, r.policy))
+    c.role.foreach(r =>
+      app(r.name, r.grants, r.policy, r.dimPolicies.toSeq.sortBy(_._1)))
     app(c.defaultMeasure)
     app(c.fact.semanticHash())
     app(c.aggTables.map(_.name).sorted)

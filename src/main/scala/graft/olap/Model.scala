@@ -368,15 +368,27 @@ object RollupPolicy {
   * subtrees (never an intersection).
   */
 final case class Role(name: String, grants: Seq[(String, Seq[Any])],
-    policy: RollupPolicy = RollupPolicy.Partial) {
+    policy: RollupPolicy = RollupPolicy.Partial,
+    /** Per-dimension overrides (Mondrian's per-HierarchyGrant
+      * rollupPolicy): a dimension absent here uses `policy`.
+      */
+    dimPolicies: Map[String, RollupPolicy] = Map.empty) {
   def isGranted(dim: String): Boolean = grants.exists(_._1 == dim)
+
+  /** Effective rollup policy for a granted dimension. */
+  def policyFor(dim: String): RollupPolicy =
+    dimPolicies.getOrElse(dim, policy)
 }
 
 object Role {
-  /** Union role (connection.rb role_names= — grants of all members). */
+  /** Union role (connection.rb role_names= — grants of all members).
+    * Per-dimension policies merge first-role-wins on conflict, matching
+    * the role-list order precedence of the reference's role_names=.
+    */
   def union(roles: Role*): Role =
     Role(roles.map(_.name).mkString("+"), roles.flatMap(_.grants),
-      roles.head.policy)
+      roles.head.policy,
+      roles.reverse.map(_.dimPolicies).reduce(_ ++ _))
 }
 
 /** A cube bound to concrete DataFrames for one scale-factor directory.

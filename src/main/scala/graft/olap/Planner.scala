@@ -1007,12 +1007,15 @@ final class Planner(val cube: BoundCube) {
     * fact filter is emitted.
     */
   private def roleSlicer: Seq[SlicerItem] =
-    cube.role.toSeq
-      .filter(_.policy == RollupPolicy.Partial)
-      .flatMap(_.grants.groupBy(_._1).map {
-        case (dim, Seq((_, path))) => MemberSlice(dim, path)
-        case (dim, many) => SetSlice(dim, many.map(_._2))
-      })
+    cube.role.toSeq.flatMap { role =>
+      role.grants.groupBy(_._1)
+        .filter { case (dim, _) =>
+          role.policyFor(dim) == RollupPolicy.Partial }
+        .map {
+          case (dim, Seq((_, path))) => MemberSlice(dim, path)
+          case (dim, many) => SetSlice(dim, many.map(_._2))
+        }
+    }
 
   /** Expression calc members whose inputs resolve against `df`; calcs with
     * missing dependencies (e.g. referencing a window calc that needs a dim

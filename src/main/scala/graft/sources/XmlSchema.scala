@@ -89,20 +89,20 @@ object XmlSchema {
     }
     val roles = (root \ "Role").map { r =>
       val hierarchyGrants = r \\ "HierarchyGrant"
-      // Mondrian's rollupPolicy DEFAULT is "full" (totals keep all
-      // data, only axis visibility restricted) — an absent attribute
-      // must not silently change totals. The engine's Role carries ONE
-      // policy, so mixed per-hierarchy policies are rejected rather
-      // than collapsed.
-      val policies = hierarchyGrants.map(h =>
-        attrOpt(h, "rollupPolicy").getOrElse("full")).distinct
-      require(policies.length <= 1,
-        s"role '${attr(r, "name")}': mixed rollupPolicy values " +
-          s"(${policies.mkString(", ")}) are not supported")
-      val policy = policies.headOption match {
-        case Some("partial") => RollupPolicy.Partial
-        case _               => RollupPolicy.Full
+      // rollupPolicy binds PER HierarchyGrant (Mondrian semantics); the
+      // DEFAULT is "full" (totals keep all data, only axis visibility
+      // restricted) — an absent attribute must not silently change
+      // totals
+      def toPolicy(p: String): RollupPolicy = p match {
+        case "partial" => RollupPolicy.Partial
+        case "full"    => RollupPolicy.Full
+        case other => throw new IllegalArgumentException(
+          s"role '${attr(r, "name")}': unknown rollupPolicy '$other'")
       }
+      val dimPolicies = hierarchyGrants.flatMap { h =>
+        attrOpt(h, "rollupPolicy").map(p =>
+          bracketPath(attr(h, "hierarchy")).head -> toPolicy(p))
+      }.toMap
       val grants = hierarchyGrants.flatMap { h =>
         (h \ "MemberGrant").map { g =>
           require((g \@ "access") == "all", "only access=\"all\" member " +
@@ -111,7 +111,8 @@ object XmlSchema {
           segs.head -> segs.tail.map(pathValue)
         }
       }
-      attr(r, "name") -> Role(attr(r, "name"), grants, policy)
+      attr(r, "name") -> Role(attr(r, "name"), grants,
+        policy = RollupPolicy.Full, dimPolicies = dimPolicies)
     }.toMap
     Catalog(cubes, virtuals, roles)
   }

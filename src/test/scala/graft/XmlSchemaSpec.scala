@@ -171,7 +171,7 @@ class XmlSchemaSpec extends SparkSpec {
         "every region has orders and customers at this SF") }
     // role: member grants restrict axes + totals (partial rollup)
     val role = cat.roles("euroAsia")
-    assert(role.policy === RollupPolicy.Partial)
+    assert(role.policyFor("customer") === RollupPolicy.Partial)
     val granted = Query.from(cat.cube("OrdersC").withRole(role))
       .columns("total")
       .rows(LevelMembers("customer", "region"))
@@ -186,6 +186,11 @@ class XmlSchemaSpec extends SparkSpec {
        |    <Dimension name="status" foreignKey="o_orderstatus">
        |      <Hierarchy hasAll="true">
        |        <Level name="status" column="o_orderstatus"/>
+       |      </Hierarchy>
+       |    </Dimension>
+       |    <Dimension name="priority" foreignKey="o_orderpriority">
+       |      <Hierarchy hasAll="true">
+       |        <Level name="priority" column="o_orderpriority"/>
        |      </Hierarchy>
        |    </Dimension>
        |    <Measure name="total" column="o_totalprice" aggregator="sum"/>
@@ -204,25 +209,38 @@ class XmlSchemaSpec extends SparkSpec {
        |  <MemberGrant member="[status].[O]" access="all"/>
        |</HierarchyGrant>""".stripMargin
 
-  test("rollupPolicy defaults to full; mixed values are rejected") {
+  test("rollupPolicy binds per hierarchy; absent defaults to full") {
     // Mondrian's default is "full": an absent attribute must not
     // silently switch totals to partial rollup
     val defaulted = XmlSchema.loadCatalog(roleCatalog(hierarchyGrant("")),
       name => Tables.load(spark, Sf, name))
-    assert(defaulted.roles("r").policy === RollupPolicy.Full)
+    assert(defaulted.roles("r").policyFor("status") === RollupPolicy.Full)
     val explicit = XmlSchema.loadCatalog(
       roleCatalog(hierarchyGrant(""" rollupPolicy="partial"""")),
       name => Tables.load(spark, Sf, name))
-    assert(explicit.roles("r").policy === RollupPolicy.Partial)
-    // one Role carries one policy — mixed per-hierarchy values fail
-    // fast instead of collapsing to an arbitrary winner
-    val e = intercept[IllegalArgumentException] {
-      XmlSchema.loadCatalog(
-        roleCatalog(hierarchyGrant(""" rollupPolicy="partial"""") + "\n" +
-          hierarchyGrant(""" rollupPolicy="full"""")),
-        name => Tables.load(spark, Sf, name))
-    }
-    assert(e.getMessage.contains("mixed rollupPolicy"))
+    assert(explicit.roles("r").policyFor("status") === RollupPolicy.Partial)
+    // MIXED policies bind per hierarchy (Mondrian's per-HierarchyGrant
+    // attribute): partial on status filters totals, the defaulted-full
+    // priority grant restricts only axis visibility
+    val priorityGrant =
+      """<HierarchyGrant hierarchy="[priority]" access="custom">
+        |  <MemberGrant member="[priority].[1-URGENT]" access="all"/>
+        |</HierarchyGrant>""".stripMargin
+    val mixed = XmlSchema.loadCatalog(
+      roleCatalog(hierarchyGrant(""" rollupPolicy="partial"""") + "\n" +
+        priorityGrant),
+      name => Tables.load(spark, Sf, name))
+    val role = mixed.roles("r")
+    assert(role.policyFor("status") === RollupPolicy.Partial)
+    assert(role.policyFor("priority") === RollupPolicy.Full)
+    // grand total = all 'O' orders at EVERY priority (full keeps the
+    // data; partial slices), not just the 1-URGENT ones
+    val got = Query.from(mixed.cube("O3").withRole(role))
+      .columns("total").execute().collect()
+    val want = Tables.load(spark, Sf, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .agg(sum("o_totalprice")).collect().head.getDouble(0)
+    assert(math.abs(got.head.getDouble(0) - want) < 1e-6 * want)
   }
 
   test("degenerate dimension binds without foreignKey; joins require it") {
