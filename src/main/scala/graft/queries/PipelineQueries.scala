@@ -105,6 +105,15 @@ object PipelineQueries {
     "q_pipeline_clean" -> ((s, dir) =>
       CleanPipeline.cleanStats(docs(s, dir))),
 
+    // the full curation flow: clean -> per-source cap -> shard packing,
+    // one lazy composed plan over the survivors
+    "q_pipeline_curate" -> ((s, dir) => {
+      val kept = CleanPipeline.clean(docs(s, dir))
+      val capIds = CurationOps.capPerSource(kept, maxDocs = 30)
+        .select("doc_id")
+      CurationOps.packShards(kept.join(capIds, "doc_id"), budget = 2000L)
+    }),
+
     // -- text analysis -------------------------------------------------
     "q_text_tokens" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
 
@@ -495,6 +504,56 @@ object PipelineQueries {
     "q_text_tokens" ->
       s"""SELECT doc_id, CAST(len($T) AS INT) AS n_tokens
          |FROM documents""".stripMargin,
+
+    "q_pipeline_curate" -> {
+      val stopHits =
+        s"len(list_filter($T, t -> list_contains(" +
+          "['the', 'a', 'of', 'and', 'to', 'in'], t)))"
+      s"""WITH q AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE len($T) >= 30
+         |    AND $stopHits / CAST(len($T) AS DOUBLE) >= 0.04),
+         |e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         |k2 AS (SELECT q.doc_id, q.text FROM q JOIN e USING (doc_id)),
+         |toks2 AS (SELECT doc_id, $T AS t FROM k2),
+         |sh2 AS (
+         |  SELECT doc_id, list_distinct(
+         |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |     for i in range(1, len(t) - 1)]) AS shingles
+         |  FROM toks2 WHERE len(t) >= 3),
+         |posts AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_common
+         |  FROM posts a JOIN posts b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |nd AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM common
+         |  JOIN sh2 sa ON sa.doc_id = doc_a
+         |  JOIN sh2 sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE)
+         |    / (len(sa.shingles) + len(sb.shingles) - n_common) >= 0.5),
+         |kept AS (
+         |  SELECT d.doc_id, d.source, d.n_chars, d.text
+         |  FROM documents d JOIN k2 USING (doc_id)
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+         |cap AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+         |    FROM kept) WHERE rk <= 30),
+         |c AS (
+         |  SELECT doc_id, CAST(len($T) AS INT) AS n_tokens
+         |  FROM kept JOIN cap USING (doc_id))
+         |SELECT doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+         |  CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2000.0)
+         |    AS INT) AS shard
+         |FROM c
+         |WINDOW w AS (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+    },
 
     "q_text_repetition" ->
       s"""WITH base AS (
