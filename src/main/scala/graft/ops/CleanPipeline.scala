@@ -40,6 +40,23 @@ object CleanPipeline {
     kept2.join(dropNear, Seq("doc_id"), "left_anti")
   }
 
+  /** Full curation flow: clean → per-source cap → token-budget shard
+    * packing. The survivors collapse to a NARROW per-doc feature frame
+    * (doc_id, source, n_chars, n_tokens — one tokenization pass, ~24
+    * bytes/doc) that is persisted once and feeds both the cap window
+    * and the packing prefix sum; the document text is never read again
+    * after that single pass, and the near-dup anti-join runs once.
+    */
+  def curate(docs: DataFrame, maxDocs: Int = 30,
+      budget: Long = 2000L): DataFrame = {
+    val feats = DedupOps.pin(clean(docs)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr(s"size(${TextOps.TOKENS})").as("n_tokens"))
+      .persist())
+    val capIds = CurationOps.capPerSource(feats, maxDocs).select("doc_id")
+    CurationOps.packShardsFromCounts(feats.join(capIds, "doc_id"), budget)
+  }
+
   /** Cleaned-corpus statistics per predicted language: surviving doc
     * count and total token count.
     */

@@ -44,12 +44,17 @@ object CurationOps {
     * frame, never the document text.
     */
   def packShards(docs: DataFrame, budget: Long,
-      hint: Ords.SizeHint = Ords.Auto): DataFrame = {
-    val counts = TextOps.tokenCounts(docs)
-    Ords.runningSum(counts, Seq(col("doc_id").asc), col("n_tokens"),
-        "cum_tokens", hint)
+      hint: Ords.SizeHint = Ords.Auto): DataFrame =
+    packShardsFromCounts(TextOps.tokenCounts(docs), budget, hint)
+
+  /** [[packShards]] over an already-computed (doc_id, n_tokens) frame —
+    * for pipelines that tokenize once and carry the narrow counts.
+    */
+  def packShardsFromCounts(counts: DataFrame, budget: Long,
+      hint: Ords.SizeHint = Ords.Auto): DataFrame =
+    Ords.runningSum(counts.select("doc_id", "n_tokens"),
+        Seq(col("doc_id").asc), col("n_tokens"), "cum_tokens", hint)
       .withColumn("shard",
         floor((col("cum_tokens") - col("n_tokens")) / lit(budget.toDouble))
           .cast("int"))
-  }
 }

@@ -107,12 +107,8 @@ object PipelineQueries {
 
     // the full curation flow: clean -> per-source cap -> shard packing,
     // one lazy composed plan over the survivors
-    "q_pipeline_curate" -> ((s, dir) => {
-      val kept = CleanPipeline.clean(docs(s, dir))
-      val capIds = CurationOps.capPerSource(kept, maxDocs = 30)
-        .select("doc_id")
-      CurationOps.packShards(kept.join(capIds, "doc_id"), budget = 2000L)
-    }),
+    "q_pipeline_curate" -> ((s, dir) =>
+      CleanPipeline.curate(docs(s, dir), maxDocs = 30, budget = 2000L)),
 
     // -- text analysis -------------------------------------------------
     "q_text_tokens" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
