@@ -34,6 +34,24 @@ object CurationOps {
       .select(col("doc_id"), col("source"), col("rk"))
   }
 
+  /** Deterministic source-weighted subsampling — training mixture
+    * weights: keep a document when its md5-derived uniform in [0, 1)
+    * falls below its source's rate; sources absent from `rates` keep
+    * everything. Pure map-side filter (pushes to the scan), seedless
+    * and engine-portable (the same md5 arithmetic reproduces in any
+    * engine), and stable under corpus growth: a document's keep/drop
+    * never changes as other documents arrive.
+    */
+  def mixtureSample(docs: DataFrame,
+      rates: Map[String, Double]): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(1.0)) { case (acc, (src, r)) =>
+        when(col("source") === src, lit(r)).otherwise(acc) }
+    docs.filter(
+      expr(DedupOps.h60("concat('mix', cast(doc_id as string))"))
+        .mod(lit(1000000L)).cast("double") / lit(1e6) < rate)
+  }
+
   /** Assign documents (in `doc_id` order) to contiguous training
     * shards of ≈`budget` whitespace tokens each: shard = the exclusive
     * token prefix divided by the budget, so a document straddling a

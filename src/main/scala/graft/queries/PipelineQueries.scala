@@ -136,6 +136,12 @@ object PipelineQueries {
     "q_pack_shards" -> ((s, dir) =>
       CurationOps.packShards(docs(s, dir), budget = 2000L)),
 
+    // deterministic mixture sampling: source-weighted keep rates
+    "q_mixture_sample" -> ((s, dir) =>
+      CurationOps.mixtureSample(docs(s, dir),
+          Map("src0" -> 0.5, "src1" -> 0.25))
+        .select("doc_id", "source")),
+
     // PII scrub over deterministic contact-shaped text derived from
     // table columns (the corpus itself is synthetic and PII-free)
     "q_pii_redact" -> ((s, dir) =>
@@ -589,6 +595,14 @@ object PipelineQueries {
          |FROM c
          |WINDOW w AS (ORDER BY doc_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_mixture_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE (${H60("'mix' || CAST(doc_id AS VARCHAR)")} % 1000000)
+         |    / 1000000.0
+         |  < CASE WHEN source = 'src0' THEN 0.5
+         |         WHEN source = 'src1' THEN 0.25
+         |         ELSE 1.0 END""".stripMargin,
 
     "q_pii_redact" ->
       """SELECT doc_id,

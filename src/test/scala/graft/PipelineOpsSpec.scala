@@ -250,6 +250,33 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0 && r.getDouble(3) < 2) }
   }
 
+  test("mixtureSample is deterministic, rate-faithful, and map-only") {
+    val rates = Map("src0" -> 0.3, "src1" -> 0.7)
+    val a = CurationOps.mixtureSample(docs, rates)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = CurationOps.mixtureSample(docs, rates)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b, "seedless determinism: same keep set every run")
+    // unlisted sources keep everything; listed ones land near the rate
+    val total = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = CurationOps.mixtureSample(docs, rates)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    total.foreach { case (src, n) =>
+      val frac = kept.getOrElse(src, 0L).toDouble / n
+      rates.get(src) match {
+        case Some(r) => assert(math.abs(frac - r) < 0.15,
+          s"$src kept $frac of $n, wanted ~$r")
+        case None => assert(frac === 1.0, s"unlisted $src must keep all")
+      }
+    }
+    // the filter must reach the scan: no shuffle anywhere in the plan
+    val p = CurationOps.mixtureSample(docs, rates)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"mixture sampling must be map-only:\n$p")
+  }
+
   test("capPerSource keeps top-N per source via a WindowGroupLimit") {
     val capped = CurationOps.capPerSource(docs, maxDocs = 3)
     val got = capped.collect()
