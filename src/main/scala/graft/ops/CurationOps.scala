@@ -34,6 +34,17 @@ object CurationOps {
       .select(col("doc_id"), col("source"), col("rk"))
   }
 
+  /** Write the packed corpus as one parquet directory per shard
+    * (`shard=N/` hive layout): the standard training-data delivery
+    * shape — a trainer reads shard directories independently, and
+    * partition pruning serves "give me shard 17" without touching the
+    * rest. `packed` is the [[packShards]] output joined back to the
+    * payload columns; everything stays distributed (the write is a
+    * map-side fan-out into per-shard files, no extra shuffle).
+    */
+  def writeShards(packed: DataFrame, path: String): Unit =
+    packed.write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Deterministic source-weighted subsampling — training mixture
     * weights: keep a document when its md5-derived uniform in [0, 1)
     * falls below its source's rate; sources absent from `rates` keep

@@ -324,6 +324,26 @@ class PipelineOpsSpec extends SparkSpec {
       s"expected a range-partitioned prefix sum:\n$p")
   }
 
+  test("writeShards lays out shard=N directories that roundtrip") {
+    val packed = CurationOps.packShards(docs, budget = 2000L)
+      .join(docs.select("doc_id", "text"), "doc_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    CurationOps.writeShards(packed, dir)
+    val layout = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(layout.nonEmpty && layout.forall(_.startsWith("shard=")),
+      s"expected hive shard layout, got ${layout.mkString(",")}")
+    // roundtrip: same rows, and shard pruning reads one directory
+    val back = spark.read.parquet(dir)
+    assert(back.count() === packed.count())
+    val one = back.filter(col("shard") === 0)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(one.count() > 0)
+    assert(plan.contains("PartitionFilters: [isnotnull(shard"),
+      s"shard filter must prune partitions:\n$plan")
+  }
+
   test("redactPii scrubs emails, IPs and phones, leaves clean text") {
     import spark.implicits._
     val rows = Seq(
