@@ -118,6 +118,21 @@ object Demo {
       !pruned.queryExecution.optimizedPlan.toString.contains("Join"))
     graft.plans.GraftExtensions.clearFks()
 
+    println("== curation plan: cap rides WindowGroupLimit, packing is ==")
+    println("== a range-partitioned prefix sum (no global window)     ==")
+    val docsDf = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val capped = graft.ops.CurationOps.capPerSource(docsDf, 40)
+    println("WindowGroupLimit planned: " +
+      capped.queryExecution.executedPlan.toString
+        .contains("WindowGroupLimit"))
+    val packed = graft.ops.CurationOps.packShards(docsDf, 2000L,
+      hint = graft.olap.Ords.Large)
+    val pp = packed.queryExecution.executedPlan.toString
+    println("distributed prefix sum: range-partitioned=" +
+      pp.toLowerCase.contains("rangepartitioning") +
+      " single-partition-hops=" +
+      pp.linesIterator.count(_.contains("Exchange SinglePartition")))
+
     println("== explain: flagship plan ==")
     SparkEntry.entry(spark).explain("formatted")
     spark.stop()
