@@ -34,6 +34,19 @@ object Ords {
     df.sparkSession.conf.getOption("spark.graft.ord.smallBytes")
       .map(_.toLong).getOrElse(DefaultSmallBytes)
 
+  /** Plan-size estimate for the Auto hint: the root estimate, corrected
+    * by the summed leaf estimate when that is smaller — join-selectivity
+    * guesses inflate root sizeInBytes multiplicatively, and the frames
+    * routed here are projections/key-joins of their leaves (leaf totals
+    * bound the output), so the smaller of the two is the honest figure.
+    * Materialized caches (InMemoryRelation) make the leaf side exact.
+    */
+  private def estimatedBytes(df: DataFrame): BigInt = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.stats.sizeInBytes.min(
+      plan.collectLeaves().map(_.stats.sizeInBytes).sum)
+  }
+
   /** Caller knowledge about the frame's cardinality. The Planner knows
     * whether an axis frame is dimension-bounded (every dim enumerable —
     * the reference's default, where member caches exist) or involves a
@@ -54,8 +67,7 @@ object Ords {
     val small = hint match {
       case Small => true
       case Large => false
-      case Auto =>
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes(df)
+      case Auto => estimatedBytes(df) <= smallBytes(df)
     }
     if (small)
       df.withColumn(out, row_number().over(Window.orderBy(sort: _*)))
@@ -128,6 +140,11 @@ object Ords {
     * range-partitioned prefix sum — per-partition running sums plus a
     * broadcast partition-offset join, so no data-sized frame ever
     * exchanges to one partition. `value` is accumulated as long.
+    *
+    * The sort keys must form a TOTAL order (unique): with ties, the
+    * per-row cumulative value depends on tie order, which differs
+    * between the two paths and across materializations of the
+    * range-partitioned one.
     */
   def runningSum(df: DataFrame, sort: Seq[Column], value: Column,
       out: String, hint: SizeHint = Auto): DataFrame = {
@@ -135,8 +152,7 @@ object Ords {
     val small = hint match {
       case Small => true
       case Large => false
-      case Auto =>
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes(df)
+      case Auto => estimatedBytes(df) <= smallBytes(df)
     }
     if (small)
       df.withColumn(out, sum(value.cast("long"))

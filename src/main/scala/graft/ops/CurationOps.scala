@@ -39,11 +39,18 @@ object CurationOps {
     * shape — a trainer reads shard directories independently, and
     * partition pruning serves "give me shard 17" without touching the
     * rest. `packed` is the [[packShards]] output joined back to the
-    * payload columns; everything stays distributed (the write is a
-    * map-side fan-out into per-shard files, no extra shuffle).
+    * payload columns.
+    *
+    * Rows are range-clustered by (shard, doc_id) before the write:
+    * without it every task holds rows of nearly every shard and
+    * partitionBy opens one file per (task × shard) — millions of tiny
+    * files at corpus scale. Clustered, each task holds one shard run
+    * (large shards split across a few tasks by doc_id), so file count
+    * ≈ max(tasks, shards).
     */
   def writeShards(packed: DataFrame, path: String): Unit =
-    packed.write.mode("overwrite").partitionBy("shard").parquet(path)
+    packed.repartitionByRange(col("shard"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 
   /** Deterministic source-weighted subsampling — training mixture
     * weights: keep a document when its md5-derived uniform in [0, 1)

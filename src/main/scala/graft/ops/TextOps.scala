@@ -134,25 +134,33 @@ object TextOps {
     * scale (a boilerplate-heavy doc produces FEWER distinct bigrams,
     * not more shuffle).
     */
-  def repetition(docs: DataFrame): DataFrame = {
-    val base = tokenized(docs).select(col("doc_id"),
-      size(col("t")).as("n_tokens"),
-      (lit(1.0) - size(array_distinct(col("t"))).cast("double") /
-        size(col("t"))).as("dup_token_frac"),
-      col("t"))
-    val top = base.filter(col("n_tokens") >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, n_tokens - 1),
-          |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""
-          .stripMargin)).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_count"))
-    base.select("doc_id", "n_tokens", "dup_token_frac")
-      .join(top, Seq("doc_id"), "left")
+  def repetition(docs: DataFrame): DataFrame =
+    // ONE tokenization pass: the per-doc scalars ride the explode into
+    // the bigram aggregation (explode_outer keeps bigram-less docs), so
+    // there is no second scan and no join — first() is exact because
+    // the scalars are constant within a doc_id group
+    tokenized(docs).select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("t"))).cast("double") /
+          size(col("t"))).as("dup_token_frac"),
+        col("t"))
       .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
-        (coalesce(col("top_bigram_count"), lit(0L)) * 2 /
+        explode_outer(expr(
+          """CASE WHEN n_tokens >= 2 THEN
+            |  transform(sequence(1, n_tokens - 1),
+            |    i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+            |END""".stripMargin)).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("c"),
+        first(col("n_tokens")).as("n_tokens"),
+        first(col("dup_token_frac")).as("dup_token_frac"))
+      .groupBy("doc_id")
+      .agg(max(when(col("bg").isNotNull, col("c"))).as("tc"),
+        first(col("n_tokens")).as("n_tokens"),
+        first(col("dup_token_frac")).as("dup_token_frac"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        (coalesce(col("tc"), lit(0L)) * 2 /
           col("n_tokens")).as("top_bigram_frac"))
-  }
 
   /** PII scrubbing patterns — ASCII-only so Java regex (Spark) and RE2
     * (the DuckDB oracle) match identically; `\b` is an ASCII word

@@ -96,6 +96,12 @@ object XmlSchema {
       def toPolicy(p: String): RollupPolicy = p match {
         case "partial" => RollupPolicy.Partial
         case "full"    => RollupPolicy.Full
+        // Mondrian's third value: totals become the null member. The
+        // engine models two policies; "hidden" binds as Partial — the
+        // conservative divergence (totals reflect only granted members,
+        // never MORE data than Mondrian would show) — rather than
+        // failing to load a legal catalog
+        case "hidden"  => RollupPolicy.Partial
         case other => throw new IllegalArgumentException(
           s"role '${attr(r, "name")}': unknown rollupPolicy '$other'")
       }

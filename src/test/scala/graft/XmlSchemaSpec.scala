@@ -219,6 +219,12 @@ class XmlSchemaSpec extends SparkSpec {
       roleCatalog(hierarchyGrant(""" rollupPolicy="partial"""")),
       name => Tables.load(spark, Sf, name))
     assert(explicit.roles("r").policyFor("status") === RollupPolicy.Partial)
+    // Mondrian's third legal value stays loadable (binds as the
+    // conservative Partial; documented divergence from null totals)
+    val hidden = XmlSchema.loadCatalog(
+      roleCatalog(hierarchyGrant(""" rollupPolicy="hidden"""")),
+      name => Tables.load(spark, Sf, name))
+    assert(hidden.roles("r").policyFor("status") === RollupPolicy.Partial)
     // MIXED policies bind per hierarchy (Mondrian's per-HierarchyGrant
     // attribute): partial on status filters totals, the defaulted-full
     // priority grant restricts only axis visibility
