@@ -52,6 +52,37 @@ object CurationOps {
     packed.repartitionByRange(col("shard"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Sequence packing: lay the corpus token stream (documents in
+    * `doc_id` order) into fixed-length training sequences of `seqLen`
+    * tokens, documents spanning boundaries contributing one segment per
+    * overlapped sequence — the layout step between shard packing and
+    * the tokenizer. Output per segment: (doc_id, seq_id, tok_start,
+    * tok_end), offsets WITHIN the document (start inclusive, end
+    * exclusive), so a trainer slices each doc's tokens without global
+    * coordination.
+    *
+    * Everything after the [[Ords.runningSum]] prefix is a map-side
+    * projection + explode over per-doc segment counts (a doc emits
+    * ⌈n/seqLen⌉+1 rows at most), so the shape scales with the corpus,
+    * not the sequence count.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int,
+      hint: Ords.SizeHint = Ords.Auto): DataFrame = {
+    val cum = Ords.runningSum(TextOps.tokenCounts(docs),
+        Seq(col("doc_id").asc), col("n_tokens"), "cum_tokens", hint)
+      .withColumn("gstart", col("cum_tokens") - col("n_tokens"))
+    cum.filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("gstart"),
+        explode(expr(
+          s"sequence(gstart div $seqLen, (cum_tokens - 1) div $seqLen)"))
+          .as("seq_id"))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(col("seq_id") * seqLen - col("gstart"), lit(0L))
+          .as("tok_start"),
+        least((col("seq_id") + 1) * seqLen - col("gstart"),
+          col("n_tokens").cast("long")).as("tok_end"))
+  }
+
   /** Deterministic source-weighted subsampling — training mixture
     * weights: keep a document when its md5-derived uniform in [0, 1)
     * falls below its source's rate; sources absent from `rates` keep

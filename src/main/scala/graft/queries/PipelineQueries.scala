@@ -136,6 +136,11 @@ object PipelineQueries {
     "q_pack_shards" -> ((s, dir) =>
       CurationOps.packShards(docs(s, dir), budget = 2000L)),
 
+    // sequence packing: fixed-length training sequences, docs spanning
+    // boundaries split into per-sequence segments
+    "q_pack_sequences" -> ((s, dir) =>
+      CurationOps.packSequences(docs(s, dir), seqLen = 512)),
+
     // deterministic mixture sampling: source-weighted keep rates
     "q_mixture_sample" -> ((s, dir) =>
       CurationOps.mixtureSample(docs(s, dir),
@@ -595,6 +600,28 @@ object PipelineQueries {
          |FROM c
          |WINDOW w AS (ORDER BY doc_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, CAST(len($T) AS INT) AS n_tokens,
+         |    CAST(sum(CAST(len($T) AS INT)) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n_tokens,
+         |    cum_tokens - n_tokens AS gstart, cum_tokens
+         |  FROM c WHERE n_tokens > 0)
+         |SELECT doc_id, seq_id,
+         |  CAST(greatest(seq_id * 512 - gstart, 0) AS BIGINT)
+         |    AS tok_start,
+         |  CAST(least((seq_id + 1) * 512 - gstart, n_tokens) AS BIGINT)
+         |    AS tok_end
+         |FROM (
+         |  SELECT doc_id, n_tokens, gstart,
+         |    unnest(range(gstart // 512, (cum_tokens - 1) // 512 + 1))
+         |      AS seq_id
+         |  FROM s)""".stripMargin,
 
     "q_mixture_sample" ->
       s"""SELECT doc_id, source FROM documents

@@ -250,6 +250,34 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0 && r.getDouble(3) < 2) }
   }
 
+  test("packSequences splits boundary-spanning docs into exact segments") {
+    import spark.implicits._
+    // 3 docs of 3/4/5 tokens, seqLen 4: token stream [0,12) → seqs
+    // 0:[0,4) 1:[4,8) 2:[8,12)
+    val df = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l"))
+      .toDF("doc_id", "text")
+    val got = CurationOps.packSequences(df, seqLen = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, 3L),   // doc1 tokens 0-2 all in seq 0
+      (2L, 0L, 0L, 1L),   // doc2 token 0 finishes seq 0
+      (2L, 1L, 1L, 4L),   // doc2 tokens 1-3 in seq 1
+      (3L, 1L, 0L, 1L),   // doc3 token 0 finishes seq 1
+      (3L, 2L, 1L, 5L)))  // doc3 tokens 1-4 fill seq 2
+    // segment lengths reassemble every doc exactly once
+    val covered = got.groupBy(_._1)
+      .view.mapValues(_.map(s => s._4 - s._3).sum).toMap
+    assert(covered === Map(1L -> 3L, 2L -> 4L, 3L -> 5L))
+    // corpus-wide: every sequence except the last is exactly full
+    val corpus = CurationOps.packSequences(docs, seqLen = 512).collect()
+      .map(r => (r.getLong(1), r.getLong(3) - r.getLong(2)))
+    val bySeq = corpus.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val last = bySeq.keys.max
+    bySeq.foreach { case (seq, n) =>
+      if (seq < last) assert(n === 512L, s"seq $seq holds $n tokens") }
+  }
+
   test("mixtureSample is deterministic, rate-faithful, and map-only") {
     val rates = Map("src0" -> 0.3, "src1" -> 0.7)
     val a = CurationOps.mixtureSample(docs, rates)
