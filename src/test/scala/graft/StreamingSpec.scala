@@ -114,4 +114,43 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(streamed === batch)
   }
+
+  test("map-only curation ops apply unchanged to a stream") {
+    import spark.implicits._
+    import graft.ops.{CurationOps, TextOps}
+    // mixture sampling + PII scrub are stateless projections/filters,
+    // so the SAME operator code runs on a readStream frame and emits
+    // batch-identical rows — no rewrite, no state store
+    val batch = Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" mail "), col("source"),
+          lit("@example.com")).as("text"),
+        col("source"))
+    val rates = Map("src0" -> 0.4, "src2" -> 0.8)
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      TextOps.redactPii(CurationOps.mixtureSample(df, rates),
+        "text", "clean")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val q = curate(mem.toDS().toDF()).writeStream
+      .format("memory").queryName("spec_curate")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    mem.addData(batch.as[StreamingSpec.Doc].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("spec_curate")
+      .select("doc_id", "clean").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    val direct = curate(batch).select("doc_id", "clean").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    assert(streamed === direct)
+    assert(streamed.nonEmpty &&
+      streamed.forall(_._2.contains("<EMAIL>")))
+  }
+}
+
+object StreamingSpec {
+  final case class Doc(doc_id: Long, text: String, source: String)
 }
