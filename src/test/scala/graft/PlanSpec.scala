@@ -287,4 +287,24 @@ class PlanSpec extends SparkSpec {
     assert(sp.contains("SinglePartition"),
       s"small frames should stay on the single-partition window:\n$sp")
   }
+
+  test("distributed running sum is exact at 10M rows") {
+    import org.apache.spark.sql.functions._
+    // value = k % 5 has a closed-form prefix: full cycles of sum 10
+    // plus a partial — checking sampled keys across every range
+    // partition catches any wrong per-partition offset
+    val big = spark.range(10000000L).toDF("id")
+      .withColumn("k", col("id") * 7 % 10000000L)
+      .withColumn("v", col("k") % 5)
+    val summed = Ords.runningSum(big, Seq(col("k").asc), col("v"),
+      "cum", Ords.Large)
+    val sample = summed.filter(col("k") % 1000000 === 0 || col("k") < 7)
+      .select("k", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def expected(k: Long): Long = {
+      val n = k + 1; (n / 5) * 10 + (1L until n % 5).map(identity).sum
+    }
+    sample.foreach { case (k, cum) =>
+      assert(cum === expected(k), s"prefix at k=$k") }
+  }
 }
