@@ -183,7 +183,8 @@ private[olap] object SchemaPool {
       app(cm.name, cm.calc, cm.solveOrder, cm.formatString,
         cm.cellFormatter))
     c.role.foreach(r =>
-      app(r.name, r.grants, r.policy, r.dimPolicies.toSeq.sortBy(_._1)))
+      app(r.name, r.grants, r.policy, r.dimPolicies.toSeq.sortBy(_._1),
+        r.denies, r.levelBounds.toSeq.sortBy(_._1)))
     app(c.defaultMeasure)
     app(c.fact.semanticHash())
     app(c.aggTables.map(_.name).sorted)

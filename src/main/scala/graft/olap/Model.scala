@@ -372,7 +372,19 @@ final case class Role(name: String, grants: Seq[(String, Seq[Any])],
     /** Per-dimension overrides (Mondrian's per-HierarchyGrant
       * rollupPolicy): a dimension absent here uses `policy`.
       */
-    dimPolicies: Map[String, RollupPolicy] = Map.empty) {
+    dimPolicies: Map[String, RollupPolicy] = Map.empty,
+    /** Revoked subtrees (MemberGrant access="none",
+      * connection_role_test.rb:53,135-141): a denied member and its
+      * descendants disappear from axes and metadata; under the Partial
+      * policy its rows also leave the totals.
+      */
+    denies: Seq[(String, Seq[Any])] = Nil,
+    /** Per-dimension visible level range (HierarchyGrant topLevel /
+      * bottomLevel, connection_role_test.rb:51,63): level NAMES; levels
+      * outside the range have no visible members for this role.
+      */
+    levelBounds: Map[String, (Option[String], Option[String])] =
+      Map.empty) {
   def isGranted(dim: String): Boolean = grants.exists(_._1 == dim)
 
   /** Effective rollup policy for a granted dimension. */
@@ -383,12 +395,24 @@ final case class Role(name: String, grants: Seq[(String, Seq[Any])],
 object Role {
   /** Union role (connection.rb role_names= — grants of all members).
     * Per-dimension policies merge first-role-wins on conflict, matching
-    * the role-list order precedence of the reference's role_names=.
+    * the role-list order precedence of the reference's role_names=;
+    * denies concatenate; a level range survives the union only when
+    * EVERY granting role bounds that dimension (any unbounded grant
+    * makes the union unbounded — the most-permissive reading of
+    * Mondrian's UnionRoleImpl), first role's bounds winning otherwise.
     */
-  def union(roles: Role*): Role =
+  def union(roles: Role*): Role = {
+    val bounded = roles.flatMap(_.levelBounds.keys).distinct
+      .filter(dim => roles.forall(r =>
+        !r.isGranted(dim) || r.levelBounds.contains(dim)))
     Role(roles.map(_.name).mkString("+"), roles.flatMap(_.grants),
       roles.head.policy,
-      roles.reverse.map(_.dimPolicies).reduce(_ ++ _))
+      roles.reverse.map(_.dimPolicies).reduce(_ ++ _),
+      roles.flatMap(_.denies),
+      bounded.map(dim =>
+        dim -> roles.find(_.levelBounds.contains(dim))
+          .get.levelBounds(dim)).toMap)
+  }
 }
 
 /** A cube bound to concrete DataFrames for one scale-factor directory.

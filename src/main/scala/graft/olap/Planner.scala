@@ -120,15 +120,28 @@ final class Planner(val cube: BoundCube) {
       case _ => cached
     }
     // member grants also hide members from axes (connection_role_test.rb:
-    // 46-90): restrict the member frame to granted subtrees
+    // 46-90): restrict the member frame to granted subtrees, minus
+    // revoked subtrees, within the granted level range — visibility
+    // applies under EVERY rollup policy (policy only governs totals)
     cube.role.filter(_.isGranted(d.name)) match {
       case Some(r) =>
-        val pred = r.grants.filter(_._1 == d.name)
-          .map { case (_, path) =>
-            ancestorPredicate(d, path.take(depth + 1))
-          }
-          .reduce(_ || _)
-        base.filter(pred)
+        if (r.levelBounds.get(d.name).exists { case (top, bottom) =>
+              top.exists(t => depth < d.levelIndex(t)) ||
+                bottom.exists(b => depth > d.levelIndex(b)) })
+          base.filter(lit(false))
+        else {
+          val pred = r.grants.filter(_._1 == d.name)
+            .map { case (_, path) =>
+              ancestorPredicate(d, path.take(depth + 1))
+            }
+            .reduce(_ || _)
+          // a deny hides the node and everything below it; a deny
+          // DEEPER than this frame's level leaves the ancestors visible
+          val denied = r.denies.filter(_._1 == d.name)
+            .filter(_._2.length <= depth + 1)
+            .map { case (_, path) => !ancestorPredicate(d, path) }
+          base.filter(denied.foldLeft(pred)(_ && _))
+        }
       case None => base
     }
   }
@@ -1008,13 +1021,29 @@ final class Planner(val cube: BoundCube) {
     */
   private def roleSlicer: Seq[SlicerItem] =
     cube.role.toSeq.flatMap { role =>
-      role.grants.groupBy(_._1)
+      val grantSlices = role.grants.groupBy(_._1)
         .filter { case (dim, _) =>
           role.policyFor(dim) == RollupPolicy.Partial }
         .map {
           case (dim, Seq((_, path))) => MemberSlice(dim, path)
           case (dim, many) => SetSlice(dim, many.map(_._2))
         }
+      // revoked subtrees leave Partial totals: a row-level NOT over the
+      // denied path's level columns (full rollup keeps the rows — only
+      // axis visibility is restricted)
+      val denySlices = role.denies.groupBy(_._1)
+        .filter { case (dim, _) =>
+          role.policyFor(dim) == RollupPolicy.Partial }
+        .map { case (dim, ds) =>
+          val d = cube.dim(dim)
+          val sql = ds.map { case (_, path) =>
+            "NOT (" + path.zipWithIndex.map { case (v, i) =>
+              s"${d.levels(i).col} = ${Planner.sqlLiteral(v)}"
+            }.mkString(" AND ") + ")"
+          }.mkString(" AND ")
+          ExprSlice(sql, Seq(dim))
+        }
+      grantSlices ++ denySlices
     }
 
   /** Expression calc members whose inputs resolve against `df`; calcs with
@@ -1301,6 +1330,16 @@ final class Planner(val cube: BoundCube) {
 
 object Planner {
   val OrdCol = "__ord"
+
+  /** SQL literal for a member-path segment (role deny predicates):
+    * numbers raw, strings single-quoted with quotes doubled.
+    */
+  def sqlLiteral(v: Any): String = v match {
+    case n: Int    => n.toString
+    case n: Long   => n.toString
+    case n: Double => n.toString
+    case s         => "'" + String.valueOf(s).replace("'", "''") + "'"
+  }
 
   /** Depth marker column of a mixed-depth axis frame (union of members
     * at different levels of one hierarchy — reference

@@ -109,16 +109,31 @@ object XmlSchema {
         attrOpt(h, "rollupPolicy").map(p =>
           bracketPath(attr(h, "hierarchy")).head -> toPolicy(p))
       }.toMap
-      val grants = hierarchyGrants.flatMap { h =>
-        (h \ "MemberGrant").map { g =>
-          require((g \@ "access") == "all", "only access=\"all\" member " +
-            "grants are modeled (no revocations)")
-          val segs = bracketPath(attr(g, "member"))
-          segs.head -> segs.tail.map(pathValue)
-        }
+      def memberGrants(access: String) = hierarchyGrants.flatMap { h =>
+        (h \ "MemberGrant").filter(g => (g \@ "access") == access)
+          .map { g =>
+            val segs = bracketPath(attr(g, "member"))
+            segs.head -> segs.tail.map(pathValue)
+          }
       }
-      attr(r, "name") -> Role(attr(r, "name"), grants,
-        policy = RollupPolicy.Full, dimPolicies = dimPolicies)
+      hierarchyGrants.flatMap(_ \ "MemberGrant").foreach { g =>
+        require(Set("all", "none")((g \@ "access")),
+          s"member grant '${attr(g, "member")}': access must be " +
+            "\"all\" or \"none\"")
+      }
+      // topLevel/bottomLevel restrict the visible level range; the
+      // LEVEL name is the path's last segment ([dim].[Level] or the
+      // Mondrian [dim].[hier].[Level] form)
+      val bounds = hierarchyGrants.flatMap { h =>
+        val dim = bracketPath(attr(h, "hierarchy")).head
+        val top = attrOpt(h, "topLevel").map(p => bracketPath(p).last)
+        val bottom = attrOpt(h, "bottomLevel").map(p => bracketPath(p).last)
+        if (top.isEmpty && bottom.isEmpty) None
+        else Some(dim -> (top, bottom))
+      }.toMap
+      attr(r, "name") -> Role(attr(r, "name"), memberGrants("all"),
+        policy = RollupPolicy.Full, dimPolicies = dimPolicies,
+        denies = memberGrants("none"), levelBounds = bounds)
     }.toMap
     Catalog(cubes, virtuals, roles)
   }

@@ -302,6 +302,81 @@ class XmlSchemaSpec extends SparkSpec {
       assert(r.getDouble(2) > 0 && r.getDouble(2) <= r.getDouble(1)) }
   }
 
+  test("member revocations and level bounds restrict axes, totals, metadata") {
+    // mirror connection_role_test.rb: grant a subtree, revoke a member
+    // inside it, and bound the visible level range
+    val catalog3 =
+      """<Schema name="g5">
+        |  <Dimension name="customer">
+        |    <Hierarchy hasAll="true" primaryKey="c_custkey">
+        |      <Join leftKey="c_nationkey" rightKey="n_nationkey">
+        |        <Table name="customer"/>
+        |        <Join leftKey="n_regionkey" rightKey="r_regionkey">
+        |          <Table name="nation"/>
+        |          <Table name="region"/>
+        |        </Join>
+        |      </Join>
+        |      <Level name="region" column="r_name"/>
+        |      <Level name="nation" column="n_name"/>
+        |      <Level name="customer" column="c_name"/>
+        |    </Hierarchy>
+        |  </Dimension>
+        |  <Cube name="O5">
+        |    <Table name="orders"/>
+        |    <DimensionUsage name="customer" source="customer"
+        |                    foreignKey="o_custkey"/>
+        |    <Measure name="total" column="o_totalprice" aggregator="sum"/>
+        |  </Cube>
+        |  <Role name="r5">
+        |    <SchemaGrant access="none">
+        |      <CubeGrant cube="O5" access="all">
+        |        <HierarchyGrant hierarchy="[customer]" access="custom"
+        |                        rollupPolicy="partial"
+        |                        bottomLevel="[customer].[nation]">
+        |          <MemberGrant member="[customer].[EUROPE]" access="all"/>
+        |          <MemberGrant member="[customer].[EUROPE].[NATION_3]"
+        |                       access="none"/>
+        |        </HierarchyGrant>
+        |      </CubeGrant>
+        |    </SchemaGrant>
+        |  </Role>
+        |</Schema>""".stripMargin
+    val cat = XmlSchema.loadCatalog(catalog3,
+      name => Tables.load(spark, Sf, name))
+    val role = cat.roles("r5")
+    assert(role.denies === Seq("customer" -> Seq("EUROPE", "NATION_3")))
+    assert(role.levelBounds("customer") === (None, Some("nation")))
+    val secured = cat.cube("O5").withRole(role)
+    // axes: EUROPE's nations minus the revoked one
+    val nations = Query.from(secured).columns("total")
+      .rows(LevelMembers("customer", "nation"))
+      .execute().collect().map(_.getString(1))
+    assert(nations.nonEmpty && !nations.contains("NATION_3"))
+    // the level below bottomLevel has no visible members
+    val customers = Query.from(secured).columns("total")
+      .rows(LevelMembers("customer", "customer"))
+      .execute().collect()
+    assert(customers.isEmpty)
+    // partial totals exclude the revoked subtree's rows
+    val want = Tables.load(spark, Sf, "orders")
+      .join(Tables.load(spark, Sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, Sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.load(spark, Sf, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE" && col("n_name") =!= "NATION_3")
+      .agg(sum("o_totalprice")).collect().head.getDouble(0)
+    val got = Query.from(secured).columns("total")
+      .execute().collect().head.getDouble(0)
+    assert(math.abs(got - want) < 1e-6 * want)
+    // metadata: the revoked member does not exist under the role
+    val meta = new CubeMetadata(secured)
+    assert(meta.member("[customer].[EUROPE].[NATION_3]").isEmpty)
+    // any still-visible EUROPE nation resolves
+    assert(meta.member(s"[customer].[EUROPE].[${nations.head}]").isDefined)
+  }
+
   test("XML validation fails fast on broken bindings") {
     val bad = catalog.replace("""<Level name="nation" column="n_name"/>""",
       """<Level name="nation" column="n_nope"/>""")
