@@ -224,23 +224,36 @@ object DedupOps {
     * shuffle on band key → pair docs sharing any band → distinct pairs
     * → exact Jaccard verify of the candidates only.
     */
+  /** Per-band signature keys from a materialized `sig` column:
+    * bands × rows minhashes → `bands` underscore-joined sub-keys.
+    */
+  private def bandSigExpr(bands: Int, rows: Int): String =
+    s"""transform(sequence(0, ${bands - 1}), b ->
+       |  concat_ws('_', transform(sequence(0, ${rows - 1}),
+       |    r -> cast(element_at(sig, b * $rows + r + 1) as string))))"""
+      .stripMargin
+
+  /** The MinHash LSH band table (doc_id, band_idx, band_sig) as PURE
+    * map-only column expressions over a shingled (doc_id, shingles)
+    * frame — no persist, no shuffle, so it runs unchanged on batch and
+    * STREAMING frames (the streaming near-dup index applies it to
+    * `readStream` documents; batch/stream parity is by construction).
+    */
+  def bandTable(sh: DataFrame, bands: Int, rows: Int): DataFrame =
+    sh.withColumn("bh",
+        expr(s"transform(shingles, s -> ${h60("s")} % $P)"))
+      .withColumn("sig", expr(minhashExpr(bands * rows)))
+      .select(col("doc_id"),
+        posexplode(expr(bandSigExpr(bands, rows)))
+          .as(Seq("band_idx", "band_sig")))
+
   /** (shingled frame, banded signature frame) for one corpus — the
     * shared front half of [[minhashLsh]] and [[crossContamination]].
     */
   private def shingleBands(docs: DataFrame, bands: Int,
       rows: Int): (DataFrame, DataFrame) = {
-    val k = bands * rows
     val sh = pin(shingled(docs).persist())
-    val sigs = sh
-      .withColumn("bh", expr(s"transform(shingles, s -> ${h60("s")} % $P)"))
-      .withColumn("sig", expr(minhashExpr(k)))
-    val banded = sigs.select(col("doc_id"),
-      posexplode(expr(
-        s"""transform(sequence(0, ${bands - 1}), b ->
-           |  concat_ws('_', transform(sequence(0, ${rows - 1}),
-           |    r -> cast(element_at(sig, b * $rows + r + 1) as string))))"""
-          .stripMargin)).as(Seq("band_idx", "band_sig")))
-    (sh, banded)
+    (sh, bandTable(sh, bands, rows))
   }
 
   def minhashLsh(docs: DataFrame, bands: Int, rows: Int,
@@ -304,6 +317,48 @@ object DedupOps {
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("train_id", "eval_id", "jaccard")
+  }
+
+  /** Exact-text decontamination with a Bloom-filter prefilter: remove
+    * every train document whose text appears verbatim in the eval set,
+    * returning the surviving (doc_id, source) rows.
+    *
+    * Scale design: a plain anti-join would shuffle the ENTIRE train
+    * corpus on the fingerprint key (the eval side is too large to pin
+    * as an exact broadcast set at real eval-suite sizes, and the train
+    * side never broadcasts by definition). The Bloom filter summarizes
+    * the eval fingerprints in numBits/8 bytes — a few MB for tens of
+    * millions of items — and is built DISTRIBUTED (`bloom_agg` partial
+    * filters OR-merge, order-independent) then collected once as a
+    * model. Membership is then a map-only codegen'd probe: the
+    * bloom-negative rows (the overwhelming majority — fpr of the
+    * misses) pass through with NO shuffle, and only the bloom-positive
+    * sliver is exactly verified with an anti-join on the text itself.
+    * False positives cannot drop a clean row (the verify join is
+    * exact) and Bloom filters have no false negatives, so the result
+    * equals the plain anti-join bit-for-bit at any fpr.
+    */
+  def decontaminateBloom(train: DataFrame, eval0: DataFrame,
+      estItems: Long = 100000L, numBits: Long = 800000L): DataFrame = {
+    graft.functions.SketchFns.register(train.sparkSession)
+    val bf = eval0.select(expr("xxhash64(text)").as("h"))
+      .agg(expr(s"bloom_agg(h, ${estItems}L, ${numBits}L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (bf == null) return train.select(col("doc_id"), col("source"))
+    val flagged = train.withColumn("__maybe",
+      call_function("bloom_contains", lit(bf), expr("xxhash64(text)")))
+    val negatives = flagged.filter(!col("__maybe"))
+      .select(col("doc_id"), col("source"))
+    // shuffle_hash: the verify join partitions both (small) sides — at
+    // eval-suite scale neither needs to fit on one executor
+    val positives = flagged.filter(col("__maybe"))
+      .join(eval0.select(col("text")).distinct().hint("shuffle_hash"),
+        Seq("text"), "left_anti")
+      .select(col("doc_id"), col("source"))
+    // two branches = two passes over the train scan; at corpus scale
+    // the map-only rescan is the cheap half, and the shuffle — the
+    // expensive half — carries only the bloom-positive sliver
+    negatives.union(positives)
   }
 
   /** 60-bit SimHash over the token multiset: per bit position, tokens

@@ -247,6 +247,47 @@ object SimilarityOps {
        |SELECT vec_id, cell FROM assign${iters}""".stripMargin
   }
 
+  /** The WITH-clause prefix of [[kmeansOracleSql]] (everything up to
+    * and including the final `assign<iters>` CTE, whose columns are
+    * (vec_id, e, cell)) — for oracles that COMPOSE on top of the
+    * k-means assignment, e.g. semantic dedup.
+    */
+  def kmeansOracleCtes(k: Int, iters: Int, dim: Int = Dim): String = {
+    val full = kmeansOracleSql(k, iters, dim)
+    full.substring(0, full.lastIndexOf("\nSELECT "))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the embeddings with the trained coarse quantizer, then drop the
+    * higher vec_id of every within-cluster pair whose cosine is >= tau.
+    * Returns the surviving (vec_id, cell) rows.
+    *
+    * Scale design: the clustering bounds the quadratic pair work to
+    * Σ |cell|² instead of the corpus crossJoin — the same candidate-
+    * bounding role LSH bands play for text near-dup, but with the
+    * cluster granularity as an explicit knob: at 100 TB, k grows until
+    * each cell's unit-vector block fits an executor (SemDeDup used
+    * k = 11k for 1.3B embeddings), and the corpus would be written
+    * partitioned-by-cell so the self-join is partition-local. Scoring
+    * is the native codegen'd dot over once-normalized unit vectors —
+    * never the interpreted higher-order cosine in the per-pair path.
+    */
+  def semanticDedup(corpus: DataFrame, k: Int, iters: Int,
+      tau: Double, dim: Int = Dim): DataFrame = {
+    val cells = kmeansCells(corpus, k, iters, dim)
+    val u = DedupOps
+      .unitArr(corpus.select(col("vec_id"), col("embedding")), dim)
+      .join(cells, "vec_id")
+    val dropped = u.as("a").join(u.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(expr("dot_f64(a.u, b.u)") >= tau)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    cells.join(dropped, Seq("vec_id"), "left_anti")
+      .select("vec_id", "cell")
+  }
+
   /** plane(b, d) ∈ [-0.5, 0.5): md5-derived uniform — deterministic.
     * Computed ONCE on the driver (the planes depend only on the bit and
     * dimension indices, never on data); inlining them as literals keeps

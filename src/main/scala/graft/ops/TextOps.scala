@@ -162,6 +162,44 @@ object TextOps {
         (coalesce(col("tc"), lit(0L)) * 2 /
           col("n_tokens")).as("top_bigram_frac"))
 
+  /** fasttext-style hashed linear quality classifier: each token hashes
+    * into one of `buckets` feature slots, each slot carries a fixed
+    * weight in [-1, 1], and the document score is the sum of its
+    * tokens' weights — exactly the inference shape of a trained
+    * bag-of-words linear model (the standard pre-training quality
+    * gate), with the weight table derived from the portable md5 hash
+    * instead of a training run (no model files ship with the engine;
+    * a real deployment swaps in trained weights as a literal array).
+    *
+    * Map-only: the score is a per-document fold over the token array —
+    * no shuffle, pushes nothing, scales like any projection. The fold
+    * runs in index order from 0, so the double is bit-identical to the
+    * DuckDB oracle's list_sum.
+    */
+  def qualityClassifier(docs: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    import DedupOps.h60
+    val slot = s"${h60("tok")} % $buckets"
+    val w = s"(${h60(s"concat('w', cast($slot as string))")} % 2001" +
+      " - 1000) / 1000.0D"
+    tokenized(docs).select(col("doc_id"),
+        expr(s"aggregate(t, 0D, (acc, tok) -> acc + $w)").as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+
+  /** Corpus vocabulary induction: the `topK` most frequent tokens with
+    * their counts — the seed statistic for tokenizer training and OOV
+    * analysis. One map-side-combinable groupBy on the token (shuffle
+    * carries per-distinct-token partials, not the corpus), then a
+    * TakeOrdered top-k — no single-partition window at any vocabulary
+    * size. Ties break lexicographically so the cut is deterministic.
+    */
+  def vocabTopK(docs: DataFrame, topK: Int): DataFrame =
+    tokenized(docs).select(explode(col("t")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topK)
+
   /** PII scrubbing patterns — ASCII-only so Java regex (Spark) and RE2
     * (the DuckDB oracle) match identically; `\b` is an ASCII word
     * boundary in both.

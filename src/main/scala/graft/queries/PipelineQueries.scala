@@ -39,6 +39,21 @@ object PipelineQueries {
         bands = 4, rows = 2, threshold = 0.5)
     }),
 
+    // exact-text decontamination with a Bloom prefilter: identical
+    // result to the plain anti-join at any fpr (no false negatives +
+    // exact verify of the bloom-positive sliver)
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.decontaminateBloom(
+        d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250))
+    }),
+
+    // SemDeDup-style semantic dedup: trained k-means cells bound the
+    // pairwise cosine work; drop the higher id of any pair >= tau
+    "q_dedup_semantic" -> ((s, dir) =>
+      SimilarityOps.semanticDedup(emb(s, dir), k = 8, iters = 2,
+        tau = 0.47)),
+
     "q_dedup_simhash" -> ((s, dir) => DedupOps.simhash(docs(s, dir))),
 
     "q_simhash_pairs" -> ((s, dir) =>
@@ -159,6 +174,14 @@ object PipelineQueries {
             .as("contact")),
         "contact", "redacted")
         .select("doc_id", "redacted")),
+
+    // hashed bag-of-words linear quality model (fasttext-shaped
+    // inference, md5-derived stand-in weights) — map-only scoring
+    "q_quality_classifier" -> ((s, dir) =>
+      TextOps.qualityClassifier(docs(s, dir))),
+
+    // corpus vocabulary induction: top-100 tokens by frequency
+    "q_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(docs(s, dir), 100)),
 
     // -- multimodal (stubbed decode, real plumbing) --------------------
     "q_multimodal_meta" -> ((s, dir) =>
@@ -295,6 +318,23 @@ object PipelineQueries {
          |FROM v
          |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5"""
         .stripMargin,
+
+    // bloom prefilter + exact verify ≡ the plain exact anti-join
+    "q_decontaminate_bloom" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id >= 250
+        |  AND text NOT IN (SELECT text FROM documents WHERE doc_id < 250)"""
+        .stripMargin,
+
+    "q_dedup_semantic" ->
+      s"""${SimilarityOps.kmeansOracleCtes(k = 8, iters = 2)},
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assign2 a JOIN assign2 b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${COS("a.e", "b.e")} >= 0.47)
+         |SELECT vec_id, cell FROM assign2
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents)
@@ -643,6 +683,24 @@ object PipelineQueries {
         |    '<IP>', 'g'),
         |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
         |FROM documents""".stripMargin,
+
+    "q_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    coalesce(list_sum([
+         |      (${H60("'w' || CAST(" + H60("tok") + " % 4096 AS VARCHAR)")}
+         |        % 2001 - 1000) / 1000.0
+         |      for tok in t]), 0.0) AS score
+         |  FROM toks)
+         |SELECT doc_id, score, score > 0 AS keep FROM s""".stripMargin,
+
+    "q_vocab_topk" ->
+      s"""SELECT token, n FROM (
+         |  SELECT token, count(*) AS n
+         |  FROM (SELECT unnest($T) AS token FROM documents)
+         |  GROUP BY token)
+         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
     "q_text_quality" ->
       s"""SELECT doc_id,

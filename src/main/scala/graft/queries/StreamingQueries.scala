@@ -27,6 +27,12 @@ object StreamingQueries {
       StreamingCube.runStreamDedup(s, dir,
         s"stream_dedup_${runId.incrementAndGet()}")),
 
+    // streaming NEAR-dup index: the MinHash LSH band table maintained
+    // incrementally (representative + bucket size per band key)
+    "q_stream_minhash" -> ((s, dir) =>
+      StreamingCube.runStreamMinhashIndex(s, dir,
+        s"stream_minhash_${runId.incrementAndGet()}")),
+
     // flatMapGroupsWithState sessionization (batch-mode execution of
     // the same stateful function; the streaming path is spec-tested
     // with MemoryStream batches)
@@ -49,6 +55,35 @@ object StreamingQueries {
         |  count(*) AS n_events,
         |  sum(CAST(value AS DECIMAL(38,10))) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |     for i in range(1, len(t) - 1)]) AS shingles
+        |  FROM toks WHERE len(t) >= 3),
+        |base AS (
+        |  SELECT doc_id,
+        |    [('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647
+        |     for s in shingles] AS bh
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    [list_min([((2*i+3) * h + 7*i+1) % 2147483647 for h in bh])
+        |      for i in range(0, 8)] AS sig
+        |  FROM base),
+        |banded AS (
+        |  SELECT doc_id, CAST(b AS INT) AS band_idx,
+        |    CAST(sig[2*b+1] AS VARCHAR) || '_' ||
+        |      CAST(sig[2*b+2] AS VARCHAR) AS band_sig
+        |  FROM sig, range(0, 4) r(b))
+        |SELECT band_idx, band_sig, min(doc_id) AS rep_id,
+        |  count(*) AS n_docs
+        |FROM banded GROUP BY 1, 2""".stripMargin,
 
     "q_stream_sessionize" ->
       """WITH w AS (

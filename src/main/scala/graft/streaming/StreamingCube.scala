@@ -115,6 +115,41 @@ object StreamingCube {
     s.table(name)
   }
 
+  /** Streaming NEAR-dup index: the MinHash LSH band table maintained
+    * incrementally as documents arrive — per (band_idx, band_sig)
+    * bucket, the representative (min doc_id) and the bucket size. This
+    * is the state a streaming near-dedup gate probes ("does the new
+    * doc share a band with anything seen?"); the whole signature
+    * pipeline (tokenize → shingle → base hash → k universal minhashes →
+    * band keys) is stateless map-only work identical to the batch
+    * lowering in `DedupOps.shingleBands`, so batch and stream agree
+    * row-for-row. The stateful tail is one complete-mode aggregation
+    * keyed on the band — state is O(distinct buckets), the same bound
+    * the batch LSH shuffle pays.
+    */
+  def runStreamMinhashIndex(spark: SparkSession, sfDir: String,
+      name: String = "stream_minhash",
+      bands: Int = 4, rows: Int = 2): DataFrame = {
+    import graft.ops.DedupOps.{SHINGLES, TOKENS}
+    val s = isolated(spark)
+    val sh = docStream(s, sfDir)
+      .select(col("doc_id"), expr(TOKENS).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), expr(SHINGLES).as("shingles"))
+    val banded = graft.ops.DedupOps.bandTable(sh, bands, rows)
+    val q = banded
+      .groupBy("band_idx", "band_sig")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_docs"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** Watermarked daily pre-aggregation per event type — the streaming
     * analog of the cube's (time, event_type) grain aggregate.
     */

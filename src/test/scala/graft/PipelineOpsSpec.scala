@@ -372,6 +372,71 @@ class PipelineOpsSpec extends SparkSpec {
       s"shard filter must prune partitions:\n$plan")
   }
 
+  test("decontaminateBloom equals the plain exact anti-join") {
+    val evalSet = docs.filter(col("doc_id") < 250)
+    val train = docs.filter(col("doc_id") >= 250)
+    val plain = train.join(evalSet.select("text").distinct(),
+        Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // tiny filter forces a high fpr — the exact verify must absorb it
+    val bloom = DedupOps.decontaminateBloom(train, evalSet,
+        estItems = 50L, numBits = 400L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom === plain)
+    assert(bloom.nonEmpty && bloom.size <= train.count())
+    // overlapping split: every eval text IS in this train side, so the
+    // contaminated-removal path must actually fire
+    val bloom2 = DedupOps.decontaminateBloom(docs, evalSet,
+        estItems = 50L, numBits = 400L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain2 = docs.join(evalSet.select("text").distinct(),
+        Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom2 === plain2)
+    assert(bloom2.size < docs.count())
+  }
+
+  test("semanticDedup drops exactly the within-cell near-dup tails") {
+    val out = SimilarityOps.semanticDedup(emb, k = 8, iters = 2,
+      tau = 0.47)
+    val cells = SimilarityOps.kmeansCells(emb, 8, 2)
+    val survivors = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    // survivors carry their k-means cell assignment unchanged
+    val allCells = cells.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(survivors.forall { case (id, c) => allCells(id) == c })
+    // no surviving pair in the same cell is still >= tau ... unless the
+    // pair's min id was itself dropped transitively — so assert the
+    // exact fixpoint instead: dropped == ids that appear as the higher
+    // side of a within-cell near-dup pair
+    val pairs = DedupOps.embeddingPairs(emb, 0.47).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sameCell = pairs.filter { case (a, b) => allCells(a) == allCells(b) }
+    val droppedWant = sameCell.map(_._2).toSet
+    assert(allCells.keySet -- survivors.keySet === droppedWant)
+  }
+
+  test("qualityClassifier is map-only and matches a manual fold") {
+    val q = TextOps.qualityClassifier(docs)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"classifier scoring must not shuffle:\n$plan")
+    // keep is exactly score > 0
+    assert(q.filter((col("score") > 0) =!= col("keep")).count() === 0)
+  }
+
+  test("vocabTopK returns a deterministic frequency-ordered head") {
+    val v = TextOps.vocabTopK(docs, 10).collect()
+    assert(v.length === 10)
+    val ns = v.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"counts must be non-increasing: ${ns.mkString(",")}")
+    // rerun is identical (ties broken lexicographically)
+    val v2 = TextOps.vocabTopK(docs, 10).collect()
+    assert(v.map(_.toString).toSeq === v2.map(_.toString).toSeq)
+  }
+
   test("redactPii scrubs emails, IPs and phones, leaves clean text") {
     import spark.implicits._
     val rows = Seq(
