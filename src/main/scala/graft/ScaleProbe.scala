@@ -51,6 +51,16 @@ object ScaleProbe {
       time(s"pack_shards_dist x$mult")(
         graft.ops.CurationOps.packShards(big, 2000L,
           hint = graft.olap.Ords.Large).count())
+      time(s"dup_spans x$mult")(
+        graft.ops.DedupOps.dupSpans(big).count())
+      time(s"bloom_decontam x$mult")(
+        graft.ops.DedupOps.decontaminateBloom(
+          big, docs.limit(5000)).count())
+      // SemDeDup's knob: k grows with the corpus so per-cell pair work
+      // stays bounded (k=8 at 1x -> k=64 at 8x keeps E[|cell|] fixed)
+      time(s"semantic_dedup k=${8 * mult} x$mult")(
+        graft.ops.SimilarityOps.semanticDedup(bigEmb,
+          k = 8 * mult, iters = 2, tau = 0.47).count())
       big.unpersist(); bigEmb.unpersist()
     }
     spark.stop()

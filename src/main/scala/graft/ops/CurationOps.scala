@@ -117,6 +117,31 @@ object CurationOps {
   /** [[packShards]] over an already-computed (doc_id, n_tokens) frame —
     * for pipelines that tokenize once and carry the narrow counts.
     */
+  /** Corpus snapshot diff — the incremental-ingest primitive: compare
+    * two corpus versions by doc_id + content fingerprint and emit the
+    * delta rows as (doc_id, status ∈ added|removed|changed), dropping
+    * the unchanged majority. Downstream, `added ∪ changed` is the
+    * re-process set and `removed` drives tombstones — so a daily crawl
+    * refresh costs the delta, not the corpus.
+    *
+    * Scale design: fingerprints are computed map-side (one md5 per
+    * doc, narrow (id, fp) rows through the join — never the text), and
+    * the full-outer join shuffles on doc_id; at 100 TB both snapshots
+    * are written bucketed by doc_id so the join is co-located, and the
+    * unchanged-row filter discards the bulk before anything wide
+    * materializes.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame =
+    v1.select(col("doc_id"), md5(col("text")).as("fp1"))
+      .join(v2.select(col("doc_id"), md5(col("text")).as("fp2")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed"))
+      .filter(col("status").isNotNull)
+      .select("doc_id", "status")
+
   def packShardsFromCounts(counts: DataFrame, budget: Long,
       hint: Ords.SizeHint = Ords.Auto): DataFrame =
     Ords.runningSum(counts.select("doc_id", "n_tokens"),

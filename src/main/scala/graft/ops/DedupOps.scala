@@ -338,15 +338,34 @@ object DedupOps {
     * exact) and Bloom filters have no false negatives, so the result
     * equals the plain anti-join bit-for-bit at any fpr.
     */
-  def decontaminateBloom(train: DataFrame, eval0: DataFrame,
-      estItems: Long = 100000L, numBits: Long = 800000L): DataFrame = {
-    graft.functions.SketchFns.register(train.sparkSession)
-    val bf = eval0.select(expr("xxhash64(text)").as("h"))
+  /** Distributed Bloom build over the text fingerprints — the partial
+    * filters OR-merge (order-independent), and the collected binary is
+    * a MODEL (numBits/8 bytes), not data.
+    */
+  def buildBloom(eval0: DataFrame, estItems: Long,
+      numBits: Long): Array[Byte] = {
+    graft.functions.SketchFns.register(eval0.sparkSession)
+    eval0.select(expr("xxhash64(text)").as("h"))
       .agg(expr(s"bloom_agg(h, ${estItems}L, ${numBits}L)").as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    if (bf == null) return train.select(col("doc_id"), col("source"))
-    val flagged = train.withColumn("__maybe",
+  }
+
+  /** Map-only membership flag against a built filter — a pure codegen'd
+    * projection, so it applies unchanged to STREAMING frames (the
+    * streaming decontamination gate; StreamingSpec asserts parity).
+    */
+  def bloomProbe(df: DataFrame, bf: Array[Byte],
+      flag: String = "__maybe"): DataFrame = {
+    graft.functions.SketchFns.register(df.sparkSession)
+    df.withColumn(flag,
       call_function("bloom_contains", lit(bf), expr("xxhash64(text)")))
+  }
+
+  def decontaminateBloom(train: DataFrame, eval0: DataFrame,
+      estItems: Long = 100000L, numBits: Long = 800000L): DataFrame = {
+    val bf = buildBloom(eval0, estItems, numBits)
+    if (bf == null) return train.select(col("doc_id"), col("source"))
+    val flagged = bloomProbe(train, bf)
     val negatives = flagged.filter(!col("__maybe"))
       .select(col("doc_id"), col("source"))
     // shuffle_hash: the verify join partitions both (small) sides — at
@@ -359,6 +378,42 @@ object DedupOps {
     // the map-only rescan is the cheap half, and the shuffle — the
     // expensive half — carries only the bloom-positive sliver
     negatives.union(positives)
+  }
+
+  /** Cross-document duplicated-SPAN statistics — the substring-level
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"): a document whose w-token spans
+    * also appear in OTHER documents carries boilerplate even when no
+    * whole-document near-dup fires. Returns per document the total
+    * span count, the count of spans shared with at least one other
+    * document, and the duplicated fraction.
+    *
+    * Scale design: one rolling-window projection hashes every span
+    * (md5 once per span, map-only), then ONE groupBy on the span hash
+    * whose aggregate is min/max doc_id — cross-document iff min < max,
+    * so there is no countDistinct (no second shuffle, and the partial
+    * min/max combine map-side even for a boilerplate span shared by
+    * millions of documents). The flag joins back colocated on the same
+    * hash key and the per-doc rollup partitions by doc_id. A span's
+    * posting fan-out is 1:1 (each occurrence joins exactly one flag
+    * row), so a viral span costs its occurrence count, never df².
+    */
+  def dupSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+    val spans = rebalanced(docs)
+      .select(col("doc_id"), expr(TOKENS).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(t) - ${w - 1}),
+           |  i -> ${h60(s"concat_ws(' ', slice(t, i, $w))")})"""
+          .stripMargin)).as("sh"))
+    val flags = spans.groupBy("sh")
+      .agg((min("doc_id") < max("doc_id")).as("dup"))
+    spans.join(flags, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("dup").cast("long")).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast("double") / col("n_spans"))
   }
 
   /** 60-bit SimHash over the token multiset: per bit position, tokens

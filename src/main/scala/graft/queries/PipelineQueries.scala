@@ -180,6 +180,24 @@ object PipelineQueries {
     "q_quality_classifier" -> ((s, dir) =>
       TextOps.qualityClassifier(docs(s, dir))),
 
+    // substring-level dedup signal: per-doc fraction of 8-token spans
+    // shared with at least one other document
+    "q_dup_spans" -> ((s, dir) => DedupOps.dupSpans(docs(s, dir))),
+
+    // incremental-ingest delta: v2 drops doc_id%13, edits doc_id%7,
+    // adds shifted copies of doc_id%11 — diff emits only the delta
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v2 = d.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .select("doc_id", "text")
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      CurationOps.snapshotDiff(d, v2)
+    }),
+
     // corpus vocabulary induction: top-100 tokens by frequency
     "q_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(docs(s, dir), 100)),
 
@@ -701,6 +719,42 @@ object PipelineQueries {
          |  FROM (SELECT unnest($T) AS token FROM documents)
          |  GROUP BY token)
          |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |spans AS (
+         |  SELECT doc_id, unnest(
+         |    [${H60("array_to_string(list_slice(t, i, i + 7), ' ')")}
+         |     for i in range(1, len(t) - 6)]) AS sh
+         |  FROM toks WHERE len(t) >= 8),
+         |flags AS (
+         |  SELECT sh, min(doc_id) < max(doc_id) AS dup
+         |  FROM spans GROUP BY sh)
+         |SELECT s.doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN f.dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_spans,
+         |  CAST(sum(CASE WHEN f.dup THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS dup_frac
+         |FROM spans s JOIN flags f USING (sh)
+         |GROUP BY s.doc_id""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT doc_id, status FROM (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(a.text) <> md5(b.text) THEN 'changed' END
+        |      AS status
+        |  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |WHERE status IS NOT NULL""".stripMargin,
 
     "q_text_quality" ->
       s"""SELECT doc_id,

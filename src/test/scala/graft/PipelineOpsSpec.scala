@@ -437,6 +437,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(v.map(_.toString).toSeq === v2.map(_.toString).toSeq)
   }
 
+  test("dupSpans flags planted twins fully and unique text not at all") {
+    import spark.implicits._
+    val unique = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
+    val planted = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .unionByName(Seq((200000L, unique)).toDF("doc_id", "text"))
+    val corpus = docs.select("doc_id", "text").unionByName(planted)
+    val res = DedupOps.dupSpans(corpus).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_spans"))).toMap
+    // every span of a doc with an exact twin is shared cross-doc
+    (0L until 5L).filter(res.contains).foreach { id =>
+      assert(res(id)._1 === res(id)._2, s"doc $id should be fully dup")
+      assert(res(id + 100000L)._1 === res(id + 100000L)._2)
+    }
+    // the unique-token doc shares nothing
+    assert(res(200000L)._1 === 0L)
+    assert(res(200000L)._2 === 3L) // 10 tokens -> 3 spans of 8
+  }
+
+  test("snapshotDiff emits exactly the constructed delta") {
+    val d = docs.select("doc_id", "text")
+    val v2 = d.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val diff = CurationOps.snapshotDiff(d, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = d.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val want =
+        if (id % 13 == 0) Some("removed")
+        else if (id % 7 == 0) Some("changed") else None
+      assert(diff.get(id) === want, s"doc $id")
+    }
+    ids.filter(_ % 11 == 0).foreach { id =>
+      assert(diff.get(id + 1000000L) === Some("added"))
+    }
+    assert(diff.size ===
+      ids.count(i => i % 13 == 0 || i % 7 == 0) + ids.count(_ % 11 == 0))
+  }
+
   test("redactPii scrubs emails, IPs and phones, leaves clean text") {
     import spark.implicits._
     val rows = Seq(

@@ -150,6 +150,36 @@ class StreamingSpec extends SparkSpec {
       streamed.forall(_._2.contains("<EMAIL>")))
   }
 
+  test("bloom probe flags a stream identically to batch") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val docsB = Tables.load(spark, Sf, "documents")
+      .select("doc_id", "text", "source")
+    val evalSet = docsB.filter(col("doc_id") < 250)
+    // tiny filter -> high fpr, so SOME non-eval rows flag true too;
+    // parity must hold regardless
+    val bf = DedupOps.buildBloom(evalSet, 50L, 400L)
+    val batch = DedupOps.bloomProbe(docsB, bf, "maybe")
+      .select("doc_id", "maybe").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val q = DedupOps.bloomProbe(mem.toDS().toDF(), bf, "maybe")
+      .writeStream.format("memory").queryName("spec_bloom")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    mem.addData(docsB.as[StreamingSpec.Doc].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("spec_bloom")
+      .select("doc_id", "maybe").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(streamed === batch)
+    // no false negatives: every eval doc must flag true
+    assert(streamed.filter(_._1 < 250).values.forall(identity))
+  }
+
   test("stream minhash index equals the batch band table") {
     import graft.ops.DedupOps
     val docs = Tables.load(spark, Sf, "documents")
