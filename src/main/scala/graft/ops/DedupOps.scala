@@ -283,6 +283,74 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over an undirected edge list — min-label
+    * propagation: every node starts as its own cluster and repeatedly
+    * takes the minimum label in its neighborhood until a fixpoint.
+    * Deterministic (labels are min doc_ids), so oracle-reproducible
+    * against a recursive-CTE transitive closure.
+    *
+    * Scale design: each round is one shuffle join (edges ⋈ labels on
+    * the dst key) plus one map-side-combining min aggregation — the
+    * textbook distributed CC inner loop. Rounds = graph diameter;
+    * near-dup graphs are dense blobs with tiny diameters (a chain of
+    * borderline-similar documents is the pathological case, bounded by
+    * `maxIters`; corpora with genuinely deep chains would switch to
+    * the large-star/small-star doubling variant, which reuses exactly
+    * this join+min round shape). The per-round `changed` count is a
+    * driver-side convergence test like the k-means model collect —
+    * O(1) rows, not data.
+    */
+  def components(edges: DataFrame, nodes: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col("doc_id"),
+      col("doc_id").as("cluster_id"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("dst"),
+          col("cluster_id").as("nbr")), "dst")
+        .groupBy(col("src"))
+        .agg(min("nbr").as("nbr_min"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      changed = next
+        .join(labels.select(col("doc_id"),
+          col("cluster_id").as("old")), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist(blocking = false) // no-op on the seed frame
+      labels = next
+      it += 1
+    }
+    sym.unpersist(blocking = false)
+    pin(labels) // converged frame stays pinned for its consumers
+  }
+
+  /** Near-dup CLUSTER assignment: MinHash-LSH verified pairs →
+    * connected components → (doc_id, cluster_id) for every document
+    * (non-duplicated docs are their own singleton cluster). This is
+    * the transitive-closure form real dedup pipelines keep: a chain
+    * A≈B≈C collapses to ONE representative even when A and C are not
+    * themselves a near-dup pair — the pairwise drop-the-higher-id rule
+    * cannot express that.
+    */
+  def nearDupClusters(docs: DataFrame, bands: Int = 4, rows: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(docs, bands, rows, threshold)
+      .select("doc_a", "doc_b")
+    components(pairs, docs.select(col("doc_id")))
+  }
+
   /** Train/eval DECONTAMINATION: near-dup document pairs ACROSS two
     * corpora — the pretraining-hygiene primitive ("is any eval
     * document a near-dup of a training document?"). Candidate

@@ -54,6 +54,11 @@ object PipelineQueries {
       SimilarityOps.semanticDedup(emb(s, dir), k = 8, iters = 2,
         tau = 0.47)),
 
+    // transitive near-dup clusters: minhash pairs -> connected
+    // components; every doc gets a cluster id (singletons included)
+    "q_dedup_clusters" -> ((s, dir) =>
+      DedupOps.nearDupClusters(docs(s, dir))),
+
     "q_dedup_simhash" -> ((s, dir) => DedupOps.simhash(docs(s, dir))),
 
     "q_simhash_pairs" -> ((s, dir) =>
@@ -234,6 +239,39 @@ object PipelineQueries {
       |    THEN (1::BIGINT << p) ELSE 0::BIGINT END
       |  for p in range(0, 60)]) AS BIGINT)""".stripMargin
 
+  /** MinHash chain up to the exact-verify CTE `v` (doc_a, doc_b,
+    * n_common, n_a, n_b) — shared by the pair query and the
+    * cluster (connected-components) oracle.
+    */
+  private val MINHASH_V_CTES =
+    s"""$SH_CTE,
+       |base AS (
+       |  SELECT doc_id, shingles,
+       |    [${H60("s")} % 2147483647 for s in shingles] AS bh
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, shingles,
+       |    [list_min([((2*i+3) * h + 7*i+1) % 2147483647 for h in bh])
+       |      for i in range(0, 8)] AS sig
+       |  FROM base),
+       |banded AS (
+       |  SELECT doc_id, b AS band_idx,
+       |    CAST(sig[2*b+1] AS VARCHAR) || '_' ||
+       |      CAST(sig[2*b+2] AS VARCHAR) AS band_sig
+       |  FROM sig, range(0, 4) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       |      AND a.doc_id < b.doc_id),
+       |v AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+       |    len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b)""".stripMargin
+
   /** Explicit double-accumulated cosine — reproduces Spark's
     * zip_with/aggregate math IEEE-exactly (same fold order).
     */
@@ -270,38 +308,30 @@ object PipelineQueries {
         .stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH $SH_CTE,
-         |base AS (
-         |  SELECT doc_id, shingles,
-         |    [${H60("s")} % 2147483647 for s in shingles] AS bh
-         |  FROM sh),
-         |sig AS (
-         |  SELECT doc_id, shingles,
-         |    [list_min([((2*i+3) * h + 7*i+1) % 2147483647 for h in bh])
-         |      for i in range(0, 8)] AS sig
-         |  FROM base),
-         |banded AS (
-         |  SELECT doc_id, b AS band_idx,
-         |    CAST(sig[2*b+1] AS VARCHAR) || '_' ||
-         |      CAST(sig[2*b+2] AS VARCHAR) AS band_sig
-         |  FROM sig, range(0, 4) r(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-         |      AND a.doc_id < b.doc_id),
-         |v AS (
-         |  SELECT doc_a, doc_b,
-         |    len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
-         |    len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
-         |  FROM cand
-         |  JOIN sh sa ON sa.doc_id = doc_a
-         |  JOIN sh sb ON sb.doc_id = doc_b)
+      s"""WITH $MINHASH_V_CTES
          |SELECT doc_a, doc_b,
          |  CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
          |FROM v
          |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5"""
         .stripMargin,
+
+    // transitive closure over the verified pair graph: min reachable
+    // doc_id per node == the engine's min-label propagation fixpoint
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $MINHASH_V_CTES,
+         |p AS (
+         |  SELECT doc_a, doc_b FROM v
+         |  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)
+         |    >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS ea, doc_b AS eb FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea)
+         |SELECT a AS doc_id, min(b) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH $SH_CTE,

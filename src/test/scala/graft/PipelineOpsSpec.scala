@@ -437,6 +437,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(v.map(_.toString).toSeq === v2.map(_.toString).toSeq)
   }
 
+  test("nearDupClusters equals a union-find over the verified pairs") {
+    val pairs = DedupOps.minhashLsh(docs, 4, 2, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = DedupOps.nearDupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // reference: plain union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    docs.select("doc_id").collect().map(_.getLong(0))
+      .foreach(id => parent(id) = id)
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(id => id -> find(id)).toMap
+    assert(got.size === want.size)
+    assert(got === want)
+    // the transitive case actually matters: some component must be
+    // larger than a single pair OR there must exist >= 1 nontrivial one
+    assert(pairs.nonEmpty)
+    assert(got.values.groupBy(identity).exists(_._2.size >= 2))
+  }
+
   test("dupSpans flags planted twins fully and unique text not at all") {
     import spark.implicits._
     val unique = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
