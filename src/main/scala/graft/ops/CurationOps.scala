@@ -114,9 +114,6 @@ object CurationOps {
       hint: Ords.SizeHint = Ords.Auto): DataFrame =
     packShardsFromCounts(TextOps.tokenCounts(docs), budget, hint)
 
-  /** [[packShards]] over an already-computed (doc_id, n_tokens) frame —
-    * for pipelines that tokenize once and carry the narrow counts.
-    */
   /** Corpus snapshot diff — the incremental-ingest primitive: compare
     * two corpus versions by doc_id + content fingerprint and emit the
     * delta rows as (doc_id, status ∈ added|removed|changed), dropping
@@ -129,19 +126,27 @@ object CurationOps {
     * the full-outer join shuffles on doc_id; at 100 TB both snapshots
     * are written bucketed by doc_id so the join is co-located, and the
     * unchanged-row filter discards the bulk before anything wide
-    * materializes.
+    * materializes. Presence is tracked with per-side markers — never
+    * inferred from the fingerprint, whose null also means a null text —
+    * and the changed test is null-safe, so null-text docs diff
+    * correctly.
     */
   def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame =
-    v1.select(col("doc_id"), md5(col("text")).as("fp1"))
-      .join(v2.select(col("doc_id"), md5(col("text")).as("fp2")),
+    v1.select(col("doc_id"), md5(col("text")).as("fp1"),
+        lit(true).as("in1"))
+      .join(v2.select(col("doc_id"), md5(col("text")).as("fp2"),
+        lit(true).as("in2")),
         Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("fp1").isNull, "added")
-          .when(col("fp2").isNull, "removed")
-          .when(col("fp1") =!= col("fp2"), "changed"))
+        when(col("in1").isNull, "added")
+          .when(col("in2").isNull, "removed")
+          .when(!(col("fp1") <=> col("fp2")), "changed"))
       .filter(col("status").isNotNull)
       .select("doc_id", "status")
 
+  /** [[packShards]] over an already-computed (doc_id, n_tokens) frame —
+    * for pipelines that tokenize once and carry the narrow counts.
+    */
   def packShardsFromCounts(counts: DataFrame, budget: Long,
       hint: Ords.SizeHint = Ords.Auto): DataFrame =
     Ords.runningSum(counts.select("doc_id", "n_tokens"),

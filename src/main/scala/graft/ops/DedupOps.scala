@@ -109,11 +109,18 @@ object DedupOps {
     if (bytes <= 2L * 134217728L) df.repartition(p) else df
   }
 
-  /** (doc_id, shingles) with short docs dropped. */
-  def shingled(docs: DataFrame): DataFrame =
-    rebalanced(docs).select(col("doc_id"), expr(TOKENS).as("t"))
+  /** (doc_id, shingles) with short docs dropped — the pure projection,
+    * no rebalance guard, so it applies unchanged to STREAMING frames
+    * (the streaming minhash index shares it; batch/stream parity rests
+    * on this being the ONE copy of the shingle lowering).
+    */
+  def shingledRaw(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(TOKENS).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), expr(SHINGLES).as("shingles"))
+
+  /** Batch [[shingledRaw]] behind the small-input rebalance guard. */
+  def shingled(docs: DataFrame): DataFrame = shingledRaw(rebalanced(docs))
 
   /** Near-dup pairs by EXACT n-gram Jaccard >= threshold, in two
     * phases:
@@ -217,13 +224,6 @@ object DedupOps {
        |  array_min(transform(bh, h ->
        |    ((2 * i + 3) * h + 7 * i + 1) % $P)))""".stripMargin
 
-  /** LSH candidate pairs verified by exact Jaccard.
-    *
-    * Pipeline: base shingle hashes → minhash signatures (k = bands*rows)
-    * → per-band signature string → explode (doc, band_idx, band_sig) →
-    * shuffle on band key → pair docs sharing any band → distinct pairs
-    * → exact Jaccard verify of the candidates only.
-    */
   /** Per-band signature keys from a materialized `sig` column:
     * bands × rows minhashes → `bands` underscore-joined sub-keys.
     */
@@ -256,6 +256,13 @@ object DedupOps {
     (sh, bandTable(sh, bands, rows))
   }
 
+  /** LSH candidate pairs verified by exact Jaccard.
+    *
+    * Pipeline: base shingle hashes → minhash signatures (k = bands*rows)
+    * → per-band signature string → explode (doc, band_idx, band_sig) →
+    * shuffle on band key → pair docs sharing any band → distinct pairs
+    * → exact Jaccard verify of the candidates only.
+    */
   def minhashLsh(docs: DataFrame, bands: Int, rows: Int,
       threshold: Double): DataFrame = {
     val (sh, banded0) = shingleBands(docs, bands, rows)
@@ -333,6 +340,13 @@ object DedupOps {
       it += 1
     }
     sym.unpersist(blocking = false)
+    // a silent non-converged return would hand back WRONG clusters
+    // (a >maxIters-diameter chain split mid-propagation); fail loudly
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"components() did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — raise maxIters or use " +
+          "a doubling variant for deep-chain graphs")
     pin(labels) // converged frame stays pinned for its consumers
   }
 
@@ -345,10 +359,10 @@ object DedupOps {
     * cannot express that.
     */
   def nearDupClusters(docs: DataFrame, bands: Int = 4, rows: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxIters: Int = 20): DataFrame = {
     val pairs = minhashLsh(docs, bands, rows, threshold)
       .select("doc_a", "doc_b")
-    components(pairs, docs.select(col("doc_id")))
+    components(pairs, docs.select(col("doc_id")), maxIters)
   }
 
   /** Train/eval DECONTAMINATION: near-dup document pairs ACROSS two
@@ -387,25 +401,6 @@ object DedupOps {
       .select("train_id", "eval_id", "jaccard")
   }
 
-  /** Exact-text decontamination with a Bloom-filter prefilter: remove
-    * every train document whose text appears verbatim in the eval set,
-    * returning the surviving (doc_id, source) rows.
-    *
-    * Scale design: a plain anti-join would shuffle the ENTIRE train
-    * corpus on the fingerprint key (the eval side is too large to pin
-    * as an exact broadcast set at real eval-suite sizes, and the train
-    * side never broadcasts by definition). The Bloom filter summarizes
-    * the eval fingerprints in numBits/8 bytes — a few MB for tens of
-    * millions of items — and is built DISTRIBUTED (`bloom_agg` partial
-    * filters OR-merge, order-independent) then collected once as a
-    * model. Membership is then a map-only codegen'd probe: the
-    * bloom-negative rows (the overwhelming majority — fpr of the
-    * misses) pass through with NO shuffle, and only the bloom-positive
-    * sliver is exactly verified with an anti-join on the text itself.
-    * False positives cannot drop a clean row (the verify join is
-    * exact) and Bloom filters have no false negatives, so the result
-    * equals the plain anti-join bit-for-bit at any fpr.
-    */
   /** Distributed Bloom build over the text fingerprints — the partial
     * filters OR-merge (order-independent), and the collected binary is
     * a MODEL (numBits/8 bytes), not data.
@@ -429,6 +424,25 @@ object DedupOps {
       call_function("bloom_contains", lit(bf), expr("xxhash64(text)")))
   }
 
+  /** Exact-text decontamination with a Bloom-filter prefilter: remove
+    * every train document whose text appears verbatim in the eval set,
+    * returning the surviving (doc_id, source) rows.
+    *
+    * Scale design: a plain anti-join would shuffle the ENTIRE train
+    * corpus on the fingerprint key (the eval side is too large to pin
+    * as an exact broadcast set at real eval-suite sizes, and the train
+    * side never broadcasts by definition). The Bloom filter summarizes
+    * the eval fingerprints in numBits/8 bytes — a few MB for tens of
+    * millions of items — and is built DISTRIBUTED (`bloom_agg` partial
+    * filters OR-merge, order-independent) then collected once as a
+    * model. Membership is then a map-only codegen'd probe: the
+    * bloom-negative rows (the overwhelming majority — fpr of the
+    * misses) pass through with NO shuffle, and only the bloom-positive
+    * sliver is exactly verified with an anti-join on the text itself.
+    * False positives cannot drop a clean row (the verify join is
+    * exact) and Bloom filters have no false negatives, so the result
+    * equals the plain anti-join bit-for-bit at any fpr.
+    */
   def decontaminateBloom(train: DataFrame, eval0: DataFrame,
       estItems: Long = 100000L, numBits: Long = 800000L): DataFrame = {
     val bf = buildBloom(eval0, estItems, numBits)
@@ -467,13 +481,16 @@ object DedupOps {
     * row), so a viral span costs its occurrence count, never df².
     */
   def dupSpans(docs: DataFrame, w: Int = 8): DataFrame = {
-    val spans = rebalanced(docs)
+    // two consumers (flags aggregate + the flag join) — persist, or the
+    // tokenize + per-span md5 explode (the dominant map cost) runs twice
+    val spans = pin(rebalanced(docs)
       .select(col("doc_id"), expr(TOKENS).as("t"))
       .filter(size(col("t")) >= w)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(t) - ${w - 1}),
            |  i -> ${h60(s"concat_ws(' ', slice(t, i, $w))")})"""
           .stripMargin)).as("sh"))
+      .persist())
     val flags = spans.groupBy("sh")
       .agg((min("doc_id") < max("doc_id")).as("dup"))
     spans.join(flags, "sh")

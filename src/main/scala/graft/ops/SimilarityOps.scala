@@ -209,7 +209,16 @@ object SimilarityOps {
     * decimal component sums, via-varchar double cast, index-order
     * distance folds, (dist, cell) tie-break.
     */
-  def kmeansOracleSql(k: Int, iters: Int, dim: Int = Dim): String = {
+  def kmeansOracleSql(k: Int, iters: Int, dim: Int = Dim): String =
+    s"""${kmeansOracleCtes(k, iters, dim)}
+       |SELECT vec_id, cell FROM assign${iters}""".stripMargin
+
+  /** The WITH-clause prefix of [[kmeansOracleSql]] (everything up to
+    * and including the final `assign<iters>` CTE, whose columns are
+    * (vec_id, e, cell)) — for oracles that COMPOSE on top of the
+    * k-means assignment, e.g. semantic dedup.
+    */
+  def kmeansOracleCtes(k: Int, iters: Int, dim: Int = Dim): String = {
     def cent(i: Int, from: String) =
       s"""cent$i AS (
          |  SELECT cell, d,
@@ -243,18 +252,7 @@ object SimilarityOps {
        |      vec_id) - 1 AS INT) AS cell
        |  FROM v
        |  QUALIFY cell < $k),
-       |${steps}
-       |SELECT vec_id, cell FROM assign${iters}""".stripMargin
-  }
-
-  /** The WITH-clause prefix of [[kmeansOracleSql]] (everything up to
-    * and including the final `assign<iters>` CTE, whose columns are
-    * (vec_id, e, cell)) — for oracles that COMPOSE on top of the
-    * k-means assignment, e.g. semantic dedup.
-    */
-  def kmeansOracleCtes(k: Int, iters: Int, dim: Int = Dim): String = {
-    val full = kmeansOracleSql(k, iters, dim)
-    full.substring(0, full.lastIndexOf("\nSELECT "))
+       |${steps}""".stripMargin
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster

@@ -781,7 +781,8 @@ object PipelineQueries {
         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
         |    CASE WHEN a.doc_id IS NULL THEN 'added'
         |         WHEN b.doc_id IS NULL THEN 'removed'
-        |         WHEN md5(a.text) <> md5(b.text) THEN 'changed' END
+        |         WHEN md5(a.text) IS DISTINCT FROM md5(b.text)
+        |           THEN 'changed' END
         |      AS status
         |  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
         |WHERE status IS NOT NULL""".stripMargin,

@@ -130,12 +130,8 @@ object StreamingCube {
   def runStreamMinhashIndex(spark: SparkSession, sfDir: String,
       name: String = "stream_minhash",
       bands: Int = 4, rows: Int = 2): DataFrame = {
-    import graft.ops.DedupOps.{SHINGLES, TOKENS}
     val s = isolated(spark)
-    val sh = docStream(s, sfDir)
-      .select(col("doc_id"), expr(TOKENS).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), expr(SHINGLES).as("shingles"))
+    val sh = graft.ops.DedupOps.shingledRaw(docStream(s, sfDir))
     val banded = graft.ops.DedupOps.bandTable(sh, bands, rows)
     val q = banded
       .groupBy("band_idx", "band_sig")

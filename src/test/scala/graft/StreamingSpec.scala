@@ -183,10 +183,7 @@ class StreamingSpec extends SparkSpec {
   test("stream minhash index equals the batch band table") {
     import graft.ops.DedupOps
     val docs = Tables.load(spark, Sf, "documents")
-    val sh = docs
-      .select(col("doc_id"), expr(DedupOps.TOKENS).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), expr(DedupOps.SHINGLES).as("shingles"))
+    val sh = DedupOps.shingledRaw(docs)
     val batch = DedupOps.bandTable(sh, bands = 4, rows = 2)
       .groupBy("band_idx", "band_sig")
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_docs"))
