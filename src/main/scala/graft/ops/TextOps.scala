@@ -200,6 +200,29 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(topK)
 
+  /** Per-source corpus statistics — the curation dashboard numbers
+    * (doc counts, token budget, length distribution) a mixture design
+    * starts from. One tokenized projection, one map-side-combining
+    * groupBy on the (few-valued) source key; both quantiles ride a
+    * single fused exact `percentile(n_tokens, array(...))` aggregate.
+    * At petabyte scale the exact percentile's per-group value map is
+    * the cost center — swap in `approx_percentile` (t-digest, mergeable
+    * constant-size sketch) when tail precision can tolerate it.
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"), expr(TOKENS).as("t"),
+        length(col("text")).as("len"))
+      .select(col("source"), size(col("t")).as("n_tokens"), col("len"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        avg(col("len")).as("avg_chars"),
+        expr("percentile(n_tokens, array(0.5D, 0.9D))").as("__p"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("avg_chars"),
+        element_at(col("__p"), 1).as("p50_tokens"),
+        element_at(col("__p"), 2).as("p90_tokens"))
+
   /** PII scrubbing patterns — ASCII-only so Java regex (Spark) and RE2
     * (the DuckDB oracle) match identically; `\b` is an ASCII word
     * boundary in both.

@@ -206,6 +206,21 @@ object PipelineQueries {
     // corpus vocabulary induction: top-100 tokens by frequency
     "q_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(docs(s, dir), 100)),
 
+    // per-source curation dashboard: doc/token budgets + length tails
+    "q_corpus_stats" -> ((s, dir) => TextOps.corpusStats(docs(s, dir))),
+
+    // per-eval-doc contamination report: how many train near-dups hit
+    // each eval doc, and how close the worst one is
+    "q_contamination_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.crossContamination(
+          d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
+          bands = 4, rows = 2, threshold = 0.5)
+        .groupBy("eval_id")
+        .agg(count(lit(1)).as("n_hits"),
+          max("jaccard").as("max_jaccard"))
+    }),
+
     // -- multimodal (stubbed decode, real plumbing) --------------------
     "q_multimodal_meta" -> ((s, dir) =>
       MultimodalOps.imageMeta(s, docs(s, dir))),
@@ -272,6 +287,44 @@ object PipelineQueries {
        |  JOIN sh sa ON sa.doc_id = doc_a
        |  JOIN sh sb ON sb.doc_id = doc_b)""".stripMargin
 
+  /** Cross-corpus (train doc_id >= 250 vs eval < 250) verified
+    * near-dup pair SQL — shared by q_decontaminate and the per-eval
+    * contamination report.
+    */
+  private val DECON_SQL =
+    s"""WITH $SH_CTE,
+       |base AS (
+       |  SELECT doc_id, shingles,
+       |    [${H60("s")} % 2147483647 for s in shingles] AS bh
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, shingles,
+       |    [list_min([((2*i+3) * h + 7*i+1) % 2147483647 for h in bh])
+       |      for i in range(0, 8)] AS sig
+       |  FROM base),
+       |banded AS (
+       |  SELECT doc_id, b AS band_idx,
+       |    CAST(sig[2*b+1] AS VARCHAR) || '_' ||
+       |      CAST(sig[2*b+2] AS VARCHAR) AS band_sig
+       |  FROM sig, range(0, 4) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       |  WHERE a.doc_id >= 250 AND b.doc_id < 250),
+       |v AS (
+       |  SELECT train_id, eval_id,
+       |    len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+       |    len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = train_id
+       |  JOIN sh sb ON sb.doc_id = eval_id)
+       |SELECT train_id, eval_id,
+       |  CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+       |FROM v
+       |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5"""
+      .stripMargin
+
   /** Explicit double-accumulated cosine — reproduces Spark's
     * zip_with/aggregate math IEEE-exactly (same fold order).
     */
@@ -333,39 +386,13 @@ object PipelineQueries {
          |SELECT a AS doc_id, min(b) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin,
 
-    "q_decontaminate" ->
-      s"""WITH $SH_CTE,
-         |base AS (
-         |  SELECT doc_id, shingles,
-         |    [${H60("s")} % 2147483647 for s in shingles] AS bh
-         |  FROM sh),
-         |sig AS (
-         |  SELECT doc_id, shingles,
-         |    [list_min([((2*i+3) * h + 7*i+1) % 2147483647 for h in bh])
-         |      for i in range(0, 8)] AS sig
-         |  FROM base),
-         |banded AS (
-         |  SELECT doc_id, b AS band_idx,
-         |    CAST(sig[2*b+1] AS VARCHAR) || '_' ||
-         |      CAST(sig[2*b+2] AS VARCHAR) AS band_sig
-         |  FROM sig, range(0, 4) r(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
-         |  FROM banded a JOIN banded b
-         |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-         |  WHERE a.doc_id >= 250 AND b.doc_id < 250),
-         |v AS (
-         |  SELECT train_id, eval_id,
-         |    len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
-         |    len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
-         |  FROM cand
-         |  JOIN sh sa ON sa.doc_id = train_id
-         |  JOIN sh sb ON sb.doc_id = eval_id)
-         |SELECT train_id, eval_id,
-         |  CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
-         |FROM v
-         |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5"""
-        .stripMargin,
+    "q_decontaminate" -> DECON_SQL,
+
+    // one aggregation over the shared cross-contamination pair SQL
+    "q_contamination_report" ->
+      s"""SELECT eval_id, count(*) AS n_hits, max(jaccard) AS max_jaccard
+         |FROM ($DECON_SQL) pairs
+         |GROUP BY eval_id""".stripMargin,
 
     // bloom prefilter + exact verify ≡ the plain exact anti-join
     "q_decontaminate_bloom" ->
@@ -749,6 +776,17 @@ object PipelineQueries {
          |  FROM (SELECT unnest($T) AS token FROM documents)
          |  GROUP BY token)
          |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q_corpus_stats" ->
+      s"""WITH toks AS (
+         |  SELECT source, len($T) AS n_tokens, length(text) AS len
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  avg(len) AS avg_chars,
+         |  quantile_cont(n_tokens, 0.5) AS p50_tokens,
+         |  quantile_cont(n_tokens, 0.9) AS p90_tokens
+         |FROM toks GROUP BY source""".stripMargin,
 
     "q_dup_spans" ->
       s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
