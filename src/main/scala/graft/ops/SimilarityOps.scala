@@ -276,7 +276,11 @@ object SimilarityOps {
     val u = DedupOps
       .unitArr(corpus.select(col("vec_id"), col("embedding")), dim)
       .join(cells, "vec_id")
-    val dropped = u.as("a").join(u.as("b"),
+    // shuffle_hash on both sides: the within-cell self-join partitions
+    // on the cell key — broadcasting would put the whole unit-vector
+    // corpus on one executor, regardless of what local stats suggest
+    val dropped = u.as("a").hint("shuffle_hash")
+      .join(u.as("b").hint("shuffle_hash"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") < col("b.vec_id"))
       .filter(expr("dot_f64(a.u, b.u)") >= tau)

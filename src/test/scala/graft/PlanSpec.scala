@@ -201,6 +201,30 @@ class PlanSpec extends SparkSpec {
       s"embedding corpus must not be broadcast:\n$p")
   }
 
+  test("semantic dedup pair join never broadcasts the unit vectors") {
+    val emb = Tables.load(spark, Sf, "embeddings")
+    val df = graft.ops.SimilarityOps.semanticDedup(emb, k = 4,
+      iters = 1, tau = 0.47)
+    val p = df.queryExecution.executedPlan.toString
+    // the within-cell self-join must partition on the cell key; a
+    // broadcast would ship the whole normalized corpus to one executor
+    val broadcastsU = p.linesIterator.exists(l =>
+      l.contains("BroadcastExchange") && l.contains("u#"))
+    assert(!broadcastsU,
+      s"unit-vector corpus must not be broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"expected a partitioned pair join:\n$p")
+  }
+
+  test("dupSpans prunes the documents scan to doc_id + text") {
+    val docs = Tables.load(spark, Sf, "documents")
+    val p = plan(graft.ops.DedupOps.dupSpans(docs))
+    val scans = scanLines(p).filter(_.contains("documents"))
+    assert(scans.nonEmpty, s"expected a documents scan:\n$p")
+    assert(scans.forall(l => !l.contains("lang") && !l.contains("n_chars")),
+      s"span stats must not scan unused columns:\n${scans.mkString("\n")}")
+  }
+
   test("pipeline signature ops stay shuffle-free until the pair join") {
     val docs = Tables.load(spark, Sf, "documents")
     val p = plan(graft.ops.DedupOps.simhash(docs))
