@@ -114,6 +114,33 @@ object CurationOps {
       hint: Ords.SizeHint = Ords.Auto): DataFrame =
     packShardsFromCounts(TextOps.tokenCounts(docs), budget, hint)
 
+  /** Quality-weighted importance sampling: keep each document with
+    * probability proportional to its classifier score — the standard
+    * soft alternative to a hard quality cutoff (low-quality docs are
+    * downweighted, not eliminated, preserving distributional
+    * coverage). The keep probability is a clamped LINEAR ramp of the
+    * score rather than a sigmoid: piecewise-linear arithmetic is
+    * bit-identical across engines, where exp() can differ in the last
+    * ulp and flip a boundary row. The coin is the same seedless
+    * md5-uniform as [[mixtureSample]], so a doc's fate is stable under
+    * corpus growth and re-runs never resample history.
+    *
+    * Map-only end to end: score fold, ramp, hash compare — one
+    * projection + filter, no shuffle, pushes to the scan.
+    */
+  def qualitySample(docs: DataFrame, buckets: Int = 4096,
+      floor: Double = 0.05, ceil: Double = 0.95): DataFrame =
+    TextOps.qualityClassifier(docs, buckets)
+      .withColumn("w",
+        least(lit(ceil), greatest(lit(floor),
+          lit(0.5) + col("score") / 4)))
+      .withColumn("u", expr(
+        s"""(${graft.ops.DedupOps.h60(
+          "concat('qs', cast(doc_id as string))")}
+           | % 1000000) / 1000000.0D""".stripMargin))
+      .filter(col("u") < col("w"))
+      .select("doc_id", "score")
+
   /** Corpus snapshot diff — the incremental-ingest primitive: compare
     * two corpus versions by doc_id + content fingerprint and emit the
     * delta rows as (doc_id, status ∈ added|removed|changed), dropping

@@ -209,6 +209,11 @@ object PipelineQueries {
     // per-source curation dashboard: doc/token budgets + length tails
     "q_corpus_stats" -> ((s, dir) => TextOps.corpusStats(docs(s, dir))),
 
+    // quality-weighted importance sampling: clamped-linear keep ramp
+    // over the classifier score, seedless md5 coin
+    "q_quality_sample" -> ((s, dir) =>
+      CurationOps.qualitySample(docs(s, dir))),
+
     // per-eval-doc contamination report: how many train near-dups hit
     // each eval doc, and how close the worst one is
     "q_contamination_report" -> ((s, dir) => {
@@ -776,6 +781,23 @@ object PipelineQueries {
          |  FROM (SELECT unnest($T) AS token FROM documents)
          |  GROUP BY token)
          |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q_quality_sample" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    coalesce(list_sum([
+         |      (${H60("'w' || CAST(" + H60("tok") + " % 4096 AS VARCHAR)")}
+         |        % 2001 - 1000) / 1000.0
+         |      for tok in t]), 0.0) AS score
+         |  FROM toks)
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id, score,
+         |    least(0.95, greatest(0.05, 0.5 + score / 4)) AS w,
+         |    (${H60("'qs' || CAST(doc_id AS VARCHAR)")} % 1000000)
+         |      / 1000000.0 AS u
+         |  FROM s) q
+         |WHERE u < w""".stripMargin,
 
     "q_corpus_stats" ->
       s"""WITH toks AS (

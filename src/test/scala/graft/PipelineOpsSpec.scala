@@ -426,6 +426,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(q.filter((col("score") > 0) =!= col("keep")).count() === 0)
   }
 
+  test("qualitySample is a shuffle-free deterministic subset") {
+    val s1 = CurationOps.qualitySample(docs)
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"quality sampling must not shuffle:\n$plan")
+    val a = s1.collect().map(_.getLong(0)).sorted.toSeq
+    val b = CurationOps.qualitySample(docs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    // a real subset: neither empty nor everything
+    val n = docs.count()
+    assert(a.nonEmpty && a.size < n)
+    // the clamp keeps a floor: even the worst-scored docs survive at
+    // ~5% — check nothing below u >= 0.95 band forces emptiness
+    // (structural property: sample ids are a subset of doc ids)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.forall(ids))
+  }
+
   test("vocabTopK returns a deterministic frequency-ordered head") {
     val v = TextOps.vocabTopK(docs, 10).collect()
     assert(v.length === 10)
