@@ -217,7 +217,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dupSpans prunes the documents scan to doc_id + text") {
-    val docs = Tables.load(spark, Sf, "documents")
+    // a no-op reader option makes this relation differ from the frame
+    // other suites .cache() — otherwise cache substitution swaps the
+    // scan for the full-column InMemoryRelation and the pruning
+    // property can't be observed on the parquet scan
+    val docs = spark.read.option("graft.nocache", "1")
+      .parquet(s"$Sf/documents.parquet")
     val p = plan(graft.ops.DedupOps.dupSpans(docs))
     val scans = scanLines(p).filter(_.contains("documents"))
     assert(scans.nonEmpty, s"expected a documents scan:\n$p")
