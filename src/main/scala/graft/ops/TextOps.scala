@@ -200,6 +200,53 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(topK)
 
+  /** Overlapping fixed-size token chunks — the RAG/embedding-pipeline
+    * segmentation primitive: (doc_id, chunk_idx, chunk_text) windows
+    * of `chunkTokens` tokens advancing by `chunkTokens - overlap`.
+    * Map-only (one tokenize + one bounded explode per doc); every doc
+    * yields at least one chunk (short docs emit themselves). The chunk
+    * count is ceil((len - overlap) / stride) — computed identically in
+    * the oracle, and the final short chunk is the clamped tail slice
+    * in both engines.
+    */
+  def chunkText(docs: DataFrame, chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    tokenized(docs).select(col("doc_id"), posexplode(expr(
+      s"""transform(
+         |  sequence(0, greatest(0,
+         |    cast(ceil((size(t) - $overlap) / ${stride}.0D) as int) - 1)),
+         |  i -> concat_ws(' ', slice(t, i * $stride + 1, $chunkTokens)))"""
+        .stripMargin)).as(Seq("chunk_idx", "chunk_text")))
+  }
+
+  /** Per-document keyword extraction: the `topK` tokens ranked by
+    * (term frequency DESC, corpus document frequency ASC, token ASC) —
+    * the tf-idf ORDER without the float product: a tf·ln(N/df) score
+    * ranks identically for fixed tf, and the integer lexicographic
+    * form is bit-portable across engines (ln() can differ in the last
+    * ulp and flip near-ties at the cut). Two map-side-combining
+    * aggregations (doc×token, then token df) + a broadcast-joined df
+    * table of distinct tokens; the per-doc top-k runs under
+    * WindowGroupLimit, so map tasks keep k rows per doc before the
+    * exchange.
+    */
+  def keywords(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val tf = tokenized(docs)
+      .select(col("doc_id"), explode(col("t")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(df, "token")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("doc_id", "rank", "token", "tf", "df")
+  }
+
   /** Per-source corpus statistics — the curation dashboard numbers
     * (doc counts, token budget, length distribution) a mixture design
     * starts from. One tokenized projection, one map-side-combining

@@ -209,6 +209,13 @@ object PipelineQueries {
     // per-source curation dashboard: doc/token budgets + length tails
     "q_corpus_stats" -> ((s, dir) => TextOps.corpusStats(docs(s, dir))),
 
+    // RAG-style chunking: 32-token windows, 8-token overlap
+    "q_chunk_text" -> ((s, dir) =>
+      TextOps.chunkText(docs(s, dir), chunkTokens = 32, overlap = 8)),
+
+    // per-doc keywords by integer (tf desc, df asc) ranking
+    "q_tfidf_keywords" -> ((s, dir) => TextOps.keywords(docs(s, dir))),
+
     // quality-weighted importance sampling: clamped-linear keep ramp
     // over the classifier score, seedless md5 coin
     "q_quality_sample" -> ((s, dir) =>
@@ -798,6 +805,34 @@ object PipelineQueries {
          |      / 1000000.0 AS u
          |  FROM s) q
          |WHERE u < w""".stripMargin,
+
+    "q_chunk_text" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    [array_to_string(list_slice(t, k * 24 + 1, k * 24 + 32), ' ')
+         |     for k in range(0, greatest(1,
+         |       CAST(ceil((len(t) - 8) / 24.0) AS INT)))] AS chunks
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_idx,
+         |  unnest(chunks) AS chunk_text
+         |FROM c""".stripMargin,
+
+    "q_tfidf_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+         |  GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+         |SELECT doc_id, rank, token, tf, df FROM (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS INT)
+         |      AS rank
+         |  FROM tf JOIN df USING (token)) q
+         |WHERE rank <= 3""".stripMargin,
 
     "q_corpus_stats" ->
       s"""WITH toks AS (
