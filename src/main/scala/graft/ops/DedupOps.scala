@@ -323,6 +323,13 @@ object DedupOps {
           col("cluster_id").as("nbr")), "dst")
         .groupBy(col("src"))
         .agg(min("nbr").as("nbr_min"))
+      // localCheckpoint, not persist: `next` references `labels` TWICE
+      // (neighbor-min join + the update join), so an un-truncated
+      // logical plan doubles each round — exponential plan text that
+      // OOMs the driver rendering it long before the data matters.
+      // The eager checkpoint cuts lineage to the materialized RDD;
+      // superseded round RDDs are freed by the ContextCleaner once
+      // unreferenced.
       val next = labels
         .join(nbrMin.withColumnRenamed("src", "doc_id"),
           Seq("doc_id"), "left")
@@ -330,12 +337,11 @@ object DedupOps {
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
+        .localCheckpoint(true)
       changed = next
         .join(labels.select(col("doc_id"),
           col("cluster_id").as("old")), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist(blocking = false) // no-op on the seed frame
       labels = next
       it += 1
     }
@@ -346,8 +352,91 @@ object DedupOps {
       throw new IllegalStateException(
         s"components() did not converge in $maxIters rounds " +
           s"($changed labels still changing) — raise maxIters or use " +
-          "a doubling variant for deep-chain graphs")
-    pin(labels) // converged frame stays pinned for its consumers
+          "[[componentsStar]] for deep-chain graphs")
+    labels // checkpointed: materialized, lineage-free
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * rounds (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond") — the deep-chain-safe variant [[components]]'
+    * scaladoc points to: each round contracts paths toward component
+    * minima, converging in O(log n) rounds on ANY topology, where
+    * min-label propagation needs diameter rounds (a 1000-link chain of
+    * borderline near-dups costs ~10 rounds here vs 1000 there).
+    *
+    * Both half-rounds are a groupBy-min + a join — no collect_set
+    * neighborhood buffering: the per-node minimum comes from a
+    * map-side-combining aggregate and the rewiring is a shuffle join
+    * against that (node, min) table, so a hub node whose neighborhood
+    * is the whole component never materializes a giant array.
+    * Convergence is detected on a one-row (count, hash-sum) signature
+    * of the canonical edge set — O(1) driver data per round.
+    */
+  def componentsStar(edges: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    var signature = (-1L, -1L)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // large-star: every neighbor LARGER than u rewires to the
+      // minimum of u's closed neighborhood
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: canonicalize to (larger, smaller) and point every
+      // member of u's smaller-neighborhood (and u) at its minimum
+      // same lineage discipline as [[components]]: `ls` is referenced
+      // twice below (mins2 + the rewiring join), so each round is cut
+      // to a materialized checkpoint — without it the plan text grows
+      // exponentially in rounds and OOMs the driver
+      val canon = ls
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val mins2 = canon.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = canon.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val next = ss
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct().localCheckpoint(true)
+      val sig = next
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))"))
+        .as[(Long, Option[Long])].head() match {
+          case (c, h) => (c, h.getOrElse(0L))
+        }
+      e = next
+      converged = sig == signature
+      signature = sig
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentsStar did not converge in $maxRounds rounds")
+    // fixpoint: every edge points a node at its component minimum;
+    // uncovered nodes are their own singleton component
+    // the converged edge frame is a checkpoint, so the label join's
+    // lineage is one join deep regardless of round count
+    nodes.select(col("doc_id"))
+      .join(e.select(col("u").as("doc_id"), col("v").as("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** Near-dup CLUSTER assignment: MinHash-LSH verified pairs →

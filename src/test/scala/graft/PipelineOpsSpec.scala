@@ -483,6 +483,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.groupBy(identity).exists(_._2.size >= 2))
   }
 
+  test("componentsStar matches min-label components and union-find") {
+    import spark.implicits._
+    val pairs = DedupOps.minhashLsh(docs, 4, 2, 0.5)
+      .select("doc_a", "doc_b")
+    val nodes = docs.select("doc_id")
+    val minLabel = DedupOps.components(pairs, nodes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val star = DedupOps.componentsStar(pairs, nodes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star === minLabel)
+    // the deep-chain case the star rounds exist for: an 80-link path
+    // needs 80 min-label rounds but converges here in O(log n)
+    val chain = (0L until 80L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val chainNodes = (0L to 80L).toDF("doc_id")
+    val got = DedupOps.componentsStar(chain, chainNodes, maxRounds = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size === 81)
+    assert(got.values.forall(_ == 0L),
+      s"all chain nodes must label to 0: $got")
+  }
+
   test("dupSpans flags planted twins fully and unique text not at all") {
     import spark.implicits._
     val unique = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
