@@ -131,7 +131,13 @@ object StreamingCube {
       name: String = "stream_minhash",
       bands: Int = 4, rows: Int = 2): DataFrame = {
     val s = isolated(spark)
-    val sh = graft.ops.DedupOps.shingledRaw(docStream(s, sfDir))
+    // fan the micro-batch out BEFORE the per-doc signature work: a
+    // file-stream batch arrives with one partition per file, which
+    // would serialize the tokenize→shingle→minhash map chain on a
+    // single core (the streaming analog of DedupOps.rebalanced)
+    val spread = docStream(s, sfDir)
+      .repartition(s.sparkContext.defaultParallelism)
+    val sh = graft.ops.DedupOps.shingledRaw(spread)
     val banded = graft.ops.DedupOps.bandTable(sh, bands, rows)
     val q = banded
       .groupBy("band_idx", "band_sig")
