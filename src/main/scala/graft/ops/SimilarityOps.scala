@@ -290,6 +290,29 @@ object SimilarityOps {
       .select("vec_id", "cell")
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the ANN storage
+    * path: at corpus scale the float32 vectors dominate the footprint,
+    * and IVF-style search degrades gracefully on int8 codes at 4× less
+    * IO (the standard faiss SQ8 layout). Each vector carries one
+    * `scale` = max|x|/127 and its components round to
+    * floor(x/scale + 0.5) clamped to [-127, 127] — floor(+0.5) instead
+    * of round() because round()'s half-case rule differs between
+    * engines while the floor form is pure IEEE arithmetic, identical
+    * everywhere. Rows come back exploded as (vec_id, scale, d, q):
+    * map-only, no shuffle, and dequantization error is ≤ scale/2 per
+    * component (specced).
+    */
+  def quantizeInt8(emb: DataFrame, dim: Int = Dim): DataFrame =
+    emb.select(col("vec_id"),
+        expr(s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)")
+          .as("e"))
+      .withColumn("scale",
+        expr("aggregate(e, 0D, (a, x) -> greatest(a, abs(x))) / 127.0D"))
+      .select(col("vec_id"), col("scale"), posexplode(expr(
+        """transform(e, x -> cast(if(scale = 0D, 0D,
+          |  greatest(-127D, least(127D, floor(x / scale + 0.5D))))
+          |  as int))""".stripMargin)).as(Seq("d", "q")))
+
   /** plane(b, d) ∈ [-0.5, 0.5): md5-derived uniform — deterministic.
     * Computed ONCE on the driver (the planes depend only on the bit and
     * dimension indices, never on data); inlining them as literals keeps

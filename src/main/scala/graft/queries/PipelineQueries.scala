@@ -93,6 +93,10 @@ object PipelineQueries {
       SimilarityOps.lshBuckets(emb(s, dir), nBits = 12)
         .select("vec_id", "bucket")),
 
+    // int8 scalar quantization: the 4x-smaller ANN storage layout
+    "q_embed_quantize" -> ((s, dir) =>
+      SimilarityOps.quantizeInt8(emb(s, dir))),
+
     // trained IVF coarse quantizer: deterministic seeded Lloyd's
     "q_ann_kmeans" -> ((s, dir) =>
       SimilarityOps.kmeansCells(emb(s, dir), k = 8, iters = 3)),
@@ -550,6 +554,26 @@ object PipelineQueries {
          |      THEN (1::BIGINT << b) ELSE 0::BIGINT END
          |    for b in range(0, 12)]) AS BIGINT) AS bucket
          |FROM embeddings""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        |  FROM v),
+        |qv AS (
+        |  SELECT vec_id, scale,
+        |    [CAST(CASE WHEN scale = 0 THEN 0 ELSE
+        |       greatest(-127, least(127, floor(x / scale + 0.5)))
+        |     END AS INT) for x in e] AS qs
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(generate_subscripts(qs, 1) - 1 AS INT) AS d,
+        |  unnest(qs) AS q
+        |FROM qv""".stripMargin,
 
     "q_ann_kmeans" -> SimilarityOps.kmeansOracleSql(k = 8, iters = 3),
 

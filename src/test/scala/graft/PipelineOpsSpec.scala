@@ -426,6 +426,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(q.filter((col("score") > 0) =!= col("keep")).count() === 0)
   }
 
+  test("quantizeInt8 is map-only with bounded dequantization error") {
+    val q = SimilarityOps.quantizeInt8(emb)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"quantization must not shuffle:\n$plan")
+    // |x - q*scale| <= scale/2 for every component
+    val joined = q.join(
+        emb.select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("e")),
+        "vec_id")
+      .withColumn("x", expr("element_at(e, d + 1)"))
+      .withColumn("err", expr("abs(x - q * scale)"))
+      .filter(col("err") > col("scale") / 2 + lit(1e-12))
+    assert(joined.count() === 0)
+    // codes stay in int8 range
+    assert(q.filter(col("q") > 127 || col("q") < -127).count() === 0)
+  }
+
   test("qualitySample is a shuffle-free deterministic subset") {
     val s1 = CurationOps.qualitySample(docs)
     val plan = s1.queryExecution.executedPlan.toString
