@@ -91,14 +91,21 @@ object CurationOps {
     * engine), and stable under corpus growth: a document's keep/drop
     * never changes as other documents arrive.
     */
+  /** The seedless per-document uniform in [0, 1): md5 of a purpose
+    * prefix + doc_id. ONE definition shared by every sampling op (and
+    * mirrored in their oracles) — the coin's modulus/prefix scheme is
+    * a cross-engine determinism contract, not a per-op detail.
+    */
+  private def md5Coin(prefix: String) =
+    expr(DedupOps.h60(s"concat('$prefix', cast(doc_id as string))"))
+      .mod(lit(1000000L)).cast("double") / lit(1e6)
+
   def mixtureSample(docs: DataFrame,
       rates: Map[String, Double]): DataFrame = {
     val rate = rates.toSeq.sortBy(_._1)
       .foldLeft(lit(1.0)) { case (acc, (src, r)) =>
         when(col("source") === src, lit(r)).otherwise(acc) }
-    docs.filter(
-      expr(DedupOps.h60("concat('mix', cast(doc_id as string))"))
-        .mod(lit(1000000L)).cast("double") / lit(1e6) < rate)
+    docs.filter(md5Coin("mix") < rate)
   }
 
   /** Assign documents (in `doc_id` order) to contiguous training
@@ -134,11 +141,7 @@ object CurationOps {
       .withColumn("w",
         least(lit(ceil), greatest(lit(floor),
           lit(0.5) + col("score") / 4)))
-      .withColumn("u", expr(
-        s"""(${graft.ops.DedupOps.h60(
-          "concat('qs', cast(doc_id as string))")}
-           | % 1000000) / 1000000.0D""".stripMargin))
-      .filter(col("u") < col("w"))
+      .filter(md5Coin("qs") < col("w"))
       .select("doc_id", "score")
 
   /** Corpus snapshot diff — the incremental-ingest primitive: compare

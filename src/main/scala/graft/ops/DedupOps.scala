@@ -290,6 +290,21 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Round-boundary lineage cut for the iterative CC loops: a RELIABLE
+    * checkpoint (HDFS/object store) when the session has a checkpoint
+    * dir configured — survives executor loss, the right mode on a real
+    * cluster — falling back to an eager localCheckpoint otherwise
+    * (executor-local blocks: lineage-free and fast, but a lost
+    * executor mid-iteration fails the job for a retry; acceptable in
+    * local/test runs where there is nowhere reliable to write).
+    * Superseded round RDDs are freed by the ContextCleaner once the
+    * loop drops their references.
+    */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   /** Connected components over an undirected edge list — min-label
     * propagation: every node starts as its own cluster and repeatedly
     * takes the minimum label in its neighborhood until a fixpoint.
@@ -337,7 +352,7 @@ object DedupOps {
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint(true)
+        .transform(cut)
       changed = next
         .join(labels.select(col("doc_id"),
           col("cluster_id").as("old")), "doc_id")
@@ -378,7 +393,7 @@ object DedupOps {
     import spark.implicits._
     var e = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(cut)
     var signature = (-1L, -1L)
     var rounds = 0
     var converged = false
@@ -404,7 +419,7 @@ object DedupOps {
         .select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+        .transform(cut)
       val mins2 = canon.groupBy("u").agg(min(col("v")).as("m"))
       val ss = canon.join(mins2, "u")
         .select(col("v").as("u"), col("m").as("v"))
@@ -414,7 +429,7 @@ object DedupOps {
       val next = ss
         .select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
-        .distinct().localCheckpoint(true)
+        .distinct().transform(cut)
       val sig = next
         .agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))"))
         .as[(Long, Option[Long])].head() match {

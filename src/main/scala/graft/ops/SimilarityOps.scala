@@ -302,10 +302,9 @@ object SimilarityOps {
     * map-only, no shuffle, and dequantization error is ≤ scale/2 per
     * component (specced).
     */
-  def quantizeInt8(emb: DataFrame, dim: Int = Dim): DataFrame =
+  def quantizeInt8(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-        expr(s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)")
-          .as("e"))
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
       .withColumn("scale",
         expr("aggregate(e, 0D, (a, x) -> greatest(a, abs(x))) / 127.0D"))
       .select(col("vec_id"), col("scale"), posexplode(expr(

@@ -222,14 +222,16 @@ object TextOps {
         .stripMargin)).as(Seq("chunk_idx", "chunk_text")))
   }
 
-  /** Per-document keyword extraction: the `topK` tokens ranked by
-    * (term frequency DESC, corpus document frequency ASC, token ASC) —
-    * the tf-idf ORDER without the float product: a tf·ln(N/df) score
-    * ranks identically for fixed tf, and the integer lexicographic
-    * form is bit-portable across engines (ln() can differ in the last
-    * ulp and flip near-ties at the cut). Two map-side-combining
-    * aggregations (doc×token, then token df) + a broadcast-joined df
-    * table of distinct tokens; the per-doc top-k runs under
+  /** Per-document top terms ranked by (term frequency DESC, corpus
+    * document frequency ASC, token ASC). NOTE: this is frequency-first
+    * with rarity as the tie-break — NOT the tf·idf product, where a
+    * rare term can outrank a more frequent common one (a float
+    * tf·ln(N/df) score is also not engine-portable: ln() can differ in
+    * the last ulp and flip near-ties at the top-k cut; rank keys here
+    * stay integer-exact). Callers wanting true tf-idf should compute
+    * the float score from the returned (tf, df) columns and accept
+    * engine-specific tie behavior. Two map-side-combining aggregations
+    * (doc×token, then token df); the per-doc top-k runs under
     * WindowGroupLimit, so map tasks keep k rows per doc before the
     * exchange.
     */

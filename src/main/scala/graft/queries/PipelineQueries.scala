@@ -217,8 +217,8 @@ object PipelineQueries {
     "q_chunk_text" -> ((s, dir) =>
       TextOps.chunkText(docs(s, dir), chunkTokens = 32, overlap = 8)),
 
-    // per-doc keywords by integer (tf desc, df asc) ranking
-    "q_tfidf_keywords" -> ((s, dir) => TextOps.keywords(docs(s, dir))),
+    // per-doc top terms by integer (tf desc, df asc) ranking
+    "q_keywords" -> ((s, dir) => TextOps.keywords(docs(s, dir))),
 
     // quality-weighted importance sampling: clamped-linear keep ramp
     // over the classifier score, seedless md5 coin
@@ -843,7 +843,7 @@ object PipelineQueries {
          |  unnest(chunks) AS chunk_text
          |FROM c""".stripMargin,
 
-    "q_tfidf_keywords" ->
+    "q_keywords" ->
       s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
          |tf AS (
          |  SELECT doc_id, token, count(*) AS tf

@@ -131,12 +131,21 @@ object StreamingCube {
       name: String = "stream_minhash",
       bands: Int = 4, rows: Int = 2): DataFrame = {
     val s = isolated(spark)
-    // fan the micro-batch out BEFORE the per-doc signature work: a
+    // fan the micro-batch out BEFORE the per-doc signature work when
+    // the source directory holds fewer files than the parallelism: a
     // file-stream batch arrives with one partition per file, which
     // would serialize the tokenize→shingle→minhash map chain on a
-    // single core (the streaming analog of DedupOps.rebalanced)
-    val spread = docStream(s, sfDir)
-      .repartition(s.sparkContext.defaultParallelism)
+    // single core. Guarded like DedupOps.rebalanced — a real ingest
+    // directory carries more files than cores and must NOT pay a
+    // standing text shuffle per batch.
+    val par = s.sparkContext.defaultParallelism
+    val nFiles = new java.io.File(stageDir(sfDir, "documents"))
+      .listFiles()
+    val raw = docStream(s, sfDir)
+    val spread =
+      if (nFiles != null && nFiles.count(_.isFile) < par / 2)
+        raw.repartition(par)
+      else raw
     val sh = graft.ops.DedupOps.shingledRaw(spread)
     val banded = graft.ops.DedupOps.bandTable(sh, bands, rows)
     val q = banded

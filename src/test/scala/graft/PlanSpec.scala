@@ -191,14 +191,20 @@ class PlanSpec extends SparkSpec {
     val emb = Tables.load(spark, Sf, "embeddings")
     val df = graft.ops.DedupOps.embeddingPairsLsh(emb, 0.47)
     val p = df.queryExecution.executedPlan.toString
-    // the embedding sides join the bounded candidate set on vec_id as
-    // shuffle joins; broadcasting them would put the whole corpus on
-    // one executor
+    // the embedding sides join the bounded candidate set on vec_a /
+    // vec_b as shuffle joins; broadcasting them would put the whole
+    // corpus on one executor. Assert on the JOIN lines (they name the
+    // keys) — BroadcastExchange lines print only mode expressions, so
+    // matching column names there is vacuous.
     val broadcastsEmb = p.linesIterator.exists(l =>
-      l.contains("BroadcastExchange") &&
-        (l.contains("emb_a") || l.contains("emb_b")))
+      l.contains("BroadcastHashJoin") &&
+        (l.contains("vec_a#") || l.contains("vec_b#")))
     assert(!broadcastsEmb,
       s"embedding corpus must not be broadcast:\n$p")
+    val shuffles = p.linesIterator.exists(l =>
+      (l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin")) &&
+        (l.contains("vec_a#") || l.contains("vec_b#")))
+    assert(shuffles, s"expected partitioned verify joins:\n$p")
   }
 
   test("semantic dedup pair join never broadcasts the unit vectors") {
@@ -207,13 +213,18 @@ class PlanSpec extends SparkSpec {
       iters = 1, tau = 0.47)
     val p = df.queryExecution.executedPlan.toString
     // the within-cell self-join must partition on the cell key; a
-    // broadcast would ship the whole normalized corpus to one executor
-    val broadcastsU = p.linesIterator.exists(l =>
-      l.contains("BroadcastExchange") && l.contains("u#"))
-    assert(!broadcastsU,
+    // broadcast would ship the whole normalized corpus to one
+    // executor. The JOIN line names its keys (cell#), so assert there
+    // — BroadcastExchange lines don't print payload columns.
+    val broadcastsCell = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("cell#"))
+    assert(!broadcastsCell,
       s"unit-vector corpus must not be broadcast:\n$p")
-    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
-      s"expected a partitioned pair join:\n$p")
+    val pairJoinPartitioned = p.linesIterator.exists(l =>
+      (l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("cell#"))
+    assert(pairJoinPartitioned,
+      s"expected the pair join partitioned on cell:\n$p")
   }
 
   test("dupSpans prunes the documents scan to doc_id + text") {
