@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import graft.olap._
 
 /** Smoke CLI: runs the flagship entry query + metadata API + an error-path
@@ -132,6 +133,36 @@ object Demo {
       pp.toLowerCase.contains("rangepartitioning") +
       " single-partition-hops=" +
       pp.linesIterator.count(_.contains("Exchange SinglePartition")))
+
+    println("== dedup wave: bloom gate is map-only, cluster/semantic ==")
+    println("== pair joins partition (never broadcast the corpus)    ==")
+    val evalDocs = docsDf.filter(col("doc_id") < 250)
+    val bf = graft.ops.DedupOps.buildBloom(evalDocs, 1000L, 8000L)
+    val probePlan = graft.ops.DedupOps.bloomProbe(docsDf, bf)
+      .queryExecution.executedPlan.toString
+    println("bloom probe shuffle-free: " +
+      !probePlan.contains("Exchange") +
+      " codegen'd might_contain: " + probePlan.contains("might_contain"))
+    val semPlan = graft.ops.SimilarityOps
+      .semanticDedup(emb, k = 4, iters = 1, tau = 0.47)
+      .queryExecution.executedPlan.toString
+    println("semantic pair join partitioned on cell: " +
+      semPlan.linesIterator.exists(l =>
+        (l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin")) &&
+          l.contains("cell#")))
+    val chain = {
+      import spark.implicits._
+      (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    }
+    val nodes = {
+      import spark.implicits._
+      (0L to 64L).toDF("doc_id")
+    }
+    val stars = graft.ops.DedupOps.componentsStar(chain, nodes)
+      .groupBy("cluster_id").count().collect()
+    println(s"componentsStar on a 64-link chain: " +
+      s"${stars.length} component(s), sizes=" +
+      stars.map(_.getLong(1)).mkString(","))
 
     println("== explain: flagship plan ==")
     SparkEntry.entry(spark).explain("formatted")

@@ -61,6 +61,14 @@ object ScaleProbe {
       time(s"semantic_dedup k=${8 * mult} x$mult")(
         graft.ops.SimilarityOps.semanticDedup(bigEmb,
           k = 8 * mult, iters = 2, tau = 0.47).count())
+      time(s"chunk_text x$mult")(
+        graft.ops.TextOps.chunkText(big, 32, 8).count())
+      time(s"keywords x$mult")(
+        graft.ops.TextOps.keywords(big).count())
+      time(s"char_entropy x$mult")(
+        graft.ops.TextOps.charEntropy(big).count())
+      time(s"quantize_int8 x$mult")(
+        graft.ops.SimilarityOps.quantizeInt8(bigEmb).count())
       big.unpersist(); bigEmb.unpersist()
     }
     spark.stop()

@@ -249,6 +249,29 @@ object TextOps {
       .select("doc_id", "rank", "token", "tf", "df")
   }
 
+  /** Per-document character-level Shannon entropy (bits/char) — the
+    * cheap perplexity proxy quality filters use to catch binary
+    * spillage, repeated-character padding, and base64-ish blobs
+    * (natural text sits ~4 bits/char; degenerate content collapses
+    * toward 0 or saturates near log2(alphabet)). Lowered as explode →
+    * per-(doc, char) counts → one combining per-doc fold; the log2
+    * arithmetic is plain double math, equal to the oracle within the
+    * 12-significant-digit float normalization the compare applies.
+    */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).as("n"),
+        explode(expr("split(text, '')")).as("c"))
+      .groupBy("doc_id", "c")
+      .agg(count(lit(1)).as("cnt"), min(col("n")).as("n"))
+      .groupBy("doc_id")
+      // per-term decimal cast makes the sum order-independent at any
+      // parallelism (a raw double sum reorders partials per run)
+      .agg(sum(expr(
+        """cast(-(cnt / cast(n as double)) * log2(cnt / cast(n as double))
+          |  as decimal(38, 18))""".stripMargin))
+        .cast("double").as("entropy_bits"))
+
   /** Per-source corpus statistics — the curation dashboard numbers
     * (doc counts, token budget, length distribution) a mixture design
     * starts from. One tokenized projection, one map-side-combining

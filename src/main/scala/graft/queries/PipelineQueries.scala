@@ -150,6 +150,9 @@ object PipelineQueries {
     "q_text_repetition" -> ((s, dir) =>
       TextOps.repetition(docs(s, dir))),
 
+    // char-level Shannon entropy: the cheap perplexity-proxy filter
+    "q_text_entropy" -> ((s, dir) => TextOps.charEntropy(docs(s, dir))),
+
     // -- corpus curation -----------------------------------------------
     // per-source document cap (per-domain cap): top-40 by length
     "q_curate_cap" -> ((s, dir) =>
@@ -812,6 +815,20 @@ object PipelineQueries {
          |  FROM (SELECT unnest($T) AS token FROM documents)
          |  GROUP BY token)
          |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE length(text) > 0),
+        |g AS (
+        |  SELECT doc_id, ch, count(*) AS cnt, min(n) AS n
+        |  FROM c GROUP BY doc_id, ch)
+        |SELECT doc_id,
+        |  CAST(sum(CAST(-(cnt / CAST(n AS DOUBLE))
+        |    * log2(cnt / CAST(n AS DOUBLE)) AS DECIMAL(38, 18)))
+        |    AS DOUBLE) AS entropy_bits
+        |FROM g GROUP BY doc_id""".stripMargin,
 
     "q_quality_sample" ->
       s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
