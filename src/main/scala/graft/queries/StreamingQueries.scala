@@ -33,6 +33,18 @@ object StreamingQueries {
       StreamingCube.runStreamMinhashIndex(s, dir,
         s"stream_minhash_${runId.incrementAndGet()}")),
 
+    // stateless streaming quality gate: classifier scores in append
+    // mode, batch parity by shared expression tree
+    "q_stream_quality" -> ((s, dir) =>
+      StreamingCube.runStreamQuality(s, dir,
+        s"stream_quality_${runId.incrementAndGet()}")),
+
+    // streaming decontamination: bloom-negatives pass join-free, the
+    // positive sliver verifies via a stream-static anti join
+    "q_stream_decontaminate" -> ((s, dir) =>
+      StreamingCube.runStreamDecontaminate(s, dir, evalMaxId = 250,
+        s"stream_decon_${runId.incrementAndGet()}")),
+
     // flatMapGroupsWithState sessionization (batch-mode execution of
     // the same stateful function; the streaming path is spec-tested
     // with MemoryStream batches)
@@ -55,6 +67,28 @@ object StreamingQueries {
         |  count(*) AS n_events,
         |  sum(CAST(value AS DECIMAL(38,10))) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    coalesce(list_sum([
+        |      ((('0x' || substr(md5('w' ||
+        |          CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096
+        |            AS VARCHAR)), 1, 15))::BIGINT)
+        |        % 2001 - 1000) / 1000.0
+        |      for tok in t]), 0.0) AS score
+        |  FROM toks)
+        |SELECT doc_id, score, score > 0 AS keep FROM s""".stripMargin,
+
+    "q_stream_decontaminate" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id >= 250
+        |  AND text NOT IN (SELECT text FROM documents WHERE doc_id < 250)"""
+        .stripMargin,
 
     "q_stream_minhash" ->
       """WITH toks AS (

@@ -115,6 +115,60 @@ object StreamingCube {
     s.table(name)
   }
 
+  /** Streaming quality gate: the hashed linear classifier applied to
+    * arriving documents — stateless map-only scoring, so the stream
+    * emits in append mode with no state store and batch parity is
+    * exact (same expression tree as `TextOps.qualityClassifier`).
+    */
+  def runStreamQuality(spark: SparkSession, sfDir: String,
+      name: String = "stream_quality"): DataFrame = {
+    val s = isolated(spark)
+    val q = graft.ops.TextOps.qualityClassifier(docStream(s, sfDir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Streaming decontamination gate: the Bloom prefilter riding a
+    * stream — bloom-negative documents pass with NO join and no state;
+    * the bloom-positive sliver is exactly verified with a
+    * stream-static anti join against the (static) eval frame. Append
+    * mode, stateless: the stream-side row either survives the batch it
+    * arrived in or is dropped — the same per-row decision the batch
+    * [[graft.ops.DedupOps.decontaminateBloom]] makes, so stream ≡
+    * batch row-for-row.
+    */
+  def runStreamDecontaminate(spark: SparkSession, sfDir: String,
+      evalMaxId: Long, name: String = "stream_decon"): DataFrame = {
+    val s = isolated(spark)
+    val evalTexts = s.read
+      .parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < evalMaxId)
+    val bf = graft.ops.DedupOps.buildBloom(evalTexts, 1000L, 8000L)
+    val stream = docStream(s, sfDir).filter(col("doc_id") >= evalMaxId)
+    val flagged = graft.ops.DedupOps.bloomProbe(stream, bf)
+    val negatives = flagged.filter(!col("__maybe"))
+      .select(col("doc_id"), col("source"))
+    val positives = flagged.filter(col("__maybe"))
+      .join(evalTexts.select(col("text")).distinct(), Seq("text"),
+        "left_anti")
+      .select(col("doc_id"), col("source"))
+    val q = negatives.union(positives)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** Streaming NEAR-dup index: the MinHash LSH band table maintained
     * incrementally as documents arrive — per (band_idx, band_sig)
     * bucket, the representative (min doc_id) and the bucket size. This
