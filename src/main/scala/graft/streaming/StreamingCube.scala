@@ -151,14 +151,22 @@ object StreamingCube {
       .filter(col("doc_id") < evalMaxId)
     val bf = graft.ops.DedupOps.buildBloom(evalTexts, 1000L, 8000L)
     val stream = docStream(s, sfDir).filter(col("doc_id") >= evalMaxId)
-    val flagged = graft.ops.DedupOps.bloomProbe(stream, bf)
-    val negatives = flagged.filter(!col("__maybe"))
-      .select(col("doc_id"), col("source"))
-    val positives = flagged.filter(col("__maybe"))
-      .join(evalTexts.select(col("text")).distinct(), Seq("text"),
-        "left_anti")
-      .select(col("doc_id"), col("source"))
-    val q = negatives.union(positives)
+    // empty eval set -> null filter -> everything passes (the same
+    // guard decontaminateBloom applies; a null bloom would instead
+    // null out the flag and silently drop the whole stream)
+    val gated =
+      if (bf == null) stream.select(col("doc_id"), col("source"))
+      else {
+        val flagged = graft.ops.DedupOps.bloomProbe(stream, bf)
+        val negatives = flagged.filter(!col("__maybe"))
+          .select(col("doc_id"), col("source"))
+        val positives = flagged.filter(col("__maybe"))
+          .join(evalTexts.select(col("text")).distinct(), Seq("text"),
+            "left_anti")
+          .select(col("doc_id"), col("source"))
+        negatives.union(positives)
+      }
+    val q = gated
       .writeStream
       .format("memory")
       .queryName(name)

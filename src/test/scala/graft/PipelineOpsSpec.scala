@@ -444,6 +444,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(q.filter(col("q") > 127 || col("q") < -127).count() === 0)
   }
 
+  test("chunkText covers every token exactly (generator-driven)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      c <- Gen.choose(2, 40)
+      o <- Gen.choose(0, c - 1)
+    } yield (n, c, o)
+    val params = org.scalacheck.Gen.Parameters.default
+    val cases = (0 until 40).flatMap(i =>
+      gen.apply(params, Seed(i.toLong)))
+    cases.foreach { case (n, c, o) =>
+      val toks = (1 to n).map(i => s"w$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = TextOps.chunkText(df, c, o)
+        .orderBy("chunk_idx").collect()
+        .map(r => r.getString(2).split(" ").toSeq)
+      val stride = c - o
+      val want = math.max(1, math.ceil((n - o).toDouble / stride).toInt)
+      assert(chunks.length === want, s"n=$n c=$c o=$o")
+      // first chunk + the non-overlap tail of each later chunk
+      // reconstructs the token stream exactly
+      val rebuilt = chunks.head ++
+        chunks.tail.flatMap(_.drop(o))
+      assert(rebuilt === toks, s"n=$n c=$c o=$o")
+      // every chunk except possibly the last is full-size
+      assert(chunks.init.forall(_.length == c), s"n=$n c=$c o=$o")
+    }
+  }
+
   test("qualitySample is a shuffle-free deterministic subset") {
     val s1 = CurationOps.qualitySample(docs)
     val plan = s1.queryExecution.executedPlan.toString
