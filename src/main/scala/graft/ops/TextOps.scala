@@ -243,7 +243,10 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
-    tf.join(df, "token")
+    // shuffle_hash: the df table is the corpus vocabulary — unbounded
+    // (tens of millions of types at corpus scale), so it partitions on
+    // the token key rather than trusting local stats to broadcast it
+    tf.join(df.hint("shuffle_hash"), "token")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select("doc_id", "rank", "token", "tf", "df")
