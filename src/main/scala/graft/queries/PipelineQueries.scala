@@ -413,12 +413,14 @@ object PipelineQueries {
          |FROM ($DECON_SQL) pairs
          |GROUP BY eval_id""".stripMargin,
 
-    // bloom prefilter + exact verify ≡ the plain exact anti-join
+    // bloom prefilter + exact verify ≡ the plain exact anti-join.
+    // NOT EXISTS, not NOT IN: a NULL eval text would make NOT IN
+    // return zero rows while left_anti (no-match on NULL) keeps them
     "q_decontaminate_bloom" ->
-      """SELECT doc_id, source FROM documents
+      """SELECT doc_id, source FROM documents d
         |WHERE doc_id >= 250
-        |  AND text NOT IN (SELECT text FROM documents WHERE doc_id < 250)"""
-        .stripMargin,
+        |  AND NOT EXISTS (SELECT 1 FROM documents e
+        |    WHERE e.doc_id < 250 AND e.text = d.text)""".stripMargin,
 
     "q_dedup_semantic" ->
       s"""${SimilarityOps.kmeansOracleCtes(k = 8, iters = 2)},

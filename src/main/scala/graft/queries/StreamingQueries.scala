@@ -68,27 +68,13 @@ object StreamingQueries {
         |  sum(CAST(value AS DECIMAL(38,10))) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // the streaming gates ARE the batch ops on a stream — their
+    // oracles are the batch entries, referenced, not copied
     "q_stream_quality" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    coalesce(list_sum([
-        |      ((('0x' || substr(md5('w' ||
-        |          CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096
-        |            AS VARCHAR)), 1, 15))::BIGINT)
-        |        % 2001 - 1000) / 1000.0
-        |      for tok in t]), 0.0) AS score
-        |  FROM toks)
-        |SELECT doc_id, score, score > 0 AS keep FROM s""".stripMargin,
+      PipelineQueries.oracleSql("q_quality_classifier"),
 
     "q_stream_decontaminate" ->
-      """SELECT doc_id, source FROM documents
-        |WHERE doc_id >= 250
-        |  AND text NOT IN (SELECT text FROM documents WHERE doc_id < 250)"""
-        .stripMargin,
+      PipelineQueries.oracleSql("q_decontaminate_bloom"),
 
     "q_stream_minhash" ->
       """WITH toks AS (

@@ -76,17 +76,6 @@ object StreamingCube {
     spark.readStream.schema(schema).parquet(stageDir(sfDir, "documents"))
   }
 
-  /** Streaming exact dedup — the stream form of `DedupOps.exactDedup`:
-    * survivors = min doc_id per content hash, maintained incrementally
-    * as documents arrive. Complete-mode aggregation: the state IS the
-    * distinct-content table, inherently O(distinct docs) for EXACT
-    * dedup in any engine (an infinite stream that must never re-admit
-    * an old duplicate has to remember every content hash; bound the
-    * state with a watermark only when re-admission after the horizon
-    * is acceptable). Hash grouping keys and integer min are
-    * order-independent, so the AvailableNow drain reproduces the batch
-    * backfill bit-for-bit.
-    */
   /** An isolated session for stream construction: the narrow
     * state-store partitioning is set on a `newSession()` clone (shared
     * SparkContext, private SQL conf), so concurrent batch queries on
@@ -99,20 +88,40 @@ object StreamingCube {
     s
   }
 
+  /** Streaming exact dedup — the stream form of `DedupOps.exactDedup`:
+    * survivors = min doc_id per content hash, maintained incrementally
+    * as documents arrive. Complete-mode aggregation: the state IS the
+    * distinct-content table, inherently O(distinct docs) for EXACT
+    * dedup in any engine (an infinite stream that must never re-admit
+    * an old duplicate has to remember every content hash; bound the
+    * state with a watermark only when re-admission after the horizon
+    * is acceptable). Hash grouping keys and integer min are
+    * order-independent, so the AvailableNow drain reproduces the batch
+    * backfill bit-for-bit.
+    */
   def runStreamDedup(spark: SparkSession, sfDir: String,
       name: String = "stream_dedup"): DataFrame = {
     val s = isolated(spark)
-    val q = docStream(s, sfDir)
+    drain(docStream(s, sfDir)
       .select(expr("md5(text)").as("fp"), col("doc_id"))
-      .groupBy("fp").agg(min("doc_id").as("doc_id"))
-      .writeStream
+      .groupBy("fp").agg(min("doc_id").as("doc_id")),
+      name, OutputMode.Complete)
+  }
+
+  /** Drain a (bounded) streaming frame into a memory sink with the
+    * AvailableNow trigger and return the sink table — the shared tail
+    * of every runStream* entry.
+    */
+  private def drain(df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = df.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode(OutputMode.Complete)
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
+    df.sparkSession.table(name)
   }
 
   /** Streaming quality gate: the hashed linear classifier applied to
@@ -123,15 +132,8 @@ object StreamingCube {
   def runStreamQuality(spark: SparkSession, sfDir: String,
       name: String = "stream_quality"): DataFrame = {
     val s = isolated(spark)
-    val q = graft.ops.TextOps.qualityClassifier(docStream(s, sfDir))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    drain(graft.ops.TextOps.qualityClassifier(docStream(s, sfDir)),
+      name, OutputMode.Append)
   }
 
   /** Streaming decontamination gate: the Bloom prefilter riding a
@@ -149,32 +151,13 @@ object StreamingCube {
     val evalTexts = s.read
       .parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") < evalMaxId)
-    val bf = graft.ops.DedupOps.buildBloom(evalTexts, 1000L, 8000L)
     val stream = docStream(s, sfDir).filter(col("doc_id") >= evalMaxId)
-    // empty eval set -> null filter -> everything passes (the same
-    // guard decontaminateBloom applies; a null bloom would instead
-    // null out the flag and silently drop the whole stream)
-    val gated =
-      if (bf == null) stream.select(col("doc_id"), col("source"))
-      else {
-        val flagged = graft.ops.DedupOps.bloomProbe(stream, bf)
-        val negatives = flagged.filter(!col("__maybe"))
-          .select(col("doc_id"), col("source"))
-        val positives = flagged.filter(col("__maybe"))
-          .join(evalTexts.select(col("text")).distinct(), Seq("text"),
-            "left_anti")
-          .select(col("doc_id"), col("source"))
-        negatives.union(positives)
-      }
-    val q = gated
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    // THE batch gate, applied to a streaming frame: every piece of
+    // decontaminateBloom (model build on the static side, map-only
+    // probe, stream-static left_anti verify, union) is streaming-safe,
+    // so stream ≡ batch is the same code, not a parallel copy
+    drain(graft.ops.DedupOps.decontaminateBloom(stream, evalTexts),
+      name, OutputMode.Append)
   }
 
   /** Streaming NEAR-dup index: the MinHash LSH band table maintained
@@ -210,17 +193,10 @@ object StreamingCube {
       else raw
     val sh = graft.ops.DedupOps.shingledRaw(spread)
     val banded = graft.ops.DedupOps.bandTable(sh, bands, rows)
-    val q = banded
+    drain(banded
       .groupBy("band_idx", "band_sig")
-      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_docs"))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_docs")),
+      name, OutputMode.Complete)
   }
 
   /** Watermarked daily pre-aggregation per event type — the streaming
