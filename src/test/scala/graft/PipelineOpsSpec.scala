@@ -532,6 +532,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.groupBy(identity).exists(_._2.size >= 2))
   }
 
+  test("componentsStar equals union-find on random graphs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(0, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L)
+        b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield (n.toLong, es.filter { case (a, b) => a != b })
+    val params = org.scalacheck.Gen.Parameters.default
+    (0 until 12).foreach { i =>
+      val (n, es) = gen.apply(params, Seed(1000L + i)).get
+      val edges = es.toDF("doc_a", "doc_b")
+      val nodes = (0L until n).toDF("doc_id")
+      val got = DedupOps.componentsStar(edges, nodes).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      (0L until n).foreach(id => parent(id) = id)
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0L until n).map(id => id -> find(id)).toMap
+      assert(got === want, s"case $i: n=$n edges=$es")
+    }
+  }
+
+  test("minhash signatures are shingle-order invariant") {
+    import spark.implicits._
+    // the same shingle SET in permuted array order must produce the
+    // SAME signature (min over a universal-hash image is symmetric);
+    // a different set is the control
+    val s1 = Seq("x y z", "y z w", "z w v", "w v u")
+    val df = Seq(
+        (1L, s1), (2L, s1.reverse),
+        (3L, Seq("p q r", "q r s", "x y z", "y z w")))
+      .toDF("doc_id", "shingles")
+      .withColumn("bh", expr(
+        s"transform(shingles, s -> ${DedupOps.h60("s")} % ${DedupOps.P})"))
+      .withColumn("sig", expr(DedupOps.minhashExpr(8)))
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(df(1L) === df(2L)) // permuted set -> identical signature
+    assert(df(1L) !== df(3L)) // different set -> (a.s.) different
+  }
+
   test("componentsStar matches min-label components and union-find") {
     import spark.implicits._
     val pairs = DedupOps.minhashLsh(docs, 4, 2, 0.5)
