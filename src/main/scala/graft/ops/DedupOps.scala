@@ -605,6 +605,47 @@ object DedupOps {
         col("n_dup_spans").cast("double") / col("n_spans"))
   }
 
+  /** The duplicated-span REMOVAL transform (the rewrite half of Lee et
+    * al. 2022, where [[dupSpans]] is the measurement half): tokens
+    * covered by any w-token span that also occurs in ANOTHER document
+    * are cut, and the survivors are re-joined into the cleaned
+    * (whitespace-normalized, lowercased) text. Per document the cut
+    * set is the union of [i, i+w) windows over its duplicated span
+    * starts — membership is evaluated against the per-doc start list,
+    * so the rebuild is one interpreted per-doc pass like the shingle
+    * expressions, never per-pair work.
+    *
+    * Scale shape = [[dupSpans]] (span-hash aggregate with min/max
+    * cross-doc flag, 1:1 flag join) plus ONE per-doc collect of its
+    * duplicated starts — bounded by the doc's own span count — and a
+    * broadcast-free left join back to the token frame on doc_id.
+    */
+  def removeDupSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+    val toks = pin(rebalanced(docs)
+      .select(col("doc_id"), expr(TOKENS).as("t"))
+      .persist())
+    val spans = pin(toks
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(t) - ${w - 1}),
+           |  i -> ${h60(s"concat_ws(' ', slice(t, i, $w))")})"""
+          .stripMargin)).as(Seq("i0", "sh")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("sh"))
+      .persist())
+    val flags = spans.groupBy("sh")
+      .agg((min("doc_id") < max("doc_id")).as("dup"))
+    val dupStarts = spans.join(flags, "sh")
+      .filter(col("dup"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    toks.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), expr(
+        s"""concat_ws(' ', filter(t, (tok, j0) ->
+           |  size(filter(coalesce(starts, array_repeat(1, 0)),
+           |    s -> s <= j0 + 1 and j0 + 1 <= s + ${w - 1})) = 0))"""
+          .stripMargin).as("clean_text"))
+  }
+
   /** 60-bit SimHash over the token multiset: per bit position, tokens
     * vote +1/-1 by their hash bit; the signature sets bits with
     * positive vote.

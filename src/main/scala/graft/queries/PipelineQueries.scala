@@ -196,6 +196,11 @@ object PipelineQueries {
     // shared with at least one other document
     "q_dup_spans" -> ((s, dir) => DedupOps.dupSpans(docs(s, dir))),
 
+    // the rewrite half: cut every cross-doc duplicated span's tokens
+    // and rebuild the cleaned text
+    "q_dup_span_removal" -> ((s, dir) =>
+      DedupOps.removeDupSpans(docs(s, dir))),
+
     // incremental-ingest delta: v2 drops doc_id%13, edits doc_id%7,
     // adds shifted copies of doc_id%11 — diff emits only the delta
     "q_corpus_diff" -> ((s, dir) => {
@@ -905,6 +910,28 @@ object PipelineQueries {
          |    / count(*) AS dup_frac
          |FROM spans s JOIN flags f USING (sh)
          |GROUP BY s.doc_id""".stripMargin,
+
+    "q_dup_span_removal" ->
+      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+         |sp AS (
+         |  SELECT doc_id, unnest(
+         |    [{'i': i, 'sh': ${H60(
+             "array_to_string(list_slice(t, i, i + 7), ' ')")}}
+         |     for i in range(1, len(t) - 6)]) AS u
+         |  FROM toks WHERE len(t) >= 8),
+         |s2 AS (SELECT doc_id, u.i AS i, u.sh AS sh FROM sp),
+         |fl AS (
+         |  SELECT sh, min(doc_id) < max(doc_id) AS dup
+         |  FROM s2 GROUP BY sh),
+         |ds AS (
+         |  SELECT s2.doc_id, list_sort(list(i)) AS starts
+         |  FROM s2 JOIN fl USING (sh) WHERE dup GROUP BY s2.doc_id)
+         |SELECT t0.doc_id,
+         |  coalesce(array_to_string([t[j] for j in range(1, len(t) + 1)
+         |    if len(list_filter(coalesce(starts, []),
+         |      s -> s <= j and j <= s + 7)) = 0], ' '), '') AS clean_text
+         |FROM toks t0 LEFT JOIN ds ON t0.doc_id = ds.doc_id"""
+        .stripMargin,
 
     "q_corpus_diff" ->
       """WITH v2 AS (

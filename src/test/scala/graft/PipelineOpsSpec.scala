@@ -626,6 +626,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res(200000L)._2 === 3L) // 10 tokens -> 3 spans of 8
   }
 
+  test("removeDupSpans cuts planted twins fully, keeps unique text") {
+    import spark.implicits._
+    val unique = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
+    val planted = docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .unionByName(Seq((200000L, unique)).toDF("doc_id", "text"))
+    val corpus = docs.select("doc_id", "text").unionByName(planted)
+    val out = DedupOps.removeDupSpans(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // a doc with an exact twin has every span duplicated -> fully cut
+    (0L until 3L).filter(out.contains).foreach { id =>
+      assert(out(id) === "", s"doc $id should be fully removed")
+      assert(out(id + 100000L) === "")
+    }
+    // the unique-token doc survives verbatim (already normalized)
+    assert(out(200000L) === unique)
+    // every doc is present exactly once
+    assert(out.size === corpus.count())
+  }
+
   test("snapshotDiff emits exactly the constructed delta") {
     val d = docs.select("doc_id", "text")
     val v2 = d.filter(col("doc_id") % 13 =!= 0)
