@@ -587,14 +587,7 @@ object DedupOps {
   def dupSpans(docs: DataFrame, w: Int = 8): DataFrame = {
     // two consumers (flags aggregate + the flag join) — persist, or the
     // tokenize + per-span md5 explode (the dominant map cost) runs twice
-    val spans = pin(rebalanced(docs)
-      .select(col("doc_id"), expr(TOKENS).as("t"))
-      .filter(size(col("t")) >= w)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(t) - ${w - 1}),
-           |  i -> ${h60(s"concat_ws(' ', slice(t, i, $w))")})"""
-          .stripMargin)).as("sh"))
-      .persist())
+    val spans = pin(spanFrame(docs, w).select("doc_id", "sh").persist())
     val flags = spans.groupBy("sh")
       .agg((min("doc_id") < max("doc_id")).as("dup"))
     spans.join(flags, "sh")
@@ -605,40 +598,54 @@ object DedupOps {
         col("n_dup_spans").cast("double") / col("n_spans"))
   }
 
-  /** The duplicated-span REMOVAL transform (the rewrite half of Lee et
-    * al. 2022, where [[dupSpans]] is the measurement half): tokens
-    * covered by any w-token span that also occurs in ANOTHER document
-    * are cut, and the survivors are re-joined into the cleaned
-    * (whitespace-normalized, lowercased) text. Per document the cut
-    * set is the union of [i, i+w) windows over its duplicated span
-    * starts — membership is evaluated against the per-doc start list,
-    * so the rebuild is one interpreted per-doc pass like the shingle
-    * expressions, never per-pair work.
-    *
-    * Scale shape = [[dupSpans]] (span-hash aggregate with min/max
-    * cross-doc flag, 1:1 flag join) plus ONE per-doc collect of its
-    * duplicated starts — bounded by the doc's own span count — and a
-    * broadcast-free left join back to the token frame on doc_id.
+  /** Indexed w-token span hashes (doc_id, i, sh) with 1-based start
+    * positions — the ONE copy of the span lowering shared by the
+    * measurement ([[dupSpans]]) and rewrite ([[removeDupSpans]])
+    * halves, so the fraction the former reports is always computed
+    * over exactly the windows the latter considers.
     */
-  def removeDupSpans(docs: DataFrame, w: Int = 8): DataFrame = {
-    val toks = pin(rebalanced(docs)
+  private def spanFrame(docs: DataFrame, w: Int): DataFrame =
+    rebalanced(docs)
       .select(col("doc_id"), expr(TOKENS).as("t"))
-      .persist())
-    val spans = pin(toks
       .filter(size(col("t")) >= w)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(1, size(t) - ${w - 1}),
            |  i -> ${h60(s"concat_ws(' ', slice(t, i, $w))")})"""
           .stripMargin)).as(Seq("i0", "sh")))
       .select(col("doc_id"), (col("i0") + 1).as("i"), col("sh"))
-      .persist())
+
+  /** The duplicated-span REMOVAL transform (the rewrite half of Lee et
+    * al. 2022, where [[dupSpans]] is the measurement half): a w-token
+    * span occurring in more than one document keeps its occurrences in
+    * the LOWEST doc_id and is cut everywhere else — one copy of the
+    * duplicated content survives (the remove-all-but-one contract;
+    * cutting every occurrence would erase twice-written legitimate
+    * text from the corpus entirely) — and the survivors re-join into
+    * the cleaned (whitespace-normalized, lowercased) text. Per
+    * document the cut set is the union of [i, i+w) windows over its
+    * non-keeper span starts — membership is evaluated against the
+    * per-doc start list, so the rebuild is one interpreted per-doc
+    * pass like the shingle expressions, never per-pair work.
+    *
+    * Scale shape = [[dupSpans]] (span-hash aggregate with min/max
+    * cross-doc flag, 1:1 flag join) plus ONE per-doc collect of its
+    * cut starts — bounded by the doc's own span count — and a
+    * broadcast-free left join back to a map-only re-tokenization of
+    * the corpus (re-deriving tokens is the cheap half; pinning the
+    * tokenized corpus would evict load-bearing persists).
+    */
+  def removeDupSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+    // two consumers (flag aggregate + the cut join)
+    val spans = pin(spanFrame(docs, w).persist())
     val flags = spans.groupBy("sh")
-      .agg((min("doc_id") < max("doc_id")).as("dup"))
-    val dupStarts = spans.join(flags, "sh")
-      .filter(col("dup"))
+      .agg(min("doc_id").as("keeper"),
+        (min("doc_id") < max("doc_id")).as("dup"))
+    val cutStarts = spans.join(flags, "sh")
+      .filter(col("dup") && col("doc_id") > col("keeper"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("i"))).as("starts"))
-    toks.join(dupStarts, Seq("doc_id"), "left")
+      .agg(collect_list(col("i")).as("starts"))
+    docs.select(col("doc_id"), expr(TOKENS).as("t"))
+      .join(cutStarts, Seq("doc_id"), "left")
       .select(col("doc_id"), expr(
         s"""concat_ws(' ', filter(t, (tok, j0) ->
            |  size(filter(coalesce(starts, array_repeat(1, 0)),

@@ -921,11 +921,13 @@ object PipelineQueries {
          |  FROM toks WHERE len(t) >= 8),
          |s2 AS (SELECT doc_id, u.i AS i, u.sh AS sh FROM sp),
          |fl AS (
-         |  SELECT sh, min(doc_id) < max(doc_id) AS dup
+         |  SELECT sh, min(doc_id) AS keeper,
+         |    min(doc_id) < max(doc_id) AS dup
          |  FROM s2 GROUP BY sh),
          |ds AS (
-         |  SELECT s2.doc_id, list_sort(list(i)) AS starts
-         |  FROM s2 JOIN fl USING (sh) WHERE dup GROUP BY s2.doc_id)
+         |  SELECT s2.doc_id, list(i) AS starts
+         |  FROM s2 JOIN fl USING (sh)
+         |  WHERE dup AND s2.doc_id > keeper GROUP BY s2.doc_id)
          |SELECT t0.doc_id,
          |  coalesce(array_to_string([t[j] for j in range(1, len(t) + 1)
          |    if len(list_filter(coalesce(starts, []),

@@ -549,8 +549,10 @@ class PipelineOpsSpec extends SparkSpec {
       val (n, es) = gen.apply(params, Seed(1000L + i)).get
       val edges = es.toDF("doc_a", "doc_b")
       val nodes = (0L until n).toDF("doc_id")
-      val got = DedupOps.componentsStar(edges, nodes).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val rows = DedupOps.componentsStar(edges, nodes).collect()
+      assert(rows.length === n.toInt,
+        s"case $i: one label row per node, got ${rows.length} for $n")
+      val got = rows.map(r => (r.getLong(0), r.getLong(1))).toMap
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         val p = parent.getOrElse(x, x)
@@ -626,24 +628,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res(200000L)._2 === 3L) // 10 tokens -> 3 spans of 8
   }
 
-  test("removeDupSpans cuts planted twins fully, keeps unique text") {
+  test("removeDupSpans keeps one copy: originals survive, twins cut") {
     import spark.implicits._
     val unique = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
+    // precondition: the planted originals must exist and span-eligible
+    val originals = docs.filter(col("doc_id") < 3)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(originals.size === 3)
+    originals.values.foreach(t =>
+      assert(t.trim.split("\\s+").length >= 8, "need span-eligible docs"))
     val planted = docs.filter(col("doc_id") < 3)
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       .unionByName(Seq((200000L, unique)).toDF("doc_id", "text"))
     val corpus = docs.select("doc_id", "text").unionByName(planted)
-    val out = DedupOps.removeDupSpans(corpus).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    // a doc with an exact twin has every span duplicated -> fully cut
-    (0L until 3L).filter(out.contains).foreach { id =>
-      assert(out(id) === "", s"doc $id should be fully removed")
-      assert(out(id + 100000L) === "")
+    val rows = DedupOps.removeDupSpans(corpus).collect()
+    assert(rows.length === corpus.count()) // one row per doc, no dups
+    val out = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 3L).foreach { id =>
+      // the LOWEST doc_id keeps its content (normalized form)...
+      val want = originals(id).trim.toLowerCase
+        .split("\\s+").mkString(" ")
+      assert(out(id) === want, s"original $id must keep one copy")
+      // ...and the higher-id twin is cut (every span's keeper is id)
+      assert(out(id + 100000L) === "", s"twin of $id must be removed")
     }
     // the unique-token doc survives verbatim (already normalized)
     assert(out(200000L) === unique)
-    // every doc is present exactly once
-    assert(out.size === corpus.count())
   }
 
   test("snapshotDiff emits exactly the constructed delta") {
