@@ -47,10 +47,24 @@ object Bench {
     }
     val names = selected.keys.toSeq.sorted
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val perPass: Seq[Map[String, Double]] = (1 to passes).map { _ =>
-      names.map { name =>
+    val perPass: Seq[Map[String, Double]] = (1 to passes).map { pass =>
+      // Per-pass deterministic shuffle (VERDICT r6 #6): the old sorted
+      // order ran the dedup/ANN family first every pass and let
+      // alphabetical neighbors share cache warmth, so per-query numbers
+      // depended on position. A seeded shuffle that differs per pass
+      // makes the min-of-passes an order-robust figure; the seed is
+      // fixed so runs stay reproducible.
+      val order = new scala.util.Random(0x9e3779b9L + pass).shuffle(names)
+      order.map { name =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
+        // Pins.scoped: every load-bearing persist the query creates is
+        // released when its count() returns, so query N+1 starts with
+        // query N's storage freed — the r6 official bench ran
+        // q_pipeline_curate with ~30 stale frames resident and paid 5×
+        // (18.5s vs 3.7s clean) for the eviction/recompute thrash.
+        try graft.olap.Pins.scoped {
+          SparkEntry.queries(name)(spark, sfDir).count()
+        }
         catch {
           case t: Throwable =>
             errs.getOrElseUpdate(name, t.getClass.getSimpleName)
@@ -78,7 +92,7 @@ object Bench {
     val errsJson = errs
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.size},"passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"agg":"min","warmup_sec":${ms(warmupSec)},"errs":$errsJson,"queries":$qs,"omitted":${omitted.size},"omitted_sec":${ms(omitted.map(_._2).sum)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.size},"passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"agg":"min","order":"seeded-shuffle-per-pass","pins":"scoped-per-query","warmup_sec":${ms(warmupSec)},"errs":$errsJson,"queries":$qs,"omitted":${omitted.size},"omitted_sec":${ms(omitted.map(_._2).sum)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,7 +32,11 @@ object Verify {
     // below to wrap the corresponding oracle SQL with identical casts.
     val decimalCols = scala.collection.mutable.Map.empty[String, Seq[String]]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try {
+      // Pins.scoped: the write (the query's action) runs inside the
+      // scope, so each query's load-bearing persists release as soon as
+      // its parquet is on disk — storage stays bounded by one query's
+      // working set across the whole 140-query dump.
+      try graft.olap.Pins.scoped {
         val raw = fn(spark, sfDir)
         val decs = raw.schema.fields.collect {
           case f if f.dataType.isInstanceOf[DecimalType] => f.name

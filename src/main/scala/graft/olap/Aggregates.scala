@@ -360,10 +360,12 @@ final class SegmentCache {
       deltaFor(k) match {
         case None => evict(k)
         case Some((delta, mergeFns)) => segments.get(k).foreach { old =>
-          val merged = mergeFrames(old, delta, k.grain, mergeFns)
-            .localCheckpoint(true)
+          // rawCut (not a bare localCheckpoint): evict() must be able
+          // to free the merged frame's blocks later, which for a
+          // checkpoint only Pins.freeCut can do
+          val merged = Pins.rawCut(mergeFrames(old, delta, k.grain, mergeFns))
           segments.put(k, merged)
-          old.unpersist(blocking = false)
+          evictFrame(old)
           mergedCount += 1
         }
       }
@@ -429,7 +431,16 @@ final class SegmentCache {
   def clear(): Unit = segments.keys.foreach(evict)
 
   private def evict(k: SegKey): Unit =
-    segments.remove(k).foreach(_.unpersist(blocking = false))
+    segments.remove(k).foreach(evictFrame)
+
+  /** A segment is either `.persist()`ed (getOrCompute) or a merged
+    * checkpoint (mergeOrEvict) — release both storage paths; each is
+    * a no-op on the other kind.
+    */
+  private def evictFrame(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    Pins.freeCut(df)
+  }
 }
 
 object SegmentCache {

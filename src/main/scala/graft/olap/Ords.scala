@@ -74,27 +74,17 @@ object Ords {
     else distributed(df, sort, out)
   }
 
-  /** Managed registry of the persisted numbering frames (ADVICE r5):
-    * bounded FIFO — exceeding the cap unpins the oldest, so a
-    * long-lived server holds at most `MaxPinned` MEMORY_AND_DISK
-    * entries instead of leaking one per large-frame numbering call.
-    * Eviction is safe at any time: a recompute replays the SAME pinned
-    * lineage (one RangePartitioner sampling, same seed), so consumers
-    * of an evicted frame still see consistent bounds.
+  /** Numbering-frame lifecycle: delegated to [[Pins]] (query-scoped
+    * release, or a materialize-then-FIFO global fallback). NOT free-run
+    * FIFO eviction: unpinning a frame whose lazy consumers have not
+    * executed would let the two subtrees of the offsets join resample
+    * range bounds independently — the exact wrong-ordinal bug the
+    * persist prevents (ADVICE r6). See [[Pins]] for the contract.
     */
-  private val pinned = new java.util.ArrayDeque[DataFrame]
-  private val MaxPinned = 8
-  private def pin(df: DataFrame): DataFrame = pinned.synchronized {
-    pinned.addLast(df)
-    while (pinned.size > MaxPinned)
-      pinned.pollFirst().unpersist(blocking = false)
-    df
-  }
+  private def pin(df: DataFrame): DataFrame = Pins.pin(df)
 
-  /** Release every pinned numbering frame (cache flush / teardown). */
-  def releaseAll(): Unit = pinned.synchronized {
-    while (!pinned.isEmpty) pinned.pollFirst().unpersist(blocking = false)
-  }
+  /** Release every globally pinned frame (cache flush / teardown). */
+  def releaseAll(): Unit = Pins.releaseAll()
 
   private def distributed(df: DataFrame, sort: Seq[Column],
       out: String): DataFrame = {
@@ -110,8 +100,9 @@ object Ords {
     // slightly different range bounds, so the counts would describe a
     // DIFFERENT partitioning than the rows they offset (observed: 1..n
     // drifts from the third partition on at 10M rows). The persist
-    // pins one lineage — both branches see identical bounds, and an
-    // eviction-recompute reuses the same seed. Global numbering
+    // pins one lineage — both branches read the one cached
+    // materialization — which is exactly why release must wait for the
+    // consumers to execute (Pins' contract). Global numbering
     // inherently takes two passes over the frame; materializing it
     // once is that cost, spill-backed at scale.
     val parted = pin(df.repartitionByRange(sort: _*)

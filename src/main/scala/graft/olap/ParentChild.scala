@@ -20,37 +20,66 @@ import org.apache.spark.sql.functions._
 object ParentChild {
 
   /** (ancestor, descendant, depth) closure rows, including the
-    * reflexive (m, m, 0) pair. `maxDepth` caps runaway cycles.
-    * `nullParentValue` is the reference's sentinel root marker
-    * (schema.rb:196: `null_parent_value` — e.g. 0 instead of NULL);
-    * rows whose parent equals it are roots, not children of a phantom
-    * member.
+    * reflexive (m, m, 0) pair. `nullParentValue` is the reference's
+    * sentinel root marker (schema.rb:196: `null_parent_value` — e.g. 0
+    * instead of NULL); rows whose parent equals it are roots, not
+    * children of a phantom member.
+    *
+    * True fixpoint (VERDICT r6 #3): iterative DOUBLING — after round k
+    * the accumulator holds every path of length ≤ 2^k, so convergence
+    * takes O(log depth) rounds instead of one join per level, and the
+    * loop runs until a round adds NO new pair (no silent truncation at
+    * a depth cap; reference semantics are unbounded `parent_column`
+    * recursion). `maxDepth` is now purely a CYCLE guard: a parent
+    * cycle grows path depths forever, so exceeding log2(maxDepth)
+    * doubling rounds throws instead of quietly under-aggregating.
+    * Each round is cut to a materialized checkpoint — self-joining an
+    * uncut iterative plan doubles its text per round.
     */
   def closure(members: DataFrame, idCol: String, parentCol: String,
-      maxDepth: Int = 32, nullParentValue: Option[Any] = None): DataFrame = {
+      maxDepth: Int = 1 << 20, nullParentValue: Option[Any] = None): DataFrame = {
     val isRoot = nullParentValue match {
       case Some(v) => col("anc").isNull || col("anc") === lit(v)
       case None    => col("anc").isNull
     }
     val edges = members.select(col(parentCol).as("anc"),
       col(idCol).as("desc")).filter(!isRoot)
-    var acc = members.select(col(idCol).as("anc"), col(idCol).as("desc"),
+    val self = members.select(col(idCol).as("anc"), col(idCol).as("desc"),
       lit(0).as("depth"))
-    var frontier = edges.withColumn("depth", lit(1))
-    var d = 1
-    var done = frontier.isEmpty
-    while (!done && d < maxDepth) {
-      acc = acc.unionByName(frontier)
-      // extend: ancestor of my parent is my ancestor
-      val next = frontier.alias("f")
-        .join(edges.alias("e"), col("f.anc") === col("e.desc"))
-        .select(col("e.anc").as("anc"), col("f.desc").as("desc"),
-          (col("f.depth") + 1).as("depth"))
-      d += 1
-      frontier = next
-      done = next.isEmpty
+    // proper paths found so far; in a tree each (anc, desc) has ONE
+    // path, so re-derived pairs are bit-identical and distinct() dedups
+    var cl = Pins.rawCut(edges.withColumn("depth", lit(1)))
+    var n = cl.count()
+    if (n == 0) { Pins.freeCut(cl); return self }
+    val maxRounds = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, maxDepth.toLong))
+    var rounds = 0L
+    var converged = false
+    while (!converged) {
+      // compose every found path with every found path: x then y
+      val doubled = cl.alias("x")
+        .join(cl.alias("y"), col("x.anc") === col("y.desc"))
+        .select(col("y.anc").as("anc"), col("x.desc").as("desc"),
+          (col("x.depth") + col("y.depth")).as("depth"))
+      val next = Pins.rawCut(cl.unionByName(doubled).distinct())
+      val m = next.count()
+      converged = m == n
+      // next is materialized + counted, so the superseded round's
+      // checkpoint blocks are dead — free them now (Pins' contract:
+      // checkpoints bypass the CacheManager, only freeCut releases)
+      Pins.freeCut(cl)
+      cl = next
+      n = m
+      rounds += 1
+      if (!converged && rounds >= maxRounds) {
+        Pins.freeCut(cl)
+        throw new IllegalStateException(
+          s"parent-child closure still growing after $rounds doubling " +
+            s"rounds (depth > $maxDepth): cycle in $parentCol?")
+      }
     }
-    acc
+    // the converged closure releases at the consuming query's scope exit
+    self.unionByName(Pins.adopt(cl))
   }
 
   /** Subtree totals: for every member, aggregate the measure over the

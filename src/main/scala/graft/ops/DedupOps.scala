@@ -54,28 +54,21 @@ object DedupOps {
     */
   val P = 2147483647L
 
-  /** Bounded registry for the intermediate frames the dedup/ANN paths
-    * persist (shingles, candidate sets, unit vectors, band frames):
-    * the persists are load-bearing — each frame feeds 2+ consumers and
+  /** Lifecycle for the intermediate frames the dedup/ANN paths persist
+    * (shingles, candidate sets, unit vectors, band frames): the
+    * persists are load-bearing — each frame feeds 2+ consumers and
     * recomputing the postings pipeline per consumer is the alternative
     * — but un-released they accumulate one MEMORY_AND_DISK entry per
-    * call for the session lifetime (the Ords leak class, ADVICE r5).
-    * FIFO-bounded: exceeding the cap unpins the oldest; eviction only
-    * costs a deterministic recompute if a stale plan is re-collected.
+    * call for the session lifetime (the r6 official bench reached
+    * `q_pipeline_curate` with dozens of stale frames resident and paid
+    * 5× for it). Delegated to [[graft.olap.Pins]]: query-boundary
+    * scoped release where the caller opens a scope (`Bench`/`Verify`
+    * do), materialize-then-bounded-FIFO otherwise.
     */
-  private val pinned = new java.util.ArrayDeque[DataFrame]
-  private val MaxPinned = 32
-  private[ops] def pin(df: DataFrame): DataFrame = pinned.synchronized {
-    pinned.addLast(df)
-    while (pinned.size > MaxPinned)
-      pinned.pollFirst().unpersist(blocking = false)
-    df
-  }
+  private[ops] def pin(df: DataFrame): DataFrame = graft.olap.Pins.pin(df)
 
-  /** Release every pinned intermediate frame (teardown / tests). */
-  def releaseAll(): Unit = pinned.synchronized {
-    while (!pinned.isEmpty) pinned.pollFirst().unpersist(blocking = false)
-  }
+  /** Release every globally pinned frame (teardown / tests). */
+  def releaseAll(): Unit = graft.olap.Pins.releaseAll()
 
   /** Exact dedup survivors: min doc_id per content hash. The classic
     * hash-groupBy — one shuffle on the 128-bit digest, no skew (hashes
@@ -290,20 +283,16 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Round-boundary lineage cut for the iterative CC loops: a RELIABLE
-    * checkpoint (HDFS/object store) when the session has a checkpoint
-    * dir configured — survives executor loss, the right mode on a real
-    * cluster — falling back to an eager localCheckpoint otherwise
-    * (executor-local blocks: lineage-free and fast, but a lost
-    * executor mid-iteration fails the job for a retry; acceptable in
-    * local/test runs where there is nowhere reliable to write).
-    * Superseded round RDDs are freed by the ContextCleaner once the
-    * loop drops their references.
+  /** Round-boundary lineage cut for the iterative CC loops
+    * ([[graft.olap.Pins.rawCut]]): checkpoint blocks bypass the SQL
+    * CacheManager, so waiting for the GC-driven ContextCleaner to free
+    * superseded rounds leaks one resident RDD per call in a long
+    * session — the loops below free each superseded round with
+    * `Pins.freeCut` as soon as the next round is materialized, and
+    * register the final frame with `Pins.adopt` so it releases at the
+    * query boundary like every other pin.
     */
-  private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  private def cut(df: DataFrame): DataFrame = graft.olap.Pins.rawCut(df)
 
   /** Connected components over an undirected edge list — min-label
     * propagation: every node starts as its own cluster and repeatedly
@@ -357,18 +346,26 @@ object DedupOps {
         .join(labels.select(col("doc_id"),
           col("cluster_id").as("old")), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
+      // the changed-count consumed both frames; the superseded round's
+      // checkpoint blocks are dead now (round 0's `labels` is the
+      // caller's plain projection — not ours to free)
+      if (it > 0) graft.olap.Pins.freeCut(labels)
       labels = next
       it += 1
     }
     sym.unpersist(blocking = false)
     // a silent non-converged return would hand back WRONG clusters
     // (a >maxIters-diameter chain split mid-propagation); fail loudly
-    if (changed > 0)
+    if (changed > 0) {
+      graft.olap.Pins.freeCut(labels)
       throw new IllegalStateException(
         s"components() did not converge in $maxIters rounds " +
           s"($changed labels still changing) — raise maxIters or use " +
           "[[componentsStar]] for deep-chain graphs")
-    labels // checkpointed: materialized, lineage-free
+    }
+    // checkpointed: materialized, lineage-free; released at the
+    // consuming query's scope exit
+    graft.olap.Pins.adopt(labels)
   }
 
   /** Connected components by alternating large-star / small-star
@@ -435,20 +432,30 @@ object DedupOps {
         .as[(Long, Option[Long])].head() match {
           case (c, h) => (c, h.getOrElse(0L))
         }
+      // `next` is materialized (eager cut) and its signature read, so
+      // this round's intermediate and the previous round's edge frame
+      // are dead — free their checkpoint blocks now instead of leaking
+      // them to the ContextCleaner
+      graft.olap.Pins.freeCut(canon)
+      graft.olap.Pins.freeCut(e)
       e = next
       converged = sig == signature
       signature = sig
       rounds += 1
     }
-    if (!converged)
+    if (!converged) {
+      graft.olap.Pins.freeCut(e)
       throw new IllegalStateException(
         s"componentsStar did not converge in $maxRounds rounds")
+    }
     // fixpoint: every edge points a node at its component minimum;
     // uncovered nodes are their own singleton component
-    // the converged edge frame is a checkpoint, so the label join's
-    // lineage is one join deep regardless of round count
+    // the converged edge frame is a checkpoint (released at the
+    // consuming query's scope exit), so the label join's lineage is
+    // one join deep regardless of round count
     nodes.select(col("doc_id"))
-      .join(e.select(col("u").as("doc_id"), col("v").as("cluster_id")),
+      .join(graft.olap.Pins.adopt(e)
+        .select(col("u").as("doc_id"), col("v").as("cluster_id")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
@@ -598,14 +605,27 @@ object DedupOps {
         col("n_dup_spans").cast("double") / col("n_spans"))
   }
 
+  /** Per-span-hash index: keeper (min doc_id), occurrence count, and
+    * the cross-document flag — the state table of the streaming span
+    * gate and the flag aggregate [[dupSpans]]/[[removeDupSpans]] build
+    * on. min/count are order-independent, so a complete-mode stream
+    * over arriving documents reproduces the batch index row-for-row.
+    */
+  def spanIndexOf(spans: DataFrame): DataFrame =
+    spans.groupBy("sh")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_occ"),
+        (min("doc_id") < max("doc_id")).as("cross_doc"))
+
   /** Indexed w-token span hashes (doc_id, i, sh) with 1-based start
     * positions — the ONE copy of the span lowering shared by the
     * measurement ([[dupSpans]]) and rewrite ([[removeDupSpans]])
     * halves, so the fraction the former reports is always computed
-    * over exactly the windows the latter considers.
+    * over exactly the windows the latter considers. The `Raw` form
+    * skips the batch fan-out guard (streaming micro-batches spread
+    * themselves — a streaming frame has no optimizedPlan stats).
     */
-  private def spanFrame(docs: DataFrame, w: Int): DataFrame =
-    rebalanced(docs)
+  def spanFrameRaw(docs: DataFrame, w: Int = 8): DataFrame =
+    docs
       .select(col("doc_id"), expr(TOKENS).as("t"))
       .filter(size(col("t")) >= w)
       .select(col("doc_id"), posexplode(expr(
@@ -613,6 +633,9 @@ object DedupOps {
            |  i -> ${h60(s"concat_ws(' ', slice(t, i, $w))")})"""
           .stripMargin)).as(Seq("i0", "sh")))
       .select(col("doc_id"), (col("i0") + 1).as("i"), col("sh"))
+
+  private def spanFrame(docs: DataFrame, w: Int): DataFrame =
+    spanFrameRaw(rebalanced(docs), w)
 
   /** The duplicated-span REMOVAL transform (the rewrite half of Lee et
     * al. 2022, where [[dupSpans]] is the measurement half): a w-token

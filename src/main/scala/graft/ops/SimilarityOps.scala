@@ -198,8 +198,10 @@ object SimilarityOps {
               r.getAs[Long]("n")).toArray)
       }
     }
-    val out = assign().select(col("vec_id"), col("cell"))
-      .localCheckpoint(true)
+    // Pins.cut, not a bare localCheckpoint: checkpoint blocks bypass
+    // the CacheManager, so an unmanaged one leaks a resident RDD per
+    // call — cut registers it for release at the query boundary
+    val out = graft.olap.Pins.cut(assign().select(col("vec_id"), col("cell")))
     flat.unpersist(blocking = false)
     out
   }

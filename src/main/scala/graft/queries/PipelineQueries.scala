@@ -260,6 +260,17 @@ object PipelineQueries {
   private val T = "regexp_split_to_array(lower(trim(text)), '\\s+')"
   private def H60(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
 
+  /** (doc_id, sh) 8-token span-hash CTE fragment — shared by the batch
+    * span stats oracle and the streaming span-index oracle.
+    */
+  private[queries] val SPAN_CTES =
+    s"""toks AS (SELECT doc_id, $T AS t FROM documents),
+       |spans AS (
+       |  SELECT doc_id, unnest(
+       |    [${H60("array_to_string(list_slice(t, i, i + 7), ' ')")}
+       |     for i in range(1, len(t) - 6)]) AS sh
+       |  FROM toks WHERE len(t) >= 8)""".stripMargin
+
   /** (doc_id, shingles) CTE fragment (word 3-grams, distinct). */
   private val SH_CTE =
     s"""toks AS (SELECT doc_id, $T AS t FROM documents),
@@ -348,6 +359,55 @@ object PipelineQueries {
        |FROM v
        |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5"""
       .stripMargin
+
+  /** CleanPipeline.clean oracle chain (quality filter → exact dedup →
+    * near-dup keep-one-per-connected-component), ending in
+    * `surv(doc_id)` + the reusable `k2(doc_id, text)` survivors-input.
+    * Shared by q_pipeline_clean and q_pipeline_curate; the closure is
+    * recursive, so consumers must open with `WITH RECURSIVE`.
+    */
+  private val CLEAN_SURV_CTES = {
+    val stopHits =
+      s"len(list_filter($T, t -> list_contains(" +
+        "['the', 'a', 'of', 'and', 'to', 'in'], t)))"
+    s"""q AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE len($T) >= 30
+       |    AND $stopHits / CAST(len($T) AS DOUBLE) >= 0.04),
+       |e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+       |k2 AS (SELECT q.doc_id, q.text FROM q JOIN e USING (doc_id)),
+       |toks2 AS (SELECT doc_id, $T AS t FROM k2),
+       |sh2 AS (
+       |  SELECT doc_id, list_distinct(
+       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |     for i in range(1, len(t) - 1)]) AS shingles
+       |  FROM toks2 WHERE len(t) >= 3),
+       |posts AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS n_common
+       |  FROM posts a JOIN posts b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM common
+       |  JOIN sh2 sa ON sa.doc_id = doc_a
+       |  JOIN sh2 sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_common AS DOUBLE)
+       |    / (len(sa.shingles) + len(sb.shingles) - n_common) >= 0.5),
+       |pedges AS (
+       |  SELECT doc_a AS ea, doc_b AS eb FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |preach(a, b) AS (
+       |  SELECT ea, ea FROM pedges
+       |  UNION
+       |  SELECT r.a, pe.eb FROM preach r JOIN pedges pe ON r.b = pe.ea),
+       |nd AS (
+       |  SELECT a AS doc_id FROM preach GROUP BY a HAVING min(b) <> a),
+       |surv AS (
+       |  SELECT doc_id FROM k2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM nd))""".stripMargin
+  }
 
   /** Explicit double-accumulated cosine — reproduces Spark's
     * zip_with/aggregate math IEEE-exactly (same fold order).
@@ -590,39 +650,11 @@ object PipelineQueries {
     "q_ann_kmeans64" -> SimilarityOps.kmeansOracleSql(k = 64, iters = 2),
 
     "q_pipeline_clean" -> {
-      val stopHits =
-        s"len(list_filter($T, t -> list_contains(" +
-          "['the', 'a', 'of', 'and', 'to', 'in'], t)))"
       def hits(words: String) =
         s"len(list_filter(t, x -> list_contains([$words], x)))"
-      s"""WITH q AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE len($T) >= 30
-         |    AND $stopHits / CAST(len($T) AS DOUBLE) >= 0.04),
-         |e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
-         |k2 AS (SELECT q.doc_id, q.text FROM q JOIN e USING (doc_id)),
-         |toks2 AS (SELECT doc_id, $T AS t FROM k2),
-         |sh2 AS (
-         |  SELECT doc_id, list_distinct(
-         |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-         |     for i in range(1, len(t) - 1)]) AS shingles
-         |  FROM toks2 WHERE len(t) >= 3),
-         |posts AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    count(*) AS n_common
-         |  FROM posts a JOIN posts b
-         |    ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |nd AS (
-         |  SELECT DISTINCT doc_b AS doc_id FROM common
-         |  JOIN sh2 sa ON sa.doc_id = doc_a
-         |  JOIN sh2 sb ON sb.doc_id = doc_b
-         |  WHERE CAST(n_common AS DOUBLE)
-         |    / (len(sa.shingles) + len(sb.shingles) - n_common) >= 0.5),
+      s"""WITH RECURSIVE $CLEAN_SURV_CTES,
          |lt AS (
-         |  SELECT doc_id, $T AS t FROM k2
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+         |  SELECT doc_id, $T AS t FROM k2 JOIN surv USING (doc_id)),
          |h AS (
          |  SELECT doc_id, len(t) AS n_tokens,
          |    CAST(${hits("'the', 'a', 'of', 'and', 'to', 'in'")} AS INT)
@@ -674,38 +706,10 @@ object PipelineQueries {
          |FROM documents""".stripMargin,
 
     "q_pipeline_curate" -> {
-      val stopHits =
-        s"len(list_filter($T, t -> list_contains(" +
-          "['the', 'a', 'of', 'and', 'to', 'in'], t)))"
-      s"""WITH q AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE len($T) >= 30
-         |    AND $stopHits / CAST(len($T) AS DOUBLE) >= 0.04),
-         |e AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
-         |k2 AS (SELECT q.doc_id, q.text FROM q JOIN e USING (doc_id)),
-         |toks2 AS (SELECT doc_id, $T AS t FROM k2),
-         |sh2 AS (
-         |  SELECT doc_id, list_distinct(
-         |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-         |     for i in range(1, len(t) - 1)]) AS shingles
-         |  FROM toks2 WHERE len(t) >= 3),
-         |posts AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    count(*) AS n_common
-         |  FROM posts a JOIN posts b
-         |    ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |nd AS (
-         |  SELECT DISTINCT doc_b AS doc_id FROM common
-         |  JOIN sh2 sa ON sa.doc_id = doc_a
-         |  JOIN sh2 sb ON sb.doc_id = doc_b
-         |  WHERE CAST(n_common AS DOUBLE)
-         |    / (len(sa.shingles) + len(sb.shingles) - n_common) >= 0.5),
+      s"""WITH RECURSIVE $CLEAN_SURV_CTES,
          |kept AS (
          |  SELECT d.doc_id, d.source, d.n_chars, d.text
-         |  FROM documents d JOIN k2 USING (doc_id)
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+         |  FROM documents d JOIN surv USING (doc_id)),
          |cap AS (
          |  SELECT doc_id FROM (
          |    SELECT doc_id, row_number() OVER (PARTITION BY source
@@ -894,12 +898,7 @@ object PipelineQueries {
          |FROM toks GROUP BY source""".stripMargin,
 
     "q_dup_spans" ->
-      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
-         |spans AS (
-         |  SELECT doc_id, unnest(
-         |    [${H60("array_to_string(list_slice(t, i, i + 7), ' ')")}
-         |     for i in range(1, len(t) - 6)]) AS sh
-         |  FROM toks WHERE len(t) >= 8),
+      s"""WITH $SPAN_CTES,
          |flags AS (
          |  SELECT sh, min(doc_id) < max(doc_id) AS dup
          |  FROM spans GROUP BY sh)

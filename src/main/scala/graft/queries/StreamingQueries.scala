@@ -45,6 +45,13 @@ object StreamingQueries {
       StreamingCube.runStreamDecontaminate(s, dir, evalMaxId = 250,
         s"stream_decon_${runId.incrementAndGet()}")),
 
+    // streaming duplicated-span index: per-span-hash keeper/count/
+    // cross-doc flag maintained incrementally (the stream form of the
+    // q_dup_spans flag aggregate; AvailableNow == batch parity)
+    "q_stream_spans" -> ((s, dir) =>
+      StreamingCube.runStreamSpanIndex(s, dir,
+        s"stream_spans_${runId.incrementAndGet()}")),
+
     // flatMapGroupsWithState sessionization (batch-mode execution of
     // the same stateful function; the streaming path is spec-tested
     // with MemoryStream batches)
@@ -104,6 +111,13 @@ object StreamingQueries {
         |SELECT band_idx, band_sig, min(doc_id) AS rep_id,
         |  count(*) AS n_docs
         |FROM banded GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_spans" ->
+      s"""WITH ${PipelineQueries.SPAN_CTES}
+         |SELECT sh, min(doc_id) AS keeper,
+         |  count(*) AS n_occ,
+         |  min(doc_id) < max(doc_id) AS cross_doc
+         |FROM spans GROUP BY sh""".stripMargin,
 
     "q_stream_sessionize" ->
       """WITH w AS (

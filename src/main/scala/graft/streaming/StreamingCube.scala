@@ -176,26 +176,56 @@ object StreamingCube {
       name: String = "stream_minhash",
       bands: Int = 4, rows: Int = 2): DataFrame = {
     val s = isolated(spark)
-    // fan the micro-batch out BEFORE the per-doc signature work when
-    // the source directory holds fewer files than the parallelism: a
-    // file-stream batch arrives with one partition per file, which
-    // would serialize the tokenize→shingle→minhash map chain on a
-    // single core. Guarded like DedupOps.rebalanced — a real ingest
-    // directory carries more files than cores and must NOT pay a
-    // standing text shuffle per batch.
-    val par = s.sparkContext.defaultParallelism
-    val nFiles = new java.io.File(stageDir(sfDir, "documents"))
-      .listFiles()
-    val raw = docStream(s, sfDir)
-    val spread =
-      if (nFiles != null && nFiles.count(_.isFile) < par / 2)
-        raw.repartition(par)
-      else raw
+    val spread = spreadSmallDir(s, stageDir(sfDir, "documents"),
+      docStream(s, sfDir))
     val sh = graft.ops.DedupOps.shingledRaw(spread)
     val banded = graft.ops.DedupOps.bandTable(sh, bands, rows)
     drain(banded
       .groupBy("band_idx", "band_sig")
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_docs")),
+      name, OutputMode.Complete)
+  }
+
+  /** Fan a micro-batch out BEFORE per-doc map work when the source
+    * directory holds fewer files than half the parallelism: a
+    * file-stream batch arrives with one partition per file, which
+    * would serialize the tokenize→shingle→hash map chain on a single
+    * core. Guarded like DedupOps.rebalanced — a real ingest directory
+    * carries more files than cores and must NOT pay a standing text
+    * shuffle per batch. The count goes through the Hadoop FileSystem
+    * resolved from the session's configuration, so it is correct on
+    * HDFS/object-store paths where java.io.File would silently return
+    * empty (ADVICE r6).
+    */
+  private def spreadSmallDir(s: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val nFiles =
+      if (fs.exists(p)) fs.listStatus(p).count(_.isFile) else 0
+    if (nFiles < par / 2) df.repartition(par) else df
+  }
+
+  /** Streaming duplicated-SPAN index — the stream form of the span
+    * min/max aggregation that [[graft.ops.DedupOps.dupSpans]] /
+    * `removeDupSpans` build their flags from: per w-token span hash,
+    * the keeper (min doc_id), occurrence count, and whether the span
+    * crosses documents. The span lowering (tokenize → rolling window →
+    * one md5 per span) is the SAME stateless map pipeline as the batch
+    * `spanFrameRaw`; the stateful tail is one complete-mode
+    * aggregation whose combiners (min/max/count) are
+    * order-independent, so the AvailableNow drain reproduces the batch
+    * index row-for-row. State is O(distinct spans) — the identical
+    * bound the batch span shuffle pays per pass, held incrementally.
+    */
+  def runStreamSpanIndex(spark: SparkSession, sfDir: String,
+      name: String = "stream_spans", w: Int = 8): DataFrame = {
+    val s = isolated(spark)
+    val spread = spreadSmallDir(s, stageDir(sfDir, "documents"),
+      docStream(s, sfDir))
+    drain(graft.ops.DedupOps.spanIndexOf(
+      graft.ops.DedupOps.spanFrameRaw(spread, w).select("doc_id", "sh")),
       name, OutputMode.Complete)
   }
 

@@ -59,4 +59,28 @@ class ParentChildSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).toSet
     assert(leaked.contains(0L))
   }
+
+  test("closure is a true fixpoint: a 200-deep chain closes fully") {
+    // depth far beyond the old 32 cap (VERDICT r6 #3) — the doubling
+    // loop converges in ~8 rounds and must not truncate
+    val n = 200
+    val deep = (1 to n)
+      .map(i => (i.toLong, if (i == 1) Option.empty[Long] else Some(i - 1L)))
+      .toDF("id", "parent")
+    val cl = ParentChild.closure(deep, "id", "parent")
+    // root reaches the leaf at exactly depth n-1
+    val leafRow = cl.filter(col("anc") === 1L && col("desc") === n.toLong)
+      .collect()
+    assert(leafRow.map(_.getInt(2)).toSeq === Seq(n - 1))
+    // full closure size: n reflexive + sum of ancestor counts 0..n-1
+    assert(cl.count() === n + n.toLong * (n - 1) / 2)
+  }
+
+  test("a parent cycle throws instead of silently truncating") {
+    val cyc = Seq((1L, 3L), (2L, 1L), (3L, 2L)).toDF("id", "parent")
+    val e = intercept[IllegalStateException] {
+      ParentChild.closure(cyc, "id", "parent", maxDepth = 64).collect()
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
 }

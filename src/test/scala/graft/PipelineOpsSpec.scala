@@ -166,6 +166,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stats.getLong(0) === keptIds.size)
   }
 
+  test("clean keeps exactly the min doc_id per near-dup component") {
+    import org.apache.spark.sql.functions.col
+    // re-derive the pre-near-dup stage, then check the survivor set
+    // against an INDEPENDENT driver-side union-find over its pair graph
+    val keepQ = TextOps.profile(docs)
+      .filter(col("n_tokens") >= 30 && col("stop_ratio") >= 0.04)
+      .select("doc_id")
+    val kept1 = docs.join(keepQ, "doc_id")
+    val kept2 = kept1.join(
+      DedupOps.exactDedup(kept1).select("doc_id"), "doc_id")
+    val kept2Ids = kept2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = DedupOps.jaccardPairs(kept2, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val minOfComp = parent.keys.groupBy(find).map { case (_, ms) => ms.min }
+    val expected = kept2Ids -- parent.keySet ++ minOfComp
+    val cleanIds = graft.ops.CleanPipeline.clean(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds === expected,
+      "survivors must be the per-component minima plus non-participants")
+  }
+
   test("multimodal stub decode is deterministic and schema-typed") {
     val m = MultimodalOps.imageMeta(spark, docs)
     assert(m.columns.toSeq ===
