@@ -226,13 +226,19 @@ object AggMatcher {
 
   /** All physical parquet tables under `dir` (one subdirectory per
     * table) — the discovery half of the jar's JDBC-catalog scan.
+    * Listed through the Hadoop FileSystem resolved from the session's
+    * configuration, so the declared-rollup scan works on HDFS/object
+    * stores (java.io.File silently returns nothing there — ADVICE r6).
     */
   def physicalFromDir(spark: org.apache.spark.sql.SparkSession,
       dir: String): Map[String, DataFrame] = {
-    val root = new java.io.File(dir)
-    Option(root.listFiles()).getOrElse(Array.empty)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p)
       .filter(_.isDirectory)
-      .map(f => f.getName -> spark.read.parquet(f.getAbsolutePath))
+      .map(s => s.getPath.getName ->
+        spark.read.parquet(s.getPath.toString))
       .toMap
   }
 

@@ -379,11 +379,16 @@ final case class Role(name: String, grants: Seq[(String, Seq[Any])],
       * policy its rows also leave the totals.
       */
     denies: Seq[(String, Seq[Any])] = Nil,
-    /** Per-dimension visible level range (HierarchyGrant topLevel /
-      * bottomLevel, connection_role_test.rb:51,63): level NAMES; levels
-      * outside the range have no visible members for this role.
+    /** Per-dimension visible level ranges (HierarchyGrant topLevel /
+      * bottomLevel, connection_role_test.rb:51,63): level NAMES; a
+      * level is visible when ANY listed range admits it. A single role
+      * carries one range; [[Role.union]] concatenates the member
+      * roles' ranges, so a union is never narrower than any member
+      * (ADVICE r6: Mondrian's UnionRoleImpl grants whatever any member
+      * role grants — first-range-wins collapsed bounded-vs-bounded
+      * conflicts to the narrower grant).
       */
-    levelBounds: Map[String, (Option[String], Option[String])] =
+    levelBounds: Map[String, Seq[(Option[String], Option[String])]] =
       Map.empty) {
   def isGranted(dim: String): Boolean = grants.exists(_._1 == dim)
 
@@ -399,7 +404,9 @@ object Role {
     * denies concatenate; a level range survives the union only when
     * EVERY granting role bounds that dimension (any unbounded grant
     * makes the union unbounded — the most-permissive reading of
-    * Mondrian's UnionRoleImpl), first role's bounds winning otherwise.
+    * Mondrian's UnionRoleImpl); when several roles bound the same
+    * dimension their ranges CONCATENATE (visible = admitted by any),
+    * so the union is never narrower than a member role's grant.
     */
   def union(roles: Role*): Role = {
     val bounded = roles.flatMap(_.levelBounds.keys).distinct
@@ -410,8 +417,7 @@ object Role {
       roles.reverse.map(_.dimPolicies).reduce(_ ++ _),
       roles.flatMap(_.denies),
       bounded.map(dim =>
-        dim -> roles.find(_.levelBounds.contains(dim))
-          .get.levelBounds(dim)).toMap)
+        dim -> roles.flatMap(_.levelBounds.getOrElse(dim, Nil))).toMap)
   }
 }
 
@@ -476,7 +482,29 @@ final case class BoundCube(
     require(m.isDefined, s"cube '${this.name}' has no measure '$name'")
     m.get
   }
-  def withRole(r: Role): BoundCube = copy(role = Some(r))
+  /** Attach a role, validating its paths against the cube's hierarchy
+    * shapes NOW: a grant/deny path deeper than its dimension's level
+    * count (possible from a hand-written XML catalog) would otherwise
+    * surface as an opaque IndexOutOfBounds in the deny-slicer at query
+    * time (ADVICE r6). Unknown dimensions fail here for the same
+    * reason.
+    */
+  def withRole(r: Role): BoundCube = {
+    (r.grants ++ r.denies).foreach { case (dimName, path) =>
+      val d = dims.find(_.name == dimName).getOrElse(
+        throw new IllegalArgumentException(
+          s"role '${r.name}': no dimension '$dimName' in cube '$name'"))
+      require(path.length <= d.levels.length,
+        s"role '${r.name}': path ${path.mkString("[", ".", "]")} on " +
+          s"dimension '$dimName' is ${path.length} deep but the " +
+          s"hierarchy has ${d.levels.length} levels")
+    }
+    val boundDims = r.levelBounds.keys.filterNot(b => dims.exists(_.name == b))
+    require(boundDims.isEmpty,
+      s"role '${r.name}': level bounds on unknown dimension(s) " +
+        boundDims.mkString(", "))
+    copy(role = Some(r))
+  }
 
   /** Eager schema validation (reference: connection-time schema errors,
     * schema_definition_test.rb:1477-1488 — "Must specify fact table of

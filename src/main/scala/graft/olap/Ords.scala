@@ -40,10 +40,18 @@ object Ords {
     * routed here are projections/key-joins of their leaves (leaf totals
     * bound the output), so the smaller of the two is the honest figure.
     * Materialized caches (InMemoryRelation) make the leaf side exact.
+    * The leaf-sum correction is SKIPPED for row-expanding plans
+    * (explode/posexplode — a Generate node): there the leaves do NOT
+    * bound the output, and the min would under-estimate a corpus-scale
+    * frame onto the single-partition path (ADVICE r6).
     */
   private def estimatedBytes(df: DataFrame): BigInt = {
     val plan = df.queryExecution.optimizedPlan
-    plan.stats.sizeInBytes.min(
+    val expanding = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.nonEmpty
+    if (expanding) plan.stats.sizeInBytes
+    else plan.stats.sizeInBytes.min(
       plan.collectLeaves().map(_.stats.sizeInBytes).sum)
   }
 

@@ -125,9 +125,12 @@ final class Planner(val cube: BoundCube) {
     // applies under EVERY rollup policy (policy only governs totals)
     cube.role.filter(_.isGranted(d.name)) match {
       case Some(r) =>
-        if (r.levelBounds.get(d.name).exists { case (top, bottom) =>
-              top.exists(t => depth < d.levelIndex(t)) ||
-                bottom.exists(b => depth > d.levelIndex(b)) })
+        // excluded only when EVERY admissible range rejects the depth
+        // (a union role lists one range per member role)
+        if (r.levelBounds.get(d.name).exists(ranges =>
+              ranges.nonEmpty && ranges.forall { case (top, bottom) =>
+                top.exists(t => depth < d.levelIndex(t)) ||
+                  bottom.exists(b => depth > d.levelIndex(b)) }))
           base.filter(lit(false))
         else {
           val pred = r.grants.filter(_._1 == d.name)

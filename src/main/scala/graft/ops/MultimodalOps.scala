@@ -6,21 +6,24 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, and decode / feature-extract operators.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): `decodeImageMeta` derives deterministic fake metadata from
-  * the bytes' md5 digest. Everything around the stub — the binary column
-  * schema, the typed Dataset, the per-partition batched decode shape, the
-  * partitioning story — is real:
+  * IMAGE decode is REAL: [[decodeImage]] runs `javax.imageio` (in the
+  * JDK — no external codec library needed) over actual PNG bytes and
+  * reads width/height/format/pixels out of the decoded raster;
+  * [[withPngPayload]] renders genuine PNG payloads so the whole
+  * encode→binary-column→decode round trip executes distributed. The
+  * audio/video framing ([[frameSample]]) and the md5 stand-in
+  * ([[decodeImageMeta]], kept for payloads with no JDK codec) remain
+  * deterministic stubs, labeled as such. The Spark shape either way:
   *
   *  - Decode runs via `mapPartitions` over a typed Dataset, the Scala
-  *    analog of `mapInPandas`: one iterator per partition, so a real
-  *    decoder would amortize codec init (libjpeg/ffmpeg handles) across
+  *    analog of `mapInPandas`: one iterator per partition, so decoder
+  *    setup (ImageIO reader lookup, ffmpeg handles) amortizes across
   *    the whole partition instead of paying it per row.
   *  - Binary payloads stay in the executors end-to-end; nothing is ever
   *    collected. Row-group sized partitions (`maxPartitionBytes`) keep a
   *    100 TB media corpus within executor memory.
   *  - Downstream ops (resize plan, frame sampling) are metadata-only
-  *    column expressions until a sink forces the (stubbed) pixel work.
+  *    column expressions until a sink forces the pixel work.
   */
 object MultimodalOps {
 
@@ -63,6 +66,85 @@ object MultimodalOps {
   def imageMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     decodeImageMeta(withPayload(docs).as[MediaRow]).toDF()
+  }
+
+  /** Decoded-image stats: real pixels out of a real codec. */
+  final case class ImagePixels(doc_id: Long, width: Int, height: Int,
+      format: String, avg_r: Int)
+
+  /** REAL PNG payloads: render one deterministic solid-gray image per
+    * document (width from doc_id, height from n_chars, gray level
+    * doc_id % 256) and encode it with the JDK's PNG writer — genuine
+    * image bytes in a `binary` column, produced distributed in the
+    * same mapPartitions shape a real ingest decoder uses. PNG is
+    * lossless, so every derived quantity is exactly reproducible from
+    * (doc_id, n_chars) — which is what makes [[decodeImage]]
+    * oracle-checkable in SQL.
+    */
+  def withPngPayload(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val w = 8 + (id % 40).toInt
+          val h = 8 + (nChars % 40).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = (id % 256).toInt
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** REAL image decode via `javax.imageio`: format name from the
+    * registry's reader lookup, dimensions and red-channel mean from
+    * the decoded raster. Per-partition iterator so the (cheap here,
+    * expensive for ffmpeg-class codecs) reader resolution amortizes;
+    * payload bytes never leave the executor.
+    */
+  def decodeImage(media: Dataset[MediaRow]): Dataset[ImagePixels] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+        try {
+          reader.setInput(iis)
+          val img = reader.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+            y += 1
+          }
+          ImagePixels(r.doc_id, w, h,
+            reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            (sum / (w.toLong * h)).toInt)
+        } finally { reader.dispose(); iis.close() }
+      }
+    }
+  }
+
+  /** Decoded stats for the documents corpus: PNG encode → binary
+    * column → javax.imageio decode, end to end on executors.
+    */
+  def decodedImageStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodeImage(withPngPayload(docs).as[MediaRow]).toDF()
   }
 
   /** Resize planning: pure metadata math (target box fit, preserve

@@ -245,7 +245,13 @@ object PipelineQueries {
           max("jaccard").as("max_jaccard"))
     }),
 
-    // -- multimodal (stubbed decode, real plumbing) --------------------
+    // -- multimodal ----------------------------------------------------
+    // REAL codec round trip: render deterministic PNGs into a binary
+    // column, decode with javax.imageio, read stats off the raster
+    "q_multimodal_decode" -> ((s, dir) =>
+      MultimodalOps.decodedImageStats(s, docs(s, dir))),
+
+    // stubbed decode (md5 stand-in), real plumbing
     "q_multimodal_meta" -> ((s, dir) =>
       MultimodalOps.imageMeta(s, docs(s, dir))),
 
@@ -1004,6 +1010,17 @@ object PipelineQueries {
          |    AS INT) AS n_bpe_tokens,
          |  CAST(len($T) AS INT) AS n_ws_tokens
          |FROM documents""".stripMargin,
+
+    // the PNG fixture is solid gray(doc_id % 256) at
+    // (8 + doc_id % 40) x (8 + n_chars % 40); PNG is lossless, so the
+    // decoded raster reproduces exactly what SQL derives from the row
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 40 AS INT) AS width,
+        |  CAST(8 + n_chars % 40 AS INT) AS height,
+        |  'png' AS format,
+        |  CAST(doc_id % 256 AS INT) AS avg_r
+        |FROM documents""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -129,7 +129,7 @@ object XmlSchema {
         val top = attrOpt(h, "topLevel").map(p => bracketPath(p).last)
         val bottom = attrOpt(h, "bottomLevel").map(p => bracketPath(p).last)
         if (top.isEmpty && bottom.isEmpty) None
-        else Some(dim -> (top, bottom))
+        else Some(dim -> Seq((top, bottom)))
       }.toMap
       attr(r, "name") -> Role(attr(r, "name"), memberGrants("all"),
         policy = RollupPolicy.Full, dimPolicies = dimPolicies,

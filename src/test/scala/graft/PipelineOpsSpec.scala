@@ -197,6 +197,29 @@ class PipelineOpsSpec extends SparkSpec {
       "survivors must be the per-component minima plus non-participants")
   }
 
+  test("multimodal REAL decode round-trips PNG bytes through imageio") {
+    import org.apache.spark.sql.functions.col
+    val out = MultimodalOps.decodedImageStats(spark, docs.limit(50))
+      .collect()
+    assert(out.length === 50)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") === 8 + (id % 40).toInt)
+      assert(r.getAs[String]("format") === "png")
+      // the raster really decoded: constant gray fill survives the
+      // encode/decode round trip exactly (PNG is lossless)
+      assert(r.getAs[Int]("avg_r") === (id % 256).toInt)
+    }
+    // heights come from n_chars, check one join against the source row
+    val joined = MultimodalOps.decodedImageStats(spark, docs.limit(10))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .collect()
+    joined.foreach { r =>
+      assert(r.getAs[Int]("height") ===
+        8 + (r.getAs[Long]("n_chars") % 40).toInt)
+    }
+  }
+
   test("multimodal stub decode is deterministic and schema-typed") {
     val m = MultimodalOps.imageMeta(spark, docs)
     assert(m.columns.toSeq ===

@@ -121,6 +121,38 @@ class ResultSpec extends SparkSpec {
     assert(regions === Set("EUROPE", "ASIA"))
   }
 
+  test("union role level bounds widen to any member role's range") {
+    val topOnly = Role("toponly", Seq("customer" -> Seq("EUROPE")),
+      levelBounds = Map("customer" -> Seq((None, Some("region")))))
+    val midOnly = Role("midonly", Seq("customer" -> Seq("EUROPE")),
+      levelBounds =
+        Map("customer" -> Seq((Some("nation"), Some("nation")))))
+    def members(c: BoundCube, lvl: String) =
+      Query.from(c).columns("revenue")
+        .rows(LevelMembers("customer", lvl))
+        .execute().collect()
+    // each bounded role alone hides the level outside its range...
+    assert(members(cube.withRole(topOnly), "nation").isEmpty)
+    assert(members(cube.withRole(midOnly), "region").isEmpty)
+    // ...but their union admits both (never narrower than a member
+    // role's grant — ADVICE r6 / Mondrian UnionRoleImpl)
+    val u = Role.union(topOnly, midOnly)
+    assert(members(cube.withRole(u), "nation").nonEmpty)
+    assert(members(cube.withRole(u), "region")
+      .map(_.getString(0)).toSet === Set("EUROPE"))
+  }
+
+  test("withRole rejects over-deep paths and unknown dimensions eagerly") {
+    val deep = Role("deep", Seq("customer" -> Seq("EUROPE")),
+      denies = Seq("customer" -> Seq("EUROPE", "FRANCE", "a", "b")))
+    val e = intercept[IllegalArgumentException] { cube.withRole(deep) }
+    assert(e.getMessage.contains("customer") &&
+      e.getMessage.contains("4 deep"))
+    val unknown = Role("ghost", Seq("nosuchdim" -> Seq("A")))
+    val e2 = intercept[IllegalArgumentException] { cube.withRole(unknown) }
+    assert(e2.getMessage.contains("nosuchdim"))
+  }
+
   test("member properties surface the extra dimension columns") {
     val md = new CubeMetadata(cube)
     val nations = md.levelMembers("customer", "customer").limit(1)

@@ -345,7 +345,7 @@ class XmlSchemaSpec extends SparkSpec {
       name => Tables.load(spark, Sf, name))
     val role = cat.roles("r5")
     assert(role.denies === Seq("customer" -> Seq("EUROPE", "NATION_3")))
-    assert(role.levelBounds("customer") === (None, Some("nation")))
+    assert(role.levelBounds("customer") === Seq((None, Some("nation"))))
     val secured = cat.cube("O5").withRole(role)
     // axes: EUROPE's nations minus the revoked one
     val nations = Query.from(secured).columns("total")
