@@ -22,6 +22,28 @@ object ScaleProbe {
       .select("doc_id", "text", "source", "n_chars")
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val n = docs.count()
+    if (args.headOption.contains("clean")) {
+      // stage-by-stage profile of the clean pipeline (CC upgrade cost)
+      import graft.ops.{CleanPipeline, DedupOps, TextOps}
+      import graft.olap.Pins
+      for (_ <- 1 to 2) {
+        time("profile (quality feats)")(Pins.scoped {
+          TextOps.profile(docs).count() })
+        time("jaccardPairs")(Pins.scoped {
+          DedupOps.jaccardPairs(docs, 0.5).count() })
+        time("componentsStar on pairs")(Pins.scoped {
+          val pairs = Pins.pin(DedupOps.jaccardPairs(docs, 0.5)
+            .select("doc_a", "doc_b").persist())
+          val nodes = pairs.select(col("doc_a").as("doc_id"))
+            .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+          DedupOps.componentsStar(pairs, nodes).count() })
+        time("clean (full)")(Pins.scoped {
+          CleanPipeline.clean(docs).count() })
+        time("curate (full)")(Pins.scoped {
+          CleanPipeline.curate(docs).count() })
+      }
+      spark.stop(); return
+    }
     for (mult <- Seq(1, 8)) {
       val big = docs.crossJoin(
           spark.range(mult).select(col("id").as("rep")))

@@ -396,33 +396,37 @@ object DedupOps {
     var converged = false
     while (!converged && rounds < maxRounds) {
       // large-star: every neighbor LARGER than u rewires to the
-      // minimum of u's closed neighborhood
+      // minimum of u's closed neighborhood. No distinct on sym/ls: the
+      // min aggregates are duplicate-insensitive and canon/next dedup
+      // downstream — each removed distinct is a removed per-round
+      // shuffle (the loop's cost at small graph sizes is almost
+      // entirely per-round stage overhead).
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-        .distinct()
       val mins = sym.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
       val ls = sym.filter(col("v") > col("u"))
         .join(mins, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // small-star: canonicalize to (larger, smaller) and point every
-      // member of u's smaller-neighborhood (and u) at its minimum
-      // same lineage discipline as [[components]]: `ls` is referenced
-      // twice below (mins2 + the rewiring join), so each round is cut
-      // to a materialized checkpoint — without it the plan text grows
-      // exponentially in rounds and OOMs the driver
+      // member of u's smaller-neighborhood (and u) at its minimum.
+      // canon is referenced twice (mins2 + the rewiring join) but NOT
+      // checkpointed: both subtrees canonicalize to the same exchange,
+      // so Spark computes it once (ReusedExchange) — and even without
+      // reuse the result is consistent, because canon derives from the
+      // materialized checkpoint `e` through deterministic hash
+      // exchanges. Plan text stays bounded: cut(next) resets lineage
+      // every round, so the doubling is a constant factor per round,
+      // never compounding.
       val canon = ls
         .select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
-        .transform(cut)
       val mins2 = canon.groupBy("u").agg(min(col("v")).as("m"))
       val ss = canon.join(mins2, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins2.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct()
       val next = ss
         .select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
@@ -433,10 +437,8 @@ object DedupOps {
           case (c, h) => (c, h.getOrElse(0L))
         }
       // `next` is materialized (eager cut) and its signature read, so
-      // this round's intermediate and the previous round's edge frame
-      // are dead — free their checkpoint blocks now instead of leaking
-      // them to the ContextCleaner
-      graft.olap.Pins.freeCut(canon)
+      // the previous round's edge frame is dead — free its checkpoint
+      // blocks now instead of leaking them to the ContextCleaner
       graft.olap.Pins.freeCut(e)
       e = next
       converged = sig == signature
