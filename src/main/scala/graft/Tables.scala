@@ -19,11 +19,20 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-      // outright; read nanos as long and truncate to microsecond precision.
+      // events.ts has shipped as both INT64 TIMESTAMP(NANOS) (which Spark 4
+      // rejects outright unless read as a raw long) and TIMESTAMP(MICROS)
+      // NTZ, depending on the generator version. Read with nanosAsLong on —
+      // a no-op for micros files — then normalize whatever arrived to a
+      // session-zone TimestampType at microsecond precision.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos-as-long
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => // TIMESTAMP(MICROS); NTZ wall-clock == UTC session zone
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view named after the table, so both the

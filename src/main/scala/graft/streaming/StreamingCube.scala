@@ -26,29 +26,31 @@ import org.apache.spark.sql.types._
   */
 object StreamingCube {
 
-  /** Event schema (events.parquet; ts read as nanos → truncated to
-    * micros, same as the batch path in Tables.load).
-    */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long (parquet TIMESTAMP(NANOS))
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-source stream over the events parquet. The file source needs
     * a directory to monitor (new files arriving = new stream data), so
     * the single testdata file is staged into a per-sfDir directory —
     * in production this would be the landing directory the ingest jobs
     * append parquet files to.
+    *
+    * The declared schema mirrors whatever the batch reader sees for the
+    * same file (footer read — driver-side metadata, no data scan), and
+    * ts is normalized exactly like Tables.load: the generator has
+    * shipped both INT64 TIMESTAMP(NANOS) (long + div 1000) and
+    * TIMESTAMP(MICROS) NTZ (cast to session-zone timestamp) variants.
     */
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
+    val batchSchema =
+      spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(batchSchema)
       .parquet(stageDir(sfDir))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    batchSchema("ts").dataType match {
+      case LongType => // nanos-as-long
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>        // TIMESTAMP(MICROS); NTZ wall-clock == UTC session
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Lazily create /tmp/graft_stream/<hash>/<table>.parquet as a link

@@ -74,6 +74,27 @@ class SourcesSpec extends SparkSpec {
     assert(parts.count() === base.count())
   }
 
+  test("events.ts normalizes to a sane session-zone timestamp " +
+      "whatever parquet variant the generator shipped") {
+    // The testdata generator has emitted events.ts as both INT64
+    // TIMESTAMP(NANOS) (unreadable by Spark 4 except as a raw long)
+    // and TIMESTAMP(MICROS) NTZ. Loading must yield TimestampType
+    // with the true epoch either way — the r7 regression read micros
+    // as nanos and collapsed every event onto 1970-01-01, silently
+    // shrinking a (day × type) rollup from 150 rows to 5.
+    val ts = Tables.load(spark, Sf, "events").select(col("ts"))
+    assert(ts.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val years = ts.select(min(year(col("ts"))).as("lo"),
+      max(year(col("ts"))).as("hi")).head()
+    assert(years.getInt(0) > 2000, s"ts collapsed to ${years.getInt(0)}")
+    assert(years.getInt(1) < 2100)
+    // the streaming reader sees the identical column
+    val streamed = graft.streaming.StreamingCube
+      .eventStream(spark, Sf).schema("ts").dataType
+    assert(streamed === org.apache.spark.sql.types.TimestampType)
+  }
+
   test("unknown formats raise a schema error") {
     val e = intercept[IllegalArgumentException] {
       Sources.load(spark, "/tmp/nope.xyz")
