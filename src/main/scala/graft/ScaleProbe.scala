@@ -29,6 +29,9 @@ object ScaleProbe {
       for (_ <- 1 to 2) {
         time("profile (quality feats)")(Pins.scoped {
           TextOps.profile(docs).count() })
+        time("shingled materialize")(Pins.scoped {
+          val sh = Pins.pin(DedupOps.shingled(docs).persist())
+          sh.count() })
         time("jaccardPairs")(Pins.scoped {
           DedupOps.jaccardPairs(docs, 0.5).count() })
         time("componentsStar on pairs")(Pins.scoped {

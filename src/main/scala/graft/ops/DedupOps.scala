@@ -132,18 +132,22 @@ object DedupOps {
     * Pair work in phase 1 is Σ df² per shingle hash, so one boilerplate
     * shingle shared by 1M docs would create a 10¹²-row bucket. `maxDf`
     * caps the document frequency a posting may have: ubiquitous
-    * shingles carry ~zero Jaccard signal but all of the skew. The
-    * df>maxDf shingles are the head of a Zipf curve — FEW distinct
-    * values however large the corpus — so they're computed as a tiny
-    * blacklist (map-side-combined groupBy) and removed with a broadcast
-    * anti-join; every surviving bucket is then ≤ maxDf postings, which
-    * bounds the collect_list pair-generation buffer at maxDf × 16 B.
-    * With the cap active a pair whose overlap is exclusively df>maxDf
-    * shingles can be missed (bound recorded in SCALING.md); corpora
-    * where that matters should route to [[minhashLsh]].
+    * shingles carry ~zero Jaccard signal but all of the skew. The cap
+    * is enforced INSIDE the bucket aggregation by the native
+    * [[graft.functions.CollectCapped collect_capped]] aggregate, which
+    * stops buffering a group past maxDf entries and evaluates it to
+    * NULL — so the one postings shuffle both builds the buckets and
+    * drops the Zipf head, with every buffer bounded at maxDf × 16 B
+    * map-side and reduce-side. (The previous shape spent a separate
+    * full-postings frequency aggregation plus a broadcast anti-join to
+    * get the same bound.) With the cap active a pair whose overlap is
+    * exclusively df>maxDf shingles can be missed (bound recorded in
+    * SCALING.md); corpora where that matters should route to
+    * [[minhashLsh]].
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
       maxDf: Int = 100000): DataFrame = {
+    graft.functions.CollectCapped.register(docs.sparkSession)
     val sh = pin(shingled(docs).persist())
     // each posting carries its doc's set size, so the pair aggregation
     // yields (common, |A|, |B|) in ONE groupBy — no size-lookup joins
@@ -153,17 +157,13 @@ object DedupOps {
         explode(col("shingles")).as("shingle"))
       .select(col("doc_id"), col("n_sh"),
         xxhash64(col("shingle")).as("shh"))
-    // Zipf head: the ubiquitous shingles. Partial aggregation collapses
-    // the postings map-side, so the shuffle carries ~distinct(shh) rows.
-    val hot = rawPosts.groupBy("shh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("shh")
-    val posts = rawPosts.join(broadcast(hot), Seq("shh"), "left_anti")
     // pair generation WITHIN each posting bucket: one shuffle on shh,
     // then a bounded double-explode — no self-join, no window sort, and
-    // the postings pipeline runs exactly once
-    val buckets = posts.groupBy("shh")
-      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ps"))
-      .filter(size(col("ps")) >= 2)
+    // the postings pipeline runs exactly once (hot buckets die inside
+    // the aggregate, see scaladoc above)
+    val buckets = rawPosts.groupBy("shh")
+      .agg(expr(s"collect_capped(struct(doc_id, n_sh), $maxDf)").as("ps"))
+      .filter(col("ps").isNotNull && size(col("ps")) >= 2)
     val pairRows = buckets
       .select(col("ps"), explode(col("ps")).as("a"))
       .select(col("a"), explode(col("ps")).as("b"))
@@ -178,35 +178,58 @@ object DedupOps {
       .filter(col("n_common_ub").cast("double") /
         (col("n_a") + col("n_b") - col("n_common_ub")) >= threshold)
       .select("doc_a", "doc_b")
-      // consumed twice (candIds + the verify join): without a persist
-      // the whole postings pair-generation re-runs per consumer
-      .persist()
-      .transform(pin)
-    // verify phase: shrink the shingled corpus to candidate docs with a
-    // semi-join (small by construction), then plain shuffle joins — the
-    // pattern minhashLsh uses. No broadcast of sh at any scale.
-    val candIds = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id")))
-      .distinct()
-    // also two consumers (the doc_a and doc_b sides); bounded by the
-    // candidate count, so persisting is safe at corpus scale
-    val candSh = pin(sh.join(candIds, Seq("doc_id"), "left_semi").persist())
-    // shuffle_hash hints: the candidate set is unbounded (worst case a
-    // near-duplicate-heavy corpus), so the shingle-carrying sides are
-    // partitioned, never broadcast — regardless of optimizer stats
+    verifyJaccard(sh, cand, threshold)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set against a
+    * shingled (doc_id, shingles) frame, in ONE pass over the corpus:
+    * each pair explodes to its two (pair, doc_id) sides, one
+    * partitioned join attaches the shingle set per side, and a per-pair
+    * aggregate reassembles (sa, sb) for the intersect. The former shape
+    * (id-distinct → semi-join → one shuffle join per side) shuffled the
+    * same corpus once but spent 3 extra exchanges and a persist on the
+    * candidate frame; this one consumes candidates once, so nothing
+    * needs caching. The join stays `shuffle_hash`, never broadcast: the
+    * candidate set is unbounded on a near-duplicate-heavy corpus, and
+    * the shingle side is corpus-sized by definition. The per-pair
+    * aggregate buffers exactly two (side, shingles) entries — via
+    * [[graft.functions.CollectCapped collect_capped]], a
+    * TypedImperativeAggregate, so it plans as ObjectHashAggregate;
+    * built-in first()/max() over array columns would fall back to
+    * SortAggregate and pay two sorts of the pair-side frame.
+    * Shingle arrays are distinct by construction ([[SHINGLES]]), so
+    * |A ∪ B| = |A| + |B| − |A ∩ B| holds on raw sizes.
+    */
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    graft.functions.CollectCapped.register(sh.sparkSession)
     cand
-      .join(candSh.select(col("doc_id").as("doc_a"),
-        col("shingles").as("sa")).hint("shuffle_hash"), "doc_a")
-      .join(candSh.select(col("doc_id").as("doc_b"),
-        col("shingles").as("sb")).hint("shuffle_hash"), "doc_b")
+      .select(struct(col("doc_a"), col("doc_b")).as("pk"))
+      .select(col("pk"),
+        explode(array(col("pk.doc_a"), col("pk.doc_b"))).as("doc_id"))
+      .join(sh.hint("shuffle_hash"), "doc_id")
+      .groupBy("pk")
+      // a pair whose two sides collapsed to one row (a doc missing
+      // from sh — impossible for postings-derived candidates) yields a
+      // 1-element array; the CASE below then reads element 2 as NULL
+      // and the jaccard filter drops the pair, matching the old
+      // inner-join behavior
+      .agg(expr(
+        "collect_capped(struct(doc_id = pk.doc_a AS is_a, shingles), 2)")
+        .as("ss"))
+      .select(col("pk"),
+        expr("CASE WHEN ss[0].is_a THEN ss[0].shingles " +
+          "ELSE ss[1].shingles END").as("sa"),
+        expr("CASE WHEN ss[0].is_a THEN ss[1].shingles " +
+          "ELSE ss[0].shingles END").as("sb"))
       .withColumn("n_common",
         size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("n_common").cast("double") /
-          (size(array_distinct(col("sa"))) +
-            size(array_distinct(col("sb"))) - col("n_common")))
+          (size(col("sa")) + size(col("sb")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("pk.doc_a").as("doc_a"),
+        col("pk.doc_b").as("doc_b"), col("jaccard"))
   }
 
   /** MinHash signature array: base hash per shingle (one md5), then k
@@ -267,20 +290,9 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify over candidates only
-    val withSets = cand
-      .join(sh.select(col("doc_id").as("doc_a"),
-        col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"),
-        col("shingles").as("sh_b")), "doc_b")
-    withSets
-      .withColumn("n_common",
-        size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    // exact verify over candidates only — the shared one-pass join
+    // (the former per-side join pair shuffled the corpus twice)
+    verifyJaccard(sh, cand, threshold)
   }
 
   /** Round-boundary lineage cut for the iterative CC loops

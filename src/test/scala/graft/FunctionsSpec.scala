@@ -186,4 +186,46 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("array<float>"))
   }
+
+  test("collect_capped gathers under the cap and nulls hot groups " +
+      "across partial/merge boundaries") {
+    graft.functions.CollectCapped.register(spark)
+    // 8 input partitions force map-side partials + reducer merges —
+    // both update() and merge() paths run
+    val df = spark.range(0, 700)
+      .select((col("id") % 7).as("g"), col("id")).repartition(8)
+    // cap far above the 100-element groups: content must equal
+    // collect_list's (order-insensitive)
+    val got = df.groupBy("g")
+      .agg(expr("collect_capped(id, 1000)").as("xs"),
+        collect_list(col("id")).as("ref"))
+      .collect()
+    assert(got.length === 7)
+    got.foreach { r =>
+      assert(r.getSeq[Long](1).sorted === r.getSeq[Long](2).sorted)
+    }
+    // cap below every group size: all groups overflow to NULL (dropped
+    // for heat ≠ empty)
+    val hot = df.groupBy("g")
+      .agg(expr("collect_capped(id, 99)").as("xs")).collect()
+    assert(hot.forall(_.isNullAt(1)))
+    // cap exactly at group size: survives intact
+    val atCap = df.groupBy("g")
+      .agg(expr("collect_capped(id, 100)").as("xs")).collect()
+    assert(atCap.forall(_.getSeq[Long](1).length === 100))
+    // struct payloads round-trip the serializer (the jaccard use)
+    val structs = df.groupBy("g")
+      .agg(expr("collect_capped(struct(id, g), 1000)").as("ps"))
+      .collect()
+    structs.foreach { r =>
+      val rows = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(rows.length === 100)
+      assert(rows.forall(_.getLong(1) === r.getLong(0)))
+    }
+    // a non-foldable or absurd cap is an analysis error
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(expr("collect_capped(id, 0)")).collect()
+    }
+    assert(bad.getMessage.contains("cap"))
+  }
 }

@@ -169,22 +169,28 @@ class PlanSpec extends SparkSpec {
   test("jaccard verify phase never broadcasts the shingled corpus") {
     val docs = Tables.load(spark, Sf, "documents")
     val df = graft.ops.DedupOps.jaccardPairs(docs, 0.5)
-    // the verify joins must be plain shuffle joins against the
-    // semi-joined candidate shingles: a BroadcastExchange whose build
-    // side carries the `shingles` column would be the full corpus on
-    // one executor — the 100 TB OOM the r3/r4 verdicts flagged
+    // the verify join must be a plain shuffle join against the
+    // shingled corpus: a BroadcastExchange whose build side carries
+    // the `shingles` column would be the full corpus on one executor —
+    // the 100 TB OOM the r3/r4 verdicts flagged
     val p = df.queryExecution.executedPlan.toString
     val broadcastsShingles = p.linesIterator.exists(l =>
       l.contains("BroadcastExchange") && l.contains("shingles"))
     assert(!broadcastsShingles,
       s"shingled corpus must not be broadcast:\n$p")
     // candidate generation is bucket-based (groupBy shh + bounded
-    // double-explode): no window sort over the postings, and the only
-    // broadcast join is the tiny hot-shingle blacklist anti-join
+    // double-explode): no window sort over the postings
     assert(!p.contains("WindowExec") && !p.contains("Window "),
       s"jaccard candidate phase must not use a window:\n$p")
-    assert(p.contains("LeftAnti"),
-      s"hot-shingle blacklist anti-join missing:\n$p")
+    // hot-shingle capping happens INSIDE the bucket aggregation
+    // (collect_capped → ObjectHashAggregate): no separate blacklist
+    // pass, and no SortAggregate anywhere — the verify reassembles
+    // pair sides through collect_capped too, where a built-in agg
+    // over array columns would fall back to sorting the pair frame
+    assert(p.contains("ObjectHashAggregate"),
+      s"capped bucket aggregation missing:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"array-agg fell back to SortAggregate:\n$p")
   }
 
   test("embedding LSH verify never broadcasts the unit-vector corpus") {
