@@ -423,17 +423,19 @@ object DedupOps {
       // small-star: canonicalize to (larger, smaller) and point every
       // member of u's smaller-neighborhood (and u) at its minimum.
       // canon is referenced twice (mins2 + the rewiring join) but NOT
-      // checkpointed: both subtrees canonicalize to the same exchange,
-      // so Spark computes it once (ReusedExchange) — and even without
-      // reuse the result is consistent, because canon derives from the
-      // materialized checkpoint `e` through deterministic hash
-      // exchanges. Plan text stays bounded: cut(next) resets lineage
-      // every round, so the doubling is a constant factor per round,
-      // never compounding.
+      // checkpointed or distinct'd: mins2's min and the rewiring join
+      // are duplicate-insensitive and `next` dedups, so a distinct
+      // here would be one more per-round exchange for nothing. The two
+      // subtrees recompute canon's cheap map work from the upstream
+      // exchanges (which ARE reused), and the result is consistent
+      // because canon derives from the materialized checkpoint `e`
+      // through deterministic hash exchanges. Plan text stays bounded:
+      // cut(next) resets lineage every round, so the doubling is a
+      // constant factor per round, never compounding.
       val canon = ls
         .select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
       val mins2 = canon.groupBy("u").agg(min(col("v")).as("m"))
       val ss = canon.join(mins2, "u")
         .select(col("v").as("u"), col("m").as("v"))
