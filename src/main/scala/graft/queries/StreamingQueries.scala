@@ -52,16 +52,12 @@ object StreamingQueries {
       StreamingCube.runStreamSpanIndex(s, dir,
         s"stream_spans_${runId.incrementAndGet()}")),
 
-    // flatMapGroupsWithState sessionization (batch-mode execution of
-    // the same stateful function; the streaming path is spec-tested
-    // with MemoryStream batches)
-    "q_stream_sessionize" -> ((s, dir) => {
-      import s.implicits._
-      val evts = Tables.load(s, dir, "events")
-        .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
-        .as[StreamingCube.Evt]
-      StreamingCube.sessionize(evts, gapMinutes = 30).toDF()
-    })
+    // flatMapGroupsWithState sessionization riding the file-source
+    // stream end-to-end (AvailableNow drain; the same stateful
+    // function is additionally spec-tested with MemoryStream batches)
+    "q_stream_sessionize" -> ((s, dir) =>
+      StreamingCube.runStreamSessionize(s, dir,
+        s"stream_sess_${runId.incrementAndGet()}"))
   )
 
   val oracleSql: Map[String, String] = Map(

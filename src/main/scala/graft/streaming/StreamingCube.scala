@@ -364,6 +364,30 @@ object StreamingCube {
       }
   }
 
+  /** Streaming sessionization END-TO-END: the same
+    * flatMapGroupsWithState function the spec drives with MemoryStream
+    * batches, here riding the file-source event stream. Append mode
+    * emits each user's RUNNING session count once per micro-batch the
+    * user appears in; the count is monotone, so max(n_sessions) per
+    * user is the final figure whatever batch split AvailableNow chose
+    * (state carries across batches). Within-batch events are sorted by
+    * the group function; cross-batch order follows file discovery
+    * order — for the single staged file this drains as one batch,
+    * which is the deterministic backfill contract the oracle checks.
+    */
+  def runStreamSessionize(spark: SparkSession, sfDir: String,
+      name: String = "stream_sessionize"): DataFrame = {
+    val s = isolated(spark)
+    import s.implicits._
+    val evts = eventStream(s, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[Evt]
+    drain(sessionize(evts, gapMinutes = 30).toDF(),
+      name, OutputMode.Append)
+      .groupBy("user_id")
+      .agg(max("n_sessions").cast("int").as("n_sessions"))
+  }
+
   /** Batch-mode sessionization (same semantics, lag-window formulation)
     * — the backfill path a stream restart would use, and the oracle for
     * the stateful streaming path.
