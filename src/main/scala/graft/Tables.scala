@@ -22,18 +22,26 @@ object Tables {
       // events.ts has shipped as both INT64 TIMESTAMP(NANOS) (which Spark 4
       // rejects outright unless read as a raw long) and TIMESTAMP(MICROS)
       // NTZ, depending on the generator version. Read with nanosAsLong on —
-      // a no-op for micros files — then normalize whatever arrived to a
-      // session-zone TimestampType at microsecond precision.
+      // a no-op for micros files — then normalize whatever arrived.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => // nanos-as-long
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case _ => // TIMESTAMP(MICROS); NTZ wall-clock == UTC session zone
-          raw.withColumn("ts",
-            col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      }
+      normalizeEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Normalize an events frame's `ts` to a session-zone TimestampType at
+    * microsecond precision, whichever parquet variant it was read from.
+    * The ONE copy of this logic — the batch loader above and the
+    * streaming reader (`StreamingCube.eventStream`) both call it, so the
+    * two paths cannot drift (the r7 regression was exactly a reader pair
+    * hand-synced to different generator variants).
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => // TIMESTAMP(MICROS); NTZ wall-clock == UTC session zone
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
 
   /** Register every table as a temp view named after the table, so both the
     * DataFrame API and spark.sql(...) paths see the same catalog. Idempotent.

@@ -131,6 +131,12 @@ object CollectCapped {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("collect_capped"),
       new ExpressionInfo(classOf[CollectCapped].getName, "collect_capped"),
-      (exprs: Seq[Expression]) => CollectCapped(exprs(0), exprs(1)))
+      (exprs: Seq[Expression]) => {
+        // a clear signature error instead of IndexOutOfBounds from the
+        // positional access below
+        require(exprs.length == 2,
+          s"collect_capped(expr, cap) takes 2 arguments, got ${exprs.length}")
+        CollectCapped(exprs(0), exprs(1))
+      })
   }
 }

@@ -191,7 +191,13 @@ object DedupOps {
     * candidate frame; this one consumes candidates once, so nothing
     * needs caching. The join stays `shuffle_hash`, never broadcast: the
     * candidate set is unbounded on a near-duplicate-heavy corpus, and
-    * the shingle side is corpus-sized by definition. The per-pair
+    * the shingle side is corpus-sized by definition. (A BROADCAST semi
+    * of candidate ids would prune the corpus map-side when candidates
+    * are provably sparse, but an unbounded build side is exactly the
+    * 100 TB OOM this module bans — the old shuffle-semi shape
+    * exchanged the full corpus just the same; Spark's runtime bloom
+    * filter can inject the sparse-candidate prune into this join's
+    * scan without the OOM risk.) The per-pair
     * aggregate buffers exactly two (side, shingles) entries — via
     * [[graft.functions.CollectCapped collect_capped]], a
     * TypedImperativeAggregate, so it plans as ObjectHashAggregate;
@@ -211,17 +217,24 @@ object DedupOps {
       .groupBy("pk")
       // a pair whose two sides collapsed to one row (a doc missing
       // from sh — impossible for postings-derived candidates) yields a
-      // 1-element array; the CASE below then reads element 2 as NULL
-      // and the jaccard filter drops the pair, matching the old
-      // inner-join behavior
+      // 1-element array; try_element_at (NOT ss[i], which throws
+      // INVALID_ARRAY_INDEX under this build's ANSI-on default) then
+      // reads the missing side as NULL and the jaccard filter drops
+      // the pair, matching the old inner-join behavior. The converse —
+      // MORE than 2 rows per pair, i.e. a corpus with duplicated
+      // doc_ids — overflows the cap and also drops the pair: every
+      // dedup op here assumes doc_id is a key (duplicated ids already
+      // corrupt the candidate counts upstream of any verify shape).
       .agg(expr(
         "collect_capped(struct(doc_id = pk.doc_a AS is_a, shingles), 2)")
         .as("ss"))
       .select(col("pk"),
-        expr("CASE WHEN ss[0].is_a THEN ss[0].shingles " +
-          "ELSE ss[1].shingles END").as("sa"),
-        expr("CASE WHEN ss[0].is_a THEN ss[1].shingles " +
-          "ELSE ss[0].shingles END").as("sb"))
+        expr("CASE WHEN try_element_at(ss, 1).is_a " +
+          "THEN try_element_at(ss, 1).shingles " +
+          "ELSE try_element_at(ss, 2).shingles END").as("sa"),
+        expr("CASE WHEN try_element_at(ss, 1).is_a " +
+          "THEN try_element_at(ss, 2).shingles " +
+          "ELSE try_element_at(ss, 1).shingles END").as("sb"))
       .withColumn("n_common",
         size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",

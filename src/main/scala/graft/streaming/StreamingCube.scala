@@ -42,15 +42,9 @@ object StreamingCube {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema =
       spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream
+    graft.Tables.normalizeEventTs(spark.readStream
       .schema(batchSchema)
-      .parquet(stageDir(sfDir))
-    batchSchema("ts").dataType match {
-      case LongType => // nanos-as-long
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ =>        // TIMESTAMP(MICROS); NTZ wall-clock == UTC session
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-    }
+      .parquet(stageDir(sfDir)))
   }
 
   /** Lazily create /tmp/graft_stream/<hash>/<table>.parquet as a link
@@ -61,9 +55,19 @@ object StreamingCube {
     val dir = Paths.get("/tmp/graft_stream",
       Integer.toHexString(sfDir.hashCode), table)
     Files.createDirectories(dir)
+    val src = Paths.get(sfDir, s"$table.parquet")
     val target = dir.resolve(s"$table.parquet")
+    // A symlink always reflects the live testdata file; a COPY (the
+    // symlink-unsupported fallback) can go stale when the driver
+    // regenerates testdata in place — and the stream schema is read
+    // from the live footer, so a stale copy would silently decode with
+    // the wrong variant. Refresh the copy when size or mtime diverges.
+    val stale = Files.exists(target) && !Files.isSymbolicLink(target) && (
+      Files.size(target) != Files.size(src) ||
+        Files.getLastModifiedTime(target)
+          .compareTo(Files.getLastModifiedTime(src)) < 0)
+    if (stale) Files.delete(target)
     if (!Files.exists(target)) {
-      val src = Paths.get(sfDir, s"$table.parquet")
       try Files.createSymbolicLink(target, src)
       catch { case _: Exception => Files.copy(src, target) }
     }
