@@ -95,6 +95,44 @@ class SourcesSpec extends SparkSpec {
     assert(streamed === org.apache.spark.sql.types.TimestampType)
   }
 
+  test("testdata canary: every table loads with its key columns") {
+    // The driver regenerates /root/testdata between rounds and has
+    // already changed a column's physical type once (events.ts,
+    // NANOS→MICROS — the r7 regression). This canary makes the NEXT
+    // generator change fail loudly here instead of surfacing as a
+    // cryptic mid-bench analysis error.
+    val keyCols = Map(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_regionkey", "n_name"),
+      "customer" -> Seq("c_custkey", "c_nationkey"),
+      "supplier" -> Seq("s_suppkey", "s_nationkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderdate"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_returnflag"),
+      "events" -> Seq("event_id", "ts", "user_id", "event_type", "value"),
+      "documents" -> Seq("doc_id", "text", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding"))
+    Tables.names.foreach { t =>
+      val df = Tables.load(spark, Sf, t)
+      val missing = keyCols(t).filterNot(df.columns.contains)
+      assert(missing.isEmpty,
+        s"table $t lost expected columns $missing — testdata " +
+          s"regenerated with a new schema? found: ${df.columns.toSeq}")
+      assert(df.head(1).nonEmpty, s"table $t is empty")
+    }
+    // the two type-sensitive columns: the ANN family's native
+    // expressions require array<float>, and text ops require a string
+    import org.apache.spark.sql.types._
+    assert(Tables.load(spark, Sf, "embeddings").schema("embedding")
+      .dataType === ArrayType(FloatType),
+      "embeddings.embedding is no longer array<float> — the vector " +
+        "expressions (cosine_f32/dot_f32/argmin_sq/lsh_bits) type-check " +
+        "against float arrays")
+    assert(Tables.load(spark, Sf, "documents").schema("text")
+      .dataType === StringType)
+  }
+
   test("unknown formats raise a schema error") {
     val e = intercept[IllegalArgumentException] {
       Sources.load(spark, "/tmp/nope.xyz")
