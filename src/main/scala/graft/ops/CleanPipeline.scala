@@ -31,11 +31,10 @@ object CleanPipeline {
   def clean(docs: DataFrame, minTokens: Int = 30,
       minStopRatio: Double = 0.04,
       jaccard: Double = 0.5): DataFrame = {
-    val keepQ = TextOps.profile(docs)
-      .filter(col("n_tokens") >= minTokens &&
-        col("stop_ratio") >= minStopRatio)
-      .select("doc_id")
-    val kept1 = docs.join(keepQ, "doc_id")
+    // quality gate as a PURE map-side filter (one tokenize, no join):
+    // the former profile → id-project → self-join shape spent two
+    // corpus-sized exchanges on what is semantically a WHERE clause
+    val kept1 = TextOps.qualityFilter(docs, minTokens, minStopRatio)
     val keepE = DedupOps.exactDedup(kept1).select("doc_id")
     // kept2 feeds the near-dup join, the anti-join, and the callers'
     // stats joins — persist so the quality/dedup stages run once

@@ -19,9 +19,33 @@ object TextOps {
   /** Whitespace tokens of the lowercased text. */
   val TOKENS = "split(lower(trim(text)), '\\\\s+')"
 
+  /** Stopword-ratio expression over a materialized token column `t` —
+    * the ONE copy [[profile]] and [[qualityFilter]] share, so the
+    * map-side gate and the profile feature bit-match.
+    */
+  private val STOP_RATIO =
+    """size(filter(t, x -> array_contains(
+      |  array('the', 'a', 'of', 'and', 'to', 'in'), x)))
+      |  / CAST(size(t) AS DOUBLE)""".stripMargin
+
   /** (doc_id, text, t) with the token array materialized. */
   private def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"), expr(TOKENS).as("t"))
+
+  /** The corpus rows passing the quality gate, with all input columns
+    * preserved — a PURE map-side filter (tokenize → predicate → drop
+    * the token column). [[CleanPipeline]] used to express this as
+    * profile → filter → id-project → self-join back onto the corpus,
+    * which at scale is two corpus-sized exchanges for what is
+    * semantically a WHERE clause. Values bit-match profile's
+    * n_tokens/stop_ratio (same expression text).
+    */
+  def qualityFilter(docs: DataFrame, minTokens: Int,
+      minStopRatio: Double): DataFrame =
+    docs.withColumn("t", expr(TOKENS))
+      .filter(size(col("t")) >= minTokens &&
+        expr(STOP_RATIO) >= minStopRatio)
+      .drop("t")
 
   /** Token count per document (whitespace tokenization). */
   def tokenCounts(docs: DataFrame): DataFrame =
@@ -80,13 +104,11 @@ object TextOps {
     * individual operators (and their oracles).
     */
   def profile(docs: DataFrame): DataFrame = {
-    val stop = "array('the', 'a', 'of', 'and', 'to', 'in')"
     def hits(words: String) =
       s"size(filter(t, x -> array_contains(array($words), x)))"
     tokenized(docs).select(col("doc_id"),
       size(col("t")).as("n_tokens"),
-      expr(s"""size(filter(t, x -> array_contains($stop, x)))
-               / CAST(size(t) AS DOUBLE)""").as("stop_ratio"),
+      expr(STOP_RATIO).as("stop_ratio"),
       expr(hits("'the', 'a', 'of', 'and', 'to', 'in'")).as("en_hits"),
       expr(hits("'der', 'die', 'das', 'und', 'ist'")).as("de_hits"),
       expr(hits("'el', 'la', 'de', 'y', 'es'")).as("es_hits"),
