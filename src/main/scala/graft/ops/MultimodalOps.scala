@@ -6,14 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, and decode / feature-extract operators.
   *
-  * IMAGE decode is REAL: [[decodeImage]] runs `javax.imageio` (in the
-  * JDK — no external codec library needed) over actual PNG bytes and
-  * reads width/height/format/pixels out of the decoded raster;
-  * [[withPngPayload]] renders genuine PNG payloads so the whole
-  * encode→binary-column→decode round trip executes distributed. The
-  * audio/video framing ([[frameSample]]) and the md5 stand-in
-  * ([[decodeImageMeta]], kept for payloads with no JDK codec) remain
-  * deterministic stubs, labeled as such. The Spark shape either way:
+  * IMAGE and AUDIO decode are REAL: [[decodeImage]] runs
+  * `javax.imageio` (in the JDK — no external codec library needed)
+  * over actual PNG bytes and reads width/height/format/pixels out of
+  * the decoded raster; [[decodeAudio]] runs `javax.sound.sampled`
+  * over actual WAV bytes and reads format/sample stats out of the
+  * decoded PCM stream. [[withPngPayload]]/[[withWavPayload]] render
+  * genuine payloads so both encode→binary-column→decode round trips
+  * execute distributed. VIDEO framing ([[frameSample]]) and the md5
+  * stand-in ([[decodeImageMeta]], kept for payloads with no JDK
+  * codec) remain deterministic stubs, labeled as such — the JDK ships
+  * no video codec. The Spark shape either way:
   *
   *  - Decode runs via `mapPartitions` over a typed Dataset, the Scala
   *    analog of `mapInPandas`: one iterator per partition, so decoder
@@ -145,6 +148,88 @@ object MultimodalOps {
   def decodedImageStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     decodeImage(withPngPayload(docs).as[MediaRow]).toDF()
+  }
+
+  /** Decoded-audio stats row: real samples out of the JDK's WAV codec. */
+  final case class AudioStats(doc_id: Long, sample_rate: Int,
+      channels: Int, bits: Int, n_samples: Long, mean_abs: Long)
+
+  /** REAL WAV payloads: synthesize a deterministic 16-bit mono PCM
+    * square wave per document (length from n_chars, amplitude from
+    * doc_id) and wrap it with the JDK's WAVE writer — genuine audio
+    * container bytes in a `binary` column, produced distributed in the
+    * same mapPartitions shape as [[withPngPayload]]. The sample count
+    * is a multiple of the square-wave period, so mean |sample| equals
+    * the amplitude EXACTLY — every decoded quantity is reproducible
+    * from (doc_id, n_chars), which is what makes [[decodeAudio]]
+    * oracle-checkable in SQL.
+    */
+  def withWavPayload(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val n = 400 + (nChars % 50).toInt * 16 // multiple of 16
+          val amp = (1000 + id % 20000).toInt    // < 2^15: no clipping
+          val pcm = new Array[Byte](n * 2)       // little-endian s16
+          var i = 0
+          while (i < n) {
+            val s = if ((i / 8) % 2 == 0) amp else -amp
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** REAL audio decode via `javax.sound.sampled`: container parsing
+    * and format metadata from the JDK's WAV reader, sample stats from
+    * the decoded PCM stream. Same per-partition iterator shape as
+    * [[decodeImage]]; payload bytes never leave the executor.
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        try {
+          val f = ais.getFormat
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / (f.getSampleSizeInBits / 8) /
+            f.getChannels
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt // sign-extended high byte
+            sum += math.abs((hi << 8) | lo)
+            i += 1
+          }
+          AudioStats(r.doc_id, f.getSampleRate.toInt, f.getChannels,
+            f.getSampleSizeInBits, n.toLong, sum / n)
+        } finally ais.close()
+      }
+    }
+  }
+
+  /** Decoded stats for the documents corpus: WAV encode → binary
+    * column → javax.sound decode, end to end on executors.
+    */
+  def decodedAudioStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodeAudio(withWavPayload(docs).as[MediaRow]).toDF()
   }
 
   /** Resize planning: pure metadata math (target box fit, preserve

@@ -251,6 +251,10 @@ object PipelineQueries {
     "q_multimodal_decode" -> ((s, dir) =>
       MultimodalOps.decodedImageStats(s, docs(s, dir))),
 
+    // real WAV synth → javax.sound decode round trip
+    "q_multimodal_audio" -> ((s, dir) =>
+      MultimodalOps.decodedAudioStats(s, docs(s, dir))),
+
     // stubbed decode (md5 stand-in), real plumbing
     "q_multimodal_meta" -> ((s, dir) =>
       MultimodalOps.imageMeta(s, docs(s, dir))),
@@ -1020,6 +1024,20 @@ object PipelineQueries {
         |  CAST(8 + n_chars % 40 AS INT) AS height,
         |  'png' AS format,
         |  CAST(doc_id % 256 AS INT) AS avg_r
+        |FROM documents""".stripMargin,
+
+    // the WAV fixture is a 16-bit mono 8 kHz square wave: length
+    // 400 + (n_chars % 50)*16 samples (a multiple of the period, so
+    // mean |sample| is EXACTLY the amplitude 1000 + doc_id % 20000);
+    // WAV PCM is lossless, so the decoded stream reproduces exactly
+    // what SQL derives from the row
+    "q_multimodal_audio" ->
+      """SELECT doc_id,
+        |  8000 AS sample_rate,
+        |  1 AS channels,
+        |  16 AS bits,
+        |  CAST(400 + (n_chars % 50) * 16 AS BIGINT) AS n_samples,
+        |  CAST(1000 + doc_id % 20000 AS BIGINT) AS mean_abs
         |FROM documents""".stripMargin,
 
     "q_multimodal_meta" ->

@@ -220,6 +220,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal REAL audio decode round-trips WAV bytes " +
+      "through javax.sound") {
+    import org.apache.spark.sql.functions.col
+    val out = MultimodalOps.decodedAudioStats(spark, docs.limit(50))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .collect()
+    assert(out.length === 50)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("sample_rate") === 8000)
+      assert(r.getAs[Int]("channels") === 1)
+      assert(r.getAs[Int]("bits") === 16)
+      // the container really parsed: sample count and EXACT mean
+      // amplitude survive the encode/decode round trip (PCM lossless,
+      // square wave over a whole number of periods)
+      assert(r.getAs[Long]("n_samples") ===
+        400 + (r.getAs[Long]("n_chars") % 50) * 16)
+      assert(r.getAs[Long]("mean_abs") === 1000 + id % 20000)
+    }
+  }
+
   test("multimodal stub decode is deterministic and schema-typed") {
     val m = MultimodalOps.imageMeta(spark, docs)
     assert(m.columns.toSeq ===
