@@ -261,7 +261,15 @@ object PipelineQueries {
 
     "q_multimodal_resize" -> ((s, dir) =>
       MultimodalOps.resizePlan(MultimodalOps.imageMeta(s, docs(s, dir)), 64)
-        .select("doc_id", "out_w", "out_h"))
+        .select("doc_id", "out_w", "out_h")),
+
+    // metadata-only frame sampling plan (video framing is the one
+    // remaining labeled stub: the JDK ships no video codec)
+    "q_multimodal_frames" -> ((s, dir) =>
+      MultimodalOps.frameSample(
+        MultimodalOps.imageMeta(s, docs(s, dir)),
+        bytesPerFrame = 64, stride = 4)
+        .select(col("doc_id"), explode(col("frame_idx")).as("frame_idx")))
   )
 
   // ------------------------------------------------------------ oracles
@@ -1060,6 +1068,17 @@ object PipelineQueries {
         |    AS INT) AS out_w,
         |  CAST(floor(height * least(64.0 / width, 64.0 / height, 1.0))
         |    AS INT) AS out_h
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // frame plan: every 4th frame index of n_frames = n_bytes/64
+    // (n_bytes = utf-8 octet length, matching the payload encoding);
+    // integer floor division on both sides — Spark's double→int cast
+    // truncates, DuckDB's rounds, so // keeps the engines aligned
+    "q_multimodal_frames" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx
+        |FROM (SELECT doc_id, unnest(range(0,
+        |    greatest(CAST(octet_length(encode(text)) // 64 AS INT) - 1, 0) + 1,
+        |    4)) AS f
+        |  FROM documents)""".stripMargin
   )
 }
