@@ -207,18 +207,33 @@ object MultimodalOps {
         try {
           val f = ais.getFormat
           val bytes = ais.readAllBytes()
-          val n = bytes.length / (f.getSampleSizeInBits / 8) /
-            f.getChannels
+          val bits = f.getSampleSizeInBits
+          val ch = f.getChannels
+          // WAV PCM conventions: 8-bit is UNSIGNED (bias 128), 16-bit
+          // signed with container-declared endianness. Other depths
+          // (24/32-bit) fail loudly rather than decode garbage.
+          require(bits == 8 || bits == 16,
+            s"decodeAudio supports 8/16-bit PCM, got $bits-bit")
+          val bps = bits / 8
+          val frames = bytes.length / (bps * ch)
+          val total = frames * ch // samples across all channels
           var sum = 0L
           var i = 0
-          while (i < n) {
-            val lo = bytes(2 * i) & 0xff
-            val hi = bytes(2 * i + 1).toInt // sign-extended high byte
-            sum += math.abs((hi << 8) | lo)
-            i += 1
+          if (bits == 8) {
+            while (i < total) { sum += math.abs((bytes(i) & 0xff) - 128); i += 1 }
+          } else if (f.isBigEndian) {
+            while (i < total) {
+              sum += math.abs((bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff))
+              i += 1
+            }
+          } else {
+            while (i < total) {
+              sum += math.abs((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+              i += 1
+            }
           }
-          AudioStats(r.doc_id, f.getSampleRate.toInt, f.getChannels,
-            f.getSampleSizeInBits, n.toLong, sum / n)
+          AudioStats(r.doc_id, f.getSampleRate.toInt, ch, bits,
+            frames.toLong, if (total == 0) 0L else sum / total)
         } finally ais.close()
       }
     }
@@ -246,7 +261,12 @@ object MultimodalOps {
     */
   def frameSample(meta: DataFrame, bytesPerFrame: Int,
       stride: Int): DataFrame =
+    // a payload with zero whole frames samples NOTHING — the previous
+    // greatest(n-1, 0) lower clamp emitted frame 0 for frameless
+    // payloads, a plan row pointing past the payload end
     meta.select(col("doc_id"),
-      expr(s"sequence(0, greatest(cast(n_bytes / $bytesPerFrame as int) - 1, 0), $stride)")
-        .as("frame_idx"))
+      expr(s"""CASE WHEN cast(n_bytes / $bytesPerFrame as int) <= 0
+        THEN cast(array() as array<int>)
+        ELSE sequence(0, cast(n_bytes / $bytesPerFrame as int) - 1, $stride)
+        END""").as("frame_idx"))
 }

@@ -19,14 +19,16 @@ object TextOps {
   /** Whitespace tokens of the lowercased text. */
   val TOKENS = "split(lower(trim(text)), '\\\\s+')"
 
-  /** Stopword-ratio expression over a materialized token column `t` —
-    * the ONE copy [[profile]] and [[qualityFilter]] share, so the
+  /** Stopword-ratio expression over a materialized token column — the
+    * ONE definition [[profile]] and [[qualityFilter]] share, so the
     * map-side gate and the profile feature bit-match.
     */
-  private val STOP_RATIO =
-    """size(filter(t, x -> array_contains(
-      |  array('the', 'a', 'of', 'and', 'to', 'in'), x)))
-      |  / CAST(size(t) AS DOUBLE)""".stripMargin
+  private def stopRatioOver(tc: String): String =
+    s"""size(filter($tc, x -> array_contains(
+       |  array('the', 'a', 'of', 'and', 'to', 'in'), x)))
+       |  / CAST(size($tc) AS DOUBLE)""".stripMargin
+
+  private val STOP_RATIO = stopRatioOver("t")
 
   /** (doc_id, text, t) with the token array materialized. */
   private def tokenized(docs: DataFrame): DataFrame =
@@ -41,11 +43,15 @@ object TextOps {
     * n_tokens/stop_ratio (same expression text).
     */
   def qualityFilter(docs: DataFrame, minTokens: Int,
-      minStopRatio: Double): DataFrame =
-    docs.withColumn("t", expr(TOKENS))
-      .filter(size(col("t")) >= minTokens &&
-        expr(STOP_RATIO) >= minStopRatio)
-      .drop("t")
+      minStopRatio: Double): DataFrame = {
+    // reserved scratch name: withColumn("t", ...) would silently
+    // clobber-and-drop a caller column named t
+    val tc = "__graft_q_tokens"
+    docs.withColumn(tc, expr(TOKENS))
+      .filter(size(col(tc)) >= minTokens &&
+        expr(stopRatioOver(tc)) >= minStopRatio)
+      .drop(tc)
+  }
 
   /** Token count per document (whitespace tokenization). */
   def tokenCounts(docs: DataFrame): DataFrame =

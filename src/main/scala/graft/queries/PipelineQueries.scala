@@ -264,10 +264,13 @@ object PipelineQueries {
         .select("doc_id", "out_w", "out_h")),
 
     // metadata-only frame sampling plan (video framing is the one
-    // remaining labeled stub: the JDK ships no video codec)
+    // remaining labeled stub: the JDK ships no video codec); n_bytes
+    // is a pure column expression, so the whole query is one
+    // codegen'd projection — no decode round trip on this path
     "q_multimodal_frames" -> ((s, dir) =>
       MultimodalOps.frameSample(
-        MultimodalOps.imageMeta(s, docs(s, dir)),
+        docs(s, dir).select(col("doc_id"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")),
         bytesPerFrame = 64, stride = 4)
         .select(col("doc_id"), explode(col("frame_idx")).as("frame_idx")))
   )
@@ -1073,11 +1076,13 @@ object PipelineQueries {
     // frame plan: every 4th frame index of n_frames = n_bytes/64
     // (n_bytes = utf-8 octet length, matching the payload encoding);
     // integer floor division on both sides — Spark's double→int cast
-    // truncates, DuckDB's rounds, so // keeps the engines aligned
+    // truncates, DuckDB's rounds, so // keeps the engines aligned.
+    // range's exclusive stop makes n_frames = 0 yield NO rows, the
+    // same empty-array contract as frameSample
     "q_multimodal_frames" ->
       """SELECT doc_id, CAST(f AS INT) AS frame_idx
         |FROM (SELECT doc_id, unnest(range(0,
-        |    greatest(CAST(octet_length(encode(text)) // 64 AS INT) - 1, 0) + 1,
+        |    CAST(octet_length(encode(text)) // 64 AS INT),
         |    4)) AS f
         |  FROM documents)""".stripMargin
   )
