@@ -32,6 +32,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("jaccardPairs matches a driver-side exact computation on " +
+      "random corpora, and the df cap drops only hot-overlap pairs") {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    def shingleSet(t: String): Set[String] = {
+      val ts = t.toLowerCase.trim.split("\\s+")
+      if (ts.length < 3) Set.empty
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(1000 + trial)
+      val corpus = (0L until 40L).map { id =>
+        val n = 5 + rnd.nextInt(12)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val sh = corpus.map { case (id, t) => id -> shingleSet(t) }
+        .filter(_._2.nonEmpty).toMap
+      val expect = (for {
+        (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a < b
+        inter = (sa & sb).size
+        if inter > 0 &&
+          inter.toDouble / (sa.size + sb.size - inter) >= 0.3
+      } yield (a, b)).toSet
+      val got = DedupOps.jaccardPairs(df, 0.3)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expect, s"trial $trial")
+      // tiny maxDf: every surviving pair is still exact, and every
+      // DROPPED pair lost ALL its shared shingles to the df cap — the
+      // collect_capped overflow path really fires on this vocabulary
+      val dfCount = sh.values.toSeq.flatten
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val capped = DedupOps.jaccardPairs(df, 0.3, maxDf = 2)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped.subsetOf(expect), s"trial $trial")
+      (expect -- capped).foreach { case (a, b) =>
+        val shared = sh(a) & sh(b)
+        assert(shared.forall(s => dfCount(s) > 2),
+          s"trial $trial: pair ($a,$b) dropped but has a cold shared " +
+            s"shingle — cap semantics broken")
+      }
+    }
+  }
+
   test("embeddingPairsLsh candidates are a subset of brute-force pairs") {
     val brute = DedupOps.embeddingPairs(emb, 0.47)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
