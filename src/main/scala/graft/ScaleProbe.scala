@@ -29,6 +29,17 @@ object ScaleProbe {
       for (_ <- 1 to 2) {
         time("profile (quality feats)")(Pins.scoped {
           TextOps.profile(docs).count() })
+        time("exact dedup agg+join")(Pins.scoped {
+          val k1 = TextOps.qualityFilter(docs, 30, 0.04)
+          val keep = DedupOps.exactDedup(k1).select("doc_id")
+          k1.join(keep, "doc_id").count() })
+        time("exact dedup min_by")(Pins.scoped {
+          val k1 = TextOps.qualityFilter(docs, 30, 0.04)
+          k1.groupBy(expr("md5(text)").as("fp"))
+            .agg(expr("min_by(struct(doc_id, text, source, n_chars), doc_id)")
+              .as("r"))
+            .select(col("r.doc_id"), col("r.text"), col("r.source"),
+              col("r.n_chars")).count() })
         time("shingled materialize")(Pins.scoped {
           val sh = Pins.pin(DedupOps.shingled(docs).persist())
           sh.count() })

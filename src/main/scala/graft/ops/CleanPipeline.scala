@@ -35,6 +35,14 @@ object CleanPipeline {
     // the former profile → id-project → self-join shape spent two
     // corpus-sized exchanges on what is semantically a WHERE clause
     val kept1 = TextOps.qualityFilter(docs, minTokens, minStopRatio)
+    // exact dedup stays the agg-ids + join-back shape on purpose: a
+    // one-exchange min_by(struct(*), doc_id) variant wins in isolation
+    // (0.63→0.38s warm at sf0.1 — ScaleProbe "exact dedup min_by") but
+    // LOSES composed (clean 4.6→5.1s): the join-back leaves kept2
+    // hash-partitioned on doc_id, which the final near-dup anti-join
+    // and the callers' doc_id joins reuse, so the "saved" exchange
+    // reappears downstream and the SortAggregate (struct buffers
+    // aren't hash-aggregable) is pure overhead
     val keepE = DedupOps.exactDedup(kept1).select("doc_id")
     // kept2 feeds the near-dup join, the anti-join, and the callers'
     // stats joins — persist so the quality/dedup stages run once
