@@ -502,7 +502,7 @@ object DedupOps {
       threshold: Double = 0.5, maxIters: Int = 20): DataFrame = {
     val pairs = minhashLsh(docs, bands, rows, threshold)
       .select("doc_a", "doc_b")
-    components(pairs, docs.select(col("doc_id")), maxIters)
+    componentsStar(pairs, docs.select(col("doc_id")), maxIters)
   }
 
   /** Train/eval DECONTAMINATION: near-dup document pairs ACROSS two
