@@ -18,7 +18,11 @@ import java.nio.file.{Files, Paths}
   * decimal, so the doubles are bit-identical. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names (dev iteration —
+    // the driver always invokes with exactly two)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,7 +35,9 @@ object Verify {
     // Decimal output columns per query, collected while writing — used
     // below to wrap the corresponding oracle SQL with identical casts.
     val decimalCols = scala.collection.mutable.Map.empty[String, Seq[String]]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // Pins.scoped: the write (the query's action) runs inside the
       // scope, so each query's load-bearing persists release as soon as
       // its parquet is on disk — storage stays bounded by one query's

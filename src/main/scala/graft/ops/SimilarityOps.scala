@@ -143,6 +143,53 @@ object SimilarityOps {
       expr(s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)")
         .as("e"))
       .persist()
+    val model = trainCells(flat, k, iters)
+    // Pins.cut, not a bare localCheckpoint: checkpoint blocks bypass
+    // the CacheManager, so an unmanaged one leaks a resident RDD per
+    // call — cut registers it for release at the query boundary
+    val out = graft.olap.Pins.cut(
+      flat.withColumn("cell", expr(assignSql(model, "e")))
+        .select(col("vec_id"), col("cell")))
+    flat.unpersist(blocking = false)
+    out
+  }
+
+  /** (codebook, cell-ids) literal SQL arrays of a trained model, in
+    * cell-id order — the form [[assignSql]] and the PQ distance tables
+    * embed into generated code.
+    */
+  private def modelLits(model: Seq[(Int, Array[Double])]): (String, String) = {
+    val sorted = model.sortBy(_._1)
+    val cb = sorted.map { case (_, m) =>
+      m.map(v => s"${v}D").mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
+    val cids = sorted.map(_._1).mkString("array(", ", ", ")")
+    (cb, cids)
+  }
+
+  /** Nearest-cell assignment over a vector column, as a SQL expression:
+    * native codegen'd argmin (argmin_sq): the collected model rides
+    * into generated code as a double[][] reference object and the
+    * distance scan is a short nested loop — constant generated-code
+    * size at any k × dim (the k-unrolled distance columns + chained
+    * CASE this replaces overflowed Janino at realistic k). Distances
+    * fold in index order with tie-break on the lower index = the
+    * ORDER BY dist, cell the oracle uses; element_at maps the argmin
+    * index back to the (possibly non-contiguous) surviving cell ids.
+    */
+  private def assignSql(model: Seq[(Int, Array[Double])],
+      vecSql: String): String = {
+    val (cb, cids) = modelLits(model)
+    s"element_at($cids, argmin_sq($vecSql, $cb) + 1)"
+  }
+
+  /** The deterministic seeded Lloyd loop over a persisted flat
+    * (vec_id, e: Array[Double]) frame; returns the trained model as
+    * (surviving cell id, centroid) pairs. See [[kmeansCells]] for the
+    * engine-portability contract the arithmetic satisfies.
+    */
+  private def trainCells(flat: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Array[Double])] = {
     // Seed centroids pass through the same decimal(38,12) rounding the
     // update step applies, so iteration 1 is bit-identical to an oracle
     // that derives them via the shared centroid CTE.
@@ -158,33 +205,16 @@ object SimilarityOps {
       .collect()
       .zipWithIndex
       .map { case (r, cid) =>
-        (cid,
-          r.getSeq[Double](r.fieldIndex("e")).take(dim).map(snap).toArray)
+        (cid, r.getSeq[Double](r.fieldIndex("e")).map(snap).toArray)
       }
       .toSeq
-    def assign(): DataFrame = {
-      // native codegen'd argmin (argmin_sq): the collected model rides
-      // into generated code as a double[][] reference object and the
-      // distance scan is a short nested loop — constant generated-code
-      // size at any k × dim (the k-unrolled distance columns + chained
-      // CASE this replaces overflowed Janino at realistic k). Distances
-      // fold in index order with tie-break on the lower index = the
-      // ORDER BY dist, cell the oracle uses; element_at maps the argmin
-      // index back to the (possibly non-contiguous) surviving cell ids.
-      val sorted = centroids.sortBy(_._1)
-      val cb = sorted.map { case (_, m) =>
-        m.map(v => s"${v}D").mkString("array(", ", ", ")")
-      }.mkString("array(", ", ", ")")
-      val cids = sorted.map(_._1).mkString("array(", ", ", ")")
-      flat.withColumn("cell",
-        expr(s"element_at($cids, argmin_sq(e, $cb) + 1)"))
-    }
     for (_ <- 1 until iters) {
       // update step on skinny (cell, dim, v) rows: ONE decimal sum
       // instead of a 64-wide decimal aggregate (which defeats codegen
       // and hashes a huge row), and k×dim grouped partials combine
       // map-side — the shape that holds at any corpus size
-      val grid = assign()
+      val grid = flat
+        .withColumn("cell", expr(assignSql(centroids, "e")))
         .select(col("cell"), posexplode(col("e")).as(Seq("d", "v")))
         .groupBy("cell", "d")
         .agg(count(lit(1)).as("n"),
@@ -198,12 +228,7 @@ object SimilarityOps {
               r.getAs[Long]("n")).toArray)
       }
     }
-    // Pins.cut, not a bare localCheckpoint: checkpoint blocks bypass
-    // the CacheManager, so an unmanaged one leaks a resident RDD per
-    // call — cut registers it for release at the query boundary
-    val out = graft.olap.Pins.cut(assign().select(col("vec_id"), col("cell")))
-    flat.unpersist(blocking = false)
-    out
+    centroids
   }
 
   /** The DuckDB-equivalent SQL of kmeansCells (unrolled Lloyd
@@ -220,41 +245,170 @@ object SimilarityOps {
     * (vec_id, e, cell)) — for oracles that COMPOSE on top of the
     * k-means assignment, e.g. semantic dedup.
     */
-  def kmeansOracleCtes(k: Int, iters: Int, dim: Int = Dim): String = {
+  def kmeansOracleCtes(k: Int, iters: Int, dim: Int = Dim): String =
+    "WITH " + kmeansCtesBody(k, iters, dim, off = 0, prefix = "")
+
+  /** One seeded-Lloyd CTE chain (no leading WITH): `<prefix>v` slices
+    * the stored embedding to components [off+1, off+dim] — the identity
+    * slice when off = 0 and dim is the stored width — and the chain
+    * ends at `<prefix>assign<iters>` (vec_id, e, cell). A non-empty
+    * prefix namespaces every CTE so several chains (one per PQ
+    * subspace) can share a single WITH clause.
+    */
+  private def kmeansCtesBody(k: Int, iters: Int, dim: Int, off: Int,
+      prefix: String): String = {
     def cent(i: Int, from: String) =
-      s"""cent$i AS (
+      s"""${prefix}cent$i AS (
          |  SELECT cell, d,
          |    CAST(CAST(sum(CAST(val AS DECIMAL(38,12))) AS VARCHAR)
          |      AS DOUBLE) / count(*) AS m
          |  FROM (SELECT cell, unnest(e) AS val,
-         |          generate_subscripts(e, 1) AS d FROM $from) ex$i
+         |          generate_subscripts(e, 1) AS d FROM $from) ${prefix}ex$i
          |  GROUP BY cell, d),
-         |clist$i AS (
-         |  SELECT cell, list(m ORDER BY d) AS c FROM cent$i GROUP BY cell)"""
+         |${prefix}clist$i AS (
+         |  SELECT cell, list(m ORDER BY d) AS c FROM ${prefix}cent$i
+         |  GROUP BY cell)"""
         .stripMargin
     def assign(i: Int) =
-      s"""assign$i AS (
+      s"""${prefix}assign$i AS (
          |  SELECT vec_id, e, cell FROM (
          |    SELECT v.vec_id, v.e, c.cell,
          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
          |        list_sum(list_transform(range(1, ${dim + 1}),
          |          i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))),
          |        c.cell) AS rn
-         |    FROM v CROSS JOIN clist$i c) WHERE rn = 1)""".stripMargin
+         |    FROM ${prefix}v v CROSS JOIN ${prefix}clist$i c)
+         |  WHERE rn = 1)""".stripMargin
     val steps = (1 to iters).map(i =>
-      cent(i, s"assign${i - 1}") + ",\n" + assign(i)).mkString(",\n")
-    s"""WITH v AS (
-       |  SELECT vec_id, list_transform(embedding,
+      cent(i, s"${prefix}assign${i - 1}") + ",\n" + assign(i)).mkString(",\n")
+    s"""${prefix}v AS (
+       |  SELECT vec_id, list_transform(embedding[${off + 1}:${off + dim}],
        |    x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings),
-       |assign0 AS (
+       |${prefix}assign0 AS (
        |  SELECT vec_id, e,
        |    CAST(row_number() OVER (ORDER BY
        |      ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT,
        |      vec_id) - 1 AS INT) AS cell
-       |  FROM v
+       |  FROM ${prefix}v
        |  QUALIFY cell < $k),
        |${steps}""".stripMargin
+  }
+
+  // -- product quantization (the memory-bound 100 TB ANN layout) -------
+
+  /** PQ codebooks: the embedding splits into `m` contiguous subspaces
+    * of dim/m components and each subspace trains an independent seeded
+    * Lloyd codebook of `kSub` centroids (the classic Jégou et al. 2011
+    * layout faiss calls PQ<m>). The model is m × kSub × (dim/m) doubles
+    * — driver-resident by design, like the IVF coarse quantizer.
+    *
+    * Scale: training is m independent [[trainCells]] loops over a
+    * dim/m-wide slice (each iteration one map-only assignment pass +
+    * one skinny grid aggregation); nothing corpus-sized ever reaches
+    * the driver.
+    */
+  def pqTrain(corpus: DataFrame, m: Int, kSub: Int, iters: Int,
+      dim: Int = Dim): Seq[Seq[(Int, Array[Double])]] = {
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    val subDim = dim / m
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    (0 until m).map { s =>
+      val flat = corpus.select(col("vec_id"),
+        expr("slice(transform(embedding, x -> cast(x as double)), " +
+          s"${s * subDim + 1}, $subDim)").as("e"))
+        .persist()
+      val model = trainCells(flat, kSub, iters)
+      flat.unpersist(blocking = false)
+      model
+    }
+  }
+
+  /** PQ encoding: (vec_id, sub, code) — each vector compresses to m
+    * small codes (m bytes/vector at kSub <= 256 vs 4·dim for float32,
+    * a 256× reduction at the default geometry; THE layout that keeps a
+    * 100 TB corpus's ANN index in cluster memory). Encoding is one
+    * fused map-only projection running m native argmin_sq loops per
+    * row; no shuffle, no join.
+    */
+  def pqEncode(corpus: DataFrame, m: Int, kSub: Int, iters: Int,
+      dim: Int = Dim): DataFrame = {
+    val models = pqTrain(corpus, m, kSub, iters, dim)
+    val subDim = dim / m
+    val codes = models.zipWithIndex.map { case (model, s) =>
+      assignSql(model, s"slice(e, ${s * subDim + 1}, $subDim)")
+    }.mkString("array(", ", ", ")")
+    corpus.select(col("vec_id"),
+        expr(s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)")
+          .as("e"))
+      .select(col("vec_id"), posexplode(expr(codes)).as(Seq("sub", "code")))
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): each probe
+    * precomputes a per-subspace table of squared distances to every
+    * codebook centroid, and a corpus vector's approximate distance is
+    * the sum of m table lookups on its codes — the scan never touches
+    * the float vectors.
+    *
+    * Scale: the corpus side is the m-codes frame ([[pqEncode]]'s
+    * map-only projection); the probe side (codes tables included, m ×
+    * kSub doubles per probe) broadcasts; per-probe top-k prunes
+    * map-side under the rank window (WindowGroupLimit). Distance math
+    * is deterministic for the oracle: per-subspace tables fold in
+    * component order, the m lookups add left-to-right.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, m: Int, kSub: Int,
+      iters: Int, k: Int, dim: Int = Dim): DataFrame = {
+    val models = pqTrain(corpus, m, kSub, iters, dim)
+    val subDim = dim / m
+    val flatE =
+      s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)"
+    val codeCols = models.zipWithIndex.map { case (model, s) =>
+      expr(assignSql(model, s"slice(e, ${s * subDim + 1}, $subDim)"))
+        .as(s"code_$s")
+    }
+    val coded = corpus.select(col("vec_id"), expr(flatE).as("e"))
+      .select(col("vec_id") +: codeCols: _*)
+    // probe-side ADC tables: map(cell id -> squared distance of the
+    // probe subvector to that cell's centroid); the codebook rides in
+    // as literals, the fold is index-order (zip_with + aggregate)
+    val dtCols = models.zipWithIndex.map { case (model, s) =>
+      val sorted = model.sortBy(_._1)
+      val keys = sorted.map(_._1).mkString("array(", ", ", ")")
+      val vals = sorted.map { case (_, c) =>
+        val lits = c.map(v => s"${v}D").mkString("array(", ", ", ")")
+        s"""aggregate(zip_with(slice(e, ${s * subDim + 1}, $subDim),
+           |  $lits, (x, y) -> (x - y) * (x - y)),
+           |  0D, (a, x) -> a + x)""".stripMargin
+      }.mkString("array(", ", ", ")")
+      expr(s"map_from_arrays($keys, $vals)").as(s"dt_$s")
+    }
+    val pt = probes.select(col("vec_id"), expr(flatE).as("e"))
+      .select(col("vec_id") +: dtCols: _*)
+    val approx = (0 until m).map(s => s"element_at(p.dt_$s, c.code_$s)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val scored = coded.as("c")
+      .join(broadcast(pt.as("p")), col("c.vec_id") =!= col("p.vec_id"))
+      .select(col("p.vec_id").as("probe_id"),
+        col("c.vec_id").as("neighbor_id"),
+        expr(approx).as("approx"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("approx").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rank")
+  }
+
+  /** The WITH body for PQ oracles: one [[kmeansCtesBody]] chain per
+    * subspace, prefixed `s<sub>` — `s<sub>assign<iters>` holds that
+    * subspace's (vec_id, e, cell) and `s<sub>clist<iters>` its final
+    * codebook.
+    */
+  def pqOracleCtes(m: Int, kSub: Int, iters: Int, dim: Int = Dim): String = {
+    val subDim = dim / m
+    "WITH " + (0 until m).map(s =>
+      kmeansCtesBody(kSub, iters, subDim, off = s * subDim,
+        prefix = s"s$s")).mkString(",\n")
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster

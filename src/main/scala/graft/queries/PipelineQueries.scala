@@ -106,6 +106,19 @@ object PipelineQueries {
     "q_ann_kmeans64" -> ((s, dir) =>
       SimilarityOps.kmeansCells(emb(s, dir), k = 64, iters = 2)),
 
+    // product quantization: 4 subspaces x 8-entry codebooks; each
+    // vector compresses to 4 small codes (map-only encode)
+    "q_pq_encode" -> ((s, dir) =>
+      SimilarityOps.pqEncode(emb(s, dir), m = 4, kSub = 8, iters = 2)),
+
+    // PQ asymmetric-distance top-k: probe-side distance tables, the
+    // corpus scan touches only the codes (never the float vectors)
+    "q_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.pqTopK(e, e.filter(col("vec_id") < 5),
+        m = 4, kSub = 8, iters = 2, k = 10)
+    }),
+
     // native codegen'd Catalyst expression (functions/VectorExprs):
     // nearest neighbor per probe straight over the array columns
     "q_ann_cosine_expr" -> ((s, dir) => {
@@ -669,6 +682,64 @@ object PipelineQueries {
     "q_ann_kmeans" -> SimilarityOps.kmeansOracleSql(k = 8, iters = 3),
 
     "q_ann_kmeans64" -> SimilarityOps.kmeansOracleSql(k = 64, iters = 2),
+
+    // per-subspace seeded-Lloyd chains (s<sub>assign2 = that
+    // subspace's final assignment); codes are the cell ids
+    "q_pq_encode" -> {
+      val subs = (0 until 4).map(s =>
+        s"  SELECT vec_id, $s AS sub, cell AS code FROM s${s}assign2")
+        .mkString("\n  UNION ALL\n")
+      s"""${SimilarityOps.pqOracleCtes(m = 4, kSub = 8, iters = 2)}
+         |SELECT vec_id, CAST(sub AS INT) AS sub, code FROM (
+         |$subs)""".stripMargin
+    },
+
+    // ADC: per-probe distance tables dt<sub>(probe, code, dd) against
+    // the final codebooks, approximate distance = the 4 lookups summed
+    // in the same left-to-right order the Spark expression uses
+    "q_ann_pq" -> {
+      val m = 4
+      val subDim = 16
+      val pvCols = (0 until m).map(s =>
+        s"list_transform(embedding[${s * subDim + 1}:${(s + 1) * subDim}]," +
+          s" x -> CAST(x AS DOUBLE)) AS e$s").mkString(",\n  ")
+      val dts = (0 until m).map(s =>
+        s"""dt$s AS (
+           |  SELECT p.vec_id AS probe_id, cl.cell AS code,
+           |    list_sum(list_transform(range(1, ${subDim + 1}),
+           |      i -> (p.e$s[i] - cl.c[i]) * (p.e$s[i] - cl.c[i]))) AS dd
+           |  FROM pv p CROSS JOIN s${s}clist2 cl)""".stripMargin)
+        .mkString(",\n")
+      val codeCols = (0 until m).map(s => s"a$s.cell AS code_$s")
+        .mkString(", ")
+      val codeJoins = (1 until m).map(s =>
+        s"JOIN s${s}assign2 a$s USING (vec_id)").mkString(" ")
+      val dtJoins = (1 until m).map(s =>
+        s"JOIN dt$s ON dt$s.probe_id = dt0.probe_id " +
+          s"AND dt$s.code = c.code_$s").mkString("\n    ")
+      val approx = (0 until m).map(s => s"dt$s.dd")
+        .reduceLeft((a, b) => s"($a + $b)")
+      s"""${SimilarityOps.pqOracleCtes(m = m, kSub = 8, iters = 2)},
+         |pv AS (
+         |  SELECT vec_id,
+         |  $pvCols
+         |  FROM embeddings WHERE vec_id < 5),
+         |$dts,
+         |c AS (
+         |  SELECT vec_id, $codeCols
+         |  FROM s0assign2 a0 $codeJoins),
+         |scored AS (
+         |  SELECT dt0.probe_id, c.vec_id AS neighbor_id, $approx AS approx
+         |  FROM c JOIN dt0 ON dt0.code = c.code_0
+         |    $dtJoins
+         |  WHERE c.vec_id <> dt0.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY approx ASC, neighbor_id ASC)
+         |    AS INT) AS rank FROM scored)
+         |SELECT probe_id, neighbor_id, rank FROM ranked
+         |WHERE rank <= 10""".stripMargin
+    },
 
     "q_pipeline_clean" -> {
       def hits(words: String) =

@@ -803,6 +803,60 @@ class PipelineOpsSpec extends SparkSpec {
       ids.count(i => i % 13 == 0 || i % 7 == 0) + ids.count(_ % 11 == 0))
   }
 
+  test("pqEncode emits one code per subspace from that codebook") {
+    val m = 4
+    val kSub = 8
+    val codes = SimilarityOps.pqEncode(emb, m, kSub, iters = 2).collect()
+    val n = emb.count()
+    assert(codes.length === n * m)
+    val bySub = codes.groupBy(_.getAs[Int]("sub"))
+    assert(bySub.keySet === (0 until m).toSet)
+    bySub.foreach { case (sub, rows) =>
+      assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === n)
+      val used = rows.map(_.getAs[Int]("code")).distinct
+      assert(used.length <= kSub, s"sub $sub uses ${used.length} codes")
+      assert(used.forall(c => c >= 0 && c < kSub))
+    }
+  }
+
+  test("pqTopK ranks per probe by the model-reconstructed ADC distance") {
+    val m = 4
+    val kSub = 8
+    val dim = SimilarityOps.Dim
+    val subDim = dim / m
+    val k = 10
+    val got = SimilarityOps.pqTopK(emb, emb.filter(col("vec_id") < 3L),
+        m, kSub, iters = 2, k = k).collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("neighbor_id")).toSeq).toMap
+    // driver-side oracle: retrain (deterministic), encode every vector
+    // and rank by summed table lookups — must reproduce the top-k
+    val models = SimilarityOps.pqTrain(emb, m, kSub, iters = 2)
+    val vecs = emb.select("vec_id", "embedding").collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+    }.toMap
+    def sq(a: Array[Double], off: Int, c: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { s += (a(off + i) - c(i)) * (a(off + i) - c(i)); i += 1 }
+      s
+    }
+    def code(v: Array[Double], sub: Int): Int =
+      models(sub).minBy { case (cid, c) => (sq(v, sub * subDim, c), cid) }._1
+    (0L until 3L).foreach { p =>
+      val pv = vecs(p)
+      val want = vecs.keys.filter(_ != p).toSeq.map { nid =>
+        val d = (0 until m).map { s =>
+          sq(pv, s * subDim, models(s).toMap.apply(code(vecs(nid), s)))
+        }.sum
+        (d, nid)
+      }.sortBy(identity).take(k).map(_._2)
+      assert(got(p) === want, s"probe $p")
+    }
+  }
+
   test("redactPii scrubs emails, IPs and phones, leaves clean text") {
     import spark.implicits._
     val rows = Seq(

@@ -247,6 +247,32 @@ class PlanSpec extends SparkSpec {
       s"span stats must not scan unused columns:\n${scans.mkString("\n")}")
   }
 
+  test("pqEncode is a map-only projection (no exchange, no join)") {
+    val emb = Tables.load(spark, Sf, "embeddings")
+    val p = plan(graft.ops.SimilarityOps.pqEncode(emb, m = 4, kSub = 8,
+      iters = 2))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"pq encode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"pq encode must not join:\n$p")
+  }
+
+  test("pqTopK broadcasts the probe tables, never the coded corpus") {
+    val emb = Tables.load(spark, Sf, "embeddings")
+    val probes = emb.filter(org.apache.spark.sql.functions
+      .col("vec_id") < 5L)
+    val p = plan(graft.ops.SimilarityOps.pqTopK(emb, probes,
+      m = 4, kSub = 8, iters = 2, k = 10))
+    // the ADC scan joins coded-corpus x broadcast(probe tables) — a
+    // nested-loop join (the condition is a pure !=) building on the
+    // RIGHT (probe) side; the only key shuffle is the per-probe rank
+    // window, and the map-side WindowGroupLimit prunes before it
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"probe side must be the broadcast build side:\n$p")
+    val keyShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyShuffles <= 1, s"only the rank window may shuffle:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"map-side top-k prune:\n$p")
+  }
+
   test("pipeline signature ops stay shuffle-free until the pair join") {
     val docs = Tables.load(spark, Sf, "documents")
     val p = plan(graft.ops.DedupOps.simhash(docs))
