@@ -505,6 +505,55 @@ object DedupOps {
     componentsStar(pairs, docs.select(col("doc_id")), maxIters)
   }
 
+  /** Cluster-aware keep-BEST survivor selection: group the corpus into
+    * transitive near-dup clusters ([[nearDupClusters]]) and keep, per
+    * cluster, the document with the most tokens (tie: lowest doc_id) —
+    * what a production pipeline wants when near-dups differ in
+    * completeness (a truncated mirror loses to the full page), where
+    * keep-min-id keeps whichever copy crawled first. Returns the
+    * surviving (doc_id, cluster_id, n_tokens) rows.
+    *
+    * Scale: the survivor pick is one rank window over cluster_id
+    * (map-side WindowGroupLimit prune before the exchange); the token
+    * count is a map-side projection joined on doc_id.
+    */
+  def keepBestPerCluster(docs: DataFrame, bands: Int = 4, rows: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val clusters = nearDupClusters(docs, bands, rows, threshold)
+    val sized = docs.select(col("doc_id"),
+      expr(s"size(${TextOps.TOKENS})").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    clusters.join(sized, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "cluster_id", "n_tokens")
+  }
+
+  /** Leakage-safe train/val/test split: the unit of assignment is the
+    * near-dup CLUSTER, so near-duplicate documents can never straddle
+    * a split boundary — hashing raw doc ids is the classic
+    * eval-contamination path (the val copy of a duplicated page leaks
+    * its train twin's content). Deterministic and engine-portable:
+    * bucket = 60-bit md5 hash of the cluster id mod 100, split by
+    * trainPct/valPct thresholds. Returns (doc_id, cluster_id, split).
+    *
+    * Scale: one map-side projection over the cluster frame — the split
+    * adds no shuffle beyond the CC itself, and re-running with a grown
+    * corpus keeps prior assignments stable wherever the cluster
+    * minimum is unchanged.
+    */
+  def splitByCluster(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5,
+      bands: Int = 4, rows: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val bucket = s"(${h60("cast(cluster_id as string)")} % 100)"
+    nearDupClusters(docs, bands, rows, threshold)
+      .withColumn("split",
+        expr(s"CASE WHEN $bucket < $trainPct THEN 'train' " +
+          s"WHEN $bucket < ${trainPct + valPct} THEN 'val' " +
+          "ELSE 'test' END"))
+  }
+
   /** Train/eval DECONTAMINATION: near-dup document pairs ACROSS two
     * corpora — the pretraining-hygiene primitive ("is any eval
     * document a near-dup of a training document?"). Candidate

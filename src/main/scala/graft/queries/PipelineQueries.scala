@@ -59,6 +59,16 @@ object PipelineQueries {
     "q_dedup_clusters" -> ((s, dir) =>
       DedupOps.nearDupClusters(docs(s, dir))),
 
+    // cluster-aware keep-BEST: per near-dup cluster keep the doc with
+    // the most tokens (tie: lowest id), not whichever crawled first
+    "q_cluster_keep_best" -> ((s, dir) =>
+      DedupOps.keepBestPerCluster(docs(s, dir))),
+
+    // leakage-safe split: assignment hashes the near-dup CLUSTER id,
+    // so near-duplicates never straddle a train/val/test boundary
+    "q_split_by_cluster" -> ((s, dir) =>
+      DedupOps.splitByCluster(docs(s, dir))),
+
     "q_dedup_simhash" -> ((s, dir) => DedupOps.simhash(docs(s, dir))),
 
     "q_simhash_pairs" -> ((s, dir) =>
@@ -503,6 +513,58 @@ object PipelineQueries {
          |  SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea)
          |SELECT a AS doc_id, min(b) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin,
+
+    // the cluster CTE of q_dedup_clusters + a per-cluster best pick
+    "q_cluster_keep_best" ->
+      s"""WITH RECURSIVE $MINHASH_V_CTES,
+         |p AS (
+         |  SELECT doc_a, doc_b FROM v
+         |  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)
+         |    >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS ea, doc_b AS eb FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea),
+         |cl AS (
+         |  SELECT a AS doc_id, min(b) AS cluster_id
+         |  FROM reach GROUP BY a),
+         |sized AS (
+         |  SELECT doc_id, CAST(len($T) AS INT) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, cluster_id, n_tokens FROM (
+         |  SELECT c.doc_id, c.cluster_id, s.n_tokens,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY s.n_tokens DESC, c.doc_id ASC) AS rn
+         |  FROM cl c JOIN sized s USING (doc_id)) WHERE rn = 1"""
+        .stripMargin,
+
+    // same cluster CTE; split = hash of the cluster id (never the doc)
+    "q_split_by_cluster" ->
+      s"""WITH RECURSIVE $MINHASH_V_CTES,
+         |p AS (
+         |  SELECT doc_a, doc_b FROM v
+         |  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)
+         |    >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS ea, doc_b AS eb FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea),
+         |cl AS (
+         |  SELECT a AS doc_id, min(b) AS cluster_id
+         |  FROM reach GROUP BY a)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN (${H60("CAST(cluster_id AS VARCHAR)")} % 100) < 90
+         |      THEN 'train'
+         |    WHEN (${H60("CAST(cluster_id AS VARCHAR)")} % 100) < 95
+         |      THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM cl""".stripMargin,
 
     "q_decontaminate" -> DECON_SQL,
 

@@ -803,6 +803,35 @@ class PipelineOpsSpec extends SparkSpec {
       ids.count(i => i % 13 == 0 || i % 7 == 0) + ids.count(_ % 11 == 0))
   }
 
+  test("keepBestPerCluster keeps exactly the best-sized doc per cluster") {
+    val clusters = DedupOps.nearDupClusters(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    val sizes = docs.selectExpr("doc_id",
+        s"size(${TextOps.TOKENS}) AS n").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    val got = DedupOps.keepBestPerCluster(docs).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("doc_id"))
+      .toMap
+    val want = clusters.groupBy(_._2).view.mapValues(members =>
+      members.keys.minBy(id => (-sizes(id), id))).toMap
+    assert(got === want)
+  }
+
+  test("splitByCluster never splits a near-dup cluster across splits") {
+    val rows = DedupOps.splitByCluster(docs).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getAs[String]("split")).distinct.length === 1,
+        s"cluster $cid straddles splits")
+    }
+    val splits = rows.map(_.getAs[String]("split")).distinct.toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // with 90/5/5 buckets the bulk must land in train
+    val nTrain = rows.count(_.getAs[String]("split") == "train")
+    assert(nTrain * 2 > rows.length, "train should dominate")
+  }
+
   test("pqEncode emits one code per subspace from that codebook") {
     val m = 4
     val kSub = 8
