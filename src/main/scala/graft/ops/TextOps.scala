@@ -303,6 +303,50 @@ object TextOps {
           |  as decimal(38, 18))""".stripMargin))
         .cast("double").as("entropy_bits"))
 
+  /** CCNet-style unigram LM quality score: train token probabilities
+    * on the corpus itself (add-one smoothing over the observed vocab)
+    * and score each document by its per-token cross-entropy in bits —
+    * fluent/typical text scores low, rare-token soup and boilerplate
+    * mixes score high. The production form trains on a trusted corpus
+    * (CCNet: Wikipedia KenLM) and filters the crawl by score; the
+    * self-trained form here is the same dataflow with the train corpus
+    * = the score corpus.
+    *
+    * Scale design: the vocab is a token-keyed count aggregate (never
+    * collected — only its two scalar totals reach the driver); scoring
+    * joins tokens to counts, where the Zipf head would put one hot
+    * token's postings on one reducer, so the top-`hotK` tokens by
+    * count join MAP-SIDE from a broadcast and only the long tail
+    * takes the shuffle join. Per-term decimal(38,18) casts make the
+    * per-doc sum order-independent at any parallelism; log2 is plain
+    * double math, equal to the oracle within the 12-significant-digit
+    * float normalization the compare applies.
+    */
+  def lmScore(docs: DataFrame, hotK: Int = 1000): DataFrame = {
+    val toks = DedupOps.pin(docs
+      .select(col("doc_id"), explode(expr(TOKENS)).as("tok"))
+      .persist())
+    val vocab = DedupOps.pin(
+      toks.groupBy("tok").agg(count(lit(1)).as("cnt")).persist())
+    val totals = vocab.agg(sum(col("cnt")), count(lit(1))).head()
+    val denom = totals.getLong(0) + totals.getLong(1)
+    // hot head via TakeOrdered (orderBy+limit): broadcast-sized by
+    // construction, ties broken on the token for determinism
+    val hot = broadcast(
+      vocab.orderBy(col("cnt").desc, col("tok").asc).limit(hotK))
+    val scoredHot = toks.join(hot, "tok")
+    val scoredCold = toks.join(hot.select("tok"), Seq("tok"), "left_anti")
+      .join(vocab.hint("shuffle_hash"), "tok")
+    scoredHot.union(scoredCold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(expr(
+          s"""cast(-log2(cast(cnt + 1 as double) / ${denom}L)
+             |  as decimal(38, 18))""".stripMargin)).as("s"))
+      .select(col("doc_id"),
+        expr("cast(s as double) / n").as("lm_bits"))
+  }
+
   /** Per-source corpus statistics — the curation dashboard numbers
     * (doc counts, token budget, length distribution) a mixture design
     * starts from. One tokenized projection, one map-side-combining

@@ -176,6 +176,10 @@ object PipelineQueries {
     // char-level Shannon entropy: the cheap perplexity-proxy filter
     "q_text_entropy" -> ((s, dir) => TextOps.charEntropy(docs(s, dir))),
 
+    // CCNet-style unigram LM cross-entropy (self-trained, add-one
+    // smoothing); Zipf-head tokens join map-side from a broadcast
+    "q_lm_score" -> ((s, dir) => TextOps.lmScore(docs(s, dir))),
+
     // -- corpus curation -----------------------------------------------
     // per-source document cap (per-domain cap): top-40 by length
     "q_curate_cap" -> ((s, dir) =>
@@ -994,6 +998,21 @@ object PipelineQueries {
         |    * log2(cnt / CAST(n AS DOUBLE)) AS DECIMAL(38, 18)))
         |    AS DOUBLE) AS entropy_bits
         |FROM g GROUP BY doc_id""".stripMargin,
+
+    // self-trained unigram LM: p(tok) = (cnt+1)/(total+|V|); per-doc
+    // bits = avg of -log2 p over tokens (decimal-snapped terms)
+    "q_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($T) AS tok FROM documents),
+         |vocab AS (
+         |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         |tot AS (
+         |  SELECT sum(cnt) + count(*) AS denom FROM vocab)
+         |SELECT doc_id,
+         |  CAST(sum(CAST(-log2(CAST(v.cnt + 1 AS DOUBLE) / tot.denom)
+         |    AS DECIMAL(38, 18))) AS DOUBLE) / count(*) AS lm_bits
+         |FROM toks JOIN vocab v USING (tok) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
 
     "q_quality_sample" ->
       s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),

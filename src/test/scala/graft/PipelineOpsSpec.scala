@@ -803,6 +803,25 @@ class PipelineOpsSpec extends SparkSpec {
       ids.count(i => i % 13 == 0 || i % 7 == 0) + ids.count(_ % 11 == 0))
   }
 
+  test("lmScore hot/cold join split is invariant to the hotK cut") {
+    // the Zipf-head broadcast is a pure execution strategy: scores
+    // must be identical whether 0, a few, or all tokens take the
+    // broadcast path (hotK >= |vocab| makes the shuffle side empty)
+    def scores(hotK: Int): Map[Long, Double] =
+      TextOps.lmScore(docs, hotK).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("lm_bits"))
+        .toMap
+    val base = scores(1000)
+    assert(scores(0) === base)
+    assert(scores(1000000) === base)
+    // scoring is self-trained cross-entropy: every doc gets a finite
+    // positive score (add-one smoothing never yields p >= 1 when the
+    // vocab has > 1 token)
+    assert(base.values.forall(v => v > 0 && !v.isNaN && !v.isInfinite))
+    assert(base.keySet === docs.select("doc_id").collect()
+      .map(_.getLong(0)).toSet)
+  }
+
   test("keepBestPerCluster keeps exactly the best-sized doc per cluster") {
     val clusters = DedupOps.nearDupClusters(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
