@@ -326,10 +326,30 @@ object TextOps {
     val toks = DedupOps.pin(docs
       .select(col("doc_id"), explode(expr(TOKENS)).as("tok"))
       .persist())
+    val (vocab, denom) = lmModel(toks)
+    lmScoreTokens(toks, vocab, denom, hotK)
+  }
+
+  /** The unigram LM "model" of [[lmScore]]: the token-count frame plus
+    * the add-one-smoothing denominator (total tokens + |vocab| — the
+    * only two scalars that reach the driver). `toks` is an exploded
+    * (…, tok) frame of the training corpus.
+    */
+  def lmModel(toks: DataFrame): (DataFrame, Long) = {
     val vocab = DedupOps.pin(
       toks.groupBy("tok").agg(count(lit(1)).as("cnt")).persist())
     val totals = vocab.agg(sum(col("cnt")), count(lit(1))).head()
-    val denom = totals.getLong(0) + totals.getLong(1)
+    (vocab, totals.getLong(0) + totals.getLong(1))
+  }
+
+  /** Score an exploded (doc_id, tok) frame against a trained vocab —
+    * shared by the batch [[lmScore]] and the streaming gate (where
+    * `toks` is a streaming frame and the vocab/hot joins are
+    * stream-static). See [[lmScore]] for the hot/cold and decimal-sum
+    * design.
+    */
+  def lmScoreTokens(toks: DataFrame, vocab: DataFrame, denom: Long,
+      hotK: Int = 1000): DataFrame = {
     // hot head via TakeOrdered (orderBy+limit): broadcast-sized by
     // construction, ties broken on the token for determinism
     val hot = broadcast(

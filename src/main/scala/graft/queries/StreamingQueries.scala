@@ -52,6 +52,12 @@ object StreamingQueries {
       StreamingCube.runStreamSpanIndex(s, dir,
         s"stream_spans_${runId.incrementAndGet()}")),
 
+    // streaming LM gate: score arriving docs against a static trained
+    // vocab (stream-static joins; stream == batch scores bit-for-bit)
+    "q_stream_lm" -> ((s, dir) =>
+      StreamingCube.runStreamLmScore(s, dir,
+        s"stream_lm_${runId.incrementAndGet()}")),
+
     // flatMapGroupsWithState sessionization riding the file-source
     // stream end-to-end (AvailableNow drain; the same stateful
     // function is additionally spec-tested with MemoryStream batches)
@@ -75,6 +81,10 @@ object StreamingQueries {
     // oracles are the batch entries, referenced, not copied
     "q_stream_quality" ->
       PipelineQueries.oracleSql("q_quality_classifier"),
+
+    // the streaming LM gate scores the whole corpus with the
+    // corpus-trained vocab — identical to the batch self-trained score
+    "q_stream_lm" -> PipelineQueries.oracleSql("q_lm_score"),
 
     "q_stream_decontaminate" ->
       PipelineQueries.oracleSql("q_decontaminate_bloom"),

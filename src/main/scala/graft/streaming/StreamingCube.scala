@@ -213,6 +213,32 @@ object StreamingCube {
     if (nFiles < par / 2) df.repartition(par) else df
   }
 
+  /** Streaming LM-score gate: unigram cross-entropy of arriving
+    * documents against a STATIC trained vocabulary — the CCNet
+    * deployment shape (train once on the trusted corpus, score the
+    * crawl as it lands). The scoring dataflow is the SAME
+    * [[graft.ops.TextOps.lmScoreTokens]] the batch query runs — the
+    * hot-head broadcast and the cold-tail join become stream-static
+    * joins (left_anti + inner, both streaming-supported with the
+    * static side on the right); the per-doc (count, decimal sum)
+    * aggregation holds one order-independent partial per doc in the
+    * state store, so the AvailableNow drain reproduces the batch
+    * scores bit-for-bit.
+    */
+  def runStreamLmScore(spark: SparkSession, sfDir: String,
+      name: String = "stream_lm"): DataFrame = {
+    val s = isolated(spark)
+    val staticToks = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(expr(graft.ops.TextOps.TOKENS)).as("tok"))
+    val (vocab, denom) = graft.ops.TextOps.lmModel(staticToks)
+    val spread = spreadSmallDir(s, stageDir(sfDir, "documents"),
+      docStream(s, sfDir))
+    val toks = spread.select(col("doc_id"),
+      explode(expr(graft.ops.TextOps.TOKENS)).as("tok"))
+    drain(graft.ops.TextOps.lmScoreTokens(toks, vocab, denom),
+      name, OutputMode.Complete)
+  }
+
   /** Streaming duplicated-SPAN index — the stream form of the span
     * min/max aggregation that [[graft.ops.DedupOps.dupSpans]] /
     * `removeDupSpans` build their flags from: per w-token span hash,
