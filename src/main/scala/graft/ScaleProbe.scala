@@ -105,6 +105,17 @@ object ScaleProbe {
         graft.ops.TextOps.charEntropy(big).count())
       time(s"quantize_int8 x$mult")(
         graft.ops.SimilarityOps.quantizeInt8(bigEmb).count())
+      time(s"pq_encode x$mult")(
+        graft.ops.SimilarityOps.pqEncode(bigEmb, m = 4, kSub = 8,
+          iters = 2).count())
+      time(s"pq_topk x$mult")(
+        graft.ops.SimilarityOps.pqTopK(bigEmb,
+          bigEmb.filter(col("vec_id") < 5), m = 4, kSub = 8,
+          iters = 2, k = 10).count())
+      time(s"lm_score x$mult")(
+        graft.ops.TextOps.lmScore(big).count())
+      time(s"keep_best_cluster x$mult")(
+        graft.ops.DedupOps.keepBestPerCluster(big).count())
       big.unpersist(); bigEmb.unpersist()
     }
     spark.stop()
