@@ -313,15 +313,61 @@ object SimilarityOps {
     graft.functions.VectorExprs.register(corpus.sparkSession)
     val subDim = dim / m
     require(m * subDim == dim, s"m=$m must divide dim=$dim")
-    (0 until m).map { s =>
-      val flat = corpus.select(col("vec_id"),
-        expr("slice(transform(embedding, x -> cast(x as double)), " +
-          s"${s * subDim + 1}, $subDim)").as("e"))
-        .persist()
-      val model = trainCells(flat, kSub, iters)
-      flat.unpersist(blocking = false)
-      model
+    // ALL subspaces train off one persisted full-width frame in one
+    // pass per step — m independent trainCells loops would re-read the
+    // corpus m times per iteration for arithmetic that is per-subspace
+    // independent anyway (same seed rows, disjoint components)
+    val flat = corpus.select(col("vec_id"),
+      expr(s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)")
+        .as("e"))
+      .persist()
+    def snap(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    // the kSub seed VECTORS are the same rows for every subspace
+    // (smallest md5 of vec_id) — one TakeOrdered collect seeds all m
+    var models: IndexedSeq[Seq[(Int, Array[Double])]] = {
+      val seedRows = flat
+        .withColumn("__h", expr(DedupOps.h60("cast(vec_id as string)")))
+        .orderBy(col("__h").asc, col("vec_id").asc)
+        .limit(kSub)
+        .collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("e")).map(snap).toArray)
+      (0 until m).map(s => seedRows.toSeq.zipWithIndex.map {
+        case (e, cid) => (cid, e.slice(s * subDim, (s + 1) * subDim))
+      })
     }
+    // one projection computing every subspace's assignment at once
+    def codesSql(): String = models.zipWithIndex.map { case (model, s) =>
+      assignSql(model, s"slice(e, ${s * subDim + 1}, $subDim)")
+    }.mkString("array(", ", ", ")")
+    for (_ <- 1 until iters) {
+      // ONE skinny grid pass for all m subspaces: explode the full
+      // vector, key each component by (its subspace, that subspace's
+      // assigned cell, the local dim) — identical decimal sums to the
+      // per-subspace loops, grouped in one aggregation
+      val grid = flat
+        .withColumn("codes", expr(codesSql()))
+        .select(posexplode(col("e")).as(Seq("d", "v")), col("codes"))
+        .select(expr(s"cast(d / $subDim as int)").as("sub"),
+          expr(s"element_at(codes, cast(d / $subDim as int) + 1)")
+            .as("cell"),
+          expr(s"d % $subDim").as("ld"), col("v"))
+        .groupBy("sub", "cell", "ld")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(v as decimal(38,12))")).as("s"))
+        .collect()
+      models = (0 until m).map { s =>
+        grid.filter(_.getAs[Int]("sub") == s)
+          .groupBy(_.getAs[Int]("cell")).toSeq.map { case (cell, rows) =>
+            (cell, rows.sortBy(_.getAs[Int]("ld")).map(r =>
+              r.getAs[java.math.BigDecimal]("s").doubleValue() /
+                r.getAs[Long]("n")).toArray)
+          }
+      }
+    }
+    flat.unpersist(blocking = false)
+    models
   }
 
   /** PQ encoding: (vec_id, sub, code) — each vector compresses to m
