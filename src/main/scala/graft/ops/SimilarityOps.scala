@@ -134,7 +134,32 @@ object SimilarityOps {
     * Lloyd iteration plus one grid aggregation).
     */
   def kmeansCells(corpus: DataFrame, k: Int, iters: Int,
-      dim: Int = Dim): DataFrame = {
+      dim: Int = Dim): DataFrame =
+    kmeansWithModel(corpus, k, iters, dim)._1
+
+  /** The trained model alone — no assignment pass; callers embed it
+    * as literals ([[ivfPqTopK]] assigns cells map-side and routes
+    * probes against it). The model is the oracle's `clist<iters>`.
+    */
+  def kmeansModel(corpus: DataFrame, k: Int, iters: Int,
+      dim: Int = Dim): Seq[(Int, Array[Double])] = {
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    val flat = corpus.select(col("vec_id"),
+      expr(s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)")
+        .as("e"))
+      .persist()
+    val model = trainCells(flat, k, iters)
+    flat.unpersist(blocking = false)
+    model
+  }
+
+  /** [[kmeansCells]] plus the trained model itself — for callers that
+    * must ROUTE queries against the centroids afterwards (IVF-PQ): the
+    * model returned is exactly the one the assignment used (the
+    * oracle's `clist<iters>`), not a post-hoc re-average.
+    */
+  def kmeansWithModel(corpus: DataFrame, k: Int, iters: Int,
+      dim: Int = Dim): (DataFrame, Seq[(Int, Array[Double])]) = {
     graft.functions.VectorExprs.register(corpus.sparkSession)
     // slice to `dim`: centroids, distances, and the oracle all fold
     // over exactly dim components even when the stored embedding is
@@ -151,7 +176,7 @@ object SimilarityOps {
       flat.withColumn("cell", expr(assignSql(model, "e")))
         .select(col("vec_id"), col("cell")))
     flat.unpersist(blocking = false)
-    out
+    (out, model)
   }
 
   /** (codebook, cell-ids) literal SQL arrays of a trained model, in
@@ -455,6 +480,96 @@ object SimilarityOps {
     "WITH " + (0 until m).map(s =>
       kmeansCtesBody(kSub, iters, subDim, off = s * subDim,
         prefix = s"s$s")).mkString(",\n")
+  }
+
+  /** [[pqOracleCtes]] plus the coarse-quantizer chain (prefix `g`):
+    * `gassign<cIters>` is every vector's coarse cell, `gclist<cIters>`
+    * the coarse codebook probes route against.
+    */
+  def ivfPqOracleCtes(kCoarse: Int, cIters: Int, m: Int, kSub: Int,
+      iters: Int, dim: Int = Dim): String = {
+    val subDim = dim / m
+    "WITH " + (kmeansCtesBody(kCoarse, cIters, dim, off = 0,
+      prefix = "g") +: (0 until m).map(s =>
+      kmeansCtesBody(kSub, iters, subDim, off = s * subDim,
+        prefix = s"s$s"))).mkString(",\n")
+  }
+
+  /** IVF-PQ top-k — the canonical billion-vector layout (coarse
+    * routing bounds WHICH vectors are scored, PQ codes bound WHAT the
+    * scan reads): probes route to their `nprobe` nearest coarse cells
+    * and ADC scoring runs only inside those cells, over codes.
+    * (Codes quantize the raw vectors, not coarse residuals — faiss's
+    * `by_residual=false` layout — which keeps the probe's distance
+    * tables cell-independent: one table set per probe, not per
+    * (probe, cell).)
+    *
+    * Scale: the scored join is an EQUI-join on the coarse cell with
+    * the routed probe side broadcast — at 100 TB the coded corpus is
+    * written partitioned by coarse cell, so a probe touches nprobe
+    * partitions (partition pruning) and the scan reads m bytes per
+    * vector. Routing distances and ADC tables are index-order folds
+    * over literal models (bit-reproducible vs the oracle).
+    */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, kCoarse: Int,
+      cIters: Int, m: Int, kSub: Int, iters: Int, k: Int, nprobe: Int,
+      dim: Int = Dim): DataFrame = {
+    val coarseModel = kmeansModel(corpus, kCoarse, cIters, dim)
+    val models = pqTrain(corpus, m, kSub, iters, dim)
+    val subDim = dim / m
+    val flatE =
+      s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)"
+    val codeCols = models.zipWithIndex.map { case (model, s) =>
+      expr(assignSql(model, s"slice(e, ${s * subDim + 1}, $subDim)"))
+        .as(s"code_$s")
+    }
+    // cell + codes in ONE map-only projection (the literal coarse
+    // model assigns the cell — no join against an assignment frame;
+    // this is the shape of the on-disk index: (cell, codes) per row)
+    val coded = corpus.select(col("vec_id"), expr(flatE).as("e"))
+      .select(col("vec_id") +:
+        expr(assignSql(coarseModel, "e")).as("cell") +: codeCols: _*)
+    // probe routing: squared distance to every coarse centroid as a
+    // (d, cell) struct array; array_sort orders by (d, cell) — the
+    // same tie-break as the oracle's row_number — and the first
+    // nprobe entries explode into one probe row per probed cell
+    val entries = coarseModel.sortBy(_._1).map { case (cid, c) =>
+      val lits = c.map(v => s"${v}D").mkString("array(", ", ", ")")
+      s"""named_struct('d',
+         |  aggregate(zip_with(e, $lits, (x, y) -> (x - y) * (x - y)),
+         |    0D, (a, x) -> a + x),
+         |  'cell', $cid)""".stripMargin
+    }.mkString("array(", ", ", ")")
+    val routeExpr =
+      s"transform(slice(array_sort($entries), 1, $nprobe), s -> s.cell)"
+    val dtCols = models.zipWithIndex.map { case (model, s) =>
+      val sorted = model.sortBy(_._1)
+      val keys = sorted.map(_._1).mkString("array(", ", ", ")")
+      val vals = sorted.map { case (_, c) =>
+        val lits = c.map(v => s"${v}D").mkString("array(", ", ", ")")
+        s"""aggregate(zip_with(slice(e, ${s * subDim + 1}, $subDim),
+           |  $lits, (x, y) -> (x - y) * (x - y)),
+           |  0D, (a, x) -> a + x)""".stripMargin
+      }.mkString("array(", ", ", ")")
+      expr(s"map_from_arrays($keys, $vals)").as(s"dt_$s")
+    }
+    val pt = probes.select(col("vec_id"), expr(flatE).as("e"))
+      .select(Seq(col("vec_id"), explode(expr(routeExpr)).as("cell")) ++
+        dtCols: _*)
+    val approx = (0 until m).map(s => s"element_at(p.dt_$s, c.code_$s)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val scored = coded.as("c")
+      .join(broadcast(pt.as("p")),
+        col("c.cell") === col("p.cell") &&
+          col("c.vec_id") =!= col("p.vec_id"))
+      .select(col("p.vec_id").as("probe_id"),
+        col("c.vec_id").as("neighbor_id"),
+        expr(approx).as("approx"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("approx").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rank")
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster

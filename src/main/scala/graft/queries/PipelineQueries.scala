@@ -129,6 +129,15 @@ object PipelineQueries {
         m = 4, kSub = 8, iters = 2, k = 10)
     }),
 
+    // IVF-PQ: coarse k-means routing bounds WHICH vectors are scored,
+    // PQ codes bound WHAT the scan reads — the billion-vector layout
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.ivfPqTopK(e, e.filter(col("vec_id") < 5),
+        kCoarse = 8, cIters = 2, m = 4, kSub = 8, iters = 2,
+        k = 10, nprobe = 2)
+    }),
+
     // native codegen'd Catalyst expression (functions/VectorExprs):
     // nearest neighbor per probe straight over the array columns
     "q_ann_cosine_expr" -> ((s, dir) => {
@@ -799,6 +808,62 @@ object PipelineQueries {
          |  FROM c JOIN dt0 ON dt0.code = c.code_0
          |    $dtJoins
          |  WHERE c.vec_id <> dt0.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY approx ASC, neighbor_id ASC)
+         |    AS INT) AS rank FROM scored)
+         |SELECT probe_id, neighbor_id, rank FROM ranked
+         |WHERE rank <= 10""".stripMargin
+    },
+
+    // coarse routing (gclist2) + the PQ ADC of q_ann_pq, with the
+    // scored join restricted to each probe's nprobe=2 routed cells
+    "q_ann_ivfpq" -> {
+      val m = 4
+      val subDim = 16
+      val pvCols = (0 until m).map(s =>
+        s"list_transform(embedding[${s * subDim + 1}:${(s + 1) * subDim}]," +
+          s" x -> CAST(x AS DOUBLE)) AS e$s").mkString(",\n  ")
+      val dts = (0 until m).map(s =>
+        s"""dt$s AS (
+           |  SELECT p.vec_id AS probe_id, cl.cell AS code,
+           |    list_sum(list_transform(range(1, ${subDim + 1}),
+           |      i -> (p.e$s[i] - cl.c[i]) * (p.e$s[i] - cl.c[i]))) AS dd
+           |  FROM pv p CROSS JOIN s${s}clist2 cl)""".stripMargin)
+        .mkString(",\n")
+      val codeCols = (0 until m).map(s => s"a$s.cell AS code_$s")
+        .mkString(", ")
+      val codeJoins = (1 until m).map(s =>
+        s"JOIN s${s}assign2 a$s USING (vec_id)").mkString(" ")
+      val dtJoins = (0 until m).map(s =>
+        s"JOIN dt$s ON dt$s.probe_id = route.probe_id " +
+          s"AND dt$s.code = c.code_$s").mkString("\n    ")
+      val approx = (0 until m).map(s => s"dt$s.dd")
+        .reduceLeft((a, b) => s"($a + $b)")
+      s"""${SimilarityOps.ivfPqOracleCtes(kCoarse = 8, cIters = 2,
+            m = m, kSub = 8, iters = 2)},
+         |pv AS (
+         |  SELECT vec_id,
+         |  list_transform(embedding[1:64], x -> CAST(x AS DOUBLE)) AS e,
+         |  $pvCols
+         |  FROM embeddings WHERE vec_id < 5),
+         |route AS (
+         |  SELECT vec_id AS probe_id, cell FROM (
+         |    SELECT p.vec_id, g.cell,
+         |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (p.e[i] - g.c[i]) * (p.e[i] - g.c[i]))),
+         |        g.cell) AS r
+         |    FROM pv p CROSS JOIN gclist2 g) WHERE r <= 2),
+         |$dts,
+         |c AS (
+         |  SELECT vec_id, gc.cell AS gcell, $codeCols
+         |  FROM s0assign2 a0 $codeJoins JOIN gassign2 gc USING (vec_id)),
+         |scored AS (
+         |  SELECT route.probe_id, c.vec_id AS neighbor_id, $approx AS approx
+         |  FROM c JOIN route ON route.cell = c.gcell
+         |    $dtJoins
+         |  WHERE c.vec_id <> route.probe_id),
          |ranked AS (
          |  SELECT probe_id, neighbor_id, CAST(row_number() OVER (
          |    PARTITION BY probe_id ORDER BY approx ASC, neighbor_id ASC)

@@ -273,6 +273,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"map-side top-k prune:\n$p")
   }
 
+  test("ivfPqTopK equi-joins on the coarse cell with a map-only corpus side") {
+    val emb = Tables.load(spark, Sf, "embeddings")
+    val probes = emb.filter(org.apache.spark.sql.functions
+      .col("vec_id") < 5L)
+    val p = plan(graft.ops.SimilarityOps.ivfPqTopK(emb, probes,
+      kCoarse = 4, cIters = 2, m = 4, kSub = 4, iters = 2,
+      k = 5, nprobe = 2))
+    // cell + codes are literal-model projections, so the corpus side
+    // reaches the scored join without any exchange or join of its own;
+    // the routed probe side broadcasts into a HASH join on the cell
+    // key (at 100 TB: partition pruning on a by-cell layout instead)
+    assert(p.contains("BroadcastHashJoin [cell"),
+      s"scored join must be an equi-join on cell:\n$p")
+    val keyShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyShuffles <= 1, s"only the rank window may shuffle:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"map-side top-k prune:\n$p")
+  }
+
   test("pipeline signature ops stay shuffle-free until the pair join") {
     val docs = Tables.load(spark, Sf, "documents")
     val p = plan(graft.ops.DedupOps.simhash(docs))
