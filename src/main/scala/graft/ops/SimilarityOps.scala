@@ -403,9 +403,18 @@ object SimilarityOps {
     * row; no shuffle, no join.
     */
   def pqEncode(corpus: DataFrame, m: Int, kSub: Int, iters: Int,
-      dim: Int = Dim): DataFrame = {
-    val models = pqTrain(corpus, m, kSub, iters, dim)
-    val subDim = dim / m
+      dim: Int = Dim): DataFrame =
+    pqEncodeWith(corpus, pqTrain(corpus, m, kSub, iters, dim), dim)
+
+  /** Encode against already-trained codebooks — the index-INGEST form
+    * ([[pqEncode]] with training split off): stateless map-only, so it
+    * runs unchanged over a streaming frame (the streaming gate trains
+    * on the static corpus and encodes vectors as they arrive).
+    */
+  def pqEncodeWith(corpus: DataFrame,
+      models: Seq[Seq[(Int, Array[Double])]], dim: Int = Dim): DataFrame = {
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    val subDim = dim / models.length
     val codes = models.zipWithIndex.map { case (model, s) =>
       assignSql(model, s"slice(e, ${s * subDim + 1}, $subDim)")
     }.mkString("array(", ", ", ")")

@@ -58,6 +58,12 @@ object StreamingQueries {
       StreamingCube.runStreamLmScore(s, dir,
         s"stream_lm_${runId.incrementAndGet()}")),
 
+    // streaming PQ index ingest: arriving vectors encoded map-side
+    // against static-trained codebooks (stateless append mode)
+    "q_stream_pq" -> ((s, dir) =>
+      StreamingCube.runStreamPqEncode(s, dir,
+        s"stream_pq_${runId.incrementAndGet()}")),
+
     // flatMapGroupsWithState sessionization riding the file-source
     // stream end-to-end (AvailableNow drain; the same stateful
     // function is additionally spec-tested with MemoryStream batches)
@@ -85,6 +91,9 @@ object StreamingQueries {
     // the streaming LM gate scores the whole corpus with the
     // corpus-trained vocab — identical to the batch self-trained score
     "q_stream_lm" -> PipelineQueries.oracleSql("q_lm_score"),
+
+    // ingest with corpus-trained codebooks == the batch encode
+    "q_stream_pq" -> PipelineQueries.oracleSql("q_pq_encode"),
 
     "q_stream_decontaminate" ->
       PipelineQueries.oracleSql("q_decontaminate_bloom"),

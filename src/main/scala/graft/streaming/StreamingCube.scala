@@ -239,6 +239,27 @@ object StreamingCube {
       name, OutputMode.Complete)
   }
 
+  /** Streaming PQ index ingest: vectors arriving on a stream are
+    * encoded map-side against codebooks trained ONCE on the static
+    * corpus — how a deployed ANN index grows (training is an offline
+    * job; ingest must not retrain). Stateless append mode: the encode
+    * is one literal-model projection ([[graft.ops.SimilarityOps
+    * .pqEncodeWith]], the same expression tree as the batch query), so
+    * stream ≡ batch row-for-row with no state store.
+    */
+  def runStreamPqEncode(spark: SparkSession, sfDir: String,
+      name: String = "stream_pq"): DataFrame = {
+    val s = isolated(spark)
+    val static = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val models = graft.ops.SimilarityOps.pqTrain(static,
+      m = 4, kSub = 8, iters = 2)
+    val schema = static.schema
+    val stream = s.readStream.schema(schema)
+      .parquet(stageDir(sfDir, "embeddings"))
+    drain(graft.ops.SimilarityOps.pqEncodeWith(stream, models),
+      name, OutputMode.Append)
+  }
+
   /** Streaming duplicated-SPAN index — the stream form of the span
     * min/max aggregation that [[graft.ops.DedupOps.dupSpans]] /
     * `removeDupSpans` build their flags from: per w-token span hash,
