@@ -84,7 +84,11 @@ object Verify {
             decs.map(c => s"""CAST(CAST("$c" AS VARCHAR) AS DOUBLE) AS "$c"""")
           s"""SELECT * REPLACE (${casts.mkString(", ")}) FROM ($sql) __graft_t"""
       }
+    // restrict to the filtered set: an unfiltered query's decimalCols
+    // was never populated, so emitting its oracle here would skip the
+    // decimal->double wrap and hash-mismatch downstream tooling
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(wrap(k, v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -143,11 +143,7 @@ object SimilarityOps {
     */
   def kmeansModel(corpus: DataFrame, k: Int, iters: Int,
       dim: Int = Dim): Seq[(Int, Array[Double])] = {
-    graft.functions.VectorExprs.register(corpus.sparkSession)
-    val flat = corpus.select(col("vec_id"),
-      expr(s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)")
-        .as("e"))
-      .persist()
+    val flat = flatFrame(corpus, dim).persist()
     val model = trainCells(flat, k, iters)
     flat.unpersist(blocking = false)
     model
@@ -160,14 +156,10 @@ object SimilarityOps {
     */
   def kmeansWithModel(corpus: DataFrame, k: Int, iters: Int,
       dim: Int = Dim): (DataFrame, Seq[(Int, Array[Double])]) = {
-    graft.functions.VectorExprs.register(corpus.sparkSession)
     // slice to `dim`: centroids, distances, and the oracle all fold
     // over exactly dim components even when the stored embedding is
     // wider (the flat-column formulation projected v1..v<dim>)
-    val flat = corpus.select(col("vec_id"),
-      expr(s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)")
-        .as("e"))
-      .persist()
+    val flat = flatFrame(corpus, dim).persist()
     val model = trainCells(flat, k, iters)
     // Pins.cut, not a bare localCheckpoint: checkpoint blocks bypass
     // the CacheManager, so an unmanaged one leaks a resident RDD per
@@ -213,26 +205,33 @@ object SimilarityOps {
     * (surviving cell id, centroid) pairs. See [[kmeansCells]] for the
     * engine-portability contract the arithmetic satisfies.
     */
-  private def trainCells(flat: DataFrame, k: Int,
-      iters: Int): Seq[(Int, Array[Double])] = {
-    // Seed centroids pass through the same decimal(38,12) rounding the
-    // update step applies, so iteration 1 is bit-identical to an oracle
-    // that derives them via the shared centroid CTE.
-    def snap(v: Double): Double =
-      new java.math.BigDecimal(v)
-        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
-    // k smallest hashes via TakeOrdered (orderBy+limit) — no
-    // single-partition window even on a billion-vector corpus
-    var centroids: Seq[(Int, Array[Double])] = flat
+  /** Seed centroids pass through the same decimal(38,12) rounding the
+    * update step applies, so iteration 1 is bit-identical to an oracle
+    * that derives them via the shared centroid CTE. This rounding is
+    * the ONE definition both the k-means and PQ training share — the
+    * oracle-parity contract lives here.
+    */
+  private def snap12(v: Double): Double =
+    new java.math.BigDecimal(v)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The k seed vectors of a flat (vec_id, e) frame: smallest
+    * md5-derived hash of vec_id, ties on vec_id, components snapped —
+    * k smallest via TakeOrdered (orderBy+limit), so no
+    * single-partition window even on a billion-vector corpus.
+    */
+  private def seedVectors(flat: DataFrame, k: Int): Array[Array[Double]] =
+    flat
       .withColumn("__h", expr(DedupOps.h60("cast(vec_id as string)")))
       .orderBy(col("__h").asc, col("vec_id").asc)
       .limit(k)
       .collect()
-      .zipWithIndex
-      .map { case (r, cid) =>
-        (cid, r.getSeq[Double](r.fieldIndex("e")).map(snap).toArray)
-      }
-      .toSeq
+      .map(r => r.getSeq[Double](r.fieldIndex("e")).map(snap12).toArray)
+
+  private def trainCells(flat: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Array[Double])] = {
+    var centroids: Seq[(Int, Array[Double])] =
+      seedVectors(flat, k).toSeq.zipWithIndex.map(_.swap)
     for (_ <- 1 until iters) {
       // update step on skinny (cell, dim, v) rows: ONE decimal sum
       // instead of a 64-wide decimal aggregate (which defeats codegen
@@ -335,29 +334,37 @@ object SimilarityOps {
     */
   def pqTrain(corpus: DataFrame, m: Int, kSub: Int, iters: Int,
       dim: Int = Dim): Seq[Seq[(Int, Array[Double])]] = {
+    val flat = flatFrame(corpus, dim).persist()
+    val models = pqTrainOn(flat, m, kSub, iters, dim)
+    flat.unpersist(blocking = false)
+    models
+  }
+
+  /** (vec_id, e: Array[Double]) projection of the embedding column,
+    * sliced to `dim` — the shared input frame of every trainer/encoder.
+    */
+  private def flatFrame(corpus: DataFrame, dim: Int): DataFrame = {
     graft.functions.VectorExprs.register(corpus.sparkSession)
-    val subDim = dim / m
-    require(m * subDim == dim, s"m=$m must divide dim=$dim")
-    // ALL subspaces train off one persisted full-width frame in one
-    // pass per step — m independent trainCells loops would re-read the
-    // corpus m times per iteration for arithmetic that is per-subspace
-    // independent anyway (same seed rows, disjoint components)
-    val flat = corpus.select(col("vec_id"),
+    corpus.select(col("vec_id"),
       expr(s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)")
         .as("e"))
-      .persist()
-    def snap(v: Double): Double =
-      new java.math.BigDecimal(v)
-        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
-    // the kSub seed VECTORS are the same rows for every subspace
-    // (smallest md5 of vec_id) — one TakeOrdered collect seeds all m
+  }
+
+  /** [[pqTrain]] over a caller-persisted [[flatFrame]] — lets IVF-PQ
+    * train the coarse quantizer and the codebooks off ONE cached
+    * corpus projection.
+    */
+  private def pqTrainOn(flat: DataFrame, m: Int, kSub: Int, iters: Int,
+      dim: Int): Seq[Seq[(Int, Array[Double])]] = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    // ALL subspaces train off the one frame in one pass per step — m
+    // independent trainCells loops would re-read the corpus m times
+    // per iteration for arithmetic that is per-subspace independent
+    // anyway: the kSub seed VECTORS are the same rows for every
+    // subspace (smallest md5 of vec_id), components disjoint
     var models: IndexedSeq[Seq[(Int, Array[Double])]] = {
-      val seedRows = flat
-        .withColumn("__h", expr(DedupOps.h60("cast(vec_id as string)")))
-        .orderBy(col("__h").asc, col("vec_id").asc)
-        .limit(kSub)
-        .collect()
-        .map(r => r.getSeq[Double](r.fieldIndex("e")).map(snap).toArray)
+      val seedRows = seedVectors(flat, kSub)
       (0 until m).map(s => seedRows.toSeq.zipWithIndex.map {
         case (e, cid) => (cid, e.slice(s * subDim, (s + 1) * subDim))
       })
@@ -391,7 +398,6 @@ object SimilarityOps {
           }
       }
     }
-    flat.unpersist(blocking = false)
     models
   }
 
@@ -413,14 +419,11 @@ object SimilarityOps {
     */
   def pqEncodeWith(corpus: DataFrame,
       models: Seq[Seq[(Int, Array[Double])]], dim: Int = Dim): DataFrame = {
-    graft.functions.VectorExprs.register(corpus.sparkSession)
     val subDim = dim / models.length
     val codes = models.zipWithIndex.map { case (model, s) =>
       assignSql(model, s"slice(e, ${s * subDim + 1}, $subDim)")
     }.mkString("array(", ", ", ")")
-    corpus.select(col("vec_id"),
-        expr(s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)")
-          .as("e"))
+    flatFrame(corpus, dim)
       .select(col("vec_id"), posexplode(expr(codes)).as(Seq("sub", "code")))
   }
 
@@ -441,18 +444,34 @@ object SimilarityOps {
       iters: Int, k: Int, dim: Int = Dim): DataFrame = {
     val models = pqTrain(corpus, m, kSub, iters, dim)
     val subDim = dim / m
-    val flatE =
-      s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)"
-    val codeCols = models.zipWithIndex.map { case (model, s) =>
+    val coded = flatFrame(corpus, dim)
+      .select(col("vec_id") +: pqCodeCols(models, subDim): _*)
+    val pt = flatFrame(probes, dim)
+      .select(col("vec_id") +: adcTableCols(models, subDim): _*)
+    adcRankTopK(coded, pt, m, k,
+      col("c.vec_id") =!= col("p.vec_id"))
+  }
+
+  /** Per-subspace code columns `code_<s>` over a flat `e` vector —
+    * the literal-model assignment projection shared by PQ and IVF-PQ.
+    */
+  private def pqCodeCols(models: Seq[Seq[(Int, Array[Double])]],
+      subDim: Int): Seq[org.apache.spark.sql.Column] =
+    models.zipWithIndex.map { case (model, s) =>
       expr(assignSql(model, s"slice(e, ${s * subDim + 1}, $subDim)"))
         .as(s"code_$s")
     }
-    val coded = corpus.select(col("vec_id"), expr(flatE).as("e"))
-      .select(col("vec_id") +: codeCols: _*)
-    // probe-side ADC tables: map(cell id -> squared distance of the
-    // probe subvector to that cell's centroid); the codebook rides in
-    // as literals, the fold is index-order (zip_with + aggregate)
-    val dtCols = models.zipWithIndex.map { case (model, s) =>
+
+  /** Probe-side ADC tables `dt_<s>`: map(cell id -> squared distance
+    * of the probe subvector to that cell's centroid); the codebook
+    * rides in as literals, the fold is index-order (zip_with +
+    * aggregate) — the ONE definition of the ADC distance arithmetic,
+    * shared by PQ and IVF-PQ so the oracle-parity contract cannot
+    * diverge between them.
+    */
+  private def adcTableCols(models: Seq[Seq[(Int, Array[Double])]],
+      subDim: Int): Seq[org.apache.spark.sql.Column] =
+    models.zipWithIndex.map { case (model, s) =>
       val sorted = model.sortBy(_._1)
       val keys = sorted.map(_._1).mkString("array(", ", ", ")")
       val vals = sorted.map { case (_, c) =>
@@ -463,12 +482,18 @@ object SimilarityOps {
       }.mkString("array(", ", ", ")")
       expr(s"map_from_arrays($keys, $vals)").as(s"dt_$s")
     }
-    val pt = probes.select(col("vec_id"), expr(flatE).as("e"))
-      .select(col("vec_id") +: dtCols: _*)
+
+  /** The shared ADC scoring tail: broadcast the probe tables `pt`
+    * into the coded corpus under `joinCond` (aliases `c` = corpus,
+    * `p` = probes), sum the m lookups left-to-right, rank per probe
+    * ascending with ties on neighbor_id, keep rank <= k.
+    */
+  private def adcRankTopK(coded: DataFrame, pt: DataFrame, m: Int,
+      k: Int, joinCond: org.apache.spark.sql.Column): DataFrame = {
     val approx = (0 until m).map(s => s"element_at(p.dt_$s, c.code_$s)")
       .reduceLeft((a, b) => s"($a + $b)")
     val scored = coded.as("c")
-      .join(broadcast(pt.as("p")), col("c.vec_id") =!= col("p.vec_id"))
+      .join(broadcast(pt.as("p")), joinCond)
       .select(col("p.vec_id").as("probe_id"),
         col("c.vec_id").as("neighbor_id"),
         expr(approx).as("approx"))
@@ -523,21 +548,20 @@ object SimilarityOps {
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, kCoarse: Int,
       cIters: Int, m: Int, kSub: Int, iters: Int, k: Int, nprobe: Int,
       dim: Int = Dim): DataFrame = {
-    val coarseModel = kmeansModel(corpus, kCoarse, cIters, dim)
-    val models = pqTrain(corpus, m, kSub, iters, dim)
+    // ONE cached corpus projection feeds coarse training, codebook
+    // training AND the coded index (pin: released at the query
+    // boundary) — separate kmeansModel/pqTrain calls would each
+    // re-read and re-convert the corpus
+    val flat = DedupOps.pin(flatFrame(corpus, dim).persist())
+    val coarseModel = trainCells(flat, kCoarse, cIters)
+    val models = pqTrainOn(flat, m, kSub, iters, dim)
     val subDim = dim / m
-    val flatE =
-      s"slice(transform(embedding, x -> cast(x as double)), 1, $dim)"
-    val codeCols = models.zipWithIndex.map { case (model, s) =>
-      expr(assignSql(model, s"slice(e, ${s * subDim + 1}, $subDim)"))
-        .as(s"code_$s")
-    }
     // cell + codes in ONE map-only projection (the literal coarse
     // model assigns the cell — no join against an assignment frame;
     // this is the shape of the on-disk index: (cell, codes) per row)
-    val coded = corpus.select(col("vec_id"), expr(flatE).as("e"))
-      .select(col("vec_id") +:
-        expr(assignSql(coarseModel, "e")).as("cell") +: codeCols: _*)
+    val coded = flat.select(col("vec_id") +:
+      expr(assignSql(coarseModel, "e")).as("cell") +:
+      pqCodeCols(models, subDim): _*)
     // probe routing: squared distance to every coarse centroid as a
     // (d, cell) struct array; array_sort orders by (d, cell) — the
     // same tie-break as the oracle's row_number — and the first
@@ -551,34 +575,12 @@ object SimilarityOps {
     }.mkString("array(", ", ", ")")
     val routeExpr =
       s"transform(slice(array_sort($entries), 1, $nprobe), s -> s.cell)"
-    val dtCols = models.zipWithIndex.map { case (model, s) =>
-      val sorted = model.sortBy(_._1)
-      val keys = sorted.map(_._1).mkString("array(", ", ", ")")
-      val vals = sorted.map { case (_, c) =>
-        val lits = c.map(v => s"${v}D").mkString("array(", ", ", ")")
-        s"""aggregate(zip_with(slice(e, ${s * subDim + 1}, $subDim),
-           |  $lits, (x, y) -> (x - y) * (x - y)),
-           |  0D, (a, x) -> a + x)""".stripMargin
-      }.mkString("array(", ", ", ")")
-      expr(s"map_from_arrays($keys, $vals)").as(s"dt_$s")
-    }
-    val pt = probes.select(col("vec_id"), expr(flatE).as("e"))
+    val pt = flatFrame(probes, dim)
       .select(Seq(col("vec_id"), explode(expr(routeExpr)).as("cell")) ++
-        dtCols: _*)
-    val approx = (0 until m).map(s => s"element_at(p.dt_$s, c.code_$s)")
-      .reduceLeft((a, b) => s"($a + $b)")
-    val scored = coded.as("c")
-      .join(broadcast(pt.as("p")),
-        col("c.cell") === col("p.cell") &&
-          col("c.vec_id") =!= col("p.vec_id"))
-      .select(col("p.vec_id").as("probe_id"),
-        col("c.vec_id").as("neighbor_id"),
-        expr(approx).as("approx"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("approx").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "neighbor_id", "rank")
+        adcTableCols(models, subDim): _*)
+    adcRankTopK(coded, pt, m, k,
+      col("c.cell") === col("p.cell") &&
+        col("c.vec_id") =!= col("p.vec_id"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster

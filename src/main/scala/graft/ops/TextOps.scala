@@ -355,8 +355,14 @@ object TextOps {
     val hot = broadcast(
       vocab.orderBy(col("cnt").desc, col("tok").asc).limit(hotK))
     val scoredHot = toks.join(hot, "tok")
+    // the cold tail joins LEFT so out-of-vocabulary tokens score as
+    // cnt = 0 (add-one smoothing already defines p(unseen) = 1/denom);
+    // an inner join would silently drop unseen tokens — biasing
+    // exactly the rare-token documents an LM gate exists to catch LOW,
+    // and emitting NO row at all for an all-OOV document
     val scoredCold = toks.join(hot.select("tok"), Seq("tok"), "left_anti")
-      .join(vocab.hint("shuffle_hash"), "tok")
+      .join(vocab.hint("shuffle_hash"), Seq("tok"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
     scoredHot.union(scoredCold)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n"),

@@ -314,6 +314,44 @@ object PipelineQueries {
   // ------------------------------------------------------------ oracles
 
   /** DuckDB equivalents of the Spark-side deterministic primitives. */
+  /** Shared SQL fragments of the PQ ADC oracles (`q_ann_pq` /
+    * `q_ann_ivfpq`): probe subspace slices, per-subspace
+    * distance-table CTEs against the final codebooks `s<s>clist2`,
+    * the code columns/joins over `s<s>assign2`, and the
+    * left-to-right approx sum — ONE definition so the two oracles'
+    * ADC arithmetic cannot diverge.
+    */
+  private object PqO {
+    val m = 4
+    val subDim = 16
+    val pvCols: String = (0 until m).map(s =>
+      s"list_transform(embedding[${s * subDim + 1}:${(s + 1) * subDim}]," +
+        s" x -> CAST(x AS DOUBLE)) AS e$s").mkString(",\n  ")
+    val dts: String = (0 until m).map(s =>
+      s"""dt$s AS (
+         |  SELECT p.vec_id AS probe_id, cl.cell AS code,
+         |    list_sum(list_transform(range(1, ${subDim + 1}),
+         |      i -> (p.e$s[i] - cl.c[i]) * (p.e$s[i] - cl.c[i]))) AS dd
+         |  FROM pv p CROSS JOIN s${s}clist2 cl)""".stripMargin)
+      .mkString(",\n")
+    val codeCols: String = (0 until m).map(s => s"a$s.cell AS code_$s")
+      .mkString(", ")
+    val codeJoins: String = (1 until m).map(s =>
+      s"JOIN s${s}assign2 a$s USING (vec_id)").mkString(" ")
+    def dtJoins(from: Int, anchor: String): String = (from until m).map(s =>
+      s"JOIN dt$s ON dt$s.probe_id = $anchor.probe_id " +
+        s"AND dt$s.code = c.code_$s").mkString("\n    ")
+    val approx: String = (0 until m).map(s => s"dt$s.dd")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val rankTail: String =
+      """ranked AS (
+        |  SELECT probe_id, neighbor_id, CAST(row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY approx ASC, neighbor_id ASC)
+        |    AS INT) AS rank FROM scored)
+        |SELECT probe_id, neighbor_id, rank FROM ranked
+        |WHERE rank <= 10""".stripMargin
+  }
+
   private val T = "regexp_split_to_array(lower(trim(text)), '\\s+')"
   private def H60(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
 
@@ -772,80 +810,34 @@ object PipelineQueries {
     // ADC: per-probe distance tables dt<sub>(probe, code, dd) against
     // the final codebooks, approximate distance = the 4 lookups summed
     // in the same left-to-right order the Spark expression uses
-    "q_ann_pq" -> {
-      val m = 4
-      val subDim = 16
-      val pvCols = (0 until m).map(s =>
-        s"list_transform(embedding[${s * subDim + 1}:${(s + 1) * subDim}]," +
-          s" x -> CAST(x AS DOUBLE)) AS e$s").mkString(",\n  ")
-      val dts = (0 until m).map(s =>
-        s"""dt$s AS (
-           |  SELECT p.vec_id AS probe_id, cl.cell AS code,
-           |    list_sum(list_transform(range(1, ${subDim + 1}),
-           |      i -> (p.e$s[i] - cl.c[i]) * (p.e$s[i] - cl.c[i]))) AS dd
-           |  FROM pv p CROSS JOIN s${s}clist2 cl)""".stripMargin)
-        .mkString(",\n")
-      val codeCols = (0 until m).map(s => s"a$s.cell AS code_$s")
-        .mkString(", ")
-      val codeJoins = (1 until m).map(s =>
-        s"JOIN s${s}assign2 a$s USING (vec_id)").mkString(" ")
-      val dtJoins = (1 until m).map(s =>
-        s"JOIN dt$s ON dt$s.probe_id = dt0.probe_id " +
-          s"AND dt$s.code = c.code_$s").mkString("\n    ")
-      val approx = (0 until m).map(s => s"dt$s.dd")
-        .reduceLeft((a, b) => s"($a + $b)")
-      s"""${SimilarityOps.pqOracleCtes(m = m, kSub = 8, iters = 2)},
+    "q_ann_pq" ->
+      s"""${SimilarityOps.pqOracleCtes(m = PqO.m, kSub = 8, iters = 2)},
          |pv AS (
          |  SELECT vec_id,
-         |  $pvCols
+         |  ${PqO.pvCols}
          |  FROM embeddings WHERE vec_id < 5),
-         |$dts,
+         |${PqO.dts},
          |c AS (
-         |  SELECT vec_id, $codeCols
-         |  FROM s0assign2 a0 $codeJoins),
+         |  SELECT vec_id, ${PqO.codeCols}
+         |  FROM s0assign2 a0 ${PqO.codeJoins}),
          |scored AS (
-         |  SELECT dt0.probe_id, c.vec_id AS neighbor_id, $approx AS approx
+         |  SELECT dt0.probe_id, c.vec_id AS neighbor_id,
+         |    ${PqO.approx} AS approx
          |  FROM c JOIN dt0 ON dt0.code = c.code_0
-         |    $dtJoins
+         |    ${PqO.dtJoins(1, "dt0")}
          |  WHERE c.vec_id <> dt0.probe_id),
-         |ranked AS (
-         |  SELECT probe_id, neighbor_id, CAST(row_number() OVER (
-         |    PARTITION BY probe_id ORDER BY approx ASC, neighbor_id ASC)
-         |    AS INT) AS rank FROM scored)
-         |SELECT probe_id, neighbor_id, rank FROM ranked
-         |WHERE rank <= 10""".stripMargin
-    },
+         |${PqO.rankTail}""".stripMargin,
 
-    // coarse routing (gclist2) + the PQ ADC of q_ann_pq, with the
-    // scored join restricted to each probe's nprobe=2 routed cells
-    "q_ann_ivfpq" -> {
-      val m = 4
-      val subDim = 16
-      val pvCols = (0 until m).map(s =>
-        s"list_transform(embedding[${s * subDim + 1}:${(s + 1) * subDim}]," +
-          s" x -> CAST(x AS DOUBLE)) AS e$s").mkString(",\n  ")
-      val dts = (0 until m).map(s =>
-        s"""dt$s AS (
-           |  SELECT p.vec_id AS probe_id, cl.cell AS code,
-           |    list_sum(list_transform(range(1, ${subDim + 1}),
-           |      i -> (p.e$s[i] - cl.c[i]) * (p.e$s[i] - cl.c[i]))) AS dd
-           |  FROM pv p CROSS JOIN s${s}clist2 cl)""".stripMargin)
-        .mkString(",\n")
-      val codeCols = (0 until m).map(s => s"a$s.cell AS code_$s")
-        .mkString(", ")
-      val codeJoins = (1 until m).map(s =>
-        s"JOIN s${s}assign2 a$s USING (vec_id)").mkString(" ")
-      val dtJoins = (0 until m).map(s =>
-        s"JOIN dt$s ON dt$s.probe_id = route.probe_id " +
-          s"AND dt$s.code = c.code_$s").mkString("\n    ")
-      val approx = (0 until m).map(s => s"dt$s.dd")
-        .reduceLeft((a, b) => s"($a + $b)")
+    // coarse routing (gclist2) + the SAME PQ ADC fragments as
+    // q_ann_pq, with the scored join restricted to each probe's
+    // nprobe=2 routed cells
+    "q_ann_ivfpq" ->
       s"""${SimilarityOps.ivfPqOracleCtes(kCoarse = 8, cIters = 2,
-            m = m, kSub = 8, iters = 2)},
+            m = PqO.m, kSub = 8, iters = 2)},
          |pv AS (
          |  SELECT vec_id,
          |  list_transform(embedding[1:64], x -> CAST(x AS DOUBLE)) AS e,
-         |  $pvCols
+         |  ${PqO.pvCols}
          |  FROM embeddings WHERE vec_id < 5),
          |route AS (
          |  SELECT vec_id AS probe_id, cell FROM (
@@ -855,22 +847,18 @@ object PipelineQueries {
          |          i -> (p.e[i] - g.c[i]) * (p.e[i] - g.c[i]))),
          |        g.cell) AS r
          |    FROM pv p CROSS JOIN gclist2 g) WHERE r <= 2),
-         |$dts,
+         |${PqO.dts},
          |c AS (
-         |  SELECT vec_id, gc.cell AS gcell, $codeCols
-         |  FROM s0assign2 a0 $codeJoins JOIN gassign2 gc USING (vec_id)),
+         |  SELECT vec_id, gc.cell AS gcell, ${PqO.codeCols}
+         |  FROM s0assign2 a0 ${PqO.codeJoins}
+         |    JOIN gassign2 gc USING (vec_id)),
          |scored AS (
-         |  SELECT route.probe_id, c.vec_id AS neighbor_id, $approx AS approx
+         |  SELECT route.probe_id, c.vec_id AS neighbor_id,
+         |    ${PqO.approx} AS approx
          |  FROM c JOIN route ON route.cell = c.gcell
-         |    $dtJoins
+         |    ${PqO.dtJoins(0, "route")}
          |  WHERE c.vec_id <> route.probe_id),
-         |ranked AS (
-         |  SELECT probe_id, neighbor_id, CAST(row_number() OVER (
-         |    PARTITION BY probe_id ORDER BY approx ASC, neighbor_id ASC)
-         |    AS INT) AS rank FROM scored)
-         |SELECT probe_id, neighbor_id, rank FROM ranked
-         |WHERE rank <= 10""".stripMargin
-    },
+         |${PqO.rankTail}""".stripMargin,
 
     "q_pipeline_clean" -> {
       def hits(words: String) =

@@ -822,6 +822,32 @@ class PipelineOpsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet)
   }
 
+  test("lmScoreTokens scores out-of-vocabulary tokens as p = 1/denom") {
+    import spark.implicits._
+    // train on a 3-token corpus, score a doc mixing seen + unseen
+    val trainToks = Seq((1L, "aa"), (1L, "aa"), (2L, "bb"))
+      .toDF("doc_id", "tok")
+    val (vocab, denom) = TextOps.lmModel(trainToks)
+    assert(denom === 5L) // 3 tokens + 2 vocab entries
+    val score = TextOps.lmScoreTokens(
+        Seq((9L, "aa"), (9L, "zz")).toDF("doc_id", "tok"), vocab, denom)
+      .collect()
+    assert(score.length === 1, "an OOV token must not drop the doc")
+    val bits = score.head.getAs[Double]("lm_bits")
+    // -log2(3/5) for "aa" (cnt 2 + 1), -log2(1/5) for OOV "zz" (0 + 1)
+    val want = (-math.log(3.0 / 5) / math.log(2.0) +
+      -math.log(1.0 / 5) / math.log(2.0)) / 2
+    assert(math.abs(bits - want) < 1e-9, s"$bits vs $want")
+    // all-OOV documents must still emit a row (the gate has to see
+    // them — they are exactly the docs it should reject)
+    val allOov = TextOps.lmScoreTokens(
+        Seq((7L, "qq"), (7L, "rr")).toDF("doc_id", "tok"), vocab, denom)
+      .collect()
+    assert(allOov.length === 1)
+    assert(math.abs(allOov.head.getAs[Double]("lm_bits") -
+      -math.log(1.0 / 5) / math.log(2.0)) < 1e-9)
+  }
+
   test("keepBestPerCluster keeps exactly the best-sized doc per cluster") {
     val clusters = DedupOps.nearDupClusters(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
