@@ -51,6 +51,52 @@ object SimilarityOps {
       .select("probe_id", "neighbor_id", "rank")
   }
 
+  /** Exact squared-L2 brute-force top-k — the ground truth an ANN
+    * index is measured against. Per-pair work is ONE codegen'd dot
+    * product via the identity ||x-y||² = ||x||² + ||y||² − 2·x·y
+    * (per-side norms precompute once as index-order folds; a per-pair
+    * higher-order fold would run interpreted). Deterministic for the
+    * oracle: norms fold in component order, the combination is
+    * (nx + ny) − 2d in that exact shape, ties break on neighbor_id.
+    */
+  def l2TopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      dim: Int = Dim): DataFrame = {
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    val c = flatFrame(corpus, dim).withColumn("nn", expr("dot_f64(e, e)"))
+    val p = flatFrame(probes, dim).withColumn("nn", expr("dot_f64(e, e)"))
+    val scored = c.as("c")
+      .join(broadcast(p.as("p")), col("c.vec_id") =!= col("p.vec_id"))
+      .select(col("p.vec_id").as("probe_id"),
+        col("c.vec_id").as("neighbor_id"),
+        expr("(p.nn + c.nn) - 2D * dot_f64(p.e, c.e)").as("d2"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rank")
+  }
+
+  /** Recall@k of the IVF-PQ index against exact L2 ground truth — the
+    * evaluation-harness metric a deployed ANN pipeline tracks per
+    * index build (coarse cells + codebooks + nprobe are all recall
+    * knobs; this measures them). Returns (probe_id, recall).
+    */
+  def ivfPqRecall(corpus: DataFrame, probes: DataFrame, kCoarse: Int,
+      cIters: Int, m: Int, kSub: Int, iters: Int, k: Int, nprobe: Int,
+      dim: Int = Dim): DataFrame = {
+    val approx = ivfPqTopK(corpus, probes, kCoarse, cIters, m, kSub,
+      iters, k, nprobe, dim)
+    val exact = l2TopK(corpus, probes, k, dim)
+    // left join from the exact side: probes whose routed cells miss
+    // every true neighbor still report (as recall 0), never vanish
+    exact.select(col("probe_id"), col("neighbor_id"))
+      .join(approx.select(col("probe_id"), col("neighbor_id"),
+        lit(1).as("hit")), Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg((sum(coalesce(col("hit"), lit(0))) /
+        count(lit(1)).cast("double")).as("recall"))
+  }
+
   /** Elementwise mean of the embedding vectors per cell — the coarse
     * quantizer codebook. posexplode → avg per (cell, dim) → re-assemble
     * ordered array. One shuffle of n_vectors * dim skinny rows.

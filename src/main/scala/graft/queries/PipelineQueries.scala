@@ -138,6 +138,22 @@ object PipelineQueries {
         k = 10, nprobe = 2)
     }),
 
+    // exact squared-L2 ground truth (one codegen'd dot per pair via
+    // the norm identity) — what ANN indexes are measured against
+    "q_ann_l2" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.l2TopK(e, e.filter(col("vec_id") < 5), k = 10)
+    }),
+
+    // the evaluation harness: recall@10 of the IVF-PQ index vs exact
+    // L2 — the metric that tunes kCoarse/kSub/nprobe in production
+    "q_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.ivfPqRecall(e, e.filter(col("vec_id") < 5),
+        kCoarse = 8, cIters = 2, m = 4, kSub = 8, iters = 2,
+        k = 10, nprobe = 2)
+    }),
+
     // native codegen'd Catalyst expression (functions/VectorExprs):
     // nearest neighbor per probe straight over the array columns
     "q_ann_cosine_expr" -> ((s, dir) => {
@@ -350,6 +366,37 @@ object PipelineQueries {
         |    AS INT) AS rank FROM scored)
         |SELECT probe_id, neighbor_id, rank FROM ranked
         |WHERE rank <= 10""".stripMargin
+
+    /** Exact squared-L2 top-10 over the <5 probes via the norm
+      * identity (nx + ny) − 2·dot, folds in component order — as a
+      * standalone query (`asCte = false`) or as the CTE chain ending
+      * at `ex` (probe_id, neighbor_id, rank) for the recall oracle.
+      */
+    def l2Sql(asCte: Boolean): String = {
+      val ctes =
+        s"""lv AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding[1:64], x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |ln AS (
+           |  SELECT vec_id, e,
+           |    list_sum(list_transform(range(1, 65), i -> e[i] * e[i]))
+           |      AS nn
+           |  FROM lv),
+           |lscored AS (
+           |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           |    (p.nn + c.nn) - 2 * list_sum(list_transform(range(1, 65),
+           |      i -> p.e[i] * c.e[i])) AS d2
+           |  FROM ln p JOIN ln c ON c.vec_id <> p.vec_id
+           |  WHERE p.vec_id < 5),
+           |ex AS (
+           |  SELECT probe_id, neighbor_id, CAST(row_number() OVER (
+           |    PARTITION BY probe_id ORDER BY d2 ASC, neighbor_id ASC)
+           |    AS INT) AS rank FROM lscored
+           |  QUALIFY rank <= 10)""".stripMargin
+      if (asCte) ctes
+      else s"WITH $ctes\nSELECT probe_id, neighbor_id, rank FROM ex"
+    }
   }
 
   private val T = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -859,6 +906,52 @@ object PipelineQueries {
          |    ${PqO.dtJoins(0, "route")}
          |  WHERE c.vec_id <> route.probe_id),
          |${PqO.rankTail}""".stripMargin,
+
+    // exact L2 via the same norm identity the Spark side computes:
+    // (nx + ny) - 2*dot, all folds in component order
+    "q_ann_l2" -> PqO.l2Sql(asCte = false),
+
+    // recall = matched ground-truth rows / k, per probe; the ivf side
+    // is the FULL q_ann_ivfpq chain re-stated as CTEs
+    "q_ann_recall" ->
+      s"""${SimilarityOps.ivfPqOracleCtes(kCoarse = 8, cIters = 2,
+            m = PqO.m, kSub = 8, iters = 2)},
+         |pv AS (
+         |  SELECT vec_id,
+         |  list_transform(embedding[1:64], x -> CAST(x AS DOUBLE)) AS e,
+         |  ${PqO.pvCols}
+         |  FROM embeddings WHERE vec_id < 5),
+         |route AS (
+         |  SELECT vec_id AS probe_id, cell FROM (
+         |    SELECT p.vec_id, g.cell,
+         |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (p.e[i] - g.c[i]) * (p.e[i] - g.c[i]))),
+         |        g.cell) AS r
+         |    FROM pv p CROSS JOIN gclist2 g) WHERE r <= 2),
+         |${PqO.dts},
+         |c AS (
+         |  SELECT vec_id, gc.cell AS gcell, ${PqO.codeCols}
+         |  FROM s0assign2 a0 ${PqO.codeJoins}
+         |    JOIN gassign2 gc USING (vec_id)),
+         |scored AS (
+         |  SELECT route.probe_id, c.vec_id AS neighbor_id,
+         |    ${PqO.approx} AS approx
+         |  FROM c JOIN route ON route.cell = c.gcell
+         |    ${PqO.dtJoins(0, "route")}
+         |  WHERE c.vec_id <> route.probe_id),
+         |ivfr AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY approx ASC,
+         |      neighbor_id ASC) AS rank FROM scored) WHERE rank <= 10),
+         |${PqO.l2Sql(asCte = true)}
+         |SELECT ex.probe_id,
+         |  sum(CASE WHEN ivfr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE) AS recall
+         |FROM ex LEFT JOIN ivfr ON ivfr.probe_id = ex.probe_id
+         |  AND ivfr.neighbor_id = ex.neighbor_id
+         |GROUP BY ex.probe_id""".stripMargin,
 
     "q_pipeline_clean" -> {
       def hits(words: String) =

@@ -877,6 +877,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(nTrain * 2 > rows.length, "train should dominate")
   }
 
+  test("l2TopK matches a driver-side exact nearest-neighbor scan") {
+    val k = 5
+    val got = SimilarityOps.l2TopK(emb, emb.filter(col("vec_id") < 3L), k)
+      .collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("neighbor_id")).toSeq).toMap
+    val vecs = emb.select("vec_id", "embedding").collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+    }.toMap
+    (0L until 3L).foreach { p =>
+      val pv = vecs(p)
+      val want = vecs.keys.filter(_ != p).toSeq.map { nid =>
+        val v = vecs(nid)
+        (v.indices.map(i => (pv(i) - v(i)) * (pv(i) - v(i))).sum, nid)
+      }.sortBy(identity).take(k).map(_._2)
+      assert(got(p) === want, s"probe $p")
+    }
+  }
+
+  test("ivfPqRecall reports one bounded recall per probe") {
+    val rows = SimilarityOps.ivfPqRecall(emb,
+      emb.filter(col("vec_id") < 4L), kCoarse = 4, cIters = 2,
+      m = 4, kSub = 4, iters = 2, k = 5, nprobe = 2).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall $rec out of bounds")
+    }
+  }
+
   test("pqEncode emits one code per subspace from that codebook") {
     val m = 4
     val kSub = 8
