@@ -144,6 +144,23 @@ object CurationOps {
       .filter(md5Coin("qs") < col("w"))
       .select("doc_id", "score")
 
+  /** Deterministic seeded GLOBAL shuffle for training order: `pos` =
+    * rank of md5(seed ++ doc_id) — the same permutation on any cluster
+    * at any parallelism, with no RNG state to checkpoint; a new seed
+    * gives an independent epoch order. The rank comes from the
+    * range-partitioned distributed numbering ([[Ords.rowNumber]],
+    * hint Large by default), so a 100 TB corpus never funnels through
+    * a single-partition window.
+    */
+  def shuffleOrder(docs: DataFrame, seed: String,
+      hint: Ords.SizeHint = Ords.Large): DataFrame =
+    Ords.rowNumber(
+      docs.select(col("doc_id"),
+        expr(DedupOps.h60(s"concat('$seed', cast(doc_id as string))"))
+          .as("__h")),
+      Seq(col("__h").asc, col("doc_id").asc), "pos", hint)
+      .select(col("doc_id"), col("pos"))
+
   /** Corpus snapshot diff — the incremental-ingest primitive: compare
     * two corpus versions by doc_id + content fingerprint and emit the
     * delta rows as (doc_id, status ∈ added|removed|changed), dropping

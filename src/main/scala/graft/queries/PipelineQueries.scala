@@ -282,6 +282,11 @@ object PipelineQueries {
 
     // quality-weighted importance sampling: clamped-linear keep ramp
     // over the classifier score, seedless md5 coin
+    // deterministic seeded epoch shuffle: same permutation at any
+    // parallelism, forced through the distributed numbering path
+    "q_corpus_shuffle" -> ((s, dir) =>
+      CurationOps.shuffleOrder(docs(s, dir), seed = "ep1")),
+
     "q_quality_sample" -> ((s, dir) =>
       CurationOps.qualitySample(docs(s, dir))),
 
@@ -1159,6 +1164,13 @@ object PipelineQueries {
          |    AS DECIMAL(38, 18))) AS DOUBLE) / count(*) AS lm_bits
          |FROM toks JOIN vocab v USING (tok) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+
+    // rank of md5('ep1' || doc_id), ties (impossible here) on doc_id
+    "q_corpus_shuffle" ->
+      s"""SELECT doc_id, CAST(row_number() OVER (ORDER BY
+         |  ${H60("'ep1' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |  AS INT) AS pos
+         |FROM documents""".stripMargin,
 
     "q_quality_sample" ->
       s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
