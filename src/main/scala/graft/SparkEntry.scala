@@ -28,7 +28,7 @@ object SparkEntry {
     OlapCoreQueries.queries ++ OlapWindowQueries.queries ++
       PipelineQueries.queries ++ StreamingQueries.queries ++
       MdxQueries.queries ++ ScalarQueries.queries ++
-      OlapExtQueries.queries
+      OlapExtQueries.queries ++ FeatureQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +37,5 @@ object SparkEntry {
     OlapCoreQueries.oracleSql ++ OlapWindowQueries.oracleSql ++
       PipelineQueries.oracleSql ++ StreamingQueries.oracleSql ++
       MdxQueries.oracleSql ++ ScalarQueries.oracleSql ++
-      OlapExtQueries.oracleSql
+      OlapExtQueries.oracleSql ++ FeatureQueries.oracleSql
 }

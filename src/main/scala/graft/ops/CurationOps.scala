@@ -108,6 +108,42 @@ object CurationOps {
     docs.filter(md5Coin("mix") < rate)
   }
 
+  /** Temperature-scaled source sampling — the multilingual-training
+    * alpha-mixing rule (p_s ∝ n_s^alpha): flatten the source
+    * distribution toward uniform as `alpha` falls below 1, so head
+    * domains stop drowning the tail. Each source keeps
+    * rate_s = min(1, targetFrac · N · p_s / n_s) of its documents via
+    * the shared seedless [[md5Coin]], so the realized mixture follows
+    * the tempered distribution while every keep/drop stays
+    * deterministic and stable under corpus growth.
+    *
+    * The rate table is computed ENTIRELY in-engine (per-source counts +
+    * two windowed sums over the counts frame — sources are domains, a
+    * bounded set, so the single-partition window holds rows numbering
+    * in the thousands at worst); the tempered weights are decimal-cast
+    * before summing so the normalizer is order-independent. Docs then
+    * broadcast-join their source's rate: one shuffle on nothing — the
+    * filter is map-side.
+    */
+  def temperatureSample(docs: DataFrame, alpha: Double,
+      targetFrac: Double): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("pw",
+        pow(col("n_s").cast("double"), lit(alpha))
+          .cast("decimal(38,18)"))
+      .withColumn("p_s", col("pw").cast("double") /
+        sum(col("pw")).over(all).cast("double"))
+      .withColumn("rate", least(lit(1.0),
+        lit(targetFrac) * sum(col("n_s")).over(all).cast("double") *
+          col("p_s") / col("n_s")))
+      .select("source", "rate")
+    docs.join(broadcast(rates), "source")
+      .filter(md5Coin("temp") < col("rate"))
+      .select("doc_id", "source")
+  }
+
   /** Assign documents (in `doc_id` order) to contiguous training
     * shards of ≈`budget` whitespace tokens each: shard = the exclusive
     * token prefix divided by the budget, so a document straddling a

@@ -373,6 +373,59 @@ object TextOps {
         expr("cast(s as double) / n").as("lm_bits"))
   }
 
+  /** Bigram LM quality score — the second-order upgrade of [[lmScore]]:
+    * train add-one-smoothed bigram probabilities on the corpus and
+    * score each document (≥ 2 tokens) by its mean per-bigram
+    * cross-entropy in bits, p(w2 | w1) = (c(w1,w2) + 1) / (c(w1,·) + V)
+    * with V = the distinct successor vocabulary. A bigram model
+    * separates "rare words" from "rare word ORDER", catching shuffled /
+    * templated boilerplate a unigram score can't.
+    *
+    * Scale shape mirrors [[lmScore]]: bigram counts are one
+    * map-side-combining aggregate over the exploded pairs (shuffle
+    * carries distinct-bigram partials); the first-token totals attach
+    * to the model frame with a vocab-keyed join (model-sized, never
+    * corpus-sized); scoring joins doc bigrams to the model with the
+    * Zipf head broadcast and only the long tail on the shuffle join.
+    * Per-term decimal casts keep the per-doc sum order-independent.
+    */
+  def lmScoreBigram(docs: DataFrame, hotK: Int = 1000): DataFrame = {
+    val bg = DedupOps.pin(docs
+      .select(col("doc_id"), expr(TOKENS).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) as w1,
+          |              element_at(t, i + 1) as w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist())
+    val counts = DedupOps.pin(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).persist())
+    val vocabOut = counts.select("w2").distinct().count()
+    // model frame: per-bigram count + its first-token total (both
+    // model-sized; the w1 join shuffles vocab-keyed partials only)
+    val model = counts.join(
+      counts.groupBy("w1").agg(sum(col("c12")).as("c1")).hint("shuffle_hash"),
+      "w1")
+    val hot = broadcast(model
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc).limit(hotK))
+    val scoredHot = bg.join(hot, Seq("w1", "w2"))
+    val scoredCold = bg
+      .join(hot.select("w1", "w2"), Seq("w1", "w2"), "left_anti")
+      .join(model.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c12"), lit(0L)).as("c12"),
+        coalesce(col("c1"), lit(0L)).as("c1"))
+    scoredHot.select("doc_id", "c12", "c1").union(scoredCold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(expr(
+          s"""cast(-log2(cast(c12 + 1 as double) / (c1 + ${vocabOut}L))
+             |  as decimal(38, 18))""".stripMargin)).as("s"))
+      .select(col("doc_id"), expr("cast(s as double) / n").as("lm2_bits"))
+  }
+
   /** Per-source corpus statistics — the curation dashboard numbers
     * (doc counts, token budget, length distribution) a mixture design
     * starts from. One tokenized projection, one map-side-combining

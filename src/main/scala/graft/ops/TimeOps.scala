@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join / feature operators over event streams: the as-of
+  * (point-in-time) join and rolling event-window features — the two
+  * primitives feature-engineering pipelines run over interaction logs
+  * before training.
+  *
+  * Both are deliberately ONE-shuffle shapes. The classic as-of
+  * formulations Spark users reach for — a range join (explodes to a
+  * per-pair cross within the key) or a per-row correlated subquery —
+  * degrade quadratically on hot keys; the union-and-running-window form
+  * here carries each event exactly once through a single exchange on
+  * the join key, so a key with a million events costs one sorted
+  * partition run, not 10^12 candidate pairs.
+  */
+object TimeOps {
+
+  /** Point-in-time (as-of) join: for every row of `left`, attach the
+    * payload of the most recent `right` row with the same `key` and
+    * `right.tsCol <= left.tsCol` (inclusive, the ASOF JOIN convention).
+    * Left rows with no prior right row keep NULL payloads (left-join
+    * semantics); `rightTs` carries the matched row's timestamp.
+    *
+    * Right rows sharing an exact (key, timestamp) are first collapsed
+    * to the one with the highest `tieCol` — without this the "latest
+    * state at time t" is ill-defined and engines (and DuckDB's ASOF
+    * JOIN oracle) would disagree on ties.
+    *
+    * Lowering: tag each side, union, and take a running
+    * `last(payload, ignoreNulls)` over (key ORDER BY ts, side) with
+    * right rows sorting BEFORE left rows at equal timestamps (side 0
+    * < 1 ⇒ inclusive match). One exchange on the key, one sort, zero
+    * candidate-pair blowup: the standard merge-join-on-sorted-runs
+    * shape, expressed declaratively so AQE still handles a skewed key
+    * by splitting its sort spill, not its semantics.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, tieCol: String, payload: Seq[String]): DataFrame = {
+    // latest-wins collapse of exact (key, ts) ties on the right side;
+    // max_by is a map-side-combinable aggregate, so the collapse rides
+    // the same exchange budget as any groupBy on the key
+    val rightUniq = right.groupBy(col(key), col(tsCol))
+      .agg(max_by(struct((tieCol +: payload).map(col): _*), col(tieCol))
+        .as("__p"))
+      .select(col(key) +: col(tsCol).as("__ts") +:
+        payload.map(p => col(s"__p.$p").as(s"__r_$p")): _*)
+      .withColumn("__side", lit(0))
+    val leftTagged = left.withColumn("__ts", col(tsCol))
+      .withColumn("__side", lit(1))
+    val unioned = leftTagged.drop(tsCol)
+      .unionByName(rightUniq, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val enriched = payload.foldLeft(
+      unioned.withColumn("__asof_ts",
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true)
+          .over(w))) { (df, p) =>
+      df.withColumn(s"__asof_$p",
+        last(col(s"__r_$p"), ignoreNulls = true).over(w))
+    }
+    enriched.filter(col("__side") === 1)
+      .select(left.columns.filter(_ != tsCol).map(col) ++
+        Seq(col("__ts").as(tsCol), col("__asof_ts").as("asof_ts")) ++
+        payload.map(p => col(s"__asof_$p").as(s"asof_$p")): _*)
+  }
+
+  /** Rolling event-window features per key, ordered by (ts, tieCol):
+    * the gap to the previous event and count/sum of `valCol` over the
+    * trailing `lookback` events (excluding the current one) — the lag
+    * features a behavioural model trains on. The sum is accumulated in
+    * decimal so the ≤`lookback`-term addition is exact and
+    * engine-portable; the frame order is total (timestamp then
+    * tie-break), so every value is deterministic.
+    *
+    * One exchange on the key; frames are ROWS-bounded, so each
+    * partition run holds a `lookback`-row ring buffer — memory is
+    * O(lookback) per task regardless of key size.
+    */
+  def rollingFeatures(events: DataFrame, key: String, tsCol: String,
+      tieCol: String, valCol: String, lookback: Int): DataFrame = {
+    val order = Window.partitionBy(key)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val trail = order.rowsBetween(-lookback, -1)
+    events.select(col(tieCol), col(key), col(tsCol), col(valCol))
+      .withColumn("gap_us",
+        unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(order)))
+      .withColumn("roll_n", count(col(valCol)).over(trail))
+      .withColumn("roll_sum",
+        sum(col(valCol).cast("decimal(38,10)")).over(trail)
+          .cast("double"))
+      .select(col(tieCol), col(key), unix_micros(col(tsCol)).as("ts_us"),
+        col("gap_us"), col("roll_n"), col("roll_sum"))
+  }
+}
