@@ -397,4 +397,35 @@ class PlanSpec extends SparkSpec {
     sample.foreach { case (k, cum) =>
       assert(cum === expected(k), s"prefix at k=$k") }
   }
+
+  test("asOfJoin is one exchange on the key — no range-join blowup") {
+    val ev = Tables.load(spark, Sf, "events")
+    val df = ops.TimeOps.asOfJoin(
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts"),
+      ev.filter(col("event_type") === "click"),
+      "user_id", "ts", "event_id", Seq("value"))
+    val p = plan(df)
+    // the as-of itself must be union + window, never a join of the two
+    // sides (a theta/range join explodes per-key pairs at scale); the
+    // only exchanges are the tie-collapse aggregation and the window
+    // sort, both keyed
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"),
+      s"as-of must not lower to a join:\n$p")
+    assert(p.contains("Window"), s"expected the running window:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"as-of should shuffle at most twice:\n$p")
+  }
+
+  test("bm25 broadcasts query/df sides and group-limits the top-k") {
+    val df = ops.RetrievalOps.bm25(Tables.load(spark, Sf, "documents"),
+      queries.FeatureQueries.BM25_QUERIES)
+    val p = plan(df)
+    // the postings side must never broadcast; the query workload and
+    // per-term dfs must never shuffle the corpus
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"query-side joins must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must run under WindowGroupLimit:\n$p")
+  }
 }
