@@ -78,4 +78,77 @@ object RetrievalOps {
       .filter(col("rank") <= topK)
       .select("query_id", "rank", "doc_id", "score")
   }
+
+  /** The trained BM25 statistics for a query workload: corpus size,
+    * average document length, and per-term document frequencies — the
+    * handful of scalars a deployed scorer ships with (the "index" side
+    * of BM25 for a FIXED query set is just this table; it is KBs).
+    */
+  final case class Bm25Stats(nDocs: Long, avgdl: Double,
+      df: Map[String, Long])
+
+  /** Train [[Bm25Stats]] on a corpus: one tokenize pass for N/avgdl,
+    * one postings-restricted aggregate for the per-term dfs (only the
+    * |workload terms| counts reach the driver).
+    */
+  def bm25Train(docs: DataFrame,
+      queryTerms: Seq[(Int, Seq[String])]): Bm25Stats = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val totals = docs.select(size(expr(TextOps.TOKENS)).as("dl"))
+      .agg(count(lit(1)), sum(col("dl").cast("long"))).head()
+    val n = totals.getLong(0)
+    val terms = queryTerms.flatMap(_._2).distinct.toDF("term")
+    val dfRows = docs
+      .select(col("doc_id"), explode(expr(TextOps.TOKENS)).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Bm25Stats(n, totals.getLong(1).toDouble / n, dfRows)
+  }
+
+  /** Score documents against `stats` MAP-ONLY: per arriving document,
+    * every workload query's score is a fold over its token array with
+    * the trained df/N/avgdl embedded as literals (the PQ-gate pattern —
+    * the model rides the expression tree, so the same projection runs
+    * unchanged over a batch frame or a stream with zero state). Emits
+    * (query_id, doc_id, score) for documents matching ≥ 1 query term.
+    *
+    * Per-term contributions are decimal-cast before the fold, so the
+    * map-side sum is exactly the shuffled [[bm25]] aggregation's sum —
+    * batch and stream agree bit-for-bit. The terms are cast to
+    * decimal(20,18), NOT (38,18): Spark's binary decimal `+` at
+    * (38,18) hits the precision cap and rounds the running sum to
+    * scale 17 (the Sum aggregate doesn't), which shifted 15% of scores
+    * by one ulp; at (20,18) each add just widens precision and stays
+    * exact. 20 digits bounds a contribution below 100 — safe while
+    * idf·(k1+1) < 100, i.e. for corpora under ~2^44 docs. The idf
+    * arithmetic stays INSIDE the expression (constant-folded by
+    * Catalyst) rather than being computed driver-side, so both paths
+    * use the identical log2.
+    */
+  def bm25ScoreWith(docs: DataFrame, queryTerms: Seq[(Int, Seq[String])],
+      stats: Bm25Stats, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val perQuery = queryTerms.map { case (q, ts) =>
+      val termSum = ts.map { t =>
+        val df = stats.df.getOrElse(t, 0L)
+        val esc = t.replace("'", "\\'")
+        s"""cast(
+           |  log2(1.0D + (${stats.nDocs}L - ${df}L + 0.5D) /
+           |    (${df}L + 0.5D)) *
+           |  (size(filter(t, x -> x = '$esc')) * ${k1 + 1}) /
+           |  (size(filter(t, x -> x = '$esc')) +
+           |   $k1 * (${1 - b} + $b * dl / ${stats.avgdl}D))
+           |  as decimal(20, 18))""".stripMargin
+      }.mkString(" + ")
+      s"struct(${q} as query_id, ($termSum) as score_dec)"
+    }.mkString(", ")
+    docs.select(col("doc_id"), expr(TextOps.TOKENS).as("t"))
+      .withColumn("dl", size(col("t")))
+      .select(col("doc_id"),
+        explode(expr(s"array($perQuery)")).as("s"))
+      .filter(col("s.score_dec") > 0)
+      .select(col("s.query_id").as("query_id"), col("doc_id"),
+        col("s.score_dec").cast("double").as("score"))
+  }
 }

@@ -65,6 +65,40 @@ object FeatureQueries {
 
   private def H60(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
 
+  /** The BM25 scoring CTEs (ending in `scored`: query_id, doc_id,
+    * score) — shared by the batch top-k oracle and the streaming gate's
+    * rank-free oracle, so the two stay one definition.
+    */
+  val BM25_SCORED_CTES: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+      |    AS t
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, len(t) AS dl, term, count(*) AS tf
+      |  FROM (SELECT doc_id, t, unnest(t) AS term FROM toks)
+      |  GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+      |  FROM toks),
+      |q(query_id, term) AS (VALUES
+      |  (0, 'spark'), (0, 'join'), (1, 'window'), (1, 'agg'),
+      |  (2, 'customer'), (2, 'vector'), (2, 'stream')),
+      |dft AS (
+      |  SELECT term, count(*) AS df FROM tf
+      |  WHERE term IN (SELECT term FROM q) GROUP BY 1),
+      |scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    CAST(sum(CAST(
+      |      log2(1.0 + (tot.n - dft.df + 0.5) / (dft.df + 0.5)) *
+      |      (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / tot.avgdl))
+      |      AS DECIMAL(38,18))) AS DOUBLE) AS score
+      |  FROM tf JOIN dft USING (term) JOIN q USING (term)
+      |  CROSS JOIN tot
+      |  GROUP BY 1, 2)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_asof_join" ->
       """WITH l AS (
@@ -93,40 +127,13 @@ object FeatureQueries {
         |         ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""".stripMargin,
 
     "q_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
-        |    AS t
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, len(t) AS dl, term, count(*) AS tf
-        |  FROM (SELECT doc_id, t, unnest(t) AS term FROM toks)
-        |  GROUP BY 1, 2, 3),
-        |tot AS (
-        |  SELECT count(*) AS n,
-        |    CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
-        |  FROM toks),
-        |q(query_id, term) AS (VALUES
-        |  (0, 'spark'), (0, 'join'), (1, 'window'), (1, 'agg'),
-        |  (2, 'customer'), (2, 'vector'), (2, 'stream')),
-        |dft AS (
-        |  SELECT term, count(*) AS df FROM tf
-        |  WHERE term IN (SELECT term FROM q) GROUP BY 1),
-        |scored AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |    CAST(sum(CAST(
-        |      log2(1.0 + (tot.n - dft.df + 0.5) / (dft.df + 0.5)) *
-        |      (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / tot.avgdl))
-        |      AS DECIMAL(38,18))) AS DOUBLE) AS score
-        |  FROM tf JOIN dft USING (term) JOIN q USING (term)
-        |  CROSS JOIN tot
-        |  GROUP BY 1, 2)
-        |SELECT query_id, rank, doc_id, score FROM (
-        |  SELECT query_id, doc_id, score,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY round(score, 9) DESC, doc_id) AS rank
-        |  FROM scored)
-        |WHERE rank <= 10""".stripMargin,
+      s"""WITH $BM25_SCORED_CTES
+         |SELECT query_id, rank, doc_id, score FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(score, 9) DESC, doc_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
 
     "q_lm_bigram" ->
       """WITH toks AS (

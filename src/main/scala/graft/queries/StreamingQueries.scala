@@ -64,6 +64,12 @@ object StreamingQueries {
       StreamingCube.runStreamPqEncode(s, dir,
         s"stream_pq_${runId.incrementAndGet()}")),
 
+    // streaming BM25 gate: arriving docs scored map-only against the
+    // static-trained index stats (stateless; stream == batch scores)
+    "q_stream_bm25" -> ((s, dir) =>
+      StreamingCube.runStreamBm25(s, dir,
+        s"stream_bm25_${runId.incrementAndGet()}")),
+
     // flatMapGroupsWithState sessionization riding the file-source
     // stream end-to-end (AvailableNow drain; the same stateful
     // function is additionally spec-tested with MemoryStream batches)
@@ -97,6 +103,12 @@ object StreamingQueries {
 
     "q_stream_decontaminate" ->
       PipelineQueries.oracleSql("q_decontaminate_bloom"),
+
+    // the gate scores with corpus-trained stats == the batch scored
+    // set minus the top-k cut (one shared CTE definition)
+    "q_stream_bm25" ->
+      s"""WITH ${FeatureQueries.BM25_SCORED_CTES}
+         |SELECT query_id, doc_id, score FROM scored""".stripMargin,
 
     "q_stream_minhash" ->
       """WITH toks AS (

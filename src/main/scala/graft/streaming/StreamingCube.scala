@@ -260,6 +260,27 @@ object StreamingCube {
       name, OutputMode.Append)
   }
 
+  /** Streaming BM25 gate: arriving documents scored against a FIXED
+    * query workload with statistics (df / N / avgdl) trained once on
+    * the static corpus — the deployed-retrieval shape (index stats are
+    * an offline artifact; ingest must not rescan the corpus).
+    * Stateless append mode: the scorer is one literal-model projection
+    * ([[graft.ops.RetrievalOps.bm25ScoreWith]], the same decimal-fold
+    * expression tree as the batch path), so stream ≡ batch
+    * row-for-row with no state store.
+    */
+  def runStreamBm25(spark: SparkSession, sfDir: String,
+      name: String = "stream_bm25"): DataFrame = {
+    val s = isolated(spark)
+    val workload = graft.queries.FeatureQueries.BM25_QUERIES
+    val stats = graft.ops.RetrievalOps.bm25Train(
+      s.read.parquet(s"$sfDir/documents.parquet"), workload)
+    val spread = spreadSmallDir(s, stageDir(sfDir, "documents"),
+      docStream(s, sfDir))
+    drain(graft.ops.RetrievalOps.bm25ScoreWith(spread, workload, stats),
+      name, OutputMode.Append)
+  }
+
   /** Streaming duplicated-SPAN index — the stream form of the span
     * min/max aggregation that [[graft.ops.DedupOps.dupSpans]] /
     * `removeDupSpans` build their flags from: per w-token span hash,

@@ -105,6 +105,19 @@ class TimeOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(scores.forall(_ > 0) && scores.sameElements(scores.sorted.reverse))
   }
 
+  test("bm25ScoreWith literal-model scorer == the shuffled aggregation") {
+    val docs = Tables.load(spark, Sf, "documents")
+    val workload = graft.queries.FeatureQueries.BM25_QUERIES
+    val stats = RetrievalOps.bm25Train(docs, workload)
+    val mapSide = RetrievalOps.bm25ScoreWith(docs, workload, stats)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val shuffled = RetrievalOps.bm25(docs, workload, topK = Int.MaxValue)
+      .collect().map(r => (r.getInt(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(mapSide === shuffled) // bit-for-bit, not approximate
+  }
+
   test("temperatureSample flattens a skewed source distribution") {
     import spark.implicits._
     // head source 640 docs, tail 10: alpha=0.5 boosts the tail's keep
