@@ -180,6 +180,34 @@ object CurationOps {
       .filter(md5Coin("qs") < col("w"))
       .select("doc_id", "score")
 
+  /** Calibrated hard quality gate: keep exactly the top
+    * ⌈targetFrac · N⌉ documents by classifier score (ties broken by
+    * doc_id) — the budgeted alternative to a fixed score cutoff, and
+    * the rank-based alternative to a PERCENTILE threshold: an
+    * interpolated quantile is float arithmetic two engines can disagree
+    * on at the last ulp exactly where it matters (the comparison
+    * boundary), while a rank cut is integer-exact everywhere.
+    *
+    * The global rank runs through [[graft.olap.Ords.rowNumber]] — the
+    * scale-guarded range-partitioned numbering — over the narrow
+    * (doc_id, score) frame, so a corpus-sized calibration never
+    * funnels through one partition; N is the only driver scalar.
+    */
+  def qualityGateTopFraction(docs: DataFrame, targetFrac: Double,
+      buckets: Int = 4096,
+      hint: Ords.SizeHint = Ords.Auto): DataFrame = {
+    val scored = TextOps.qualityClassifier(docs, buckets)
+      .select("doc_id", "score")
+    val k = math.ceil(targetFrac * scored.count()).toLong
+    // rank on the 9-dp-rounded score (raw score still returned): two
+    // engines computing a mathematically equal score can differ in the
+    // last ulp, and the rank cut is exactly where that flips a row
+    Ords.rowNumber(scored,
+        Seq(round(col("score"), 9).desc, col("doc_id").asc), "rk", hint)
+      .filter(col("rk") <= k)
+      .select("doc_id", "score")
+  }
+
   /** Deterministic seeded GLOBAL shuffle for training order: `pos` =
     * rank of md5(seed ++ doc_id) — the same permutation on any cluster
     * at any parallelism, with no RNG state to checkpoint; a new seed

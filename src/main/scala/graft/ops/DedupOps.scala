@@ -763,6 +763,35 @@ object DedupOps {
     * functions in the per-token path, so this streams map-side at any
     * corpus size with a single shuffle on doc_id.
     */
+  /** Per-eval-document n-gram overlap FRACTION against the training
+    * corpus — the memorization/coverage metric (the n-gram-level
+    * refinement of [[crossContamination]]'s doc-level hits): of an
+    * eval doc's distinct `w`-gram hashes, what share occurs anywhere
+    * in train? Doc-level decontamination reports "contaminated or
+    * not"; this reports HOW MUCH of each eval doc the model could have
+    * seen verbatim — the figure eval-integrity reports quote.
+    *
+    * Shape: both sides lower to the shared [[spanFrameRaw]] hash
+    * pipeline (map-only); train collapses to its distinct span set
+    * (combining aggregate, shuffle carries distinct hashes); the probe
+    * is a span-keyed left join — `shuffle_hash` pinned because the
+    * train span set is corpus-sized (never broadcastable) — and one
+    * per-doc combining aggregate. No per-pair work anywhere.
+    */
+  def evalNgramOverlap(train: DataFrame, eval0: DataFrame,
+      w: Int = 8): DataFrame = {
+    val evalSpans = spanFrameRaw(eval0, w)
+      .select(col("doc_id"), col("sh")).distinct()
+    val trainSpans = spanFrameRaw(train, w).select("sh").distinct()
+      .withColumn("hit", lit(1L))
+    evalSpans.join(trainSpans.hint("shuffle_hash"), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("overlap_frac",
+        col("n_hit").cast("double") / col("n_grams"))
+  }
+
   def simhash(docs: DataFrame): DataFrame = {
     val toks = rebalanced(docs).select(col("doc_id"),
       explode(expr(TOKENS)).as("tok"))

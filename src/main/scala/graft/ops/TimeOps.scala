@@ -69,6 +69,60 @@ object TimeOps {
         payload.map(p => col(s"__asof_$p").as(s"asof_$p")): _*)
   }
 
+  /** [[asOfJoin]] with bounded staleness: a match older than
+    * `toleranceUs` microseconds at the left row's timestamp is nulled
+    * out (the ASOF-with-tolerance convention — a "latest state" older
+    * than the tolerance is treated as no state). Same one-exchange
+    * lowering; the tolerance is a pure post-window projection.
+    */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, tieCol: String, payload: Seq[String],
+      toleranceUs: Long): DataFrame = {
+    // Column exprs are late-bound: nulling asof_ts first would make a
+    // staleness predicate over col("asof_ts") read the nulled value in
+    // later withColumns. Materialize the flag once, null everything
+    // off it, then drop it.
+    val joined = asOfJoin(left, right, key, tsCol, tieCol, payload)
+      .withColumn("__stale",
+        unix_micros(col(tsCol)) - unix_micros(col("asof_ts")) >
+          lit(toleranceUs))
+    ("ts" +: payload).foldLeft(joined) { (df, p) =>
+      df.withColumn(s"asof_$p",
+        when(col("__stale"), lit(null)).otherwise(col(s"asof_$p")))
+    }.drop("__stale")
+  }
+
+  /** Interval (range) containment join, bucketized: emit every
+    * (probe, interval) pair with the same `key` and
+    * `interval.startCol <= probe.tsCol < interval.endCol`.
+    *
+    * Spark lowers a raw `t >= s AND t < e` theta join to a
+    * nested-loop/cartesian per key — quadratic on hot keys. Here both
+    * sides are hashed into fixed `bucketUs` time buckets (an interval
+    * explodes into the ⌈len/bucketUs⌉+1 buckets it overlaps, the probe
+    * into exactly one), the join is a plain equi-join on (key, bucket),
+    * and the containment predicate filters the bounded candidate set —
+    * the standard interval-bucketing shape: shuffle carries each row
+    * O(interval_len/bucket) times, never a per-key cross product.
+    * Intervals longer than ~thousands of buckets should pre-split
+    * upstream (their explode IS the data growth); `bucketUs` ≈ the
+    * typical interval length minimizes total fan-out.
+    */
+  def rangeJoin(probe: DataFrame, intervals: DataFrame, key: String,
+      tsCol: String, startCol: String, endCol: String,
+      bucketUs: Long): DataFrame = {
+    val p = probe
+      .withColumn("__b", expr(s"unix_micros($tsCol) div ${bucketUs}L"))
+    val iv = intervals
+      .withColumn("__b", explode(expr(
+        s"sequence(unix_micros($startCol) div ${bucketUs}L, " +
+          s"(unix_micros($endCol) - 1) div ${bucketUs}L)")))
+    p.join(iv, Seq(key, "__b"))
+      .filter(unix_micros(col(tsCol)) >= unix_micros(col(startCol)) &&
+        unix_micros(col(tsCol)) < unix_micros(col(endCol)))
+      .drop("__b")
+  }
+
   /** Rolling event-window features per key, ordered by (ts, tieCol):
     * the gap to the previous event and count/sum of `valCol` over the
     * trailing `lookback` events (excluding the current one) — the lag

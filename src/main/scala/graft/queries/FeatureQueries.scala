@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{CurationOps, RetrievalOps, TextOps, TimeOps}
+import graft.ops.{CurationOps, DedupOps, RetrievalOps, TextOps, TimeOps}
 
 /** Temporal-join / retrieval / LM-scoring battery: the as-of join and
   * rolling event features over the events table, BM25 retrieval, the
@@ -42,6 +42,49 @@ object FeatureQueries {
           unix_micros(col("asof_ts")).as("asof_ts_us"),
           col("asof_value"))
     }),
+
+    // as-of with bounded staleness: matches older than 1h are nulled
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      TimeOps.asOfJoinTolerance(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "click"),
+        key = "user_id", tsCol = "ts", tieCol = "event_id",
+        payload = Seq("value"), toleranceUs = 3600000000L)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("asof_ts_us"),
+          col("asof_value"))
+    }),
+
+    // interval containment via bucketized equi-join: clicks landing in
+    // the 30-minute window after each error event of the same user
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      TimeOps.rangeJoin(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("win_id"), col("user_id"),
+            col("ts").as("t_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("t_end")),
+        key = "user_id", tsCol = "ts", startCol = "t_start",
+        endCol = "t_end", bucketUs = 1800000000L)
+        .select("event_id", "win_id")
+    }),
+
+    // per-eval-doc n-gram overlap fraction vs the train split
+    "q_eval_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.evalNgramOverlap(
+        d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250))
+    }),
+
+    // calibrated quality gate: top half of the corpus by score
+    "q_quality_gate" -> ((s, dir) =>
+      CurationOps.qualityGateTopFraction(docs(s, dir),
+        targetFrac = 0.5)),
 
     // trailing-window behavioural features per user
     "q_rolling_features" -> ((s, dir) =>
@@ -114,6 +157,62 @@ object FeatureQueries {
         |  epoch_us(r.ts) AS asof_ts_us, r.value AS asof_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |r0 AS (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1),
+        |j AS (
+        |  SELECT l.event_id, l.user_id, l.ts, r.ts AS rts,
+        |    r.value AS rv
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND l.ts >= r.ts)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN epoch_us(ts) - epoch_us(rts) > 3600000000
+        |    THEN NULL ELSE epoch_us(rts) END AS asof_ts_us,
+        |  CASE WHEN epoch_us(ts) - epoch_us(rts) > 3600000000
+        |    THEN NULL ELSE rv END AS asof_value
+        |FROM j""".stripMargin,
+
+    "q_range_join" ->
+      """WITH wins AS (
+        |  SELECT event_id AS win_id, user_id, ts AS t_start,
+        |    ts + INTERVAL 30 MINUTE AS t_end
+        |  FROM events WHERE event_type = 'error'),
+        |probe AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, w.win_id
+        |FROM probe p JOIN wins w ON p.user_id = w.user_id
+        |  AND p.ts >= w.t_start AND p.ts < w.t_end""".stripMargin,
+
+    "q_eval_overlap" ->
+      s"""WITH ${PipelineQueries.SPAN_CTES},
+         |ev AS (
+         |  SELECT DISTINCT doc_id, sh FROM spans WHERE doc_id < 250),
+         |tr AS (SELECT DISTINCT sh FROM spans WHERE doc_id >= 250)
+         |SELECT ev.doc_id, count(*) AS n_grams,
+         |  sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+         |  CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*) AS overlap_frac
+         |FROM ev LEFT JOIN tr USING (sh)
+         |GROUP BY 1""".stripMargin,
+
+    "q_quality_gate" ->
+      s"""WITH ${PipelineQueries.QUALITY_SCORE_CTES}
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY round(score, 9) DESC, doc_id)
+         |      AS rk,
+         |    count(*) OVER () AS n
+         |  FROM s)
+         |WHERE rk <= ceil(0.5 * n)""".stripMargin,
 
     "q_rolling_features" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -418,6 +418,19 @@ object PipelineQueries {
        |     for i in range(1, len(t) - 6)]) AS sh
        |  FROM toks WHERE len(t) >= 8)""".stripMargin
 
+  /** Hashed-BoW classifier score CTEs (ending in `s`: doc_id, score) —
+    * shared by the classifier oracle and the calibrated-gate oracle.
+    */
+  private[queries] lazy val QUALITY_SCORE_CTES: String =
+    s"""toks AS (SELECT doc_id, $T AS t FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    coalesce(list_sum([
+       |      (${H60("'w' || CAST(" + H60("tok") + " % 4096 AS VARCHAR)")}
+       |        % 2001 - 1000) / 1000.0
+       |      for tok in t]), 0.0) AS score
+       |  FROM toks)""".stripMargin
+
   /** (doc_id, shingles) CTE fragment (word 3-grams, distinct). */
   private val SH_CTE =
     s"""toks AS (SELECT doc_id, $T AS t FROM documents),
@@ -1119,14 +1132,7 @@ object PipelineQueries {
         |FROM documents""".stripMargin,
 
     "q_quality_classifier" ->
-      s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
-         |s AS (
-         |  SELECT doc_id,
-         |    coalesce(list_sum([
-         |      (${H60("'w' || CAST(" + H60("tok") + " % 4096 AS VARCHAR)")}
-         |        % 2001 - 1000) / 1000.0
-         |      for tok in t]), 0.0) AS score
-         |  FROM toks)
+      s"""WITH $QUALITY_SCORE_CTES
          |SELECT doc_id, score, score > 0 AS keep FROM s""".stripMargin,
 
     "q_vocab_topk" ->

@@ -105,6 +105,95 @@ class TimeOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(scores.forall(_ > 0) && scores.sameElements(scores.sorted.reverse))
   }
 
+  test("asOfJoinTolerance nulls ts AND payload together") {
+    import spark.implicits._
+    val rows = mkEvents(3L, 400, 7, 5)
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val left = df.filter($"event_type" === "purchase")
+      .select("event_id", "user_id", "ts")
+    val right = df.filter($"event_type" === "click")
+    val tolUs = 60L * 1000000
+    val got = graft.ops.TimeOps.asOfJoinTolerance(left, right, "user_id",
+        "ts", "event_id", Seq("value"), tolUs).collect()
+    // never one of (asof_ts, asof_value) null without the other, and
+    // every surviving match is within tolerance
+    got.foreach { r =>
+      val ts = r.getAs[Timestamp]("ts")
+      val aTs = Option(r.getAs[Timestamp]("asof_ts"))
+      val aV = Option(r.get(r.fieldIndex("asof_value")))
+      assert(aTs.isDefined === aV.isDefined, s"partial null in $r")
+      aTs.foreach { a =>
+        assert((ts.getTime - a.getTime) * 1000L <= tolUs, s"stale $r") }
+    }
+    // and it equals the untolerated join with stale matches nulled
+    val base = graft.ops.TimeOps.asOfJoin(left, right, "user_id", "ts",
+        "event_id", Seq("value")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Timestamp]("asof_ts"))
+        .filter(a => (r.getAs[Timestamp]("ts").getTime - a.getTime) *
+          1000L <= tolUs)).toMap
+    got.foreach { r =>
+      assert(Option(r.getAs[Timestamp]("asof_ts")) ===
+        base(r.getLong(0)), s"row $r") }
+  }
+
+  test("rangeJoin matches brute force and never nested-loops") {
+    import spark.implicits._
+    val rows = mkEvents(11L, 500, 6, 4)
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val probe = df.filter($"event_type" === "click")
+      .select("event_id", "user_id", "ts")
+    val winLenUs = 90L * 1000000 // 1.5 buckets of 60s: spans 2-3 buckets
+    val wins = df.filter($"event_type" === "purchase")
+      .select(col("event_id").as("win_id"), col("user_id"),
+        col("ts").as("t_start"),
+        (col("ts") + expr("INTERVAL 90 SECONDS")).as("t_end"))
+    val joined = graft.ops.TimeOps.rangeJoin(probe, wins, "user_id",
+      "ts", "t_start", "t_end", bucketUs = 60L * 1000000)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      s"range join must stay an equi-join:\n$p")
+    val got = joined.select("event_id", "win_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clicks = rows.filter(_._4 == "click")
+    val purch = rows.filter(_._4 == "purchase")
+    val expect = (for {
+      c <- clicks; w <- purch
+      if c._2 == w._2
+      if c._3.getTime >= w._3.getTime &&
+        c._3.getTime < w._3.getTime + winLenUs / 1000
+    } yield (c._1, w._1)).toSet
+    assert(got === expect)
+    assert(expect.nonEmpty, "fixture produced no pairs — widen windows")
+  }
+
+  test("evalNgramOverlap fractions match a driver-side computation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def mkDoc(n: Int) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (0 until 60).map(i => (i.toLong, s"s$i", mkDoc(20)))
+      .toDF("doc_id", "source", "text")
+    val train = docs.filter($"doc_id" >= 20)
+    val ev = docs.filter($"doc_id" < 20)
+    val w = 4
+    val got = graft.ops.DedupOps.evalNgramOverlap(train, ev, w)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def grams(t: String) =
+      t.split("\\s+").sliding(w).map(_.mkString(" ")).toSet
+    val trainSet = docs.filter($"doc_id" >= 20).collect()
+      .flatMap(r => grams(r.getString(2).toLowerCase)).toSet
+    for (r <- ev.collect()) {
+      val g = grams(r.getString(2).toLowerCase)
+      val hit = g.count(trainSet)
+      val (gn, gh, gf) = got(r.getLong(0))
+      assert(gn === g.size.toLong && gh === hit.toLong,
+        s"doc ${r.getLong(0)}")
+      assert(gf === hit.toDouble / g.size)
+    }
+  }
+
   test("bm25ScoreWith literal-model scorer == the shuffled aggregation") {
     val docs = Tables.load(spark, Sf, "documents")
     val workload = graft.queries.FeatureQueries.BM25_QUERIES
