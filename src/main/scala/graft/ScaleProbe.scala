@@ -116,6 +116,46 @@ object ScaleProbe {
         graft.ops.TextOps.lmScore(big).count())
       time(s"keep_best_cluster x$mult")(
         graft.ops.DedupOps.keepBestPerCluster(big).count())
+      time(s"bm25 x$mult")(
+        graft.ops.RetrievalOps.bm25(big,
+          graft.queries.FeatureQueries.BM25_QUERIES).count())
+      time(s"lm_bigram x$mult")(
+        graft.ops.TextOps.lmScoreBigram(big).count())
+      time(s"eval_overlap x$mult")(
+        graft.ops.DedupOps.evalNgramOverlap(
+          big, docs.limit(2000)).count())
+      time(s"quality_gate x$mult")(
+        graft.ops.CurationOps.qualityGateTopFraction(big, 0.5).count())
+      // events replicate by user shift: the as-of window partitions by
+      // user, so Nx users at fixed per-user history is the 100 TB shape
+      val ev = graft.Tables.load(spark, "/root/testdata/sf0.1", "events")
+      val nUsers = 10000L
+      val bigEv = ev.crossJoin(
+          spark.range(mult).select(col("id").as("rep")))
+        .select((col("event_id") * mult + col("rep")).as("event_id"),
+          (col("user_id") + col("rep") * nUsers).as("user_id"),
+          col("ts"), col("event_type"), col("value"))
+        .repartition(32).persist()
+      println(s"-- events x$mult = ${bigEv.count()}")
+      time(s"asof_join x$mult")(
+        graft.ops.TimeOps.asOfJoin(
+          bigEv.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          bigEv.filter(col("event_type") === "click"),
+          "user_id", "ts", "event_id", Seq("value")).count())
+      time(s"rolling_features x$mult")(
+        graft.ops.TimeOps.rollingFeatures(bigEv, "user_id", "ts",
+          "event_id", "value", 5).count())
+      time(s"range_join x$mult")(
+        graft.ops.TimeOps.rangeJoin(
+          bigEv.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts"),
+          bigEv.filter(col("event_type") === "error")
+            .select(col("event_id").as("win_id"), col("user_id"),
+              col("ts").as("t_start"),
+              (col("ts") + expr("INTERVAL 30 MINUTES")).as("t_end")),
+          "user_id", "ts", "t_start", "t_end", 1800000000L).count())
+      bigEv.unpersist()
       big.unpersist(); bigEmb.unpersist()
     }
     spark.stop()
