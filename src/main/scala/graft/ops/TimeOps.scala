@@ -123,6 +123,60 @@ object TimeOps {
       .drop("__b")
   }
 
+  /** The static "state interval" table a STREAMING as-of join probes:
+    * each right row becomes the half-open validity interval
+    * [ts, min(next ts, ts + tolerance]] during which it IS the latest
+    * state (exact-timestamp ties collapsed latest-wins first, like
+    * [[asOfJoin]]). Interval ends are micros longs; the tolerance cap
+    * is what keeps a later bucket-explosion bounded — an uncapped last
+    * interval would be open-ended.
+    */
+  def asOfStateIntervals(right: DataFrame, key: String, tsCol: String,
+      tieCol: String, payload: Seq[String],
+      toleranceUs: Long): DataFrame = {
+    val uniq = right.groupBy(col(key), col(tsCol))
+      .agg(max_by(struct((tieCol +: payload).map(col): _*), col(tieCol))
+        .as("__p"))
+      .select(col(key) +: col(tsCol).as("asof_ts") +:
+        payload.map(p => col(s"__p.$p").as(s"asof_$p")): _*)
+    val w = Window.partitionBy(key).orderBy(col("asof_ts").asc)
+    uniq
+      .withColumn("t_start_us", unix_micros(col("asof_ts")))
+      .withColumn("t_end_us", least(
+        coalesce(unix_micros(lead(col("asof_ts"), 1).over(w)),
+          lit(Long.MaxValue)),
+        col("t_start_us") + lit(toleranceUs) + lit(1L)))
+  }
+
+  /** As-of join against a pre-built [[asOfStateIntervals]] table via
+    * the bucketized equi-join — the STREAM-SAFE lowering: the probe
+    * side needs only a map-side bucket column (no window, no state),
+    * the interval side is static and explodes into its
+    * ≤ tolerance/bucket + 1 overlapped buckets, and the left join on
+    * (key, bucket) + containment finds the unique covering interval
+    * (intervals within a key are disjoint by construction). Probe rows
+    * with no in-tolerance state keep NULL payloads — exactly
+    * [[asOfJoinTolerance]]'s semantics, so stream and batch agree
+    * row-for-row.
+    */
+  def asOfJoinBucketed(left: DataFrame, intervals: DataFrame,
+      key: String, tsCol: String, payload: Seq[String],
+      bucketUs: Long): DataFrame = {
+    val iv = intervals.withColumn("__b", explode(expr(
+      s"sequence(t_start_us div ${bucketUs}L, " +
+        s"(t_end_us - 1) div ${bucketUs}L)")))
+      .withColumnRenamed(key, "__rk")
+    val p = left
+      .withColumn("__t", expr(s"unix_micros($tsCol)"))
+      .withColumn("__b", expr(s"unix_micros($tsCol) div ${bucketUs}L"))
+    p.join(iv,
+        p("__b") === iv("__b") && col(key) === col("__rk") &&
+          col("__t") >= col("t_start_us") && col("__t") < col("t_end_us"),
+        "left_outer")
+      .select(left.columns.map(col) ++ (col("asof_ts") +:
+        payload.map(pc => col(s"asof_$pc"))): _*)
+  }
+
   /** Rolling event-window features per key, ordered by (ts, tieCol):
     * the gap to the previous event and count/sum of `valCol` over the
     * trailing `lookback` events (excluding the current one) — the lag

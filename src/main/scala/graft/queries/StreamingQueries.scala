@@ -70,6 +70,13 @@ object StreamingQueries {
       StreamingCube.runStreamBm25(s, dir,
         s"stream_bm25_${runId.incrementAndGet()}")),
 
+    // streaming as-of: arriving purchases probe a static click-state
+    // interval table (stateless stream-static bucketized equi-join;
+    // stream == the batch tolerance as-of row-for-row)
+    "q_stream_asof" -> ((s, dir) =>
+      StreamingCube.runStreamAsof(s, dir,
+        s"stream_asof_${runId.incrementAndGet()}")),
+
     // flatMapGroupsWithState sessionization riding the file-source
     // stream end-to-end (AvailableNow drain; the same stateful
     // function is additionally spec-tested with MemoryStream batches)
@@ -103,6 +110,9 @@ object StreamingQueries {
 
     "q_stream_decontaminate" ->
       PipelineQueries.oracleSql("q_decontaminate_bloom"),
+
+    // the stream-static interval probe == the batch tolerance as-of
+    "q_stream_asof" -> FeatureQueries.oracleSql("q_asof_tolerance"),
 
     // the gate scores with corpus-trained stats == the batch scored
     // set minus the top-k cut (one shared CTE definition)

@@ -281,6 +281,38 @@ object StreamingCube {
       name, OutputMode.Append)
   }
 
+  /** Streaming as-of enrichment: purchases arriving on the stream are
+    * joined to the latest in-tolerance click STATE of their user,
+    * where the state table is static (the deployed feature-store
+    * shape: reference state is a published artifact, the stream only
+    * probes it). The state is pre-lowered to validity INTERVALS
+    * ([[graft.ops.TimeOps.asOfStateIntervals]]) and the probe is a
+    * stateless stream-static bucketized equi-join — append mode, no
+    * state store, no per-key window over the stream; the tolerance cap
+    * is what bounds each interval's bucket fan-out. Row-for-row equal
+    * to the batch [[graft.ops.TimeOps.asOfJoinTolerance]].
+    */
+  def runStreamAsof(spark: SparkSession, sfDir: String,
+      name: String = "stream_asof"): DataFrame = {
+    import graft.ops.TimeOps
+    val s = isolated(spark)
+    val tolUs = 3600000000L
+    val static = graft.Tables.load(s, sfDir, "events")
+    val intervals = TimeOps.asOfStateIntervals(
+      static.filter(col("event_type") === "click"),
+      "user_id", "ts", "event_id", Seq("value"), tolUs)
+    val stream = eventStream(s, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val out = TimeOps.asOfJoinBucketed(stream, intervals, "user_id",
+        "ts", Seq("value"), bucketUs = 1800000000L)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("asof_ts")).as("asof_ts_us"),
+        col("asof_value"))
+    drain(out, name, OutputMode.Append)
+  }
+
   /** Streaming duplicated-SPAN index — the stream form of the span
     * min/max aggregation that [[graft.ops.DedupOps.dupSpans]] /
     * `removeDupSpans` build their flags from: per w-token span hash,

@@ -136,6 +136,31 @@ class TimeOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
         base(r.getLong(0)), s"row $r") }
   }
 
+  test("asOfJoinBucketed (the stream lowering) == asOfJoinTolerance") {
+    import spark.implicits._
+    for (seed <- 5L to 7L) {
+      val rows = mkEvents(seed, 400, 7, 5)
+      val df = rows.toDF("event_id", "user_id", "ts", "event_type",
+        "value")
+      val left = df.filter($"event_type" === "purchase")
+        .select("event_id", "user_id", "ts")
+      val right = df.filter($"event_type" === "click")
+      val tolUs = 120L * 1000000
+      def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+        ((Option(r.getAs[Timestamp]("asof_ts")),
+          Option(r.get(r.fieldIndex("asof_value")))))
+      val batch = graft.ops.TimeOps.asOfJoinTolerance(left, right,
+        "user_id", "ts", "event_id", Seq("value"), tolUs)
+        .collect().map(key).toMap
+      val intervals = graft.ops.TimeOps.asOfStateIntervals(right,
+        "user_id", "ts", "event_id", Seq("value"), tolUs)
+      val bucketed = graft.ops.TimeOps.asOfJoinBucketed(left, intervals,
+        "user_id", "ts", Seq("value"), bucketUs = 45L * 1000000)
+        .collect().map(key).toMap
+      assert(bucketed === batch, s"seed=$seed")
+    }
+  }
+
   test("rangeJoin matches brute force and never nested-loops") {
     import spark.implicits._
     val rows = mkEvents(11L, 500, 6, 4)
