@@ -389,17 +389,22 @@ object TextOps {
     * Zipf head broadcast and only the long tail on the shuffle join.
     * Per-term decimal casts keep the per-doc sum order-independent.
     */
+  /** (doc_id, w1, w2) adjacent-token pairs — the shared bigram
+    * lowering under [[lmScoreBigram]] and [[collocations]] (one
+    * tokenize pass, map-only explode).
+    */
+  def bigramFrame(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), expr(TOKENS).as("t"))
+    .filter(size(col("t")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(t) - 1),
+        |  i -> struct(element_at(t, i) as w1,
+        |              element_at(t, i + 1) as w2))""".stripMargin))
+      .as("b"))
+    .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
   def lmScoreBigram(docs: DataFrame, hotK: Int = 1000): DataFrame = {
-    val bg = DedupOps.pin(docs
-      .select(col("doc_id"), expr(TOKENS).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(t) - 1),
-          |  i -> struct(element_at(t, i) as w1,
-          |              element_at(t, i + 1) as w2))""".stripMargin))
-        .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .persist())
+    val bg = DedupOps.pin(bigramFrame(docs).persist())
     val counts = DedupOps.pin(
       bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).persist())
     val vocabOut = counts.select("w2").distinct().count()
@@ -424,6 +429,42 @@ object TextOps {
           s"""cast(-log2(cast(c12 + 1 as double) / (c1 + ${vocabOut}L))
              |  as decimal(38, 18))""".stripMargin)).as("s"))
       .select(col("doc_id"), expr("cast(s as double) / n").as("lm2_bits"))
+  }
+
+  /** Collocation mining: the `topK` adjacent word pairs by pointwise
+    * mutual information, PMI = log2(p(w1,w2) / (p(w1)·p(w2))), with a
+    * `minCount` support floor (rare pairs have unboundedly noisy PMI —
+    * the standard Church–Hanks guard). Multiword-expression discovery
+    * for tokenizer vocab seeding and boilerplate fingerprinting.
+    *
+    * Two map-side-combining count aggregates (distinct-bigram and
+    * distinct-token partials on the shuffle), two vocab-keyed
+    * `shuffle_hash` joins to attach the marginals (model-sized — the
+    * corpus never re-shuffles), and a TakeOrdered top-k on the
+    * 9-dp-rounded PMI (float rank keys can flip near-ties in the last
+    * ulp across engines; counts and the support floor are
+    * integer-exact).
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5,
+      topK: Int = 50): DataFrame = {
+    val bg = DedupOps.pin(
+      bigramFrame(docs).groupBy("w1", "w2")
+        .agg(count(lit(1)).as("c12")).persist())
+    val uni = DedupOps.pin(
+      tokenized(docs).select(explode(col("t")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c")).persist())
+    val nTok = uni.agg(sum(col("c"))).head().getLong(0)
+    val nBg = bg.agg(sum(col("c12"))).head().getLong(0)
+    bg.filter(col("c12") >= minCount)
+      .join(uni.withColumnRenamed("tok", "w1")
+        .withColumnRenamed("c", "c1").hint("shuffle_hash"), "w1")
+      .join(uni.withColumnRenamed("tok", "w2")
+        .withColumnRenamed("c", "c2").hint("shuffle_hash"), "w2")
+      .withColumn("pmi", expr(
+        s"log2((c12 / ${nBg}D) / ((c1 / ${nTok}D) * (c2 / ${nTok}D)))"))
+      .orderBy(round(col("pmi"), 9).desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select("w1", "w2", "c12", "pmi")
   }
 
   /** Per-source corpus statistics — the curation dashboard numbers

@@ -100,6 +100,10 @@ object FeatureQueries {
     "q_lm_bigram" -> ((s, dir) =>
       TextOps.lmScoreBigram(docs(s, dir), hotK = 500)),
 
+    // top-50 collocations by PMI with a support floor
+    "q_collocations" -> ((s, dir) =>
+      TextOps.collocations(docs(s, dir), minCount = 5, topK = 50)),
+
     // alpha = 0.5 tempered mixture at a 50% corpus budget
     "q_temperature_sample" -> ((s, dir) =>
       CurationOps.temperatureSample(docs(s, dir), alpha = 0.5,
@@ -254,6 +258,33 @@ object FeatureQueries {
         |FROM bg JOIN counts USING (w1, w2) JOIN c1s USING (w1)
         |CROSS JOIN v
         |GROUP BY doc_id""".stripMargin,
+
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+        |    AS t
+        |  FROM documents),
+        |bg0 AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest([{'w1': t[i], 'w2': t[i+1]}
+        |              for i in range(1, len(t))]) AS b
+        |    FROM toks WHERE len(t) >= 2)),
+        |bg AS (SELECT w1, w2, count(*) AS c12 FROM bg0 GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c) FROM uni) AS n,
+        |               (SELECT sum(c12) FROM bg) AS nb)
+        |SELECT w1, w2, c12,
+        |  log2((c12 / CAST(t.nb AS DOUBLE)) /
+        |    ((u1.c / CAST(t.n AS DOUBLE)) *
+        |     (u2.c / CAST(t.n AS DOUBLE)))) AS pmi
+        |FROM bg JOIN uni u1 ON bg.w1 = u1.tok
+        |  JOIN uni u2 ON bg.w2 = u2.tok
+        |CROSS JOIN tot t
+        |WHERE c12 >= 5
+        |ORDER BY round(pmi, 9) DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "q_temperature_sample" ->
       s"""WITH counts AS (

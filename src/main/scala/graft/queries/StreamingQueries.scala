@@ -70,6 +70,12 @@ object StreamingQueries {
       StreamingCube.runStreamBm25(s, dir,
         s"stream_bm25_${runId.incrementAndGet()}")),
 
+    // stateful streaming rolling features: bounded ring-buffer state
+    // per user (stream == the batch window formulation bit-for-bit)
+    "q_stream_rolling" -> ((s, dir) =>
+      StreamingCube.runStreamRolling(s, dir,
+        s"stream_rolling_${runId.incrementAndGet()}")),
+
     // streaming as-of: arriving purchases probe a static click-state
     // interval table (stateless stream-static bucketized equi-join;
     // stream == the batch tolerance as-of row-for-row)
@@ -113,6 +119,9 @@ object StreamingQueries {
 
     // the stream-static interval probe == the batch tolerance as-of
     "q_stream_asof" -> FeatureQueries.oracleSql("q_asof_tolerance"),
+
+    // the ring-buffer stream == the batch trailing-window features
+    "q_stream_rolling" -> FeatureQueries.oracleSql("q_rolling_features"),
 
     // the gate scores with corpus-trained stats == the batch scored
     // set minus the top-k cut (one shared CTE definition)

@@ -492,6 +492,66 @@ object StreamingCube {
       .agg(max("n_sessions").cast("int").as("n_sessions"))
   }
 
+  // ------------------------------------------------ rolling features
+
+  final case class FeEvt(event_id: Long, user_id: Long, tsMicros: Long,
+      value: Double)
+  final case class FeRing(ring: List[FeEvt])
+  final case class FeOut(event_id: Long, user_id: Long, ts_us: Long,
+      gap_us: Option[Long], roll_n: Long, roll_sum: Option[Double])
+
+  /** Streaming rolling features — the stateful twin of
+    * [[graft.ops.TimeOps.rollingFeatures]]: per user, the gap to the
+    * previous event and count/sum over the trailing `lookback` events,
+    * maintained with a BOUNDED ring buffer in group state (O(lookback)
+    * per key — the streaming shape that never accumulates history,
+    * unlike a naive window-over-stream). The sum mirrors the batch
+    * path's decimal(38,10) per-term rounding exactly (HALF_UP at scale
+    * 10 is what Spark's double→decimal cast does), so stream == batch
+    * bit-for-bit. Within a micro-batch events sort by (ts, event_id);
+    * cross-batch correctness assumes per-key in-order arrival — the
+    * standard contract absent a watermark reorder buffer.
+    */
+  def rollingFeatures(events: Dataset[FeEvt],
+      lookback: Int): Dataset[FeOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FeRing, FeOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FeEvt], state: GroupState[FeRing]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var ring = state.getOption.map(_.ring).getOrElse(Nil)
+          val out = Seq.newBuilder[FeOut]
+          sorted.foreach { e =>
+            val gap = ring.headOption.map(p => e.tsMicros - p.tsMicros)
+            val sum = if (ring.isEmpty) None
+              else Some(ring.map(p => BigDecimal(p.value)
+                  .setScale(10, BigDecimal.RoundingMode.HALF_UP))
+                .sum.toDouble)
+            out += FeOut(e.event_id, uid, e.tsMicros, gap,
+              ring.size.toLong, sum)
+            ring = (e :: ring).take(lookback) // most recent first
+          }
+          state.update(FeRing(ring))
+          out.result().iterator
+      }
+  }
+
+  /** [[rollingFeatures]] riding the file-source event stream
+    * (AvailableNow drain; oracle = the batch window formulation).
+    */
+  def runStreamRolling(spark: SparkSession, sfDir: String,
+      name: String = "stream_rolling"): DataFrame = {
+    val s = isolated(spark)
+    import s.implicits._
+    val evts = eventStream(s, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[FeEvt]
+    drain(rollingFeatures(evts, lookback = 5).toDF(),
+      name, OutputMode.Append)
+  }
+
   /** Batch-mode sessionization (same semantics, lag-window formulation)
     * — the backfill path a stream restart would use, and the oracle for
     * the stateful streaming path.
