@@ -608,10 +608,23 @@ object SimilarityOps {
     val coded = flat.select(col("vec_id") +:
       expr(assignSql(coarseModel, "e")).as("cell") +:
       pqCodeCols(models, subDim): _*)
-    // probe routing: squared distance to every coarse centroid as a
-    // (d, cell) struct array; array_sort orders by (d, cell) — the
-    // same tie-break as the oracle's row_number — and the first
-    // nprobe entries explode into one probe row per probed cell
+    val pt = routedProbes(probes, coarseModel, models, nprobe, dim)
+    adcRankTopK(coded, pt, m, k,
+      col("c.cell") === col("p.cell") &&
+        col("c.vec_id") =!= col("p.vec_id"))
+  }
+
+  /** Probe routing + ADC tables: squared distance to every coarse
+    * centroid as a (d, cell) struct array; array_sort orders by
+    * (d, cell) — the same tie-break as the oracle's row_number — and
+    * the first nprobe entries explode into one probe row per probed
+    * cell, each carrying the probe's per-subspace distance tables.
+    */
+  private def routedProbes(probes: DataFrame,
+      coarseModel: Seq[(Int, Array[Double])],
+      models: Seq[Seq[(Int, Array[Double])]], nprobe: Int,
+      dim: Int): DataFrame = {
+    val subDim = dim / models.length
     val entries = coarseModel.sortBy(_._1).map { case (cid, c) =>
       val lits = c.map(v => s"${v}D").mkString("array(", ", ", ")")
       s"""named_struct('d',
@@ -621,10 +634,58 @@ object SimilarityOps {
     }.mkString("array(", ", ", ")")
     val routeExpr =
       s"transform(slice(array_sort($entries), 1, $nprobe), s -> s.cell)"
-    val pt = flatFrame(probes, dim)
+    flatFrame(probes, dim)
       .select(Seq(col("vec_id"), explode(expr(routeExpr)).as("cell")) ++
         adcTableCols(models, subDim): _*)
-    adcRankTopK(coded, pt, m, k,
+  }
+
+  /** A persisted IVF-PQ index: the on-disk parquet path (partitioned
+    * by coarse cell) plus the trained models probes must be routed /
+    * ADC'd against — the codebooks ARE the index metadata a real
+    * deployment versions alongside the data files.
+    */
+  final case class IvfPqIndex(path: String,
+      coarse: Seq[(Int, Array[Double])],
+      books: Seq[Seq[(Int, Array[Double])]], dim: Int)
+
+  /** Train and WRITE the IVF-PQ index: one cached corpus projection
+    * feeds coarse + codebook training and the (vec_id, cell, codes)
+    * encode, and the coded rows land as parquet PARTITIONED BY the
+    * coarse cell — the billion-vector deployment layout: a probe
+    * routed to `nprobe` cells reads `nprobe` directories (partition
+    * pruning, asserted in PipelineOpsSpec) at m bytes per vector,
+    * never the corpus. Rows are range-clustered by (cell, vec_id)
+    * before the write so file count ≈ max(tasks, cells), not
+    * tasks × cells.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, path: String, kCoarse: Int,
+      cIters: Int, m: Int, kSub: Int, iters: Int,
+      dim: Int = Dim): IvfPqIndex = {
+    val flat = DedupOps.pin(flatFrame(corpus, dim).persist())
+    val coarseModel = trainCells(flat, kCoarse, cIters)
+    val models = pqTrainOn(flat, m, kSub, iters, dim)
+    val subDim = dim / m
+    flat.select(col("vec_id") +:
+        expr(assignSql(coarseModel, "e")).as("cell") +:
+        pqCodeCols(models, subDim): _*)
+      .repartitionByRange(col("cell"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    IvfPqIndex(path, coarseModel, models, dim)
+  }
+
+  /** Query a [[writeIvfPqIndex]] index from disk: routing and ADC use
+    * the PERSISTED codebooks (no retraining, no corpus scan), and the
+    * cell equi-join against the partitioned files lets Spark prune to
+    * the probed cells. Equal row-for-row to the in-memory
+    * [[ivfPqTopK]] at the same training parameters (specced).
+    */
+  def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      index: IvfPqIndex, probes: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val coded = spark.read.parquet(index.path)
+    val pt = routedProbes(probes, index.coarse, index.books, nprobe,
+      index.dim)
+    adcRankTopK(coded, pt, index.books.length, k,
       col("c.cell") === col("p.cell") &&
         col("c.vec_id") =!= col("p.vec_id"))
   }

@@ -963,6 +963,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF-PQ index: pruned reads, query == in-memory path") {
+    import graft.ops.SimilarityOps
+    val emb = Tables.load(spark, Sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val path = "/tmp/graft_ivfpq_index"
+    val index = SimilarityOps.writeIvfPqIndex(emb, path, kCoarse = 8,
+      cIters = 2, m = 4, kSub = 8, iters = 2)
+    // the on-disk layout partition-prunes: a single-cell read shows a
+    // partition filter on cell and does NOT read cell from the files
+    val pruned = spark.read.parquet(path).filter(col("cell") === 3)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"expected a cell partition filter:\n$scan")
+    // disk-backed query == the in-memory train+search at the same
+    // parameters (deterministic seeded training)
+    val fromDisk = SimilarityOps.queryIvfPqIndex(spark, index, probes,
+        k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val direct = SimilarityOps.ivfPqTopK(emb, probes, kCoarse = 8,
+        cIters = 2, m = 4, kSub = 8, iters = 2, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(fromDisk === direct)
+    assert(fromDisk.nonEmpty)
+  }
+
   test("redactPii scrubs emails, IPs and phones, leaves clean text") {
     import spark.implicits._
     val rows = Seq(
