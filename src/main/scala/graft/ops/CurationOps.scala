@@ -127,6 +127,13 @@ object CurationOps {
     */
   def temperatureSample(docs: DataFrame, alpha: Double,
       targetFrac: Double): DataFrame = {
+    // alpha > 1 (anti-tempering) can push n_s^alpha past the
+    // decimal(38,18) integral capacity on a large source, where the
+    // non-ANSI cast yields NULL and silently drops the whole source
+    require(alpha >= 0 && alpha <= 1,
+      s"alpha $alpha outside the tempering regime [0, 1]")
+    require(targetFrac >= 0 && targetFrac <= 1,
+      s"targetFrac $targetFrac outside [0, 1]")
     val all = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val rates = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
@@ -196,8 +203,10 @@ object CurationOps {
   def qualityGateTopFraction(docs: DataFrame, targetFrac: Double,
       buckets: Int = 4096,
       hint: Ords.SizeHint = Ords.Auto): DataFrame = {
-    val scored = TextOps.qualityClassifier(docs, buckets)
-      .select("doc_id", "score")
+    // pinned: the driver-side count() and the ranking job would each
+    // re-run the full tokenize+hash classifier pass otherwise
+    val scored = DedupOps.pin(TextOps.qualityClassifier(docs, buckets)
+      .select("doc_id", "score").persist())
     val k = math.ceil(targetFrac * scored.count()).toLong
     // rank on the 9-dp-rounded score (raw score still returned): two
     // engines computing a mathematically equal score can differ in the

@@ -754,15 +754,6 @@ object DedupOps {
           .stripMargin).as("clean_text"))
   }
 
-  /** 60-bit SimHash over the token multiset: per bit position, tokens
-    * vote +1/-1 by their hash bit; the signature sets bits with
-    * positive vote.
-    *
-    * Lowered as explode → one md5 per token → ONE wide codegen'd
-    * aggregate (60 conditional sums) — no interpreted higher-order
-    * functions in the per-token path, so this streams map-side at any
-    * corpus size with a single shuffle on doc_id.
-    */
   /** Per-eval-document n-gram overlap FRACTION against the training
     * corpus — the memorization/coverage metric (the n-gram-level
     * refinement of [[crossContamination]]'s doc-level hits): of an
@@ -792,6 +783,15 @@ object DedupOps {
         col("n_hit").cast("double") / col("n_grams"))
   }
 
+  /** 60-bit SimHash over the token multiset: per bit position, tokens
+    * vote +1/-1 by their hash bit; the signature sets bits with
+    * positive vote.
+    *
+    * Lowered as explode → one md5 per token → ONE wide codegen'd
+    * aggregate (60 conditional sums) — no interpreted higher-order
+    * functions in the per-token path, so this streams map-side at any
+    * corpus size with a single shuffle on doc_id.
+    */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = rebalanced(docs).select(col("doc_id"),
       explode(expr(TOKENS)).as("tok"))

@@ -42,16 +42,21 @@ object RetrievalOps {
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // (doc_id, dl, term) -> tf: dl rides the explode so the corpus is
-    // tokenized ONCE (first() is exact — dl is constant per doc)
-    val tf = docs.select(col("doc_id"), expr(TextOps.TOKENS).as("t"))
+    // ONE tokenize pass pinned: the tf postings and the N/avgdl
+    // scalars both read it (a second regexp-split scan of the corpus
+    // for two driver scalars would double the dominant map cost)
+    val base = DedupOps.pin(
+      docs.select(col("doc_id"), expr(TextOps.TOKENS).as("t")).persist())
+    // (doc_id, dl, term) -> tf: dl rides the explode
+    // (first() is exact — dl is constant per doc)
+    val tf = base
       .select(col("doc_id"), size(col("t")).as("dl"),
         explode(col("t")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     // corpus scalars: N and the exact token total (long sum), so
     // avgdl is the same IEEE division both engines perform
-    val totals = docs.select(size(expr(TextOps.TOKENS)).as("dl"))
+    val totals = base.select(size(col("t")).as("dl"))
       .agg(count(lit(1)), sum(col("dl").cast("long"))).head()
     val nDocs = totals.getLong(0)
     val avgdl = totals.getLong(1).toDouble / nDocs
@@ -95,12 +100,15 @@ object RetrievalOps {
       queryTerms: Seq[(Int, Seq[String])]): Bm25Stats = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val totals = docs.select(size(expr(TextOps.TOKENS)).as("dl"))
+    // one pinned tokenize pass feeds both the scalars and the dfs
+    val base = DedupOps.pin(
+      docs.select(col("doc_id"), expr(TextOps.TOKENS).as("t")).persist())
+    val totals = base.select(size(col("t")).as("dl"))
       .agg(count(lit(1)), sum(col("dl").cast("long"))).head()
     val n = totals.getLong(0)
     val terms = queryTerms.flatMap(_._2).distinct.toDF("term")
-    val dfRows = docs
-      .select(col("doc_id"), explode(expr(TextOps.TOKENS)).as("term"))
+    val dfRows = base
+      .select(col("doc_id"), explode(col("t")).as("term"))
       .join(broadcast(terms), "term")
       .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -132,7 +140,9 @@ object RetrievalOps {
     val perQuery = queryTerms.map { case (q, ts) =>
       val termSum = ts.map { t =>
         val df = stats.df.getOrElse(t, 0L)
-        val esc = t.replace("'", "\\'")
+        // backslashes first, then quotes — a term ending in a
+        // backslash would otherwise escape the closing quote
+        val esc = t.replace("\\", "\\\\").replace("'", "\\'")
         s"""cast(
            |  log2(1.0D + (${stats.nDocs}L - ${df}L + 0.5D) /
            |    (${df}L + 0.5D)) *

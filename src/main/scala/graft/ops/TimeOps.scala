@@ -56,17 +56,22 @@ object TimeOps {
     val w = Window.partitionBy(key)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val enriched = payload.foldLeft(
-      unioned.withColumn("__asof_ts",
-        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true)
-          .over(w))) { (df, p) =>
-      df.withColumn(s"__asof_$p",
-        last(col(s"__r_$p"), ignoreNulls = true).over(w))
-    }
+    // ONE running struct of the whole matched right row — per-payload
+    // last(ignoreNulls) columns would each skip backwards past a NULL
+    // payload independently, stitching values from DIFFERENT right
+    // rows (and disagreeing with ASOF semantics, the DuckDB oracle,
+    // and the interval stream path, all of which carry the matched
+    // row's NULL through). The struct is non-null for every right row
+    // (its ts field is), so ignoreNulls only skips left rows.
+    val enriched = unioned.withColumn("__asof",
+      last(when(col("__side") === 0,
+          struct(col("__ts").as("ts") +:
+            payload.map(p => col(s"__r_$p").as(p)): _*)),
+        ignoreNulls = true).over(w))
     enriched.filter(col("__side") === 1)
       .select(left.columns.filter(_ != tsCol).map(col) ++
-        Seq(col("__ts").as(tsCol), col("__asof_ts").as("asof_ts")) ++
-        payload.map(p => col(s"__asof_$p").as(s"asof_$p")): _*)
+        Seq(col("__ts").as(tsCol), col("__asof.ts").as("asof_ts")) ++
+        payload.map(p => col(s"__asof.$p").as(s"asof_$p")): _*)
   }
 
   /** [[asOfJoin]] with bounded staleness: a match older than

@@ -494,8 +494,12 @@ object StreamingCube {
 
   // ------------------------------------------------ rolling features
 
+  // value is Option: a NULL source value must ride the ring as a row
+  // (it occupies a frame position in the batch window) while being
+  // excluded from roll_n/roll_sum (count/sum skip nulls) — a
+  // non-nullable Double would crash the encoder on the first NULL
   final case class FeEvt(event_id: Long, user_id: Long, tsMicros: Long,
-      value: Double)
+      value: Option[Double])
   final case class FeRing(ring: List[FeEvt])
   final case class FeOut(event_id: Long, user_id: Long, ts_us: Long,
       gap_us: Option[Long], roll_n: Long, roll_sum: Option[Double])
@@ -524,12 +528,13 @@ object StreamingCube {
           val out = Seq.newBuilder[FeOut]
           sorted.foreach { e =>
             val gap = ring.headOption.map(p => e.tsMicros - p.tsMicros)
-            val sum = if (ring.isEmpty) None
-              else Some(ring.map(p => BigDecimal(p.value)
+            val vals = ring.flatMap(_.value)
+            val sum = if (vals.isEmpty) None
+              else Some(vals.map(v => BigDecimal(v)
                   .setScale(10, BigDecimal.RoundingMode.HALF_UP))
                 .sum.toDouble)
             out += FeOut(e.event_id, uid, e.tsMicros, gap,
-              ring.size.toLong, sum)
+              vals.size.toLong, sum)
             ring = (e :: ring).take(lookback) // most recent first
           }
           state.update(FeRing(ring))

@@ -105,6 +105,23 @@ class TimeOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(scores.forall(_ > 0) && scores.sameElements(scores.sorted.reverse))
   }
 
+  test("asOfJoin carries the matched row's NULL payload through") {
+    import spark.implicits._
+    // user 1: click(t=100, v=5.0), click(t=200, v=NULL); purchase t=300
+    // must see (200, NULL) — not 5.0 stitched from the older row
+    val right = Seq((1L, 1L, new Timestamp(100000L), Some(5.0)),
+      (2L, 1L, new Timestamp(200000L), None))
+      .toDF("event_id", "user_id", "ts", "value")
+    val left = Seq((10L, 1L, new Timestamp(300000L)))
+      .toDF("event_id", "user_id", "ts")
+    val r = graft.ops.TimeOps.asOfJoin(left, right, "user_id", "ts",
+      "event_id", Seq("value")).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Timestamp]("asof_ts") === new Timestamp(200000L))
+    assert(r(0).get(r(0).fieldIndex("asof_value")) === null,
+      s"matched row's NULL payload must survive: ${r(0)}")
+  }
+
   test("asOfJoinTolerance nulls ts AND payload together") {
     import spark.implicits._
     val rows = mkEvents(3L, 400, 7, 5)
