@@ -673,6 +673,26 @@ object SimilarityOps {
     IvfPqIndex(path, coarseModel, models, dim)
   }
 
+  /** Append new vectors to a persisted [[IvfPqIndex]] — the ingest
+    * half of index maintenance: arriving vectors are encoded map-only
+    * against the PERSISTED codebooks (training is an offline job;
+    * ingest must not retrain — the [[StreamingCube]] PQ gate makes the
+    * same contract) and land as additional files inside their coarse
+    * cell's partition directory, so reads keep pruning and the
+    * append cost is O(new vectors). Re-training (centroid drift) is a
+    * rebuild, not an append — by design: mixing codebook generations
+    * in one index silently corrupts every ADC distance.
+    */
+  def appendToIvfPqIndex(index: IvfPqIndex, vectors: DataFrame): Unit = {
+    val subDim = index.dim / index.books.length
+    flatFrame(vectors, index.dim)
+      .select(col("vec_id") +:
+        expr(assignSql(index.coarse, "e")).as("cell") +:
+        pqCodeCols(index.books, subDim): _*)
+      .repartitionByRange(col("cell"), col("vec_id"))
+      .write.mode("append").partitionBy("cell").parquet(index.path)
+  }
+
   /** Query a [[writeIvfPqIndex]] index from disk: routing and ADC use
     * the PERSISTED codebooks (no retraining, no corpus scan), and the
     * cell equi-join against the partitioned files lets Spark prune to

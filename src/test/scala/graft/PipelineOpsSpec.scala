@@ -990,6 +990,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fromDisk.nonEmpty)
   }
 
+  test("appendToIvfPqIndex ingests without retraining; queries see it") {
+    import graft.ops.SimilarityOps
+    val emb = Tables.load(spark, Sf, "embeddings")
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val path = "/tmp/graft_ivfpq_append"
+    // build on half the corpus, append the other half
+    val index = SimilarityOps.writeIvfPqIndex(half1, path, kCoarse = 8,
+      cIters = 2, m = 4, kSub = 8, iters = 2)
+    val before = spark.read.parquet(path).count()
+    SimilarityOps.appendToIvfPqIndex(index, half2)
+    val after = spark.read.parquet(path)
+    assert(after.count() === emb.count() && before < after.count())
+    // appended rows are encoded with the SAME codebooks: re-encoding
+    // half2 directly matches what landed on disk
+    // pqEncodeWith emits exploded (vec_id, sub, code) rows
+    val direct = SimilarityOps
+      .pqEncodeWith(half2, index.books, index.dim)
+      .collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Int]("sub")).toSeq
+          .map(_.getAs[Int]("code")) }
+    after.filter(col("vec_id") % 2 === 1).collect().foreach { r =>
+      val codes = (0 until 4).map(s => r.getAs[Int](s"code_$s"))
+      assert(direct(r.getAs[Long]("vec_id")) === codes,
+        s"vec ${r.getAs[Long]("vec_id")}")
+    }
+    // and queries over the grown index return appended neighbors too
+    val hits = SimilarityOps.queryIvfPqIndex(spark, index,
+        emb.filter(col("vec_id") < 3), k = 10, nprobe = 8)
+      .filter(col("neighbor_id") % 2 === 1).count()
+    assert(hits > 0, "appended vectors never surfaced in search")
+  }
+
   test("redactPii scrubs emails, IPs and phones, leaves clean text") {
     import spark.implicits._
     val rows = Seq(
