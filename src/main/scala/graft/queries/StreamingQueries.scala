@@ -70,6 +70,12 @@ object StreamingQueries {
       StreamingCube.runStreamBm25(s, dir,
         s"stream_bm25_${runId.incrementAndGet()}")),
 
+    // stream-stream interval join: two live feeds correlated on
+    // user + time range; watermarks bound both sides' join state
+    "q_stream_sjoin" -> ((s, dir) =>
+      StreamingCube.runStreamStreamJoin(s, dir,
+        s"stream_sjoin_${runId.incrementAndGet()}")),
+
     // stateful streaming rolling features: bounded ring-buffer state
     // per user (stream == the batch window formulation bit-for-bit)
     "q_stream_rolling" -> ((s, dir) =>
@@ -122,6 +128,9 @@ object StreamingQueries {
 
     // the ring-buffer stream == the batch trailing-window features
     "q_stream_rolling" -> FeatureQueries.oracleSql("q_rolling_features"),
+
+    // fully drained stream-stream join == the batch range join
+    "q_stream_sjoin" -> FeatureQueries.oracleSql("q_range_join"),
 
     // the gate scores with corpus-trained stats == the batch scored
     // set minus the top-k cut (one shared CTE definition)

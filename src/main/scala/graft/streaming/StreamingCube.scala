@@ -492,6 +492,36 @@ object StreamingCube {
       .agg(max("n_sessions").cast("int").as("n_sessions"))
   }
 
+  /** STREAM-STREAM interval join: clicks and error-windows both arrive
+    * as streams and join on user + a time-range condition — the
+    * two-live-feeds correlation (batch form: `TimeOps.rangeJoin`).
+    * Both sides carry event-time watermarks and the join predicate
+    * time-bounds each side against the other, which is exactly what
+    * lets Spark EVICT state: a buffered click older than watermark +
+    * 30min can never match a future error row, so state stays bounded
+    * by the watermark horizon at any stream length — the stream-stream
+    * join contract. AvailableNow drains both sides fully, so the
+    * result equals the batch range join (the shared oracle).
+    */
+  def runStreamStreamJoin(spark: SparkSession, sfDir: String,
+      name: String = "stream_sjoin"): DataFrame = {
+    val s = isolated(spark)
+    val clicks = eventStream(s, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val wins = eventStream(s, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("user_id").as("w_user"),
+        col("ts").as("w_ts"))
+      .withWatermark("w_ts", "1 hour")
+    drain(clicks.join(wins,
+        col("user_id") === col("w_user") &&
+          col("ts") >= col("w_ts") &&
+          col("ts") < col("w_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("event_id", "win_id"), name, OutputMode.Append)
+  }
+
   // ---------------------------------------------- exactly-once sink
 
   /** Idempotent per-batch parquet sink for `foreachBatch` — the
