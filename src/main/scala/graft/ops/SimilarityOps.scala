@@ -664,33 +664,49 @@ object SimilarityOps {
     val flat = DedupOps.pin(flatFrame(corpus, dim).persist())
     val coarseModel = trainCells(flat, kCoarse, cIters)
     val models = pqTrainOn(flat, m, kSub, iters, dim)
-    val subDim = dim / m
+    val index = IvfPqIndex(path, coarseModel, models, dim)
+    writeCoded(flat, index, ingestId = 0L)
+    index
+  }
+
+  /** The ONE definition of the on-disk index row layout — encode a
+    * flat (vec_id, e) frame with the index's models and land it under
+    * `ingest=<id>/cell=<n>/`. Each ingest generation owns its
+    * directory and is written with OVERWRITE, so replaying an ingest
+    * id rewrites rather than duplicates (the same idempotence contract
+    * as [[graft.streaming.StreamingCube.idempotentBatchSink]]); `cell`
+    * remains a partition column, so probes still prune to their routed
+    * cells across every generation. Rows are range-clustered by
+    * (cell, vec_id) so file count ≈ max(tasks, cells).
+    */
+  private def writeCoded(flat: DataFrame, index: IvfPqIndex,
+      ingestId: Long): Unit = {
+    val subDim = index.dim / index.books.length
     flat.select(col("vec_id") +:
-        expr(assignSql(coarseModel, "e")).as("cell") +:
-        pqCodeCols(models, subDim): _*)
+        expr(assignSql(index.coarse, "e")).as("cell") +:
+        pqCodeCols(index.books, subDim): _*)
       .repartitionByRange(col("cell"), col("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    IvfPqIndex(path, coarseModel, models, dim)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${index.path}/ingest=$ingestId")
   }
 
   /** Append new vectors to a persisted [[IvfPqIndex]] — the ingest
     * half of index maintenance: arriving vectors are encoded map-only
     * against the PERSISTED codebooks (training is an offline job;
     * ingest must not retrain — the [[StreamingCube]] PQ gate makes the
-    * same contract) and land as additional files inside their coarse
-    * cell's partition directory, so reads keep pruning and the
-    * append cost is O(new vectors). Re-training (centroid drift) is a
-    * rebuild, not an append — by design: mixing codebook generations
-    * in one index silently corrupts every ADC distance.
+    * same contract) and land under their own `ingest=<ingestId>/`
+    * generation at O(new vectors) cost; reads keep pruning on `cell`.
+    * Replaying the same ingestId (a retried job) OVERWRITES that
+    * generation instead of duplicating its rows — callers key the id
+    * to their upstream batch (e.g. the streaming batchId).
+    * Re-training (centroid drift) is a rebuild, not an append — by
+    * design: mixing codebook generations in one index silently
+    * corrupts every ADC distance.
     */
-  def appendToIvfPqIndex(index: IvfPqIndex, vectors: DataFrame): Unit = {
-    val subDim = index.dim / index.books.length
-    flatFrame(vectors, index.dim)
-      .select(col("vec_id") +:
-        expr(assignSql(index.coarse, "e")).as("cell") +:
-        pqCodeCols(index.books, subDim): _*)
-      .repartitionByRange(col("cell"), col("vec_id"))
-      .write.mode("append").partitionBy("cell").parquet(index.path)
+  def appendToIvfPqIndex(index: IvfPqIndex, vectors: DataFrame,
+      ingestId: Long): Unit = {
+    require(ingestId > 0, "ingest id 0 is the base build")
+    writeCoded(flatFrame(vectors, index.dim), index, ingestId)
   }
 
   /** Query a [[writeIvfPqIndex]] index from disk: routing and ADC use

@@ -968,6 +968,7 @@ class PipelineOpsSpec extends SparkSpec {
     val emb = Tables.load(spark, Sf, "embeddings")
     val probes = emb.filter(col("vec_id") < 5)
     val path = "/tmp/graft_ivfpq_index"
+    PipelineOpsSpec.rmrf(path)
     val index = SimilarityOps.writeIvfPqIndex(emb, path, kCoarse = 8,
       cIters = 2, m = 4, kSub = 8, iters = 2)
     // the on-disk layout partition-prunes: a single-cell read shows a
@@ -996,11 +997,12 @@ class PipelineOpsSpec extends SparkSpec {
     val half1 = emb.filter(col("vec_id") % 2 === 0)
     val half2 = emb.filter(col("vec_id") % 2 === 1)
     val path = "/tmp/graft_ivfpq_append"
+    PipelineOpsSpec.rmrf(path)
     // build on half the corpus, append the other half
     val index = SimilarityOps.writeIvfPqIndex(half1, path, kCoarse = 8,
       cIters = 2, m = 4, kSub = 8, iters = 2)
     val before = spark.read.parquet(path).count()
-    SimilarityOps.appendToIvfPqIndex(index, half2)
+    SimilarityOps.appendToIvfPqIndex(index, half2, ingestId = 1L)
     val after = spark.read.parquet(path)
     assert(after.count() === emb.count() && before < after.count())
     // appended rows are encoded with the SAME codebooks: re-encoding
@@ -1023,6 +1025,13 @@ class PipelineOpsSpec extends SparkSpec {
         emb.filter(col("vec_id") < 3), k = 10, nprobe = 8)
       .filter(col("neighbor_id") % 2 === 1).count()
     assert(hits > 0, "appended vectors never surfaced in search")
+    // a REPLAYED ingest (retried job, same id) overwrites its own
+    // generation — no duplicate rows land (refreshByPath: the session
+    // file-status cache still lists the pre-replay files)
+    SimilarityOps.appendToIvfPqIndex(index, half2, ingestId = 1L)
+    spark.catalog.refreshByPath(path)
+    assert(spark.read.parquet(path).count() === emb.count(),
+      "replayed ingest duplicated index rows")
   }
 
   test("redactPii scrubs emails, IPs and phones, leaves clean text") {
@@ -1039,5 +1048,18 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(col("got") =!= col("want"))
       .select("raw", "got", "want").collect()
     assert(got.isEmpty, got.mkString("\n"))
+  }
+}
+
+object PipelineOpsSpec {
+  /** Recursive delete for spec-scoped /tmp datasets (stale layouts
+    * from earlier runs would poison partition discovery).
+    */
+  def rmrf(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
   }
 }

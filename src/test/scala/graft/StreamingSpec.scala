@@ -195,6 +195,65 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming rolling ring skips NULL values like the batch window") {
+    import spark.implicits._
+    import graft.streaming.StreamingCube.{FeEvt, FeOut}
+    // hand-built log with NULL values in ring positions: they occupy a
+    // frame slot (trim the lookback window) but are excluded from
+    // roll_n / roll_sum — the batch count(value)/sum(value) semantics
+    val evts = Seq(
+      FeEvt(1L, 7L, 1000L, Some(1.5)),
+      FeEvt(2L, 7L, 2000L, None),
+      FeEvt(3L, 7L, 3000L, Some(2.25)),
+      FeEvt(4L, 7L, 4000L, None),
+      FeEvt(5L, 7L, 5000L, Some(4.0)),
+      FeEvt(6L, 7L, 6000L, Some(8.0)))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FeEvt]
+    val q = StreamingCube.rollingFeatures(mem.toDS(), lookback = 3)
+      .writeStream.format("memory").queryName("spec_roll_null")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(evts.take(4)); q.processAllAvailable()
+    mem.addData(evts.drop(4)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spec_roll_null").as[FeOut].collect()
+      .map(o => o.event_id -> ((o.roll_n, o.roll_sum))).toMap
+    val batch = evts.map(e => (e.event_id, e.user_id,
+        new java.sql.Timestamp(e.tsMicros / 1000), e.value))
+      .toDF("event_id", "user_id", "ts", "value")
+    val want = graft.ops.TimeOps
+      .rollingFeatures(batch, "user_id", "ts", "event_id", "value", 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(4), Option(r.get(5)).map(_.toString.toDouble))))
+      .toMap
+    assert(got === want)
+    // the NULL rows really did occupy frame slots: event 5's window is
+    // rows {2,3,4} = one null-excluded pair -> n=1, sum=2.25
+    assert(got(5L) === ((1L, Some(2.25))))
+  }
+
+  test("stream-stream interval join equals the batch range join") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamingCube
+      .runStreamStreamJoin(spark, Sf, "spec_sjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.load(spark, Sf, "events")
+    val batch = graft.ops.TimeOps.rangeJoin(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("win_id"), col("user_id"),
+            col("ts").as("t_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("t_end")),
+        "user_id", "ts", "t_start", "t_end", 1800000000L)
+      .select("event_id", "win_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("idempotent batch sink lands once; a replayed batch is a no-op") {
     import org.apache.spark.sql.functions._
     val path = "/tmp/graft_eo_sink"
