@@ -70,6 +70,16 @@ object StreamingQueries {
       StreamingCube.runStreamBm25(s, dir,
         s"stream_bm25_${runId.incrementAndGet()}")),
 
+    // batch form of the stateful sessionization (the backfill path a
+    // stream restart uses) — same oracle as the stream twin
+    "q_sessionize" -> ((s, dir) =>
+      StreamingCube.sessionizeBatch(Tables.load(s, dir, "events"), 30)),
+
+    // complete-mode streaming vocabulary top-k (live corpus vocab)
+    "q_stream_vocab" -> ((s, dir) =>
+      StreamingCube.runStreamVocab(s, dir,
+        s"stream_vocab_${runId.incrementAndGet()}")),
+
     // stream-stream interval join: two live feeds correlated on
     // user + time range; watermarks bound both sides' join state
     "q_stream_sjoin" -> ((s, dir) =>
@@ -132,6 +142,12 @@ object StreamingQueries {
     // fully drained stream-stream join == the batch range join
     "q_stream_sjoin" -> FeatureQueries.oracleSql("q_range_join"),
 
+    // the batch lag-window formulation == the stream's session counts
+    "q_sessionize" -> SESSIONIZE_SQL,
+
+    // the drained complete-mode vocab == the batch induction
+    "q_stream_vocab" -> PipelineQueries.oracleSql("q_vocab_topk"),
+
     // the gate scores with corpus-trained stats == the batch scored
     // set minus the top-k cut (one shared CTE definition)
     "q_stream_bm25" ->
@@ -174,16 +190,21 @@ object StreamingQueries {
          |  min(doc_id) < max(doc_id) AS cross_doc
          |FROM spans GROUP BY sh""".stripMargin,
 
-    "q_stream_sessionize" ->
-      """WITH w AS (
-        |  SELECT user_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS prev_ts
-        |  FROM events)
-        |SELECT user_id,
-        |  CAST(sum(CASE WHEN prev_ts IS NULL
-        |    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-        |    THEN 1 ELSE 0 END) AS INT) AS n_sessions
-        |FROM w GROUP BY 1""".stripMargin
+    "q_stream_sessionize" -> SESSIONIZE_SQL
   )
+
+  /** One definition for the batch AND stream sessionize oracles
+    * (lazy: referenced from `oracleSql`, which initializes first).
+    */
+  private lazy val SESSIONIZE_SQL =
+    """WITH w AS (
+      |  SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_ts
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(sum(CASE WHEN prev_ts IS NULL
+      |    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |    THEN 1 ELSE 0 END) AS INT) AS n_sessions
+      |FROM w GROUP BY 1""".stripMargin
 }

@@ -492,6 +492,23 @@ object StreamingCube {
       .agg(max("n_sessions").cast("int").as("n_sessions"))
   }
 
+  /** Streaming vocabulary induction: complete-mode token counts with
+    * an in-query top-k (orderBy+limit is legal under Complete output) —
+    * the live "what is the corpus vocabulary right now" view of the
+    * batch [[graft.ops.TextOps.vocabTopK]]. State is O(distinct
+    * tokens) — the same bound the batch shuffle pays — and the
+    * AvailableNow drain equals the batch top-k row-for-row.
+    */
+  def runStreamVocab(spark: SparkSession, sfDir: String,
+      name: String = "stream_vocab", topK: Int = 100): DataFrame = {
+    val s = isolated(spark)
+    val toks = docStream(s, sfDir)
+      .select(explode(expr(graft.ops.TextOps.TOKENS)).as("token"))
+    drain(toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(topK),
+      name, OutputMode.Complete)
+  }
+
   /** STREAM-STREAM interval join: clicks and error-windows both arrive
     * as streams and join on user + a time-range condition — the
     * two-live-feeds correlation (batch form: `TimeOps.rangeJoin`).
