@@ -234,6 +234,31 @@ object CurationOps {
       Seq(col("__h").asc, col("doc_id").asc), "pos", hint)
       .select(col("doc_id"), col("pos"))
 
+  /** Compact a fragmented parquet dataset into ≈`targetBytes` files —
+    * the small-files housekeeping every long-running ingest needs
+    * (streaming sinks and per-batch appends accumulate KB-scale files;
+    * a 100 TB table fragmented into millions of them spends more time
+    * in listing/open than in IO). The target file count derives from
+    * the ACTUAL on-disk byte size (filesystem listing, not plan
+    * stats), rows are round-robin repartitioned for even output sizes,
+    * and the rewrite lands in `outPath` — compaction must never
+    * rewrite in place (a failed job would have destroyed the input).
+    * Returns the output file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long): Int = {
+    require(inPath != outPath, "compaction must not rewrite in place")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      .toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Corpus snapshot diff — the incremental-ingest primitive: compare
     * two corpus versions by doc_id + content fingerprint and emit the
     * delta rows as (doc_id, status ∈ added|removed|changed), dropping

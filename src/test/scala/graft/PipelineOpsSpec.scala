@@ -1034,6 +1034,30 @@ class PipelineOpsSpec extends SparkSpec {
       "replayed ingest duplicated index rows")
   }
 
+  test("compact bin-packs a fragmented dataset without losing rows") {
+    val in = "/tmp/graft_compact_in"
+    val out = "/tmp/graft_compact_out"
+    PipelineOpsSpec.rmrf(in); PipelineOpsSpec.rmrf(out)
+    // fragment: 64 files for a ~200 KB corpus
+    docs.repartition(64).write.parquet(in)
+    def parquetFiles(path: String) =
+      Option(new java.io.File(path).listFiles).get
+        .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) === 64)
+    val n = CurationOps.compact(spark, in, out, targetBytes = 128L * 1024)
+    assert(parquetFiles(out) === n && n < 64)
+    // content survives exactly
+    val a = spark.read.parquet(in).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = spark.read.parquet(out).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+    // in-place rewrite is rejected
+    intercept[IllegalArgumentException] {
+      CurationOps.compact(spark, in, in, 1L)
+    }
+  }
+
   test("redactPii scrubs emails, IPs and phones, leaves clean text") {
     import spark.implicits._
     val rows = Seq(
