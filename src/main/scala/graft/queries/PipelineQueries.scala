@@ -324,6 +324,12 @@ object PipelineQueries {
     // remaining labeled stub: the JDK ships no video codec); n_bytes
     // is a pure column expression, so the whole query is one
     // codegen'd projection — no decode round trip on this path
+    // raw-video container: build → binary column → parse/slice/stat
+    // decode of every 2nd frame (real byte-level work; the container
+    // is raw — the JDK ships no video codec)
+    "q_multimodal_video" -> ((s, dir) =>
+      MultimodalOps.decodedVideoStats(s, docs(s, dir))),
+
     "q_multimodal_frames" -> ((s, dir) =>
       MultimodalOps.frameSample(
         docs(s, dir).select(col("doc_id"),
@@ -1395,6 +1401,18 @@ object PipelineQueries {
     // truncates, DuckDB's rounds, so // keeps the engines aligned.
     // range's exclusive stop makes n_frames = 0 yield NO rows, the
     // same empty-array contract as frameSample
+    // the raw container is lossless by construction, so the decoded
+    // frame stats are exactly the SQL of the generator parameters
+    "q_multimodal_video" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(4 + doc_id % 8 AS INT) AS width,
+        |  CAST(4 + n_chars % 8 AS INT) AS height,
+        |  CAST(3 + doc_id % 6 AS INT) AS n_frames,
+        |  CAST((doc_id + f) % 256 AS INT) AS avg_pixel
+        |FROM (SELECT doc_id, n_chars,
+        |    unnest(range(0, 3 + doc_id % 6, 2)) AS f
+        |  FROM documents)""".stripMargin,
+
     "q_multimodal_frames" ->
       """SELECT doc_id, CAST(f AS INT) AS frame_idx
         |FROM (SELECT doc_id, unnest(range(0,
