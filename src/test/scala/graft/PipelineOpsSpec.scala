@@ -1034,6 +1034,39 @@ class PipelineOpsSpec extends SparkSpec {
       "replayed ingest duplicated index rows")
   }
 
+  test("raw-video decode: stride semantics, geometry, corrupt payload") {
+    import spark.implicits._
+    val vids = MultimodalOps.withRawVideoPayload(docs)
+    // every payload is exactly header + n_frames*w*h bytes
+    val sizes = vids.as[MultimodalOps.MediaRow].collect()
+    val meta = docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sizes.foreach { m =>
+      val (w, h, n) = (4 + (m.doc_id % 8).toInt,
+        4 + (meta(m.doc_id) % 8).toInt, 3 + (m.doc_id % 6).toInt)
+      assert(m.content.length === 16 + n * w * h, s"doc ${m.doc_id}")
+    }
+    // stride 1 decodes every frame; stride 2 exactly the even ones
+    val all = MultimodalOps.decodedVideoStats(spark, docs, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(5))
+      .toMap
+    val sampled = MultimodalOps
+      .decodedVideoStats(spark, docs, stride = 2).collect()
+    sampled.foreach { r =>
+      val key = (r.getLong(0), r.getInt(1))
+      assert(r.getInt(1) % 2 === 0 && all(key) === r.getInt(5))
+    }
+    assert(all.size > sampled.length)
+    // a non-GVID payload fails loudly, not silently
+    val junk = Seq(MultimodalOps.MediaRow(1L, "notavideo".getBytes))
+      .toDS()
+    val err = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeVideoFrames(junk, 1).collect()
+    }
+    assert(err.getMessage.contains("GVID") ||
+      Option(err.getCause).exists(_.getMessage.contains("GVID")))
+  }
+
   test("compact bin-packs a fragmented dataset without losing rows") {
     val in = "/tmp/graft_compact_in"
     val out = "/tmp/graft_compact_out"
