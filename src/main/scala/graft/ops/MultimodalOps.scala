@@ -150,6 +150,51 @@ object MultimodalOps {
     decodeImage(withPngPayload(docs).as[MediaRow]).toDF()
   }
 
+  /** One executed resize: output geometry + the resampled raster's
+    * mean red channel.
+    */
+  final case class ResizedImage(doc_id: Long, out_w: Int, out_h: Int,
+      avg_r: Int)
+
+  /** EXECUTE the resize (not just plan it): decode the PNG payload,
+    * box-fit with the same floor/least math as [[resizePlan]], and
+    * resample through Graphics2D bilinear — real pixel work on
+    * executors. The fixture rasters are solid gray, so interpolation
+    * cannot change the mean: avg_r is exactly the source gray and the
+    * whole decode→resize→stat chain stays oracle-checkable.
+    */
+  def resizedImageStats(spark: SparkSession, docs: DataFrame,
+      box: Int): DataFrame = {
+    import spark.implicits._
+    withPngPayload(docs).as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        val scale = math.min(
+          math.min(box.toDouble / img.getWidth,
+            box.toDouble / img.getHeight), 1.0)
+        val (ow, oh) = (math.floor(img.getWidth * scale).toInt,
+          math.floor(img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(ow, oh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, ow, oh, null)
+        g.dispose()
+        var sum = 0L
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) { sum += (out.getRGB(x, y) >> 16) & 0xff; x += 1 }
+          y += 1
+        }
+        ResizedImage(r.doc_id, ow, oh, (sum / (ow.toLong * oh)).toInt)
+      }
+    }.toDF()
+  }
+
   /** Decoded-audio stats row: real samples out of the JDK's WAV codec. */
   final case class AudioStats(doc_id: Long, sample_rate: Int,
       channels: Int, bits: Int, n_samples: Long, mean_abs: Long)

@@ -324,6 +324,10 @@ object PipelineQueries {
     // remaining labeled stub: the JDK ships no video codec); n_bytes
     // is a pure column expression, so the whole query is one
     // codegen'd projection — no decode round trip on this path
+    // EXECUTED resize: decode → Graphics2D box-fit resample → stats
+    "q_multimodal_resize_exec" -> ((s, dir) =>
+      MultimodalOps.resizedImageStats(s, docs(s, dir), box = 16)),
+
     // raw-video container: build → binary column → parse/slice/stat
     // decode of every 2nd frame (real byte-level work; the container
     // is raw — the JDK ships no video codec)
@@ -1401,6 +1405,19 @@ object PipelineQueries {
     // truncates, DuckDB's rounds, so // keeps the engines aligned.
     // range's exclusive stop makes n_frames = 0 yield NO rows, the
     // same empty-array contract as frameSample
+    // solid-gray rasters: interpolation cannot move the mean, and the
+    // box-fit floor/least math is the same IEEE arithmetic both sides
+    "q_multimodal_resize_exec" ->
+      """SELECT doc_id,
+        |  CAST(floor((8 + doc_id % 40) * s) AS INT) AS out_w,
+        |  CAST(floor((8 + n_chars % 40) * s) AS INT) AS out_h,
+        |  CAST(doc_id % 256 AS INT) AS avg_r
+        |FROM (SELECT doc_id, n_chars,
+        |    least(CAST(16 AS DOUBLE) / (8 + doc_id % 40),
+        |          CAST(16 AS DOUBLE) / (8 + n_chars % 40),
+        |          CAST(1 AS DOUBLE)) AS s
+        |  FROM documents)""".stripMargin,
+
     // the raw container is lossless by construction, so the decoded
     // frame stats are exactly the SQL of the generator parameters
     "q_multimodal_video" ->
