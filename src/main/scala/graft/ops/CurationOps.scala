@@ -247,12 +247,23 @@ object CurationOps {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
       outPath: String, targetBytes: Long): Int = {
-    require(inPath != outPath, "compaction must not rewrite in place")
-    val p = new org.apache.hadoop.fs.Path(inPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val bytes = fs.getContentSummary(p).getLength
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-      .toInt
+    require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
+    val conf = spark.sessionState.newHadoopConf()
+    val pIn = new org.apache.hadoop.fs.Path(inPath)
+    val fs = pIn.getFileSystem(conf)
+    // guard on QUALIFIED paths: raw string inequality is defeated by
+    // trailing slashes / dot segments / scheme aliases, and an
+    // overwrite of the input deletes it before the lazy read runs
+    val qIn = fs.makeQualified(pIn).toUri.getPath.stripSuffix("/")
+    val qOut = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(outPath)).toUri.getPath
+      .stripSuffix("/")
+    require(qIn != qOut && !qOut.startsWith(qIn + "/") &&
+      !qIn.startsWith(qOut + "/"),
+      s"compaction must not rewrite in place or nest: $qIn -> $qOut")
+    val bytes = fs.getContentSummary(pIn).getLength
+    val nFiles = math.min(Int.MaxValue.toLong,
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes)).toInt
     spark.read.parquet(inPath)
       .repartition(nFiles)
       .write.mode("overwrite").parquet(outPath)

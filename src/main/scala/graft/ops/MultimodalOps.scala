@@ -126,17 +126,9 @@ object MultimodalOps {
         try {
           reader.setInput(iis)
           val img = reader.read(0)
-          val (w, h) = (img.getWidth, img.getHeight)
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
-            y += 1
-          }
-          ImagePixels(r.doc_id, w, h,
+          ImagePixels(r.doc_id, img.getWidth, img.getHeight,
             reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
-            (sum / (w.toLong * h)).toInt)
+            meanRed(img))
         } finally { reader.dispose(); iis.close() }
       }
     }
@@ -156,25 +148,51 @@ object MultimodalOps {
   final case class ResizedImage(doc_id: Long, out_w: Int, out_h: Int,
       avg_r: Int)
 
+  /** Mean of the red channel over a raster — the ONE pixel-stat loop
+    * both the decode and the executed-resize paths reduce with.
+    */
+  private def meanRed(img: java.awt.image.BufferedImage): Int = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+      y += 1
+    }
+    (sum / (w.toLong * h)).toInt
+  }
+
+  /** Box-fit output geometry — the ONE copy of the floor/least math
+    * [[resizePlan]] expresses as columns, with a 1-pixel floor on the
+    * EXECUTED path's dimensions: an extreme-aspect input (w ≫ h) can
+    * floor the short side to 0, which is a fine plan row but not a
+    * constructible raster.
+    */
+  private def fitBox(box: Int, w: Int, h: Int): (Int, Int) = {
+    val scale = math.min(math.min(box.toDouble / w, box.toDouble / h),
+      1.0)
+    (math.max(1, math.floor(w * scale).toInt),
+      math.max(1, math.floor(h * scale).toInt))
+  }
+
   /** EXECUTE the resize (not just plan it): decode the PNG payload,
-    * box-fit with the same floor/least math as [[resizePlan]], and
-    * resample through Graphics2D bilinear — real pixel work on
-    * executors. The fixture rasters are solid gray, so interpolation
-    * cannot change the mean: avg_r is exactly the source gray and the
-    * whole decode→resize→stat chain stays oracle-checkable.
+    * box-fit with the same floor/least math as [[resizePlan]] (plus
+    * the 1-pixel raster floor), and resample through Graphics2D
+    * bilinear — real pixel work on executors. The fixture rasters are
+    * solid gray, so interpolation cannot change the mean: avg_r is
+    * exactly the source gray and the whole decode→resize→stat chain
+    * stays oracle-checkable.
     */
   def resizedImageStats(spark: SparkSession, docs: DataFrame,
       box: Int): DataFrame = {
     import spark.implicits._
+    require(box > 0, s"box $box must be positive")
     withPngPayload(docs).as[MediaRow].mapPartitions { it =>
       it.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.content))
-        val scale = math.min(
-          math.min(box.toDouble / img.getWidth,
-            box.toDouble / img.getHeight), 1.0)
-        val (ow, oh) = (math.floor(img.getWidth * scale).toInt,
-          math.floor(img.getHeight * scale).toInt)
+        val (ow, oh) = fitBox(box, img.getWidth, img.getHeight)
         val out = new java.awt.image.BufferedImage(ow, oh,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = out.createGraphics()
@@ -183,14 +201,7 @@ object MultimodalOps {
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
         g.drawImage(img, 0, 0, ow, oh, null)
         g.dispose()
-        var sum = 0L
-        var y = 0
-        while (y < oh) {
-          var x = 0
-          while (x < ow) { sum += (out.getRGB(x, y) >> 16) & 0xff; x += 1 }
-          y += 1
-        }
-        ResizedImage(r.doc_id, ow, oh, (sum / (ow.toLong * oh)).toInt)
+        ResizedImage(r.doc_id, ow, oh, meanRed(out))
       }
     }.toDF()
   }
@@ -373,6 +384,7 @@ object MultimodalOps {
   def decodeVideoFrames(media: Dataset[MediaRow],
       stride: Int): Dataset[VideoFrame] = {
     import media.sparkSession.implicits._
+    require(stride > 0, s"stride $stride must be positive")
     media.flatMap { r =>
       val buf = java.nio.ByteBuffer.wrap(r.content)
       val magic = new Array[Byte](4)

@@ -665,6 +665,14 @@ object SimilarityOps {
     val coarseModel = trainCells(flat, kCoarse, cIters)
     val models = pqTrainOn(flat, m, kSub, iters, dim)
     val index = IvfPqIndex(path, coarseModel, models, dim)
+    // a REBUILD (retrain) must wipe every prior ingest generation:
+    // overwriting only ingest=0 would leave ingest>0 files encoded
+    // with the OLD codebooks resident — exactly the generation mixing
+    // that silently corrupts ADC distances
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
     writeCoded(flat, index, ingestId = 0L)
     index
   }
@@ -688,6 +696,9 @@ object SimilarityOps {
       .repartitionByRange(col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"${index.path}/ingest=$ingestId")
+    // an overwrite invalidates any file listing a same-session reader
+    // cached — honor the idempotence contract here, not in callers
+    flat.sparkSession.catalog.refreshByPath(index.path)
   }
 
   /** Append new vectors to a persisted [[IvfPqIndex]] — the ingest

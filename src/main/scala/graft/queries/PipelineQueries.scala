@@ -320,10 +320,6 @@ object PipelineQueries {
       MultimodalOps.resizePlan(MultimodalOps.imageMeta(s, docs(s, dir)), 64)
         .select("doc_id", "out_w", "out_h")),
 
-    // metadata-only frame sampling plan (video framing is the one
-    // remaining labeled stub: the JDK ships no video codec); n_bytes
-    // is a pure column expression, so the whole query is one
-    // codegen'd projection — no decode round trip on this path
     // EXECUTED resize: decode → Graphics2D box-fit resample → stats
     "q_multimodal_resize_exec" -> ((s, dir) =>
       MultimodalOps.resizedImageStats(s, docs(s, dir), box = 16)),
@@ -334,6 +330,9 @@ object PipelineQueries {
     "q_multimodal_video" -> ((s, dir) =>
       MultimodalOps.decodedVideoStats(s, docs(s, dir))),
 
+    // metadata-only frame sampling PLAN over byte counts: n_bytes is a
+    // pure column expression, so the whole query is one codegen'd
+    // projection — no decode round trip on this path
     "q_multimodal_frames" -> ((s, dir) =>
       MultimodalOps.frameSample(
         docs(s, dir).select(col("doc_id"),
@@ -1409,8 +1408,10 @@ object PipelineQueries {
     // box-fit floor/least math is the same IEEE arithmetic both sides
     "q_multimodal_resize_exec" ->
       """SELECT doc_id,
-        |  CAST(floor((8 + doc_id % 40) * s) AS INT) AS out_w,
-        |  CAST(floor((8 + n_chars % 40) * s) AS INT) AS out_h,
+        |  CAST(greatest(1, floor((8 + doc_id % 40) * s)) AS INT)
+        |    AS out_w,
+        |  CAST(greatest(1, floor((8 + n_chars % 40) * s)) AS INT)
+        |    AS out_h,
         |  CAST(doc_id % 256 AS INT) AS avg_r
         |FROM (SELECT doc_id, n_chars,
         |    least(CAST(16 AS DOUBLE) / (8 + doc_id % 40),
