@@ -490,19 +490,69 @@ object DedupOps {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Connected components with a cheap-graph fast path: the verified
+    * near-dup edge set is usually a VANISHING fraction of the corpus
+    * (dup pairs, not documents), so when the deduped edge count fits
+    * the driver comfortably a single union-find pass replaces ~log n
+    * distributed star rounds (each ~4 exchanges + a signature action)
+    * — the same bounded-driver-model trade as the k-means centroid and
+    * bloom-bytes collects. Above `driverEdgeLimit` (default 2M edges ≈
+    * 32 MB of longs) it falls through to [[componentsStar]], the
+    * O(log n)-round any-topology variant — the 100 TB path. Labels are
+    * identical by construction (component-minimum doc_id both ways;
+    * spec-pinned against both variants and a reference union-find).
+    */
+  def componentsAuto(edges: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 30, driverEdgeLimit: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = pin(edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().persist())
+    if (e.count() > driverEdgeLimit) {
+      componentsStar(
+        e.select(col("u").as("doc_a"), col("v").as("doc_b")), nodes,
+        maxRounds)
+    } else {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      e.as[(Long, Long)].collect().foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      // only non-root nodes need rows: a root labels to itself, which
+      // is exactly what the singleton coalesce below produces
+      val labels = parent.keysIterator.toSeq.map(id => (id, find(id)))
+        .toDF("doc_id", "cluster_id")
+      nodes.select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }
+  }
+
   /** Near-dup CLUSTER assignment: MinHash-LSH verified pairs →
     * connected components → (doc_id, cluster_id) for every document
     * (non-duplicated docs are their own singleton cluster). This is
     * the transitive-closure form real dedup pipelines keep: a chain
     * A≈B≈C collapses to ONE representative even when A and C are not
     * themselves a near-dup pair — the pairwise drop-the-higher-id rule
-    * cannot express that.
+    * cannot express that. Components run through [[componentsAuto]]:
+    * driver union-find on cheap edge sets, distributed star rounds
+    * past the bound.
     */
   def nearDupClusters(docs: DataFrame, bands: Int = 4, rows: Int = 2,
       threshold: Double = 0.5, maxIters: Int = 20): DataFrame = {
     val pairs = minhashLsh(docs, bands, rows, threshold)
       .select("doc_a", "doc_b")
-    componentsStar(pairs, docs.select(col("doc_id")), maxIters)
+    componentsAuto(pairs, docs.select(col("doc_id")), maxIters)
   }
 
   /** Cluster-aware keep-BEST survivor selection: group the corpus into
@@ -518,8 +568,17 @@ object DedupOps {
     * count is a map-side projection joined on doc_id.
     */
   def keepBestPerCluster(docs: DataFrame, bands: Int = 4, rows: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
-    val clusters = nearDupClusters(docs, bands, rows, threshold)
+      threshold: Double = 0.5): DataFrame =
+    keepBestPerClusterFrom(
+      nearDupClusters(docs, bands, rows, threshold), docs)
+
+  /** [[keepBestPerCluster]] over an already-computed (doc_id,
+    * cluster_id) frame — the shape consumers use against a PERSISTED
+    * cluster index ([[readClusterLabels]]): at 100 TB components are
+    * computed once and every downstream policy reads them.
+    */
+  def keepBestPerClusterFrom(clusters: DataFrame,
+      docs: DataFrame): DataFrame = {
     val sized = docs.select(col("doc_id"),
       expr(s"size(${TextOps.TOKENS})").as("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window
@@ -545,13 +604,145 @@ object DedupOps {
     * minimum is unchanged.
     */
   def splitByCluster(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5,
-      bands: Int = 4, rows: Int = 2, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 4, rows: Int = 2, threshold: Double = 0.5): DataFrame =
+    splitByClusterFrom(nearDupClusters(docs, bands, rows, threshold),
+      trainPct, valPct)
+
+  /** [[splitByCluster]] over an already-computed (doc_id, cluster_id)
+    * frame — the persisted-index consumer shape: one map-side
+    * projection, no shuffle beyond reading the labels.
+    */
+  def splitByClusterFrom(clusters: DataFrame, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
     val bucket = s"(${h60("cast(cluster_id as string)")} % 100)"
-    nearDupClusters(docs, bands, rows, threshold)
-      .withColumn("split",
-        expr(s"CASE WHEN $bucket < $trainPct THEN 'train' " +
-          s"WHEN $bucket < ${trainPct + valPct} THEN 'val' " +
-          "ELSE 'test' END"))
+    clusters.withColumn("split",
+      expr(s"CASE WHEN $bucket < $trainPct THEN 'train' " +
+        s"WHEN $bucket < ${trainPct + valPct} THEN 'val' " +
+        "ELSE 'test' END"))
+  }
+
+  /** Marker file guarding [[writeClusterIndex]]'s rebuild wipe. */
+  val ClusterMarker = "_graft_clusters.json"
+
+  /** A persisted near-dup CLUSTER index — the disk-backed twin of
+    * [[nearDupClusters]], mirroring the IVF-PQ index trio: at 100 TB
+    * you compute connected components ONCE and every policy
+    * (keep-best, leakage-safe split, dedup reporting) reads the
+    * labels; recomputing minhash+CC inside each consumer is the
+    * anti-pattern this artifact removes. On-disk layout under `path`:
+    *
+    *   - `_graft_clusters.json` — marker + the banding params (append
+    *     must band new docs identically or candidate recall changes)
+    *   - `shingles/ingest=<id>/` — (doc_id, shingles), append-only:
+    *     the exact-verify side data for future appends
+    *   - `bands/ingest=<id>/` — (doc_id, band_idx, band_sig),
+    *     append-only: the LSH candidate index for future appends
+    *   - `labels/gen=<g>/` — full-corpus (doc_id, cluster_id)
+    *     snapshots; readers take the max generation. Labels are
+    *     snapshotted (not appended) because a new doc BRIDGING two
+    *     old clusters relabels old docs — label rows are 16 bytes/doc,
+    *     noise next to the corpus, while the expensive shingle/band
+    *     tables never need rewriting.
+    */
+  final case class ClusterIndex(path: String, bands: Int, rows: Int,
+      threshold: Double)
+
+  /** Build and WRITE the cluster index: one shingle pass feeds the
+    * band table, the LSH self-join + exact verify produce the edge
+    * set, components label every doc, and all three tables land under
+    * `path` (marker-guarded wipe of any prior index — see
+    * [[Artifacts.claimIndexDir]]).
+    */
+  def writeClusterIndex(docs: DataFrame, path: String, bands: Int = 4,
+      rows: Int = 2, threshold: Double = 0.5): ClusterIndex = {
+    val spark = docs.sparkSession
+    Artifacts.claimIndexDir(spark, path, ClusterMarker,
+      s"""{"kind":"near_dup_clusters","bands":$bands,"rows":$rows,""" +
+        s""""threshold":$threshold}""")
+    val sh = pin(shingled(docs).persist())
+    val banded = pin(bandTable(sh, bands, rows).persist())
+    sh.write.mode("overwrite").parquet(s"$path/shingles/ingest=0")
+    banded.write.mode("overwrite").parquet(s"$path/bands/ingest=0")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val pairs = verifyJaccard(sh, cand, threshold)
+      .select("doc_a", "doc_b")
+    componentsAuto(pairs, docs.select(col("doc_id")))
+      .repartitionByRange(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/labels/gen=0")
+    spark.catalog.refreshByPath(path)
+    ClusterIndex(path, bands, rows, threshold)
+  }
+
+  /** The current (doc_id, cluster_id) labels of a persisted cluster
+    * index — the latest generation snapshot. This is what every
+    * policy consumer reads ([[keepBestPerClusterFrom]],
+    * [[splitByClusterFrom]]); the scan is two narrow columns.
+    */
+  def readClusterLabels(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    Artifacts.readMarker(spark, path, ClusterMarker)
+    val all = spark.read.parquet(s"$path/labels")
+    val latest = all.agg(max(col("gen"))).head().get(0)
+    all.filter(col("gen") === lit(latest))
+      .select("doc_id", "cluster_id")
+  }
+
+  /** Incrementally append `newDocs` to a persisted cluster index —
+    * CORRECT incremental connected components, not an approximation:
+    * new docs are shingled + banded map-only (O(new), never the old
+    * corpus text); candidates are (new × all) band matches against
+    * the PERSISTED band table; exact verify reads only candidate
+    * docs' persisted shingle sets; and components re-run over
+    * (old label edges ∪ new verified edges) — the old labels carry
+    * exactly the old connectivity, so the result equals a full
+    * rebuild on the union corpus (spec-pinned). Old-old pairs are
+    * never regenerated and old text is never re-shingled.
+    *
+    * Replaying an ingestId OVERWRITES that generation (same contract
+    * as [[SimilarityOps.appendToIvfPqIndex]]) and converges to the
+    * same labels: the latest label snapshot already contains the
+    * replayed edges' connectivity, so re-unioning them is a no-op.
+    */
+  def appendToClusterIndex(index: ClusterIndex, newDocs: DataFrame,
+      ingestId: Long): Unit = {
+    require(ingestId > 0, "ingest id 0 is the base build")
+    val spark = newDocs.sparkSession
+    val shNew = pin(shingled(newDocs).persist())
+    val bNew = pin(bandTable(shNew, index.bands, index.rows).persist())
+    shNew.write.mode("overwrite")
+      .parquet(s"${index.path}/shingles/ingest=$ingestId")
+    bNew.write.mode("overwrite")
+      .parquet(s"${index.path}/bands/ingest=$ingestId")
+    spark.catalog.refreshByPath(index.path)
+    val allBands = spark.read.parquet(s"${index.path}/bands")
+    val cand = bNew.as("a")
+      .join(allBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val shAll = spark.read.parquet(s"${index.path}/shingles")
+      .select("doc_id", "shingles")
+    val newEdges = verifyJaccard(shAll, cand, index.threshold)
+      .select("doc_a", "doc_b")
+    val old = readClusterLabels(spark, index.path)
+    val oldEdges = old.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val nodes = old.select(col("doc_id"))
+      .union(newDocs.select(col("doc_id"))).distinct()
+    componentsAuto(newEdges.union(oldEdges), nodes)
+      .repartitionByRange(col("doc_id"))
+      .write.mode("overwrite")
+      .parquet(s"${index.path}/labels/gen=$ingestId")
+    spark.catalog.refreshByPath(index.path)
   }
 
   /** Train/eval DECONTAMINATION: near-dup document pairs ACROSS two
@@ -779,8 +970,13 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      // 9-dp rounding on the emitted fraction is the repo's oracle
+      // convention for derived floats (bm25/collocations/quality_gate
+      // rank keys): the raw IEEE division is bit-identical across
+      // engines but exposes the comparison to downstream float-hash
+      // normalization; a 9-digit decimal is formatting-stable.
       .withColumn("overlap_frac",
-        col("n_hit").cast("double") / col("n_grams"))
+        round(col("n_hit").cast("double") / col("n_grams"), 9))
   }
 
   /** 60-bit SimHash over the token multiset: per bit position, tokens

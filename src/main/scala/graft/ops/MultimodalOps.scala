@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions._
   *    100 TB media corpus within executor memory.
   *  - Downstream ops (resize plan, frame sampling) are metadata-only
   *    column expressions until a sink forces the pixel work.
+  *
+  * SCOPE CLOSURE — compressed video (H.264/VP9/AV1 in MP4/WebM): out
+  * of scope BY DECISION, not omission. The JDK ships no video codec,
+  * this build resolves no external dependency (javacv/ffmpeg bindings
+  * would be the production choice, dropped in behind exactly the
+  * [[decodeVideoFrames]] signature — a per-partition iterator over
+  * binary payloads emitting typed frame rows), and large-scale
+  * pipelines overwhelmingly transcode ONCE at ingest and then move
+  * raw/lightly-packed frames between stages — the GVID raw-container
+  * path here IS that post-ingest shape, exercised end-to-end with
+  * real header parsing, frame slicing, and per-frame stats. Swapping
+  * the container parser for an ffmpeg-backed one changes no plan
+  * shape, no partitioning, and no schema.
   */
 object MultimodalOps {
 
@@ -392,6 +405,14 @@ object MultimodalOps {
       require(java.util.Arrays.equals(magic, VideoMagic),
         s"doc ${r.doc_id}: not a GVID payload")
       val (w, h, n) = (buf.getInt, buf.getInt, buf.getInt)
+      // header fields are untrusted container bytes: a corrupt or
+      // truncated payload must die with the same doc-labeled error the
+      // magic check gives, not an opaque ArrayIndexOutOfBounds (or a
+      // silent empty sequence from a negative frame count)
+      require(w > 0 && h > 0 && n >= 0 &&
+        r.content.length >= 16L + n.toLong * w * h,
+        s"doc ${r.doc_id}: corrupt GVID header (w=$w h=$h n=$n, " +
+          s"payload ${r.content.length} bytes)")
       (0 until n by stride).iterator.map { f =>
         val off = 16 + f * w * h
         var sum = 0L

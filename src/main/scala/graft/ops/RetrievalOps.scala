@@ -137,6 +137,18 @@ object RetrievalOps {
     */
   def bm25ScoreWith(docs: DataFrame, queryTerms: Seq[(Int, Seq[String])],
       stats: Bm25Stats, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // enforce the decimal(20,18) headroom loudly: past it the
+    // non-ANSI cast yields NULL, the score folds to NULL, and the
+    // score_dec > 0 filter would silently DROP the document. The
+    // worst-case per-term contribution is idf_max·(k1+1) with
+    // idf_max = log2(1 + (N+0.5)/0.5) (df = 0 term), and the
+    // tf factor is < k1+1 · 1 by construction.
+    val idfMax = math.log(1.0 + 2.0 * stats.nDocs + 1.0) / math.log(2.0)
+    require(idfMax * (k1 + 1) < 100.0,
+      s"bm25ScoreWith decimal(20,18) bound exceeded: nDocs=" +
+        s"${stats.nDocs}, k1=$k1 give a worst-case per-term " +
+        f"contribution of ${idfMax * (k1 + 1)}%.1f >= 100 — widen the " +
+        "contribution decimal before scoring corpora this large")
     val perQuery = queryTerms.map { case (q, ts) =>
       val termSum = ts.map { t =>
         val df = stats.df.getOrElse(t, 0L)

@@ -648,6 +648,9 @@ object SimilarityOps {
       coarse: Seq[(Int, Array[Double])],
       books: Seq[Seq[(Int, Array[Double])]], dim: Int)
 
+  /** Marker file guarding [[writeIvfPqIndex]]'s rebuild wipe. */
+  val IvfPqMarker = "_graft_ivfpq.json"
+
   /** Train and WRITE the IVF-PQ index: one cached corpus projection
     * feeds coarse + codebook training and the (vec_id, cell, codes)
     * encode, and the coded rows land as parquet PARTITIONED BY the
@@ -668,11 +671,12 @@ object SimilarityOps {
     // a REBUILD (retrain) must wipe every prior ingest generation:
     // overwriting only ingest=0 would leave ingest>0 files encoded
     // with the OLD codebooks resident — exactly the generation mixing
-    // that silently corrupts ADC distances
-    val spark = corpus.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
+    // that silently corrupts ADC distances. The wipe is marker-guarded
+    // ([[Artifacts.claimIndexDir]]): only a prior graft index (or an
+    // empty dir) may be destroyed — a typo'd path fails loudly.
+    Artifacts.claimIndexDir(corpus.sparkSession, path, IvfPqMarker,
+      s"""{"kind":"ivfpq","kCoarse":$kCoarse,"m":$m,"kSub":$kSub,""" +
+        s""""dim":$dim}""")
     writeCoded(flat, index, ingestId = 0L)
     index
   }

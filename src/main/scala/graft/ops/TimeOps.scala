@@ -40,10 +40,17 @@ object TimeOps {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       tsCol: String, tieCol: String, payload: Seq[String]): DataFrame = {
+    // NULL join keys never match — the window lowering would
+    // otherwise group NULL-key rows into one partition and match them
+    // to each other, where the bucketized equi-join variant and ASOF
+    // SQL semantics (the DuckDB oracle) never match NULLs. Dropping
+    // NULL-key right rows up front makes every lowering agree: a
+    // NULL-key left row sees no right rows and gets a NULL __asof.
     // latest-wins collapse of exact (key, ts) ties on the right side;
     // max_by is a map-side-combinable aggregate, so the collapse rides
     // the same exchange budget as any groupBy on the key
-    val rightUniq = right.groupBy(col(key), col(tsCol))
+    val rightUniq = right.filter(col(key).isNotNull)
+      .groupBy(col(key), col(tsCol))
       .agg(max_by(struct((tieCol +: payload).map(col): _*), col(tieCol))
         .as("__p"))
       .select(col(key) +: col(tsCol).as("__ts") +:

@@ -103,12 +103,22 @@ object OlapWindowQueries {
         .rows(LevelMembers("returnflag", "returnflag"))
         .execute()),
 
+    // the two intercept-derived columns are emitted at 6 dp: the
+    // engines' double-moment regression folds legitimately differ at
+    // ~2e-14 RELATIVE, which on a ~5e4-magnitude intercept is ~1e-9
+    // absolute — right on the 9-dp boundary grid, so the battery-wide
+    // 9-dp convention can land them in adjacent cells. 6 dp keeps 11
+    // significant digits here and puts the grid 1000× coarser than
+    // the disagreement.
     "q_linreg" -> ((s, dir) =>
       Query.from(sales(s, dir))
         .columns("slope_price_qty", "icept_price_qty", "r2_price_qty",
           "var_price_qty", "point_price_q25")
         .rows(LevelMembers("returnflag", "returnflag"))
-        .execute()),
+        .execute()
+        .withColumn("icept_price_qty", round(col("icept_price_qty"), 6))
+        .withColumn("var_price_qty", round(col("var_price_qty"), 3))
+        .withColumn("point_price_q25", round(col("point_price_q25"), 6))),
 
     // -- aggregate-table routing (§4 #6): the query is answered from a
     // registered nation×month rollup, never touching the fact ---------
@@ -263,14 +273,16 @@ object OlapWindowQueries {
     "q_linreg" ->
       s"""SELECT l_returnflag,
          |  regr_slope(l_extendedprice, l_quantity) AS slope_price_qty,
-         |  regr_intercept(l_extendedprice, l_quantity) AS icept_price_qty,
+         |  round(regr_intercept(l_extendedprice, l_quantity), 6)
+         |    AS icept_price_qty,
          |  regr_r2(l_extendedprice, l_quantity) AS r2_price_qty,
-         |  regr_syy(l_extendedprice, l_quantity)
+         |  round(regr_syy(l_extendedprice, l_quantity)
          |    * (1.0 - regr_r2(l_extendedprice, l_quantity))
-         |    / (regr_count(l_extendedprice, l_quantity) - 2)
+         |    / (regr_count(l_extendedprice, l_quantity) - 2), 3)
          |    AS var_price_qty,
-         |  regr_slope(l_extendedprice, l_quantity) * CAST(25.0 AS DOUBLE)
-         |    + regr_intercept(l_extendedprice, l_quantity)
+         |  round(regr_slope(l_extendedprice, l_quantity)
+         |    * CAST(25.0 AS DOUBLE)
+         |    + regr_intercept(l_extendedprice, l_quantity), 6)
          |    AS point_price_q25
          |FROM lineitem GROUP BY 1""".stripMargin,
 

@@ -19,6 +19,23 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  // one persisted cluster index per source dir, built on first use —
+  // the production shape the artifact exists for: components are
+  // computed ONCE and every policy query below READS the labels from
+  // disk instead of re-running minhash+CC per consumer
+  private val clusterIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      DedupOps.ClusterIndex]()
+
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val idx = clusterIdxCache.computeIfAbsent(dir, d => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-cluster-index").toString
+      DedupOps.writeClusterIndex(docs(s, d), path)
+    })
+    DedupOps.readClusterLabels(s, idx.path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- deduplication -------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => DedupOps.exactDedup(docs(s, dir))),
@@ -59,15 +76,22 @@ object PipelineQueries {
     "q_dedup_clusters" -> ((s, dir) =>
       DedupOps.nearDupClusters(docs(s, dir))),
 
+    // the persisted cluster artifact read back from disk: labels must
+    // equal the in-memory transitive closure (same oracle CTE)
+    "q_cluster_index" -> ((s, dir) => clusterLabels(s, dir)),
+
     // cluster-aware keep-BEST: per near-dup cluster keep the doc with
-    // the most tokens (tie: lowest id), not whichever crawled first
+    // the most tokens (tie: lowest id), not whichever crawled first —
+    // consuming the PERSISTED cluster index, not a per-query CC
     "q_cluster_keep_best" -> ((s, dir) =>
-      DedupOps.keepBestPerCluster(docs(s, dir))),
+      DedupOps.keepBestPerClusterFrom(clusterLabels(s, dir),
+        docs(s, dir))),
 
     // leakage-safe split: assignment hashes the near-dup CLUSTER id,
-    // so near-duplicates never straddle a train/val/test boundary
+    // so near-duplicates never straddle a train/val/test boundary —
+    // one map-side projection over the persisted labels
     "q_split_by_cluster" -> ((s, dir) =>
-      DedupOps.splitByCluster(docs(s, dir))),
+      DedupOps.splitByClusterFrom(clusterLabels(s, dir))),
 
     "q_dedup_simhash" -> ((s, dir) => DedupOps.simhash(docs(s, dir))),
 
@@ -624,6 +648,24 @@ object PipelineQueries {
     // transitive closure over the verified pair graph: min reachable
     // doc_id per node == the engine's min-label propagation fixpoint
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $MINHASH_V_CTES,
+         |p AS (
+         |  SELECT doc_a, doc_b FROM v
+         |  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)
+         |    >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS ea, doc_b AS eb FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea)
+         |SELECT a AS doc_id, min(b) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
+
+    // the persisted index read back must equal the same transitive
+    // closure the in-memory q_dedup_clusters pins
+    "q_cluster_index" ->
       s"""WITH RECURSIVE $MINHASH_V_CTES,
          |p AS (
          |  SELECT doc_a, doc_b FROM v

@@ -690,6 +690,102 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("componentsAuto: driver fast path == distributed star rounds") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(0, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L)
+        b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield (n.toLong, es.filter { case (a, b) => a != b })
+    val params = org.scalacheck.Gen.Parameters.default
+    (0 until 8).foreach { i =>
+      val (n, es) = gen.apply(params, Seed(7000L + i)).get
+      val edges = es.toDF("doc_a", "doc_b")
+      val nodes = (0L until n).toDF("doc_id")
+      val fast = DedupOps.componentsAuto(edges, nodes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // driverEdgeLimit = 0 forces the distributed star path — the
+      // 100 TB branch must produce the identical labels
+      val dist = DedupOps.componentsAuto(edges, nodes,
+          driverEdgeLimit = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(fast === dist, s"case $i: n=$n edges=$es")
+      assert(fast.size === n.toInt)
+    }
+  }
+
+  test("persisted cluster index: disk == memory labels, guarded wipe") {
+    val path = "/tmp/graft_cluster_index"
+    PipelineOpsSpec.rmrf(path)
+    DedupOps.writeClusterIndex(docs, path)
+    val disk = DedupOps.readClusterLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val mem = DedupOps.nearDupClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(disk === mem)
+    // policies consuming the persisted frame == their in-memory twins
+    val kbDisk = DedupOps.keepBestPerClusterFrom(
+        DedupOps.readClusterLabels(spark, path), docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val kbMem = DedupOps.keepBestPerCluster(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(kbDisk === kbMem && kbDisk.nonEmpty)
+    // a rebuild over the marked index is allowed (same labels out)…
+    DedupOps.writeClusterIndex(docs, path)
+    assert(DedupOps.readClusterLabels(spark, path).count()
+      === mem.size.toLong)
+    // …but a directory that is NOT a graft index refuses the wipe
+    val stray = "/tmp/graft_cluster_notanindex"
+    PipelineOpsSpec.rmrf(stray)
+    new java.io.File(stray).mkdirs()
+    val f = new java.io.FileWriter(s"$stray/precious.txt")
+    f.write("do not destroy"); f.close()
+    val err = intercept[IllegalArgumentException] {
+      DedupOps.writeClusterIndex(docs, stray)
+    }
+    assert(err.getMessage.contains("refusing to wipe"))
+    assert(new java.io.File(s"$stray/precious.txt").exists(),
+      "guarded wipe must leave unrelated data intact")
+    // the same guard protects the IVF-PQ rebuild path
+    val err2 = intercept[IllegalArgumentException] {
+      SimilarityOps.writeIvfPqIndex(emb, stray, kCoarse = 4,
+        cIters = 1, m = 4, kSub = 4, iters = 1)
+    }
+    assert(err2.getMessage.contains("refusing to wipe"))
+  }
+
+  test("appendToClusterIndex == full rebuild; replayed ingest no-op") {
+    val path = "/tmp/graft_cluster_append"
+    PipelineOpsSpec.rmrf(path)
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val index = DedupOps.writeClusterIndex(half1, path)
+    DedupOps.appendToClusterIndex(index, half2, ingestId = 1L)
+    val appended = DedupOps.readClusterLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // incremental CC over (old label edges ∪ new verified edges) must
+    // equal the full rebuild on the union corpus — including chains
+    // where a new doc BRIDGES two old clusters
+    val full = DedupOps.nearDupClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(appended === full)
+    // a replayed ingest (retried job, same id) converges to the same
+    // labels and duplicates nothing
+    DedupOps.appendToClusterIndex(index, half2, ingestId = 1L)
+    val replayed = DedupOps.readClusterLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(replayed === full)
+    assert(DedupOps.readClusterLabels(spark, path).count()
+      === full.size.toLong)
+  }
+
   test("minhash signatures are shingle-order invariant") {
     import spark.implicits._
     // the same shingle SET in permuted array order must produce the
@@ -1065,6 +1161,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("GVID") ||
       Option(err.getCause).exists(_.getMessage.contains("GVID")))
+    // valid magic but a lying header (frame count beyond the payload)
+    // must ALSO die with the doc-labeled error, not an opaque
+    // ArrayIndexOutOfBounds from trusted w/h/n arithmetic
+    val lying = java.nio.ByteBuffer.allocate(16 + 4)
+    lying.put("GVID".getBytes("US-ASCII"))
+      .putInt(2).putInt(2).putInt(99)
+    val truncated = Seq(MultimodalOps.MediaRow(7L, lying.array())).toDS()
+    val err2 = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeVideoFrames(truncated, 1).collect()
+    }
+    val msg2 = err2.getMessage +
+      Option(err2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("corrupt GVID header") && msg2.contains("7"),
+      s"wanted the doc-labeled header error, got: $msg2")
   }
 
   test("compact bin-packs a fragmented dataset without losing rows") {

@@ -122,6 +122,45 @@ class TimeOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
       s"matched row's NULL payload must survive: ${r(0)}")
   }
 
+  test("asOfJoin: NULL join keys never match (both lowerings agree)") {
+    import spark.implicits._
+    // a NULL-key click and a NULL-key purchase: SQL ASOF (and the
+    // bucketized equi-join lowering) never match NULL keys, so the
+    // window lowering must not pair them either
+    val right = Seq(
+        (1L, Some(1L), new Timestamp(100000L), 5.0),
+        (2L, None, new Timestamp(100000L), 7.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val left = Seq(
+        (10L, Some(1L), new Timestamp(300000L)),
+        (11L, None, new Timestamp(300000L)))
+      .toDF("event_id", "user_id", "ts")
+    val got = TimeOps.asOfJoin(left, right, "user_id", "ts",
+        "event_id", Seq("value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(
+        r.fieldIndex("asof_value")))).toMap
+    assert(got(10L) === Some(5.0))
+    assert(got(11L) === None,
+      "NULL-key left row must not match the NULL-key right row")
+  }
+
+  test("bm25ScoreWith fails loudly past the decimal(20,18) bound") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta")).toDF("doc_id", "text")
+    // a corpus size that pushes idf·(k1+1) past the decimal headroom:
+    // the overflow-to-NULL would silently DROP scored documents, so
+    // the scorer must refuse up front
+    val huge = RetrievalOps.Bm25Stats(1L << 60, 10.0, Map("alpha" -> 1L))
+    val err = intercept[IllegalArgumentException] {
+      RetrievalOps.bm25ScoreWith(docs, Seq((0, Seq("alpha"))), huge)
+    }
+    assert(err.getMessage.contains("decimal(20,18)"))
+    // and the documented-safe regime still scores
+    val ok = RetrievalOps.bm25ScoreWith(docs, Seq((0, Seq("alpha"))),
+      RetrievalOps.Bm25Stats(1000L, 10.0, Map("alpha" -> 10L)))
+    assert(ok.count() === 1)
+  }
+
   test("asOfJoinTolerance nulls ts AND payload together") {
     import spark.implicits._
     val rows = mkEvents(3L, 400, 7, 5)
@@ -232,7 +271,10 @@ class TimeOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
       val (gn, gh, gf) = got(r.getLong(0))
       assert(gn === g.size.toLong && gh === hit.toLong,
         s"doc ${r.getLong(0)}")
-      assert(gf === hit.toDouble / g.size)
+      // the emitted fraction is 9-dp rounded (the repo's oracle
+      // float convention), so compare at that precision
+      assert(gf === BigDecimal(hit.toDouble / g.size)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
 
