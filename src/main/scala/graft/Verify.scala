@@ -109,7 +109,17 @@ object Verify {
         // side applied — one convention for the whole battery.
         if (decs.contains(c))
           s"""CAST(CAST(round("$c", 9) AS VARCHAR) AS DOUBLE) AS "$c""""
-        else s"""round(CAST("$c" AS DOUBLE), 9) AS "$c""""
+        else
+          // native doubles take the SAME exact route Spark's round
+          // does (shortest-repr string → exact decimal → HALF_UP →
+          // double): DuckDB's double round multiplies through 1e9 and
+          // is lossy past ~9e6 (verified: 298756523.9411 →
+          // …94110006), so it must never touch a value headed for a
+          // hash compare. NaN/±Inf pass through — DECIMAL can't hold
+          // them and Spark's round leaves them unchanged too.
+          s"""CASE WHEN NOT isfinite("$c") THEN "$c" ELSE """ +
+            s"""CAST(CAST(round(CAST(CAST("$c" AS VARCHAR) AS """ +
+            s"""DECIMAL(38,17)), 9) AS VARCHAR) AS DOUBLE) END AS "$c""""
       }
       if (repl.isEmpty) sql
       else s"""SELECT * REPLACE (${repl.mkString(", ")}) FROM ($sql) __graft_t"""

@@ -296,16 +296,35 @@ object DedupOps {
       threshold: Double): DataFrame = {
     val (sh, banded0) = shingleBands(docs, bands, rows)
     val banded = pin(banded0.persist())
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_sig") === col("b.band_sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
     // exact verify over candidates only — the shared one-pass join
     // (the former per-side join pair shuffled the corpus twice)
-    verifyJaccard(sh, cand, threshold)
+    verifyJaccard(sh, bandCandidates(banded, banded, self = true),
+      threshold)
+  }
+
+  /** LSH candidate pairs from banded signature frames: documents
+    * sharing any (band_idx, band_sig). Self mode pairs a frame with
+    * itself, generating each unordered pair once via `doc_id <`;
+    * cross mode pairs a probe side against a full band table and
+    * canonicalizes (least, greatest). ONE definition so every
+    * consumer — in-memory LSH, the persisted cluster-index build, and
+    * incremental append — generates candidates identically; a scheme
+    * change here (e.g. a hot-band cap) reaches all three at once.
+    */
+  private def bandCandidates(probe: DataFrame, index: DataFrame,
+      self: Boolean): DataFrame = {
+    val joined = probe.as("a").join(index.as("b"),
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        (if (self) col("a.doc_id") < col("b.doc_id")
+         else col("a.doc_id") =!= col("b.doc_id")))
+    (if (self)
+      joined.select(col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+    else
+      joined.select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")))
+      .distinct()
   }
 
   /** Round-boundary lineage cut for the iterative CC loops
@@ -624,6 +643,15 @@ object DedupOps {
   /** Marker file guarding [[writeClusterIndex]]'s rebuild wipe. */
   val ClusterMarker = "_graft_clusters.json"
 
+  /** The ONE rendering of the cluster-index marker content — write
+    * and append compare it verbatim, so a parameter-mismatched handle
+    * can never band new docs differently than the persisted corpus.
+    */
+  private def clusterMarkerJson(bands: Int, rows: Int,
+      threshold: Double): String =
+    s"""{"kind":"near_dup_clusters","bands":$bands,"rows":$rows,""" +
+      s""""threshold":$threshold}"""
+
   /** A persisted near-dup CLUSTER index — the disk-backed twin of
     * [[nearDupClusters]], mirroring the IVF-PQ index trio: at 100 TB
     * you compute connected components ONCE and every policy
@@ -657,20 +685,13 @@ object DedupOps {
       rows: Int = 2, threshold: Double = 0.5): ClusterIndex = {
     val spark = docs.sparkSession
     Artifacts.claimIndexDir(spark, path, ClusterMarker,
-      s"""{"kind":"near_dup_clusters","bands":$bands,"rows":$rows,""" +
-        s""""threshold":$threshold}""")
+      clusterMarkerJson(bands, rows, threshold))
     val sh = pin(shingled(docs).persist())
     val banded = pin(bandTable(sh, bands, rows).persist())
     sh.write.mode("overwrite").parquet(s"$path/shingles/ingest=0")
     banded.write.mode("overwrite").parquet(s"$path/bands/ingest=0")
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_sig") === col("b.band_sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val pairs = verifyJaccard(sh, cand, threshold)
+    val pairs = verifyJaccard(sh,
+        bandCandidates(banded, banded, self = true), threshold)
       .select("doc_a", "doc_b")
     componentsAuto(pairs, docs.select(col("doc_id")))
       .repartitionByRange(col("doc_id"))
@@ -713,6 +734,18 @@ object DedupOps {
       ingestId: Long): Unit = {
     require(ingestId > 0, "ingest id 0 is the base build")
     val spark = newDocs.sparkSession
+    // validate the target BEFORE any write: the path must be a real
+    // cluster index (marker present — a typo'd path must not receive
+    // shingle/band directories) built with THESE banding params (a
+    // mismatched handle would band new docs differently, silently
+    // missing cross-ingest candidates and breaking append==rebuild)
+    val persisted = Artifacts.readMarker(spark, index.path, ClusterMarker)
+    val expected =
+      clusterMarkerJson(index.bands, index.rows, index.threshold)
+    require(persisted == expected,
+      s"cluster index at ${index.path} was built with $persisted, but " +
+        s"this handle carries $expected — append must band new docs " +
+        "identically to the persisted corpus; rebuild instead")
     val shNew = pin(shingled(newDocs).persist())
     val bNew = pin(bandTable(shNew, index.bands, index.rows).persist())
     shNew.write.mode("overwrite")
@@ -721,14 +754,7 @@ object DedupOps {
       .parquet(s"${index.path}/bands/ingest=$ingestId")
     spark.catalog.refreshByPath(index.path)
     val allBands = spark.read.parquet(s"${index.path}/bands")
-    val cand = bNew.as("a")
-      .join(allBands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_sig") === col("b.band_sig") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+    val cand = bandCandidates(bNew, allBands, self = false)
     val shAll = spark.read.parquet(s"${index.path}/shingles")
       .select("doc_id", "shingles")
     val newEdges = verifyJaccard(shAll, cand, index.threshold)
@@ -970,13 +996,11 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      // 9-dp rounding on the emitted fraction is the repo's oracle
-      // convention for derived floats (bm25/collocations/quality_gate
-      // rank keys): the raw IEEE division is bit-identical across
-      // engines but exposes the comparison to downstream float-hash
-      // normalization; a 9-digit decimal is formatting-stable.
+      // the raw IEEE division — bit-identical across engines from the
+      // same integer counts; comparison-boundary float normalization
+      // (the 9-dp convention) lives in Verify, not in the operator
       .withColumn("overlap_frac",
-        round(col("n_hit").cast("double") / col("n_grams"), 9))
+        col("n_hit").cast("double") / col("n_grams"))
   }
 
   /** 60-bit SimHash over the token multiset: per bit position, tokens

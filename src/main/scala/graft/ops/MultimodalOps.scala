@@ -408,9 +408,13 @@ object MultimodalOps {
       // header fields are untrusted container bytes: a corrupt or
       // truncated payload must die with the same doc-labeled error the
       // magic check gives, not an opaque ArrayIndexOutOfBounds (or a
-      // silent empty sequence from a negative frame count)
+      // silent empty sequence from a negative frame count). Dimensions
+      // are bounded FIRST so the byte-count product cannot overflow
+      // Long (w,h ≤ 2^15 and n ≤ 2^31 keep it under 2^62) and the
+      // per-frame offsets stay within Int.
       require(w > 0 && h > 0 && n >= 0 &&
-        r.content.length >= 16L + n.toLong * w * h,
+        w <= 32768 && h <= 32768 &&
+        16L + n.toLong * w * h <= r.content.length,
         s"doc ${r.doc_id}: corrupt GVID header (w=$w h=$h n=$n, " +
           s"payload ${r.content.length} bytes)")
       (0 until n by stride).iterator.map { f =>

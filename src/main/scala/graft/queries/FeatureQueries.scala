@@ -203,8 +203,8 @@ object FeatureQueries {
          |tr AS (SELECT DISTINCT sh FROM spans WHERE doc_id >= 250)
          |SELECT ev.doc_id, count(*) AS n_grams,
          |  sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
-         |  round(CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0
-         |    END) AS DOUBLE) / count(*), 9) AS overlap_frac
+         |  CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*) AS overlap_frac
          |FROM ev LEFT JOIN tr USING (sh)
          |GROUP BY 1""".stripMargin,
 

@@ -271,10 +271,7 @@ class TimeOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
       val (gn, gh, gf) = got(r.getLong(0))
       assert(gn === g.size.toLong && gh === hit.toLong,
         s"doc ${r.getLong(0)}")
-      // the emitted fraction is 9-dp rounded (the repo's oracle
-      // float convention), so compare at that precision
-      assert(gf === BigDecimal(hit.toDouble / g.size)
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(gf === hit.toDouble / g.size)
     }
   }
 
