@@ -58,6 +58,42 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("clusters")) {
+      // persisted cluster index scale curve: build cost vs INCREMENTAL
+      // append cost (the artifact's reason to exist — append must track
+      // the new docs, not the corpus), plus the policy-read path
+      import graft.ops.DedupOps
+      import graft.olap.Pins
+      for (mult <- Seq(1, 8)) {
+        val big = docs.crossJoin(
+            spark.range(mult).select(col("id").as("rep")))
+          .select((col("doc_id") + col("rep") * lit(n)).as("doc_id"),
+            concat(col("text"), lit(" rep"), col("rep")).as("text"),
+            col("source"), col("n_chars"))
+          .repartition(32).persist()
+        val gen2 = big
+          .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+            concat(col("text"), lit(" gen2")).as("text"),
+            col("source"), col("n_chars"))
+        println(s"-- mult=$mult docs=${big.count()}")
+        val p = s"/tmp/graft_scale_clusters_$mult"
+        time(s"index write x$mult")(Pins.scoped {
+          DedupOps.writeClusterIndex(big, p)
+          DedupOps.readClusterLabels(spark, p).count() })
+        time(s"index append x$mult")(Pins.scoped {
+          DedupOps.appendToClusterIndex(
+            DedupOps.ClusterIndex(p, 4, 2, 0.5), gen2, 1L)
+          DedupOps.readClusterLabels(spark, p).count() })
+        time(s"policy read x$mult")(Pins.scoped {
+          DedupOps.keepBestPerClusterFrom(
+            DedupOps.readClusterLabels(spark, p),
+            big.union(gen2)).count() })
+        time(s"in-memory CC x$mult")(Pins.scoped {
+          DedupOps.nearDupClusters(big).count() })
+        big.unpersist()
+      }
+      spark.stop(); return
+    }
     for (mult <- Seq(1, 8)) {
       val big = docs.crossJoin(
           spark.range(mult).select(col("id").as("rep")))
