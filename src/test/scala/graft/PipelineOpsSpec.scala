@@ -786,6 +786,52 @@ class PipelineOpsSpec extends SparkSpec {
       === full.size.toLong)
   }
 
+  test("appendToClusterIndex == rebuild on random corpora; param guard") {
+    import spark.implicits._
+    // random near-dup-rich corpora: low vocab + doc lengths around the
+    // shingle width force genuine cross-split near-dup chains,
+    // including appended docs BRIDGING two base clusters
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(4200 + trial)
+      val corpus = (0L until 60L).map { id =>
+        val base = Seq.fill(6 + rnd.nextInt(6))(
+          vocab(rnd.nextInt(vocab.size)))
+        (id, base.mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val cut = 20 + rnd.nextInt(20)
+      val base = df.filter(col("doc_id") < cut)
+      val extra = df.filter(col("doc_id") >= cut)
+      val path = s"/tmp/graft_cluster_prop_$trial"
+      PipelineOpsSpec.rmrf(path)
+      val idx = DedupOps.writeClusterIndex(base, path)
+      DedupOps.appendToClusterIndex(idx, extra, ingestId = 1L)
+      val appended = DedupOps.readClusterLabels(spark, path)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val full = DedupOps.nearDupClusters(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(appended === full, s"trial $trial cut=$cut")
+      // a handle with different banding params must refuse to append —
+      // it would band new docs differently than the persisted corpus
+      val err = intercept[IllegalArgumentException] {
+        DedupOps.appendToClusterIndex(
+          DedupOps.ClusterIndex(path, bands = 8, rows = 1,
+            threshold = idx.threshold), extra, ingestId = 2L)
+      }
+      assert(err.getMessage.contains("band"))
+      // and a non-index path receives nothing
+      val err2 = intercept[IllegalArgumentException] {
+        DedupOps.appendToClusterIndex(
+          DedupOps.ClusterIndex(s"$path-nope", idx.bands, idx.rows,
+            idx.threshold), extra, ingestId = 2L)
+      }
+      assert(err2.getMessage.contains("not a graft index"))
+      assert(!new java.io.File(s"$path-nope").exists(),
+        "append to a non-index path must not create directories")
+    }
+  }
+
   test("minhash signatures are shingle-order invariant") {
     import spark.implicits._
     // the same shingle SET in permuted array order must produce the
