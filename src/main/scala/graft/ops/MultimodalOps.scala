@@ -28,18 +28,23 @@ import org.apache.spark.sql.functions._
   *  - Downstream ops (resize plan, frame sampling) are metadata-only
   *    column expressions until a sink forces the pixel work.
   *
-  * SCOPE CLOSURE — compressed video (H.264/VP9/AV1 in MP4/WebM): out
-  * of scope BY DECISION, not omission. The JDK ships no video codec,
-  * this build resolves no external dependency (javacv/ffmpeg bindings
-  * would be the production choice, dropped in behind exactly the
-  * [[decodeVideoFrames]] signature — a per-partition iterator over
-  * binary payloads emitting typed frame rows), and large-scale
-  * pipelines overwhelmingly transcode ONCE at ingest and then move
-  * raw/lightly-packed frames between stages — the GVID raw-container
-  * path here IS that post-ingest shape, exercised end-to-end with
-  * real header parsing, frame slicing, and per-frame stats. Swapping
-  * the container parser for an ffmpeg-backed one changes no plan
-  * shape, no partitioning, and no schema.
+  * SCOPE — video codecs, precisely: INTRA-frame compressed video IS
+  * real here — the GVJM path ([[withMjpegPayload]]/
+  * [[decodeMjpegFrames]]) packetizes genuine lossy JPEG frames
+  * (MJPEG's exact structure) and selectively decodes them with the
+  * JDK's `javax.imageio` codec, so lossy encode, packet walking, and
+  * skip-without-decode economics are all exercised end-to-end with
+  * zero external dependencies. INTER-frame codecs (H.264/VP9/AV1 in
+  * MP4/WebM) stay out of scope BY DECISION, not omission: the JDK
+  * ships no such codec and this build resolves no external
+  * dependency; javacv/ffmpeg bindings would be the production
+  * choice, dropped in behind exactly the [[decodeVideoFrames]]/
+  * [[decodeMjpegFrames]] signatures — a per-partition iterator over
+  * binary payloads emitting typed frame rows. Large-scale pipelines
+  * transcode ONCE at ingest and move raw/lightly-packed frames
+  * between stages — the GVID raw-container path IS that post-ingest
+  * shape. Swapping either parser for an ffmpeg-backed one changes no
+  * plan shape, no partitioning, and no schema.
   */
 object MultimodalOps {
 
@@ -434,6 +439,139 @@ object MultimodalOps {
       stride: Int = 2): DataFrame = {
     import spark.implicits._
     decodeVideoFrames(withRawVideoPayload(docs).as[MediaRow], stride)
+      .toDF()
+  }
+
+  /** "GVJM" — MJPEG-style COMPRESSED video: header (magic, w, h, n)
+    * followed by n length-prefixed JPEG packets. MJPEG is exactly
+    * per-frame JPEG packetization, and the JDK ships a real lossy
+    * JPEG codec (`javax.imageio`), so this path exercises genuine
+    * compressed-video work — lossy encode, packet walking, selective
+    * decode — with zero external dependencies. Inter-frame codecs
+    * (H.264-class) remain the documented ffmpeg/javacv drop-in behind
+    * the same signatures.
+    */
+  val MjpegMagic: Array[Byte] = "GVJM".getBytes("US-ASCII")
+
+  /** One decoded MJPEG frame: geometry and frame count are container
+    * facts (exact, oracle-checkable); `jpeg_bytes` and `mean_px` come
+    * from the real lossy codec (deterministic per JVM, but not
+    * SQL-reproducible — spec-pinned instead: the mean of a decoded
+    * solid-shade frame must sit within JPEG's DC-quantization error
+    * of the source shade).
+    */
+  final case class MjpegFrame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, n_frames: Int, jpeg_bytes: Int, mean_px: Int)
+
+  /** REAL MJPEG-style payloads: per document, n solid-shade frames
+    * (geometry from doc metadata, shade varying per frame) each
+    * ENCODED through the JDK's lossy JPEG writer and packetized with
+    * a length prefix. All pixel and codec work happens inside the
+    * executor-side iterator; one reusable writer per partition would
+    * be the production refinement (ImageIO.write re-resolves it per
+    * call — acceptable at this payload size, and the amortization
+    * point the mapPartitions shape exists for).
+    */
+  def withMjpegPayload(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val w = 16 + (id % 8).toInt * 4
+          val h = 16 + (nChars % 8).toInt * 4
+          val n = 2 + (id % 4).toInt
+          val packets = (0 until n).map { f =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val shade = ((id + 17 * f) % 256).toInt
+            val rgb = (shade << 16) | (shade << 8) | shade
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          val buf = java.nio.ByteBuffer.allocate(
+            16 + packets.map(4 + _.length).sum)
+          buf.put(MjpegMagic).putInt(w).putInt(h).putInt(n)
+          packets.foreach(p => buf.putInt(p.length).put(p))
+          (id, buf.array())
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** Decode + frame-sample MJPEG payloads: validate the header, WALK
+    * the length-prefixed packets — a skipped frame costs one length
+    * read, never a decode; that selective-decode economics is why
+    * packetized containers exist — and run the real JPEG decoder on
+    * every `stride`-th frame, cross-checking the decoded raster's
+    * geometry against the container header. Corrupt headers, lying
+    * lengths, and undecodable packets all die with doc-labeled
+    * errors.
+    */
+  def decodeMjpegFrames(media: Dataset[MediaRow],
+      stride: Int): Dataset[MjpegFrame] = {
+    import media.sparkSession.implicits._
+    require(stride > 0, s"stride $stride must be positive")
+    media.flatMap { r =>
+      val buf = java.nio.ByteBuffer.wrap(r.content)
+      val magic = new Array[Byte](4)
+      buf.get(magic)
+      require(java.util.Arrays.equals(magic, MjpegMagic),
+        s"doc ${r.doc_id}: not a GVJM payload")
+      val (w, h, n) = (buf.getInt, buf.getInt, buf.getInt)
+      require(w > 0 && h > 0 && n >= 0 && w <= 32768 && h <= 32768,
+        s"doc ${r.doc_id}: corrupt GVJM header (w=$w h=$h n=$n)")
+      val out = Vector.newBuilder[MjpegFrame]
+      var f = 0
+      while (f < n) {
+        require(buf.remaining() >= 4,
+          s"doc ${r.doc_id}: GVJM truncated at frame $f length prefix")
+        val len = buf.getInt
+        require(len > 0 && len <= buf.remaining(),
+          s"doc ${r.doc_id}: GVJM frame $f claims $len bytes, " +
+            s"${buf.remaining()} remain")
+        if (f % stride == 0) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.content, buf.position(), len))
+          require(img != null,
+            s"doc ${r.doc_id}: frame $f is not decodable JPEG")
+          require(img.getWidth == w && img.getHeight == h,
+            s"doc ${r.doc_id}: frame $f decodes ${img.getWidth}x" +
+              s"${img.getHeight}, header says ${w}x$h")
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1
+            }
+            y += 1
+          }
+          out += MjpegFrame(r.doc_id, f, w, h, n, len,
+            (sum / (w.toLong * h)).toInt)
+        }
+        buf.position(buf.position() + len)
+        f += 1
+      }
+      out.result()
+    }
+  }
+
+  /** Sampled compressed-frame table for the documents corpus: MJPEG
+    * encode → binary column → packet-walk + selective JPEG decode.
+    */
+  def decodedMjpegStats(spark: SparkSession, docs: DataFrame,
+      stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    decodeMjpegFrames(withMjpegPayload(docs).as[MediaRow], stride)
       .toDF()
   }
 }

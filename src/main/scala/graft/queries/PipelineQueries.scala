@@ -354,6 +354,15 @@ object PipelineQueries {
     "q_multimodal_video" -> ((s, dir) =>
       MultimodalOps.decodedVideoStats(s, docs(s, dir))),
 
+    // REAL compressed video: MJPEG-style packetized JPEG frames,
+    // lossy-encoded and selectively decoded on executors. The oracle
+    // pins the container facts (geometry, frame count, sampling); the
+    // lossy pixel/byte columns are spec-pinned (PipelineOpsSpec)
+    // because no SQL engine reproduces a JPEG codec
+    "q_multimodal_mjpeg" -> ((s, dir) =>
+      MultimodalOps.decodedMjpegStats(s, docs(s, dir))
+        .select("doc_id", "frame_idx", "width", "height", "n_frames")),
+
     // metadata-only frame sampling PLAN over byte counts: n_bytes is a
     // pure column expression, so the whole query is one codegen'd
     // projection — no decode round trip on this path
@@ -1478,6 +1487,17 @@ object PipelineQueries {
         |FROM (SELECT doc_id, unnest(range(0,
         |    CAST(octet_length(encode(text)) // 64 AS INT),
         |    4)) AS f
+        |  FROM documents)""".stripMargin,
+
+    // container facts of the MJPEG payloads: geometry derives from the
+    // same doc metadata the encoder used; frames sampled at stride 2
+    "q_multimodal_mjpeg" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(16 + (doc_id % 8) * 4 AS INT) AS width,
+        |  CAST(16 + (n_chars % 8) * 4 AS INT) AS height,
+        |  CAST(2 + doc_id % 4 AS INT) AS n_frames
+        |FROM (SELECT doc_id, n_chars,
+        |    unnest(range(0, 2 + doc_id % 4, 2)) AS f
         |  FROM documents)""".stripMargin
   )
 }

@@ -1223,6 +1223,58 @@ class PipelineOpsSpec extends SparkSpec {
       s"wanted the doc-labeled header error, got: $msg2")
   }
 
+  test("MJPEG decode: real lossy codec round trip, stride, corruption") {
+    import spark.implicits._
+    val frames = MultimodalOps.decodedMjpegStats(spark, docs, stride = 1)
+      .collect()
+    val meta = docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getInt(1))
+      // container facts are exact
+      assert(r.getInt(2) === 16 + (id % 8).toInt * 4, s"doc $id w")
+      assert(r.getInt(3) === 16 + (meta(id) % 8).toInt * 4, s"doc $id h")
+      assert(r.getInt(4) === 2 + (id % 4).toInt, s"doc $id n")
+      assert(r.getInt(5) > 0, s"doc $id frame $f empty packet")
+      // the codec is REAL and LOSSY: the decoded mean must sit within
+      // JPEG DC-quantization error of the encoded solid shade — and
+      // for most shades it will NOT be bit-exact, which is the point
+      val shade = ((id + 17 * f) % 256).toInt
+      assert(math.abs(r.getInt(6) - shade) <= 6,
+        s"doc $id frame $f: decoded mean ${r.getInt(6)} vs shade $shade")
+    }
+    // stride 2 samples exactly the even frames of the stride-1 set
+    val sampled = MultimodalOps.decodedMjpegStats(spark, docs, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val even = frames.filter(_.getInt(1) % 2 == 0)
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sampled === even)
+    // a lying length prefix dies with the doc-labeled error
+    val lying = java.nio.ByteBuffer.allocate(24)
+    lying.put(MultimodalOps.MjpegMagic).putInt(16).putInt(16).putInt(1)
+      .putInt(9999)
+    val bad = Seq(MultimodalOps.MediaRow(3L, lying.array())).toDS()
+    val err = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeMjpegFrames(bad, 1).collect()
+    }
+    val msg = err.getMessage +
+      Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("claims") && msg.contains("3"), msg)
+    // a packet that is not JPEG dies decodably-labeled
+    val junkFrame = Array.fill[Byte](32)(7)
+    val b2 = java.nio.ByteBuffer.allocate(16 + 4 + junkFrame.length)
+    b2.put(MultimodalOps.MjpegMagic).putInt(16).putInt(16).putInt(1)
+      .putInt(junkFrame.length).put(junkFrame)
+    val bad2 = Seq(MultimodalOps.MediaRow(4L, b2.array())).toDS()
+    val err2 = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeMjpegFrames(bad2, 1).collect()
+    }
+    val msg2 = err2.getMessage +
+      Option(err2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("not decodable"), msg2)
+  }
+
   test("compact bin-packs a fragmented dataset without losing rows") {
     val in = "/tmp/graft_compact_in"
     val out = "/tmp/graft_compact_out"
