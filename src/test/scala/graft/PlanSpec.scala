@@ -417,6 +417,24 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"as-of should shuffle at most twice:\n$p")
   }
 
+  test("readClusterLabels prunes to the latest label generation") {
+    val path = "/tmp/graft_planspec_clusters"
+    PipelineOpsSpec.rmrf(path)
+    val docs = Tables.load(spark, Sf, "documents")
+    val idx = ops.DedupOps.writeClusterIndex(
+      docs.filter(col("doc_id") < 250), path)
+    ops.DedupOps.appendToClusterIndex(idx,
+      docs.filter(col("doc_id") >= 250), ingestId = 1L)
+    val p = plan(ops.DedupOps.readClusterLabels(spark, path))
+    // the policy-read path must scan ONLY the latest gen's files (a
+    // partition filter on gen, not a post-scan filter over all
+    // snapshots) and read only the two narrow label columns
+    assert(p.contains("PartitionFilters") && p.contains("gen"),
+      s"expected a gen partition filter:\n$p")
+    assert(p.contains("struct<doc_id:bigint,cluster_id:bigint>"),
+      s"label read must prune to the two narrow columns:\n$p")
+  }
+
   test("bm25 broadcasts query/df sides and group-limits the top-k") {
     val df = ops.RetrievalOps.bm25(Tables.load(spark, Sf, "documents"),
       queries.FeatureQueries.BM25_QUERIES)
