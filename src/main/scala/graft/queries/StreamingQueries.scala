@@ -104,7 +104,15 @@ object StreamingQueries {
     // function is additionally spec-tested with MemoryStream batches)
     "q_stream_sessionize" -> ((s, dir) =>
       StreamingCube.runStreamSessionize(s, dir,
-        s"stream_sess_${runId.incrementAndGet()}"))
+        s"stream_sess_${runId.incrementAndGet()}")),
+
+    // streaming cluster-index ingest: every micro-batch appends to
+    // the PERSISTED near-dup cluster index (batchId = ingest
+    // generation, replay-idempotent); the drained labels equal the
+    // one-shot batch connected components for any batching
+    "q_stream_clusters" -> ((s, dir) =>
+      StreamingCube.runStreamClusterIndex(s, dir,
+        s"stream_cidx_${runId.incrementAndGet()}"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -147,6 +155,9 @@ object StreamingQueries {
 
     // the drained complete-mode vocab == the batch induction
     "q_stream_vocab" -> PipelineQueries.oracleSql("q_vocab_topk"),
+
+    // incremental index ingest == the one-shot transitive closure
+    "q_stream_clusters" -> PipelineQueries.oracleSql("q_dedup_clusters"),
 
     // the gate scores with corpus-trained stats == the batch scored
     // set minus the top-k cut (one shared CTE definition)

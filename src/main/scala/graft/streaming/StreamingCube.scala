@@ -573,6 +573,53 @@ object StreamingCube {
     s.read.parquet(path)
   }
 
+  /** Streaming CLUSTER-INDEX ingest — continuous corpus arrival
+    * feeding the persisted near-dup cluster index: the index is
+    * (re)built empty, then every micro-batch of documents APPENDS
+    * incrementally ([[graft.ops.DedupOps.appendToClusterIndex]]) with
+    * the checkpointed batchId keying its ingest generation — the
+    * [[idempotentBatchSink]] exactly-once contract lifted from "land
+    * the rows" to "maintain a semantic index": an at-least-once
+    * replay overwrites its own shingle/band/label generation and
+    * converges to identical labels. Per-batch cost is O(batch)
+    * banding plus the batch's band matches against the persisted
+    * table — never a corpus re-shingle. The final labels are
+    * ARRIVAL-ORDER INVARIANT (connectivity union is commutative and
+    * labels are component minima), so ANY batching of the same
+    * documents equals the one-shot batch [[graft.ops.DedupOps
+    * .writeClusterIndex]] — spec-pinned across batch splits.
+    */
+  def clusterIndexIngest(stream: DataFrame, emptyLike: DataFrame,
+      indexPath: String, chkPath: String): DataFrame = {
+    val index = graft.ops.DedupOps.writeClusterIndex(
+      emptyLike.limit(0), indexPath)
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.ops.DedupOps.appendToClusterIndex(index,
+          b.select("doc_id", "text"), id + 1)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", chkPath)
+      .start()
+    q.awaitTermination()
+    graft.ops.DedupOps.readClusterLabels(stream.sparkSession, indexPath)
+  }
+
+  /** [[clusterIndexIngest]] over the staged documents stream — the
+    * battery entry (AvailableNow drain; labels == the batch CC).
+    */
+  def runStreamClusterIndex(spark: SparkSession, sfDir: String,
+      name: String = "stream_clusters"): DataFrame = {
+    val s = isolated(spark)
+    val root = s"/tmp/graft_stream_cidx/$name"
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sessionState.newHadoopConf()).delete(
+        new org.apache.hadoop.fs.Path(root), true)
+    clusterIndexIngest(docStream(s, sfDir),
+      s.read.parquet(s"$sfDir/documents.parquet"),
+      s"$root/index", s"$root/chk")
+  }
+
   // ------------------------------------------------ rolling features
 
   // value is Option: a NULL source value must ride the ring as a row

@@ -254,6 +254,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming cluster-index ingest == batch CC across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val root = "/tmp/graft_cidx_stream_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val docs = Tables.load(spark, Sf, "documents")
+    // land the corpus as FOUR parquet files and force one file per
+    // micro-batch: cross-batch near-dup pairs (and pairs whose two
+    // sides arrive batches apart) must still cluster together via the
+    // persisted band table
+    docs.repartition(4).write.parquet(s"$root/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val labels = graft.streaming.StreamingCube.clusterIndexIngest(
+        stream, docs, s"$root/index", s"$root/chk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // ≥2 generations actually ran (one per micro-batch)
+    val gens = spark.read.parquet(s"$root/index/labels")
+      .select("gen").distinct().count()
+    assert(gens >= 4, s"expected one label generation per batch, got $gens")
+    val batch = graft.ops.DedupOps.nearDupClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels === batch,
+      "streamed incremental clustering must equal the batch CC")
+  }
+
   test("idempotent batch sink lands once; a replayed batch is a no-op") {
     import org.apache.spark.sql.functions._
     val path = "/tmp/graft_eo_sink"
