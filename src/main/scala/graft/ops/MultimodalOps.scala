@@ -574,4 +574,53 @@ object MultimodalOps {
     decodeMjpegFrames(withMjpegPayload(docs).as[MediaRow], stride)
       .toDF()
   }
+
+  /** Write each document's PNG payload as an individual FILE under
+    * `dir` (sharded into 16 subdirectories so no single listing
+    * explodes) — the on-disk shape a crawled media corpus actually
+    * arrives in before anyone parquet-packs it. The writes run from
+    * executors through the Hadoop FS API (per-partition connection,
+    * exactly how a distributed ingest job lands files on shared
+    * storage); nothing is collected.
+    */
+  def writeMediaFiles(docs: DataFrame, dir: String): Unit = {
+    import docs.sparkSession.implicits._
+    withPngPayload(docs).as[MediaRow].foreachPartition {
+      (it: Iterator[MediaRow]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+        it.foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(
+            s"$dir/shard=${r.doc_id % 16}/${r.doc_id}.png")
+          val out = fs.create(p, true)
+          try out.write(r.content) finally out.close()
+        }
+    }
+  }
+
+  /** Ingest media FILES through Spark's `binaryFile` source — the
+    * built-in reader for exactly this corpus shape: one row per file
+    * with (path, modificationTime, length, content), glob filtering
+    * applied AT LISTING time (non-matching files are never opened,
+    * the pushdown that matters when a crawl directory mixes
+    * sidecar .json/.txt with the media), recursive lookup over the
+    * shard tree, and `maxPartitionBytes`-sized splits. The doc id is
+    * recovered from the file name; the result feeds the SAME
+    * [[decodeImage]]/[[decodeMjpegFrames]] decoders the
+    * parquet-column path uses — source format and codec plumbing
+    * compose orthogonally.
+    */
+  def readMediaFiles(spark: SparkSession, dir: String,
+      glob: String = "*.png"): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.[a-z]+$", 1)
+          .cast("long").as("doc_id"),
+        col("content"))
+      .as[MediaRow]
+  }
 }

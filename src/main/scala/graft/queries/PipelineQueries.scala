@@ -27,6 +27,11 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String,
       DedupOps.ClusterIndex]()
 
+  // one on-disk media-file tree per source dir (the binaryFile-source
+  // ingest fixture), written once from executors on first use
+  private val mediaFilesDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val idx = clusterIdxCache.computeIfAbsent(dir, d => {
       val path = java.nio.file.Files
@@ -331,6 +336,23 @@ object PipelineQueries {
     // column, decode with javax.imageio, read stats off the raster
     "q_multimodal_decode" -> ((s, dir) =>
       MultimodalOps.decodedImageStats(s, docs(s, dir))),
+
+    // the FILE-ingest path: PNGs land as individual files (executor-
+    // side Hadoop FS writes, built once per source dir), come back
+    // through Spark's binaryFile source (glob pushdown at listing
+    // time, recursive shard lookup), and run the same decoder — so
+    // the oracle is the same closed-form raster
+    "q_multimodal_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val filesDir = mediaFilesDir.computeIfAbsent(dir, d => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-media-files").toString
+        MultimodalOps.writeMediaFiles(docs(s, d), path)
+        path
+      })
+      MultimodalOps.decodeImage(
+        MultimodalOps.readMediaFiles(s, filesDir)).toDF()
+    }),
 
     // real WAV synth → javax.sound decode round trip
     "q_multimodal_audio" -> ((s, dir) =>
@@ -1406,6 +1428,16 @@ object PipelineQueries {
     // (8 + doc_id % 40) x (8 + n_chars % 40); PNG is lossless, so the
     // decoded raster reproduces exactly what SQL derives from the row
     "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 40 AS INT) AS width,
+        |  CAST(8 + n_chars % 40 AS INT) AS height,
+        |  'png' AS format,
+        |  CAST(doc_id % 256 AS INT) AS avg_r
+        |FROM documents""".stripMargin,
+
+    // file round trip preserves the bytes, so the decode oracle is
+    // identical to the parquet-column path's
+    "q_multimodal_ingest" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 40 AS INT) AS width,
         |  CAST(8 + n_chars % 40 AS INT) AS height,

@@ -1275,6 +1275,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(msg2.contains("not decodable"), msg2)
   }
 
+  test("binaryFile media ingest: file round trip equals column path") {
+    import spark.implicits._
+    val dir = "/tmp/graft_media_files_spec"
+    PipelineOpsSpec.rmrf(dir)
+    MultimodalOps.writeMediaFiles(docs, dir)
+    // a sidecar file in the tree must be glob-filtered at LISTING
+    // time — a crawl directory always mixes media with metadata
+    val side = new java.io.File(s"$dir/shard=0/notes.txt")
+    val fw = new java.io.FileWriter(side)
+    fw.write("not a png"); fw.close()
+    val viaFiles = MultimodalOps.decodeImage(
+        MultimodalOps.readMediaFiles(spark, dir))
+      .collect().map(p => p.doc_id -> ((p.width, p.height, p.avg_r)))
+      .toMap
+    val viaColumn = MultimodalOps.decodedImageStats(spark, docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(4))))
+      .toMap
+    assert(viaFiles === viaColumn,
+      "file-ingested decode must equal the parquet-column decode")
+    assert(viaFiles.size === docs.count())
+  }
+
   test("compact bin-packs a fragmented dataset without losing rows") {
     val in = "/tmp/graft_compact_in"
     val out = "/tmp/graft_compact_out"
