@@ -34,17 +34,23 @@ import org.apache.spark.sql.functions._
   * (MJPEG's exact structure) and selectively decodes them with the
   * JDK's `javax.imageio` codec, so lossy encode, packet walking, and
   * skip-without-decode economics are all exercised end-to-end with
-  * zero external dependencies. INTER-frame codecs (H.264/VP9/AV1 in
-  * MP4/WebM) stay out of scope BY DECISION, not omission: the JDK
-  * ships no such codec and this build resolves no external
-  * dependency; javacv/ffmpeg bindings would be the production
-  * choice, dropped in behind exactly the [[decodeVideoFrames]]/
-  * [[decodeMjpegFrames]] signatures — a per-partition iterator over
-  * binary payloads emitting typed frame rows. Large-scale pipelines
-  * transcode ONCE at ingest and move raw/lightly-packed frames
-  * between stages — the GVID raw-container path IS that post-ingest
-  * shape. Swapping either parser for an ffmpeg-backed one changes no
-  * plan shape, no partitioning, and no schema.
+  * zero external dependencies. INTER-frame compression is real too —
+  * the GVDF path ([[withInterframePayload]]/
+  * [[decodeInterframeFrames]]) has GOP keyframes, temporal delta
+  * prediction, Deflate entropy coding, and the decode-chain
+  * constraint, all JDK (and lossless, so the whole chain decode is
+  * oracle-exact). What stays out of scope BY DECISION, not omission,
+  * is decoding third-party formats (H.264/VP9/AV1 in MP4/WebM): the
+  * JDK ships none of those codecs and this build resolves no
+  * external dependency; javacv/ffmpeg bindings would be the
+  * production choice, dropped in behind exactly the
+  * [[decodeVideoFrames]]/[[decodeMjpegFrames]]/
+  * [[decodeInterframeFrames]] signatures — a per-partition iterator
+  * over binary payloads emitting typed frame rows. Large-scale
+  * pipelines transcode ONCE at ingest and move raw/lightly-packed
+  * frames between stages — the GVID raw-container path IS that
+  * post-ingest shape. Swapping any parser for an ffmpeg-backed one
+  * changes no plan shape, no partitioning, and no schema.
   */
 object MultimodalOps {
 
@@ -573,6 +579,193 @@ object MultimodalOps {
     import spark.implicits._
     decodeMjpegFrames(withMjpegPayload(docs).as[MediaRow], stride)
       .toDF()
+  }
+
+  /** "GVDF" — INTER-frame compressed video: GOP structure (every
+    * `Gop`-th frame is an I-frame), temporal prediction (P-frames
+    * store modular byte deltas against the previous frame), and real
+    * entropy coding (`java.util.zip` Deflate — in the JDK). This is
+    * the genuine anatomy of inter-frame compression — keyframes,
+    * prediction residuals, an entropy coder, and the decode-chain
+    * constraint that a P-frame is unreadable without its
+    * predecessors — in an honest custom container (it does not decode
+    * H.264 files; ffmpeg/javacv remains that drop-in). Because
+    * Deflate is LOSSLESS, every decoded pixel is exactly
+    * reproducible, so unlike the lossy MJPEG path the WHOLE decode —
+    * pixel sums included — is DuckDB-oracle-checkable in closed form.
+    */
+  val InterMagic: Array[Byte] = "GVDF".getBytes("US-ASCII")
+
+  /** GOP length of the GVDF fixtures (I-frame every 3rd frame). */
+  val Gop = 3
+
+  /** One decoded GVDF frame: geometry, keyframe flag, and the EXACT
+    * pixel sum of the reconstructed raster.
+    */
+  final case class InterFrame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, n_frames: Int, is_key: Boolean, px_sum: Long)
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflateBytes(packed: Array[Byte], off: Int, len: Int,
+      expect: Int, what: String): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(packed, off, len)
+    val out = new Array[Byte](expect)
+    val got = inf.inflate(out)
+    val leftover = !inf.finished()
+    inf.end()
+    require(got == expect && !leftover,
+      s"$what: inflated $got bytes, expected $expect")
+    out
+  }
+
+  /** The GVDF fixture raster for (doc, frame): HIGH-ENTROPY base
+    * noise — pixel i is `(id + f + i·37) % 256`, which cycles through
+    * all residues with no runs, so an I-frame is genuinely
+    * incompressible — plus a moving 16-byte block. Consecutive frames
+    * differ by a constant +1 everywhere (the f term) and the block,
+    * so the P-frame residual deflates to almost nothing while the
+    * I-frame cannot (spec-asserted): the compression comes from the
+    * PREDICTION, exactly the inter-frame point. Every term has a
+    * closed form, so pixel sums stay SQL-oracle-exact.
+    */
+  private def renderInterFrame(id: Long, f: Int, w: Int,
+      h: Int): Array[Byte] = {
+    val block = ((id * 3 + f * 11) % 256).toByte
+    val raw = new Array[Byte](w * h)
+    var i = 0
+    while (i < raw.length) {
+      raw(i) = ((id + f + i.toLong * 37) % 256).toByte; i += 1
+    }
+    val p0 = (f * 97) % (w * h - 16)
+    var j = 0
+    while (j < 16) { raw(p0 + j) = block; j += 1 }
+    raw
+  }
+
+  /** REAL inter-frame payloads: per document, n rasters run through
+    * GOP-keyed Deflate — I-frames compress the raw raster, P-frames
+    * the modular byte delta against the previous frame. Layout:
+    * magic, w, h, n, then per frame [type byte 0=I/1=P][len][packet].
+    */
+  def withInterframePayload(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val w = 16 + (id % 8).toInt * 4
+          val h = 16 + (nChars % 8).toInt * 4
+          val n = 4 + (id % 4).toInt
+          var prev: Array[Byte] = null
+          val packets = (0 until n).map { f =>
+            val raw = renderInterFrame(id, f, w, h)
+            val (tpe, payload) =
+              if (f % Gop == 0) (0: Byte, deflateBytes(raw))
+              else {
+                val delta = new Array[Byte](raw.length)
+                var i = 0
+                while (i < raw.length) {
+                  delta(i) = (raw(i) - prev(i)).toByte; i += 1
+                }
+                (1: Byte, deflateBytes(delta))
+              }
+            prev = raw
+            (tpe, payload)
+          }
+          val buf = java.nio.ByteBuffer.allocate(
+            16 + packets.map(5 + _._2.length).sum)
+          buf.put(InterMagic).putInt(w).putInt(h).putInt(n)
+          packets.foreach { case (t, p) =>
+            buf.put(t).putInt(p.length).put(p)
+          }
+          (id, buf.array())
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** Decode GVDF payloads: walk the GOP chain reconstructing every
+    * frame (a P-frame is its predecessor plus the inflated residual —
+    * the decode-chain cost inter-frame codecs impose; selective decode
+    * would seek to the previous I-frame, which the GOP structure
+    * exists for), emitting every `stride`-th frame's exact pixel sum.
+    * Corrupt headers, unknown packet types, a leading P-frame, and
+    * size-lying packets all die with doc-labeled errors.
+    */
+  def decodeInterframeFrames(media: Dataset[MediaRow],
+      stride: Int): Dataset[InterFrame] = {
+    import media.sparkSession.implicits._
+    require(stride > 0, s"stride $stride must be positive")
+    media.flatMap { r =>
+      val buf = java.nio.ByteBuffer.wrap(r.content)
+      val magic = new Array[Byte](4)
+      buf.get(magic)
+      require(java.util.Arrays.equals(magic, InterMagic),
+        s"doc ${r.doc_id}: not a GVDF payload")
+      val (w, h, n) = (buf.getInt, buf.getInt, buf.getInt)
+      require(w > 4 && h > 4 && n >= 0 && w <= 32768 && h <= 32768,
+        s"doc ${r.doc_id}: corrupt GVDF header (w=$w h=$h n=$n)")
+      var prev: Array[Byte] = null
+      val out = Vector.newBuilder[InterFrame]
+      var f = 0
+      while (f < n) {
+        require(buf.remaining() >= 5,
+          s"doc ${r.doc_id}: GVDF truncated at frame $f header")
+        val tpe = buf.get()
+        val len = buf.getInt
+        require(len > 0 && len <= buf.remaining(),
+          s"doc ${r.doc_id}: GVDF frame $f claims $len bytes, " +
+            s"${buf.remaining()} remain")
+        val raw = tpe match {
+          case 0 =>
+            inflateBytes(r.content, buf.position(), len, w * h,
+              s"doc ${r.doc_id} I-frame $f")
+          case 1 =>
+            require(prev != null,
+              s"doc ${r.doc_id}: GVDF starts with a P-frame")
+            val delta = inflateBytes(r.content, buf.position(), len,
+              w * h, s"doc ${r.doc_id} P-frame $f")
+            var i = 0
+            while (i < delta.length) {
+              delta(i) = (delta(i) + prev(i)).toByte; i += 1
+            }
+            delta
+          case t => throw new IllegalArgumentException(
+            s"doc ${r.doc_id}: GVDF frame $f has unknown type $t")
+        }
+        prev = raw
+        if (f % stride == 0) {
+          var sum = 0L
+          var i = 0
+          while (i < raw.length) { sum += raw(i) & 0xff; i += 1 }
+          out += InterFrame(r.doc_id, f, w, h, n, f % Gop == 0, sum)
+        }
+        buf.position(buf.position() + len)
+        f += 1
+      }
+      out.result()
+    }
+  }
+
+  /** Sampled inter-frame stats for the documents corpus: GOP encode →
+    * binary column → chain decode, fully oracle-exact (Deflate is
+    * lossless).
+    */
+  def decodedInterframeStats(spark: SparkSession, docs: DataFrame,
+      stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    decodeInterframeFrames(withInterframePayload(docs).as[MediaRow],
+      stride).toDF()
   }
 
   /** Write each document's PNG payload as an individual FILE under

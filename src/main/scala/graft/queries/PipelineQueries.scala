@@ -385,6 +385,14 @@ object PipelineQueries {
       MultimodalOps.decodedMjpegStats(s, docs(s, dir))
         .select("doc_id", "frame_idx", "width", "height", "n_frames")),
 
+    // REAL inter-frame compressed video: GOP keyframes + temporal
+    // delta prediction + Deflate entropy coding, all JDK. Deflate is
+    // lossless, so even the reconstructed pixel sums are closed-form
+    // oracle-exact — the full decode chain is verified, not just the
+    // container facts
+    "q_multimodal_interframe" -> ((s, dir) =>
+      MultimodalOps.decodedInterframeStats(s, docs(s, dir))),
+
     // metadata-only frame sampling PLAN over byte counts: n_bytes is a
     // pure column expression, so the whole query is one codegen'd
     // projection — no decode round trip on this path
@@ -1519,6 +1527,30 @@ object PipelineQueries {
         |FROM (SELECT doc_id, unnest(range(0,
         |    CAST(octet_length(encode(text)) // 64 AS INT),
         |    4)) AS f
+        |  FROM documents)""".stripMargin,
+
+    // the GVDF chain decode is lossless end to end, so geometry,
+    // keyframe structure AND exact pixel sums all have closed forms:
+    // noise sum over all pixels, minus the block-covered noise, plus
+    // the block bytes
+    "q_multimodal_interframe" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(n AS INT) AS n_frames,
+        |  (f % 3 = 0) AS is_key,
+        |  CAST(
+        |    list_sum([(doc_id + f + i * 37) % 256
+        |      for i in range(0, w * h)])
+        |    - list_sum([(doc_id + f + i * 37) % 256
+        |      for i in range((f * 97) % (w * h - 16),
+        |                     (f * 97) % (w * h - 16) + 16)])
+        |    + 16 * ((doc_id * 3 + f * 11) % 256)
+        |    AS BIGINT) AS px_sum
+        |FROM (SELECT doc_id,
+        |    16 + (doc_id % 8) * 4 AS w,
+        |    16 + (n_chars % 8) * 4 AS h,
+        |    4 + doc_id % 4 AS n,
+        |    unnest(range(0, 4 + doc_id % 4, 2)) AS f
         |  FROM documents)""".stripMargin,
 
     // container facts of the MJPEG payloads: geometry derives from the

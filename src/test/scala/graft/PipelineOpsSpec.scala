@@ -1275,6 +1275,65 @@ class PipelineOpsSpec extends SparkSpec {
     assert(msg2.contains("not decodable"), msg2)
   }
 
+  test("GVDF inter-frame decode: lossless chain, P-frame compression") {
+    import spark.implicits._
+    // the chain decode (I + residual accumulation) must reproduce the
+    // direct render exactly — Deflate is lossless and the modular
+    // delta arithmetic must round-trip every byte
+    val frames = MultimodalOps
+      .decodedInterframeStats(spark, docs, stride = 1).collect()
+    val meta = docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getInt(1))
+      val (w, h) = (16 + (id % 8).toInt * 4,
+        16 + (meta(id) % 8).toInt * 4)
+      assert(r.getInt(2) === w && r.getInt(3) === h, s"doc $id geom")
+      assert(r.getBoolean(5) === (f % MultimodalOps.Gop == 0))
+      val wh = w * h
+      val p0 = (f * 97) % (wh - 16)
+      def noise(i: Int): Long = (id + f + i.toLong * 37) % 256
+      val expected = (0 until wh).map(noise).sum -
+        (p0 until p0 + 16).map(noise).sum +
+        16 * ((id * 3 + f * 11) % 256)
+      assert(r.getLong(6) === expected, s"doc $id frame $f pixel sum")
+    }
+    // the codec is genuinely PREDICTIVE: P-frame packets (sparse
+    // residuals) must deflate far below I-frame packets (full rasters)
+    val payloads = MultimodalOps.withInterframePayload(docs)
+      .as[MultimodalOps.MediaRow].collect()
+    var iBytes = 0L; var iCnt = 0L; var pBytes = 0L; var pCnt = 0L
+    payloads.foreach { m =>
+      val buf = java.nio.ByteBuffer.wrap(m.content)
+      buf.position(4)
+      val n = { buf.getInt; buf.getInt; buf.getInt }
+      (0 until n).foreach { _ =>
+        val t = buf.get(); val len = buf.getInt
+        if (t == 0) { iBytes += len; iCnt += 1 }
+        else { pBytes += len; pCnt += 1 }
+        buf.position(buf.position() + len)
+      }
+    }
+    assert(iCnt > 0 && pCnt > 0)
+    assert(pBytes * iCnt < iBytes * pCnt / 2,
+      s"P-frames must average < half the I-frame size: " +
+        s"I ${iBytes / iCnt}B/frame vs P ${pBytes / pCnt}B/frame")
+    // a stream that opens with a P-frame has no prediction base
+    val badBuf = java.nio.ByteBuffer.allocate(16 + 5 + 4)
+    badBuf.put(MultimodalOps.InterMagic)
+      .putInt(16).putInt(16).putInt(1)
+      .put(1: Byte).putInt(4).put(Array[Byte](1, 2, 3, 4))
+    val bad = Seq(MultimodalOps.MediaRow(9L, badBuf.array())).toDS()
+    val err = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeInterframeFrames(bad, 1).collect()
+    }
+    val msg = err.getMessage +
+      Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("starts with a P-frame") && msg.contains("9"),
+      msg)
+  }
+
   test("binaryFile media ingest: file round trip equals column path") {
     import spark.implicits._
     val dir = "/tmp/graft_media_files_spec"
