@@ -389,6 +389,29 @@ object SimilarityOps {
   /** (vec_id, e: Array[Double]) projection of the embedding column,
     * sliced to `dim` — the shared input frame of every trainer/encoder.
     */
+  /** Element-wise MEAN POOLING of embeddings per group — the standard
+    * doc-vector-from-chunk-vectors reduction (sentence/passage
+    * vectors averaged into a document vector), which is also the
+    * centroid-update arithmetic of [[kmeansCells]] exposed as a
+    * first-class op. Lowered as skinny (group, d, component) rows
+    * through ONE decimal(38,12)-sum aggregate: order-independent at
+    * any parallelism (float summation order is the classic
+    * engine-divergence trap), map-side combining, never a wide array
+    * aggregate. Emits exploded scalar rows (group_id, d, pooled, n) —
+    * the join-ready shape whose comparison is engine-portable;
+    * reassemble with collect_list over d when an array is wanted.
+    */
+  def meanPool(emb: DataFrame, groupExpr: String,
+      dim: Int = Dim): DataFrame =
+    flatFrame(emb, dim)
+      .select(expr(groupExpr).as("group_id"),
+        posexplode(col("e")).as(Seq("d", "v")))
+      .groupBy("group_id", "d")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(v as decimal(38,12))")).as("s"))
+      .select(col("group_id"), col("d"),
+        (col("s").cast("double") / col("n")).as("pooled"), col("n"))
+
   private def flatFrame(corpus: DataFrame, dim: Int): DataFrame = {
     graft.functions.VectorExprs.register(corpus.sparkSession)
     corpus.select(col("vec_id"),

@@ -98,6 +98,11 @@ object PipelineQueries {
     "q_split_by_cluster" -> ((s, dir) =>
       DedupOps.splitByClusterFrom(clusterLabels(s, dir))),
 
+    // mean-pooled group vectors (chunk→doc reduction): decimal-exact
+    // element sums, emitted as join-ready (group, d, pooled, n) rows
+    "q_embed_meanpool" -> ((s, dir) =>
+      SimilarityOps.meanPool(emb(s, dir), "vec_id % 500")),
+
     "q_dedup_simhash" -> ((s, dir) => DedupOps.simhash(docs(s, dir))),
 
     "q_simhash_pairs" -> ((s, dir) =>
@@ -926,6 +931,23 @@ object PipelineQueries {
          |      THEN (1::BIGINT << b) ELSE 0::BIGINT END
          |    for b in range(0, 12)]) AS BIGINT) AS bucket
          |FROM embeddings""".stripMargin,
+
+    // decimal component sums + the via-varchar double cast mirror the
+    // engine's exact pooling arithmetic (same convention as k-means)
+    "q_embed_meanpool" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id % 500 AS group_id,
+        |    generate_subscripts(e, 1) - 1 AS d, unnest(e) AS val
+        |  FROM v)
+        |SELECT group_id, CAST(d AS INT) AS d,
+        |  CAST(CAST(sum(CAST(val AS DECIMAL(38,12))) AS VARCHAR)
+        |    AS DOUBLE) / count(*) AS pooled,
+        |  count(*) AS n
+        |FROM ex GROUP BY 1, 2""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH v AS (

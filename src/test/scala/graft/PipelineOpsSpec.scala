@@ -1275,6 +1275,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(msg2.contains("not decodable"), msg2)
   }
 
+  test("meanPool equals a driver-side element-wise mean; one exchange") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 30.0f)),
+      (2L, Array(3.0f, 5.0f, -10.0f)),
+      (4L, Array(2.0f, 2.0f, 1.0f)),
+      (1L, Array(100.0f, 0.25f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.meanPool(vecs, "vec_id % 2", dim = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got((0L, 0)) === ((2.0, 3L)))
+    assert(got((0L, 1)) === ((3.0, 3L)))
+    assert(got((0L, 2)) === ((7.0, 3L)))
+    assert(got((1L, 0)) === ((100.0, 1L)))
+    assert(got((1L, 1)) === ((0.25, 1L)))
+    // one aggregation exchange on (group, d) — the explode and the
+    // division are map-side; no wide array aggregate, no second shuffle
+    val plan = SimilarityOps.meanPool(vecs, "vec_id % 2", dim = 3)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"meanPool must shuffle exactly once:\n$plan")
+  }
+
   test("GVDF inter-frame decode: lossless chain, P-frame compression") {
     import spark.implicits._
     // the chain decode (I + residual accumulation) must reproduce the
