@@ -84,6 +84,49 @@ object RetrievalOps {
       .select("query_id", "rank", "doc_id", "score")
   }
 
+  /** ColBERT-style LATE-INTERACTION retrieval (MaxSim): a query is a
+    * SET of chunk vectors, a document is a SET of chunk vectors, and
+    * score(q, d) = Σ over query chunks of the max cosine against any
+    * doc chunk — the token-level interaction single-vector retrieval
+    * (brute cosine, IVF-PQ) cannot express. Lowering: unit-normalize
+    * once per side, broadcast the query chunks over the corpus chunk
+    * scan (one map-side codegen'd `dot_f64` per pair — never an
+    * interpreted fold), then two aggregates: max per
+    * (query, query-chunk, doc) and a DECIMAL sum of the maxes per
+    * (query, doc) — the sum must be order-independent because shuffle
+    * arrival order isn't deterministic, and the rank cut ties on
+    * doc_id so it is engine-portable. Emits (query_id, doc_id, rank).
+    *
+    * Scale: the corpus side streams map-only into the first
+    * aggregate; candidate volume is |corpus chunks| × |query chunks|,
+    * so a large query workload would route through an ANN index
+    * (IVF-PQ) for candidate docs first and MaxSim-rescore the
+    * shortlist — the standard two-stage deployment.
+    */
+  def maxSimTopK(docChunks: DataFrame, queryChunks: DataFrame,
+      k: Int, dim: Int = SimilarityOps.Dim): DataFrame = {
+    val cu = DedupOps
+      .unitArr(docChunks.select(col("vec_id"), col("embedding")), dim)
+      .join(docChunks.select(col("vec_id"), col("doc_id")), "vec_id")
+    val qu = DedupOps
+      .unitArr(queryChunks.select(col("vec_id"), col("embedding")), dim)
+      .join(queryChunks.select(col("vec_id"), col("query_id")), "vec_id")
+    val perChunk = cu.as("c")
+      .crossJoin(broadcast(qu.as("q")))
+      .select(col("q.query_id"), col("q.vec_id").as("q_chunk"),
+        col("c.doc_id"), expr("dot_f64(q.u, c.u)").as("cos"))
+      .groupBy("query_id", "q_chunk", "doc_id")
+      .agg(max(col("cos")).as("mx"))
+    val scored = perChunk.groupBy("query_id", "doc_id")
+      .agg(sum(expr("cast(mx as decimal(38,12))")).as("s"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** The trained BM25 statistics for a query workload: corpus size,
     * average document length, and per-term document frequencies — the
     * handful of scalars a deployed scorer ships with (the "index" side

@@ -103,6 +103,18 @@ object PipelineQueries {
     "q_embed_meanpool" -> ((s, dir) =>
       SimilarityOps.meanPool(emb(s, dir), "vec_id % 500")),
 
+    // ColBERT-style late-interaction (MaxSim) top-k: queries and docs
+    // are chunk-vector SETS; score = Σ per query chunk of the max
+    // cosine against any doc chunk
+    "q_ann_maxsim" -> ((s, dir) => {
+      val e = emb(s, dir)
+      RetrievalOps.maxSimTopK(
+        e.withColumn("doc_id", expr("vec_id % 500")),
+        e.filter(col("vec_id") < 8)
+          .withColumn("query_id", expr("vec_id % 2")),
+        k = 10)
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => DedupOps.simhash(docs(s, dir))),
 
     "q_simhash_pairs" -> ((s, dir) =>
@@ -931,6 +943,31 @@ object PipelineQueries {
          |      THEN (1::BIGINT << b) ELSE 0::BIGINT END
          |    for b in range(0, 12)]) AS BIGINT) AS bucket
          |FROM embeddings""".stripMargin,
+
+    // same per-pair cosine fold as q_ann_topk; maxes are identical
+    // doubles both sides, their per-(query,doc) sum is decimal
+    // (shuffle order independent), rank ties on doc_id
+    "q_ann_maxsim" ->
+      s"""WITH cu AS (
+         |  SELECT vec_id, vec_id % 500 AS doc_id, embedding
+         |  FROM embeddings),
+         |qu AS (
+         |  SELECT vec_id, vec_id % 2 AS query_id, embedding
+         |  FROM embeddings WHERE vec_id < 8),
+         |pc AS (
+         |  SELECT q.query_id, q.vec_id AS q_chunk, c.doc_id,
+         |    max(${COS("q.embedding", "c.embedding")}) AS mx
+         |  FROM qu q, cu c GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT query_id, doc_id,
+         |    sum(CAST(mx AS DECIMAL(38,12))) AS s
+         |  FROM pc GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rank FROM (
+         |  SELECT query_id, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY s DESC, doc_id ASC)
+         |    AS INT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin,
 
     // decimal component sums + the via-varchar double cast mirror the
     // engine's exact pooling arithmetic (same convention as k-means)

@@ -1275,6 +1275,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(msg2.contains("not decodable"), msg2)
   }
 
+  test("maxSimTopK matches a driver-side late-interaction computation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val chunks = (0L until 40L).map(i => (i, i % 10, vec()))
+    val docs = chunks.toDF("vec_id", "doc_id", "embedding")
+    val queries = chunks.filter(_._1 < 6)
+      .map { case (v, _, e) => (v, v % 2, e) }
+      .toDF("vec_id", "query_id", "embedding")
+    val got = RetrievalOps.maxSimTopK(docs, queries, k = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1))
+      .toMap
+    // driver-side reference
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    for (q <- 0L until 2L) {
+      val qchunks = chunks.filter(c => c._1 < 6 && c._1 % 2 == q)
+      val scores = (0L until 10L).map { doc =>
+        val dchunks = chunks.filter(_._2 == doc)
+        doc -> qchunks.map(qc =>
+          dchunks.map(dc => cos(qc._3, dc._3)).max).sum
+      }
+      val want = scores.sortBy { case (id, s) => (-s, id) }
+        .take(4).map(_._1)
+      want.zipWithIndex.foreach { case (doc, i) =>
+        assert(got((q, i + 1)) === doc, s"query $q rank ${i + 1}")
+      }
+    }
+  }
+
   test("meanPool equals a driver-side element-wise mean; one exchange") {
     import spark.implicits._
     val vecs = Seq(
