@@ -52,10 +52,47 @@ object CleanPipeline {
       .select("doc_a", "doc_b").persist())
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val dropNear = DedupOps.componentsStar(pairs, nodes)
+    val dropNear = DedupOps.componentsAuto(pairs, nodes)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     kept2.join(dropNear, Seq("doc_id"), "left_anti")
+  }
+
+  /** Per-document FATE audit of [[clean]] — the observability surface
+    * ("why did my document disappear?"): every INPUT doc labeled with
+    * the first stage that dropped it — `quality`, `exact_dup`,
+    * `near_dup` — or `kept`. Built from the SAME stage operators as
+    * [[clean]] (the audit cannot disagree with the pipeline), lowered
+    * as narrow id-set left joins over the input ids; at 100 TB this
+    * frame feeds the data-quality dashboard and per-source drop-rate
+    * alarms, and its cost is the pipeline's own stages plus three
+    * doc_id-keyed joins of id-width frames.
+    */
+  def cleanAudit(docs: DataFrame, minTokens: Int = 30,
+      minStopRatio: Double = 0.04,
+      jaccard: Double = 0.5): DataFrame = {
+    val kept1 = DedupOps.pin(
+      TextOps.qualityFilter(docs, minTokens, minStopRatio).persist())
+    val keepE = DedupOps.exactDedup(kept1).select("doc_id")
+    val kept2 = DedupOps.pin(kept1.join(keepE, "doc_id").persist())
+    val pairs = DedupOps.pin(DedupOps.jaccardPairs(kept2, jaccard)
+      .select("doc_a", "doc_b").persist())
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val dropNear = DedupOps.componentsAuto(pairs, nodes)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("__nd"))
+    docs.select(col("doc_id"))
+      .join(kept1.select(col("doc_id"), lit(true).as("__q")),
+        Seq("doc_id"), "left")
+      .join(kept2.select(col("doc_id"), lit(true).as("__e")),
+        Seq("doc_id"), "left")
+      .join(dropNear, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__q").isNull, "quality")
+          .when(col("__e").isNull, "exact_dup")
+          .when(col("__nd").isNotNull, "near_dup")
+          .otherwise("kept").as("fate"))
   }
 
   /** Full curation flow: clean → per-source cap → token-budget shard

@@ -115,6 +115,11 @@ object PipelineQueries {
         k = 10)
     }),
 
+    // per-doc fate audit of the clean pipeline: which stage dropped
+    // each input doc (quality | exact_dup | near_dup | kept)
+    "q_pipeline_audit" -> ((s, dir) =>
+      CleanPipeline.cleanAudit(docs(s, dir))),
+
     "q_dedup_simhash" -> ((s, dir) => DedupOps.simhash(docs(s, dir))),
 
     "q_simhash_pairs" -> ((s, dir) =>
@@ -1119,6 +1124,20 @@ object PipelineQueries {
          |FROM ex LEFT JOIN ivfr ON ivfr.probe_id = ex.probe_id
          |  AND ivfr.neighbor_id = ex.neighbor_id
          |GROUP BY ex.probe_id""".stripMargin,
+
+    // the audit composes the SAME staged CTEs the clean oracle uses:
+    // q = quality pass, k2 = exact survivors, nd = near-dup drops
+    "q_pipeline_audit" ->
+      s"""WITH RECURSIVE $CLEAN_SURV_CTES
+         |SELECT d.doc_id,
+         |  CASE WHEN qq.doc_id IS NULL THEN 'quality'
+         |    WHEN kk.doc_id IS NULL THEN 'exact_dup'
+         |    WHEN nd2.doc_id IS NOT NULL THEN 'near_dup'
+         |    ELSE 'kept' END AS fate
+         |FROM documents d
+         |LEFT JOIN q qq ON d.doc_id = qq.doc_id
+         |LEFT JOIN k2 kk ON d.doc_id = kk.doc_id
+         |LEFT JOIN nd nd2 ON d.doc_id = nd2.doc_id""".stripMargin,
 
     "q_pipeline_clean" -> {
       def hits(words: String) =

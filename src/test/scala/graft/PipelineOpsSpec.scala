@@ -1275,6 +1275,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(msg2.contains("not decodable"), msg2)
   }
 
+  test("cleanAudit partitions the input and agrees with clean") {
+    val audit = CleanPipeline.cleanAudit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every input doc gets exactly one fate
+    assert(audit.size === docs.count())
+    // the audit's kept set IS the pipeline's survivor set — the audit
+    // can never disagree with the pipeline it explains
+    val kept = audit.filter(_._2 == "kept").keySet
+    val surv = CleanPipeline.clean(docs).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === surv)
+    // the fixture hits kept/quality/near_dup; exact_dup needs a
+    // planted twin (sf0.001's exact dups all fail quality first)
+    val fates = audit.values.toSet
+    assert(Set("kept", "quality", "near_dup").subsetOf(fates), s"$fates")
+    assert(fates.subsetOf(
+      Set("kept", "quality", "exact_dup", "near_dup")))
+    import spark.implicits._
+    val good = ("the a of and to in " * 8).trim
+    val planted = Seq(
+        (1L, good), (2L, good),                  // exact twins
+        (3L, "zz"))                              // fails quality
+      .toDF("doc_id", "text")
+    val got = CleanPipeline.cleanAudit(planted).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "kept", 2L -> "exact_dup",
+      3L -> "quality"), s"$got")
+  }
+
   test("maxSimTopK matches a driver-side late-interaction computation") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
