@@ -53,6 +53,71 @@ object TextOps {
       .drop(tc)
   }
 
+  /** LEARNED BPE merge training (Sennrich et al. 2016) — the real
+    * tokenizer-training loop, not the regex approximation
+    * [[bpeishTokens]] keeps for counting: ONE corpus pass builds the
+    * (word, freq) table, and every subsequent round runs on that
+    * compact frame, never the corpus again — the property that makes
+    * corpus-scale BPE tractable (100 TB of text is tens of millions
+    * of DISTINCT words). Each round: adjacent symbol pairs explode
+    * with the word's freq (map-side-combining sum — one aggregate
+    * job), the driver takes the argmax pair (count desc, then
+    * lexicographic pair — fully deterministic, the k-means-style O(1)
+    * driver model read), and the winning merge applies as a
+    * distributed left-to-right greedy fold over each word's symbol
+    * list. Rounds are lineage-cut ([[graft.olap.Pins.rawCut]]) so the
+    * interpreted fold chain never stacks. Returns the ordered merge
+    * table (rank, left, right, pair_count).
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    var words = graft.olap.Pins.rawCut(
+      docs.select(explode(expr(TOKENS)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(expr("split(w, '')").as("s"), col("freq")))
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      // fully-merged (single-symbol) words have no pairs — and
+      // sequence(0, -1) would generate a DESCENDING index pair that
+      // ANSI array subscripting throws on
+      val top = words.filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(s) - 2), " +
+            "i -> struct(s[i] AS a, s[i + 1] AS b))")).as("p"))
+        .groupBy("p").agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("p.a").asc, col("p.b").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val row = top.head
+        val p = row.getStruct(row.fieldIndex("p"))
+        val (a, b) = (p.getString(0), p.getString(1))
+        merges += ((r, a, b, row.getAs[Long]("n")))
+        val next = graft.olap.Pins.rawCut(words.select(expr(
+          s"""aggregate(s, cast(array() as array<string>),
+             |  (acc, x) -> CASE
+             |    WHEN size(acc) > 0
+             |      AND element_at(acc, size(acc)) = '${esc(a)}'
+             |      AND x = '${esc(b)}'
+             |    THEN concat(slice(acc, 1, size(acc) - 1),
+             |      array('${esc(a + b)}'))
+             |    ELSE concat(acc, array(x)) END)""".stripMargin)
+          .as("s"), col("freq")))
+        graft.olap.Pins.freeCut(words)
+        words = next
+        r += 1
+      }
+    }
+    graft.olap.Pins.freeCut(words)
+    merges.result()
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
   /** Token count per document (whitespace tokenization). */
   def tokenCounts(docs: DataFrame): DataFrame =
     tokenized(docs).select(col("doc_id"), size(col("t")).as("n_tokens"))

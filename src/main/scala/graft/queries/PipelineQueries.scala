@@ -120,6 +120,22 @@ object PipelineQueries {
     "q_pipeline_audit" -> ((s, dir) =>
       CleanPipeline.cleanAudit(docs(s, dir))),
 
+    // the drop-rate dashboard: fate counts per source (the alarm feed
+    // — a source whose near_dup share spikes is a crawl gone wrong)
+    "q_audit_by_source" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CleanPipeline.cleanAudit(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "fate")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // learned BPE merges over the corpus word-frequency table (no SQL
+    // oracle — greedy left-to-right merge application has no faithful
+    // SQL lowering; driver-side reference BPE spec-pinned instead)
+    "q_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeTrain(docs(s, dir), nMerges = 12)),
+
     "q_dedup_simhash" -> ((s, dir) => DedupOps.simhash(docs(s, dir))),
 
     "q_simhash_pairs" -> ((s, dir) =>
@@ -1138,6 +1154,21 @@ object PipelineQueries {
          |LEFT JOIN q qq ON d.doc_id = qq.doc_id
          |LEFT JOIN k2 kk ON d.doc_id = kk.doc_id
          |LEFT JOIN nd nd2 ON d.doc_id = nd2.doc_id""".stripMargin,
+
+    "q_audit_by_source" ->
+      s"""WITH RECURSIVE $CLEAN_SURV_CTES,
+         |fates AS (
+         |  SELECT d.doc_id, d.source,
+         |    CASE WHEN qq.doc_id IS NULL THEN 'quality'
+         |      WHEN kk.doc_id IS NULL THEN 'exact_dup'
+         |      WHEN nd2.doc_id IS NOT NULL THEN 'near_dup'
+         |      ELSE 'kept' END AS fate
+         |  FROM documents d
+         |  LEFT JOIN q qq ON d.doc_id = qq.doc_id
+         |  LEFT JOIN k2 kk ON d.doc_id = kk.doc_id
+         |  LEFT JOIN nd nd2 ON d.doc_id = nd2.doc_id)
+         |SELECT source, fate, count(*) AS n_docs
+         |FROM fates GROUP BY 1, 2""".stripMargin,
 
     "q_pipeline_clean" -> {
       def hits(words: String) =

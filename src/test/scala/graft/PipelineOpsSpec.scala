@@ -1275,6 +1275,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(msg2.contains("not decodable"), msg2)
   }
 
+  test("bpeTrain matches a driver-side reference (random corpora)") {
+    import spark.implicits._
+    // reference BPE over a word-frequency map: overlapping adjacent
+    // pair counts, argmax by (count desc, pair asc), greedy
+    // left-to-right merge application
+    def refBpe(words0: Map[String, Long],
+        n: Int): Seq[(Int, String, String, Long)] = {
+      var words = words0.toSeq.map { case (w, f) =>
+        (w.map(_.toString).toVector, f) }
+      val out = Vector.newBuilder[(Int, String, String, Long)]
+      var r = 0
+      var done = false
+      while (r < n && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        words.foreach { case (s, f) =>
+          s.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), c) = counts.toSeq
+            .minBy { case ((x, y), m) => (-m, x, y) }
+          out += ((r, a, b, c))
+          words = words.map { case (s, f) =>
+            val acc = scala.collection.mutable.ArrayBuffer[String]()
+            s.foreach { x =>
+              if (acc.nonEmpty && acc.last == a && x == b)
+                acc(acc.size - 1) = a + b
+              else acc += x
+            }
+            (acc.toVector, f)
+          }
+          r += 1
+        }
+      }
+      out.result()
+    }
+    val vocab = Vector("low", "lower", "lowest", "newest", "widest",
+      "aaa", "aaaa", "banana")
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(900 + trial)
+      val texts = (0L until 30L).map { i =>
+        (i, Seq.fill(3 + rnd.nextInt(5))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = texts.toDF("doc_id", "text")
+      val wordFreq = texts.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (w, xs) => w -> xs.size.toLong }
+      val got = TextOps.bpeTrain(df, nMerges = 10).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got === refBpe(wordFreq, 10), s"trial $trial")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("cleanAudit partitions the input and agrees with clean") {
     val audit = CleanPipeline.cleanAudit(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
