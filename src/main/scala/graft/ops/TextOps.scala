@@ -118,6 +118,41 @@ object TextOps {
       .toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Apply a learned merge table ([[bpeTrain]]'s output): segment
+    * every corpus word with the merges IN RANK ORDER and emit per-doc
+    * learned-vocab token counts — the numbers a budget packer or
+    * context-window planner actually needs once a real tokenizer
+    * exists. Same compactness trick as training: the merge folds run
+    * over the DISTINCT word table only, and the corpus joins
+    * word → n_subtokens afterwards (shuffle_hash on the Zipf-skewed
+    * word key); the document text never re-tokenizes per merge.
+    * Emits (doc_id, n_words, n_bpe_tokens).
+    */
+  def bpeEncode(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val segmented = merges.foldLeft(
+      docs.select(explode(expr(TOKENS)).as("w")).distinct()
+        .withColumn("s", expr("split(w, '')"))) { case (df, (a, b)) =>
+      df.withColumn("s", expr(
+        s"""aggregate(s, cast(array() as array<string>),
+           |  (acc, x) -> CASE
+           |    WHEN size(acc) > 0
+           |      AND element_at(acc, size(acc)) = '${esc(a)}'
+           |      AND x = '${esc(b)}'
+           |    THEN concat(slice(acc, 1, size(acc) - 1),
+           |      array('${esc(a + b)}'))
+           |    ELSE concat(acc, array(x)) END)""".stripMargin))
+    }
+    val pieces = segmented.select(col("w"),
+      size(col("s")).as("n_sub"))
+    docs.select(col("doc_id"), explode(expr(TOKENS)).as("w"))
+      .join(pieces.hint("shuffle_hash"), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_bpe_tokens"))
+  }
+
   /** Token count per document (whitespace tokenization). */
   def tokenCounts(docs: DataFrame): DataFrame =
     tokenized(docs).select(col("doc_id"), size(col("t")).as("n_tokens"))

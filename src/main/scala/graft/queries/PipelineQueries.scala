@@ -136,6 +136,16 @@ object PipelineQueries {
     "q_bpe_merges" -> ((s, dir) =>
       TextOps.bpeTrain(docs(s, dir), nMerges = 12)),
 
+    // per-doc token counts under the LEARNED vocab (train then apply;
+    // rows-only for the same no-SQL-lowering reason, spec-pinned)
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextOps.bpeTrain(d, nMerges = 12).collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncode(d, merges)
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => DedupOps.simhash(docs(s, dir))),
 
     "q_simhash_pairs" -> ((s, dir) =>

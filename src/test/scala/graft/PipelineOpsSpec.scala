@@ -1333,6 +1333,42 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeEncode applies learned merges like the reference") {
+    import spark.implicits._
+    val df = Seq((0L, "banana bandana low low lower"),
+        (1L, "banana lower lowest"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(df, nMerges = 6).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextOps.bpeEncode(df, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // driver-side application of the same merges
+    def segment(w: String): Int = {
+      var s = w.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        val acc = scala.collection.mutable.ArrayBuffer[String]()
+        s.foreach { x =>
+          if (acc.nonEmpty && acc.last == a && x == b)
+            acc(acc.size - 1) = a + b
+          else acc += x
+        }
+        s = acc.toVector
+      }
+      s.size
+    }
+    val texts = Map(0L -> "banana bandana low low lower",
+      1L -> "banana lower lowest")
+    texts.foreach { case (id, t) =>
+      val words = t.split(" ").toSeq
+      assert(got(id) === ((words.size.toLong,
+        words.map(segment).sum.toLong)), s"doc $id")
+    }
+    // merges genuinely compress: fewer bpe tokens than characters
+    val chars = texts(0L).replace(" ", "").length
+    assert(got(0L)._2 < chars)
+  }
+
   test("cleanAudit partitions the input and agrees with clean") {
     val audit = CleanPipeline.cleanAudit(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
