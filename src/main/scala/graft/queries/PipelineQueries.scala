@@ -85,6 +85,14 @@ object PipelineQueries {
     // equal the in-memory transitive closure (same oracle CTE)
     "q_cluster_index" -> ((s, dir) => clusterLabels(s, dir)),
 
+    // duplication-structure histogram off the persisted labels: how
+    // many clusters of each size (size 1 = unique docs) — the one-row
+    // -per-size summary a dedup report leads with
+    "q_cluster_stats" -> ((s, dir) =>
+      clusterLabels(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))),
+
     // cluster-aware keep-BEST: per near-dup cluster keep the doc with
     // the most tokens (tie: lowest id), not whichever crawled first —
     // consuming the PERSISTED cluster index, not a per-query CC
@@ -767,6 +775,28 @@ object PipelineQueries {
          |  SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea)
          |SELECT a AS doc_id, min(b) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin,
+
+    // cluster-size histogram over the same transitive closure
+    "q_cluster_stats" ->
+      s"""WITH RECURSIVE $MINHASH_V_CTES,
+         |p AS (
+         |  SELECT doc_a, doc_b FROM v
+         |  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)
+         |    >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS ea, doc_b AS eb FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea),
+         |cl AS (
+         |  SELECT a AS doc_id, min(b) AS cluster_id
+         |  FROM reach GROUP BY a),
+         |szs AS (
+         |  SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1)
+         |SELECT sz, count(*) AS n_clusters FROM szs GROUP BY 1"""
+        .stripMargin,
 
     // the cluster CTE of q_dedup_clusters + a per-cluster best pick
     "q_cluster_keep_best" ->
