@@ -77,12 +77,15 @@ object ScaleProbe {
             col("source"), col("n_chars"))
         println(s"-- mult=$mult docs=${big.count()}")
         val p = s"/tmp/graft_scale_clusters_$mult"
+        // append through the handle the build RETURNED — a hand-built
+        // one would throw on any future default-param change (the
+        // append guard requires an exact marker match)
+        var idx: DedupOps.ClusterIndex = null
         time(s"index write x$mult")(Pins.scoped {
-          DedupOps.writeClusterIndex(big, p)
+          idx = DedupOps.writeClusterIndex(big, p)
           DedupOps.readClusterLabels(spark, p).count() })
         time(s"index append x$mult")(Pins.scoped {
-          DedupOps.appendToClusterIndex(
-            DedupOps.ClusterIndex(p, 4, 2, 0.5), gen2, 1L)
+          DedupOps.appendToClusterIndex(idx, gen2, 1L)
           DedupOps.readClusterLabels(spark, p).count() })
         time(s"policy read x$mult")(Pins.scoped {
           DedupOps.keepBestPerClusterFrom(

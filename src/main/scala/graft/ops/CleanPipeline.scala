@@ -31,6 +31,19 @@ object CleanPipeline {
   def clean(docs: DataFrame, minTokens: Int = 30,
       minStopRatio: Double = 0.04,
       jaccard: Double = 0.5): DataFrame = {
+    val (_, kept2, dropNear) = stages(docs, minTokens, minStopRatio,
+      jaccard)
+    kept2.join(dropNear, Seq("doc_id"), "left_anti")
+  }
+
+  /** The ONE wiring of the cleaning stages, shared by [[clean]] and
+    * [[cleanAudit]] so the audit can structurally never drift from
+    * the pipeline it explains: (quality survivors, exact survivors,
+    * near-dup drop ids).
+    */
+  private def stages(docs: DataFrame, minTokens: Int,
+      minStopRatio: Double,
+      jaccard: Double): (DataFrame, DataFrame, DataFrame) = {
     // quality gate as a PURE map-side filter (one tokenize, no join):
     // the former profile → id-project → self-join shape spent two
     // corpus-sized exchanges on what is semantically a WHERE clause
@@ -55,7 +68,7 @@ object CleanPipeline {
     val dropNear = DedupOps.componentsAuto(pairs, nodes)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
-    kept2.join(dropNear, Seq("doc_id"), "left_anti")
+    (kept1, kept2, dropNear)
   }
 
   /** Per-document FATE audit of [[clean]] — the observability surface
@@ -71,23 +84,15 @@ object CleanPipeline {
   def cleanAudit(docs: DataFrame, minTokens: Int = 30,
       minStopRatio: Double = 0.04,
       jaccard: Double = 0.5): DataFrame = {
-    val kept1 = DedupOps.pin(
-      TextOps.qualityFilter(docs, minTokens, minStopRatio).persist())
-    val keepE = DedupOps.exactDedup(kept1).select("doc_id")
-    val kept2 = DedupOps.pin(kept1.join(keepE, "doc_id").persist())
-    val pairs = DedupOps.pin(DedupOps.jaccardPairs(kept2, jaccard)
-      .select("doc_a", "doc_b").persist())
-    val nodes = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val dropNear = DedupOps.componentsAuto(pairs, nodes)
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id"), lit(true).as("__nd"))
+    val (kept1, kept2, dropNear) = stages(docs, minTokens, minStopRatio,
+      jaccard)
     docs.select(col("doc_id"))
       .join(kept1.select(col("doc_id"), lit(true).as("__q")),
         Seq("doc_id"), "left")
       .join(kept2.select(col("doc_id"), lit(true).as("__e")),
         Seq("doc_id"), "left")
-      .join(dropNear, Seq("doc_id"), "left")
+      .join(dropNear.select(col("doc_id"), lit(true).as("__nd")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__q").isNull, "quality")
           .when(col("__e").isNull, "exact_dup")

@@ -748,7 +748,11 @@ object MultimodalOps {
           var sum = 0L
           var i = 0
           while (i < raw.length) { sum += raw(i) & 0xff; i += 1 }
-          out += InterFrame(r.doc_id, f, w, h, n, f % Gop == 0, sum)
+          // is_key reports the PACKET TYPE actually read, not the
+          // fixture's GOP grid: the decoder accepts an I-frame at any
+          // position (real encoders insert scene-cut keyframes), and
+          // the flag must be truthful for any writer
+          out += InterFrame(r.doc_id, f, w, h, n, tpe == 0, sum)
         }
         buf.position(buf.position() + len)
         f += 1
@@ -778,9 +782,18 @@ object MultimodalOps {
     */
   def writeMediaFiles(docs: DataFrame, dir: String): Unit = {
     import docs.sparkSession.implicits._
+    import scala.jdk.CollectionConverters._
+    // ship the SESSION's Hadoop conf to the executors (as a plain
+    // key/value vector — Configuration itself is not serializable): a
+    // bare new Configuration() would drop every spark.hadoop.* setting
+    // and break exactly the shared-storage (s3a/abfs credentials,
+    // endpoints) case this writer exists for
+    val hadoopKv = docs.sparkSession.sessionState.newHadoopConf()
+      .iterator().asScala.map(e => e.getKey -> e.getValue).toVector
     withPngPayload(docs).as[MediaRow].foreachPartition {
       (it: Iterator[MediaRow]) =>
         val conf = new org.apache.hadoop.conf.Configuration()
+        hadoopKv.foreach { case (k, v) => conf.set(k, v) }
         val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
         it.foreach { r =>
           val p = new org.apache.hadoop.fs.Path(

@@ -386,9 +386,6 @@ object SimilarityOps {
     models
   }
 
-  /** (vec_id, e: Array[Double]) projection of the embedding column,
-    * sliced to `dim` — the shared input frame of every trainer/encoder.
-    */
   /** Element-wise MEAN POOLING of embeddings per group — the standard
     * doc-vector-from-chunk-vectors reduction (sentence/passage
     * vectors averaged into a document vector), which is also the
@@ -412,6 +409,9 @@ object SimilarityOps {
       .select(col("group_id"), col("d"),
         (col("s").cast("double") / col("n")).as("pooled"), col("n"))
 
+  /** (vec_id, e: Array[Double]) projection of the embedding column,
+    * sliced to `dim` — the shared input frame of every trainer/encoder.
+    */
   private def flatFrame(corpus: DataFrame, dim: Int): DataFrame = {
     graft.functions.VectorExprs.register(corpus.sparkSession)
     corpus.select(col("vec_id"),

@@ -69,10 +69,48 @@ object TextOps {
     * interpreted fold chain never stacks. Returns the ordered merge
     * table (rank, left, right, pair_count).
     */
+  /** The ONE greedy left-to-right merge-application fold, shared by
+    * [[bpeTrain]] and [[bpeEncode]] — a semantics or escaping fix here
+    * reaches both, so encoding can never disagree with training.
+    */
+  private def mergeFoldSql(a: String, b: String): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    s"""aggregate(s, cast(array() as array<string>),
+       |  (acc, x) -> CASE
+       |    WHEN size(acc) > 0
+       |      AND element_at(acc, size(acc)) = '${esc(a)}'
+       |      AND x = '${esc(b)}'
+       |    THEN concat(slice(acc, 1, size(acc) - 1),
+       |      array('${esc(a + b)}'))
+       |    ELSE concat(acc, array(x)) END)""".stripMargin
+  }
+
+  /** Apply a merge sequence to a (s: array<string>, …) symbol frame
+    * with a lineage cut every 8 merges: the folds are interpreted
+    * higher-order expressions, and an unbounded nested chain blows up
+    * Catalyst analysis long before any row is processed (the same
+    * stacking discipline [[bpeTrain]]'s per-round cuts enforce).
+    */
+  private def applyMerges(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    var lastCut: DataFrame = null
+    var df = words
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      df = df.withColumn("s", expr(mergeFoldSql(a, b)))
+      if ((i + 1) % 8 == 0) {
+        val cut = graft.olap.Pins.rawCut(df)
+        if (lastCut != null) graft.olap.Pins.freeCut(lastCut)
+        lastCut = cut
+        df = cut
+      }
+    }
+    if (lastCut != null) graft.olap.Pins.adopt(lastCut)
+    df
+  }
+
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     var words = graft.olap.Pins.rawCut(
       docs.select(explode(expr(TOKENS)).as("w"))
         .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -98,16 +136,8 @@ object TextOps {
         val p = row.getStruct(row.fieldIndex("p"))
         val (a, b) = (p.getString(0), p.getString(1))
         merges += ((r, a, b, row.getAs[Long]("n")))
-        val next = graft.olap.Pins.rawCut(words.select(expr(
-          s"""aggregate(s, cast(array() as array<string>),
-             |  (acc, x) -> CASE
-             |    WHEN size(acc) > 0
-             |      AND element_at(acc, size(acc)) = '${esc(a)}'
-             |      AND x = '${esc(b)}'
-             |    THEN concat(slice(acc, 1, size(acc) - 1),
-             |      array('${esc(a + b)}'))
-             |    ELSE concat(acc, array(x)) END)""".stripMargin)
-          .as("s"), col("freq")))
+        val next = graft.olap.Pins.rawCut(words
+          .select(expr(mergeFoldSql(a, b)).as("s"), col("freq")))
         graft.olap.Pins.freeCut(words)
         words = next
         r += 1
@@ -130,20 +160,9 @@ object TextOps {
     */
   def bpeEncode(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-    val segmented = merges.foldLeft(
+    val segmented = applyMerges(
       docs.select(explode(expr(TOKENS)).as("w")).distinct()
-        .withColumn("s", expr("split(w, '')"))) { case (df, (a, b)) =>
-      df.withColumn("s", expr(
-        s"""aggregate(s, cast(array() as array<string>),
-           |  (acc, x) -> CASE
-           |    WHEN size(acc) > 0
-           |      AND element_at(acc, size(acc)) = '${esc(a)}'
-           |      AND x = '${esc(b)}'
-           |    THEN concat(slice(acc, 1, size(acc) - 1),
-           |      array('${esc(a + b)}'))
-           |    ELSE concat(acc, array(x)) END)""".stripMargin))
-    }
+        .withColumn("s", expr("split(w, '')")), merges)
     val pieces = segmented.select(col("w"),
       size(col("s")).as("n_sub"))
     docs.select(col("doc_id"), explode(expr(TOKENS)).as("w"))

@@ -591,6 +591,16 @@ object StreamingCube {
     */
   def clusterIndexIngest(stream: DataFrame, emptyLike: DataFrame,
       indexPath: String, chkPath: String): DataFrame = {
+    // the index and the checkpoint live or die TOGETHER: this entry
+    // always (re)builds the index empty, so a surviving checkpoint
+    // from a crashed prior run would make AvailableNow skip its
+    // already-committed batches and the fresh index would silently
+    // miss them — wipe the checkpoint whenever the index is wiped, so
+    // a restart is a full deterministic re-ingest
+    val chk = new org.apache.hadoop.fs.Path(chkPath)
+    chk.getFileSystem(
+        stream.sparkSession.sessionState.newHadoopConf())
+      .delete(chk, true)
     val index = graft.ops.DedupOps.writeClusterIndex(
       emptyLike.limit(0), indexPath)
     val q = stream.writeStream
