@@ -127,6 +127,35 @@ object RetrievalOps {
         col("rank").cast("int").as("rank"))
   }
 
+  /** HARD-NEGATIVE TRIPLET MINING — the contrastive-training data
+    * prep for retriever/embedding training: per anchor, pair each of
+    * its `posK` nearest neighbors (the positives) with neighbors from
+    * the `[negFrom, negTo]` rank band (the HARD negatives — similar
+    * enough to be informative, far enough to be wrong; sampling
+    * uniform negatives instead is the classic way to train a retriever
+    * that can't rank). One brute/ANN top-k pass feeds both roles; the
+    * pairing is a per-anchor self-join of two rank slices of that one
+    * ranked frame — broadcast-sized, since ranked rows are
+    * O(anchors × negTo). Emits (probe_id, positive_id, negative_id,
+    * neg_rank).
+    */
+  def mineTriplets(corpus: DataFrame, probes: DataFrame, posK: Int,
+      negFrom: Int, negTo: Int,
+      dim: Int = SimilarityOps.Dim): DataFrame = {
+    require(posK < negFrom && negFrom <= negTo,
+      s"rank bands must not overlap: posK=$posK negFrom=$negFrom " +
+        s"negTo=$negTo")
+    val ranked = DedupOps.pin(
+      SimilarityOps.bruteForceTopK(corpus, probes, negTo, dim)
+        .persist())
+    ranked.filter(col("rank") <= posK)
+      .select(col("probe_id"), col("neighbor_id").as("positive_id"))
+      .join(ranked.filter(col("rank") >= negFrom)
+          .select(col("probe_id"), col("neighbor_id").as("negative_id"),
+            col("rank").as("neg_rank")),
+        "probe_id")
+  }
+
   /** The trained BM25 statistics for a query workload: corpus size,
     * average document length, and per-term document frequencies — the
     * handful of scalars a deployed scorer ships with (the "index" side

@@ -111,6 +111,14 @@ object PipelineQueries {
     "q_embed_meanpool" -> ((s, dir) =>
       SimilarityOps.meanPool(emb(s, dir), "vec_id % 500")),
 
+    // contrastive-training prep: per anchor, its nearest neighbor as
+    // the positive × the rank-11..20 band as hard negatives
+    "q_triplet_mining" -> ((s, dir) => {
+      val e = emb(s, dir)
+      RetrievalOps.mineTriplets(e, e.filter(col("vec_id") < 5),
+        posK = 1, negFrom = 11, negTo = 20)
+    }),
+
     // ColBERT-style late-interaction (MaxSim) top-k: queries and docs
     // are chunk-vector SETS; score = Σ per query chunk of the max
     // cosine against any doc chunk
@@ -1004,6 +1012,25 @@ object PipelineQueries {
          |      THEN (1::BIGINT << b) ELSE 0::BIGINT END
          |    for b in range(0, 12)]) AS BIGINT) AS bucket
          |FROM embeddings""".stripMargin,
+
+    // the q_ann_topk ranking at k=20, self-joined into pos × hard-neg
+    "q_triplet_mining" ->
+      s"""WITH scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${COS("p.embedding", "c.embedding")} AS cos
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 5),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC)
+         |    AS INT) AS rank
+         |  FROM scored)
+         |SELECT pos.probe_id, pos.neighbor_id AS positive_id,
+         |  neg.neighbor_id AS negative_id, neg.rank AS neg_rank
+         |FROM ranked pos JOIN ranked neg
+         |  ON pos.probe_id = neg.probe_id
+         |WHERE pos.rank <= 1 AND neg.rank BETWEEN 11 AND 20"""
+        .stripMargin,
 
     // same per-pair cosine fold as q_ann_topk; maxes are identical
     // doubles both sides, their per-(query,doc) sum is decimal

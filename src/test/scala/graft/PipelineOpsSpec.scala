@@ -1398,6 +1398,32 @@ class PipelineOpsSpec extends SparkSpec {
       3L -> "quality"), s"$got")
   }
 
+  test("mineTriplets pairs positives with the hard-negative band only") {
+    val e = emb
+    val trip = RetrievalOps.mineTriplets(e,
+      e.filter(col("vec_id") < 3), posK = 2, negFrom = 5, negTo = 8)
+      .collect()
+    val ranked = SimilarityOps
+      .bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(trip.nonEmpty)
+    // 3 probes × 2 positives × 4 negatives
+    assert(trip.length === 3 * 2 * 4)
+    trip.foreach { r =>
+      val (p, pos, neg) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(ranked((p, pos)) <= 2, s"positive out of band: $r")
+      val nr = ranked((p, neg))
+      assert(nr >= 5 && nr <= 8, s"negative out of band: $r")
+      assert(r.getInt(3) === nr)
+    }
+    // overlapping bands refuse loudly
+    intercept[IllegalArgumentException] {
+      RetrievalOps.mineTriplets(e, e.filter(col("vec_id") < 3),
+        posK = 5, negFrom = 3, negTo = 8)
+    }
+  }
+
   test("maxSimTopK matches a driver-side late-interaction computation") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
