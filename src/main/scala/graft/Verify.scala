@@ -116,8 +116,14 @@ object Verify {
           // is lossy past ~9e6 (verified: 298756523.9411 →
           // …94110006), so it must never touch a value headed for a
           // hash compare. NaN/±Inf pass through — DECIMAL can't hold
-          // them and Spark's round leaves them unchanged too.
-          s"""CASE WHEN NOT isfinite("$c") THEN "$c" ELSE """ +
+          // them and Spark's round leaves them unchanged too. So do
+          // values with |x| >= 1e18: DECIMAL(38,17) holds only 21
+          // integer digits and DuckDB hard-errors the cast at 1e21,
+          // while 9-dp rounding is a no-op at that magnitude anyway
+          // (doubles past 2^63 have ulp >> 1), so pass-through is both
+          // safe and value-preserving.
+          s"""CASE WHEN NOT isfinite("$c") OR abs("$c") >= 1e18 """ +
+            s"""THEN "$c" ELSE """ +
             s"""CAST(CAST(round(CAST(CAST("$c" AS VARCHAR) AS """ +
             s"""DECIMAL(38,17)), 9) AS VARCHAR) AS DOUBLE) END AS "$c""""
       }

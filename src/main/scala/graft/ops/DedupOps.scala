@@ -688,11 +688,19 @@ object DedupOps {
       clusterMarkerJson(bands, rows, threshold))
     val sh = pin(shingled(docs).persist())
     val banded = pin(bandTable(sh, bands, rows).persist())
+    // the doc universe and the verified edge set are persisted as
+    // ingest partitions alongside shingles/bands: they are what lets
+    // [[appendEdgesToClusterIndex]] stay O(batch) (edges accumulate
+    // per ingest; labels snapshot separately, folding only the edges
+    // newer than the last snapshot)
+    docs.select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/docs/ingest=0")
     sh.write.mode("overwrite").parquet(s"$path/shingles/ingest=0")
     banded.write.mode("overwrite").parquet(s"$path/bands/ingest=0")
-    val pairs = verifyJaccard(sh,
+    val pairs = pin(verifyJaccard(sh,
         bandCandidates(banded, banded, self = true), threshold)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b").persist())
+    writeIngestPartition(pairs, s"$path/edges/ingest=0")
     componentsAuto(pairs, docs.select(col("doc_id")))
       .repartitionByRange(col("doc_id"))
       .write.mode("overwrite").parquet(s"$path/labels/gen=0")
@@ -714,23 +722,54 @@ object DedupOps {
       .select("doc_id", "cluster_id")
   }
 
-  /** Incrementally append `newDocs` to a persisted cluster index —
-    * CORRECT incremental connected components, not an approximation:
-    * new docs are shingled + banded map-only (O(new), never the old
-    * corpus text); candidates are (new × all) band matches against
-    * the PERSISTED band table; exact verify reads only candidate
-    * docs' persisted shingle sets; and components re-run over
-    * (old label edges ∪ new verified edges) — the old labels carry
-    * exactly the old connectivity, so the result equals a full
-    * rebuild on the union corpus (spec-pinned). Old-old pairs are
-    * never regenerated and old text is never re-shingled.
-    *
-    * Replaying an ingestId OVERWRITES that generation (same contract
-    * as [[SimilarityOps.appendToIvfPqIndex]]) and converges to the
-    * same labels: the latest label snapshot already contains the
-    * replayed edges' connectivity, so re-unioning them is a no-op.
+  /** Parquet write that guarantees at least one (schema-only) file
+    * lands even when `df` is empty: an empty frame can plan to zero
+    * output partitions (AQE), writing only _SUCCESS — and a file-less
+    * directory is invisible to partition discovery, so the ingest
+    * generation would silently vanish from edges/docs readers. The
+    * emptiness probe is a post-write FILE listing (never a second
+    * evaluation of `df`, which could partially re-materialize plans
+    * over just-overwritten inputs); the patch-up appends one empty
+    * part file carrying the schema.
     */
-  def appendToClusterIndex(index: ClusterIndex, newDocs: DataFrame,
+  private def writeIngestPartition(df: DataFrame, path: String): Unit = {
+    df.write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.listStatus(p)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    if (!hasData)
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
+        .repartition(1).write.mode("append").parquet(path)
+  }
+
+  /** Max of a (partition) column as Long, 0 when the table has no
+    * rows — an EMPTY base build (the streaming ingest shape) writes
+    * schema-only parquet, where max() is NULL.
+    */
+  private def maxLongOrZero(df: DataFrame, c: String): Long = {
+    val v = df.agg(max(col(c).cast("long"))).head().get(0)
+    if (v == null) 0L else v.asInstanceOf[Long]
+  }
+
+  /** Append a micro-batch's verified EDGES to a persisted cluster
+    * index WITHOUT publishing labels — the O(batch) half of
+    * incremental clustering, and the shape a continuous 100 TB ingest
+    * needs: per batch this does map-only shingle+band of the NEW docs,
+    * a (new × all) band join against the persisted band table, exact
+    * verify on candidate docs' persisted shingle sets, and four
+    * ingest-partitioned writes (docs, shingles, bands, edges) — every
+    * cost term scales with the batch (plus its band matches), never
+    * with the corpus's accumulated duplicate mass. Label publication
+    * is a SEPARATE, amortizable step: [[snapshotClusterLabels]].
+    *
+    * Replaying an ingestId OVERWRITES its own partitions with the
+    * same rows (same contract as [[SimilarityOps.appendToIvfPqIndex]])
+    * — idempotent for deterministic batches.
+    */
+  def appendEdgesToClusterIndex(index: ClusterIndex, newDocs: DataFrame,
       ingestId: Long): Unit = {
     require(ingestId > 0, "ingest id 0 is the base build")
     val spark = newDocs.sparkSession
@@ -746,8 +785,27 @@ object DedupOps {
       s"cluster index at ${index.path} was built with $persisted, but " +
         s"this handle carries $expected — append must band new docs " +
         "identically to the persisted corpus; rebuild instead")
+    // label snapshots are generation-monotone and readers see only the
+    // MAX generation: a first-time append with an id at or below an
+    // already-published snapshot would persist its partitions but its
+    // docs could never surface to any label reader — reject it loudly.
+    // Equality with the max INGEST stays allowed: an exact replay
+    // overwrites its own partitions and converges (the documented
+    // exactly-once contract).
+    val maxGen = maxLongOrZero(
+      spark.read.parquet(s"${index.path}/labels"), "gen")
+    val maxIngest = maxLongOrZero(
+      spark.read.parquet(s"${index.path}/docs"), "ingest")
+    require(ingestId >= maxGen && ingestId >= maxIngest,
+      s"ingest id $ingestId is not monotone (labels at gen $maxGen, " +
+        s"ingests up to $maxIngest) at ${index.path}: its docs would " +
+        "be invisible to readClusterLabels (which reads only the " +
+        "latest snapshot). Use a monotonically increasing ingest id")
     val shNew = pin(shingled(newDocs).persist())
     val bNew = pin(bandTable(shNew, index.bands, index.rows).persist())
+    newDocs.select(col("doc_id"))
+      .write.mode("overwrite")
+      .parquet(s"${index.path}/docs/ingest=$ingestId")
     shNew.write.mode("overwrite")
       .parquet(s"${index.path}/shingles/ingest=$ingestId")
     bNew.write.mode("overwrite")
@@ -757,18 +815,67 @@ object DedupOps {
     val cand = bandCandidates(bNew, allBands, self = false)
     val shAll = spark.read.parquet(s"${index.path}/shingles")
       .select("doc_id", "shingles")
-    val newEdges = verifyJaccard(shAll, cand, index.threshold)
-      .select("doc_a", "doc_b")
-    val old = readClusterLabels(spark, index.path)
+    writeIngestPartition(
+      verifyJaccard(shAll, cand, index.threshold)
+        .select("doc_a", "doc_b"),
+      s"${index.path}/edges/ingest=$ingestId")
+    spark.catalog.refreshByPath(index.path)
+  }
+
+  /** Publish the next label-snapshot generation from edges appended
+    * since the last one — CORRECT incremental connected components,
+    * not an approximation: components run over (last snapshot's label
+    * edges ∪ edges with ingest > last gen), whose node set is (last
+    * snapshot's docs ∪ docs ingested since) — the old labels carry
+    * exactly the old connectivity, so the result equals a full rebuild
+    * on the union corpus (spec-pinned). Cost scales with the labels
+    * plus the edges SINCE the last snapshot (both ingest reads are
+    * partition-pruned), and because it is decoupled from
+    * [[appendEdgesToClusterIndex]] it can amortize over any number of
+    * batches (every N, or lazily before a read). Idempotent: with no
+    * new ingests it is a no-op, and a replay overwrites its own
+    * generation with identical labels. Returns the published (or
+    * current) generation.
+    */
+  def snapshotClusterLabels(spark: org.apache.spark.sql.SparkSession,
+      index: ClusterIndex): Long = {
+    Artifacts.readMarker(spark, index.path, ClusterMarker)
+    val labels = spark.read.parquet(s"${index.path}/labels")
+    val lastGen = maxLongOrZero(labels, "gen")
+    val target = maxLongOrZero(
+      spark.read.parquet(s"${index.path}/docs"), "ingest")
+    if (target <= lastGen) return lastGen
+    val old = labels.filter(col("gen").cast("long") === lastGen)
+      .select("doc_id", "cluster_id")
     val oldEdges = old.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val newEdges = spark.read.parquet(s"${index.path}/edges")
+      .filter(col("ingest").cast("long") > lastGen)
+      .select("doc_a", "doc_b")
     val nodes = old.select(col("doc_id"))
-      .union(newDocs.select(col("doc_id"))).distinct()
+      .union(spark.read.parquet(s"${index.path}/docs")
+        .filter(col("ingest").cast("long") > lastGen)
+        .select("doc_id"))
+      .distinct()
     componentsAuto(newEdges.union(oldEdges), nodes)
       .repartitionByRange(col("doc_id"))
       .write.mode("overwrite")
-      .parquet(s"${index.path}/labels/gen=$ingestId")
+      .parquet(s"${index.path}/labels/gen=$target")
     spark.catalog.refreshByPath(index.path)
+    target
+  }
+
+  /** Incrementally append `newDocs` AND publish labels in one step —
+    * [[appendEdgesToClusterIndex]] followed by an immediate
+    * [[snapshotClusterLabels]]. The convenient batch-append surface;
+    * continuous streaming ingest should append edges per batch and
+    * snapshot periodically instead (see
+    * [[graft.streaming.StreamingCube.clusterIndexIngest]]).
+    */
+  def appendToClusterIndex(index: ClusterIndex, newDocs: DataFrame,
+      ingestId: Long): Unit = {
+    appendEdgesToClusterIndex(index, newDocs, ingestId)
+    snapshotClusterLabels(newDocs.sparkSession, index)
   }
 
   /** Train/eval DECONTAMINATION: near-dup document pairs ACROSS two

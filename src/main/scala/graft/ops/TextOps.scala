@@ -19,6 +19,15 @@ object TextOps {
   /** Whitespace tokens of the lowercased text. */
   val TOKENS = "split(lower(trim(text)), '\\\\s+')"
 
+  /** Code-point split of a word column `w` — the initial BPE symbol
+    * table. `split(w, '')` would split on UTF-16 code units, turning
+    * supplementary characters (emoji, non-BMP CJK) into unpaired
+    * surrogates in the learned vocab; Java regex `.` consumes a full
+    * code point, matching the char-level convention of the BPE papers
+    * (and DuckDB's code-point regexes on the oracle side).
+    */
+  private[graft] val CHARS = "regexp_extract_all(w, '(?s).', 0)"
+
   /** Stopword-ratio expression over a materialized token column — the
     * ONE definition [[profile]] and [[qualityFilter]] share, so the
     * map-side gate and the profile feature bit-match.
@@ -114,7 +123,7 @@ object TextOps {
     var words = graft.olap.Pins.rawCut(
       docs.select(explode(expr(TOKENS)).as("w"))
         .groupBy("w").agg(count(lit(1)).as("freq"))
-        .select(expr("split(w, '')").as("s"), col("freq")))
+        .select(expr(CHARS).as("s"), col("freq")))
     val merges = Vector.newBuilder[(Int, String, String, Long)]
     var r = 0
     var exhausted = false
@@ -162,7 +171,7 @@ object TextOps {
       merges: Seq[(String, String)]): DataFrame = {
     val segmented = applyMerges(
       docs.select(explode(expr(TOKENS)).as("w")).distinct()
-        .withColumn("s", expr("split(w, '')")), merges)
+        .withColumn("s", expr(CHARS)), merges)
     val pieces = segmented.select(col("w"),
       size(col("s")).as("n_sub"))
     docs.select(col("doc_id"), explode(expr(TOKENS)).as("w"))

@@ -202,7 +202,8 @@ object FeatureQueries {
          |  SELECT DISTINCT doc_id, sh FROM spans WHERE doc_id < 250),
          |tr AS (SELECT DISTINCT sh FROM spans WHERE doc_id >= 250)
          |SELECT ev.doc_id, count(*) AS n_grams,
-         |  sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+         |  CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
          |  CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)
          |    AS DOUBLE) / count(*) AS overlap_frac
          |FROM ev LEFT JOIN tr USING (sh)

@@ -146,14 +146,13 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
-    // learned BPE merges over the corpus word-frequency table (no SQL
-    // oracle — greedy left-to-right merge application has no faithful
-    // SQL lowering; driver-side reference BPE spec-pinned instead)
+    // learned BPE merges over the corpus word-frequency table; the
+    // oracle unrolls the 12 training rounds as a CTE chain where the
+    // greedy merge fold lowers to marker-delimited replace() (bpeCtes)
     "q_bpe_merges" -> ((s, dir) =>
       TextOps.bpeTrain(docs(s, dir), nMerges = 12)),
 
-    // per-doc token counts under the LEARNED vocab (train then apply;
-    // rows-only for the same no-SQL-lowering reason, spec-pinned)
+    // per-doc token counts under the LEARNED vocab (train then apply)
     "q_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
       val merges = TextOps.bpeTrain(d, nMerges = 12).collect()
@@ -716,7 +715,92 @@ object PipelineQueries {
        |    * sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
        |                     for i in range(1, len($b) + 1)]))))""".stripMargin
 
+  /** Unrolled n-round DuckDB twin of [[TextOps.bpeTrain]]. Each word's
+    * symbol state is ONE marker-delimited string (chr(1)·sym·chr(2) per
+    * symbol), so the greedy left-to-right merge fold lowers EXACTLY to
+    * SQL `replace()`: replace scans left to right, never rescans its own
+    * replacement, and the per-symbol markers make boundaries unambiguous
+    * AND adjacent matches character-disjoint — runs like 'aaaa' pair as
+    * (aa)(aa), 'aaa' as (aa)(a), 'abab' as (ab)(ab), bit-matching the
+    * fold semantics of [[TextOps]]' mergeFoldSql. Per round: adjacent
+    * pairs via generate_series over the extracted symbol list, freq-
+    * weighted counts, argmax (n DESC, a, b — binary collation both
+    * sides), then one replace. Chain ends at st{n} (w, st, freq) — the
+    * fully-merged distinct-word table — plus one-row m0..m{n-1} CTEs.
+    * Integer sums are CAST AS BIGINT: DuckDB types bare integer sums
+    * HUGEINT, which arrow/pandas readers coerce to float64 — the
+    * q_eval_overlap hash-red class. Assumes >= n rounds are possible
+    * (an empty argmax would cascade-empty the chain; the corpus has
+    * thousands of distinct pairs, the trainer caps at 12).
+    */
+  private def bpeCtes(n: Int): String = {
+    val sym = "chr(1)||'([^'||chr(2)||']*)'||chr(2)"
+    // every st{r} is referenced twice (pair-count branch + next round's
+    // replace): without MATERIALIZED, DuckDB inlines CTEs and the plan
+    // tree doubles per round — 2^n copies of the base scan
+    val rounds = (0 until n).map { r =>
+      s"""s$r AS (
+         |  SELECT regexp_extract_all(st, $sym, 1) AS l, freq FROM st$r),
+         |x$r AS (
+         |  SELECT l, freq, unnest(generate_series(1, len(l) - 1)) AS gi
+         |  FROM s$r WHERE len(l) >= 2),
+         |p$r AS (
+         |  SELECT l[gi] AS a, l[gi+1] AS b,
+         |    CAST(sum(freq) AS BIGINT) AS n
+         |  FROM x$r GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT a, b, n FROM p$r
+         |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+         |st${r + 1} AS MATERIALIZED (
+         |  SELECT w,
+         |    replace(st, chr(1)||m.a||chr(2)||chr(1)||m.b||chr(2),
+         |      chr(1)||m.a||m.b||chr(2)) AS st, freq
+         |  FROM st$r, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($T) AS w FROM documents) GROUP BY 1),
+       |st0 AS MATERIALIZED (
+       |  SELECT w, regexp_replace(w, '(.)',
+       |    chr(1) || '\\1' || chr(2), 'g') AS st, freq
+       |  FROM wf),
+       |$rounds""".stripMargin
+  }
+
+  /** The learned merge table (rank, left, right, pair_count). */
+  private def bpeMergesSql(n: Int): String = {
+    val union = (0 until n)
+      .map(r => s"SELECT $r AS rk, a, b, n FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtes(n)}
+       |SELECT CAST(rk AS INT) AS "rank", a AS "left", b AS "right",
+       |  n AS pair_count
+       |FROM (
+       |  $union)""".stripMargin
+  }
+
+  /** Per-doc learned-vocab token counts: the final st{n} state IS the
+    * encoded segmentation (training round i applies merge i to state i
+    * — identical to encode's rank-order greedy application), so n_sub
+    * per word is just the symbol count of st{n} and the corpus joins
+    * word → n_sub.
+    */
+  private def bpeEncodeSql(n: Int): String =
+    s"""WITH ${bpeCtes(n)},
+       |enc AS (
+       |  SELECT w, len(regexp_extract_all(st,
+       |    chr(1)||'([^'||chr(2)||']*)'||chr(2), 1)) AS n_sub
+       |  FROM st$n),
+       |docw AS (SELECT doc_id, unnest($T) AS w FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+       |FROM docw JOIN enc USING (w)
+       |GROUP BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeMergesSql(12),
+
+    "q_bpe_encode" -> bpeEncodeSql(12),
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS doc_id
         |FROM documents GROUP BY 1""".stripMargin,

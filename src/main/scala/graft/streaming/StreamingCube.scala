@@ -575,43 +575,71 @@ object StreamingCube {
 
   /** Streaming CLUSTER-INDEX ingest — continuous corpus arrival
     * feeding the persisted near-dup cluster index: the index is
-    * (re)built empty, then every micro-batch of documents APPENDS
-    * incrementally ([[graft.ops.DedupOps.appendToClusterIndex]]) with
-    * the checkpointed batchId keying its ingest generation — the
+    * (re)built empty, then every micro-batch of documents appends its
+    * verified EDGES ([[graft.ops.DedupOps.appendEdgesToClusterIndex]])
+    * with the checkpointed batchId keying its ingest generation — the
     * [[idempotentBatchSink]] exactly-once contract lifted from "land
     * the rows" to "maintain a semantic index": an at-least-once
-    * replay overwrites its own shingle/band/label generation and
-    * converges to identical labels. Per-batch cost is O(batch)
-    * banding plus the batch's band matches against the persisted
-    * table — never a corpus re-shingle. The final labels are
+    * replay overwrites its own doc/shingle/band/edge partitions and
+    * converges. Per-batch cost is O(batch) banding plus the batch's
+    * band matches plus the batch's edge write — it scales with the
+    * BATCH, never with the corpus's accumulated duplicate mass,
+    * because label publication is decoupled: snapshots
+    * ([[graft.ops.DedupOps.snapshotClusterLabels]]) fold only the
+    * edges since the previous snapshot and run every `snapshotEvery`
+    * batches plus once at drain end. The final labels are
     * ARRIVAL-ORDER INVARIANT (connectivity union is commutative and
     * labels are component minima), so ANY batching of the same
     * documents equals the one-shot batch [[graft.ops.DedupOps
     * .writeClusterIndex]] — spec-pinned across batch splits.
     */
   def clusterIndexIngest(stream: DataFrame, emptyLike: DataFrame,
-      indexPath: String, chkPath: String): DataFrame = {
+      indexPath: String, chkPath: String,
+      snapshotEvery: Int = 4): DataFrame = {
     // the index and the checkpoint live or die TOGETHER: this entry
     // always (re)builds the index empty, so a surviving checkpoint
     // from a crashed prior run would make AvailableNow skip its
     // already-committed batches and the fresh index would silently
-    // miss them — wipe the checkpoint whenever the index is wiped, so
-    // a restart is a full deterministic re-ingest
-    val chk = new org.apache.hadoop.fs.Path(chkPath)
-    chk.getFileSystem(
-        stream.sparkSession.sessionState.newHadoopConf())
-      .delete(chk, true)
+    // miss them — wipe the checkpoint whenever the index is wiped.
+    // Ordering + guard (ADVICE r9): the index wipe goes FIRST, so its
+    // marker check has already vetoed a typo'd root before anything
+    // is deleted, and the checkpoint path itself is only recursively
+    // deleted when it is missing/empty or recognizably a Spark
+    // streaming checkpoint (offsets/ or metadata present) — never an
+    // arbitrary directory.
     val index = graft.ops.DedupOps.writeClusterIndex(
       emptyLike.limit(0), indexPath)
+    val chk = new org.apache.hadoop.fs.Path(chkPath)
+    val fs = chk.getFileSystem(
+      stream.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(chk)) {
+      val entries = fs.listStatus(chk).map(_.getPath.getName).toSet
+      require(entries.isEmpty || entries.contains("offsets") ||
+          entries.contains("metadata"),
+        s"$chkPath exists but does not look like a Spark streaming " +
+          "checkpoint (no offsets/ or metadata entry) — refusing to " +
+          "recursively delete it")
+      fs.delete(chk, true)
+    }
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        graft.ops.DedupOps.appendToClusterIndex(index,
+        graft.ops.DedupOps.appendEdgesToClusterIndex(index,
           b.select("doc_id", "text"), id + 1)
+        // periodic snapshot INSIDE the batch keeps replay idempotent:
+        // a crash between snapshot and checkpoint commit replays the
+        // batch, which overwrites the same edge partitions and then
+        // re-publishes the identical generation
+        if ((id + 1) % snapshotEvery == 0) {
+          graft.ops.DedupOps.snapshotClusterLabels(b.sparkSession, index)
+          ()
+        }
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", chkPath)
       .start()
     q.awaitTermination()
+    // fold any tail batches past the last periodic snapshot
+    graft.ops.DedupOps.snapshotClusterLabels(stream.sparkSession, index)
     graft.ops.DedupOps.readClusterLabels(stream.sparkSession, indexPath)
   }
 

@@ -786,6 +786,35 @@ class PipelineOpsSpec extends SparkSpec {
       === full.size.toLong)
   }
 
+  test("edge-append + deferred snapshot == rebuild; out-of-order id " +
+      "refused") {
+    val path = "/tmp/graft_cluster_edges"
+    PipelineOpsSpec.rmrf(path)
+    def third(r: Int) = docs.filter(col("doc_id") % 3 === r)
+    val index = DedupOps.writeClusterIndex(third(0), path)
+    DedupOps.appendEdgesToClusterIndex(index, third(1), ingestId = 1L)
+    // labels NOT yet published: readers still see the base snapshot
+    assert(DedupOps.readClusterLabels(spark, path).count()
+      === third(0).count())
+    DedupOps.appendEdgesToClusterIndex(index, third(2), ingestId = 2L)
+    // ONE deferred snapshot folds both pending ingests…
+    assert(DedupOps.snapshotClusterLabels(spark, index) === 2L)
+    val snap = DedupOps.readClusterLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // …and equals the full rebuild on the union corpus
+    val full = DedupOps.nearDupClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(snap === full)
+    // snapshot with nothing new is a no-op at the same generation
+    assert(DedupOps.snapshotClusterLabels(spark, index) === 2L)
+    // a first-time append BELOW the published generation would be
+    // invisible to every label reader — refused loudly (ADVICE r9)
+    val err = intercept[IllegalArgumentException] {
+      DedupOps.appendEdgesToClusterIndex(index, third(1), ingestId = 1L)
+    }
+    assert(err.getMessage.contains("monotone"))
+  }
+
   test("appendToClusterIndex == rebuild on random corpora; param guard") {
     import spark.implicits._
     // random near-dup-rich corpora: low vocab + doc lengths around the

@@ -32,6 +32,19 @@ def main(sf_dir, out_dir, only):
         scols, srows = srel.columns, srel.fetchall()
         orel = con.sql(oracle[name])
         ocols, orows = orel.columns, orel.fetchall()
+        # HUGEINT guard: DuckDB types every bare integer sum() as HUGEINT,
+        # which is not arrow/parquet-native — pandas/arrow readers coerce
+        # it to float64 ('5' -> '5.0'), so the driver's stringify-hash
+        # diverges even when every value is identical through DuckDB
+        # (the r8/r9 q_eval_overlap failure class). fetchall() returns
+        # Python ints and hides this, so fail on the TYPE, loudly.
+        huge = [(c, str(t)) for c, t in zip(ocols, orel.types)
+                if "HUGEINT" in str(t).upper()]
+        if huge:
+            print(f"{name}: HUGEINT-FAIL oracle columns {huge} — "
+                  f"CAST the aggregate AS BIGINT in the oracle SQL")
+            nfail += 1
+            continue
         sc, sr = canon(srows, scols)
         oc, orr = canon(orows, ocols)
         if sc != oc or len(sr) != len(orr):
