@@ -58,6 +58,89 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("components")) {
+      // componentsAuto crossover probe: the driver union-find path is
+      // capped at 2M deduped edges; above it the distributed star
+      // rounds take over. Exercise BOTH paths at and past the boundary
+      // on synthetic graphs (blocks of chain edges + long-range unions
+      // — multi-round topology, not just stars) and assert identical
+      // labels. Rows land in SCALING.md.
+      import graft.ops.DedupOps
+      import graft.olap.Pins
+      for (nEdges <- Seq(1500000L, 3000000L)) {
+        // chain edges inside blocks of 10 (clusters of 10 nodes,
+        // diameter 9 — chains force several star rounds, unlike
+        // pre-starred topologies that converge in one)
+        val nodes = Pins.pin(spark.range(nEdges + nEdges / 9 + 2L)
+          .select(col("id").as("doc_id")).persist())
+        val chain = spark.range(nEdges)
+          .select((col("id") + expr("id div 9")).as("doc_a"),
+            (col("id") + expr("id div 9") + 1L).as("doc_b"))
+        val edges = Pins.pin(chain.repartition(32).persist())
+        println(s"-- edges=${edges.count()} nodes=${nodes.count()}")
+        var viaDriver: Long = 0L
+        var viaStar: Long = 0L
+        time(s"driver union-find $nEdges")(Pins.scoped {
+          viaDriver = DedupOps.componentsAuto(edges, nodes,
+              driverEdgeLimit = 10000000L)
+            .select(col("cluster_id")).distinct().count()
+          viaDriver })
+        time(s"distributed star $nEdges")(Pins.scoped {
+          viaStar = DedupOps.componentsAuto(edges, nodes,
+              driverEdgeLimit = 0L)
+            .select(col("cluster_id")).distinct().count()
+          viaStar })
+        time(s"auto (cap 2M) $nEdges")(Pins.scoped {
+          DedupOps.componentsAuto(edges, nodes)
+            .select(col("cluster_id")).distinct().count() })
+        // label-level equality, not just cluster counts
+        time(s"label equality $nEdges")(Pins.scoped {
+          val a = DedupOps.componentsAuto(edges, nodes,
+            driverEdgeLimit = 10000000L)
+          val b = DedupOps.componentsAuto(edges, nodes,
+            driverEdgeLimit = 0L)
+          val diff = a.join(b, Seq("doc_id"))
+            .filter(a("cluster_id") =!= b("cluster_id")).count()
+          require(diff == 0L, s"paths disagree on $diff labels")
+          diff })
+        Pins.freeCut(edges); Pins.freeCut(nodes)
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("streamclusters")) {
+      // streaming cluster-index ingest batch-size sweep at a FIXED
+      // corpus: per-batch work must scale with the batch, so total
+      // drain time across nBatches ∈ {2, 8} stays roughly flat (the
+      // old full-CC-per-batch shape grew with batches × corpus dup
+      // mass). Labels must equal the one-shot batch CC regardless.
+      import graft.olap.Pins
+      val batchDocs = docs.limit(20000)
+      val expect = Pins.scoped {
+        graft.ops.DedupOps.nearDupClusters(batchDocs)
+          .select(col("cluster_id")).distinct().count() }
+      // snapEvery=1 republishes labels every batch — the r9 shape
+      // whose per-batch cost grew with the corpus's duplicate mass;
+      // snapEvery=4 is the amortized default
+      for ((nBatches, snapEvery) <- Seq((2, 4), (8, 4), (8, 1))) {
+        val root = s"/tmp/graft_scale_sclusters_${nBatches}_$snapEvery"
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sessionState.newHadoopConf()).delete(
+            new org.apache.hadoop.fs.Path(root), true)
+        batchDocs.repartition(nBatches)
+          .write.parquet(s"$root/in")
+        val stream = spark.readStream.schema(batchDocs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        time(s"ingest nBatches=$nBatches snapEvery=$snapEvery")(
+          Pins.scoped {
+            val labels = graft.streaming.StreamingCube.clusterIndexIngest(
+              stream, batchDocs, s"$root/index", s"$root/chk",
+              snapshotEvery = snapEvery)
+            val got = labels.select(col("cluster_id")).distinct().count()
+            require(got == expect, s"labels diverge: $got != $expect")
+            got })
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("clusters")) {
       // persisted cluster index scale curve: build cost vs INCREMENTAL
       // append cost (the artifact's reason to exist — append must track

@@ -108,8 +108,16 @@ object CleanPipeline {
     * after that single pass, and the near-dup anti-join runs once.
     */
   def curate(docs: DataFrame, maxDocs: Int = 30,
+      budget: Long = 2000L): DataFrame =
+    curateOver(clean(docs), maxDocs, budget)
+
+  /** [[curate]] over an already-cleaned survivors frame — what a
+    * pipeline consuming the persisted [[writeCleanIndex]] artifact
+    * runs, skipping the quality/dedup/CC stages entirely.
+    */
+  def curateOver(cleaned: DataFrame, maxDocs: Int = 30,
       budget: Long = 2000L): DataFrame = {
-    val feats = DedupOps.pin(clean(docs)
+    val feats = DedupOps.pin(cleaned
       .select(col("doc_id"), col("source"), col("n_chars"),
         expr(s"size(${TextOps.TOKENS})").as("n_tokens"))
       .persist())
@@ -120,11 +128,74 @@ object CleanPipeline {
   /** Cleaned-corpus statistics per predicted language: surviving doc
     * count and total token count.
     */
-  def cleanStats(docs: DataFrame): DataFrame =
+  def cleanStats(docs: DataFrame): DataFrame = cleanStatsOver(clean(docs))
+
+  /** [[cleanStats]] over an already-cleaned survivors frame (the
+    * persisted-artifact read path).
+    */
+  def cleanStatsOver(cleaned: DataFrame): DataFrame =
     // one fused profile pass over the survivors: language + token
     // count come from a single tokenization, no self-joins
-    TextOps.profile(clean(docs))
+    TextOps.profile(cleaned)
       .groupBy("pred_lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("total_tokens"))
+
+  // --------------------------------------- persisted clean artifact
+
+  val CleanMarker = "_graft_clean.json"
+
+  private def cleanMarkerJson(minTokens: Int, minStopRatio: Double,
+      jaccard: Double): String =
+    s"""{"kind":"clean_index","min_tokens":$minTokens,""" +
+      s""""min_stop_ratio":$minStopRatio,"jaccard":$jaccard}"""
+
+  /** Handle to a persisted clean index (per-doc fate labels). */
+  final case class CleanIndex(path: String, minTokens: Int,
+      minStopRatio: Double, jaccard: Double)
+
+  /** Persist the pipeline's per-doc FATE table — quality / exact_dup /
+    * near_dup / kept for every input doc — so the quality+dedup+CC
+    * stages run ONCE per corpus and every downstream consumer (the
+    * curation flow, the audit dashboard, per-source drop-rate alarms,
+    * the corpus-stats report) reads a two-column frame instead of
+    * re-running the stages. Same production medicine as
+    * [[DedupOps.writeClusterIndex]]: marker-guarded wipe
+    * ([[Artifacts.claimIndexDir]]), generation-snapshotted layout.
+    * Built from the SAME one [[stages]] wiring as [[clean]], so the
+    * artifact structurally cannot drift from the pipeline.
+    */
+  def writeCleanIndex(docs: DataFrame, path: String, minTokens: Int = 30,
+      minStopRatio: Double = 0.04,
+      jaccard: Double = 0.5): CleanIndex = {
+    val spark = docs.sparkSession
+    Artifacts.claimIndexDir(spark, path, CleanMarker,
+      cleanMarkerJson(minTokens, minStopRatio, jaccard))
+    cleanAudit(docs, minTokens, minStopRatio, jaccard)
+      .repartitionByRange(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/fates/gen=0")
+    spark.catalog.refreshByPath(path)
+    CleanIndex(path, minTokens, minStopRatio, jaccard)
+  }
+
+  /** The current (doc_id, fate) table of a persisted clean index —
+    * the latest generation snapshot (two narrow columns).
+    */
+  def readCleanFates(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    Artifacts.readMarker(spark, path, CleanMarker)
+    val all = spark.read.parquet(s"$path/fates")
+    val latest = all.agg(max(col("gen"))).head().get(0)
+    all.filter(col("gen") === lit(latest))
+      .select("doc_id", "fate")
+  }
+
+  /** The cleaning survivors reconstructed from a persisted fate table:
+    * a narrow id semi-join against the corpus — identical rows to
+    * [[clean]] (spec-pinned), at the cost of one id-keyed join instead
+    * of the three stages.
+    */
+  def cleanFrom(docs: DataFrame, fates: DataFrame): DataFrame =
+    docs.join(fates.filter(col("fate") === "kept").select("doc_id"),
+      Seq("doc_id"), "left_semi")
 }

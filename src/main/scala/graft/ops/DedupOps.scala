@@ -745,13 +745,24 @@ object DedupOps {
         .repartition(1).write.mode("append").parquet(path)
   }
 
-  /** Max of a (partition) column as Long, 0 when the table has no
-    * rows — an EMPTY base build (the streaming ingest shape) writes
-    * schema-only parquet, where max() is NULL.
+  /** Max generation/ingest id under `dir` from the PARTITION DIRECTORY
+    * names (`prefix=N`), 0 when none — a filesystem listing, not a
+    * Spark job: these maxima gate every streaming micro-batch, and two
+    * scan+aggregate jobs per batch were the dominant fixed cost of the
+    * O(batch) append path. Directory names are also the more faithful
+    * source — an EMPTY base build writes schema-only parquet where a
+    * row-level max() is NULL.
     */
-  private def maxLongOrZero(df: DataFrame, c: String): Long = {
-    val v = df.agg(max(col(c).cast("long"))).head().get(0)
-    if (v == null) 0L else v.asInstanceOf[Long]
+  private def maxPartitionId(spark: org.apache.spark.sql.SparkSession,
+      dir: String, prefix: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toLong)
+      .foldLeft(0L)(math.max)
   }
 
   /** Append a micro-batch's verified EDGES to a persisted cluster
@@ -792,10 +803,8 @@ object DedupOps {
     // Equality with the max INGEST stays allowed: an exact replay
     // overwrites its own partitions and converges (the documented
     // exactly-once contract).
-    val maxGen = maxLongOrZero(
-      spark.read.parquet(s"${index.path}/labels"), "gen")
-    val maxIngest = maxLongOrZero(
-      spark.read.parquet(s"${index.path}/docs"), "ingest")
+    val maxGen = maxPartitionId(spark, s"${index.path}/labels", "gen=")
+    val maxIngest = maxPartitionId(spark, s"${index.path}/docs", "ingest=")
     require(ingestId >= maxGen && ingestId >= maxIngest,
       s"ingest id $ingestId is not monotone (labels at gen $maxGen, " +
         s"ingests up to $maxIngest) at ${index.path}: its docs would " +
@@ -840,12 +849,11 @@ object DedupOps {
   def snapshotClusterLabels(spark: org.apache.spark.sql.SparkSession,
       index: ClusterIndex): Long = {
     Artifacts.readMarker(spark, index.path, ClusterMarker)
-    val labels = spark.read.parquet(s"${index.path}/labels")
-    val lastGen = maxLongOrZero(labels, "gen")
-    val target = maxLongOrZero(
-      spark.read.parquet(s"${index.path}/docs"), "ingest")
+    val lastGen = maxPartitionId(spark, s"${index.path}/labels", "gen=")
+    val target = maxPartitionId(spark, s"${index.path}/docs", "ingest=")
     if (target <= lastGen) return lastGen
-    val old = labels.filter(col("gen").cast("long") === lastGen)
+    val old = spark.read.parquet(s"${index.path}/labels")
+      .filter(col("gen").cast("long") === lastGen)
       .select("doc_id", "cluster_id")
     val oldEdges = old.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))

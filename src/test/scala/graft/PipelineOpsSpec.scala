@@ -1427,6 +1427,36 @@ class PipelineOpsSpec extends SparkSpec {
       3L -> "quality"), s"$got")
   }
 
+  test("persisted clean index: fates == cleanAudit, cleanFrom == clean, " +
+      "guarded wipe") {
+    val path = "/tmp/graft_clean_index"
+    PipelineOpsSpec.rmrf(path)
+    CleanPipeline.writeCleanIndex(docs, path)
+    val disk = CleanPipeline.readCleanFates(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mem = CleanPipeline.cleanAudit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(disk === mem)
+    // survivors reconstructed from the fate table are EXACTLY clean()
+    val fromIdx = CleanPipeline.cleanFrom(docs,
+        CleanPipeline.readCleanFates(spark, path))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = CleanPipeline.clean(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fromIdx === direct && fromIdx.nonEmpty)
+    // a directory that is NOT a graft index refuses the wipe
+    val stray = "/tmp/graft_clean_notanindex"
+    PipelineOpsSpec.rmrf(stray)
+    new java.io.File(stray).mkdirs()
+    val f = new java.io.FileWriter(s"$stray/precious.txt")
+    f.write("do not destroy"); f.close()
+    val err = intercept[IllegalArgumentException] {
+      CleanPipeline.writeCleanIndex(docs, stray)
+    }
+    assert(err.getMessage.contains("refusing to wipe"))
+    assert(new java.io.File(s"$stray/precious.txt").exists())
+  }
+
   test("mineTriplets pairs positives with the hard-negative band only") {
     val e = emb
     val trip = RetrievalOps.mineTriplets(e,

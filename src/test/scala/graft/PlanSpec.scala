@@ -435,6 +435,20 @@ class PlanSpec extends SparkSpec {
       s"label read must prune to the two narrow columns:\n$p")
   }
 
+  test("readCleanFates prunes to the latest fate generation") {
+    val path = "/tmp/graft_planspec_cleanidx"
+    PipelineOpsSpec.rmrf(path)
+    val docs = Tables.load(spark, Sf, "documents")
+    ops.CleanPipeline.writeCleanIndex(docs, path)
+    val p = plan(ops.CleanPipeline.readCleanFates(spark, path))
+    // consumers must scan only the latest gen's files and the two
+    // narrow fate columns — never re-run the pipeline stages
+    assert(p.contains("PartitionFilters") && p.contains("gen"),
+      s"expected a gen partition filter:\n$p")
+    assert(p.contains("struct<doc_id:bigint,fate:string>"),
+      s"fate read must prune to the two narrow columns:\n$p")
+  }
+
   test("bm25 broadcasts query/df sides and group-limits the top-k") {
     val df = ops.RetrievalOps.bm25(Tables.load(spark, Sf, "documents"),
       queries.FeatureQueries.BM25_QUERIES)
