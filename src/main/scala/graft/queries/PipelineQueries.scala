@@ -750,7 +750,10 @@ object PipelineQueries {
     * HUGEINT, which arrow/pandas readers coerce to float64 — the
     * q_eval_overlap hash-red class. Assumes >= n rounds are possible
     * (an empty argmax would cascade-empty the chain; the corpus has
-    * thousands of distinct pairs, the trainer caps at 12).
+    * thousands of distinct pairs, the trainer caps at 12) and that no
+    * TOKEN contains the control chars U+0001/U+0002 (whitespace-split
+    * text; a corpus violating that would need wider markers here —
+    * the ENGINE is marker-free either way).
     */
   private def bpeCtes(n: Int): String = {
     val sym = "chr(1)||'([^'||chr(2)||']*)'||chr(2)"
