@@ -78,18 +78,14 @@ object ScaleProbe {
             (col("id") + expr("id div 9") + 1L).as("doc_b"))
         val edges = Pins.pin(chain.repartition(32).persist())
         println(s"-- edges=${edges.count()} nodes=${nodes.count()}")
-        var viaDriver: Long = 0L
-        var viaStar: Long = 0L
         time(s"driver union-find $nEdges")(Pins.scoped {
-          viaDriver = DedupOps.componentsAuto(edges, nodes,
+          DedupOps.componentsAuto(edges, nodes,
               driverEdgeLimit = 10000000L)
-            .select(col("cluster_id")).distinct().count()
-          viaDriver })
+            .select(col("cluster_id")).distinct().count() })
         time(s"distributed star $nEdges")(Pins.scoped {
-          viaStar = DedupOps.componentsAuto(edges, nodes,
+          DedupOps.componentsAuto(edges, nodes,
               driverEdgeLimit = 0L)
-            .select(col("cluster_id")).distinct().count()
-          viaStar })
+            .select(col("cluster_id")).distinct().count() })
         time(s"auto (cap 2M) $nEdges")(Pins.scoped {
           DedupOps.componentsAuto(edges, nodes)
             .select(col("cluster_id")).distinct().count() })
@@ -114,10 +110,11 @@ object ScaleProbe {
       // old full-CC-per-batch shape grew with batches × corpus dup
       // mass). Labels must equal the one-shot batch CC regardless.
       import graft.olap.Pins
-      val batchDocs = docs.limit(20000)
+      // deterministic subset (limit() can pick different rows per job)
+      val batchDocs = docs.filter(col("doc_id") < 20000)
       val expect = Pins.scoped {
-        graft.ops.DedupOps.nearDupClusters(batchDocs)
-          .select(col("cluster_id")).distinct().count() }
+        graft.ops.DedupOps.nearDupClusters(batchDocs).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap }
       // snapEvery=1 republishes labels every batch — the r9 shape
       // whose per-batch cost grew with the corpus's duplicate mass;
       // snapEvery=4 is the amortized default
@@ -132,12 +129,15 @@ object ScaleProbe {
           .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
         time(s"ingest nBatches=$nBatches snapEvery=$snapEvery")(
           Pins.scoped {
-            val labels = graft.streaming.StreamingCube.clusterIndexIngest(
-              stream, batchDocs, s"$root/index", s"$root/chk",
-              snapshotEvery = snapEvery)
-            val got = labels.select(col("cluster_id")).distinct().count()
-            require(got == expect, s"labels diverge: $got != $expect")
-            got })
+            val got = graft.streaming.StreamingCube.clusterIndexIngest(
+                stream, batchDocs, s"$root/index", s"$root/chk",
+                snapshotEvery = snapEvery)
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+            // ROW-LEVEL equality with the one-shot batch CC — the
+            // claim SCALING.md records
+            require(got == expect,
+              s"labels diverge: ${got.size} vs ${expect.size} docs")
+            got.size })
       }
       spark.stop(); return
     }

@@ -171,9 +171,13 @@ object CleanPipeline {
     val spark = docs.sparkSession
     Artifacts.claimIndexDir(spark, path, CleanMarker,
       cleanMarkerJson(minTokens, minStopRatio, jaccard))
-    cleanAudit(docs, minTokens, minStopRatio, jaccard)
-      .repartitionByRange(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$path/fates/gen=0")
+    // guarded write: an empty corpus can plan to zero output
+    // partitions, and a file-less fates/gen=0 would crash every
+    // readCleanFates with "unable to infer schema"
+    DedupOps.writeIngestPartition(
+      cleanAudit(docs, minTokens, minStopRatio, jaccard)
+        .repartitionByRange(col("doc_id")),
+      s"$path/fates/gen=0")
     spark.catalog.refreshByPath(path)
     CleanIndex(path, minTokens, minStopRatio, jaccard)
   }

@@ -692,9 +692,8 @@ object DedupOps {
     // ingest partitions alongside shingles/bands: they are what lets
     // [[appendEdgesToClusterIndex]] stay O(batch) (edges accumulate
     // per ingest; labels snapshot separately, folding only the edges
-    // newer than the last snapshot)
-    docs.select(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$path/docs/ingest=0")
+    // newer than the last snapshot). docs/ lands LAST — the same
+    // commit-marker discipline as the append path.
     sh.write.mode("overwrite").parquet(s"$path/shingles/ingest=0")
     banded.write.mode("overwrite").parquet(s"$path/bands/ingest=0")
     val pairs = pin(verifyJaccard(sh,
@@ -704,6 +703,8 @@ object DedupOps {
     componentsAuto(pairs, docs.select(col("doc_id")))
       .repartitionByRange(col("doc_id"))
       .write.mode("overwrite").parquet(s"$path/labels/gen=0")
+    writeIngestPartition(docs.select(col("doc_id")),
+      s"$path/docs/ingest=0")
     spark.catalog.refreshByPath(path)
     ClusterIndex(path, bands, rows, threshold)
   }
@@ -732,7 +733,8 @@ object DedupOps {
     * over just-overwritten inputs); the patch-up appends one empty
     * part file carrying the schema.
     */
-  private def writeIngestPartition(df: DataFrame, path: String): Unit = {
+  private[ops] def writeIngestPartition(df: DataFrame,
+      path: String): Unit = {
     df.write.mode("overwrite").parquet(path)
     val spark = df.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
@@ -751,7 +753,13 @@ object DedupOps {
     * scan+aggregate jobs per batch were the dominant fixed cost of the
     * O(batch) append path. Directory names are also the more faithful
     * source — an EMPTY base build writes schema-only parquet where a
-    * row-level max() is NULL.
+    * row-level max() is NULL. Only COMMITTED partitions count: Spark's
+    * output committer creates the directory at job setup, so a crashed
+    * write leaves a phantom dir holding only `_temporary` — treating it
+    * as a published generation would make a snapshot retry no-op
+    * forever and later snapshots read empty "old labels", silently
+    * dropping prior connectivity. Committed = contains `_SUCCESS` or a
+    * visible data file.
     */
   private def maxPartitionId(spark: org.apache.spark.sql.SparkSession,
       dir: String, prefix: String): Long = {
@@ -759,9 +767,14 @@ object DedupOps {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) 0L
     else fs.listStatus(p).iterator
-      .map(_.getPath.getName)
-      .filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).toLong)
+      .filter { st =>
+        st.getPath.getName.startsWith(prefix) &&
+          fs.listStatus(st.getPath).exists { f =>
+            val n = f.getPath.getName
+            n == "_SUCCESS" || !(n.startsWith("_") || n.startsWith("."))
+          }
+      }
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
       .foldLeft(0L)(math.max)
   }
 
@@ -812,9 +825,6 @@ object DedupOps {
         "latest snapshot). Use a monotonically increasing ingest id")
     val shNew = pin(shingled(newDocs).persist())
     val bNew = pin(bandTable(shNew, index.bands, index.rows).persist())
-    newDocs.select(col("doc_id"))
-      .write.mode("overwrite")
-      .parquet(s"${index.path}/docs/ingest=$ingestId")
     shNew.write.mode("overwrite")
       .parquet(s"${index.path}/shingles/ingest=$ingestId")
     bNew.write.mode("overwrite")
@@ -828,6 +838,14 @@ object DedupOps {
       verifyJaccard(shAll, cand, index.threshold)
         .select("doc_a", "doc_b"),
       s"${index.path}/edges/ingest=$ingestId")
+    // docs lands LAST — it is the append's COMMIT marker. Snapshots
+    // derive their target generation from docs/, so an append that
+    // died before its edge write can never be folded into a snapshot
+    // (which would permanently skip those edges: the fold filter is
+    // ingest > lastGen); the retried append overwrites everything and
+    // only then publishes the ingest.
+    writeIngestPartition(newDocs.select(col("doc_id")),
+      s"${index.path}/docs/ingest=$ingestId")
     spark.catalog.refreshByPath(index.path)
   }
 
@@ -857,12 +875,18 @@ object DedupOps {
       .select("doc_id", "cluster_id")
     val oldEdges = old.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    // upper-bounded by target: an in-flight append may have landed
+    // edges/ingest=target+1 before its docs commit marker — folding
+    // them early would label old docs against endpoints that are not
+    // yet in the node universe
     val newEdges = spark.read.parquet(s"${index.path}/edges")
-      .filter(col("ingest").cast("long") > lastGen)
+      .filter(col("ingest").cast("long") > lastGen &&
+        col("ingest").cast("long") <= target)
       .select("doc_a", "doc_b")
     val nodes = old.select(col("doc_id"))
       .union(spark.read.parquet(s"${index.path}/docs")
-        .filter(col("ingest").cast("long") > lastGen)
+        .filter(col("ingest").cast("long") > lastGen &&
+          col("ingest").cast("long") <= target)
         .select("doc_id"))
       .distinct()
     componentsAuto(newEdges.union(oldEdges), nodes)

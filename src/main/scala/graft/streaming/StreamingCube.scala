@@ -596,6 +596,10 @@ object StreamingCube {
   def clusterIndexIngest(stream: DataFrame, emptyLike: DataFrame,
       indexPath: String, chkPath: String,
       snapshotEvery: Int = 4): DataFrame = {
+    // fail fast: a 0 would modulo-throw inside foreachBatch AFTER the
+    // index was wiped and partially re-ingested
+    require(snapshotEvery >= 1,
+      s"snapshotEvery must be >= 1, got $snapshotEvery")
     // the index and the checkpoint live or die TOGETHER: this entry
     // always (re)builds the index empty, so a surviving checkpoint
     // from a crashed prior run would make AvailableNow skip its

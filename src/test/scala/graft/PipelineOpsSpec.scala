@@ -815,6 +815,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("monotone"))
   }
 
+  test("a crashed (uncommitted) snapshot dir is ignored, retry heals") {
+    val path = "/tmp/graft_cluster_phantom"
+    PipelineOpsSpec.rmrf(path)
+    def third(r: Int) = docs.filter(col("doc_id") % 3 === r)
+    val index = DedupOps.writeClusterIndex(third(0), path)
+    // simulate a snapshot that died mid-write: Spark's committer
+    // creates the generation dir at job setup, leaving only
+    // _temporary behind — it must NOT count as a published generation
+    // (else retries no-op forever and the next snapshot reads empty
+    // "old labels", dropping all prior connectivity)
+    new java.io.File(s"$path/labels/gen=7/_temporary").mkdirs()
+    DedupOps.appendEdgesToClusterIndex(index, third(1), ingestId = 1L)
+    assert(DedupOps.snapshotClusterLabels(spark, index) === 1L,
+      "phantom gen=7 must be invisible to the snapshot gate")
+    val snap = DedupOps.readClusterLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = DedupOps.nearDupClusters(third(0).union(third(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(snap === full)
+  }
+
   test("appendToClusterIndex == rebuild on random corpora; param guard") {
     import spark.implicits._
     // random near-dup-rich corpora: low vocab + doc lengths around the
@@ -1360,6 +1381,30 @@ class PipelineOpsSpec extends SparkSpec {
       assert(got === refBpe(wordFreq, 10), s"trial $trial")
       assert(got.nonEmpty)
     }
+  }
+
+  test("bpeTrain splits on code points — no surrogate-broken symbols") {
+    import spark.implicits._
+    // U+1F600 is a surrogate PAIR in UTF-16: a code-unit split (the
+    // pre-r10 split(w, '')) would learn lone-surrogate symbols and
+    // embed them as invalid strings in the fold SQL (ADVICE r9)
+    val face = new String(Character.toChars(0x1F600))
+    val df = Seq(
+        (0L, s"${face}ab ${face}ab ${face}ab"),
+        (1L, s"${face}ab ${face}ab"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(df, nMerges = 2).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(merges.length === 2)
+    merges.foreach { case (a, b) =>
+      Seq(a, b).foreach { s =>
+        assert(!Character.isLowSurrogate(s.head) &&
+          !Character.isHighSurrogate(s.last),
+          s"surrogate-broken symbol: ${s.map(_.toInt).mkString(",")}")
+      }
+    }
+    // the emoji rides through the merge table as ONE intact symbol
+    assert(merges.exists { case (a, b) => (a + b).contains(face) })
   }
 
   test("bpeEncode applies learned merges like the reference") {
