@@ -861,7 +861,11 @@ object DedupOps {
     * [[appendEdgesToClusterIndex]] it can amortize over any number of
     * batches (every N, or lazily before a read). Idempotent: with no
     * new ingests it is a no-op, and a replay overwrites its own
-    * generation with identical labels. Returns the published (or
+    * generation with identical labels. Appends are single-writer per
+    * index (the streaming foreachBatch contract); a snapshot racing an
+    * in-flight append is safe — the target derives from the docs
+    * commit marker and the edge fold is bounded at it, so partial
+    * appends are never folded early. Returns the published (or
     * current) generation.
     */
   def snapshotClusterLabels(spark: org.apache.spark.sql.SparkSession,
