@@ -815,6 +815,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("monotone"))
   }
 
+  test("random append splits + random snapshot cadence == full rebuild") {
+    import spark.implicits._
+    // the amortization property the streaming ingest rests on: ANY
+    // partition of the corpus into ordered ingests, with snapshots
+    // published at ANY subset of points (always including the end),
+    // yields the same labels as the one-shot batch CC
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    for (trial <- 1 to 2) {
+      val rnd = new scala.util.Random(7100 + trial)
+      val corpus = (0L until 60L).map { id =>
+        (id, Seq.fill(6 + rnd.nextInt(6))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val nParts = 3 + rnd.nextInt(3)
+      val part = corpus.map { case (id, _) => id -> rnd.nextInt(nParts) }
+        .toMap
+      val path = s"/tmp/graft_cluster_cadence_$trial"
+      PipelineOpsSpec.rmrf(path)
+      val idx = DedupOps.writeClusterIndex(
+        df.filter(col("doc_id").isin(
+          part.filter(_._2 == 0).keys.toSeq: _*)), path)
+      (1 until nParts).foreach { p =>
+        DedupOps.appendEdgesToClusterIndex(idx,
+          df.filter(col("doc_id").isin(
+            part.filter(_._2 == p).keys.toSeq: _*)), ingestId = p.toLong)
+        if (rnd.nextBoolean() || p == nParts - 1)
+          DedupOps.snapshotClusterLabels(spark, idx)
+      }
+      val got = DedupOps.readClusterLabels(spark, path)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val full = DedupOps.nearDupClusters(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === full, s"trial $trial parts=$nParts")
+    }
+  }
+
   test("a crashed (uncommitted) snapshot dir is ignored, retry heals") {
     val path = "/tmp/graft_cluster_phantom"
     PipelineOpsSpec.rmrf(path)
