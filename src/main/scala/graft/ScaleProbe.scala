@@ -56,6 +56,31 @@ object ScaleProbe {
         time("curate (full)")(Pins.scoped {
           CleanPipeline.curate(docs).count() })
       }
+      // the persisted fate artifact vs re-running the stages, at 1x
+      // and 8x (replicas textually distinct, same convention as the
+      // cluster curve)
+      for (mult <- Seq(1, 8)) {
+        val big = docs.crossJoin(
+            spark.range(mult).select(col("id").as("rep")))
+          .select((col("doc_id") + col("rep") * lit(n)).as("doc_id"),
+            concat(col("text"), lit(" rep"), col("rep")).as("text"),
+            col("source"), col("n_chars"))
+          .repartition(32).persist()
+        println(s"-- clean index mult=$mult docs=${big.count()}")
+        val p = s"/tmp/graft_scale_cleanidx_$mult"
+        time(s"fate index write x$mult")(Pins.scoped {
+          CleanPipeline.writeCleanIndex(big, p)
+          CleanPipeline.readCleanFates(spark, p).count() })
+        time(s"fate read+stats x$mult")(Pins.scoped {
+          CleanPipeline.cleanStatsOver(CleanPipeline.cleanFrom(big,
+            CleanPipeline.readCleanFates(spark, p))).count() })
+        time(s"fate read+curate x$mult")(Pins.scoped {
+          CleanPipeline.curateOver(CleanPipeline.cleanFrom(big,
+            CleanPipeline.readCleanFates(spark, p))).count() })
+        time(s"stats re-running stages x$mult")(Pins.scoped {
+          CleanPipeline.cleanStats(big).count() })
+        big.unpersist()
+      }
       spark.stop(); return
     }
     if (args.headOption.contains("components")) {
