@@ -96,5 +96,32 @@ def main(sf_dir, out_dir, only):
     print(f"== strict: {npass} pass, {nfail} fail, "
           f"{nexposed} exposed (repr-level) ==")
 
+def selftest():
+    """Plant a bare-integer-sum oracle (DuckDB types it HUGEINT) and
+    assert the guard rejects it — executable evidence that the
+    q_eval_overlap failure class cannot silently recur."""
+    import tempfile, shutil, io, contextlib
+    d = tempfile.mkdtemp(prefix="strict_selftest_")
+    try:
+        os.makedirs(f"{d}/out/q_planted")
+        con = duckdb.connect()
+        con.sql("COPY (SELECT 1 AS a, CAST(5 AS BIGINT) AS s) TO "
+                f"'{d}/out/q_planted/part.parquet' (FORMAT PARQUET)")
+        with open(f"{d}/out/oracle_sql.json", "w") as f:
+            json.dump({"q_planted": "SELECT 1 AS a, sum(1) AS s"}, f)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            # any real sf dir works — the planted oracle reads no table
+            main(sys.argv[2] if len(sys.argv) > 2
+                 else "/root/testdata/sf0.001", f"{d}/out", set())
+        out = buf.getvalue()
+        assert "HUGEINT-FAIL" in out, f"guard did not fire:\n{out}"
+        print("selftest OK: planted sum(1) oracle rejected as HUGEINT")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], set(sys.argv[3:]))
+    if sys.argv[1:2] == ["--selftest"]:
+        selftest()
+    else:
+        main(sys.argv[1], sys.argv[2], set(sys.argv[3:]))
