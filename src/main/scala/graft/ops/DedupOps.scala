@@ -27,8 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Whitespace tokens of the lowercased, trimmed text. */
-  val TOKENS = "split(lower(trim(text)), '\\\\s+')"
+  /** Whitespace tokens of the lowercased, trimmed text — the ONE
+    * tokenization, shared with [[TextOps.TOKENS]]: the quality filter
+    * and keep-best token counts must agree with the shingle/span/
+    * simhash lowerings about what a token is, or near-dup candidates
+    * and survivor selection silently diverge.
+    */
+  val TOKENS: String = TextOps.TOKENS
 
   /** Distinct word 3-gram shingles over a materialized token column
     * `t` (two-phase on purpose: referencing $TOKENS inline would
@@ -124,11 +129,12 @@ object DedupOps {
     *     is an upper bound: every true pair survives the threshold
     *     filter — no false negatives.
     *  2. exact verification of the candidate set on the real shingle
-    *     arrays. The shingled corpus is first SEMI-JOINED down to the
-    *     doc_ids that appear in some candidate pair (candidates are
-    *     small by construction), then joined with plain shuffle joins —
-    *     never broadcast: at 100 TB the full shingled corpus does not
-    *     fit on any single executor.
+    *     arrays — ONE pass (see [[verifyJaccard]]): each candidate
+    *     explodes to its two (pair, doc_id) sides, one shuffle-hash
+    *     join against the shingled corpus, and a per-pair capped
+    *     collect reassembles (sa, sb); never broadcast — at 100 TB
+    *     the full shingled corpus does not fit on any single
+    *     executor.
     * Pair work in phase 1 is Σ df² per shingle hash, so one boilerplate
     * shingle shared by 1M docs would create a 10¹²-row bucket. `maxDf`
     * caps the document frequency a posting may have: ubiquitous
@@ -429,12 +435,24 @@ object DedupOps {
     * of the canonical edge set — O(1) driver data per round.
     */
   def componentsStar(edges: DataFrame, nodes: DataFrame,
-      maxRounds: Int = 30): DataFrame = {
-    val spark = edges.sparkSession
+      maxRounds: Int = 30): DataFrame =
+    componentsStarCanonical(
+      edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .filter(col("u") =!= col("v")).distinct(),
+      nodes, maxRounds)
+
+  /** [[componentsStar]] over an ALREADY canonical (u, v) edge frame
+    * (self-loops removed, deduped) — skips the normalize
+    * filter+distinct shuffle that [[componentsAuto]]'s routing has
+    * already paid on the same frame. The one checkpoint here is still
+    * required: the loop's per-round freeCut discipline assumes `e` is
+    * a cut it owns.
+    */
+  private def componentsStarCanonical(e0: DataFrame, nodes: DataFrame,
+      maxRounds: Int): DataFrame = {
+    val spark = e0.sparkSession
     import spark.implicits._
-    var e = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct().transform(cut)
+    var e = e0.transform(cut)
     var signature = (-1L, -1L)
     var rounds = 0
     var converged = false
@@ -528,9 +546,9 @@ object DedupOps {
     val e = pin(edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .filter(col("u") =!= col("v")).distinct().persist())
     if (e.count() > driverEdgeLimit) {
-      componentsStar(
-        e.select(col("u").as("doc_a"), col("v").as("doc_b")), nodes,
-        maxRounds)
+      // already canonical (filtered + distinct'd + persisted above):
+      // route past the star entry's normalize shuffle
+      componentsStarCanonical(e, nodes, maxRounds)
     } else {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
@@ -694,15 +712,16 @@ object DedupOps {
     // per ingest; labels snapshot separately, folding only the edges
     // newer than the last snapshot). docs/ lands LAST — the same
     // commit-marker discipline as the append path.
-    sh.write.mode("overwrite").parquet(s"$path/shingles/ingest=0")
-    banded.write.mode("overwrite").parquet(s"$path/bands/ingest=0")
+    writeIngestPartition(sh, s"$path/shingles/ingest=0")
+    writeIngestPartition(banded, s"$path/bands/ingest=0")
     val pairs = pin(verifyJaccard(sh,
         bandCandidates(banded, banded, self = true), threshold)
       .select("doc_a", "doc_b").persist())
     writeIngestPartition(pairs, s"$path/edges/ingest=0")
-    componentsAuto(pairs, docs.select(col("doc_id")))
-      .repartitionByRange(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$path/labels/gen=0")
+    writeIngestPartition(
+      componentsAuto(pairs, docs.select(col("doc_id")))
+        .repartitionByRange(col("doc_id")),
+      s"$path/labels/gen=0")
     writeIngestPartition(docs.select(col("doc_id")),
       s"$path/docs/ingest=0")
     spark.catalog.refreshByPath(path)
@@ -762,10 +781,24 @@ object DedupOps {
     * visible data file.
     */
   private def maxPartitionId(spark: org.apache.spark.sql.SparkSession,
-      dir: String, prefix: String): Long = {
+      dir: String, prefix: String): Long =
+    committedPartitionIds(spark, dir, prefix).foldLeft(0L)(math.max)
+
+  /** The ids of COMMITTED partitions under `dir` (see
+    * [[maxPartitionId]] for why commit state matters). The full SET,
+    * not just the max: a crashed append can leave committed
+    * shingle/band/edge partitions for an ingest whose docs commit
+    * marker never landed — such an ingest must be invisible to
+    * candidate generation and snapshot folds even after LATER appends
+    * commit past it, or real docs get labeled against phantom
+    * endpoints outside the node universe.
+    */
+  private def committedPartitionIds(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, prefix: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0L
+    if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).iterator
       .filter { st =>
         st.getPath.getName.startsWith(prefix) &&
@@ -775,7 +808,7 @@ object DedupOps {
           }
       }
       .map(_.getPath.getName.stripPrefix(prefix).toLong)
-      .foldLeft(0L)(math.max)
+      .toSeq
   }
 
   /** Append a micro-batch's verified EDGES to a persisted cluster
@@ -825,14 +858,23 @@ object DedupOps {
         "latest snapshot). Use a monotonically increasing ingest id")
     val shNew = pin(shingled(newDocs).persist())
     val bNew = pin(bandTable(shNew, index.bands, index.rows).persist())
-    shNew.write.mode("overwrite")
-      .parquet(s"${index.path}/shingles/ingest=$ingestId")
-    bNew.write.mode("overwrite")
-      .parquet(s"${index.path}/bands/ingest=$ingestId")
+    writeIngestPartition(shNew,
+      s"${index.path}/shingles/ingest=$ingestId")
+    writeIngestPartition(bNew,
+      s"${index.path}/bands/ingest=$ingestId")
     spark.catalog.refreshByPath(index.path)
+    // candidates draw only from COMMITTED ingests (plus this one): a
+    // crashed earlier append may have landed shingle/band partitions
+    // whose docs never committed — banding against them would emit
+    // edges to phantom endpoints that no snapshot node universe will
+    // ever contain
+    val visible = (committedPartitionIds(spark,
+        s"${index.path}/docs", "ingest=") :+ ingestId).distinct
     val allBands = spark.read.parquet(s"${index.path}/bands")
+      .filter(col("ingest").cast("long").isin(visible: _*))
     val cand = bandCandidates(bNew, allBands, self = false)
     val shAll = spark.read.parquet(s"${index.path}/shingles")
+      .filter(col("ingest").cast("long").isin(visible: _*))
       .select("doc_id", "shingles")
     writeIngestPartition(
       verifyJaccard(shAll, cand, index.threshold)
@@ -872,31 +914,34 @@ object DedupOps {
       index: ClusterIndex): Long = {
     Artifacts.readMarker(spark, index.path, ClusterMarker)
     val lastGen = maxPartitionId(spark, s"${index.path}/labels", "gen=")
-    val target = maxPartitionId(spark, s"${index.path}/docs", "ingest=")
+    val committed = committedPartitionIds(spark,
+      s"${index.path}/docs", "ingest=")
+    val target = committed.foldLeft(0L)(math.max)
     if (target <= lastGen) return lastGen
     val old = spark.read.parquet(s"${index.path}/labels")
       .filter(col("gen").cast("long") === lastGen)
       .select("doc_id", "cluster_id")
     val oldEdges = old.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-    // upper-bounded by target: an in-flight append may have landed
-    // edges/ingest=target+1 before its docs commit marker — folding
-    // them early would label old docs against endpoints that are not
-    // yet in the node universe
+    // fold exactly the COMMITTED ingests since the last snapshot — an
+    // in-flight append (edges landed, docs marker not yet) or a
+    // crashed one (docs marker never lands, even though later appends
+    // commit past it) must not contribute edges: their endpoints are
+    // outside the node universe, and a phantom doc_id could otherwise
+    // become a published cluster_id
+    val pending = committed.filter(_ > lastGen)
     val newEdges = spark.read.parquet(s"${index.path}/edges")
-      .filter(col("ingest").cast("long") > lastGen &&
-        col("ingest").cast("long") <= target)
+      .filter(col("ingest").cast("long").isin(pending: _*))
       .select("doc_a", "doc_b")
     val nodes = old.select(col("doc_id"))
       .union(spark.read.parquet(s"${index.path}/docs")
-        .filter(col("ingest").cast("long") > lastGen &&
-          col("ingest").cast("long") <= target)
+        .filter(col("ingest").cast("long").isin(pending: _*))
         .select("doc_id"))
       .distinct()
-    componentsAuto(newEdges.union(oldEdges), nodes)
-      .repartitionByRange(col("doc_id"))
-      .write.mode("overwrite")
-      .parquet(s"${index.path}/labels/gen=$target")
+    writeIngestPartition(
+      componentsAuto(newEdges.union(oldEdges), nodes)
+        .repartitionByRange(col("doc_id")),
+      s"${index.path}/labels/gen=$target")
     spark.catalog.refreshByPath(index.path)
     target
   }
@@ -1135,15 +1180,26 @@ object DedupOps {
       .select(col("doc_id"), col("sh")).distinct()
     val trainSpans = spanFrameRaw(train, w).select("sh").distinct()
       .withColumn("hit", lit(1L))
-    evalSpans.join(trainSpans.hint("shuffle_hash"), Seq("sh"), "left")
+    val agg = evalSpans
+      .join(trainSpans.hint("shuffle_hash"), Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      // the raw IEEE division — bit-identical across engines from the
-      // same integer counts; comparison-boundary float normalization
-      // (the 9-dp convention) lives in Verify, not in the operator
+    // EVERY eval doc reports: documents shorter than w tokens have no
+    // spans and used to vanish from the output, silently biasing any
+    // downstream denominator ("fraction of eval docs with overlap
+    // >= x" counted only the spanned docs). They surface with zero
+    // grams and a NULL fraction. The raw IEEE division is
+    // bit-identical across engines from the same integer counts;
+    // comparison-boundary float normalization (the 9-dp convention)
+    // lives in Verify, not in the operator.
+    eval0.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .withColumn("overlap_frac",
-        col("n_hit").cast("double") / col("n_grams"))
+        when(col("n_grams") > 0,
+          col("n_hit").cast("double") / col("n_grams")))
   }
 
   /** 60-bit SimHash over the token multiset: per bit position, tokens
@@ -1172,8 +1228,15 @@ object DedupOps {
     * generation via 4-way band partitioning of the 60-bit signature
     * (docs within hamming 3 share at least one identical 15-bit band —
     * pigeonhole), then exact hamming verify on the integer signatures.
+    * The pigeonhole bound is exactly bands-1 = 3 differing bits:
+    * maxDist above that would silently lose recall (4 bits can land
+    * one per band), so it is refused rather than approximated.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3,
+      s"maxDist=$maxDist exceeds the 4-band pigeonhole guarantee " +
+        "(recall is only complete for hamming distance <= 3); use " +
+        "more bands or a multi-probe variant for larger radii")
     val sigs = pin(simhash(docs).persist())
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(expr(

@@ -200,14 +200,21 @@ object FeatureQueries {
       s"""WITH ${PipelineQueries.SPAN_CTES},
          |ev AS (
          |  SELECT DISTINCT doc_id, sh FROM spans WHERE doc_id < 250),
-         |tr AS (SELECT DISTINCT sh FROM spans WHERE doc_id >= 250)
-         |SELECT ev.doc_id, count(*) AS n_grams,
-         |  CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_hit,
-         |  CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)
-         |    AS DOUBLE) / count(*) AS overlap_frac
-         |FROM ev LEFT JOIN tr USING (sh)
-         |GROUP BY 1""".stripMargin,
+         |tr AS (SELECT DISTINCT sh FROM spans WHERE doc_id >= 250),
+         |aggd AS (
+         |  SELECT ev.doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hit
+         |  FROM ev LEFT JOIN tr USING (sh)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CASE WHEN coalesce(a.n_grams, 0) > 0
+         |    THEN CAST(a.n_hit AS DOUBLE) / a.n_grams END
+         |    AS overlap_frac
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 250) d
+         |LEFT JOIN aggd a USING (doc_id)""".stripMargin,
 
     "q_quality_gate" ->
       s"""WITH ${PipelineQueries.QUALITY_SCORE_CTES}

@@ -26,7 +26,8 @@ class PinsSpec extends SparkSpec {
         i % 4 match {
           case 0 => DedupOps.jaccardPairs(docs, 0.5).count()
           case 1 => DedupOps.minhashLsh(docs, 4, 2, 0.5).count()
-          case 2 => DedupOps.simhashPairs(docs, 6).count()
+          // 3 = the 4-band pigeonhole recall bound (larger now throws)
+          case 2 => DedupOps.simhashPairs(docs, 3).count()
           case _ => CleanPipeline.clean(docs).count()
         }
       }

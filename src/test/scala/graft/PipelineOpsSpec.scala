@@ -852,6 +852,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("an append without its docs commit marker is invisible " +
+      "everywhere") {
+    val path = "/tmp/graft_cluster_nocommit"
+    PipelineOpsSpec.rmrf(path)
+    def third(r: Int) = docs.filter(col("doc_id") % 3 === r)
+    val index = DedupOps.writeClusterIndex(third(0), path)
+    // simulate an append that crashed AFTER its shingle/band/edge
+    // partitions committed but BEFORE the docs commit marker landed
+    DedupOps.appendEdgesToClusterIndex(index, third(1), ingestId = 1L)
+    PipelineOpsSpec.rmrf(s"$path/docs/ingest=1")
+    // a later append must neither band against the phantom partitions
+    // nor let the snapshot fold the phantom edges — labels equal a
+    // rebuild on the COMMITTED corpus only (thirds 0 and 2)
+    DedupOps.appendEdgesToClusterIndex(index, third(2), ingestId = 2L)
+    assert(DedupOps.snapshotClusterLabels(spark, index) === 2L)
+    val snap = DedupOps.readClusterLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val committedOnly = DedupOps.nearDupClusters(third(0).union(third(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(snap === committedOnly,
+      "phantom ingest must not contribute docs, edges, or cluster ids")
+  }
+
   test("a crashed (uncommitted) snapshot dir is ignored, retry heals") {
     val path = "/tmp/graft_cluster_phantom"
     PipelineOpsSpec.rmrf(path)

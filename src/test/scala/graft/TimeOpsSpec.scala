@@ -273,6 +273,16 @@ class TimeOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
         s"doc ${r.getLong(0)}")
       assert(gf === hit.toDouble / g.size)
     }
+    // an eval doc shorter than the span width must still REPORT (zero
+    // grams, NULL fraction) — silently dropping it would bias every
+    // downstream "fraction of eval docs over threshold" denominator
+    val withShort = ev.union(
+      Seq((999L, "s999", "too short")).toDF("doc_id", "source", "text"))
+    val short = graft.ops.DedupOps.evalNgramOverlap(train, withShort, w)
+      .filter($"doc_id" === 999L).collect()
+    assert(short.length === 1)
+    assert(short(0).getLong(1) === 0L && short(0).getLong(2) === 0L)
+    assert(short(0).isNullAt(3), "overlap_frac must be NULL, not 0/0")
   }
 
   test("bm25ScoreWith literal-model scorer == the shuffled aggregation") {
