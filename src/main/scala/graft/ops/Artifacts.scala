@@ -46,16 +46,38 @@ object Artifacts {
     */
   def readMarker(spark: SparkSession, path: String,
       marker: String): String = {
-    val p = new Path(path, marker)
+    val got = readSmallFileOpt(spark, new Path(path, marker).toString)
+    require(got.isDefined,
+      s"'$path' is not a graft index: $marker missing")
+    got.get
+  }
+
+  /** Overwrite a small metadata file (fingerprints, watermarks).
+    * Underscore-prefixed names stay invisible to Spark file listings.
+    */
+  def writeSmallFile(spark: SparkSession, path: String,
+      content: String): Unit = {
+    val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(p), s"'$path' is not a graft index: $marker missing")
-    val in = fs.open(p)
-    try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, "UTF-8")
-    } finally in.close()
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a small metadata file, None when absent. */
+  def readSmallFileOpt(spark: SparkSession,
+      path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
   }
 }

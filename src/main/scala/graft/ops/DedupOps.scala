@@ -781,8 +781,10 @@ object DedupOps {
     * visible data file.
     */
   private def maxPartitionId(spark: org.apache.spark.sql.SparkSession,
-      dir: String, prefix: String): Long =
-    committedPartitionIds(spark, dir, prefix).foldLeft(0L)(math.max)
+      dir: String, prefix: String,
+      requireSuccess: Boolean = false): Long =
+    committedPartitionIds(spark, dir, prefix, requireSuccess)
+      .foldLeft(0L)(math.max)
 
   /** The ids of COMMITTED partitions under `dir` (see
     * [[maxPartitionId]] for why commit state matters). The full SET,
@@ -792,10 +794,23 @@ object DedupOps {
     * candidate generation and snapshot folds even after LATER appends
     * commit past it, or real docs get labeled against phantom
     * endpoints outside the node universe.
+    *
+    * `requireSuccess` tightens "committed" to "contains `_SUCCESS`"
+    * — mandatory for the docs/ COMMIT-MARKER dirs: with the v2 file
+    * output committer a crashed job can leave VISIBLE partial data
+    * files, so a visible-file heuristic would let a half-written docs
+    * partition pass the commit gate and an out-of-band snapshot fold
+    * an incomplete append. [[writeIngestPartition]] always lands
+    * `_SUCCESS` (the default committer marker, never disabled here),
+    * so the strict check costs nothing on the happy path. The
+    * weaker visible-data-file fallback remains for non-marker dirs
+    * (labels/shingles/bands/edges), whose visibility is already gated
+    * by the docs marker.
     */
   private def committedPartitionIds(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String, prefix: String): Seq[Long] = {
+      dir: String, prefix: String,
+      requireSuccess: Boolean = false): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Seq.empty
@@ -804,7 +819,8 @@ object DedupOps {
         st.getPath.getName.startsWith(prefix) &&
           fs.listStatus(st.getPath).exists { f =>
             val n = f.getPath.getName
-            n == "_SUCCESS" || !(n.startsWith("_") || n.startsWith("."))
+            n == "_SUCCESS" ||
+              (!requireSuccess && !(n.startsWith("_") || n.startsWith(".")))
           }
       }
       .map(_.getPath.getName.stripPrefix(prefix).toLong)
@@ -850,12 +866,36 @@ object DedupOps {
     // overwrites its own partitions and converges (the documented
     // exactly-once contract).
     val maxGen = maxPartitionId(spark, s"${index.path}/labels", "gen=")
-    val maxIngest = maxPartitionId(spark, s"${index.path}/docs", "ingest=")
+    val maxIngest = maxPartitionId(spark, s"${index.path}/docs",
+      "ingest=", requireSuccess = true)
     require(ingestId >= maxGen && ingestId >= maxIngest,
       s"ingest id $ingestId is not monotone (labels at gen $maxGen, " +
         s"ingests up to $maxIngest) at ${index.path}: its docs would " +
         "be invisible to readClusterLabels (which reads only the " +
         "latest snapshot). Use a monotonically increasing ingest id")
+    // the monotone guard ADMITS ingestId == maxIngest (deterministic
+    // replays must converge), but a DIFFERENT batch reusing the id
+    // would silently overwrite that generation's partitions while
+    // already-published labels still embed the old edges. Each
+    // committed append persists a cheap order-insensitive batch
+    // fingerprint (row count + XOR of doc_id hashes) beside its docs
+    // commit marker; an equal-id append must match it or fail loudly
+    // BEFORE any partition is touched. One batch-sized agg job per
+    // append — O(batch), like everything else on this path. A missing
+    // fingerprint (crash between the docs write and the fingerprint
+    // write, or a pre-fingerprint index) degrades to the replay-
+    // trusting behavior rather than bricking the index.
+    val fresh = batchFingerprint(newDocs)
+    if (ingestId == maxIngest && maxIngest > 0)
+      Artifacts.readSmallFileOpt(spark,
+          s"${index.path}/docs/ingest=$ingestId/$FingerprintFile")
+        .foreach { persisted =>
+          require(persisted == fresh,
+            s"ingest id $ingestId already committed at ${index.path} " +
+              s"with fingerprint $persisted, but this batch computes " +
+              s"$fresh — equal-id appends are only legal for exact " +
+              "replays; a different batch must take a fresh id")
+        }
     val shNew = pin(shingled(newDocs).persist())
     val bNew = pin(bandTable(shNew, index.bands, index.rows).persist())
     writeIngestPartition(shNew,
@@ -869,7 +909,8 @@ object DedupOps {
     // edges to phantom endpoints that no snapshot node universe will
     // ever contain
     val visible = (committedPartitionIds(spark,
-        s"${index.path}/docs", "ingest=") :+ ingestId).distinct
+        s"${index.path}/docs", "ingest=",
+        requireSuccess = true) :+ ingestId).distinct
     val allBands = spark.read.parquet(s"${index.path}/bands")
       .filter(col("ingest").cast("long").isin(visible: _*))
     val cand = bandCandidates(bNew, allBands, self = false)
@@ -888,7 +929,27 @@ object DedupOps {
     // only then publishes the ingest.
     writeIngestPartition(newDocs.select(col("doc_id")),
       s"${index.path}/docs/ingest=$ingestId")
+    // fingerprint lands AFTER the docs commit marker: a crash in the
+    // gap leaves a committed, fingerprint-less ingest whose replay is
+    // admitted (and re-lands the fingerprint) — fail-open on replay,
+    // fail-closed on a conflicting batch
+    Artifacts.writeSmallFile(spark,
+      s"${index.path}/docs/ingest=$ingestId/$FingerprintFile", fresh)
     spark.catalog.refreshByPath(index.path)
+  }
+
+  /** `_graft_fingerprint` beside each docs commit marker: see the
+    * equal-id guard in [[appendEdgesToClusterIndex]].
+    */
+  private val FingerprintFile = "_graft_fingerprint"
+
+  /** Order-insensitive batch identity: row count + XOR of doc_id
+    * hashes. One agg job over the batch.
+    */
+  private def batchFingerprint(docs: DataFrame): String = {
+    val r = docs.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(doc_id))")).head()
+    s"n=${r.getLong(0)};h=${if (r.isNullAt(1)) 0L else r.getLong(1)}"
   }
 
   /** Publish the next label-snapshot generation from edges appended
@@ -915,7 +976,7 @@ object DedupOps {
     Artifacts.readMarker(spark, index.path, ClusterMarker)
     val lastGen = maxPartitionId(spark, s"${index.path}/labels", "gen=")
     val committed = committedPartitionIds(spark,
-      s"${index.path}/docs", "ingest=")
+      s"${index.path}/docs", "ingest=", requireSuccess = true)
     val target = committed.foldLeft(0L)(math.max)
     if (target <= lastGen) return lastGen
     val old = spark.read.parquet(s"${index.path}/labels")
@@ -1225,24 +1286,31 @@ object DedupOps {
   }
 
   /** SimHash near-dup pairs: hamming distance <= maxDist. Candidate
-    * generation via 4-way band partitioning of the 60-bit signature
-    * (docs within hamming 3 share at least one identical 15-bit band —
-    * pigeonhole), then exact hamming verify on the integer signatures.
-    * The pigeonhole bound is exactly bands-1 = 3 differing bits:
-    * maxDist above that would silently lose recall (4 bits can land
-    * one per band), so it is refused rather than approximated.
+    * generation via band partitioning of the 60-bit signature into
+    * `maxDist + 1` bands — pigeonhole: with at most maxDist differing
+    * bits, at least one band is identical on both sides — then exact
+    * hamming verify on the integer signatures. The band count is
+    * DERIVED from the requested radius (maxDist=3 → the classic
+    * 4 × 15-bit layout; 60 % bands spare bits widen the leading
+    * bands), so recall is complete at every radius 0..59 instead of
+    * refusing past 3; the cost of a wider radius is honest and
+    * visible — narrower bands mean bigger collision buckets, so
+    * candidate-pair work grows with maxDist.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist <= 3,
-      s"maxDist=$maxDist exceeds the 4-band pigeonhole guarantee " +
-        "(recall is only complete for hamming distance <= 3); use " +
-        "more bands or a multi-probe variant for larger radii")
+    require(maxDist >= 0 && maxDist < 60,
+      s"maxDist=$maxDist outside [0, 59]: the signature is 60 bits, " +
+        "so 60 bands of one bit is the widest complete-recall layout")
+    val bands = maxDist + 1
+    val base = 60 / bands
+    val extra = 60 % bands
+    val widths = (0 until bands).map(i => if (i < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val sigs = pin(simhash(docs).persist())
     val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        """transform(sequence(0, 3), b ->
-          |  shiftright(simhash, b * 15) % 32768)""".stripMargin))
-        .as(Seq("band_idx", "band_val")))
+      posexplode(array((0 until bands).map(i =>
+        expr(s"shiftright(simhash, ${offsets(i)}) % ${1L << widths(i)}L")
+      ): _*)).as(Seq("band_idx", "band_val")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

@@ -759,12 +759,16 @@ object PipelineQueries {
     * fully-merged distinct-word table — plus one-row m0..m{n-1} CTEs.
     * Integer sums are CAST AS BIGINT: DuckDB types bare integer sums
     * HUGEINT, which arrow/pandas readers coerce to float64 — the
-    * q_eval_overlap hash-red class. Assumes >= n rounds are possible
-    * (an empty argmax would cascade-empty the chain; the corpus has
-    * thousands of distinct pairs, the trainer caps at 12) and that no
-    * TOKEN contains the control chars U+0001/U+0002 (whitespace-split
-    * text; a corpus violating that would need wider markers here —
-    * the ENGINE is marker-free either way).
+    * q_eval_overlap hash-red class. Every round is TOTAL: the merge
+    * table joins in via LEFT JOIN ON TRUE with a coalesce fallback,
+    * so a corpus supporting fewer than n merge rounds leaves each
+    * exhausted st{r+1} equal to st{r} (and its m{r} empty) instead of
+    * cascade-emptying the chain — mirroring the engine's
+    * early-exhaustion behavior, where training simply stops emitting
+    * merges. Still assumes no TOKEN contains the control chars
+    * U+0001/U+0002 (whitespace-split text; a corpus violating that
+    * would need wider markers here — the ENGINE is marker-free either
+    * way).
     */
   private def bpeCtes(n: Int): String = {
     val sym = "chr(1)||'([^'||chr(2)||']*)'||chr(2)"
@@ -785,9 +789,10 @@ object PipelineQueries {
          |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
          |st${r + 1} AS MATERIALIZED (
          |  SELECT w,
-         |    replace(st, chr(1)||m.a||chr(2)||chr(1)||m.b||chr(2),
-         |      chr(1)||m.a||m.b||chr(2)) AS st, freq
-         |  FROM st$r, m$r m)""".stripMargin
+         |    coalesce(
+         |      replace(st, chr(1)||m.a||chr(2)||chr(1)||m.b||chr(2),
+         |        chr(1)||m.a||m.b||chr(2)), st) AS st, freq
+         |  FROM st$r LEFT JOIN m$r m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""wf AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq

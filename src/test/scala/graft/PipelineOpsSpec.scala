@@ -127,6 +127,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("simhashPairs derives banding from the radius: complete recall " +
+      "at maxDist 0 and 6, out-of-range refused") {
+    val sigs = DedupOps.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    for (maxDist <- Seq(0, 6)) {
+      val brute = (for {
+        (ida, sa) <- sigs; (idb, sb) <- sigs
+        if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= maxDist
+      } yield (ida, idb)).toSet
+      val banded = DedupOps.simhashPairs(docs, maxDist)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded === brute, s"maxDist=$maxDist")
+    }
+    val err = intercept[IllegalArgumentException] {
+      DedupOps.simhashPairs(docs, 60)
+    }
+    assert(err.getMessage.contains("60 bits"))
+  }
+
   test("bruteForceTopK ranks per probe 1..k without self-matches") {
     val probes = emb.filter(col("vec_id") < 3)
     val res = SimilarityOps.bruteForceTopK(emb, probes, 5).collect()
@@ -873,6 +893,63 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(snap === committedOnly,
       "phantom ingest must not contribute docs, edges, or cluster ids")
+  }
+
+  test("an equal-id append must be an exact replay: a different batch " +
+      "reusing the id is refused before any write") {
+    val path = "/tmp/graft_cluster_fingerprint"
+    PipelineOpsSpec.rmrf(path)
+    def third(r: Int) = docs.filter(col("doc_id") % 3 === r)
+    val index = DedupOps.writeClusterIndex(third(0), path)
+    DedupOps.appendEdgesToClusterIndex(index, third(1), ingestId = 1L)
+    // exact replay: same batch, same id — converges (the documented
+    // exactly-once contract), fingerprint matches
+    DedupOps.appendEdgesToClusterIndex(index, third(1), ingestId = 1L)
+    // a DIFFERENT batch reusing the id would overwrite generation 1's
+    // partitions under labels that embed the old edges — refused
+    val before = DedupOps.readClusterLabels(spark, path).count()
+    val err = intercept[IllegalArgumentException] {
+      DedupOps.appendEdgesToClusterIndex(index, third(2), ingestId = 1L)
+    }
+    assert(err.getMessage.contains("fingerprint"))
+    // …and refused BEFORE any partition was touched: a fresh-id
+    // append + snapshot still equals the full rebuild
+    DedupOps.appendEdgesToClusterIndex(index, third(2), ingestId = 2L)
+    DedupOps.snapshotClusterLabels(spark, index)
+    val snap = DedupOps.readClusterLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = DedupOps.nearDupClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(snap === full)
+    assert(before === third(0).count())
+  }
+
+  test("a docs dir with visible data files but no _SUCCESS is NOT " +
+      "committed (v2-committer partial write)") {
+    val path = "/tmp/graft_cluster_nosuccess"
+    PipelineOpsSpec.rmrf(path)
+    def third(r: Int) = docs.filter(col("doc_id") % 3 === r)
+    val index = DedupOps.writeClusterIndex(third(0), path)
+    DedupOps.appendEdgesToClusterIndex(index, third(1), ingestId = 1L)
+    // simulate the v2 file-output-committer crash shape: data files
+    // are already VISIBLE but the job never committed (_SUCCESS never
+    // landed) — under the old visible-file heuristic this partial
+    // docs partition would pass the commit gate
+    val dir = new java.io.File(s"$path/docs/ingest=1")
+    assert(new java.io.File(dir, "_SUCCESS").delete())
+    assert(dir.listFiles().exists(_.getName.endsWith(".parquet")),
+      "precondition: data files remain visible")
+    // the fingerprint sidecar is part of the same uncommitted wreck
+    new java.io.File(dir, "_graft_fingerprint").delete()
+    DedupOps.appendEdgesToClusterIndex(index, third(2), ingestId = 2L)
+    assert(DedupOps.snapshotClusterLabels(spark, index) === 2L)
+    val snap = DedupOps.readClusterLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val committedOnly = DedupOps.nearDupClusters(third(0).union(third(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(snap === committedOnly,
+      "an ingest without _SUCCESS must be invisible to candidates " +
+        "and snapshot folds")
   }
 
   test("a crashed (uncommitted) snapshot dir is ignored, retry heals") {
