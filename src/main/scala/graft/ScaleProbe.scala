@@ -128,6 +128,91 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("compact")) {
+      // persisted-index small-files curve: many tiny appends (the
+      // production streaming cadence), then compaction — the claim is
+      // that read/append/snapshot cost and the listing surface go
+      // FLAT after compaction while labels stay identical
+      import graft.ops.{DedupOps, SimilarityOps}
+      import graft.olap.Pins
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+      def dirCount(p: String): Int = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        if (!fs.exists(path)) 0
+        else fs.listStatus(path).count { st =>
+          val n = st.getPath.getName
+          n.startsWith("ingest=") || n.startsWith("gen=")
+        }
+      }
+      val nAppends = 24
+      val corpus = docs.filter(col("doc_id") < 30000)
+      def slice(r: Int) = corpus.filter(col("doc_id") % (nAppends + 2) === r)
+      val path = "/tmp/graft_scale_compactidx"
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      var idx: DedupOps.ClusterIndex = null
+      time(s"base build + $nAppends appends")(Pins.scoped {
+        idx = DedupOps.writeClusterIndex(slice(0), path)
+        (1 to nAppends).foreach { r =>
+          DedupOps.appendEdgesToClusterIndex(idx, slice(r), r.toLong)
+          if (r % 6 == 0) DedupOps.snapshotClusterLabels(spark, idx)
+        }
+        DedupOps.snapshotClusterLabels(spark, idx) })
+      def tableDirs() = Seq("shingles", "bands", "edges", "docs", "labels")
+        .map(t => dirCount(s"$path/$t")).sum
+      println(s"   partition dirs fragmented: ${tableDirs()}")
+      time("labels read (fragmented)")(Pins.scoped {
+        DedupOps.readClusterLabels(spark, path).count() })
+      time("append+snap (fragmented)")(Pins.scoped {
+        DedupOps.appendEdgesToClusterIndex(idx, slice(nAppends + 1),
+          (nAppends + 1).toLong)
+        DedupOps.snapshotClusterLabels(spark, idx) })
+      time("compactClusterIndex")(
+        DedupOps.compactClusterIndex(spark, idx))
+      println(s"   partition dirs compacted:  ${tableDirs()}")
+      // ROW-level: compacted index labels == one-shot batch CC on the
+      // full corpus (the append==rebuild claim ACROSS a compaction)
+      val compLabels = Pins.scoped {
+        DedupOps.readClusterLabels(spark, path).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap }
+      val expect = Pins.scoped {
+        DedupOps.nearDupClusters(corpus).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap }
+      require(compLabels == expect,
+        s"compacted labels diverge: ${compLabels.size} vs ${expect.size}")
+      time("labels read (compacted)")(Pins.scoped {
+        DedupOps.readClusterLabels(spark, path).count() })
+      time("append+snap (compacted)")(Pins.scoped {
+        DedupOps.appendToClusterIndex(idx,
+          corpus.filter(col("doc_id") % (nAppends + 2) === 0)
+            .select((col("doc_id") + lit(500000L)).as("doc_id"),
+              concat(col("text"), lit(" tail")).as("text"),
+            col("source"), col("n_chars")),
+          (nAppends + 2).toLong) })
+      // IVF-PQ: same curve — generations fold, probes unchanged
+      val pqPath = "/tmp/graft_scale_compactpq"
+      fs.delete(new org.apache.hadoop.fs.Path(pqPath), true)
+      val nVec = emb.count()
+      var pq: SimilarityOps.IvfPqIndex = null
+      time("ivfpq build + 16 appends")(Pins.scoped {
+        pq = SimilarityOps.writeIvfPqIndex(
+          emb.filter(col("vec_id") % 17 === 0), pqPath,
+          kCoarse = 16, cIters = 3, m = 4, kSub = 16, iters = 3)
+        (1 to 16).foreach { r =>
+          SimilarityOps.appendToIvfPqIndex(pq,
+            emb.filter(col("vec_id") % 17 === r), r.toLong) } })
+      println(s"   ivfpq ingest dirs fragmented: ${dirCount(pqPath)}")
+      time("ivfpq query (fragmented)")(Pins.scoped {
+        SimilarityOps.queryIvfPqIndex(spark, pq,
+          emb.filter(col("vec_id") < 50), k = 10, nprobe = 4).count() })
+      time("compactIvfPqIndex")(
+        SimilarityOps.compactIvfPqIndex(spark, pq))
+      println(s"   ivfpq ingest dirs compacted:  ${dirCount(pqPath)}")
+      time("ivfpq query (compacted)")(Pins.scoped {
+        SimilarityOps.queryIvfPqIndex(spark, pq,
+          emb.filter(col("vec_id") < 50), k = 10, nprobe = 4).count() })
+      spark.stop(); return
+    }
     if (args.headOption.contains("streamclusters")) {
       // streaming cluster-index ingest batch-size sweep at a FIXED
       // corpus: per-batch work must scale with the batch, so total

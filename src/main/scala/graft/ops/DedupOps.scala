@@ -852,6 +852,7 @@ object DedupOps {
     // mismatched handle would band new docs differently, silently
     // missing cross-ingest candidates and breaking append==rebuild)
     val persisted = Artifacts.readMarker(spark, index.path, ClusterMarker)
+    requireNoCompactInFlight(spark, index.path)
     val expected =
       clusterMarkerJson(index.bands, index.rows, index.threshold)
     require(persisted == expected,
@@ -943,6 +944,19 @@ object DedupOps {
     */
   private val FingerprintFile = "_graft_fingerprint"
 
+  /** Mutating index ops must not interleave with a compaction whose
+    * swap may be incomplete (folded partitions partially deleted):
+    * a leftover staging dir means "complete the compaction first".
+    */
+  private def requireNoCompactInFlight(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, CompactDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(p),
+      s"a compaction of $path is in flight or crashed mid-swap; " +
+        "re-run compactClusterIndex to complete it first")
+  }
+
   /** Order-insensitive batch identity: row count + XOR of doc_id
     * hashes. One agg job over the batch.
     */
@@ -974,6 +988,7 @@ object DedupOps {
   def snapshotClusterLabels(spark: org.apache.spark.sql.SparkSession,
       index: ClusterIndex): Long = {
     Artifacts.readMarker(spark, index.path, ClusterMarker)
+    requireNoCompactInFlight(spark, index.path)
     val lastGen = maxPartitionId(spark, s"${index.path}/labels", "gen=")
     val committed = committedPartitionIds(spark,
       s"${index.path}/docs", "ingest=", requireSuccess = true)
@@ -1018,6 +1033,128 @@ object DedupOps {
       ingestId: Long): Unit = {
     appendEdgesToClusterIndex(index, newDocs, ingestId)
     snapshotClusterLabels(newDocs.sparkSession, index)
+  }
+
+  /** Staging dir name for [[compactClusterIndex]] (underscore prefix:
+    * invisible to Spark's file listings, so a half-staged compaction
+    * never leaks into reads).
+    */
+  private[ops] val CompactDir = "_compact"
+  private val CompactDone = "_DONE"
+
+  /** Fold every ingest partition at or below the last published label
+    * generation into ONE base partition per table, and prune stale
+    * label generations — the housekeeping a continuous ingest needs:
+    * at production cadence (100k+ micro-batches) the per-ingest layout
+    * accumulates 4 tiny directories per batch plus one label dir per
+    * snapshot, and the generation-gating FS listings plus
+    * file-open overhead grow linearly with history. After compaction
+    * the listing surface is O(ingests since the last snapshot), and
+    * the index is SEMANTICALLY IDENTICAL: same shingles/bands (future
+    * appends band against the same rows), same edges, same docs
+    * universe, same latest labels (spec-pinned append==rebuild across
+    * a compaction).
+    *
+    * Crash-safe stage-and-swap, resumable by re-running:
+    *  1. STAGE the folded tables under `_compact/` (invisible to
+    *     readers) and land a `_DONE` plan marker last;
+    *  2. SWAP per table: delete that table's folded partitions, then
+    *     rename the staged dir to `ingest=<target>` — a retry after a
+    *     crash anywhere resumes exactly where it died (per-table: the
+    *     staged dir still existing means that table hasn't swapped);
+    *  3. prune label generations below the latest, refresh, clean up.
+    * A crash mid-stage restages from the untouched originals; a crash
+    * mid-swap leaves `_compact/` present, which [[appendEdgesToClusterIndex]]
+    * and [[snapshotClusterLabels]] REFUSE to operate past — the
+    * operator must re-run compaction (which completes the swap) first.
+    *
+    * Contract: single-writer maintenance, and only compact past
+    * ingests that can no longer be replayed (the compacted base's
+    * fingerprint intentionally refuses an equal-id replay of the old
+    * tail batch — its docs are already folded in).
+    *
+    * Returns (ingest partitions folded, label generations pruned).
+    */
+  def compactClusterIndex(spark: org.apache.spark.sql.SparkSession,
+      index: ClusterIndex): (Int, Int) = {
+    Artifacts.readMarker(spark, index.path, ClusterMarker)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(index.path)
+    val fs = root.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(root, CompactDir)
+    val done = new org.apache.hadoop.fs.Path(tmp, CompactDone)
+    // a staging dir without its _DONE marker is a crashed stage:
+    // originals are untouched, so wipe and restage
+    if (fs.exists(tmp) && !fs.exists(done)) fs.delete(tmp, true)
+    val resuming = fs.exists(done)
+    val (target, fold): (Long, Seq[Long]) =
+      if (resuming) {
+        // resume the persisted plan — the listing may no longer show
+        // the folded ingests (some were deleted mid-swap)
+        val plan = Artifacts.readSmallFileOpt(spark, done.toString).get
+        val m = plan.split(";").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+        (m("target").toLong,
+          m("fold").split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+      } else {
+        val g = maxPartitionId(spark, s"${index.path}/labels", "gen=")
+        (g, committedPartitionIds(spark, s"${index.path}/docs",
+          "ingest=", requireSuccess = true).filter(_ <= g).sorted)
+      }
+    val tables = Seq("shingles", "bands", "edges", "docs")
+    var folded = 0
+    if (resuming || fold.size > 1) {
+      if (!resuming) {
+        // STAGE: one read over exactly the folded partitions per
+        // table (partition-pruned), written invisible. The partition
+        // column must not leak into the staged files.
+        tables.foreach { t =>
+          writeIngestPartition(
+            spark.read.parquet(s"${index.path}/$t")
+              .filter(col("ingest").cast("long").isin(fold: _*))
+              .drop("ingest"),
+            s"${index.path}/$CompactDir/$t")
+        }
+        Artifacts.writeSmallFile(spark, done.toString,
+          s"target=$target;fold=${fold.mkString(",")}")
+      }
+      // SWAP: per table, folded partitions go away and the staged dir
+      // takes the target id. The staged dir still existing is the
+      // per-table resume signal — once renamed, its folded dirs are
+      // gone and the delete loop must not touch the new base.
+      tables.foreach { t =>
+        val src = new org.apache.hadoop.fs.Path(
+          s"${index.path}/$CompactDir/$t")
+        if (fs.exists(src)) {
+          fold.foreach { d =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"${index.path}/$t/ingest=$d"), true)
+          }
+          val dst = new org.apache.hadoop.fs.Path(
+            s"${index.path}/$t/ingest=$target")
+          require(fs.rename(src, dst),
+            s"compaction rename failed: $src -> $dst")
+        }
+      }
+      // the compacted base represents the UNION batch: land its
+      // fingerprint so an equal-id replay of the old tail batch is
+      // refused (its docs are already folded in)
+      Artifacts.writeSmallFile(spark,
+        s"${index.path}/docs/ingest=$target/$FingerprintFile",
+        batchFingerprint(
+          spark.read.parquet(s"${index.path}/docs/ingest=$target")))
+      fs.delete(tmp, true)
+      folded = fold.size
+    }
+    // stale label generations: readers only ever take the max, so
+    // pruning older gens is invisible and crash-safe at any point
+    val stale = committedPartitionIds(spark,
+      s"${index.path}/labels", "gen=").filter(_ < target)
+    stale.foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${index.path}/labels/gen=$g"), true)
+    }
+    spark.catalog.refreshByPath(index.path)
+    (folded, stale.size)
   }
 
   /** Train/eval DECONTAMINATION: near-dup document pairs ACROSS two

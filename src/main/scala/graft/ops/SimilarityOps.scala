@@ -747,6 +747,70 @@ object SimilarityOps {
     writeCoded(flatFrame(vectors, index.dim), index, ingestId)
   }
 
+  /** Fold every committed ingest generation of a persisted IVF-PQ
+    * index into the base `ingest=0` — the same small-files
+    * housekeeping as [[DedupOps.compactClusterIndex]]: a continuous
+    * ingest accumulates one generation dir (× cells) per batch, and
+    * listing/open overhead grows with history while every row stays
+    * perfectly merge-compatible (all generations are encoded against
+    * the SAME persisted codebooks — retraining is a rebuild by
+    * contract). Probes prune on `cell` exactly as before; rows are
+    * preserved verbatim.
+    *
+    * Crash-safe stage-and-swap, resumable by re-running: the merged
+    * copy lands under the underscore-invisible `_compact/` staging dir
+    * with a `_DONE` plan marker; the swap deletes the folded
+    * generations and renames the staged copy to `ingest=0`. A crash
+    * mid-stage restages from the untouched originals; a crash mid-swap
+    * resumes from the plan. Single-writer maintenance; compact only
+    * past ingests that can no longer be replayed (a replayed old
+    * ingestId would re-add its vectors beside the folded copy).
+    *
+    * Returns the number of generations folded (0 = already compact).
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      index: IvfPqIndex): Int = {
+    Artifacts.readMarker(spark, index.path, IvfPqMarker)
+    val root = new org.apache.hadoop.fs.Path(index.path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(root, DedupOps.CompactDir)
+    val done = new org.apache.hadoop.fs.Path(tmp, "_DONE")
+    if (fs.exists(tmp) && !fs.exists(done)) fs.delete(tmp, true)
+    val resuming = fs.exists(done)
+    val ingests: Seq[Long] =
+      if (resuming)
+        Artifacts.readSmallFileOpt(spark, done.toString).get
+          .split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+      else fs.listStatus(root).iterator
+        .filter(st => st.getPath.getName.startsWith("ingest=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix("ingest=").toLong)
+        .toSeq.sorted
+    if (!resuming && ingests.size <= 1) return 0
+    val src = new org.apache.hadoop.fs.Path(tmp, "data")
+    if (!resuming) {
+      spark.read.parquet(index.path)
+        .filter(col("ingest").cast("long").isin(ingests: _*))
+        .drop("ingest")
+        .repartitionByRange(col("cell"), col("vec_id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(src.toString)
+      Artifacts.writeSmallFile(spark, done.toString, ingests.mkString(","))
+    }
+    if (fs.exists(src)) {
+      ingests.foreach { i =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${index.path}/ingest=$i"), true)
+      }
+      val dst = new org.apache.hadoop.fs.Path(s"${index.path}/ingest=0")
+      require(fs.rename(src, dst),
+        s"compaction rename failed: $src -> $dst")
+    }
+    fs.delete(tmp, true)
+    spark.catalog.refreshByPath(index.path)
+    ingests.size
+  }
+
   /** Query a [[writeIvfPqIndex]] index from disk: routing and ADC use
     * the PERSISTED codebooks (no retraining, no corpus scan), and the
     * cell equi-join against the partitioned files lets Spark prune to

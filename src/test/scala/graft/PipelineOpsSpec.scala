@@ -952,6 +952,87 @@ class PipelineOpsSpec extends SparkSpec {
         "and snapshot folds")
   }
 
+  test("compactClusterIndex folds history to one partition per table; " +
+      "labels, future appends and replay guards all survive") {
+    val path = "/tmp/graft_cluster_compact"
+    PipelineOpsSpec.rmrf(path)
+    def quarter(r: Int) = docs.filter(col("doc_id") % 4 === r)
+    val index = DedupOps.writeClusterIndex(quarter(0), path)
+    DedupOps.appendEdgesToClusterIndex(index, quarter(1), ingestId = 1L)
+    DedupOps.appendEdgesToClusterIndex(index, quarter(2), ingestId = 2L)
+    assert(DedupOps.snapshotClusterLabels(spark, index) === 2L)
+    def ingestDirs(t: String) =
+      Option(new java.io.File(s"$path/$t").listFiles()).get
+        .filter(_.getName.startsWith("ingest=")).map(_.getName).toSet
+    assert(ingestDirs("docs") === Set("ingest=0", "ingest=1", "ingest=2"))
+    val before = DedupOps.readClusterLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // three ingests fold; label gens were {0, 2} so one is stale
+    assert(DedupOps.compactClusterIndex(spark, index) === ((3, 1)))
+    // listing surface collapsed: one base partition per table, only
+    // the latest label generation
+    for (t <- Seq("shingles", "bands", "edges", "docs"))
+      assert(ingestDirs(t) === Set("ingest=2"), t)
+    assert(Option(new java.io.File(s"$path/labels").listFiles()).get
+      .filter(_.getName.startsWith("gen=")).map(_.getName).toSet
+      === Set("gen=2"))
+    // semantically identical: same labels…
+    val after = DedupOps.readClusterLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after === before)
+    // …and the compacted base keeps its replay guard: the old tail
+    // batch's id now fingerprints as the UNION, so reusing it is
+    // refused rather than silently shrinking the base
+    val err = intercept[IllegalArgumentException] {
+      DedupOps.appendEdgesToClusterIndex(index, quarter(2), ingestId = 2L)
+    }
+    assert(err.getMessage.contains("fingerprint"))
+    // a second compaction with nothing to fold is a no-op
+    assert(DedupOps.compactClusterIndex(spark, index) === ((0, 0)))
+    // future appends still band against the folded corpus: new docs
+    // that near-dup FOLDED docs must link exactly as in a rebuild
+    DedupOps.appendToClusterIndex(index, quarter(3), ingestId = 3L)
+    val got = DedupOps.readClusterLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = DedupOps.nearDupClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === full)
+  }
+
+  test("compaction crash shapes: mid-stage wreck restages, leftover " +
+      "staging dir blocks appends, empty-plan resume heals") {
+    val path = "/tmp/graft_cluster_compact_crash"
+    PipelineOpsSpec.rmrf(path)
+    def half(r: Int) = docs.filter(col("doc_id") % 2 === r)
+    val index = DedupOps.writeClusterIndex(half(0), path)
+    DedupOps.appendToClusterIndex(index, half(1), ingestId = 1L)
+    // a staging dir WITHOUT _DONE = crashed mid-stage: mutating ops
+    // refuse to run past it…
+    new java.io.File(s"$path/_compact").mkdirs()
+    val err = intercept[IllegalArgumentException] {
+      DedupOps.appendEdgesToClusterIndex(index, half(1), ingestId = 2L)
+    }
+    assert(err.getMessage.contains("compaction"))
+    // …and compaction itself wipes the wreck and completes normally
+    assert(DedupOps.compactClusterIndex(spark, index) === ((2, 1)))
+    val full = DedupOps.nearDupClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = DedupOps.readClusterLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === full)
+    // a _DONE whose staged dirs were already swapped (crash after the
+    // renames, before cleanup) resumes to a clean no-op heal
+    new java.io.File(s"$path/_compact").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_compact/_DONE"),
+      "target=1;fold=1".getBytes("UTF-8"))
+    DedupOps.compactClusterIndex(spark, index)
+    assert(!new java.io.File(s"$path/_compact").exists())
+    val healed = DedupOps.readClusterLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(healed === full)
+  }
+
   test("a crashed (uncommitted) snapshot dir is ignored, retry heals") {
     val path = "/tmp/graft_cluster_phantom"
     PipelineOpsSpec.rmrf(path)
@@ -1361,6 +1442,24 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.refreshByPath(path)
     assert(spark.read.parquet(path).count() === emb.count(),
       "replayed ingest duplicated index rows")
+    // COMPACTION folds the generations into the base: identical rows
+    // and query results, one ingest dir, same cell pruning surface
+    def topk() = SimilarityOps.queryIvfPqIndex(spark, index,
+        emb.filter(col("vec_id") < 3), k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val preCompact = topk()
+    assert(SimilarityOps.compactIvfPqIndex(spark, index) === 2)
+    assert(Option(new java.io.File(path).listFiles()).get
+      .filter(_.getName.startsWith("ingest=")).map(_.getName).toSet
+      === Set("ingest=0"))
+    assert(spark.read.parquet(path).count() === emb.count(),
+      "compaction changed the row count")
+    val postCompact = topk()
+    assert(postCompact === preCompact,
+      "compaction changed query results")
+    assert(SimilarityOps.compactIvfPqIndex(spark, index) === 0,
+      "second compaction must be a no-op")
   }
 
   test("raw-video decode: stride semantics, geometry, corrupt payload") {
