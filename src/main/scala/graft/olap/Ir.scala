@@ -130,6 +130,14 @@ final case class SetSlice(dim: String, paths: Seq[Seq[Any]])
   */
 final case class ExprSlice(sql: String, dims: Seq[String] = Nil)
     extends SlicerItem
+/** A COMPUTED slicer entry: a set expression in WHERE position
+  * (`WHERE (Head([Customers].Members).Item(0), ...)`, reference
+  * query_test.rb:288-300). The planner evaluates the set to its
+  * member rows at plan time and applies the equivalent member-path
+  * slicer; the set must cover a single dimension and evaluate to a
+  * bounded member list.
+  */
+final case class EvalSlice(set: SetExpr) extends SlicerItem
 
 /** A complete query: measures on columns, one set on rows, slicer,
   * NON EMPTY flag, named sets, extra WITH MEMBER calc members.

@@ -36,10 +36,11 @@ object Mdx {
       paths.map(p => s"[$d]." + p.map(v => s"[$v]").mkString("."))
         .mkString("{", ", ", "}")
     case Children(d, path) =>
-      s"[$d]." + path.map(v => s"[$v]").mkString(".") + ".Children"
+      // empty path = children of the hierarchy root ([Product].children,
+      // reference query_test.rb:397-404) — no dangling dot
+      s"[$d]" + path.map(v => s".[$v]").mkString + ".Children"
     case Descendants(d, path, l) =>
-      s"DESCENDANTS([$d]." + path.map(v => s"[$v]").mkString(".") +
-        s", [$l])"
+      s"DESCENDANTS([$d]" + path.map(v => s".[$v]").mkString + s", [$l])"
     case MemberRange(d, l, from, to) =>
       s"{[$d].[$l].[$from] : [$d].[$l].[$to]}"
     case CrossJoin(a, b) => s"CROSSJOIN(${render(a)}, ${render(b)})"
@@ -61,7 +62,10 @@ object Mdx {
       }
       s"ORDER(${render(s)}, $e, $d)"
     case TopCount(s, n, e, bottom) =>
-      s"${if (bottom) "BOTTOMCOUNT" else "TOPCOUNT"}(${render(s)}, $n, $e)"
+      // empty sort expr = the natural-order head/tail form
+      // (TOPCOUNT(set, n), reference query_test.rb:214-218)
+      s"${if (bottom) "BOTTOMCOUNT" else "TOPCOUNT"}(${render(s)}, $n" +
+        s"${if (e.isEmpty) "" else s", $e"})"
     case TopPercent(s, p, e, bottom) =>
       s"${if (bottom) "BOTTOMPERCENT" else "TOPPERCENT"}(${render(s)}, $p, $e)"
     case TopSum(s, t, e, bottom) =>
@@ -116,9 +120,42 @@ object Mdx {
         case SetSlice(d, ps) =>
           ps.map(p => s"[$d]." + p.map(v => s"[$v]").mkString("."))
         case ExprSlice(sql, _) => Seq(sql)
+        case EvalSlice(s) => Seq(render(s))
       }.mkString(", ") + ")"
-    (if (withPart.nonEmpty) s"WITH $withPart\n" else "") +
+    val raw = (if (withPart.nonEmpty) s"WITH $withPart\n" else "") +
       s"SELECT $cols ON COLUMNS$rowsPart\nFROM [$cubeName]$wherePart"
+    // splice hidden __setaggN calc definitions (tuple cell refs and
+    // Sum/...(set) aggregates the parser lowered to aux members) back
+    // in place, so the rendered query is self-contained and reparses
+    // to the same IR — the parser recreates the same aux members in
+    // the same textual order. Longest names first so __setagg10 never
+    // partially matches __setagg1.
+    ir.withMembers.filter(_.name.startsWith("__setagg"))
+      .sortBy(-_.name.length)
+      .foldLeft(raw)((s, cm) => s.replace(cm.name, renderAuxCalc(cm)))
+  }
+
+  /** The definitional MDX of a hidden set-agg calc member (see
+    * [[renderQuery]]). CELL kind renders as the original tuple
+    * `([Measures].[m], member...)`; aggregate kinds as
+    * `Fn(set, [Measures].[m])`.
+    */
+  private def renderAuxCalc(cm: CalcMember): String = cm.calc match {
+    case SetAggCalc("CELL", m, set, _) =>
+      def tupleMembers(s: SetExpr): Seq[String] = s match {
+        case CrossJoin(a, b) => tupleMembers(a) ++ tupleMembers(b)
+        case Members(d, Seq(p)) =>
+          Seq(s"[$d]" + p.map(v => s".[$v]").mkString)
+        case other => Seq(render(other))
+      }
+      (s"[Measures].[$m]" +: tupleMembers(set)).mkString("(", ", ", ")")
+    case SetAggCalc("COUNT", m, set, includeEmpty) =>
+      s"COUNT(${render(set)}" +
+        (if (m.nonEmpty) s", [Measures].[$m]" else "") +
+        (if (includeEmpty) "" else ", EXCLUDEEMPTY") + ")"
+    case SetAggCalc(fn, m, set, _) =>
+      s"$fn(${render(set)}, [Measures].[$m])"
+    case _ => cm.name
   }
 
   // ------------------------------------------------------------ lexer
@@ -400,9 +437,17 @@ object Mdx {
         throw MdxException(
           s"MDX object '[$name]' not found in cube '${cube.name}'"))
 
+    /** Calc members declared by THIS query's WITH clause so far:
+      * later formulas may reference earlier ones (the reference's
+      * ProfitValue-uses-ProfitPct pattern, query_test.rb:679-704,
+      * sequenced by SOLVE_ORDER at evaluation time).
+      */
+    private var declaredCalcs = Set.empty[String]
+
     private def isMeasureName(s: String): Boolean =
       cube.measures.exists(_.name.equalsIgnoreCase(s)) ||
-        cube.calcMembers.exists(_.name.equalsIgnoreCase(s))
+        cube.calcMembers.exists(_.name.equalsIgnoreCase(s)) ||
+        declaredCalcs.exists(_.equalsIgnoreCase(s))
 
     private def pathValue(s: String): Any =
       if (s.nonEmpty && s.forall(_.isDigit)) s.toInt else s
@@ -463,6 +508,7 @@ object Mdx {
             withMembers :+= CalcMember(segs(1), formula,
               solveOrder = solveOrder, formatString = fmt,
               cellFormatter = cellFmt)
+            declaredCalcs += segs(1)
           }
         }
       }
@@ -528,7 +574,7 @@ object Mdx {
           s"MDX cube '$cubeName' does not match connection cube " +
             s"'${cube.name}'")
       var slicer = Seq.empty[SlicerItem]
-      if (atKw("WHERE")) { eatKw("WHERE"); slicer = slicerItems() }
+      if (atKw("WHERE")) { eatKw("WHERE"); slicer = slicerItems(withSets) }
       QueryIR(measures, rows, slicer, nonEmpty, withSets,
         auxCalcs ++ withMembers, pages = pages, chapters = chapters,
         sections = sections)
@@ -559,7 +605,7 @@ object Mdx {
         // `.Suffix` pattern
         val braceSuffixes = Set("MEMBERS", "ALLMEMBERS", "CHILDREN",
           "PARENT", "FIRSTCHILD", "LASTCHILD", "SIBLINGS",
-          "FIRSTSIBLING", "LASTSIBLING", "ITEM")
+          "FIRSTSIBLING", "LASTSIBLING", "ITEM", "DEFAULTMEMBER")
         def braceHasSuffix: Boolean = {
           var k = 0; var depth = 0; var found = false
           while (!found && pos + k < toks.length && depth >= 0) {
@@ -604,8 +650,14 @@ object Mdx {
           if (atPunct(":")) {
             eatPunct(":")
             val to = memberPath()
-            val depth = firstPath.tail.length - 1
-            range = Some(MemberRange(d.name, d.levels(depth).name,
+            // level-qualified endpoints ([Dim].[Level].[v] : ...) name
+            // their level explicitly; otherwise depth determines it
+            val lvl =
+              if (firstPath.length == 3 &&
+                  d.levels.exists(_.name.equalsIgnoreCase(firstPath(1))))
+                resolveLevel(d, firstPath(1))
+              else d.levels(firstPath.tail.length - 1).name
+            range = Some(MemberRange(d.name, lvl,
               firstPath.tail.last, to.tail.last))
           }
           while (atPunct(",")) {
@@ -615,7 +667,17 @@ object Mdx {
           eatPunct("}")
           Left(range.getOrElse(Members(d.name, paths)))
         }
-      } else Left(setExpr(withSets))
+      } else peek match {
+        // a single unbraced measure on an axis ([Measures].[Unit
+        // Sales] ON COLUMNS, reference mondrian_test.rb:333-340) —
+        // a one-member measure list, not a member set
+        case Some(TBracket(s)) if s.equalsIgnoreCase("Measures") =>
+          val p = memberPath()
+          if (p.length < 2) throw MdxException(
+            "Syntax error: expected [Measures].[name]")
+          Right(Seq(p(1)))
+        case _ => Left(setExpr(withSets))
+      }
     }
 
     private def setExpr(withSets: Map[String, SetExpr]): SetExpr = {
@@ -759,8 +821,12 @@ object Mdx {
           } else SortDir.Asc
           OrderSet(a, e, dir)
         case "TOPCOUNT" | "BOTTOMCOUNT" =>
-          val a = arg(); comma(); val n = num().toInt; comma()
-          TopCount(a, n, scalarExpr(ws), bottom = fn == "BOTTOMCOUNT")
+          // the sort expression is optional (reference
+          // query_test.rb:214-218): without it, MDX takes the set's
+          // natural order — head for TOP, tail for BOTTOM
+          val a = arg(); comma(); val n = num().toInt
+          val e = if (atPunct(",")) { comma(); scalarExpr(ws) } else ""
+          TopCount(a, n, e, bottom = fn == "BOTTOMCOUNT")
         case "TOPPERCENT" | "BOTTOMPERCENT" =>
           val a = arg(); comma(); val p = num(); comma()
           TopPercent(a, p, scalarExpr(ws), bottom = fn == "BOTTOMPERCENT")
@@ -768,9 +834,15 @@ object Mdx {
           val a = arg(); comma(); val s = num(); comma()
           TopSum(a, s, scalarExpr(ws), bottom = fn == "BOTTOMSUM")
         case "HEAD" =>
-          val a = arg(); comma(); HeadSet(a, num().toInt)
+          // count defaults to 1 (HeadTailFunDef; reference
+          // query_test.rb:288-294 Head([Customers].Members))
+          val a = arg()
+          val n = if (atPunct(",")) { comma(); num().toInt } else 1
+          HeadSet(a, n)
         case "TAIL" =>
-          val a = arg(); comma(); TailSet(a, num().toInt)
+          val a = arg()
+          val n = if (atPunct(",")) { comma(); num().toInt } else 1
+          TailSet(a, n)
         case "SUBSET" =>
           val a = arg(); comma(); val s = num().toInt; comma()
           SubsetSet(a, s, num().toInt)
@@ -1000,7 +1072,7 @@ object Mdx {
       }
       val knownSuffix = Set("MEMBERS", "ALLMEMBERS", "CHILDREN",
         "PARENT", "FIRSTCHILD", "LASTCHILD", "SIBLINGS",
-        "FIRSTSIBLING", "LASTSIBLING")
+        "FIRSTSIBLING", "LASTSIBLING", "DEFAULTMEMBER")
       val hasSuffix = atPunct(".") && (peekAt(1) match {
         case Some(TIdent(f)) => knownSuffix(f.toUpperCase)
         case _ => false
@@ -1010,10 +1082,27 @@ object Mdx {
         next() match {
           case TIdent(f) if f.equalsIgnoreCase("Members") ||
               f.equalsIgnoreCase("AllMembers") =>
-            if (segs.length != 2)
-              throw MdxException(
-                s"Syntax error: .$f applies to [Dim].[Level]")
-            LevelMembers(d.name, resolveLevel(d, segs(1)))
+            // [Dim].Members / [Dim].AllMembers — hierarchy-scope: every
+            // member of every level (reference query_test.rb:288-300,
+            // 712-723). Hierarchies here carry no All member (hasAll =
+            // false semantics), so the hierarchy member set is the
+            // union of the level member sets, root level first.
+            if (segs.length == 1)
+              d.levels.map(l => LevelMembers(d.name, l.name): SetExpr)
+                .reduce(UnionSet(_, _, all = true))
+            else if (segs.length == 2)
+              LevelMembers(d.name, resolveLevel(d, segs(1)))
+            else throw MdxException(
+              s"Syntax error: .$f applies to [Dim] or [Dim].[Level]")
+          case TIdent(f) if f.equalsIgnoreCase("DefaultMember") =>
+            // hasAll=false hierarchies: Mondrian's default member is
+            // the first root-level member (HierarchyDefaultMember;
+            // reference query_test.rb:718-723 — there the default is
+            // the All member, whose analog here is the grand-total
+            // row, not an axis member)
+            if (segs.length != 1) throw MdxException(
+              "Syntax error: .DefaultMember applies to [Dim]")
+            HeadSet(LevelMembers(d.name, d.levels.head.name), 1)
           case TIdent(f) if f.equalsIgnoreCase("Children") =>
             Children(d.name, path)
           // member navigation (reference cube.rb member API / Mondrian
@@ -1038,6 +1127,14 @@ object Mdx {
             else TailSet(Children(d.name, path.dropRight(1)), 1)
           case t => throw MdxException(s"Syntax error: unexpected .$t")
         }
+      } else if (segs.length == 3 &&
+          d.levels.exists(_.name.equalsIgnoreCase(segs(1)))) {
+        // Mondrian level-qualified member ([Dim].[Level].[Member],
+        // reference mondrian_test.rb:333-340) — level interpretation
+        // takes precedence, as in Mondrian's name lookup; lowered to
+        // the degenerate range at that level (all members of the level
+        // with that name, regardless of ancestry)
+        MemberRange(d.name, resolveLevel(d, segs(1)), segs(2), segs(2))
       } else Members(d.name, Seq(path))
     }
 
@@ -1623,18 +1720,78 @@ object Mdx {
         val col = if (cast) s"CAST($m AS DOUBLE)" else m
         out = out.replace(s"@REF{$i}", col)
       }
-      out.trim
+      canonSpaces(out)
+    }
+
+    /** Collapse whitespace runs (outside string literals) to one
+      * space. The lowered expression text is part of the IR, and the
+      * token-joining above inserts different spacing than a measure
+      * substitution does — without a canonical form, parse → render →
+      * reparse of the same predicate diverges on whitespace alone
+      * (e.g. `[Measures].[Unit Sales] > 1000` vs the rendered bare
+      * `Unit Sales > 1000`, reference query_test.rb:617-633).
+      */
+    private def canonSpaces(s: String): String = {
+      val sb2 = new StringBuilder
+      var inQ = false
+      var lastSpace = false
+      s.foreach { c =>
+        if (c == '\'') { inQ = !inQ; sb2.append(c); lastSpace = false }
+        else if (!inQ && c.isWhitespace) {
+          // no space after '(' — parens are emitted bare on one path
+          // and space-padded on another
+          if (!lastSpace && sb2.nonEmpty && sb2.last != '(')
+            sb2.append(' ')
+          lastSpace = true
+        } else {
+          if (!inQ && c == ')' && sb2.nonEmpty && sb2.last == ' ')
+            sb2.setLength(sb2.length - 1)
+          sb2.append(c)
+          lastSpace = false
+        }
+      }
+      sb2.toString.trim
     }
 
     // -------- slicer
 
-    private def slicerItems(): Seq[SlicerItem] = {
-      def one(): Seq[(String, Seq[Any])] = {
-        val p = memberPath()
-        val d = dimNamed(p.head)
-        Seq(d.name -> p.tail.map(pathValue))
+    private def slicerItems(ws: Map[String, SetExpr]): Seq[SlicerItem] = {
+      // a slicer entry is either a literal member path, or a SET
+      // EXPRESSION (WHERE CROSSJOIN(...), WHERE (Head(...).Item(0),
+      // ...) — reference query_test.rb:288-320). Set expressions that
+      // statically flatten to per-dimension member paths (CrossJoin
+      // trees over literal member sets) become ordinary member/set
+      // slicers; anything else is a plan-time-evaluated EvalSlice.
+      def flatten(s: SetExpr): Option[Seq[(String, Seq[Any])]] = s match {
+        case Members(d, paths) => Some(paths.map(p => d -> p))
+        case CrossJoin(a, b) =>
+          for (fa <- flatten(a); fb <- flatten(b)) yield fa ++ fb
+        case NonEmptyCrossJoin(a, b) =>
+          // slicer position: restriction only — empty combinations
+          // contribute no rows either way, so the NONEMPTY is inert
+          for (fa <- flatten(a); fb <- flatten(b)) yield fa ++ fb
+        case _ => None
       }
-      val items: Seq[(String, Seq[Any])] =
+      def startsSetFn: Boolean = peek match {
+        case Some(TIdent(f)) =>
+          SetFns.contains(f.toUpperCase) || ws.contains(f) ||
+            f.equalsIgnoreCase("STRTOSET") ||
+            f.equalsIgnoreCase("STRTOMEMBER")
+        case _ => false
+      }
+      def one(): Seq[Either[(String, Seq[Any]), SlicerItem]] =
+        if (startsSetFn) {
+          val s = setExpr(ws)
+          flatten(s) match {
+            case Some(pairs) => pairs.map(Left(_))
+            case None => Seq(Right(EvalSlice(s)))
+          }
+        } else {
+          val p = memberPath()
+          val d = dimNamed(p.head)
+          Seq(Left(d.name -> p.tail.map(pathValue)))
+        }
+      val items: Seq[Either[(String, Seq[Any]), SlicerItem]] =
         if (atPunct("(")) {
           eatPunct("(")
           var acc = one()
@@ -1650,10 +1807,10 @@ object Mdx {
         } else one()
       // same-dim members form a compound (set) slicer; distinct dims a
       // tuple (query.rb:379-386)
-      items.groupBy(_._1).toSeq.map {
+      items.collect { case Left(p) => p }.groupBy(_._1).toSeq.map {
         case (dim, Seq((_, path))) => MemberSlice(dim, path)
         case (dim, many) => SetSlice(dim, many.map(_._2))
-      }
+      } ++ items.collect { case Right(s) => s }
     }
   }
 }

@@ -826,6 +826,8 @@ final class Planner(val cube: BoundCube) {
       case SetSlice(dim, paths)   => Seq(dim -> (paths.map(_.length).max - 1))
       case ExprSlice(_, dims)     =>
         dims.map(d => d -> (cube.dim(d).levels.length - 1))
+      case EvalSlice(_) => throw new IllegalStateException(
+        "EvalSlice must be resolved at plan entry (resolveSlicer)")
     }
     (fromAxis ++ fromSlicer)
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
@@ -930,6 +932,8 @@ final class Planner(val cube: BoundCube) {
       case SetSlice(dim, paths) =>
         paths.map(p => ancestorPredicate(cube.dim(dim), p)).reduce(_ || _)
       case ExprSlice(sql, _) => expr(sql)
+      case EvalSlice(_) => throw new IllegalStateException(
+        "EvalSlice must be resolved at plan entry (resolveSlicer)")
     }.reduce(_ && _)
 
   /** The one fact pass per grain: star join (broadcast dims) → slicer
@@ -1078,7 +1082,44 @@ final class Planner(val cube: BoundCube) {
 
   // ------------------------------------------------------------- execute
 
-  def execute(q0: QueryIR): DataFrame = {
+  /** Resolve computed ([[EvalSlice]]) slicer entries to literal
+    * member-path slicers: evaluate the set (single dimension, bounded
+    * member count — a slicer is a coordinate list, not a data set),
+    * read its member paths, and substitute the equivalent
+    * [[MemberSlice]]/[[SetSlice]]. Runs ONCE at plan entry so every
+    * downstream consumer (star join depth, slicer predicate, segment
+    * cache keys) sees only literal slicers.
+    */
+  private def resolveSlicer(items: Seq[SlicerItem],
+      withSets: Map[String, SetExpr]): Seq[SlicerItem] =
+    items.map {
+      case EvalSlice(set) =>
+        val a = evalSet(set, Nil, withSets)
+        require(a.dims.length == 1,
+          "a computed slicer set must cover exactly one dimension; " +
+            "write multi-dimension slicers as a tuple of entries")
+        val d = a.dims.head.d
+        val lvls = levelCols(d, a.dims.head.depth)
+        val rows = a.members.select(lvls.map(col): _*)
+          .limit(10001).collect()
+        require(rows.length <= 10000,
+          s"computed slicer on [${d.name}] evaluates to more than " +
+            "10000 members — slice by a set literal or level instead")
+        // mixed-depth frames null-pad deeper levels: a member's path
+        // is its level values up to the first null
+        val paths = rows.toSeq.map { r =>
+          val vals = lvls.indices.map(r.get)
+          val cut = vals.indexWhere(_ == null)
+          (if (cut < 0) vals else vals.take(cut)).toSeq
+        }.filter(_.nonEmpty)
+        if (paths.length == 1) MemberSlice(d.name, paths.head)
+        else SetSlice(d.name, paths)
+      case other => other
+    }
+
+  def execute(q0pre: QueryIR): DataFrame = {
+    val q0 = q0pre.copy(
+      slicer = resolveSlicer(q0pre.slicer, q0pre.withSets))
     // PAGES/CHAPTERS/SECTIONS lower to outer products with ROWS:
     // CrossJoin order is left-major, which is exactly Mondrian's
     // axis-ordinal iteration (higher axes vary slowest, so SECTIONS is

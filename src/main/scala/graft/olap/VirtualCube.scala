@@ -44,6 +44,7 @@ final class VirtualCube(
         case MemberSlice(d, _) => cube.dims.exists(_.name == d)
         case SetSlice(d, _) => cube.dims.exists(_.name == d)
         case ExprSlice(_, _) => true
+        case EvalSlice(_) => true
       }
       val keys = Planner.groupCols(axisDims)
       (planner.aggregate(axisDims, applicable)
@@ -78,6 +79,7 @@ final class VirtualCube(
       case MemberSlice(d, _) => owner.dims.exists(_.name == d)
       case SetSlice(d, _)    => owner.dims.exists(_.name == d)
       case ExprSlice(_, _)   => true
+      case EvalSlice(_)      => true
     }
     val base = new Planner(owner)
       .drillThrough(ownerSlicer, own, ownerDims, maxRows = maxRows)

@@ -243,7 +243,19 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     * as coverage grows, never silently mask a regression).
     */
   private val expectedUnsupported: Map[String, String] = Map(
-  )
+    // The LinRegR2/LinRegVariance(set, yExpr, xExpr) FORMULA shape
+    // regresses a per-member scalar SERIES (here Rank(CurrentMember,
+    // set) and CASE WHEN over it — pure functions of member position,
+    // no measures involved). This engine covers the LinReg statistics
+    // as fact-level aggregators (Agg.RegrSlope/Intercept/R2/Variance/
+    // Point, q_linreg hash-green vs DuckDB regr_*), which is the shape
+    // a Spark deployment uses; the member-position-series calc is a
+    // documented cut, not a silent one.
+    "linregr2_case" -> "per-member-series LinReg formula (covered as Agg.RegrR2)",
+    "linregr2_round" -> "per-member-series LinReg formula (covered as Agg.RegrR2)",
+    "linregr2_null" -> "per-member-series LinReg formula (covered as Agg.RegrR2)",
+    "linregvar_case" -> "per-member-series LinReg formula (covered as Agg.RegrVariance)",
+    "linregvar_rank" -> "per-member-series LinReg formula (covered as Agg.RegrVariance)")
 
   test("reference MDX corpus: parse -> toMdx -> reparse is an IR " +
       "fixpoint; unsupported constructs are enumerated, not silent") {
