@@ -93,6 +93,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.size},"passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"agg":"min","order":"seeded-shuffle-per-pass","pins":"scoped-per-query","warmup_sec":${ms(warmupSec)},"errs":$errsJson,"queries":$qs,"omitted":${omitted.size},"omitted_sec":${ms(omitted.map(_._2).sum)},"sf":"$sfDir"}""")
+    // SPARK_GRAFT_BENCH_OUT=<file>: also dump the COMPLETE per-query
+    // map (untruncated — the stdout line keeps only the heaviest
+    // queries under a byte budget) for offline scale-curve analysis.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      val full = best.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val w = new java.io.PrintWriter(out)
+      try w.println(s"""{"total":$total,"passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"warmup_sec":${ms(warmupSec)},"errs":$errsJson,"queries":$full,"sf":"$sfDir"}""")
+      finally w.close()
+    }
     spark.stop()
   }
 }

@@ -251,6 +251,74 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("snapdup")) {
+      // snapshotClusterLabels on a HIGH-dup-mass corpus (VERDICT r10
+      // #4): the per-snapshot fold reads the full last-gen label frame
+      // and re-runs components over (label-edges ∪ new edges), so its
+      // cost grows with accumulated duplicate mass. Corpus: 2.5k sf0.1
+      // docs replicated 8× with the suffix-token convention — every
+      // doc is an 8-clique of mutual near-dups (dup mass ≈ 7/8 of the
+      // corpus, the stress ceiling), arriving interleaved across 12
+      // ingest batches. Timed: every individual snapshot as history
+      // grows, at publish-every-batch vs every-4 cadence.
+      import graft.ops.DedupOps
+      import graft.olap.Pins
+      val base = docs.filter(col("doc_id") < 2500)
+      val nb = base.count()
+      val corpus = base.crossJoin(
+          spark.range(8).select(col("id").as("rep")))
+        .select((col("doc_id") + col("rep") * lit(nb)).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"),
+          col("source"), col("n_chars"))
+        .repartition(32).persist()
+      println(s"-- snapdup corpus docs=${corpus.count()} " +
+        s"(8-clique dup mass)")
+      val nAppends = 12
+      def slice(r: Int) = corpus.filter(col("doc_id") % nAppends === r)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+      for (snapEvery <- Seq(1, 4)) {
+        val path = s"/tmp/graft_scale_snapdup_$snapEvery"
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        var idx: DedupOps.ClusterIndex = null
+        var appendSec = 0.0; var snapSec = 0.0
+        Pins.scoped {
+          val t0 = System.nanoTime()
+          idx = DedupOps.writeClusterIndex(slice(0), path)
+          appendSec += (System.nanoTime() - t0) / 1e9
+        }
+        for (r <- 1 until nAppends) {
+          Pins.scoped {
+            val t0 = System.nanoTime()
+            DedupOps.appendEdgesToClusterIndex(idx, slice(r), r.toLong)
+            appendSec += (System.nanoTime() - t0) / 1e9
+          }
+          if (r % snapEvery == 0 || r == nAppends - 1) Pins.scoped {
+            val dupMass = DedupOps.readClusterLabels(spark, path)
+              .filter(col("doc_id") =!= col("cluster_id")).count()
+            val t0 = System.nanoTime()
+            DedupOps.snapshotClusterLabels(spark, idx)
+            val dt = (System.nanoTime() - t0) / 1e9
+            snapSec += dt
+            println(f"   snap@batch=$r%-2d cadence=$snapEvery " +
+              f"prior-label-edges=$dupMass%-6d $dt%5.2f s")
+          }
+        }
+        println(f"   cadence=$snapEvery totals: appends $appendSec%6.2f s" +
+          f"  snapshots $snapSec%6.2f s")
+        // labels must equal the one-shot batch CC regardless of cadence
+        val got = Pins.scoped {
+          DedupOps.readClusterLabels(spark, path).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toMap }
+        val expect = Pins.scoped {
+          DedupOps.nearDupClusters(corpus).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toMap }
+        require(got == expect,
+          s"labels diverge at cadence $snapEvery: ${got.size} vs ${expect.size}")
+      }
+      corpus.unpersist()
+      spark.stop(); return
+    }
     if (args.headOption.contains("clusters")) {
       // persisted cluster index scale curve: build cost vs INCREMENTAL
       // append cost (the artifact's reason to exist — append must track
