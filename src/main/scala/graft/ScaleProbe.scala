@@ -377,7 +377,7 @@ object ScaleProbe {
       time(s"minhash x$mult")(
         graft.ops.DedupOps.minhashLsh(big, 4, 2, 0.5).count())
       time(s"embed_lsh x$mult")(
-        graft.ops.DedupOps.embeddingPairsLsh(bigEmb, 0.47).count())
+        graft.ops.DedupOps.embeddingPairsLshAuto(bigEmb, 0.47).count())
       time(s"repetition x$mult")(
         graft.ops.TextOps.repetition(big).count())
       time(s"curate_cap x$mult")(

@@ -1536,6 +1536,13 @@ object DedupOps {
     * verify dot products). The verify phase joins the bounded
     * candidate set against the flat unit-vector frame with shuffle
     * joins on vec_id — the corpus side is never broadcast.
+    *
+    * GEOMETRY MUST SCALE WITH THE CORPUS: hyperplane band keys are
+    * data-independent, so per-band bucket occupancy is ~n / 2^bits and
+    * Σ |bucket|² grows QUADRATICALLY in n at fixed bits — the measured
+    * sf0.1→sf1 blow-up (1.5 s → 77 s at 10× vectors, BASELINE.md r11)
+    * that [[embeddingPairsLshAuto]] removes by holding expected
+    * occupancy constant. Fixed-geometry callers own that sizing.
     */
   def embeddingPairsLsh(emb: DataFrame, threshold: Double,
       bands: Int = 4, bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
@@ -1574,4 +1581,34 @@ object DedupOps {
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b")
   }
+
+  /** Bits per band for ~`targetBucket` expected vectors per band
+    * bucket: the smallest b >= 4 with ceil(n / targetBucket) <= 2^b.
+    * Pure integer arithmetic (no float log2 whose ULP could disagree
+    * with the oracle's at exact powers of two); the DuckDB twin is
+    * `GREATEST(4, length(bin(q - 1)))` for q = (n + tb - 1) // tb,
+    * since length(bin(x)) = ceil(log2(x + 1)) exactly.
+    */
+  def lshBitsPerBand(n: Long, targetBucket: Long = 64): Int = {
+    val q = (n + targetBucket - 1) / targetBucket
+    if (q <= 1L) 4
+    else math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(q - 1))
+  }
+
+  /** [[embeddingPairsLsh]] with occupancy-constant geometry: bits per
+    * band grows log2 with the corpus (one bounded count job), so
+    * expected band-bucket size — and with it the Σ |bucket|² candidate
+    * work — stays ~targetBucket-bounded per band at ANY corpus size
+    * instead of exploding quadratically. The price is the documented
+    * LSH trade: per-band collision p^bits falls as bits widen, so
+    * recall at a fixed cosine concentrates on the high-similarity
+    * pairs (true near-dups) as n grows; raise `bands` to buy recall
+    * back at linear cost. The geometry derivation is deterministic
+    * from n, so the DuckDB oracle reproduces it exactly.
+    */
+  def embeddingPairsLshAuto(emb: DataFrame, threshold: Double,
+      bands: Int = 4, targetBucket: Long = 64,
+      dim: Int = 64): DataFrame =
+    embeddingPairsLsh(emb, threshold, bands,
+      lshBitsPerBand(emb.count(), targetBucket), dim)
 }

@@ -194,9 +194,11 @@ object PipelineQueries {
     "q_dedup_embed" -> ((s, dir) =>
       DedupOps.embeddingPairs(emb(s, dir), 0.47)),
 
-    // the scale path: banded hyperplane-LSH candidates + exact verify
+    // the scale path: banded hyperplane-LSH candidates + exact verify,
+    // bits-per-band derived from corpus size (constant expected bucket
+    // occupancy — fixed geometry went quadratic at sf1, BASELINE.md r11)
     "q_dedup_embed_lsh" -> ((s, dir) =>
-      DedupOps.embeddingPairsLsh(emb(s, dir), 0.47)),
+      DedupOps.embeddingPairsLshAuto(emb(s, dir), 0.47)),
 
     // -- similarity search ---------------------------------------------
     "q_ann_topk" -> ((s, dir) => {
@@ -1026,8 +1028,15 @@ object PipelineQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${COS("a.embedding", "b.embedding")} >= 0.47""".stripMargin,
 
+    // bits-per-band twin of DedupOps.lshBitsPerBand: smallest b >= 4
+    // with ceil(n/64) <= 2^b, via exact integer length(bin(q-1)) —
+    // no float log2 whose ULP could flip a ceil at powers of two
     "q_dedup_embed_lsh" ->
-      s"""WITH bucketed AS (
+      s"""WITH g AS (
+         |  SELECT CASE WHEN q <= 1 THEN 4
+         |    ELSE GREATEST(4, CAST(length(bin(q - 1)) AS INT)) END AS bits
+         |  FROM (SELECT (count(*) + 63) // 64 AS q FROM embeddings)),
+         |bucketed AS (
          |  SELECT vec_id,
          |    CAST(list_sum([
          |      CASE WHEN list_sum([
@@ -1036,12 +1045,12 @@ object PipelineQueries {
          |            % 1000000) / 1000000.0 - 0.5)
          |          for d in range(0, len(embedding))]) > 0
          |        THEN (1::BIGINT << b) ELSE 0::BIGINT END
-         |      for b in range(0, 16)]) AS BIGINT) AS bucket
-         |  FROM embeddings),
+         |      for b in range(0, 4 * g.bits)]) AS BIGINT) AS bucket
+         |  FROM embeddings, g),
          |banded AS (
          |  SELECT vec_id, bs.b AS band_idx,
-         |    (bucket >> (bs.b * 4)) % 16 AS band_val
-         |  FROM bucketed, (SELECT unnest(range(0, 4)) AS b) bs),
+         |    (bucket >> (bs.b * g.bits)) % (1::BIGINT << g.bits) AS band_val
+         |  FROM bucketed, g, (SELECT unnest(range(0, 4)) AS b) bs),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM banded a JOIN banded b

@@ -88,6 +88,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh.forall { case (a, b) => a < b })
   }
 
+  test("lshBitsPerBand holds expected bucket occupancy constant") {
+    // smallest b >= 4 with ceil(n/64) <= 2^b — exact at the
+    // power-of-two boundaries where a float log2 could flip a ceil
+    assert(DedupOps.lshBitsPerBand(1) == 4)
+    assert(DedupOps.lshBitsPerBand(64) == 4)
+    assert(DedupOps.lshBitsPerBand(1024) == 4)
+    assert(DedupOps.lshBitsPerBand(1025) == 5)
+    assert(DedupOps.lshBitsPerBand(2000) == 5)
+    assert(DedupOps.lshBitsPerBand(2048) == 5)
+    assert(DedupOps.lshBitsPerBand(2049) == 6)
+    assert(DedupOps.lshBitsPerBand(20000) == 9)
+    assert(DedupOps.lshBitsPerBand(1L << 40) == 34)
+    // occupancy bound: ceil(n / 64) <= 2^bits < 2 * max(ceil(n/64), 8)
+    for (n <- Seq(17L, 100L, 999L, 12345L, 1000000L)) {
+      val bits = DedupOps.lshBitsPerBand(n)
+      val q = (n + 63) / 64
+      assert((1L << bits) >= q, s"n=$n")
+      assert(bits == 4 || (1L << (bits - 1)) < q, s"n=$n not minimal")
+    }
+  }
+
+  test("embeddingPairsLshAuto equals fixed geometry at the derived bits") {
+    val n = emb.count()
+    val auto = DedupOps.embeddingPairsLshAuto(emb, 0.47)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = DedupOps.embeddingPairsLsh(emb, 0.47,
+        bitsPerBand = DedupOps.lshBitsPerBand(n))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed)
+    // and stays a verified subset of brute force
+    val brute = DedupOps.embeddingPairs(emb, 0.47)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(brute))
+  }
+
   test("crossContamination equals whole-corpus minhash restricted to the split") {
     val evalSet = docs.filter(col("doc_id") < 250)
     val train = docs.filter(col("doc_id") >= 250)
