@@ -120,6 +120,11 @@ object Mdx {
         case SetSlice(d, ps) =>
           ps.map(p => s"[$d]." + p.map(v => s"[$v]").mkString("."))
         case ExprSlice(sql, _) => Seq(sql)
+        // a one-member range is the lowering of a level-qualified
+        // member literal — render it back as that literal so the
+        // roundtrip reparses to the same IR
+        case EvalSlice(MemberRange(d, l, from, to)) if from == to =>
+          Seq(s"[$d].[$l].[$from]")
         case EvalSlice(s) => Seq(render(s))
       }.mkString(", ") + ")"
     val raw = (if (withPart.nonEmpty) s"WITH $withPart\n" else "") +
@@ -645,7 +650,7 @@ object Mdx {
           Right(names)
         } else {
           val d = dimNamed(firstPath.head)
-          var paths = Seq(firstPath.tail.map(pathValue))
+          var rawPaths = Seq(firstPath.tail)
           var range: Option[SetExpr] = None
           if (atPunct(":")) {
             eatPunct(":")
@@ -662,10 +667,20 @@ object Mdx {
           }
           while (atPunct(",")) {
             eatPunct(",")
-            paths :+= memberPath().tail.map(pathValue)
+            rawPaths :+= memberPath().tail
           }
           eatPunct("}")
-          Left(range.getOrElse(Members(d.name, paths)))
+          Left(range.getOrElse {
+            // level-qualified items ({[Dim].[Level].[M], ...}) lower to
+            // one-member ranges; plain ancestry paths stay Members
+            val (lvlQ, plain) =
+              rawPaths.partition(p => levelQualified(d, p).isDefined)
+            val sets: Seq[SetExpr] =
+              (if (plain.nonEmpty)
+                Seq(Members(d.name, plain.map(_.map(pathValue))))
+              else Nil) ++ lvlQ.flatMap(levelQualified(d, _))
+            sets.reduce(UnionSet(_, _, all = true))
+          })
         }
       } else peek match {
         // a single unbraced measure on an axis ([Measures].[Unit
@@ -1048,7 +1063,8 @@ object Mdx {
       def one(): Unit = {
         val p = memberPath()
         val d = dimNamed(p.head)
-        sets :+= Members(d.name, Seq(p.tail.map(pathValue)))
+        sets :+= levelQualified(d, p.tail).getOrElse(
+          Members(d.name, Seq(p.tail.map(pathValue))))
       }
       one()
       while (atPunct(",")) { eatPunct(","); one() }
@@ -1143,6 +1159,20 @@ object Mdx {
         throw MdxException(
           s"MDX object '[${d.name}].[$name]' not found in cube " +
             s"'${cube.name}'"))
+
+    /** A [Dim].[X].[M] path whose X names a level of the dimension is
+      * Mondrian's level-qualified member (level lookup takes
+      * precedence over ancestry, reference mondrian_test.rb:333-340) —
+      * lowered to the one-member range at that level. `tail` is the
+      * path AFTER the dimension segment.
+      */
+    private def levelQualified(d: BoundDim,
+        tail: Seq[String]): Option[SetExpr] =
+      if (tail.length == 2 &&
+          d.levels.exists(_.name.equalsIgnoreCase(tail.head)))
+        Some(MemberRange(d.name, resolveLevel(d, tail.head),
+          tail(1), tail(1)))
+      else None
 
     /** [A].[B].[C] — bracket path segments joined by dots (plain idents
       * allowed too). Stops before a trailing .Function suffix.
@@ -1780,7 +1810,9 @@ object Mdx {
         case _ => false
       }
       def one(): Seq[Either[(String, Seq[Any]), SlicerItem]] =
-        if (startsSetFn) {
+        if (startsSetFn || atPunct("{")) {
+          // braced set in slicer position (e.g. a rendered member
+          // range inside a WHERE tuple) takes the general set parser
           val s = setExpr(ws)
           flatten(s) match {
             case Some(pairs) => pairs.map(Left(_))
@@ -1789,7 +1821,13 @@ object Mdx {
         } else {
           val p = memberPath()
           val d = dimNamed(p.head)
-          Seq(Left(d.name -> p.tail.map(pathValue)))
+          levelQualified(d, p.tail) match {
+            // WHERE ([Dim].[Level].[M]): the member's full ancestry is
+            // data, not syntax — resolve the one-member range at plan
+            // entry like any computed slicer
+            case Some(rng) => Seq(Right(EvalSlice(rng)))
+            case None => Seq(Left(d.name -> p.tail.map(pathValue)))
+          }
         }
       val items: Seq[Either[(String, Seq[Any]), SlicerItem]] =
         if (atPunct("(")) {

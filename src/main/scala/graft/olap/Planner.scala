@@ -285,7 +285,10 @@ final class Planner(val cube: BoundCube) {
       // itself (Mondrian DescendantsFunDef semantics; ADVICE r1).
       val depth = math.min(path.length, d.levels.length - 1)
       val pred =
-        if (path.length >= d.levels.length) lit(false)
+        // [Dim].Children (no member path) = children of the implicit
+        // All root: every level-0 member (Mondrian hierarchy default)
+        if (path.isEmpty) lit(true)
+        else if (path.length >= d.levels.length) lit(false)
         else ancestorPredicate(d, path)
       AxisFrame(memberFrame(d, depth).filter(pred), Seq(AxisDim(d, depth)))
 
@@ -293,7 +296,10 @@ final class Planner(val cube: BoundCube) {
       val d = cube.dim(dim)
       val depth = d.levelIndex(level)
       require(depth >= path.length, "Descendants level above member level")
-      AxisFrame(memberFrame(d, depth).filter(ancestorPredicate(d, path)),
+      // DESCENDANTS([Dim], [Level]) — descendants of the implicit All
+      // root at that level = every member of the level
+      val dpred = if (path.isEmpty) lit(true) else ancestorPredicate(d, path)
+      AxisFrame(memberFrame(d, depth).filter(dpred),
         Seq(AxisDim(d, depth)))
 
     case MemberRange(dim, level, from, to) =>
@@ -506,6 +512,12 @@ final class Planner(val cube: BoundCube) {
         case SortDir.Desc  => ancestorOrds(a).map(col(_).asc) :+ key.desc
       }
       ordered(a, cells, sortCols)
+
+    case TopCount(s, n, e, bottom) if e.isEmpty =>
+      // no sort expression (the parser's optional third arg): MDX
+      // takes the set's natural order — head for TOP, tail for BOTTOM
+      evalSet(if (bottom) TailSet(s, n) else HeadSet(s, n),
+        slicer, withSets)
 
     case TopCount(s, n, e, bottom) =>
       val a = evalSet(s, slicer, withSets)
@@ -823,7 +835,10 @@ final class Planner(val cube: BoundCube) {
     val fromAxis = axisDims.map(ad => ad.d.name -> ad.depth)
     val fromSlicer = slicer.flatMap {
       case MemberSlice(dim, path) => Seq(dim -> (path.length - 1))
-      case SetSlice(dim, paths)   => Seq(dim -> (paths.map(_.length).max - 1))
+      // an empty path set (a computed slicer that matched no member)
+      // still joins the dim at root depth; its predicate is lit(false)
+      case SetSlice(dim, paths)   =>
+        Seq(dim -> (paths.map(_.length).maxOption.getOrElse(1) - 1))
       case ExprSlice(_, dims)     =>
         dims.map(d => d -> (cube.dim(d).levels.length - 1))
       case EvalSlice(_) => throw new IllegalStateException(
@@ -930,7 +945,11 @@ final class Planner(val cube: BoundCube) {
     else slicer.map {
       case MemberSlice(dim, path) => ancestorPredicate(cube.dim(dim), path)
       case SetSlice(dim, paths) =>
-        paths.map(p => ancestorPredicate(cube.dim(dim), p)).reduce(_ || _)
+        // empty member set (computed slicer matched nothing): no cell
+        // satisfies the slicer — empty result, not a crash
+        if (paths.isEmpty) lit(false)
+        else paths.map(p => ancestorPredicate(cube.dim(dim), p))
+          .reduce(_ || _)
       case ExprSlice(sql, _) => expr(sql)
       case EvalSlice(_) => throw new IllegalStateException(
         "EvalSlice must be resolved at plan entry (resolveSlicer)")
@@ -948,7 +967,10 @@ final class Planner(val cube: BoundCube) {
     */
   def aggregate(axisDims: Seq[AxisDim],
       slicer: Seq[SlicerItem]): DataFrame = {
-    val allSlicer = slicer ++ roleSlicer
+    // direct-API callers (virtual cubes, drill paths) may pass
+    // computed slicers; execute() resolves before reaching here, so
+    // this is a no-op on the MDX path
+    val allSlicer = resolveSlicer(slicer) ++ roleSlicer
     def compute: DataFrame =
       AggRouter.route(cube, neededJoins(axisDims, allSlicer), allSlicer,
           neededMeasures) match {
@@ -1090,8 +1112,8 @@ final class Planner(val cube: BoundCube) {
     * downstream consumer (star join depth, slicer predicate, segment
     * cache keys) sees only literal slicers.
     */
-  private def resolveSlicer(items: Seq[SlicerItem],
-      withSets: Map[String, SetExpr]): Seq[SlicerItem] =
+  private[olap] def resolveSlicer(items: Seq[SlicerItem],
+      withSets: Map[String, SetExpr] = Map.empty): Seq[SlicerItem] =
     items.map {
       case EvalSlice(set) =>
         val a = evalSet(set, Nil, withSets)
@@ -1349,7 +1371,9 @@ final class Planner(val cube: BoundCube) {
       nonEmptyCol: Option[String] = None,
       maxRows: Option[Int] = None,
       groupByFields: Boolean = false): DataFrame = {
-    val allSlicer = slicer ++ roleSlicer
+    // computed (EvalSlice) entries resolve here too — DRILLTHROUGH
+    // with a computed WHERE arrives unresolved (Mdx drillThrough path)
+    val allSlicer = resolveSlicer(slicer) ++ roleSlicer
     val depths = dims.map { case (d, lvl) => d -> cube.dim(d).levelIndex(lvl) }
     val needed = neededJoins(Nil, allSlicer) ++ depths
     val star = joinStar(needed, allSlicer, returnCols)

@@ -25,11 +25,31 @@ final class VirtualCube(
 
   def measureNames: Seq[String] = bases.flatMap(_._2)
 
+  /** Resolve computed ([[EvalSlice]]) entries BEFORE the per-base-cube
+    * applicability filter: a computed set names its dimension only
+    * after evaluation, so it is evaluated against the first base cube
+    * that knows the dimension, and the resulting literal slicer then
+    * filters per base cube like any other (a base cube lacking the
+    * dimension skips it instead of crashing on an unknown dim).
+    */
+  private def resolveComputed(slicer: Seq[SlicerItem]): Seq[SlicerItem] =
+    slicer.map {
+      case e @ EvalSlice(_) =>
+        bases.iterator.flatMap { case (bc, _) =>
+          try new Planner(bc).resolveSlicer(Seq(e))
+          catch { case _: Exception => Nil }
+        }.nextOption().getOrElse(throw new IllegalArgumentException(
+          s"computed slicer set resolves in no base cube of virtual " +
+            s"cube '$name'"))
+      case other => other
+    }
+
   /** Aggregate every base cube at the conformed (dim, level) grain and
     * align on the shared level key columns.
     */
   def aggregate(dimLevels: Seq[(String, String)],
-      slicer: Seq[SlicerItem] = Nil): DataFrame = {
+      slicer0: Seq[SlicerItem] = Nil): DataFrame = {
+    val slicer = resolveComputed(slicer0)
     val parts = bases.map { case (cube0, measures) =>
       // prune to the requested measures BEFORE planning: the virtual
       // cube must not pay for the base cube's full measure battery
@@ -60,9 +80,10 @@ final class VirtualCube(
     * reference's virtual-cube drill-through contract
     * (result.rb:421-506, query_test.rb:1060-1098).
     */
-  def drillThrough(measure: String, slicer: Seq[SlicerItem],
+  def drillThrough(measure: String, slicer0: Seq[SlicerItem],
       returnCols: Seq[String], dims: Map[String, String] = Map.empty,
       maxRows: Option[Int] = None): DataFrame = {
+    val slicer = resolveComputed(slicer0)
     val (owner, _) = bases.find(_._2.contains(measure)).getOrElse(
       throw new IllegalArgumentException(
         s"measure '$measure' not found in virtual cube '$name' " +

@@ -63,6 +63,99 @@ object Artifacts {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Staging dir name for index compactions (underscore prefix:
+    * invisible to Spark's file listings, so a half-staged compaction
+    * never leaks into reads).
+    */
+  val CompactDir = "_compact"
+  private val CompactDone = "_DONE"
+
+  /** Refuse while ANY compaction state exists under `root` — the
+    * guard for mutating index ops, which must not interleave with a
+    * compaction whose swap may be incomplete (folded partitions
+    * partially deleted).
+    */
+  def requireNoCompactInFlight(spark: SparkSession, root: String,
+      rerun: String): Unit = {
+    val p = new Path(new Path(root), CompactDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(p),
+      s"a compaction of $root is in flight or crashed mid-swap; " +
+        s"re-run $rerun to complete it first")
+  }
+
+  /** Refuse only while the SWAP phase may be underway (`_DONE` plan
+    * marker present) — the guard for READ paths whose data the swap
+    * moves: mid-stage the originals are untouched and reads are safe,
+    * but mid-swap part of the data lives only under the invisible
+    * staging dir and a plain read would silently return a fraction.
+    */
+  def requireNoSwapInFlight(spark: SparkSession, root: String,
+      rerun: String): Unit = {
+    val p = new Path(new Path(new Path(root), CompactDir), CompactDone)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(p),
+      s"a compaction swap of $root is in flight or crashed; " +
+        s"re-run $rerun to complete it first")
+  }
+
+  /** Crash-safe stage-and-swap — the one compaction protocol every
+    * persisted index shares (cluster index, clean index, IVF-PQ):
+    *
+    *  1. `planOf()` decides the work (None = nothing to fold);
+    *  2. STAGE: `stage(plan, tmpDir)` writes the folded copy under
+    *     the underscore-invisible `$root/_compact/` staging dir —
+    *     originals untouched — and the plan string lands LAST as the
+    *     `_DONE` marker;
+    *  3. SWAP: for each `(stagedSubdir, deletePaths, dstPath)` from
+    *     `swaps(plan)`, delete the folded originals then rename the
+    *     staged subdir into place — the staged subdir still existing
+    *     is the per-entry resume signal;
+    *  4. `afterSwap(plan)` for protocol epilogue (e.g. fingerprints),
+    *     then the staging dir is removed.
+    *
+    * Crash anywhere is recoverable by re-running: mid-stage (no
+    * `_DONE`) wipes and restages from the untouched originals;
+    * mid-swap resumes the persisted plan exactly where it died.
+    * Callers enforce single-writer maintenance and guard their
+    * mutating/read paths with [[requireNoCompactInFlight]] /
+    * [[requireNoSwapInFlight]]. Returns the executed plan (the
+    * resumed one when recovering), None when there was nothing to do.
+    */
+  def stageAndSwap(spark: SparkSession, root: String,
+      planOf: () => Option[String],
+      stage: (String, Path) => Unit,
+      swaps: String => Seq[(String, Seq[String], String)],
+      afterSwap: String => Unit = _ => ()): Option[String] = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(rootP, CompactDir)
+    val done = new Path(tmp, CompactDone)
+    // a staging dir without its _DONE marker is a crashed stage:
+    // originals are untouched, so wipe and restage
+    if (fs.exists(tmp) && !fs.exists(done)) fs.delete(tmp, true)
+    val resuming = fs.exists(done)
+    val plan =
+      if (resuming) readSmallFileOpt(spark, done.toString) else planOf()
+    plan.foreach { pl =>
+      if (!resuming) {
+        stage(pl, tmp)
+        writeSmallFile(spark, done.toString, pl)
+      }
+      swaps(pl).foreach { case (sub, deletes, dst) =>
+        val src = new Path(tmp, sub)
+        if (fs.exists(src)) {
+          deletes.foreach(d => fs.delete(new Path(d), true))
+          require(fs.rename(src, new Path(dst)),
+            s"compaction rename failed: $src -> $dst")
+        }
+      }
+      afterSwap(pl)
+      fs.delete(tmp, true)
+    }
+    plan
+  }
+
   /** Read a small metadata file, None when absent. */
   def readSmallFileOpt(spark: SparkSession,
       path: String): Option[String] = {

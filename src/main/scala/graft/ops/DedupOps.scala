@@ -754,7 +754,14 @@ object DedupOps {
     */
   private[ops] def writeIngestPartition(df: DataFrame,
       path: String): Unit = {
-    df.write.mode("overwrite").parquet(path)
+    // force the _SUCCESS marker regardless of session/cluster config
+    // (object-store deployments commonly set marksuccessfuljobs=false):
+    // the strict docs-commit gate REQUIRES the marker, and without it
+    // every ingest would read as permanently uncommitted — snapshots
+    // frozen, cross-ingest candidates silently dropped
+    df.write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(path)
     val spark = df.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -763,7 +770,10 @@ object DedupOps {
     if (!hasData)
       spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
-        .repartition(1).write.mode("append").parquet(path)
+        .repartition(1)
+        .write.mode("append")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        .parquet(path)
   }
 
   /** Max generation/ingest id under `dir` from the PARTITION DIRECTORY
@@ -800,8 +810,9 @@ object DedupOps {
     * output committer a crashed job can leave VISIBLE partial data
     * files, so a visible-file heuristic would let a half-written docs
     * partition pass the commit gate and an out-of-band snapshot fold
-    * an incomplete append. [[writeIngestPartition]] always lands
-    * `_SUCCESS` (the default committer marker, never disabled here),
+    * an incomplete append. [[writeIngestPartition]] force-sets
+    * `marksuccessfuljobs=true` per write (a session or cluster-wide
+    * disable — common on object stores — must not starve the gate),
     * so the strict check costs nothing on the happy path. The
     * weaker visible-data-file fallback remains for non-marker dirs
     * (labels/shingles/bands/edges), whose visibility is already gated
@@ -949,13 +960,9 @@ object DedupOps {
     * a leftover staging dir means "complete the compaction first".
     */
   private def requireNoCompactInFlight(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, CompactDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(p),
-      s"a compaction of $path is in flight or crashed mid-swap; " +
-        "re-run compactClusterIndex to complete it first")
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    Artifacts.requireNoCompactInFlight(spark, path,
+      "compactClusterIndex")
 
   /** Order-insensitive batch identity: row count + XOR of doc_id
     * hashes. One agg job over the batch.
@@ -1035,12 +1042,6 @@ object DedupOps {
     snapshotClusterLabels(newDocs.sparkSession, index)
   }
 
-  /** Staging dir name for [[compactClusterIndex]] (underscore prefix:
-    * invisible to Spark's file listings, so a half-staged compaction
-    * never leaks into reads).
-    */
-  private[ops] val CompactDir = "_compact"
-  private val CompactDone = "_DONE"
 
   /** Fold every ingest partition at or below the last published label
     * generation into ONE base partition per table, and prune stale
@@ -1078,73 +1079,56 @@ object DedupOps {
   def compactClusterIndex(spark: org.apache.spark.sql.SparkSession,
       index: ClusterIndex): (Int, Int) = {
     Artifacts.readMarker(spark, index.path, ClusterMarker)
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(index.path)
-    val fs = root.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(root, CompactDir)
-    val done = new org.apache.hadoop.fs.Path(tmp, CompactDone)
-    // a staging dir without its _DONE marker is a crashed stage:
-    // originals are untouched, so wipe and restage
-    if (fs.exists(tmp) && !fs.exists(done)) fs.delete(tmp, true)
-    val resuming = fs.exists(done)
-    val (target, fold): (Long, Seq[Long]) =
-      if (resuming) {
-        // resume the persisted plan — the listing may no longer show
-        // the folded ingests (some were deleted mid-swap)
-        val plan = Artifacts.readSmallFileOpt(spark, done.toString).get
-        val m = plan.split(";").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
-        (m("target").toLong,
-          m("fold").split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
-      } else {
-        val g = maxPartitionId(spark, s"${index.path}/labels", "gen=")
-        (g, committedPartitionIds(spark, s"${index.path}/docs",
-          "ingest=", requireSuccess = true).filter(_ <= g).sorted)
-      }
+    val fs = new org.apache.hadoop.fs.Path(index.path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val tables = Seq("shingles", "bands", "edges", "docs")
-    var folded = 0
-    if (resuming || fold.size > 1) {
-      if (!resuming) {
-        // STAGE: one read over exactly the folded partitions per
-        // table (partition-pruned), written invisible. The partition
-        // column must not leak into the staged files.
+    def parse(pl: String): (Long, Seq[Long]) = {
+      val m = pl.split(";").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      (m("target").toLong,
+        m("fold").split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+    }
+    val executed = Artifacts.stageAndSwap(spark, index.path,
+      planOf = () => {
+        val g = maxPartitionId(spark, s"${index.path}/labels", "gen=")
+        val fold = committedPartitionIds(spark, s"${index.path}/docs",
+          "ingest=", requireSuccess = true).filter(_ <= g).sorted
+        if (fold.size > 1) Some(s"target=$g;fold=${fold.mkString(",")}")
+        else None
+      },
+      stage = (pl, tmp) => {
+        // one read over exactly the folded partitions per table
+        // (partition-pruned), written invisible. The partition column
+        // must not leak into the staged files.
+        val (_, fold) = parse(pl)
         tables.foreach { t =>
           writeIngestPartition(
             spark.read.parquet(s"${index.path}/$t")
               .filter(col("ingest").cast("long").isin(fold: _*))
               .drop("ingest"),
-            s"${index.path}/$CompactDir/$t")
+            s"$tmp/$t")
         }
-        Artifacts.writeSmallFile(spark, done.toString,
-          s"target=$target;fold=${fold.mkString(",")}")
-      }
-      // SWAP: per table, folded partitions go away and the staged dir
-      // takes the target id. The staged dir still existing is the
-      // per-table resume signal — once renamed, its folded dirs are
-      // gone and the delete loop must not touch the new base.
-      tables.foreach { t =>
-        val src = new org.apache.hadoop.fs.Path(
-          s"${index.path}/$CompactDir/$t")
-        if (fs.exists(src)) {
-          fold.foreach { d =>
-            fs.delete(new org.apache.hadoop.fs.Path(
-              s"${index.path}/$t/ingest=$d"), true)
-          }
-          val dst = new org.apache.hadoop.fs.Path(
-            s"${index.path}/$t/ingest=$target")
-          require(fs.rename(src, dst),
-            s"compaction rename failed: $src -> $dst")
-        }
-      }
-      // the compacted base represents the UNION batch: land its
-      // fingerprint so an equal-id replay of the old tail batch is
-      // refused (its docs are already folded in)
-      Artifacts.writeSmallFile(spark,
-        s"${index.path}/docs/ingest=$target/$FingerprintFile",
-        batchFingerprint(
-          spark.read.parquet(s"${index.path}/docs/ingest=$target")))
-      fs.delete(tmp, true)
-      folded = fold.size
-    }
+      },
+      swaps = pl => {
+        // per table: folded partitions go away, the staged dir takes
+        // the target id (the staged dir still existing is the
+        // per-table resume signal)
+        val (target, fold) = parse(pl)
+        tables.map(t => (t,
+          fold.map(d => s"${index.path}/$t/ingest=$d"),
+          s"${index.path}/$t/ingest=$target"))
+      },
+      afterSwap = pl => {
+        // the compacted base represents the UNION batch: land its
+        // fingerprint so an equal-id replay of the old tail batch is
+        // refused (its docs are already folded in)
+        val (target, _) = parse(pl)
+        Artifacts.writeSmallFile(spark,
+          s"${index.path}/docs/ingest=$target/$FingerprintFile",
+          batchFingerprint(
+            spark.read.parquet(s"${index.path}/docs/ingest=$target")))
+      })
+    val target = executed.map(parse(_)._1).getOrElse(
+      maxPartitionId(spark, s"${index.path}/labels", "gen="))
     // stale label generations: readers only ever take the max, so
     // pruning older gens is invisible and crash-safe at any point
     val stale = committedPartitionIds(spark,
@@ -1154,7 +1138,7 @@ object DedupOps {
         s"${index.path}/labels/gen=$g"), true)
     }
     spark.catalog.refreshByPath(index.path)
-    (folded, stale.size)
+    (executed.map(parse(_)._2.size).getOrElse(0), stale.size)
   }
 
   /** Train/eval DECONTAMINATION: near-dup document pairs ACROSS two
@@ -1605,10 +1589,21 @@ object DedupOps {
     * pairs (true near-dups) as n grows; raise `bands` to buy recall
     * back at linear cost. The geometry derivation is deterministic
     * from n, so the DuckDB oracle reproduces it exactly.
+    *
+    * GEOMETRY CEILING: band keys pack into one Long, so bits per band
+    * caps at `63 / bands` (15 at the default 4 bands — constant
+    * occupancy up to n ≈ targetBucket × 2^15 ≈ 2M vectors at the
+    * defaults). Past it, expected occupancy grows n / 2^cap instead
+    * of staying flat; the explicit remedies are fewer/wider bands
+    * (bands = 2 caps at 31 bits ≈ 137G vectors at occupancy 64, the
+    * recall trade documented above) or a larger targetBucket. The cap
+    * is applied here, never a silent >64-bit wrap — [[SimilarityOps
+    * .lshBuckets]] refuses nBits > 63 outright.
     */
   def embeddingPairsLshAuto(emb: DataFrame, threshold: Double,
       bands: Int = 4, targetBucket: Long = 64,
       dim: Int = 64): DataFrame =
     embeddingPairsLsh(emb, threshold, bands,
-      lshBitsPerBand(emb.count(), targetBucket), dim)
+      math.min(lshBitsPerBand(emb.count(), targetBucket), 63 / bands),
+      dim)
 }

@@ -744,6 +744,8 @@ object SimilarityOps {
   def appendToIvfPqIndex(index: IvfPqIndex, vectors: DataFrame,
       ingestId: Long): Unit = {
     require(ingestId > 0, "ingest id 0 is the base build")
+    Artifacts.requireNoCompactInFlight(vectors.sparkSession, index.path,
+      "compactIvfPqIndex")
     writeCoded(flatFrame(vectors, index.dim), index, ingestId)
   }
 
@@ -773,42 +775,29 @@ object SimilarityOps {
     Artifacts.readMarker(spark, index.path, IvfPqMarker)
     val root = new org.apache.hadoop.fs.Path(index.path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(root, DedupOps.CompactDir)
-    val done = new org.apache.hadoop.fs.Path(tmp, "_DONE")
-    if (fs.exists(tmp) && !fs.exists(done)) fs.delete(tmp, true)
-    val resuming = fs.exists(done)
-    val ingests: Seq[Long] =
-      if (resuming)
-        Artifacts.readSmallFileOpt(spark, done.toString).get
-          .split(",").filter(_.nonEmpty).map(_.toLong).toSeq
-      else fs.listStatus(root).iterator
-        .filter(st => st.getPath.getName.startsWith("ingest=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-        .map(_.getPath.getName.stripPrefix("ingest=").toLong)
-        .toSeq.sorted
-    if (!resuming && ingests.size <= 1) return 0
-    val src = new org.apache.hadoop.fs.Path(tmp, "data")
-    if (!resuming) {
-      spark.read.parquet(index.path)
-        .filter(col("ingest").cast("long").isin(ingests: _*))
-        .drop("ingest")
-        .repartitionByRange(col("cell"), col("vec_id"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(src.toString)
-      Artifacts.writeSmallFile(spark, done.toString, ingests.mkString(","))
-    }
-    if (fs.exists(src)) {
-      ingests.foreach { i =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"${index.path}/ingest=$i"), true)
-      }
-      val dst = new org.apache.hadoop.fs.Path(s"${index.path}/ingest=0")
-      require(fs.rename(src, dst),
-        s"compaction rename failed: $src -> $dst")
-    }
-    fs.delete(tmp, true)
+    val executed = Artifacts.stageAndSwap(spark, index.path,
+      planOf = () => {
+        val ingests = fs.listStatus(root).iterator
+          .filter(st => st.getPath.getName.startsWith("ingest=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          .map(_.getPath.getName.stripPrefix("ingest=").toLong)
+          .toSeq.sorted
+        if (ingests.size <= 1) None else Some(ingests.mkString(","))
+      },
+      stage = (pl, tmp) => {
+        val ingests = pl.split(",").map(_.toLong).toSeq
+        spark.read.parquet(index.path)
+          .filter(col("ingest").cast("long").isin(ingests: _*))
+          .drop("ingest")
+          .repartitionByRange(col("cell"), col("vec_id"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(new org.apache.hadoop.fs.Path(tmp, "data").toString)
+      },
+      swaps = pl => Seq(("data",
+        pl.split(",").toSeq.map(i => s"${index.path}/ingest=$i"),
+        s"${index.path}/ingest=0")))
     spark.catalog.refreshByPath(index.path)
-    ingests.size
+    executed.map(_.split(",").count(_.nonEmpty)).getOrElse(0)
   }
 
   /** Query a [[writeIvfPqIndex]] index from disk: routing and ADC use
@@ -820,6 +809,11 @@ object SimilarityOps {
   def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       index: IvfPqIndex, probes: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
+    // mid-SWAP part of the index lives only under the invisible
+    // staging dir — a plain read would silently rank over a fraction
+    // of the corpus (mid-STAGE is fine: originals untouched)
+    Artifacts.requireNoSwapInFlight(spark, index.path,
+      "compactIvfPqIndex")
     val coded = spark.read.parquet(index.path)
     val pt = routedProbes(probes, index.coarse, index.books, nprobe,
       index.dim)
@@ -911,6 +905,12 @@ object SimilarityOps {
     * bit-identically.
     */
   def lshBuckets(corpus: DataFrame, nBits: Int, dim: Int = Dim): DataFrame = {
+    // the bucket packs into ONE Long; past 63 bits the `1L << p` /
+    // band-shift arithmetic would WRAP (Java masks shifts mod 64) and
+    // silently alias bands — refuse instead (callers with more key
+    // space need fewer/wider bands, see embeddingPairsLshAuto)
+    require(nBits >= 1 && nBits <= 63,
+      s"lsh bucket is a packed Long: nBits must be in 1..63, got $nBits")
     graft.functions.VectorExprs.register(corpus.sparkSession)
     // native lsh_bits loop: the planes ride in as a literal matrix and
     // the generated method stays a few lines at any nBits × dim — the

@@ -584,4 +584,79 @@ class MdxSpec extends SparkSpec {
     }
     assert(e3.msg.contains("Syntax error"))
   }
+
+  test("TOPCOUNT/BOTTOMCOUNT without a sort expression execute in " +
+      "natural order (== HEAD/TAIL)") {
+    def run(rows: String) = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS,
+         |  $rows ON ROWS
+         |FROM [Sales]""".stripMargin, cube).collect().toSeq
+    val top = run("TOPCOUNT([part].[brand].Members, 3)")
+    assert(top === run("HEAD([part].[brand].Members, 3)"))
+    assert(top.size === 3)
+    val bottom = run("BOTTOMCOUNT([part].[brand].Members, 3)")
+    assert(bottom === run("TAIL([part].[brand].Members, 3)"))
+  }
+
+  test("[dim].Children with no member path yields the root-level " +
+      "members; DESCENDANTS from the hierarchy root reaches any level") {
+    def run(rows: String) = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS,
+         |  $rows ON ROWS
+         |FROM [Sales]""".stripMargin, cube).collect().toSeq
+    val ch = run("[customer].Children")
+    assert(ch === run("[customer].[region].Members"))
+    assert(ch.nonEmpty)
+    assert(run("DESCENDANTS([customer], [nation])") ===
+      run("[customer].[nation].Members"))
+  }
+
+  test("level-qualified member ([Dim].[Level].[M]) slices identically " +
+      "to the full ancestry path, in WHERE tuples, braces and axes") {
+    def cell(q: String): Any =
+      Mdx.execute(q, cube).collect().head.getAs[Any]("revenue")
+    def q(where: String) =
+      s"SELECT {[Measures].[revenue]} ON COLUMNS FROM [Sales]\n$where"
+    val viaAncestry = cell(q("WHERE ([customer].[MIDDLE EAST].[NATION_19])"))
+    assert(viaAncestry != null)
+    assert(cell(q("WHERE ([customer].[nation].[NATION_19])")) ===
+      viaAncestry)
+    assert(cell(q("WHERE {[customer].[nation].[NATION_19]}")) ===
+      viaAncestry)
+    // braced axis form: one member row carrying the same cell
+    val axis = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  {[customer].[nation].[NATION_19]} ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(axis.length === 1)
+    assert(axis.head.getAs[Any]("revenue") === viaAncestry)
+    // and the slicer form roundtrips through toMdx to the same IR
+    val ir = Mdx.parse(q("WHERE ([customer].[nation].[NATION_19])"), cube)
+    assert(Mdx.parse(Mdx.renderQuery(ir, cube.name), cube) === ir)
+  }
+
+  test("a computed slicer evaluating to zero members yields empty " +
+      "cells, not a crash") {
+    val df = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  [part].[brand].Members ON ROWS
+        |FROM [Sales]
+        |WHERE (FILTER([customer].[nation].Members,
+        |  [Measures].[revenue] > 999999999999))""".stripMargin, cube)
+    val rows = df.collect()
+    val rev = df.columns.indexOf("revenue")
+    assert(rows.forall(_.isNullAt(rev)),
+      "an empty slicer set must produce empty cells")
+  }
+
+  test("DRILLTHROUGH with a computed WHERE slicer resolves at entry") {
+    val df = Mdx.execute(
+      """DRILLTHROUGH MAXROWS 10
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE (HEAD([customer].[region].Members, 1).Item(0))
+        |RETURN [l_orderkey]""".stripMargin, cube)
+    val n = df.count()
+    assert(n > 0 && n <= 10)
+  }
 }

@@ -162,4 +162,33 @@ class ModelSpec extends SparkSpec {
       .execute().collect().head.getLong(0)
     assert(evTotal === evAll)
   }
+
+  test("virtual cube resolves computed (EvalSlice) slicers; base " +
+      "cubes lacking the dimension skip them") {
+    val vc = new VirtualCube("SalesAndEvents", Seq(
+      Cubes.sales(spark, Sf) -> Seq("revenue"),
+      Cubes.events(spark, Sf) -> Seq("n_events")))
+    // HEAD of the region members = a computed one-member slicer on a
+    // dim only Sales shares — equal to the literal slicer on the
+    // sales side, inert on the events side
+    val literal = vc.aggregate(Seq(("time", "year")),
+        Seq(MemberSlice("customer", Seq("AFRICA"))))
+      .collect().map(r => r.get(0) -> (r.get(1), r.get(2))).toMap
+    val computed = vc.aggregate(Seq(("time", "year")),
+        Seq(EvalSlice(HeadSet(
+          LevelMembers("customer", "region"), 1))))
+      .collect().map(r => r.get(0) -> (r.get(1), r.get(2))).toMap
+    assert(computed === literal)
+    // drill-through with the computed slicer resolves too
+    val dt = vc.drillThrough("revenue",
+      Seq(EvalSlice(HeadSet(LevelMembers("customer", "region"), 1))),
+      returnCols = Seq("l_orderkey"), maxRows = Some(5))
+    assert(dt.count() === 5)
+    // a computed set resolving in NO base cube fails loudly
+    val e = intercept[IllegalArgumentException] {
+      vc.aggregate(Seq(("time", "year")),
+        Seq(EvalSlice(HeadSet(LevelMembers("no_such", "lvl"), 1))))
+    }
+    assert(e.getMessage.contains("no base cube"))
+  }
 }

@@ -1978,6 +1978,88 @@ class PipelineOpsSpec extends SparkSpec {
       .select("raw", "got", "want").collect()
     assert(got.isEmpty, got.mkString("\n"))
   }
+
+  test("ingest commit markers land even when the session disables " +
+      "marksuccessfuljobs (object-store default)") {
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val old = Option(hc.get(key))
+    hc.set(key, "false")
+    try {
+      val path = "/tmp/graft_marker_force"
+      PipelineOpsSpec.rmrf(path)
+      def half(r: Int) = docs.filter(col("doc_id") % 2 === r)
+      val index = DedupOps.writeClusterIndex(half(0), path)
+      DedupOps.appendEdgesToClusterIndex(index, half(1), ingestId = 1L)
+      // the strict docs-commit gate REQUIRES _SUCCESS: without the
+      // per-write force, a disabled committer marker would make every
+      // ingest permanently invisible (snapshots frozen at gen 0)
+      assert(new java.io.File(s"$path/docs/ingest=1/_SUCCESS").exists(),
+        "commit marker missing under marksuccessfuljobs=false")
+      assert(DedupOps.snapshotClusterLabels(spark, index) === 1L)
+    } finally old match {
+      case Some(v) => hc.set(key, v)
+      case None => hc.unset(key)
+    }
+  }
+
+  test("LSH band keys never exceed the packed-Long ceiling: explicit " +
+      "refusal and auto-geometry cap instead of a silent 64-bit wrap") {
+    intercept[IllegalArgumentException] {
+      SimilarityOps.lshBuckets(emb, nBits = 64)
+    }
+    // the geometry embeddingPairsLshAuto derives past the ceiling:
+    // bits cap at 63/bands (15 at 4 bands), never lshBitsPerBand's
+    // unbounded log2 (34 at 2^40 vectors)
+    assert(DedupOps.lshBitsPerBand(1L << 40) === 34)
+    assert(math.min(DedupOps.lshBitsPerBand(1L << 40), 63 / 4) === 15)
+    intercept[IllegalArgumentException] {
+      DedupOps.embeddingPairsLsh(emb, 0.47, bands = 4, bitsPerBand = 17)
+        .count()
+    }
+  }
+
+  test("IVF-PQ compaction states guard appends and queries like the " +
+      "cluster-index twin") {
+    import graft.ops.SimilarityOps
+    val emb = Tables.load(spark, Sf, "embeddings")
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val path = "/tmp/graft_ivfpq_guard"
+    PipelineOpsSpec.rmrf(path)
+    val index = SimilarityOps.writeIvfPqIndex(half1, path, kCoarse = 4,
+      cIters = 2, m = 4, kSub = 8, iters = 2)
+    SimilarityOps.appendToIvfPqIndex(index, half2, ingestId = 1L)
+    val probes = emb.filter(col("vec_id") < 3)
+    // crashed mid-STAGE (staging dir, no _DONE): appends refuse,
+    // queries still serve — the originals are untouched
+    new java.io.File(s"$path/_compact").mkdirs()
+    val e1 = intercept[IllegalArgumentException] {
+      SimilarityOps.appendToIvfPqIndex(index, half2, ingestId = 2L)
+    }
+    assert(e1.getMessage.contains("compaction"))
+    assert(SimilarityOps.queryIvfPqIndex(spark, index, probes,
+      k = 5, nprobe = 4).count() > 0)
+    // mid-SWAP (_DONE present): queries refuse too — part of the
+    // index may live only under the invisible staging dir
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_compact/_DONE"),
+      "0,1".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityOps.queryIvfPqIndex(spark, index, probes,
+        k = 5, nprobe = 4)
+    }
+    assert(e2.getMessage.contains("swap"))
+    // re-running compaction heals the wreck (the fake plan has no
+    // staged data, so the swap is a no-op), then folds for real
+    SimilarityOps.compactIvfPqIndex(spark, index)
+    assert(!new java.io.File(s"$path/_compact").exists())
+    assert(SimilarityOps.compactIvfPqIndex(spark, index) === 2)
+    assert(SimilarityOps.compactIvfPqIndex(spark, index) === 0)
+    assert(spark.read.parquet(path).count() === emb.count())
+    assert(SimilarityOps.queryIvfPqIndex(spark, index, probes,
+      k = 5, nprobe = 4).count() > 0)
+  }
 }
 
 object PipelineOpsSpec {

@@ -57,9 +57,9 @@ def main():
         tot_s += s
         tot_b += b
         print(f"| {fam} | {len(fams[fam])} | {s:.1f} | {b:.1f} |"
-              f" {b / s:.2f} |")
+              f" {b / max(s, 1e-9):.2f} |")
     print(f"| **total** | {len(names)} | {tot_s:.1f} | {tot_b:.1f} |"
-          f" {tot_b / tot_s:.2f} |")
+          f" {tot_b / max(tot_s, 1e-9):.2f} |")
 
     print("\nSuper-linear queries (ratio > mult, and > 0.5s at sf1):")
     rows = [(n, qs[n], qb[n], qb[n] / max(qs[n], 1e-9)) for n in names]
