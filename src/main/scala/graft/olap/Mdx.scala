@@ -1143,15 +1143,8 @@ object Mdx {
             else TailSet(Children(d.name, path.dropRight(1)), 1)
           case t => throw MdxException(s"Syntax error: unexpected .$t")
         }
-      } else if (segs.length == 3 &&
-          d.levels.exists(_.name.equalsIgnoreCase(segs(1)))) {
-        // Mondrian level-qualified member ([Dim].[Level].[Member],
-        // reference mondrian_test.rb:333-340) — level interpretation
-        // takes precedence, as in Mondrian's name lookup; lowered to
-        // the degenerate range at that level (all members of the level
-        // with that name, regardless of ancestry)
-        MemberRange(d.name, resolveLevel(d, segs(1)), segs(2), segs(2))
-      } else Members(d.name, Seq(path))
+      } else levelQualified(d, segs.tail)
+        .getOrElse(Members(d.name, Seq(path)))
     }
 
     private def resolveLevel(d: BoundDim, name: String): String =

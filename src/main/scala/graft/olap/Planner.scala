@@ -1137,6 +1137,35 @@ final class Planner(val cube: BoundCube) {
         if (paths.length == 1) MemberSlice(d.name, paths.head)
         else SetSlice(d.name, paths)
       case other => other
+    } match { case resolved =>
+      // re-apply COMPOUND grouping post-resolution (query.rb:379-386:
+      // same-dim members in a slicer tuple OR together): the parser
+      // groups literal paths, but a computed entry resolving to the
+      // same dimension as another item would otherwise stay a second
+      // item and AND into a contradiction
+      val (memberish, rest) = resolved.partition {
+        case _: MemberSlice | _: SetSlice => true
+        case _ => false
+      }
+      val dims = memberish.map {
+        case MemberSlice(d, _) => d
+        case SetSlice(d, _) => d
+        case _ => ""
+      }
+      if (dims.distinct.length == dims.length) resolved
+      else {
+        val grouped = memberish.map {
+          case MemberSlice(d, p) => d -> Seq(p)
+          case SetSlice(d, ps) => d -> ps
+          case other => throw new IllegalStateException(other.toString)
+        }.groupBy(_._1).toSeq.map {
+          case (d, entries) => entries.flatMap(_._2) match {
+            case Seq(one) => MemberSlice(d, one)
+            case many => SetSlice(d, many)
+          }
+        }
+        grouped ++ rest
+      }
     }
 
   def execute(q0pre: QueryIR): DataFrame = {

@@ -35,12 +35,19 @@ final class VirtualCube(
   private def resolveComputed(slicer: Seq[SlicerItem]): Seq[SlicerItem] =
     slicer.map {
       case e @ EvalSlice(_) =>
+        // try each base cube; keep every failure so a GENUINE error
+        // (oversized set, multi-dimension set, analysis failure) is
+        // not masked behind "no base cube knows the dimension"
+        val errs = Seq.newBuilder[String]
         bases.iterator.flatMap { case (bc, _) =>
           try new Planner(bc).resolveSlicer(Seq(e))
-          catch { case _: Exception => Nil }
+          catch { case ex: Exception =>
+            errs += s"[${bc.name}] ${ex.getMessage}"
+            Nil
+          }
         }.nextOption().getOrElse(throw new IllegalArgumentException(
           s"computed slicer set resolves in no base cube of virtual " +
-            s"cube '$name'"))
+            s"cube '$name':\n  " + errs.result().mkString("\n  ")))
       case other => other
     }
 

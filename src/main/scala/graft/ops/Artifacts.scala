@@ -140,13 +140,26 @@ object Artifacts {
     plan.foreach { pl =>
       if (!resuming) {
         stage(pl, tmp)
-        writeSmallFile(spark, done.toString, pl)
+        // the marker write must be ATOMIC: resume trusts its bytes,
+        // and a crash mid-create would otherwise leave an empty or
+        // truncated plan that bricks the index (or loses the delete
+        // list and duplicates data). Write-then-rename makes _DONE
+        // either absent (crashed stage → wiped and restaged) or whole.
+        val staged = new Path(tmp, CompactDone + ".tmp")
+        writeSmallFile(spark, staged.toString, pl)
+        require(fs.rename(staged, done),
+          s"compaction plan-marker rename failed: $staged -> $done")
       }
       swaps(pl).foreach { case (sub, deletes, dst) =>
         val src = new Path(tmp, sub)
         if (fs.exists(src)) {
           deletes.foreach(d => fs.delete(new Path(d), true))
-          require(fs.rename(src, new Path(dst)),
+          // a pre-existing dst (e.g. a folded original the plan did
+          // not list, under a mixed-config anomaly) would NEST the
+          // renamed dir inside it — the staged copy is the new truth
+          val dstP = new Path(dst)
+          fs.delete(dstP, true)
+          require(fs.rename(src, dstP),
             s"compaction rename failed: $src -> $dst")
         }
       }

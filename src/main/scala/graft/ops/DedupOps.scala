@@ -1538,8 +1538,14 @@ object DedupOps {
     val banded = SimilarityOps.lshBuckets(base, nBits, dim)
       .select(col("vec_id"),
         posexplode(expr(
+          // AND-mask, not modulus: the mask literal is a LONG
+          // ((1L << 63) - 1 == Long.MaxValue covers the full 63-bit
+          // envelope), where the old  % (1 << bits)  Scala-Int form
+          // wrapped mod 32 and silently collapsed the band modulus
+          // for bitsPerBand >= 32 (legal at bands = 1)
           s"""transform(sequence(0, ${bands - 1}), b ->
-             |  shiftright(bucket, b * $bitsPerBand) % ${1 << bitsPerBand})"""
+             |  shiftright(bucket, b * $bitsPerBand) &
+             |    ${(1L << bitsPerBand) - 1}L)"""
             .stripMargin)).as(Seq("band_idx", "band_val")))
       .persist()
       .transform(pin)

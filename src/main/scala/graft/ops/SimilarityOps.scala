@@ -722,6 +722,13 @@ object SimilarityOps {
         pqCodeCols(index.books, subDim): _*)
       .repartitionByRange(col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell")
+      // force the _SUCCESS marker (same rationale as DedupOps
+      // .writeIngestPartition): compactIvfPqIndex gates committed
+      // ingests on it, and a cluster-wide marksuccessfuljobs=false
+      // would otherwise make compaction a permanent silent no-op —
+      // or, under mixed configs, fold a subset beside an unmarked
+      // base it then renames onto
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
       .parquet(s"${index.path}/ingest=$ingestId")
     // an overwrite invalidates any file listing a same-session reader
     // cached — honor the idempotence contract here, not in callers
@@ -791,6 +798,10 @@ object SimilarityOps {
           .drop("ingest")
           .repartitionByRange(col("cell"), col("vec_id"))
           .write.mode("overwrite").partitionBy("cell")
+          // the staged dir becomes ingest=0 by rename — its _SUCCESS
+          // must exist for the next compaction's committed-ingest gate
+          .option(
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
           .parquet(new org.apache.hadoop.fs.Path(tmp, "data").toString)
       },
       swaps = pl => Seq(("data",

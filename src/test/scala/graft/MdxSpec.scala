@@ -649,6 +649,23 @@ class MdxSpec extends SparkSpec {
       "an empty slicer set must produce empty cells")
   }
 
+  test("same-dim level-qualified members in a WHERE tuple form a " +
+      "compound (OR) slicer, like the literal spelling") {
+    def cell(where: String): Any = Mdx.execute(
+      s"SELECT {[Measures].[revenue]} ON COLUMNS FROM [Sales]\n$where",
+      cube).collect().head.getAs[Any]("revenue")
+    val literal = cell("WHERE {[customer].[MIDDLE EAST].[NATION_19], " +
+      "[customer].[AMERICA].[NATION_11]}")
+    assert(literal != null)
+    // the level-qualified spelling resolves per member; post-resolve
+    // compound grouping must OR them, never AND into a contradiction
+    assert(cell("WHERE ([customer].[nation].[NATION_19], " +
+      "[customer].[nation].[NATION_11])") === literal)
+    // mixed literal + computed on the same dim groups too
+    assert(cell("WHERE ([customer].[MIDDLE EAST].[NATION_19], " +
+      "[customer].[nation].[NATION_11])") === literal)
+  }
+
   test("DRILLTHROUGH with a computed WHERE slicer resolves at entry") {
     val df = Mdx.execute(
       """DRILLTHROUGH MAXROWS 10

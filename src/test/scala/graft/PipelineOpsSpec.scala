@@ -2017,6 +2017,14 @@ class PipelineOpsSpec extends SparkSpec {
       DedupOps.embeddingPairsLsh(emb, 0.47, bands = 4, bitsPerBand = 17)
         .count()
     }
+    // wide single-band keys are REAL 40-bit keys, not Int-wrapped
+    // 8-bit ones (the old `% (1 << 40)` evaluated as `% 256`): a
+    // finer partition can only shrink the candidate set, so the
+    // verified pairs at 40 bits are a subset of the 8-bit run's
+    def pairs(bits: Int) = DedupOps
+      .embeddingPairsLsh(emb, 0.47, bands = 1, bitsPerBand = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(40).subsetOf(pairs(8)))
   }
 
   test("IVF-PQ compaction states guard appends and queries like the " +
