@@ -497,14 +497,14 @@ final class Planner(val cube: BoundCube) {
       }
       if (c.contains("__CURRENT_ORDINAL__"))
         c = c.replace("__CURRENT_ORDINAL__", s"(`$OrdCol` - 1)")
-      val kept = cells.filter(expr(c))
+      val kept = cells.filter(sexpr(c))
         .select(a.members.columns.map(col): _*)
       a.copy(members = renumber(kept, a.hasOrd, hintOf(a.dims)))
 
     case OrderSet(s, e, dir) =>
       val a = evalSet(s, slicer, withSets)
       val cells = cellsFor(a, slicer)
-      val key = expr(resolveCurrent(e, a.dims))
+      val key = sexpr(resolveCurrent(e, a.dims))
       val sortCols: Seq[Column] = dir match {
         case SortDir.BAsc  => Seq(key.asc)
         case SortDir.BDesc => Seq(key.desc)
@@ -522,7 +522,7 @@ final class Planner(val cube: BoundCube) {
     case TopCount(s, n, e, bottom) =>
       val a = evalSet(s, slicer, withSets)
       val cells = cellsFor(a, slicer)
-      val key = if (bottom) expr(e).asc else expr(e).desc
+      val key = if (bottom) sexpr(e).asc else sexpr(e).desc
       val o = ordered(a, cells, Seq(key))
       o.copy(members = o.members.filter(col(OrdCol) <= n))
 
@@ -604,7 +604,7 @@ final class Planner(val cube: BoundCube) {
         // rank children WITHIN each parent by the cell expression — the
         // window partitions on the parent keys, so no global sort
         val cells = cellsFor(cf, slicer)
-        val key = if (bottom) expr(e).asc else expr(e).desc
+        val key = if (bottom) sexpr(e).asc else sexpr(e).desc
         val w = Window.partitionBy(keys.map(col): _*)
           .orderBy(key +: tieBreak(cf): _*)
         val top = cells.withColumn("__rk", row_number().over(w))
@@ -755,7 +755,7 @@ final class Planner(val cube: BoundCube) {
       keep: (Column, Column, Column) => Column): AxisFrame = {
     val a = evalSet(s, slicer, withSets)
     val cells = cellsFor(a, slicer)
-    val key = if (bottom) expr(e).asc else expr(e).desc
+    val key = if (bottom) sexpr(e).asc else sexpr(e).desc
     // the cumulative prefix genuinely needs one ordered pass; cells are
     // at the set's post-aggregation grain (dimension-bounded), so the
     // single-partition window here is over axis-scale data, never fact
@@ -763,9 +763,9 @@ final class Planner(val cube: BoundCube) {
     // second global window.
     val wOrd = Window.orderBy(key +: tieBreak(a): _*)
     val total = cells.agg(
-      sum(expr(e).cast("double")).as("__tot"))
+      sum(sexpr(e).cast("double")).as("__tot"))
     val annotated = cells.crossJoin(broadcast(total))
-      .withColumn("__v", expr(e).cast("double"))
+      .withColumn("__v", sexpr(e).cast("double"))
       .withColumn("__cum",
         sum(col("__v")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn(OrdCol, row_number().over(wOrd))
@@ -892,6 +892,26 @@ final class Planner(val cube: BoundCube) {
     }
   }
 
+  /** Measure names that are not plain SQL identifiers (FoodMart's
+    * `Unit Sales`), longest first so one never clobbers a prefix of
+    * another.
+    */
+  private lazy val spacedMeasures: Seq[String] =
+    cube.measures.map(_.name)
+      .filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      .sortBy(-_.length)
+
+  /** Parse a LOWERED MDX scalar expression as a Spark SQL Column.
+    * The lowered text carries measure references as bare names (the
+    * canonical form the render → reparse fixpoint preserves); names
+    * with non-identifier characters are backtick-quoted HERE, at the
+    * SQL boundary only, so `Unit Sales > 1000` executes instead of
+    * failing to resolve column `Unit`.
+    */
+  private def sexpr(e: String): Column =
+    expr(spacedMeasures.foldLeft(e)((acc, n) =>
+      acc.replace(s"`$n`", n).replace(n, s"`$n`")))
+
   /** Resolve `[dim].CurrentMember.Name` macros emitted by the MDX
     * parser to the set's deepest level column for that dimension.
     */
@@ -950,7 +970,7 @@ final class Planner(val cube: BoundCube) {
         if (paths.isEmpty) lit(false)
         else paths.map(p => ancestorPredicate(cube.dim(dim), p))
           .reduce(_ || _)
-      case ExprSlice(sql, _) => expr(sql)
+      case ExprSlice(sql, _) => sexpr(sql)
       case EvalSlice(_) => throw new IllegalStateException(
         "EvalSlice must be resolved at plan entry (resolveSlicer)")
     }.reduce(_ && _)
@@ -1093,7 +1113,7 @@ final class Planner(val cube: BoundCube) {
         case ExprCalc(sql) =>
           try {
             val (d2, s2) = resolveProps(acc, resolveCurrent(sql, dims), dims)
-            d2.withColumn(cm.name, expr(s2))
+            d2.withColumn(cm.name, sexpr(s2))
           } catch { case _: org.apache.spark.sql.AnalysisException => acc }
         case sac: SetAggCalc =>
           try setAggColumn(acc, cm.name, sac, dims, slicer, Map.empty)
@@ -1231,7 +1251,7 @@ final class Planner(val cube: BoundCube) {
             try {
               val (d2, s2) =
                 resolveProps(acc, resolveCurrent(sql, axisDims), axisDims)
-              d2.withColumn(cm.name, expr(s2))
+              d2.withColumn(cm.name, sexpr(s2))
             } catch { case _: org.apache.spark.sql.AnalysisException => acc }
           case WindowCalc(base, kind, overDim, resetLevel) =>
             axisDims.find(_.d.name == overDim) match {
@@ -1317,7 +1337,7 @@ final class Planner(val cube: BoundCube) {
     val part =
       if (partCols.isEmpty) Window.partitionBy()
       else Window.partitionBy(partCols.map(col): _*)
-    val e = expr(base)
+    val e = sexpr(base)
     kind match {
       case WinKind.LagK(k)  => lag(e, k).over(part.orderBy(ordCols: _*))
       case WinKind.LeadK(k) => lead(e, k).over(part.orderBy(ordCols: _*))

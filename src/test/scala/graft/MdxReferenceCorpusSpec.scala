@@ -285,4 +285,22 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n\n"))
   }
+
+  test("reference MDX corpus: every in-scope query EXECUTES on the " +
+      "fixture cube (no construct is parse-only)") {
+    // the r11 review found forms the parser accepted but the planner
+    // crashed on (natural-order TOPCOUNT, root children, computed and
+    // level-qualified slicers) — execution over the reference's own
+    // corpus pins that parse coverage IS execution coverage
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    corpus.foreach { case (id, _, mdx) =>
+      if (!expectedUnsupported.contains(id)) {
+        try { Mdx.execute(mdx, cube).collect(); () }
+        catch { case e: Exception =>
+          failures += s"$id: ${e.getClass.getSimpleName} ${e.getMessage}"
+        }
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n\n"))
+  }
 }
