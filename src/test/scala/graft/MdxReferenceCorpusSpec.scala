@@ -286,6 +286,46 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n\n"))
   }
 
+  test("reference corpus golden cells: hand-derived values from the " +
+      "two-row fixture fact") {
+    def byFamily(id: String): Map[String, (Any, Any)] = {
+      val mdx = corpus.find(_._1 == id).get._3
+      Mdx.execute(mdx, cube).collect().map(r =>
+        r.getAs[String]("family") ->
+          ((r.getAs[Any]("Unit Sales"), r.getAs[Any]("Store Sales"))))
+        .toMap
+    }
+    // WHERE (2010.Q1, USA.CA) = Alice's row only: Drink 3 / 9.5
+    val sliced = byFamily("set_braces")
+    assert(sliced("Drink") === ((3L, 9.5)))
+    assert(sliced.get("Food").forall {
+      case (u, s) => u == null && s == null })
+    // WHERE {Canada, USA} = the compound slicer covers BOTH facts
+    val both = byFamily("where_set")
+    assert(both("Drink") === ((3L, 9.5)))
+    assert(both("Food") === ((2L, 4.0)))
+    // the solve-order calc chain: ProfitPct = (9.5-4)/9.5 on the
+    // sliced (Q1/CA) cell, ProfitValue = Store Sales * ProfitPct
+    val calc = Mdx.execute(
+      """WITH
+        |   MEMBER [Measures].[ProfitPct] AS
+        |   'Val((Measures.[Store Sales] - Measures.[Store Cost]) / Measures.[Store Sales])',
+        |   SOLVE_ORDER = 1
+        |   MEMBER [Measures].[ProfitValue] AS
+        |   '[Measures].[Store Sales] * [Measures].[ProfitPct]',
+        |   SOLVE_ORDER = 2
+        |SELECT  {[Measures].[Store Sales], [Measures].[ProfitPct],
+        |         [Measures].[ProfitValue]} ON COLUMNS,
+        |        {[Product].[Drink]} ON ROWS
+        |  FROM  [Sales]
+        |  WHERE ([Time].[2010].[Q1], [Customers].[USA].[CA])"""
+        .stripMargin, cube).collect().head
+    val pct = calc.getAs[Double]("ProfitPct")
+    assert(math.abs(pct - (9.5 - 4.0) / 9.5) < 1e-12)
+    assert(math.abs(calc.getAs[Double]("ProfitValue") - 9.5 * pct)
+      < 1e-12)
+  }
+
   test("reference MDX corpus: every in-scope query EXECUTES on the " +
       "fixture cube (no construct is parse-only)") {
     // the r11 review found forms the parser accepted but the planner
