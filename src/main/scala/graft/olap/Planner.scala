@@ -892,14 +892,28 @@ final class Planner(val cube: BoundCube) {
     }
   }
 
-  /** Measure names that are not plain SQL identifiers (FoodMart's
-    * `Unit Sales`), longest first so one never clobbers a prefix of
-    * another.
+  /** One alternation over the measure names that are not plain SQL
+    * identifiers (FoodMart's `Unit Sales`), longest first: regex
+    * alternation is ordered, so at a shared start position the longer
+    * name wins and — because a match consumes its text — a name nested
+    * inside another (`Store Sales` in `Store Sales Net`) is never
+    * re-quoted by a later pass, which the old sequential replace got
+    * wrong. Optional surrounding backticks make re-quoting idempotent;
+    * the lookarounds stop a name matching mid-identifier.
     */
-  private lazy val spacedMeasures: Seq[String] =
-    cube.measures.map(_.name)
+  private lazy val spacedMeasureRx: Option[scala.util.matching.Regex] = {
+    val names = cube.measures.map(_.name)
       .filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
       .sortBy(-_.length)
+    if (names.isEmpty) None
+    else Some(("(?<![A-Za-z0-9_`])`?(" +
+      names.map(java.util.regex.Pattern.quote).mkString("|") +
+      ")`?(?![A-Za-z0-9_`])").r)
+  }
+
+  // a single-quoted SQL string literal ('' = escaped quote) — spaced
+  // measure names inside one are DATA and must not gain backticks
+  private val sqlStringLit = "'(?:[^']|'')*'".r
 
   /** Parse a LOWERED MDX scalar expression as a Spark SQL Column.
     * The lowered text carries measure references as bare names (the
@@ -908,9 +922,19 @@ final class Planner(val cube: BoundCube) {
     * SQL boundary only, so `Unit Sales > 1000` executes instead of
     * failing to resolve column `Unit`.
     */
-  private def sexpr(e: String): Column =
-    expr(spacedMeasures.foldLeft(e)((acc, n) =>
-      acc.replace(s"`$n`", n).replace(n, s"`$n`")))
+  private def sexpr(e: String): Column = expr(spacedMeasureRx match {
+    case None => e
+    case Some(rx) =>
+      def quote(seg: String): String = rx.replaceAllIn(seg, m =>
+        java.util.regex.Matcher.quoteReplacement("`" + m.group(1) + "`"))
+      val sb = new StringBuilder
+      var i = 0
+      for (lit <- sqlStringLit.findAllMatchIn(e)) {
+        sb.append(quote(e.substring(i, lit.start))).append(lit.matched)
+        i = lit.end
+      }
+      sb.append(quote(e.substring(i))).toString
+  })
 
   /** Resolve `[dim].CurrentMember.Name` macros emitted by the MDX
     * parser to the set's deepest level column for that dimension.

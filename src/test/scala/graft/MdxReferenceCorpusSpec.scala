@@ -343,4 +343,40 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n\n"))
   }
+
+  test("SQL-boundary quoting survives nested spaced measure names and " +
+      "leaves string literals untouched") {
+    import spark.implicits._
+    // FoodMart really ships `Store Sales` AND `Store Sales Net` — the
+    // shorter is a substring of the longer, so any sequential
+    // replace-quoting corrupts the longer name's backticks
+    val fact = Seq(("Drink", 3L, 9.5, 8.0), ("Food", 2L, 4.0, 3.5))
+      .toDF("fam_fk", "unit_sales", "store_sales", "store_sales_net")
+    val fam = Seq(Tuple1("Drink"), Tuple1("Food")).toDF("family")
+    val c = BoundCube("Nested", fact,
+      dims = Seq(BoundDim("Product", foreignKey = "fam_fk",
+        primaryKey = "family",
+        levels = Seq(BoundLevel("Family", "family")), df = fam)),
+      measures = Seq(
+        Measure("Unit Sales", Agg.Sum, "unit_sales"),
+        Measure("Store Sales", Agg.Sum, "store_sales"),
+        Measure("Store Sales Net", Agg.Sum, "store_sales_net")))
+    val rows = Mdx.execute(
+      """SELECT {[Measures].[Store Sales Net]} ON COLUMNS,
+        |  FILTER([Product].[Family].Members,
+        |         [Measures].[Store Sales Net] > 5) ON ROWS
+        |FROM [Nested]""".stripMargin, c).collect()
+    assert(rows.map(_.getAs[String]("family")).toSeq === Seq("Drink"))
+    // a spaced measure name INSIDE a quoted string literal is data,
+    // not a column reference — it must not gain backticks
+    val tagged = Mdx.execute(
+      """WITH MEMBER [Measures].[Tag] AS
+        |  'Iif([Measures].[Unit Sales] > 2, "Unit Sales", "small")'
+        |SELECT {[Measures].[Tag]} ON COLUMNS,
+        |  [Product].[Family].Members ON ROWS
+        |FROM [Nested]""".stripMargin, c).collect()
+      .map(r => r.getAs[String]("family") -> r.getAs[String]("Tag"))
+      .toMap
+    assert(tagged === Map("Drink" -> "Unit Sales", "Food" -> "small"))
+  }
 }
