@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
 object MakeScaledSf {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    // the replica transforms are only valid on this interval: the
+    // embedding cyclic shift slices at rep*6 (< 64 dims) and must stay
+    // distinct per replica, and the token suffix is chr(97+rep) —
+    // beyond it they would SILENTLY write a corrupt corpus
+    require(mult >= 1 && mult <= 10,
+      s"mult must be in [1, 10], got $mult (embedding shift and token " +
+        "suffix geometry are derived for <= 10 replicas)")
     val outDir = args.lift(1).getOrElse(s"/tmp/graft_sf1")
     val srcDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")

@@ -672,14 +672,21 @@ object Mdx {
           eatPunct("}")
           Left(range.getOrElse {
             // level-qualified items ({[Dim].[Level].[M], ...}) lower to
-            // one-member ranges; plain ancestry paths stay Members
-            val (lvlQ, plain) =
-              rawPaths.partition(p => levelQualified(d, p).isDefined)
-            val sets: Seq[SetExpr] =
-              (if (plain.nonEmpty)
-                Seq(Members(d.name, plain.map(_.map(pathValue))))
-              else Nil) ++ lvlQ.flatMap(levelQualified(d, _))
-            sets.reduce(UnionSet(_, _, all = true))
+            // one-member ranges; plain ancestry paths stay Members —
+            // grouped as consecutive RUNS so the set keeps its source
+            // order (a braced set is ordered; Head/Item/Rank observe it)
+            val runs = Seq.newBuilder[SetExpr]
+            var i = 0
+            while (i < rawPaths.length) {
+              val isLvl = levelQualified(d, rawPaths(i)).isDefined
+              val start = i
+              while (i < rawPaths.length &&
+                  levelQualified(d, rawPaths(i)).isDefined == isLvl) i += 1
+              val run = rawPaths.slice(start, i)
+              if (isLvl) runs ++= run.flatMap(levelQualified(d, _))
+              else runs += Members(d.name, run.map(_.map(pathValue)))
+            }
+            runs.result().reduce(UnionSet(_, _, all = true))
           })
         }
       } else peek match {

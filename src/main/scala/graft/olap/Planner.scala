@@ -75,6 +75,8 @@ final class Planner(val cube: BoundCube) {
     */
   private def pruneFor(q: QueryIR): Unit = {
     val allCalcs = cube.calcMembers ++ q.withMembers
+    spacedMeasureRx = buildSpacedRx(
+      cube.measures.map(_.name) ++ allCalcs.map(_.name))
     var texts: Seq[String] =
       q.measures ++ q.rows.toSeq.flatMap(exprTexts) ++
         q.withSets.values.flatMap(exprTexts)
@@ -892,24 +894,32 @@ final class Planner(val cube: BoundCube) {
     }
   }
 
-  /** One alternation over the measure names that are not plain SQL
-    * identifiers (FoodMart's `Unit Sales`), longest first: regex
-    * alternation is ordered, so at a shared start position the longer
-    * name wins and — because a match consumes its text — a name nested
-    * inside another (`Store Sales` in `Store Sales Net`) is never
-    * re-quoted by a later pass, which the old sequential replace got
-    * wrong. Optional surrounding backticks make re-quoting idempotent;
-    * the lookarounds stop a name matching mid-identifier.
+  /** One alternation over the measure AND calc-member names that are
+    * not plain SQL identifiers (FoodMart's `Unit Sales`), longest
+    * first: regex alternation is ordered, so at a shared start
+    * position the longer name wins and — because a match consumes its
+    * text — a name nested inside another (`Store Sales` in `Store
+    * Sales Net`) is never re-quoted by a later pass, which the old
+    * sequential replace got wrong. Optional surrounding backticks make
+    * re-quoting idempotent; the lookarounds stop a name matching
+    * mid-identifier. Rebuilt per query (pruneFor): WITH-declared calc
+    * members are referenceable by bare name in any lowered expression,
+    * exactly like stored measures.
     */
-  private lazy val spacedMeasureRx: Option[scala.util.matching.Regex] = {
-    val names = cube.measures.map(_.name)
+  private def buildSpacedRx(
+      names: Seq[String]): Option[scala.util.matching.Regex] = {
+    val spaced = names.distinct
       .filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
       .sortBy(-_.length)
-    if (names.isEmpty) None
+    if (spaced.isEmpty) None
     else Some(("(?<![A-Za-z0-9_`])`?(" +
-      names.map(java.util.regex.Pattern.quote).mkString("|") +
+      spaced.map(java.util.regex.Pattern.quote).mkString("|") +
       ")`?(?![A-Za-z0-9_`])").r)
   }
+
+  private var spacedMeasureRx: Option[scala.util.matching.Regex] =
+    buildSpacedRx(
+      (cube.measures.map(_.name) ++ cube.calcMembers.map(_.name)))
 
   // a single-quoted SQL string literal ('' = escaped quote) — spaced
   // measure names inside one are DATA and must not gain backticks

@@ -63,6 +63,24 @@ object Artifacts {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Atomic variant for markers whose BYTES are trusted by a guard
+    * (ingest fingerprints, compaction plans): a crash mid-create must
+    * leave the file absent, never truncated — a half-written
+    * fingerprint would refuse the legitimate exact replay that is the
+    * documented healing path. Write-then-rename; the `.tmp` keeps the
+    * underscore prefix so it stays invisible to Spark listings too.
+    */
+  def writeSmallFileAtomic(spark: SparkSession, path: String,
+      content: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(path + ".tmp")
+    writeSmallFile(spark, tmp.toString, content)
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"atomic small-file rename failed: $tmp -> $p")
+  }
+
   /** Staging dir name for index compactions (underscore prefix:
     * invisible to Spark's file listings, so a half-staged compaction
     * never leaks into reads).

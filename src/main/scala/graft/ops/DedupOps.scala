@@ -941,11 +941,13 @@ object DedupOps {
     // only then publishes the ingest.
     writeIngestPartition(newDocs.select(col("doc_id")),
       s"${index.path}/docs/ingest=$ingestId")
-    // fingerprint lands AFTER the docs commit marker: a crash in the
-    // gap leaves a committed, fingerprint-less ingest whose replay is
-    // admitted (and re-lands the fingerprint) — fail-open on replay,
-    // fail-closed on a conflicting batch
-    Artifacts.writeSmallFile(spark,
+    // fingerprint lands AFTER the docs commit marker, ATOMICALLY: a
+    // crash in the gap leaves a committed, fingerprint-less ingest
+    // whose replay is admitted (and re-lands the fingerprint) —
+    // fail-open on replay, fail-closed on a conflicting batch. The
+    // rename guarantees the guard never reads truncated bytes, which
+    // would refuse the legitimate replay forever.
+    Artifacts.writeSmallFileAtomic(spark,
       s"${index.path}/docs/ingest=$ingestId/$FingerprintFile", fresh)
     spark.catalog.refreshByPath(index.path)
   }
@@ -1122,7 +1124,7 @@ object DedupOps {
         // fingerprint so an equal-id replay of the old tail batch is
         // refused (its docs are already folded in)
         val (target, _) = parse(pl)
-        Artifacts.writeSmallFile(spark,
+        Artifacts.writeSmallFileAtomic(spark,
           s"${index.path}/docs/ingest=$target/$FingerprintFile",
           batchFingerprint(
             spark.read.parquet(s"${index.path}/docs/ingest=$target")))

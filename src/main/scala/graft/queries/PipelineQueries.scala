@@ -1030,11 +1030,15 @@ object PipelineQueries {
 
     // bits-per-band twin of DedupOps.lshBitsPerBand: smallest b >= 4
     // with ceil(n/64) <= 2^b, via exact integer length(bin(q-1)) —
-    // no float log2 whose ULP could flip a ceil at powers of two
+    // no float log2 whose ULP could flip a ceil at powers of two.
+    // LEAST(15, ...) mirrors the engine's packed-Long geometry ceiling
+    // (63 / 4 bands) so oracle and engine stay band-identical past
+    // ~2M vectors (embeddingPairsLshAuto caps there too)
     "q_dedup_embed_lsh" ->
       s"""WITH g AS (
          |  SELECT CASE WHEN q <= 1 THEN 4
-         |    ELSE GREATEST(4, CAST(length(bin(q - 1)) AS INT)) END AS bits
+         |    ELSE LEAST(15, GREATEST(4, CAST(length(bin(q - 1)) AS INT)))
+         |    END AS bits
          |  FROM (SELECT (count(*) + 63) // 64 AS q FROM embeddings)),
          |bucketed AS (
          |  SELECT vec_id,

@@ -28,12 +28,13 @@ object JdbcUri {
     * dispatches on the driver name exactly like this).
     */
   def uri(driver: String, params: Map[String, String] = Map.empty,
-      properties: Seq[(String, String)] = Nil): String = driver match {
+      properties: Seq[(String, String)] = Nil,
+      env: Map[String, String] = sys.env): String = driver match {
     case "mysql" => generic("mysql", params, properties,
       defaults = Seq("useUnicode" -> "true", "characterEncoding" -> "UTF-8"))
     case "postgresql" | "vertica" | "mariadb" =>
       generic(driver, params, properties)
-    case "oracle" => oracle(params)
+    case "oracle" => oracle(params, env)
     case "sqlserver" => generic("sqlserver", params, properties,
       uriPrefix = Some("jdbc:sqlserver://"), addDatabase = false,
       separator = ";", firstSeparator = ";",
@@ -121,12 +122,11 @@ object JdbcUri {
   private def generic(driver: String, params: Map[String, String],
       properties: Seq[(String, String)],
       uriPrefix: Option[String] = None,
-      defaultPort: Option[Int] = None,
       addDatabase: Boolean = true,
       separator: String = "&", firstSeparator: String = "?",
       defaults: Seq[(String, String)] = Nil): String = {
     val prefix = uriPrefix.getOrElse(s"jdbc:$driver://")
-    val port = params.get("port").orElse(defaultPort.map(_.toString))
+    val port = params.get("port")
     var out = prefix + params.getOrElse("host", "") +
       port.map(":" + _).getOrElse("")
     if (addDatabase) params.get("database").foreach(d => out += s"/$d")
@@ -140,10 +140,11 @@ object JdbcUri {
     * a bare `database` with TNS_ADMIN set is a TNS alias; otherwise
     * host:port with the SID-colon backward-compat heuristic.
     */
-  private def oracle(params: Map[String, String]): String = {
+  private def oracle(params: Map[String, String],
+      env: Map[String, String]): String = {
     val database = params.get("database")
     if (database.isDefined && params.get("host").isEmpty &&
-        params.get("url").isEmpty && sys.env.contains("TNS_ADMIN"))
+        params.get("url").isEmpty && env.contains("TNS_ADMIN"))
       s"jdbc:oracle:thin:@${database.get}"
     else params.getOrElse("url", {
       val db = database.map { d =>

@@ -68,9 +68,14 @@ class JdbcUriSpec extends SparkSpec {
     assert(JdbcUri.uri("oracle",
       Map("url" -> "jdbc:oracle:thin:@tns_alias")) ===
       "jdbc:oracle:thin:@tns_alias")
-    // defaults when only a database is given (no TNS_ADMIN in env)
-    assert(JdbcUri.uri("oracle", Map("database" -> "XE")) ===
-      "jdbc:oracle:thin:@localhost:1521:XE")
+    // defaults when only a database is given and TNS_ADMIN is absent
+    // (env passed explicitly: the machine's real env must not decide
+    // which branch this test exercises)
+    assert(JdbcUri.uri("oracle", Map("database" -> "XE"),
+      env = Map.empty) === "jdbc:oracle:thin:@localhost:1521:XE")
+    // with TNS_ADMIN set, a bare database IS the TNS alias
+    assert(JdbcUri.uri("oracle", Map("database" -> "XE"),
+      env = Map("TNS_ADMIN" -> "/etc/tns")) === "jdbc:oracle:thin:@XE")
   }
 
   test("snowflake URI: db/schema/warehouse map behind /?") {

@@ -378,5 +378,19 @@ class MdxReferenceCorpusSpec extends SparkSpec {
       .map(r => r.getAs[String]("family") -> r.getAs[String]("Tag"))
       .toMap
     assert(tagged === Map("Drink" -> "Unit Sales", "Food" -> "small"))
+    // a WITH-declared calc member with a spaced name is referenceable
+    // bare in a lowered FILTER predicate, exactly like a stored
+    // measure (the quoting regex is rebuilt per query from
+    // measures ++ calc members)
+    val viaCalc = Mdx.execute(
+      """WITH MEMBER [Measures].[Net Pct] AS
+        |  '[Measures].[Store Sales Net] / [Measures].[Store Sales]'
+        |SELECT {[Measures].[Net Pct]} ON COLUMNS,
+        |  FILTER([Product].[Family].Members,
+        |         [Measures].[Net Pct] > 0.85) ON ROWS
+        |FROM [Nested]""".stripMargin, c).collect()
+    assert(viaCalc.map(_.getAs[String]("family")).toSeq === Seq("Food"))
+    assert(math.abs(viaCalc.head.getAs[Double]("Net Pct") - 3.5 / 4.0)
+      < 1e-12)
   }
 }
