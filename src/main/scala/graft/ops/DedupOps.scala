@@ -1074,12 +1074,17 @@ object DedupOps {
     * Contract: single-writer maintenance, and only compact past
     * ingests that can no longer be replayed (the compacted base's
     * fingerprint intentionally refuses an equal-id replay of the old
-    * tail batch — its docs are already folded in).
+    * tail batch — its docs are already folded in). Callers running
+    * inside a replayable scope (a streaming foreachBatch) enforce
+    * that line with `maxFold`: pass the current ingestId - 1, so the
+    * batch's own ingest — the only one its checkpoint can ever
+    * replay — is never folded (see
+    * [[graft.streaming.StreamingCube.clusterIndexIngest]]).
     *
     * Returns (ingest partitions folded, label generations pruned).
     */
   def compactClusterIndex(spark: org.apache.spark.sql.SparkSession,
-      index: ClusterIndex): (Int, Int) = {
+      index: ClusterIndex, maxFold: Long = Long.MaxValue): (Int, Int) = {
     Artifacts.readMarker(spark, index.path, ClusterMarker)
     val fs = new org.apache.hadoop.fs.Path(index.path)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -1091,10 +1096,19 @@ object DedupOps {
     }
     val executed = Artifacts.stageAndSwap(spark, index.path,
       planOf = () => {
+        // `maxFold` bounds the fold BELOW the "can no longer be
+        // replayed" line for callers inside a replayable scope: a
+        // streaming batch must pass its own ingestId - 1, because its
+        // snapshot may have published a generation covering its own
+        // ingest before the checkpoint commit crashed — folding that
+        // ingest would make the replay hit the compacted base's
+        // fingerprint refusal forever. The target partition id is the
+        // max FOLDED ingest (== the label gen when unbounded).
         val g = maxPartitionId(spark, s"${index.path}/labels", "gen=")
         val fold = committedPartitionIds(spark, s"${index.path}/docs",
-          "ingest=", requireSuccess = true).filter(_ <= g).sorted
-        if (fold.size > 1) Some(s"target=$g;fold=${fold.mkString(",")}")
+          "ingest=", requireSuccess = true)
+          .filter(i => i <= g && i <= maxFold).sorted
+        if (fold.size > 1) Some(s"target=${fold.max};fold=${fold.mkString(",")}")
         else None
       },
       stage = (pl, tmp) => {

@@ -592,14 +592,25 @@ object StreamingCube {
     * labels are component minima), so ANY batching of the same
     * documents equals the one-shot batch [[graft.ops.DedupOps
     * .writeClusterIndex]] — spec-pinned across batch splits.
+    *
+    * `compactEvery` (0 = never) wires the small-file housekeeping
+    * into the lifecycle: every N batches,
+    * [[graft.ops.DedupOps.compactClusterIndex]] folds the snapshotted
+    * ingest history into one base partition per table, bounded at
+    * ingestId - 1 so the one batch the checkpoint can still replay is
+    * never folded, plus one unbounded pass at drain end — the listing
+    * surface stays O(ingests since last compaction) instead of
+    * O(history) at production cadence.
     */
   def clusterIndexIngest(stream: DataFrame, emptyLike: DataFrame,
       indexPath: String, chkPath: String,
-      snapshotEvery: Int = 4): DataFrame = {
+      snapshotEvery: Int = 4, compactEvery: Int = 0): DataFrame = {
     // fail fast: a 0 would modulo-throw inside foreachBatch AFTER the
     // index was wiped and partially re-ingested
     require(snapshotEvery >= 1,
       s"snapshotEvery must be >= 1, got $snapshotEvery")
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0 (0 = never), got $compactEvery")
     // the index and the checkpoint live or die TOGETHER: this entry
     // always (re)builds the index empty, so a surviving checkpoint
     // from a crashed prior run would make AvailableNow skip its
@@ -627,6 +638,21 @@ object StreamingCube {
     }
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
+        // housekeeping BEFORE the append, bounded at ingestId - 1:
+        // every ingest strictly below this batch is checkpoint-
+        // committed and can never replay, so folding it is safe; this
+        // batch's OWN ingest may replay (its snapshot can publish
+        // before the checkpoint commit crashes) and must never fold —
+        // the bound is what keeps the replay from hitting the
+        // compacted base's fingerprint refusal. A compaction that
+        // crashed mid-swap resumes here on the replayed batch
+        // (deterministic trigger), completing before the append's
+        // no-compact-in-flight guard runs.
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          graft.ops.DedupOps.compactClusterIndex(b.sparkSession, index,
+            maxFold = id)
+          ()
+        }
         graft.ops.DedupOps.appendEdgesToClusterIndex(index,
           b.select("doc_id", "text"), id + 1)
         // periodic snapshot INSIDE the batch keeps replay idempotent:
@@ -644,6 +670,13 @@ object StreamingCube {
     q.awaitTermination()
     // fold any tail batches past the last periodic snapshot
     graft.ops.DedupOps.snapshotClusterLabels(stream.sparkSession, index)
+    // drained: no batch can replay anymore (this entry always rebuilds
+    // index + checkpoint together), so the final compaction is
+    // unbounded — the published index is one base partition per table
+    if (compactEvery > 0) {
+      graft.ops.DedupOps.compactClusterIndex(stream.sparkSession, index)
+      ()
+    }
     graft.ops.DedupOps.readClusterLabels(stream.sparkSession, indexPath)
   }
 

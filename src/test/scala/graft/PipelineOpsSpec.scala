@@ -1034,6 +1034,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === full)
   }
 
+  test("compactClusterIndex maxFold never folds the ingest a streaming " +
+      "checkpoint can still replay") {
+    val path = "/tmp/graft_cluster_compact_bound"
+    PipelineOpsSpec.rmrf(path)
+    def quarter(r: Int) = docs.filter(col("doc_id") % 4 === r)
+    val index = DedupOps.writeClusterIndex(quarter(0), path)
+    DedupOps.appendToClusterIndex(index, quarter(1), ingestId = 1L)
+    DedupOps.appendToClusterIndex(index, quarter(2), ingestId = 2L)
+    def ingestDirs(t: String) =
+      Option(new java.io.File(s"$path/$t").listFiles()).get
+        .filter(_.getName.startsWith("ingest=")).map(_.getName).toSet
+    // the streaming-batch scenario: batch 2's snapshot published
+    // (gen=2) but its checkpoint has not committed — a compaction run
+    // inside the replayed batch passes maxFold = 1, so ingest=2 stays
+    // foldable-but-untouched and the replay's equal-id overwrite is
+    // still admitted afterwards
+    // (2 ingests folded; gen=0 pruned — stale-gen pruning is always
+    // safe since readers and snapshots only ever take the max gen)
+    assert(DedupOps.compactClusterIndex(spark, index, maxFold = 1L)
+      === ((2, 1)))
+    for (t <- Seq("shingles", "bands", "edges", "docs"))
+      assert(ingestDirs(t) === Set("ingest=1", "ingest=2"), t)
+    // the replay of ingest 2 (same docs, same id) is a tolerated
+    // overwrite, NOT a fingerprint refusal — the property the bound
+    // exists to preserve
+    DedupOps.appendEdgesToClusterIndex(index, quarter(2), ingestId = 2L)
+    assert(DedupOps.snapshotClusterLabels(spark, index) === 2L)
+    val got = DedupOps.readClusterLabels(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = DedupOps.nearDupClusters(
+        docs.filter(col("doc_id") % 4 =!= 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expect)
+    // an unbounded follow-up finishes the fold
+    assert(DedupOps.compactClusterIndex(spark, index)._1 === 2)
+    for (t <- Seq("shingles", "bands", "edges", "docs"))
+      assert(ingestDirs(t) === Set("ingest=2"), t)
+  }
+
   test("compaction crash shapes: mid-stage wreck restages, leftover " +
       "staging dir blocks appends, empty-plan resume heals") {
     val path = "/tmp/graft_cluster_compact_crash"

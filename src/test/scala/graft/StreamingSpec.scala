@@ -296,6 +296,53 @@ class StreamingSpec extends SparkSpec {
       "streamed incremental clustering must equal the batch CC")
   }
 
+  test("streaming ingest with compactEvery folds history mid-stream " +
+      "and at drain, labels still == batch CC") {
+    import org.apache.spark.sql.functions._
+    val root = "/tmp/graft_cidx_stream_compact_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val docs = Tables.load(spark, Sf, "documents")
+    docs.repartition(4).write.parquet(s"$root/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    // snapshotEvery=1 publishes a generation every batch, so the
+    // batch-2 compaction (maxFold = 2) has a real fold set {base, 1, 2}
+    // — the mid-stream path executes, not just the drain-end pass
+    val labels = graft.streaming.StreamingCube.clusterIndexIngest(
+        stream, docs, s"$root/index", s"$root/chk",
+        snapshotEvery = 1, compactEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // drain-end unbounded compaction: ONE base partition per table,
+    // one label generation — the O(history) listing surface is gone
+    def parts(sub: String) = Option(
+        new java.io.File(s"$root/index/$sub").listFiles())
+      .map(_.count(f => f.isDirectory &&
+        (f.getName.startsWith("ingest=") || f.getName.startsWith("gen="))))
+      .getOrElse(0)
+    for (t <- Seq("shingles", "bands", "edges", "docs"))
+      assert(parts(t) === 1, s"$t not folded to one base partition")
+    assert(parts("labels") === 1, "stale label generations not pruned")
+    // and compaction never changed WHAT the index says
+    val batch = graft.ops.DedupOps.nearDupClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels === batch,
+      "compacted streamed clustering must equal the batch CC")
+    // the folded base still serves incremental appends: new docs band
+    // against the compacted corpus exactly as against the fragments
+    val index = graft.ops.DedupOps.ClusterIndex(s"$root/index",
+      bands = 4, rows = 2, threshold = 0.5)
+    val extra = docs.orderBy("doc_id").limit(2)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    graft.ops.DedupOps.appendToClusterIndex(index, extra, 100L)
+    val after = graft.ops.DedupOps
+      .readClusterLabels(spark, s"$root/index")
+    assert(after.count() === batch.size + 2)
+  }
+
   test("idempotent batch sink lands once; a replayed batch is a no-op") {
     import org.apache.spark.sql.functions._
     val path = "/tmp/graft_eo_sink"
