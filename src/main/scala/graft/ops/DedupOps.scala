@@ -910,29 +910,45 @@ object DedupOps {
         }
     val shNew = pin(shingled(newDocs).persist())
     val bNew = pin(bandTable(shNew, index.bands, index.rows).persist())
-    writeIngestPartition(shNew,
-      s"${index.path}/shingles/ingest=$ingestId")
-    writeIngestPartition(bNew,
-      s"${index.path}/bands/ingest=$ingestId")
-    spark.catalog.refreshByPath(index.path)
-    // candidates draw only from COMMITTED ingests (plus this one): a
-    // crashed earlier append may have landed shingle/band partitions
-    // whose docs never committed — banding against them would emit
-    // edges to phantom endpoints that no snapshot node universe will
-    // ever contain
-    val visible = (committedPartitionIds(spark,
+    // candidates draw only from COMMITTED prior ingests plus this
+    // batch's IN-MEMORY frames: a crashed earlier append may have
+    // landed shingle/band partitions whose docs never committed —
+    // banding against them would emit edges to phantom endpoints that
+    // no snapshot node universe will ever contain. Taking this
+    // ingest's own side from the cached shNew/bNew (identical rows to
+    // the partitions being written) rather than re-reading the fresh
+    // write keeps a catalog refresh + tiny-file re-read off the
+    // per-batch hot path — and it breaks the write→read dependency,
+    // so the three table writes below are independent
+    val prior = committedPartitionIds(spark,
         s"${index.path}/docs", "ingest=",
-        requireSuccess = true) :+ ingestId).distinct
+        requireSuccess = true).filter(_ != ingestId)
     val allBands = spark.read.parquet(s"${index.path}/bands")
-      .filter(col("ingest").cast("long").isin(visible: _*))
+      .filter(col("ingest").cast("long").isin(prior: _*))
+      .select(bNew.columns.map(col).toSeq: _*)
+      .unionByName(bNew)
     val cand = bandCandidates(bNew, allBands, self = false)
     val shAll = spark.read.parquet(s"${index.path}/shingles")
-      .filter(col("ingest").cast("long").isin(visible: _*))
+      .filter(col("ingest").cast("long").isin(prior: _*))
       .select("doc_id", "shingles")
-    writeIngestPartition(
-      verifyJaccard(shAll, cand, index.threshold)
-        .select("doc_a", "doc_b"),
-      s"${index.path}/edges/ingest=$ingestId")
+      .unionByName(shNew.select("doc_id", "shingles"))
+    // the three non-marker writes run CONCURRENTLY (independent
+    // tables, per-write committer options, no session mutation; the
+    // cached shNew/bNew fill under BlockManager locks, so concurrent
+    // consumers are safe). Any failure rethrows before docs — the
+    // commit marker — can land, so the crashed-append recovery story
+    // is unchanged: partial tables without a docs marker are invisible
+    val writes = Seq(
+      shNew -> s"${index.path}/shingles/ingest=$ingestId",
+      bNew -> s"${index.path}/bands/ingest=$ingestId",
+      (verifyJaccard(shAll, cand, index.threshold)
+        .select("doc_a", "doc_b")) ->
+        s"${index.path}/edges/ingest=$ingestId"
+    ).map { case (df, p) =>
+      scala.concurrent.Future(writeIngestPartition(df, p))(writeEc)
+    }
+    writes.foreach(scala.concurrent.Await.result(_,
+      scala.concurrent.duration.Duration.Inf))
     // docs lands LAST — it is the append's COMMIT marker. Snapshots
     // derive their target generation from docs/, so an append that
     // died before its edge write can never be folded into a snapshot
@@ -956,6 +972,19 @@ object DedupOps {
     * equal-id guard in [[appendEdgesToClusterIndex]].
     */
   private val FingerprintFile = "_graft_fingerprint"
+
+  /** Daemon pool for the concurrent per-ingest table writes — a
+    * cached pool (threads die when idle) shared across appends, so a
+    * long streaming session holds at most the per-batch peak of three
+    * driver threads, not three per batch.
+    */
+  private lazy val writeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool { r =>
+        val t = new Thread(r, "graft-index-write")
+        t.setDaemon(true)
+        t
+      })
 
   /** Mutating index ops must not interleave with a compaction whose
     * swap may be incomplete (folded partitions partially deleted):
