@@ -160,6 +160,32 @@ object Mdx {
         (if (includeEmpty) "" else ", EXCLUDEEMPTY") + ")"
     case SetAggCalc(fn, m, set, _) =>
       s"$fn(${render(set)}, [Measures].[$m])"
+    case LinRegCalc(fn, set, y, x) =>
+      val fnName = fn match {
+        case "SLOPE"     => "LinRegSlope"
+        case "INTERCEPT" => "LinRegIntercept"
+        case "R2"        => "LinRegR2"
+        case _           => "LinRegVariance"
+      }
+      // the rank macro re-renders as the Rank(CurrentMember, series)
+      // the parser lowered it from — over the series set's leading dim
+      def dimOf(s: SetExpr): Option[String] = s match {
+        case LevelMembers(d, _)      => Some(d)
+        case Members(d, _)           => Some(d)
+        case Children(d, _)          => Some(d)
+        case Descendants(d, _, _)    => Some(d)
+        case MemberRange(d, _, _, _) => Some(d)
+        case UnionSet(a, b, _)  => dimOf(a).orElse(dimOf(b))
+        case CrossJoin(a, b)    => dimOf(a).orElse(dimOf(b))
+        case FilterSet(a, _)    => dimOf(a)
+        case _ => None
+      }
+      val rank = dimOf(set) match {
+        case Some(d) => s"Rank([$d].CurrentMember, ${render(set)})"
+        case None => "__LR_RANK__"
+      }
+      def back(e: String): String = e.replace("__LR_RANK__", rank)
+      s"$fnName(${render(set)}, ${back(y)}, ${back(x)})"
     case _ => cm.name
   }
 
@@ -1312,6 +1338,18 @@ object Mdx {
     private val SetAggFns =
       Set("SUM", "AVG", "MIN", "MAX", "COUNT", "AGGREGATE")
 
+    /** MDX per-member-series regressions: LinRegFn(set, y, x) — lowered
+      * to a hidden [[LinRegCalc]] member (mondrian_test.rb:608-766).
+      */
+    private val LinRegFns = Set(
+      "LINREGSLOPE", "LINREGINTERCEPT", "LINREGR2", "LINREGVARIANCE")
+
+    /** While parsing a LinReg y/x argument, the series set —
+      * `Rank([dim].CurrentMember, <this set>)` lowers to the
+      * `__LR_RANK__` macro (the member's position in the series).
+      */
+    private var lrRankSet: Option[SetExpr] = None
+
     /** MDX scalar-function names → Spark SQL function names. */
     private val MdxToSparkFn = Map(
       "IIF" -> "if",
@@ -1421,6 +1459,31 @@ object Mdx {
       name
     }
 
+    /** Parse `LinRegFn(set, y, x)`, register the hidden LinRegCalc,
+      * return its column name. The y/x scalars parse with the series
+      * set active, so Rank(CurrentMember, series) lowers to the
+      * position macro.
+      */
+    private def linRegRef(fnU: String, ws: Map[String, SetExpr]): String = {
+      eatPunct("(")
+      val set = setExpr(ws)
+      eatPunct(",")
+      val saved = lrRankSet
+      lrRankSet = Some(set)
+      val (y, x) =
+        try {
+          val y0 = scalarExpr(ws)
+          eatPunct(",")
+          (y0, scalarExpr(ws))
+        } finally lrRankSet = saved
+      eatPunct(")")
+      val name = s"__setagg${auxCalcs.size}"
+      auxCalcs :+= CalcMember(name,
+        LinRegCalc(fnU.stripPrefix("LINREG"), set, y, x),
+        solveOrder = -1000 + auxCalcs.size)
+      name
+    }
+
     private def scalarExpr(ws: Map[String, SetExpr] = Map.empty,
         stopAtAs: Boolean = false,
         setAlias: Option[String] = None): String = {
@@ -1472,6 +1535,38 @@ object Mdx {
               peekAt(1).contains(TPunct("(")) && setAggArgIsSet =>
             next()
             sb.append(setAggRef(s.toUpperCase, ws))
+            lastTokRef = -1; pendingDiv = false
+            prevWasIdent = false
+          case Some(TIdent(s)) if LinRegFns(s.toUpperCase) &&
+              peekAt(1).contains(TPunct("(")) =>
+            next()
+            sb.append(linRegRef(s.toUpperCase, ws))
+            lastTokRef = -1; pendingDiv = false
+            prevWasIdent = false
+          case Some(TIdent(s)) if s.equalsIgnoreCase("Rank") &&
+              lrRankSet.isDefined && peekAt(1).contains(TPunct("(")) =>
+            // Rank([dim].CurrentMember, <series set>) inside a LinReg
+            // y/x argument — the member's 1-based series position
+            next(); eatPunct("(")
+            val d = next() match {
+              case TBracket(nm) => dimNamed(nm)
+              case t => throw MdxException(
+                s"Syntax error: Rank needs [dim].CurrentMember, got $t")
+            }
+            eatPunct(".")
+            next() match {
+              case TIdent(f) if f.equalsIgnoreCase("CurrentMember") => ()
+              case t => throw MdxException(
+                s"Syntax error: Rank in a LinReg series supports only " +
+                  s"[${d.name}].CurrentMember, got $t")
+            }
+            eatPunct(",")
+            val rset = setExpr(ws)
+            eatPunct(")")
+            if (rset != lrRankSet.get) throw MdxException(
+              "Rank inside a LinReg argument must rank over the " +
+                "series set itself")
+            sb.append(" __LR_RANK__ ")
             lastTokRef = -1; pendingDiv = false
             prevWasIdent = false
           case Some(TIdent(s)) if udfByName(s).exists(u =>

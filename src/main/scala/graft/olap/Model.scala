@@ -216,6 +216,25 @@ final case class SetAggCalc(
     set: SetExpr,
     includeEmpty: Boolean = false) extends CalcDef
 
+/** Per-member-series linear regression over a set — MDX
+  * LinRegSlope/LinRegIntercept/LinRegR2/LinRegVariance(set, y, x)
+  * (Mondrian LinReg*FunDef; reference mondrian_test.rb:608-766).
+  * `yExpr`/`xExpr` are lowered Spark SQL scalar expressions evaluated
+  * once per set member: the `__LR_RANK__` macro resolves to the
+  * member's 1-based position in the set's order, measure references to
+  * the member's cell value. Points with a NULL x or y are skipped
+  * (Mondrian's accuracy loop); an empty point set yields NaN (pinned
+  * by the reference's NULL-series test). `fn` selects the statistic:
+  * SLOPE / INTERCEPT of the OLS fit of y on x, R2 = corr², VARIANCE =
+  * the SUM of squared residuals (the reference's golden 266.67/104.17
+  * values are residual sums, not /n — matched exactly).
+  */
+final case class LinRegCalc(
+    fn: String,
+    set: SetExpr,
+    yExpr: String,
+    xExpr: String) extends CalcDef
+
 final case class CalcMember(
     name: String,
     calc: CalcDef,

@@ -91,6 +91,7 @@ final class Planner(val cube: BoundCube) {
             case ExprCalc(sql)               => Seq(sql)
             case WindowCalc(base, _, _, _)   => Seq(base)
             case SetAggCalc(_, m, set, _)    => m +: exprTexts(set)
+            case LinRegCalc(_, set, y, x)    => Seq(y, x) ++ exprTexts(set)
           })
           changed = true
         }
@@ -1152,6 +1153,9 @@ final class Planner(val cube: BoundCube) {
         case sac: SetAggCalc =>
           try setAggColumn(acc, cm.name, sac, dims, slicer, Map.empty)
           catch { case _: org.apache.spark.sql.AnalysisException => acc }
+        case lrc: LinRegCalc =>
+          try linRegColumn(acc, cm.name, lrc, dims, slicer, Map.empty)
+          catch { case _: org.apache.spark.sql.AnalysisException => acc }
         case _ => acc
       }
     }
@@ -1296,6 +1300,8 @@ final class Planner(val cube: BoundCube) {
             }
           case sac: SetAggCalc =>
             setAggColumn(acc, cm.name, sac, axisDims, slicer, withSets)
+          case lrc: LinRegCalc =>
+            linRegColumn(acc, cm.name, lrc, axisDims, slicer, withSets)
         }
     }
 
@@ -1357,6 +1363,90 @@ final class Planner(val cube: BoundCube) {
       else restricted.groupBy(keptKeys.map(col): _*).agg(aggCol)
     if (keptKeys.isEmpty) acc.crossJoin(broadcast(outer))
     else acc.join(broadcast(outer), keptKeys, "left")
+  }
+
+  /** MDX LinRegSlope/Intercept/R2/Variance(set, y, x) per axis cell:
+    * one (x, y) point per SET MEMBER — `__LR_RANK__` in the lowered
+    * expressions is the member's 1-based position in the set's order,
+    * measure refs are the member's cell value — then a single-pass OLS
+    * moment fold (n, Σx, Σy, Σxx, Σyy, Σxy) per axis cell. Like
+    * [[setAggColumn]], the member frame stays dimension-side
+    * (broadcast-sized by design, so its rank window is fine) and the
+    * fact is touched once at (axis × set) grain. NULL points are
+    * skipped; an empty point set or a zero denominator yields NaN
+    * (reference mondrian_test.rb:673-686 pins NULL-series → NaN).
+    * VARIANCE is the residual SUM of squares — the reference's golden
+    * 266.67/104.17 values (mondrian_test.rb:689-766) are Σ(y-ŷ)², not
+    * the /n variance.
+    */
+  private def linRegColumn(acc: DataFrame, name: String, lrc: LinRegCalc,
+      axisDims: Seq[AxisDim], slicer: Seq[SlicerItem],
+      withSets: Map[String, SetExpr]): DataFrame = {
+    val frame = evalSet(lrc.set, slicer, withSets)
+    val setKeys = frame.dims.flatMap(fd => levelCols(fd.d, fd.depth))
+    val ordBy =
+      if (frame.hasOrd) Seq(col(OrdCol).asc)
+      else frame.dims.flatMap(fd =>
+        fd.d.levelsTo(fd.depth).map(l => col(l.ordinal).asc))
+    val mCols = frame.dims.flatMap(fd => memberCols(fd.d, fd.depth)) ++
+      (if (frame.hasOrd) Seq(OrdCol) else Nil)
+    val ranked = frame.members.select(mCols.distinct.map(col): _*)
+      .distinct()
+      .withColumn("__lr_rank",
+        row_number().over(Window.orderBy(ordBy: _*)))
+      .select((setKeys :+ "__lr_rank").map(col): _*)
+    // context override as in setAggColumn: a series over a hierarchy
+    // that is also on the axis replaces that coordinate
+    val keptAxis = axisDims.filterNot(ad =>
+      frame.dims.exists(_.d.name == ad.d.name))
+    val keptKeys = groupCols(keptAxis)
+    val inner = aggregate(keptAxis ++ frame.dims, slicer)
+    // every set member contributes a point even without fact rows (the
+    // reference's rank-only CASE series span members with no data), so
+    // the ranked members LEFT-join their cell values — per axis cell
+    // when the axis keeps other dims
+    val series =
+      if (keptKeys.isEmpty) ranked.join(inner, setKeys, "left")
+      else inner.select(keptKeys.map(col): _*).distinct()
+        .crossJoin(broadcast(ranked))
+        .join(inner, keptKeys ++ setKeys, "left")
+    def lower(e: String): Column =
+      sexpr(e.replace("__LR_RANK__", "__lr_rank")).cast("double")
+    val pts = series
+      .withColumn("__lr_y", lower(lrc.yExpr))
+      .withColumn("__lr_x", lower(lrc.xExpr))
+      .filter(col("__lr_x").isNotNull && col("__lr_y").isNotNull)
+    val nC = count(lit(1)).cast("double").as("__n")
+    val folds = Seq(nC, sum(col("__lr_x")).as("__sx"),
+      sum(col("__lr_y")).as("__sy"),
+      sum(col("__lr_x") * col("__lr_x")).as("__sxx"),
+      sum(col("__lr_y") * col("__lr_y")).as("__syy"),
+      sum(col("__lr_x") * col("__lr_y")).as("__sxy"))
+    val moments =
+      if (keptKeys.isEmpty) pts.agg(folds.head, folds.tail: _*)
+      else pts.groupBy(keptKeys.map(col): _*).agg(folds.head, folds.tail: _*)
+    def safeDiv(a: Column, b: Column): Column =
+      when(b === 0.0, lit(Double.NaN)).otherwise(a / b)
+    val n = col("__n"); val sx = col("__sx"); val sy = col("__sy")
+    val covN = col("__sxy") * n - sx * sy          // n² · cov(x,y)
+    val varXN = col("__sxx") * n - sx * sx         // n² · var(x)
+    val varYN = col("__syy") * n - sy * sy         // n² · var(y)
+    val slope = safeDiv(covN, varXN)
+    val stat = when(n === 0.0, lit(Double.NaN)).otherwise(lrc.fn match {
+      case "SLOPE" => slope
+      case "INTERCEPT" => safeDiv(sy - slope * sx, n)
+      case "R2" => safeDiv(covN * covN, varXN * varYN)
+      // residual sum of squares: Syy_c - slope · Sxy_c
+      case "VARIANCE" =>
+        (col("__syy") - safeDiv(sy * sy, n)) -
+          slope * (col("__sxy") - safeDiv(sx * sy, n))
+      case other => throw new IllegalArgumentException(
+        s"unknown LinReg statistic '$other'")
+    })
+    val outer = moments.select((keptKeys.map(col) :+ stat.as(name)): _*)
+    if (keptKeys.isEmpty) acc.crossJoin(broadcast(outer))
+    else acc.join(broadcast(outer), keptKeys, "left")
+      .withColumn(name, coalesce(col(name), lit(Double.NaN)))
   }
 
   private def windowColumn(base: String, kind: WinKind, ad: AxisDim,

@@ -67,6 +67,26 @@ object MdxQueries {
     // the compound-slicer Aggregate the reference changelog cites):
     // Sum over a member range restricted subcube, Avg over per-member
     // values with hierarchy context override, member Count.
+    // per-member-series linear regression (Mondrian LinReg*FunDef,
+    // reference mondrian_test.rb:608-766): one (x, y) point per set
+    // member — x the member's rank in the series, y its cell value —
+    // OLS stats folded per cell. Exact-integer moments (qty sums ×
+    // small ranks stay under 2^53), so the doubles match the oracle's
+    // identical closed form bit-for-bit.
+    "q_mdx_linreg" -> (run(
+      """WITH MEMBER [Measures].[qty_slope] AS
+        |  'LinRegSlope([customer].[nation].Members, [Measures].[sum_qty],
+        |    Rank([customer].CurrentMember, [customer].[nation].Members))'
+        |MEMBER [Measures].[qty_icpt] AS
+        |  'LinRegIntercept([customer].[nation].Members, [Measures].[sum_qty],
+        |    Rank([customer].CurrentMember, [customer].[nation].Members))'
+        |MEMBER [Measures].[qty_r2] AS
+        |  'LinRegR2([customer].[nation].Members, [Measures].[sum_qty],
+        |    Rank([customer].CurrentMember, [customer].[nation].Members))'
+        |SELECT {[Measures].[qty_slope], [Measures].[qty_icpt],
+        |        [Measures].[qty_r2]} ON COLUMNS
+        |FROM [Sales]""".stripMargin) _),
+
     "q_mdx_setagg" -> (run(
       """WITH MEMBER [Measures].[h1_rev] AS
         |  Sum({[time].[1995].[1995-Q1] : [time].[1995].[1995-Q2]},
@@ -119,6 +139,41 @@ object MdxQueries {
          |  $CJOIN WHERE year(o_orderdate) = 1995 GROUP BY 1)
          |SELECT cr_region, revenue, rev95
          |FROM rr LEFT JOIN r95 USING (cr_region)""".stripMargin,
+
+    // identical closed-form moment arithmetic as the engine (n·Σxy −
+    // ΣxΣy over n·Σxx − (Σx)², etc.) on exact-integer-valued doubles,
+    // so both sides produce the same IEEE result — no regr_*() whose
+    // internal streaming algorithm could differ in the last ulp
+    "q_mdx_linreg" ->
+      """WITH m AS (
+        |  SELECT r_name, n_name,
+        |    CAST(row_number() OVER (ORDER BY r_name, n_name) AS DOUBLE)
+        |      AS x
+        |  FROM (SELECT DISTINCT r_name, n_name
+        |        FROM customer
+        |        JOIN nation ON c_nationkey = n_nationkey
+        |        JOIN region ON n_regionkey = r_regionkey)),
+        |q AS (
+        |  SELECT r_name, n_name, CAST(sum(l_quantity) AS DOUBLE) AS y
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT m.x, q.y FROM m LEFT JOIN q USING (r_name, n_name)
+        |  WHERE q.y IS NOT NULL),
+        |mo AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy,
+        |    sum(x*y) AS sxy
+        |  FROM pts)
+        |SELECT
+        |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS qty_slope,
+        |  (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS qty_icpt,
+        |  ((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+        |    ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS qty_r2
+        |FROM mo""".stripMargin,
 
     "q_mdx_setagg" ->
       s"""WITH base AS (

@@ -29,10 +29,15 @@ class MdxReferenceCorpusSpec extends SparkSpec {
 
   private lazy val cube: BoundCube = {
     import spark.implicits._
+    // Diego is FACTLESS: the third country gives the LinReg series
+    // tests the reference's 3-point rank arithmetic (Canada, Mexico,
+    // USA — ranks 1..3, same as FoodMart) without touching any pinned
+    // golden (no fact row references him)
     val customers = Seq(
       ("USA", "CA", "Los Angeles", "Alice"),
       ("USA", "WA", "Seattle", "Bob"),
-      ("Canada", "BC", "Vancouver", "Carol"))
+      ("Canada", "BC", "Vancouver", "Carol"),
+      ("Mexico", "DF", "Mexico City", "Diego"))
       .toDF("country", "state", "city", "cname")
     val product = Seq(("Drink", "Good Wine"), ("Food", "Fresh Bread"))
       .toDF("family", "pname")
@@ -242,20 +247,12 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     * An entry here that PARSES fails the suite (the list must shrink
     * as coverage grows, never silently mask a regression).
     */
-  private val expectedUnsupported: Map[String, String] = Map(
-    // The LinRegR2/LinRegVariance(set, yExpr, xExpr) FORMULA shape
-    // regresses a per-member scalar SERIES (here Rank(CurrentMember,
-    // set) and CASE WHEN over it — pure functions of member position,
-    // no measures involved). This engine covers the LinReg statistics
-    // as fact-level aggregators (Agg.RegrSlope/Intercept/R2/Variance/
-    // Point, q_linreg hash-green vs DuckDB regr_*), which is the shape
-    // a Spark deployment uses; the member-position-series calc is a
-    // documented cut, not a silent one.
-    "linregr2_case" -> "per-member-series LinReg formula (covered as Agg.RegrR2)",
-    "linregr2_round" -> "per-member-series LinReg formula (covered as Agg.RegrR2)",
-    "linregr2_null" -> "per-member-series LinReg formula (covered as Agg.RegrR2)",
-    "linregvar_case" -> "per-member-series LinReg formula (covered as Agg.RegrVariance)",
-    "linregvar_rank" -> "per-member-series LinReg formula (covered as Agg.RegrVariance)")
+  /** Empty since r11: the last documented cut — the per-member-series
+    * LinRegR2/LinRegVariance(set, y, x) formula shape — is implemented
+    * ([[graft.olap.LinRegCalc]]); its five corpus entries now reach IR
+    * fixpoint, execute, and pin the reference's golden values below.
+    */
+  private val expectedUnsupported: Map[String, String] = Map.empty
 
   test("reference MDX corpus: parse -> toMdx -> reparse is an IR " +
       "fixpoint; unsupported constructs are enumerated, not silent") {
@@ -324,6 +321,55 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     assert(math.abs(pct - (9.5 - 4.0) / 9.5) < 1e-12)
     assert(math.abs(calc.getAs[Double]("ProfitValue") - 9.5 * pct)
       < 1e-12)
+  }
+
+  test("LinReg series formulas: the reference's golden values " +
+      "(mondrian_test.rb:608-766) hold on the 3-country fixture") {
+    def cell(id: String): Double = {
+      val mdx = corpus.find(_._1 == id).get._3
+      Mdx.execute(mdx, cube).collect().head.getAs[Double]("Formula")
+    }
+    // flat series (y 1..3 vs x 10,30,10): zero covariance → R2 = 0
+    // (the reference's "no linear correlation" golden)
+    assert(cell("linregr2_case") === 0.0)
+    // perfect linear series (rank vs rank*10), rounded: R2 = 1.0
+    assert(cell("linregr2_round") === 1.0)
+    // NULL y series: no points → NaN (the reference asserts .nan?)
+    assert(cell("linregr2_null").isNaN)
+    // moderate fit (y 10,30,25 on x 1..3): residual sum of squares =
+    // 625/6 — the reference's 104.17 golden before its Round (its
+    // comment's "+5" intercept is a typo; the true OLS intercept is
+    // 20/3 and ITS residual sum matches the golden)
+    assert(math.abs(cell("linregvar_case") - 625.0 / 6.0) < 1e-9)
+    // perfect linear series: zero residuals
+    assert(cell("linregvar_rank") === 0.0)
+    // the statistics the corpus doesn't pin, from the same arithmetic:
+    // y = rank*10, x = rank → slope 10, intercept 0, R2 1
+    def stat(fn: String, y: String, x: String): Double =
+      Mdx.execute(
+        s"""WITH MEMBER [Measures].[S] AS '$fn(
+           |  [Customers].[Country].Members, $y, $x)'
+           |SELECT {[Measures].[S]} ON COLUMNS FROM [Sales]"""
+          .stripMargin, cube).collect().head.getAs[Double]("S")
+    val rank = "Rank([Customers].CurrentMember, " +
+      "[Customers].[Country].Members)"
+    assert(math.abs(stat("LinRegSlope", s"$rank * 10", rank) - 10.0)
+      < 1e-9)
+    assert(math.abs(stat("LinRegIntercept", s"$rank * 10", rank)) < 1e-9)
+    assert(stat("LinRegR2", rank, s"$rank * 10") === 1.0)
+    // the reference's moderate-correlation R2 golden (≈0.52 after its
+    // Round; mondrian_test.rb:630-653): exact value 2025/3900
+    val caseX =
+      s"CASE $rank WHEN 1 THEN 10 WHEN 2 THEN 30 WHEN 3 THEN 25 END"
+    assert(math.abs(stat("LinRegR2", rank, caseX) - 2025.0 / 3900.0)
+      < 1e-9)
+    // measure-valued series exercise the cell join, including the
+    // FACTLESS member (Mexico contributes a point with y = 0):
+    // y = coalesce(Unit Sales, 0) = (0, 0, 5) over x = rank (1, 2, 3)
+    // → slope 2.5, R2 = 15² / (6 · 50) = 0.75
+    val my = s"CoalesceEmpty([Measures].[Unit Sales] * 1.0, 0.0)"
+    assert(math.abs(stat("LinRegSlope", my, rank) - 2.5) < 1e-9)
+    assert(math.abs(stat("LinRegR2", my, rank) - 0.75) < 1e-9)
   }
 
   test("reference MDX corpus: every in-scope query EXECUTES on the " +
