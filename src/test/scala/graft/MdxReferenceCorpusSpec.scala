@@ -370,6 +370,9 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     val my = s"CoalesceEmpty([Measures].[Unit Sales] * 1.0, 0.0)"
     assert(math.abs(stat("LinRegSlope", my, rank) - 2.5) < 1e-9)
     assert(math.abs(stat("LinRegR2", my, rank) - 0.75) < 1e-9)
+    // NULL-series NaN holds for Variance too (the reference's fourth
+    // variance test, mondrian_test.rb:765-778, asserts .nan?)
+    assert(stat("LinRegVariance", "NULL", rank).isNaN)
   }
 
   test("reference MDX corpus: every in-scope query EXECUTES on the " +
