@@ -228,8 +228,14 @@ object ScaleProbe {
       // snapEvery=1 republishes labels every batch — the r9 shape
       // whose per-batch cost grew with the corpus's duplicate mass;
       // snapEvery=4 is the amortized default
-      for ((nBatches, snapEvery) <- Seq((2, 4), (8, 4), (8, 1))) {
-        val root = s"/tmp/graft_scale_sclusters_${nBatches}_$snapEvery"
+      // the (8, 1, 2) row exercises the LIFECYCLE compaction knob:
+      // mid-stream folds at batches 2/4/6 (bounded at ingestId - 1)
+      // plus the unbounded drain-end pass — labels must still equal
+      // the one-shot CC and the final index must be fully folded
+      for ((nBatches, snapEvery, compactEvery) <-
+          Seq((2, 4, 0), (8, 4, 0), (8, 1, 0), (8, 1, 2))) {
+        val root =
+          s"/tmp/graft_scale_sclusters_${nBatches}_${snapEvery}_$compactEvery"
         org.apache.hadoop.fs.FileSystem.getLocal(
           spark.sessionState.newHadoopConf()).delete(
             new org.apache.hadoop.fs.Path(root), true)
@@ -237,16 +243,24 @@ object ScaleProbe {
           .write.parquet(s"$root/in")
         val stream = spark.readStream.schema(batchDocs.schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
-        time(s"ingest nBatches=$nBatches snapEvery=$snapEvery")(
+        time(s"ingest nBatches=$nBatches snapEvery=$snapEvery" +
+            s" compactEvery=$compactEvery")(
           Pins.scoped {
             val got = graft.streaming.StreamingCube.clusterIndexIngest(
                 stream, batchDocs, s"$root/index", s"$root/chk",
-                snapshotEvery = snapEvery)
+                snapshotEvery = snapEvery, compactEvery = compactEvery)
               .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
             // ROW-LEVEL equality with the one-shot batch CC — the
             // claim SCALING.md records
             require(got == expect,
               s"labels diverge: ${got.size} vs ${expect.size} docs")
+            if (compactEvery > 0) {
+              val dirs = Option(new java.io.File(s"$root/index/edges")
+                .listFiles()).map(_.count(f => f.isDirectory &&
+                  f.getName.startsWith("ingest="))).getOrElse(0)
+              require(dirs == 1,
+                s"drain-end compaction left $dirs edge partitions")
+            }
             got.size })
       }
       spark.stop(); return
