@@ -96,14 +96,16 @@ object Mdx {
     val withPart =
       (ir.withSets.map { case (n, s) => s"SET [$n] AS ${render(s)}" } ++
         ir.withMembers.collect {
-          case cm @ CalcMember(n, ExprCalc(sql), _, _, _) =>
+          case cm @ CalcMember(n, ExprCalc(sql), _, _, _, _) =>
             // option order mirrors the reference's emission
             // (query_test.rb:679-704): SOLVE_ORDER, FORMAT_STRING,
-            // CELL_FORMATTER
+            // $properties, CELL_FORMATTER
             val opts =
               (if (cm.solveOrder != 0) s", SOLVE_ORDER = ${cm.solveOrder}"
                else "") +
               cm.formatString.map(f => s", FORMAT_STRING = '$f'").getOrElse("") +
+              cm.properties.map { case (k, v) =>
+                s", $$$k = '${v.replace("'", "''")}'" }.mkString +
               cm.cellFormatter.map(f => s", CELL_FORMATTER = '$f'").getOrElse("")
             s"MEMBER [Measures].[$n] AS $sql$opts"
         }).mkString(" ")
@@ -515,30 +517,50 @@ object Mdx {
             var solveOrder = 0
             var fmt: Option[String] = None
             var cellFmt: Option[String] = None
+            var props = Vector.empty[(String, String)]
             while (atPunct(",") && peekAt(1).exists(t =>
                 isKw(t, "SOLVE_ORDER") || isKw(t, "FORMAT_STRING") ||
-                isKw(t, "CELL_FORMATTER"))) {
+                isKw(t, "CELL_FORMATTER") || t == TPunct("$"))) {
               eatPunct(",")
-              val opt = next()
-              eatPunct("=")
-              (opt, next()) match {
-                case (o, TNum(n)) if isKw(o, "SOLVE_ORDER") =>
-                  solveOrder = n.toDouble.toInt
-                case (o, TStr(f)) if isKw(o, "FORMAT_STRING") =>
-                  fmt = Some(f)
-                case (o, TStr(f)) if isKw(o, "CELL_FORMATTER") =>
-                  if (cube.funcs.cellFormatter(f).isEmpty)
-                    throw MdxException(
-                      s"MDX object: cell formatter '$f' not registered " +
-                        s"in cube '${cube.name}'")
-                  cellFmt = Some(f)
-                case (o, v) => throw MdxException(
-                  s"Syntax error: bad WITH MEMBER option $o = $v")
+              // `$name = 'value'` — a member property assignment
+              // ($caption etc., reference query.rb:188-192); stored
+              // verbatim, any order among the options
+              if (atPunct("$")) {
+                eatPunct("$")
+                val pname = next() match {
+                  case TIdent(p) => p
+                  case t => throw MdxException(
+                    s"Syntax error: bad member property name $t")
+                }
+                eatPunct("=")
+                next() match {
+                  case TStr(v) => props :+= ((pname, v))
+                  case t => throw MdxException(
+                    s"Syntax error: member property $$$pname needs a " +
+                      s"string value, got $t")
+                }
+              } else {
+                val opt = next()
+                eatPunct("=")
+                (opt, next()) match {
+                  case (o, TNum(n)) if isKw(o, "SOLVE_ORDER") =>
+                    solveOrder = n.toDouble.toInt
+                  case (o, TStr(f)) if isKw(o, "FORMAT_STRING") =>
+                    fmt = Some(f)
+                  case (o, TStr(f)) if isKw(o, "CELL_FORMATTER") =>
+                    if (cube.funcs.cellFormatter(f).isEmpty)
+                      throw MdxException(
+                        s"MDX object: cell formatter '$f' not registered " +
+                          s"in cube '${cube.name}'")
+                    cellFmt = Some(f)
+                  case (o, v) => throw MdxException(
+                    s"Syntax error: bad WITH MEMBER option $o = $v")
+                }
               }
             }
             withMembers :+= CalcMember(segs(1), formula,
               solveOrder = solveOrder, formatString = fmt,
-              cellFormatter = cellFmt)
+              cellFormatter = cellFmt, properties = props)
             declaredCalcs += segs(1)
           }
         }

@@ -243,7 +243,14 @@ final case class CalcMember(
     /** Named cell formatter (WITH MEMBER ... CELL_FORMATTER = 'name',
       * reference query.rb:211-216).
       */
-    cellFormatter: Option[String] = None)
+    cellFormatter: Option[String] = None,
+    /** `$`-prefixed member properties (WITH MEMBER ... , $caption =
+      * 'Profit %' — reference query.rb:188-192 emission,
+      * query_test.rb:679-692): presentational metadata carried on the
+      * member ($caption drives display captions); stored verbatim and
+      * round-tripped by toMdx.
+      */
+    properties: Seq[(String, String)] = Nil)
 
 /** Ragged-hierarchy member visibility (reference schema.rb
   * hide_member_if: Never | IfBlankName | IfParentsName — the Israel-

@@ -81,7 +81,14 @@ class MdxReferenceCorpusSpec extends SparkSpec {
       measures = Seq(
         Measure("Unit Sales", Agg.Sum, "unit_sales"),
         Measure("Store Sales", Agg.Sum, "store_sales"),
-        Measure("Store Cost", Agg.Sum, "store_cost")))
+        Measure("Store Cost", Agg.Sum, "store_cost")),
+      // the with_calc_members heredoc names this formatter verbatim
+      // (the reference registers it as a schema UDF; here a currency
+      // rendering suffices for CELL_FORMATTER resolution + execution)
+      funcs = SchemaFunctions.empty.withCellFormatter(
+        "rubyobj.Mondrian.OLAP.Schema.CellFormatter.CurrencyFormatterUdf") {
+        v => f"$$${v.asInstanceOf[Number].doubleValue()}%,.2f"
+      })
   }
 
   /** (id, reference anchor, verbatim MDX). Ruby interpolations
@@ -140,14 +147,17 @@ class MdxReferenceCorpusSpec extends SparkSpec {
         |  FROM  [Sales]"""),
       "generate_all" -> q("""        GENERATE([Customers].[Country].Members, [Customers].CurrentMember, ALL) ON ROWS
         |  FROM  [Sales]"""),
+      // VERBATIM reference heredoc (query_test.rb:679-692) including
+      // the $caption member property and the rubyobj cell-formatter
+      // name (registered on the fixture cube)
       "with_calc_members" ->
         """WITH
         |   MEMBER [Measures].[ProfitPct] AS
         |   'Val((Measures.[Store Sales] - Measures.[Store Cost]) / Measures.[Store Sales])',
-        |   SOLVE_ORDER = 1, FORMAT_STRING = 'Percent'
+        |   SOLVE_ORDER = 1, FORMAT_STRING = 'Percent', $caption = 'Profit %'
         |   MEMBER [Measures].[ProfitValue] AS
         |   '[Measures].[Store Sales] * [Measures].[ProfitPct]',
-        |   SOLVE_ORDER = 2
+        |   SOLVE_ORDER = 2, CELL_FORMATTER = 'rubyobj.Mondrian.OLAP.Schema.CellFormatter.CurrencyFormatterUdf'
         |SELECT  {[Measures].[Unit Sales], [Measures].[Store Sales]} ON COLUMNS,
         |        [Product].children ON ROWS
         |  FROM  [Sales]
@@ -234,7 +244,25 @@ class MdxReferenceCorpusSpec extends SparkSpec {
         |  [Customers].[Country].Members,
         |  Rank([Customers].CurrentMember, [Customers].[Country].Members) * 10,
         |  Rank([Customers].CurrentMember, [Customers].[Country].Members)
-        |)""").map { case (id, f) =>
+        |)""",
+      "linregvar_flat" ->
+        """LinRegVariance(
+        |  [Customers].[Country].Members,
+        |  CASE Rank([Customers].CurrentMember, [Customers].[Country].Members)
+        |    WHEN 1 THEN 10
+        |    WHEN 2 THEN 30
+        |    WHEN 3 THEN 10
+        |  END,
+        |  Rank([Customers].CurrentMember, [Customers].[Country].Members)
+        |)""",
+      "linregvar_nullset" ->
+        """LinRegVariance(
+        |  [Customers].[All Customers],
+        |  NULL,
+        |  Rank([Customers].CurrentMember, [Customers].[Country].Members)
+        |)""",
+      "instr_null" ->
+        """Instr(Trim(NULL), "Done")""").map { case (id, f) =>
       id -> s"""WITH MEMBER [Measures].[Formula] AS '${f.stripMargin}'
         |SELECT {[Measures].[Formula]} ON COLUMNS FROM [Sales]"""
     }
@@ -247,12 +275,20 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     * An entry here that PARSES fails the suite (the list must shrink
     * as coverage grows, never silently mask a regression).
     */
-  /** Empty since r11: the last documented cut — the per-member-series
-    * LinRegR2/LinRegVariance(set, y, x) formula shape — is implemented
-    * ([[graft.olap.LinRegCalc]]); its five corpus entries now reach IR
-    * fixpoint, execute, and pin the reference's golden values below.
+  /** One entry since r11: the per-member-series LinReg formula shape
+    * is implemented ([[graft.olap.LinRegCalc]]) — its corpus entries
+    * reach IR fixpoint, execute, and pin the reference's golden values
+    * below. The one remaining cut is `Rank(CurrentMember, otherSet)`
+    * where the ranked set differs from the SERIES set (the reference's
+    * fourth variance test ranks an All-member series against the
+    * Country members — its y is NULL, so the statistic is NaN
+    * regardless; the engine refuses the cross-set rank loudly instead
+    * of guessing member-matching semantics across depths).
     */
-  private val expectedUnsupported: Map[String, String] = Map.empty
+  private val expectedUnsupported: Map[String, String] = Map(
+    "linregvar_nullset" ->
+      ("Rank over a set different from the LinReg series (All-member " +
+        "series vs Country members)"))
 
   test("reference MDX corpus: parse -> toMdx -> reparse is an IR " +
       "fixpoint; unsupported constructs are enumerated, not silent") {
@@ -343,6 +379,14 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     assert(math.abs(cell("linregvar_case") - 625.0 / 6.0) < 1e-9)
     // perfect linear series: zero residuals
     assert(cell("linregvar_rank") === 0.0)
+    // flat series (y 10,30,10): residual sum 800/3 — the reference's
+    // 266.67 golden before its Round
+    assert(math.abs(cell("linregvar_flat") - 800.0 / 3.0) < 1e-9)
+    // Instr over a NULL argument returns empty, not 0
+    // (mondrian_test.rb:781-788)
+    val instr = corpus.find(_._1 == "instr_null").get._3
+    assert(Mdx.execute(instr, cube).collect().head.getAs[Any]("Formula")
+      === null)
     // the statistics the corpus doesn't pin, from the same arithmetic:
     // y = rank*10, x = rank → slope 10, intercept 0, R2 1
     def stat(fn: String, y: String, x: String): Double =
