@@ -32,7 +32,13 @@ final class Result(
       * caption (reference MemberFormatter, schema_definition_test.rb
       * "should format members").
       */
-    memberFmts: Map[String, Any => String] = Map.empty) {
+    memberFmts: Map[String, Any => String] = Map.empty,
+    /** Display captions for column members that declared one
+      * ($caption on a calc member — reference member.getCaption,
+      * cube.rb:392-393): column NAME stays the addressable identity,
+      * the caption is presentation only.
+      */
+    columnCaptions: Map[String, String] = Map.empty) {
 
   def rowCount: Int = rowAxis.length
   def columnCount: Int = columnNames.length
@@ -54,7 +60,8 @@ final class Result(
       keep.map(_._1.drop(k)),
       rowAxisNames.drop(k),
       keep.map { case (_, idx) => cells(idx) },
-      formats, cellFmts = cellFmts, memberFmts = memberFmts)
+      formats, cellFmts = cellFmts, memberFmts = memberFmts,
+      columnCaptions = columnCaptions)
   }
 
   /** Cell value at (row, column). */
@@ -105,11 +112,17 @@ final class Result(
   def memberCaption(row: Int, axisCol: Int): String =
     formattedRowAxis(row)(axisCol)
 
+  /** Display caption of a column member: its declared $caption, else
+    * its name (reference member.caption falls back to the name).
+    */
+  def columnCaption(name: String): String =
+    columnCaptions.getOrElse(name, name)
+
   /** Simple 2-axis HTML table (result.rb:66-110). */
   def toHtml: String = {
     val sb = new StringBuilder("<table><thead><tr>")
     rowAxisNames.foreach(n => sb.append(s"<th>$n</th>"))
-    columnNames.foreach(n => sb.append(s"<th>$n</th>"))
+    columnNames.foreach(n => sb.append(s"<th>${columnCaption(n)}</th>"))
     sb.append("</tr></thead><tbody>")
     formattedRowAxis.zip(formattedValues).foreach { case (members, vals) =>
       sb.append("<tr>")
@@ -164,6 +177,10 @@ object Result {
       formats = formats,
       pageAxisNames = pageCols.filter(axisCols.contains),
       cellFmts = cellFmts,
-      memberFmts = memberFmts)
+      memberFmts = memberFmts,
+      columnCaptions = calcs.flatMap(c =>
+        c.properties.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("caption") => c.name -> v
+        }).toMap)
   }
 }

@@ -59,6 +59,21 @@ class ResultSpec extends SparkSpec {
       "<tr>".r.findAllIn(r.toHtml).length == 1 + r.rowCount)
   }
 
+  test("calc-member $caption drives the column's display caption; " +
+      "the name stays the addressable identity") {
+    val r = Query.from(cube)
+      .withMember(CalcMember("rev2", ExprCalc("revenue * 2"),
+        properties = Seq("caption" -> "Double Revenue")))
+      .columns("revenue", "rev2")
+      .rows(LevelMembers("customer", "region"))
+      .executeResult()
+    assert(r.columnNames === Seq("revenue", "rev2"))
+    assert(r.columnCaption("rev2") === "Double Revenue")
+    assert(r.columnCaption("revenue") === "revenue") // fallback = name
+    assert(r.toHtml.contains("<th>Double Revenue</th>"))
+    assert(!r.toHtml.contains("<th>rev2</th>"))
+  }
+
   test("PAGES axis surfaces as page sub-results") {
     val r = Query.from(cube)
       .columns("revenue")
