@@ -162,11 +162,12 @@ object Mdx {
         (if (includeEmpty) "" else ", EXCLUDEEMPTY") + ")"
     case SetAggCalc(fn, m, set, _) =>
       s"$fn(${render(set)}, [Measures].[$m])"
-    case LinRegCalc(fn, set, y, x) =>
+    case LinRegCalc(fn, set, y, x, pointX) =>
       val fnName = fn match {
         case "SLOPE"     => "LinRegSlope"
         case "INTERCEPT" => "LinRegIntercept"
         case "R2"        => "LinRegR2"
+        case "POINT"     => "LinRegPoint"
         case _           => "LinRegVariance"
       }
       // the rank macro re-renders as the Rank(CurrentMember, series)
@@ -187,7 +188,8 @@ object Mdx {
         case None => "__LR_RANK__"
       }
       def back(e: String): String = e.replace("__LR_RANK__", rank)
-      s"$fnName(${render(set)}, ${back(y)}, ${back(x)})"
+      val lead = pointX.map(px => s"$px, ").getOrElse("")
+      s"$fnName($lead${render(set)}, ${back(y)}, ${back(x)})"
     case _ => cm.name
   }
 
@@ -1364,7 +1366,8 @@ object Mdx {
       * to a hidden [[LinRegCalc]] member (mondrian_test.rb:608-766).
       */
     private val LinRegFns = Set(
-      "LINREGSLOPE", "LINREGINTERCEPT", "LINREGR2", "LINREGVARIANCE")
+      "LINREGSLOPE", "LINREGINTERCEPT", "LINREGR2", "LINREGVARIANCE",
+      "LINREGPOINT")
 
     /** While parsing a LinReg y/x argument, the series set —
       * `Rank([dim].CurrentMember, <this set>)` lowers to the
@@ -1488,6 +1491,14 @@ object Mdx {
       */
     private def linRegRef(fnU: String, ws: Map[String, SetExpr]): String = {
       eatPunct("(")
+      // LinRegPoint(xSlice, set, y, x): the leading x-slice lowers in
+      // the OUTER context (no series rank macro)
+      val pointX =
+        if (fnU == "LINREGPOINT") {
+          val px = scalarExpr(ws)
+          eatPunct(",")
+          Some(px)
+        } else None
       val set = setExpr(ws)
       eatPunct(",")
       val saved = lrRankSet
@@ -1501,7 +1512,7 @@ object Mdx {
       eatPunct(")")
       val name = s"__setagg${auxCalcs.size}"
       auxCalcs :+= CalcMember(name,
-        LinRegCalc(fnU.stripPrefix("LINREG"), set, y, x),
+        LinRegCalc(fnU.stripPrefix("LINREG"), set, y, x, pointX),
         solveOrder = -1000 + auxCalcs.size)
       name
     }

@@ -233,7 +233,13 @@ final case class LinRegCalc(
     fn: String,
     set: SetExpr,
     yExpr: String,
-    xExpr: String) extends CalcDef
+    xExpr: String,
+    /** POINT only — LinRegPoint(xSlice, set, y, x): the x at which the
+      * fitted line is evaluated (slope·xSlice + intercept). Lowered in
+      * the OUTER cell context, so it may reference axis-cell measures;
+      * the series rank macro is not available inside it.
+      */
+    pointX: Option[String] = None) extends CalcDef
 
 final case class CalcMember(
     name: String,

@@ -91,7 +91,8 @@ final class Planner(val cube: BoundCube) {
             case ExprCalc(sql)               => Seq(sql)
             case WindowCalc(base, _, _, _)   => Seq(base)
             case SetAggCalc(_, m, set, _)    => m +: exprTexts(set)
-            case LinRegCalc(_, set, y, x)    => Seq(y, x) ++ exprTexts(set)
+            case LinRegCalc(_, set, y, x, px) =>
+              Seq(y, x) ++ px.toSeq ++ exprTexts(set)
           })
           changed = true
         }
@@ -1432,9 +1433,29 @@ final class Planner(val cube: BoundCube) {
     val varXN = col("__sxx") * n - sx * sx         // n² · var(x)
     val varYN = col("__syy") * n - sy * sy         // n² · var(y)
     val slope = safeDiv(covN, varXN)
+    val intercept = safeDiv(sy - slope * sx, n)
+    if (lrc.fn == "POINT") {
+      // the fitted line evaluated at xSlice, which lowers in the OUTER
+      // cell context (it may reference axis measures) — so slope and
+      // intercept join back first and the prediction is a plain column
+      // over the axis frame
+      val mC = s"__lr_m_$name"; val bC = s"__lr_b_$name"
+      val o = moments.select((keptKeys.map(col) ++ Seq(
+        when(n === 0.0, lit(Double.NaN)).otherwise(slope).as(mC),
+        when(n === 0.0, lit(Double.NaN)).otherwise(intercept).as(bC))): _*)
+      val joined =
+        if (keptKeys.isEmpty) acc.crossJoin(broadcast(o))
+        else acc.join(broadcast(o), keptKeys, "left")
+      val px = sexpr(lrc.pointX.getOrElse(throw new IllegalArgumentException(
+        "LinRegPoint requires the x-slice argument"))).cast("double")
+      return joined
+        .withColumn(name,
+          coalesce(col(mC) * px + col(bC), lit(Double.NaN)))
+        .drop(mC, bC)
+    }
     val stat = when(n === 0.0, lit(Double.NaN)).otherwise(lrc.fn match {
       case "SLOPE" => slope
-      case "INTERCEPT" => safeDiv(sy - slope * sx, n)
+      case "INTERCEPT" => intercept
       case "R2" => safeDiv(covN * covN, varXN * varYN)
       // residual sum of squares: Syy_c - slope · Sxy_c
       case "VARIANCE" =>

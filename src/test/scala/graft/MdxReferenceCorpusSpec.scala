@@ -417,6 +417,27 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     // NULL-series NaN holds for Variance too (the reference's fourth
     // variance test, mondrian_test.rb:765-778, asserts .nan?)
     assert(stat("LinRegVariance", "NULL", rank).isNaN)
+    // LinRegPoint(xSlice, set, y, x): the fitted line y = 10x
+    // evaluated at x = 5 → 50; the x-slice lowers in the OUTER
+    // context, so it may be a measure expression (Unit Sales = 5 on
+    // the unsliced cube → same prediction)
+    def point(px: String): Double =
+      Mdx.execute(
+        s"""WITH MEMBER [Measures].[P] AS 'LinRegPoint($px,
+           |  [Customers].[Country].Members, $rank * 10, $rank)'
+           |SELECT {[Measures].[P]} ON COLUMNS FROM [Sales]"""
+          .stripMargin, cube).collect().head.getAs[Double]("P")
+    assert(math.abs(point("5") - 50.0) < 1e-9)
+    assert(math.abs(point("[Measures].[Unit Sales] * 1.0") - 50.0)
+      < 1e-9)
+    // Point renders and reparses to the same IR (not a corpus entry,
+    // so the fixpoint test doesn't cover it)
+    val pq = Mdx.parse(
+      s"""WITH MEMBER [Measures].[P] AS 'LinRegPoint(5,
+         |  [Customers].[Country].Members, $rank * 10, $rank)'
+         |SELECT {[Measures].[P]} ON COLUMNS FROM [Sales]"""
+        .stripMargin, cube)
+    assert(Mdx.parse(Mdx.renderQuery(pq, cube.name), cube) === pq)
   }
 
   test("reference MDX corpus: every in-scope query EXECUTES on the " +
