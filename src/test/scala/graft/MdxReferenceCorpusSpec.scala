@@ -440,6 +440,26 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     assert(Mdx.parse(Mdx.renderQuery(pq, cube.name), cube) === pq)
   }
 
+  test("LinReg series per AXIS CELL: the regression folds per kept " +
+      "axis grain, one series per row") {
+    // series over Product families (ranks: Drink 1, Food 2), y the
+    // gender's unit sales per family (0 when empty) — per-gender fit:
+    // F buys 3 Drink / 0 Food → slope -3; M buys 0 / 2 → slope +2
+    val prank = "Rank([Product].CurrentMember, " +
+      "[Product].[Product Family].Members)"
+    val got = Mdx.execute(
+      s"""WITH MEMBER [Measures].[S] AS
+         |  'LinRegSlope([Product].[Product Family].Members,
+         |    CoalesceEmpty([Measures].[Unit Sales] * 1.0, 0.0), $prank)'
+         |SELECT {[Measures].[S]} ON COLUMNS,
+         |  [Gender].[Gender].Members ON ROWS
+         |FROM [Sales]""".stripMargin, cube).collect()
+      .map(r => r.getAs[String]("gender") -> r.getAs[Double]("S"))
+      .toMap
+    assert(math.abs(got("F") - (-3.0)) < 1e-9)
+    assert(math.abs(got("M") - 2.0) < 1e-9)
+  }
+
   test("reference MDX corpus: every in-scope query EXECUTES on the " +
       "fixture cube (no construct is parse-only)") {
     // the r11 review found forms the parser accepted but the planner
