@@ -1380,11 +1380,29 @@ final class Planner(val cube: BoundCube) {
     * 266.67/104.17 values (mondrian_test.rb:689-766) are Σ(y-ŷ)², not
     * the /n variance.
     */
+  /** Per-query memo of LinReg moment folds: the common WITH block
+    * declares several statistics over the SAME (set, y, x) series
+    * (slope + intercept + R2 together), and each would otherwise
+    * re-aggregate the subcube — one fact pass per statistic. The fold
+    * is keyed by the kept grain too (the same series under different
+    * axes folds differently) and pinned, so every statistic reads the
+    * one persisted moments frame.
+    */
+  private val lrMoments = scala.collection.mutable.HashMap
+    .empty[(SetExpr, String, String, Seq[String]), DataFrame]
+
   private def linRegColumn(acc: DataFrame, name: String, lrc: LinRegCalc,
       axisDims: Seq[AxisDim], slicer: Seq[SlicerItem],
       withSets: Map[String, SetExpr]): DataFrame = {
     val frame = evalSet(lrc.set, slicer, withSets)
     val setKeys = frame.dims.flatMap(fd => levelCols(fd.d, fd.depth))
+    // context override as in setAggColumn: a series over a hierarchy
+    // that is also on the axis replaces that coordinate
+    val keptAxis = axisDims.filterNot(ad =>
+      frame.dims.exists(_.d.name == ad.d.name))
+    val keptKeys = groupCols(keptAxis)
+    val moments = lrMoments.getOrElseUpdate(
+      (lrc.set, lrc.yExpr, lrc.xExpr, keptKeys), {
     val ordBy =
       if (frame.hasOrd) Seq(col(OrdCol).asc)
       else frame.dims.flatMap(fd =>
@@ -1396,11 +1414,6 @@ final class Planner(val cube: BoundCube) {
       .withColumn("__lr_rank",
         row_number().over(Window.orderBy(ordBy: _*)))
       .select((setKeys :+ "__lr_rank").map(col): _*)
-    // context override as in setAggColumn: a series over a hierarchy
-    // that is also on the axis replaces that coordinate
-    val keptAxis = axisDims.filterNot(ad =>
-      frame.dims.exists(_.d.name == ad.d.name))
-    val keptKeys = groupCols(keptAxis)
     val inner = aggregate(keptAxis ++ frame.dims, slicer)
     // every set member contributes a point even without fact rows (the
     // reference's rank-only CASE series span members with no data), so
@@ -1423,9 +1436,11 @@ final class Planner(val cube: BoundCube) {
       sum(col("__lr_x") * col("__lr_x")).as("__sxx"),
       sum(col("__lr_y") * col("__lr_y")).as("__syy"),
       sum(col("__lr_x") * col("__lr_y")).as("__sxy"))
-    val moments =
+    Pins.pin((
       if (keptKeys.isEmpty) pts.agg(folds.head, folds.tail: _*)
       else pts.groupBy(keptKeys.map(col): _*).agg(folds.head, folds.tail: _*)
+    ).persist())
+    })
     def safeDiv(a: Column, b: Column): Column =
       when(b === 0.0, lit(Double.NaN)).otherwise(a / b)
     val n = col("__n"); val sx = col("__sx"); val sy = col("__sy")
