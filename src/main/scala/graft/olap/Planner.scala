@@ -1409,10 +1409,12 @@ final class Planner(val cube: BoundCube) {
         fd.d.levelsTo(fd.depth).map(l => col(l.ordinal).asc))
     val mCols = frame.dims.flatMap(fd => memberCols(fd.d, fd.depth)) ++
       (if (frame.hasOrd) Seq(OrdCol) else Nil)
-    val ranked = frame.members.select(mCols.distinct.map(col): _*)
-      .distinct()
-      .withColumn("__lr_rank",
-        row_number().over(Window.orderBy(ordBy: _*)))
+    // series position through Ords: a single window for
+    // dimension-bounded sets, the distributed range-partitioned
+    // numbering when the dim is flagged high_cardinality
+    val ranked = Ords.rowNumber(
+        frame.members.select(mCols.distinct.map(col): _*).distinct(),
+        ordBy, "__lr_rank", hintOf(frame.dims))
       .select((setKeys :+ "__lr_rank").map(col): _*)
     val inner = aggregate(keptAxis ++ frame.dims, slicer)
     // every set member contributes a point even without fact rows (the

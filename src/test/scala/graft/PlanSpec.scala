@@ -326,6 +326,18 @@ class PlanSpec extends SparkSpec {
       .execute()
     assert(small.queryExecution.executedPlan.toString
       .contains("row_number()"))
+    // the LinReg series rank routes through the same hint: a
+    // high-cardinality series must not rank via a global window
+    val lr = Query.from(hc)
+      .withMember(CalcMember("s", graft.olap.LinRegCalc("SLOPE",
+        LevelMembers("ok", "orderkey"),
+        "coalesce(sum_qty * 1.0, 0.0)", "__LR_RANK__")))
+      .columns("s")
+      .execute()
+    val lrp = lr.queryExecution.executedPlan.toString
+    assert(!lrp.contains("row_number()"),
+      s"high-cardinality LinReg series must not use a global window:\n$lrp")
+    assert(lr.collect().length === 1)
   }
 
   test("same-column percentile measures fuse into one aggregate") {
