@@ -583,6 +583,29 @@ class MdxSpec extends SparkSpec {
         cube)
     }
     assert(e3.msg.contains("Syntax error"))
+    // LinReg misuse fails loudly at parse, never silently mis-ranks:
+    // ranking over a set different from the series is refused
+    val e4 = intercept[Mdx.MdxException] {
+      Mdx.parse(
+        """WITH MEMBER [Measures].[S] AS 'LinRegSlope(
+          |  [customer].[nation].Members,
+          |  Rank([customer].CurrentMember, [customer].[region].Members),
+          |  1)'
+          |SELECT {[Measures].[S]} ON COLUMNS FROM [Sales]"""
+          .stripMargin, cube)
+    }
+    assert(e4.msg.contains("series set"))
+    // Rank's first argument inside a series must be CurrentMember
+    val e5 = intercept[Mdx.MdxException] {
+      Mdx.parse(
+        """WITH MEMBER [Measures].[S] AS 'LinRegSlope(
+          |  [customer].[nation].Members,
+          |  Rank([customer].[EUROPE], [customer].[nation].Members),
+          |  1)'
+          |SELECT {[Measures].[S]} ON COLUMNS FROM [Sales]"""
+          .stripMargin, cube)
+    }
+    assert(e5.msg.contains("CurrentMember"))
   }
 
   test("TOPCOUNT/BOTTOMCOUNT without a sort expression execute in " +
