@@ -96,6 +96,8 @@ object Mdx {
     val withPart =
       (ir.withSets.map { case (n, s) => s"SET [$n] AS ${render(s)}" } ++
         ir.withMembers.collect {
+          case CalcMember(n, DimAggCalc(d, set), _, _, _, _) =>
+            s"MEMBER [$d].[$n] AS Aggregate(${render(set)})"
           case cm @ CalcMember(n, ExprCalc(sql), _, _, _, _) =>
             // option order mirrors the reference's emission
             // (query_test.rb:679-704): SOLVE_ORDER, FORMAT_STRING,
@@ -508,9 +510,30 @@ object Mdx {
           } else {
             eatKw("MEMBER")
             val segs = memberPath()
-            if (segs.length != 2 || !segs.head.equalsIgnoreCase("Measures"))
+            if (segs.length != 2)
               throw MdxException(
-                "Syntax error: WITH MEMBER must target [Measures].[name]")
+                "Syntax error: WITH MEMBER must target [Measures].[name]" +
+                  " or [dimension].[name]")
+            if (!segs.head.equalsIgnoreCase("Measures")) {
+              // calc member hosted on a hierarchy: the reference's
+              // "aggregate stored members" family — the only supported
+              // formula shape is Aggregate(set)
+              val d = dimNamed(segs.head)
+              eatKw("AS")
+              inlineQuotedFormula()
+              next() match {
+                case TIdent(f) if f.equalsIgnoreCase("Aggregate") => ()
+                case t => throw MdxException(
+                  s"Syntax error: a calculated member on [${d.name}] " +
+                    s"supports only Aggregate(set), got $t")
+              }
+              eatPunct("(")
+              val set = setExpr(withSets)
+              eatPunct(")")
+              // name deliberately NOT added to declaredCalcs — it is
+              // an axis member of [d], not a measure
+              withMembers :+= CalcMember(segs(1), DimAggCalc(d.name, set))
+            } else {
             eatKw("AS")
             inlineQuotedFormula()
             val formula = ExprCalc(scalarExpr(withSets))
@@ -564,6 +587,7 @@ object Mdx {
               solveOrder = solveOrder, formatString = fmt,
               cellFormatter = cellFmt, properties = props)
             declaredCalcs += segs(1)
+            }
           }
         }
       }

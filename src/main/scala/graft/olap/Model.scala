@@ -241,6 +241,16 @@ final case class LinRegCalc(
       */
     pointX: Option[String] = None) extends CalcDef
 
+/** Calc member HOSTED ON a non-Measures hierarchy, defined as
+  * Aggregate over a member set — the reference's "aggregate stored
+  * members" family (`WITH MEMBER [Customers].[CA and OR] AS
+  * 'Aggregate({...})'`, mondrian_test.rb:197-246): enumerated as a
+  * single root-level axis member whose cells aggregate the fact under
+  * the set's compound filter (crossjoin sets pin other dimensions;
+  * member paths that themselves name dim-calcs resolve recursively).
+  */
+final case class DimAggCalc(dim: String, set: SetExpr) extends CalcDef
+
 final case class CalcMember(
     name: String,
     calc: CalcDef,

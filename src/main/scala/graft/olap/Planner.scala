@@ -93,6 +93,7 @@ final class Planner(val cube: BoundCube) {
             case SetAggCalc(_, m, set, _)    => m +: exprTexts(set)
             case LinRegCalc(_, set, y, x, px) =>
               Seq(y, x) ++ px.toSeq ++ exprTexts(set)
+            case DimAggCalc(_, set)          => exprTexts(set)
           })
           changed = true
         }
@@ -1157,6 +1158,8 @@ final class Planner(val cube: BoundCube) {
         case lrc: LinRegCalc =>
           try linRegColumn(acc, cm.name, lrc, dims, slicer, Map.empty)
           catch { case _: org.apache.spark.sql.AnalysisException => acc }
+        // dim-hosted calc members are axis members, not cell columns —
+        // handled by the execute-entry rewrite
         case _ => acc
       }
     }
@@ -1244,6 +1247,67 @@ final class Planner(val cube: BoundCube) {
         pages = None, chapters = None, sections = None)
     val q = if (q1.measures.nonEmpty) q1
             else q1.copy(measures = Seq(cube.defaultMeasureName))
+    // dim-hosted Aggregate calc members on the axis (mondrian_test.rb
+    // :197-246): each enumerates as ONE root-level member whose cells
+    // are the measures aggregated under its set's compound filter —
+    // lowered to a per-member sub-query with the (recursively
+    // resolved) set as an extra computed slicer, unioned with the
+    // member name as the root-level label. No member-frame synthesis:
+    // the set-slicer machinery already computes exactly these cells.
+    val dimCalcs = (cube.calcMembers ++ q.withMembers).collect {
+      case cm @ CalcMember(_, dc: DimAggCalc, _, _, _, _) =>
+        cm.name.toLowerCase -> ((cm, dc))
+    }.toMap
+    def calcOf(dim: String, path: Seq[Any]) = path.lastOption
+      .flatMap(n => dimCalcs.get(n.toString.toLowerCase))
+      .filter(_._2.dim.equalsIgnoreCase(dim))
+    q.rows match {
+      case Some(Members(dim, paths)) if dimCalcs.nonEmpty &&
+          paths.exists(p => calcOf(dim, p).isDefined) =>
+        require(paths.forall(p => calcOf(dim, p).isDefined),
+          s"a literal set on [$dim] mixes calculated aggregate " +
+            "members with stored members — split them onto separate " +
+            "queries (member-frame synthesis for dim-hosted calcs is " +
+            "not supported)")
+        // nested calc references resolve to the union of their sets;
+        // the seen-set breaks definition cycles loudly
+        def resolve(s: SetExpr, seen: Set[String]): SetExpr = s match {
+          case Members(dm, ps) =>
+            val (calc, plain) =
+              ps.partition(p => calcOf(dm, p).isDefined)
+            val sets =
+              (if (plain.nonEmpty) Seq(Members(dm, plain)) else Nil) ++
+              calc.map { p =>
+                val (cm, dc) = calcOf(dm, p).get
+                require(!seen(cm.name.toLowerCase),
+                  s"calculated member [${cm.name}] aggregates itself")
+                resolve(dc.set, seen + cm.name.toLowerCase)
+              }
+            sets.reduce(UnionSet(_, _, all = true))
+          case CrossJoin(a, b) =>
+            CrossJoin(resolve(a, seen), resolve(b, seen))
+          case UnionSet(a, b, all) =>
+            UnionSet(resolve(a, seen), resolve(b, seen), all)
+          case other => other
+        }
+        // a top-level crossjoin pins several dimensions: one slicer
+        // entry per side (the computed-slicer resolver is per-dim,
+        // same decomposition as the MDX WHERE lowering)
+        def slices(s: SetExpr): Seq[SlicerItem] = s match {
+          case CrossJoin(a, b) => slices(a) ++ slices(b)
+          case other => Seq(EvalSlice(other))
+        }
+        val label = cube.dim(dim).levels.head.col
+        return paths.map { p =>
+          val (cm, dc) = calcOf(dim, p).get
+          val sub = q.copy(rows = None,
+            slicer = q.slicer ++
+              slices(resolve(dc.set, Set(cm.name.toLowerCase))))
+          execute(sub).withColumn(label, lit(cm.name))
+            .select((label +: q.measures).map(col): _*)
+        }.reduce(_.unionByName(_))
+      case _ => ()
+    }
     pruneFor(q)
     q.rows match {
       case None =>
@@ -1303,6 +1367,7 @@ final class Planner(val cube: BoundCube) {
             setAggColumn(acc, cm.name, sac, axisDims, slicer, withSets)
           case lrc: LinRegCalc =>
             linRegColumn(acc, cm.name, lrc, axisDims, slicer, withSets)
+          case _: DimAggCalc => acc // axis member, not a cell column
         }
     }
 

@@ -87,6 +87,17 @@ object MdxQueries {
         |        [Measures].[qty_r2]} ON COLUMNS
         |FROM [Sales]""".stripMargin) _),
 
+    // calc member HOSTED ON a hierarchy (Mondrian "aggregate stored
+    // members", mondrian_test.rb:197-246): one synthetic root-level
+    // axis member whose cells aggregate under the set's filter
+    "q_mdx_dimcalc" -> (run(
+      """WITH MEMBER [customer].[EU13 and AS2] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+        |  {[customer].[EU13 and AS2]} ON ROWS
+        |FROM [Sales]""".stripMargin) _),
+
     "q_mdx_setagg" -> (run(
       """WITH MEMBER [Measures].[h1_rev] AS
         |  Sum({[time].[1995].[1995-Q1] : [time].[1995].[1995-Q2]},
@@ -174,6 +185,11 @@ object MdxQueries {
         |  ((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
         |    ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS qty_r2
         |FROM mo""".stripMargin,
+
+    "q_mdx_dimcalc" ->
+      s"""SELECT 'EU13 and AS2' AS cr_region, $REV AS revenue,
+         |  sum(l_quantity) AS sum_qty
+         |$CJOIN WHERE n_name IN ('NATION_13', 'NATION_2')""".stripMargin,
 
     "q_mdx_setagg" ->
       s"""WITH base AS (

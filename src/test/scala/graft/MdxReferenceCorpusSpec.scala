@@ -440,6 +440,69 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     assert(Mdx.parse(Mdx.renderQuery(pq, cube.name), cube) === pq)
   }
 
+  test("dimension-hosted Aggregate calc members: stored, cross-dim, " +
+      "and nested (mondrian_test.rb:197-246 on the fixture fact)") {
+    // fixture facts: Alice USA/CA 3 units, Bob USA/WA 2 units
+    def one(mdx: String): Long =
+      Mdx.execute(mdx, cube).collect().head.getAs[Long]("Unit Sales")
+    // "should aggregate stored members": CA + WA = 5
+    val plain =
+      """WITH MEMBER [Customers].[CA and WA] AS
+        |  'Aggregate({[Customers].[USA].[CA], [Customers].[USA].[WA]})'
+        |SELECT {[Measures].[Unit Sales]} ON COLUMNS,
+        |  {[Customers].[CA and WA]} ON ROWS
+        |FROM [Sales]""".stripMargin
+    assert(one(plain) === 5L)
+    // the synthetic member labels the hierarchy's root level
+    val row = Mdx.execute(plain, cube).collect().head
+    assert(row.getAs[String]("country") === "CA and WA")
+    // "from several dimensions": {Gender.F} × states pins gender too
+    assert(one(
+      """WITH MEMBER [Customers].[CA and WA] AS
+        |  'Aggregate(CROSSJOIN({[Gender].[F]},
+        |     {[Customers].[USA].[CA], [Customers].[USA].[WA]}))'
+        |SELECT {[Measures].[Unit Sales]} ON COLUMNS,
+        |  {[Customers].[CA and WA]} ON ROWS
+        |FROM [Sales]""".stripMargin) === 3L)
+    // "aggregate calculated aggregate members": nested refs resolve
+    // to the union of their sets
+    assert(one(
+      """WITH MEMBER [Customers].[CA calculated] AS
+        |  'Aggregate({[Customers].[USA].[CA]})'
+        |MEMBER [Customers].[WA calculated] AS
+        |  'Aggregate({[Customers].[USA].[WA]})'
+        |MEMBER [Customers].[CA and WA] AS
+        |  'Aggregate({[Customers].[CA calculated],
+        |              [Customers].[WA calculated]})'
+        |SELECT {[Measures].[Unit Sales]} ON COLUMNS,
+        |  {[Customers].[CA and WA]} ON ROWS
+        |FROM [Sales]""".stripMargin) === 5L)
+    // parse -> toMdx -> reparse fixpoint holds for the new WITH shape
+    val ir = Mdx.parse(plain, cube)
+    assert(Mdx.parse(Mdx.renderQuery(ir, cube.name), cube) === ir)
+    // mixing a calc member with stored members on one literal set is
+    // refused loudly, not silently mis-joined
+    val e = intercept[IllegalArgumentException] {
+      Mdx.execute(
+        """WITH MEMBER [Customers].[CA and WA] AS
+          |  'Aggregate({[Customers].[USA].[CA]})'
+          |SELECT {[Measures].[Unit Sales]} ON COLUMNS,
+          |  {[Customers].[CA and WA], [Customers].[Canada]} ON ROWS
+          |FROM [Sales]""".stripMargin, cube).collect()
+    }
+    assert(e.getMessage.contains("mixes"))
+    // a self-aggregating definition is a loud cycle error
+    val cyc = intercept[IllegalArgumentException] {
+      Mdx.execute(
+        """WITH MEMBER [Customers].[Loop] AS
+          |  'Aggregate({[Customers].[Loop]})'
+          |SELECT {[Measures].[Unit Sales]} ON COLUMNS,
+          |  {[Customers].[Loop]} ON ROWS
+          |FROM [Sales]""".stripMargin, cube).collect()
+    }
+    assert(cyc.getMessage.contains("itself"))
+  }
+
   test("LinReg series per AXIS CELL: the regression folds per kept " +
       "axis grain, one series per row") {
     // series over Product families (ranks: Drink 1, Food 2), y the
