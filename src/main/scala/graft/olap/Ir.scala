@@ -41,6 +41,14 @@ final case class CousinSet(dim: String, memberPath: Seq[Any],
 final case class CurrentDateMember(dim: String, level: String,
     matchType: String = "BEFORE") extends SetExpr
 
+/** Parse-time marker for `{[Measures].[m]}` crossjoined inside
+  * `Aggregate({set} * {[Measures].[m]})` (the reference's "aggregate
+  * stored members and a measure", mondrian_test.rb:215-222): unwrapped
+  * to the `Aggregate(set, measure)` form before the IR is stored —
+  * never survives into a planned set.
+  */
+final case class MeasuresSet(measures: Seq[String]) extends SetExpr
+
 /** CrossJoin(s1, s2) — sets over distinct dimensions. */
 final case class CrossJoin(left: SetExpr, right: SetExpr) extends SetExpr
 /** NonEmptyCrossJoin — combinations that actually occur in the fact. */

@@ -163,7 +163,12 @@ object Mdx {
         (if (m.nonEmpty) s", [Measures].[$m]" else "") +
         (if (includeEmpty) "" else ", EXCLUDEEMPTY") + ")"
     case SetAggCalc(fn, m, set, _) =>
-      s"$fn(${render(set)}, [Measures].[$m])"
+      // a plain (possibly spaced) name renders bracketed; a lowered
+      // EXPRESSION renders raw, and its reparse lowers back to the
+      // identical text (measure refs already appear as bare columns)
+      val arg = if (m.matches("[A-Za-z_][A-Za-z0-9_ ]*")) s"[Measures].[$m]"
+                else m
+      s"$fn(${render(set)}, $arg)"
     case LinRegCalc(fn, set, y, x, pointX) =>
       val fnName = fn match {
         case "SLOPE"     => "LinRegSlope"
@@ -801,6 +806,9 @@ object Mdx {
       peek match {
         case Some(TPunct("{")) => setOrMeasures(withSets) match {
           case Left(s) => s
+          // a braced measure set is only legal inside Aggregate(...),
+          // where setAggRef unwraps it to the (set, measure) form
+          case Right(ns) if allowMeasuresSet => MeasuresSet(ns)
           case Right(_) => throw MdxException(
             "Syntax error: measure set not allowed here")
         }
@@ -1399,6 +1407,12 @@ object Mdx {
       */
     private var lrRankSet: Option[SetExpr] = None
 
+    /** True only while parsing a set-aggregate's set argument, where a
+      * braced measure set (`{[Measures].[m]}`) is legal as a crossjoin
+      * factor — [[setAggRef]] unwraps it before the IR is stored.
+      */
+    private var allowMeasuresSet = false
+
     /** MDX scalar-function names → Spark SQL function names. */
     private val MdxToSparkFn = Map(
       "IIF" -> "if",
@@ -1469,13 +1483,46 @@ object Mdx {
       case _ => false
     }
 
-    /** Parse `Fn(set[, [Measures].[m] | EXCLUDEEMPTY|INCLUDEEMPTY])`,
-      * register the hidden calc, return its column name.
+    /** Parse `Fn(set[, measureOrExpr | EXCLUDEEMPTY|INCLUDEEMPTY])`,
+      * register the hidden calc, return its column name. Two sugar
+      * forms beyond the plain measure (mondrian_test.rb:215-229):
+      * `Aggregate({set} * {[Measures].[m]})` — the braced measure set
+      * unwraps to the (set, m) form — and an EXPRESSION second
+      * argument (`Aggregate(set, [Measures].[m] * 2)`), stored lowered
+      * and evaluated over the restricted subcube.
       */
     private def setAggRef(fnU: String, ws: Map[String, SetExpr]): String = {
       eatPunct("(")
-      val set = setExpr(ws)
-      var measure = ""
+      val saved = allowMeasuresSet
+      allowMeasuresSet = true
+      val set0 = try setExpr(ws) finally allowMeasuresSet = saved
+      // unwrap {set} * {[Measures].[m]}: flatten the crossjoin factors
+      // and pull the (single) measure out
+      def factors(s: SetExpr): Seq[SetExpr] = s match {
+        case CrossJoin(a, b) => factors(a) ++ factors(b)
+        case other => Seq(other)
+      }
+      val (msSets, restF) = factors(set0).partition(_.isInstanceOf[MeasuresSet])
+      val unwrapped = msSets.flatMap {
+        case MeasuresSet(ns) => ns
+        case _ => Nil
+      }
+      if (unwrapped.length > 1 || (msSets.nonEmpty && restF.isEmpty))
+        throw MdxException(
+          "Syntax error: a measures set inside " + fnU + " must be a " +
+            "SINGLE measure crossjoined with one member set")
+      def anyMs(x: Any): Boolean = x match {
+        case _: MeasuresSet => true
+        case p: Product => p.productIterator.exists(anyMs)
+        case xs: Seq[_] => xs.exists(anyMs)
+        case _ => false
+      }
+      val set =
+        if (msSets.isEmpty) set0 else restF.reduce(CrossJoin(_, _))
+      if (anyMs(set)) throw MdxException(
+        "Syntax error: a measures set must be crossjoined at the top " +
+          "level of the " + fnU + " set")
+      var measure = unwrapped.headOption.getOrElse("")
       var includeEmpty = fnU == "COUNT" // MDX Count defaults INCLUDEEMPTY
       if (atPunct(",")) {
         eatPunct(",")
@@ -1485,16 +1532,14 @@ object Mdx {
           case Some(TIdent(f)) if f.equalsIgnoreCase("INCLUDEEMPTY") =>
             next(); includeEmpty = true
           case _ =>
-            val p = memberPath()
-            measure =
-              if (p.head.equalsIgnoreCase("Measures")) {
-                if (p.length < 2) throw MdxException(
-                  "Syntax error: expected [Measures].[name]")
-                p(1)
-              } else p.head
-            if (!isMeasureName(measure)) throw MdxException(
-              s"MDX object '[Measures].[$measure]' not found in cube " +
-                s"'${cube.name}'")
+            if (measure.nonEmpty) throw MdxException(
+              s"Syntax error: $fnU already names its measure in the " +
+                "crossjoined measures set")
+            // a bare [Measures].[m] lowers to exactly the measure name;
+            // anything else is an expression evaluated per member over
+            // the restricted subcube (validation of measure refs
+            // happens inside the scalar lowering)
+            measure = scalarExpr(ws)
         }
       }
       eatPunct(")")

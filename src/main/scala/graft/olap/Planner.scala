@@ -1402,7 +1402,11 @@ final class Planner(val cube: BoundCube) {
       broadcast(frame.members.select(setKeys.map(col): _*).distinct()),
       setKeys, "left_semi")
     val m = cube.measures.find(_.name == sac.measure)
-    val valueCol = col(sac.measure)
+    // the measure slot may carry a lowered EXPRESSION
+    // (Aggregate(set, [Measures].[m] * 2), mondrian_test.rb:224-229):
+    // evaluated per member over the restricted subcube's measure
+    // columns; a plain name resolves to its column either way
+    val valueCol = sexpr(sac.measure)
     val aggCol = (sac.fn match {
       case "SUM" => sum(valueCol)
       case "AVG" => avg(valueCol)
@@ -1418,6 +1422,11 @@ final class Planner(val cube: BoundCube) {
           sum(valueCol)
         case Some(Agg.Min) => min(valueCol)
         case Some(Agg.Max) => max(valueCol)
+        // an EXPRESSION argument (not a declared measure) aggregates
+        // additively over the per-member values — the reference's
+        // Aggregate(set, expr) semantics on sum-backed measures
+        case None if !cube.measures.exists(_.name == sac.measure) =>
+          sum(valueCol)
         case other => throw new IllegalArgumentException(
           s"Aggregate(set) needs a decomposable measure, got $other")
       }

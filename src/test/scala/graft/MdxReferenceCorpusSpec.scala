@@ -477,6 +477,36 @@ class MdxReferenceCorpusSpec extends SparkSpec {
         |SELECT {[Measures].[Unit Sales]} ON COLUMNS,
         |  {[Customers].[CA and WA]} ON ROWS
         |FROM [Sales]""".stripMargin) === 5L)
+    // "stored members and a measure" (mondrian_test.rb:215-222): the
+    // braced measure set unwraps to the (set, measure) form — a
+    // MEASURES-hosted member this time
+    val viaMs = Mdx.execute(
+      """WITH MEMBER [Measures].[CA and WA] AS
+        |  'Aggregate({[Customers].[USA].[CA], [Customers].[USA].[WA]}
+        |     * {[Measures].[Unit Sales]})'
+        |SELECT {[Measures].[CA and WA]} ON COLUMNS
+        |FROM [Sales]""".stripMargin, cube).collect().head
+    assert(viaMs.getAs[Long]("CA and WA") === 5L)
+    // "stored members with expression" (mondrian_test.rb:224-229):
+    // the second argument may be an expression over the subcube
+    val twice = Mdx.execute(
+      """WITH MEMBER [Measures].[CA and WA twice] AS
+        |  'Aggregate({[Customers].[USA].[CA], [Customers].[USA].[WA]},
+        |     [Measures].[Unit Sales] * 2)'
+        |SELECT {[Measures].[CA and WA twice]} ON COLUMNS
+        |FROM [Sales]""".stripMargin, cube).collect().head
+    assert(twice.getAs[Long]("CA and WA twice") === 10L)
+    // both sugar forms reach the toMdx fixpoint too
+    for (mdx <- Seq(
+        """WITH MEMBER [Measures].[M] AS
+          |  'Aggregate({[Customers].[USA].[CA]} * {[Measures].[Unit Sales]})'
+          |SELECT {[Measures].[M]} ON COLUMNS FROM [Sales]""".stripMargin,
+        """WITH MEMBER [Measures].[M] AS
+          |  'Aggregate({[Customers].[USA].[CA]}, [Measures].[Unit Sales] * 2)'
+          |SELECT {[Measures].[M]} ON COLUMNS FROM [Sales]""".stripMargin)) {
+      val ir0 = Mdx.parse(mdx, cube)
+      assert(Mdx.parse(Mdx.renderQuery(ir0, cube.name), cube) === ir0)
+    }
     // parse -> toMdx -> reparse fixpoint holds for the new WITH shape
     val ir = Mdx.parse(plain, cube)
     assert(Mdx.parse(Mdx.renderQuery(ir, cube.name), cube) === ir)
