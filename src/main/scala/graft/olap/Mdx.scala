@@ -526,15 +526,27 @@ object Mdx {
               val d = dimNamed(segs.head)
               eatKw("AS")
               inlineQuotedFormula()
-              next() match {
-                case TIdent(f) if f.equalsIgnoreCase("Aggregate") => ()
+              // Aggregate(set), or a bare member path — sugar for the
+              // one-member aggregate (the reference's null-member
+              // tolerance test defines [Customers].[NNN] AS
+              // '[Customers].[YYY]', mondrian_test.rb:328-335; a
+              // nonexistent member resolves to the empty set, so the
+              // slicer nulls cells without erroring)
+              val set = peek match {
+                case Some(TIdent(f)) if f.equalsIgnoreCase("Aggregate") =>
+                  next(); eatPunct("(")
+                  val s = setExpr(withSets)
+                  eatPunct(")")
+                  s
+                case Some(TBracket(_)) =>
+                  val p = memberPath()
+                  val pd = dimNamed(p.head)
+                  Members(pd.name, Seq(p.tail.map(pathValue)))
                 case t => throw MdxException(
                   s"Syntax error: a calculated member on [${d.name}] " +
-                    s"supports only Aggregate(set), got $t")
+                    s"supports only Aggregate(set) or a member path, " +
+                    s"got $t")
               }
-              eatPunct("(")
-              val set = setExpr(withSets)
-              eatPunct(")")
               // name deliberately NOT added to declaredCalcs — it is
               // an axis member of [d], not a measure
               withMembers :+= CalcMember(segs(1), DimAggCalc(d.name, set))

@@ -1245,8 +1245,8 @@ final class Planner(val cube: BoundCube) {
       else q0.copy(
         rows = Some((outerAxes ++ q0.rows.toSeq).reduceRight(CrossJoin(_, _))),
         pages = None, chapters = None, sections = None)
-    val q = if (q1.measures.nonEmpty) q1
-            else q1.copy(measures = Seq(cube.defaultMeasureName))
+    val qPre = if (q1.measures.nonEmpty) q1
+               else q1.copy(measures = Seq(cube.defaultMeasureName))
     // dim-hosted Aggregate calc members on the axis (mondrian_test.rb
     // :197-246): each enumerates as ONE root-level member whose cells
     // are the measures aggregated under its set's compound filter —
@@ -1254,14 +1254,57 @@ final class Planner(val cube: BoundCube) {
     // resolved) set as an extra computed slicer, unioned with the
     // member name as the root-level label. No member-frame synthesis:
     // the set-slicer machinery already computes exactly these cells.
-    val dimCalcs = (cube.calcMembers ++ q.withMembers).collect {
+    val dimCalcs = (cube.calcMembers ++ qPre.withMembers).collect {
       case cm @ CalcMember(_, dc: DimAggCalc, _, _, _, _) =>
         cm.name.toLowerCase -> ((cm, dc))
     }.toMap
     def calcOf(dim: String, path: Seq[Any]) = path.lastOption
       .flatMap(n => dimCalcs.get(n.toString.toLowerCase))
       .filter(_._2.dim.equalsIgnoreCase(dim))
-    q.rows match {
+    // nested calc references resolve to the union of their sets;
+    // the seen-set breaks definition cycles loudly
+    def resolve(s: SetExpr, seen: Set[String]): SetExpr = s match {
+      case Members(dm, ps) =>
+        val (calc, plain) =
+          ps.partition(p => calcOf(dm, p).isDefined)
+        val sets =
+          (if (plain.nonEmpty) Seq(Members(dm, plain)) else Nil) ++
+          calc.map { p =>
+            val (cm, dc) = calcOf(dm, p).get
+            require(!seen(cm.name.toLowerCase),
+              s"calculated member [${cm.name}] aggregates itself")
+            resolve(dc.set, seen + cm.name.toLowerCase)
+          }
+        sets.reduce(UnionSet(_, _, all = true))
+      case CrossJoin(a, b) =>
+        CrossJoin(resolve(a, seen), resolve(b, seen))
+      case UnionSet(a, b, all) =>
+        UnionSet(resolve(a, seen), resolve(b, seen), all)
+      case other => other
+    }
+    // a top-level crossjoin pins several dimensions: one slicer
+    // entry per side (the computed-slicer resolver is per-dim,
+    // same decomposition as the MDX WHERE lowering)
+    def slices(s: SetExpr): Seq[SlicerItem] = s match {
+      case CrossJoin(a, b) => slices(a) ++ slices(b)
+      case other => Seq(EvalSlice(other))
+    }
+    // a dim-calc member in WHERE slices by its (resolved) set — the
+    // compound-slicer form; a formula naming a nonexistent member
+    // resolves to the empty set, nulling cells without erroring
+    // (mondrian_test.rb:328-335)
+    val qs =
+      if (dimCalcs.isEmpty) qPre
+      else qPre.copy(slicer = qPre.slicer.flatMap {
+        case ms @ MemberSlice(dim, path) =>
+          calcOf(dim, path) match {
+            case Some((cm, dc)) =>
+              slices(resolve(dc.set, Set(cm.name.toLowerCase)))
+            case None => Seq(ms)
+          }
+        case other => Seq(other)
+      })
+    qs.rows match {
       case Some(Members(dim, paths)) if dimCalcs.nonEmpty &&
           paths.exists(p => calcOf(dim, p).isDefined) =>
         require(paths.forall(p => calcOf(dim, p).isDefined),
@@ -1269,45 +1312,18 @@ final class Planner(val cube: BoundCube) {
             "members with stored members — split them onto separate " +
             "queries (member-frame synthesis for dim-hosted calcs is " +
             "not supported)")
-        // nested calc references resolve to the union of their sets;
-        // the seen-set breaks definition cycles loudly
-        def resolve(s: SetExpr, seen: Set[String]): SetExpr = s match {
-          case Members(dm, ps) =>
-            val (calc, plain) =
-              ps.partition(p => calcOf(dm, p).isDefined)
-            val sets =
-              (if (plain.nonEmpty) Seq(Members(dm, plain)) else Nil) ++
-              calc.map { p =>
-                val (cm, dc) = calcOf(dm, p).get
-                require(!seen(cm.name.toLowerCase),
-                  s"calculated member [${cm.name}] aggregates itself")
-                resolve(dc.set, seen + cm.name.toLowerCase)
-              }
-            sets.reduce(UnionSet(_, _, all = true))
-          case CrossJoin(a, b) =>
-            CrossJoin(resolve(a, seen), resolve(b, seen))
-          case UnionSet(a, b, all) =>
-            UnionSet(resolve(a, seen), resolve(b, seen), all)
-          case other => other
-        }
-        // a top-level crossjoin pins several dimensions: one slicer
-        // entry per side (the computed-slicer resolver is per-dim,
-        // same decomposition as the MDX WHERE lowering)
-        def slices(s: SetExpr): Seq[SlicerItem] = s match {
-          case CrossJoin(a, b) => slices(a) ++ slices(b)
-          case other => Seq(EvalSlice(other))
-        }
         val label = cube.dim(dim).levels.head.col
         return paths.map { p =>
           val (cm, dc) = calcOf(dim, p).get
-          val sub = q.copy(rows = None,
-            slicer = q.slicer ++
+          val sub = qs.copy(rows = None,
+            slicer = qs.slicer ++
               slices(resolve(dc.set, Set(cm.name.toLowerCase))))
           execute(sub).withColumn(label, lit(cm.name))
-            .select((label +: q.measures).map(col): _*)
+            .select((label +: qs.measures).map(col): _*)
         }.reduce(_.unionByName(_))
       case _ => ()
     }
+    val q = qs
     pruneFor(q)
     q.rows match {
       case None =>

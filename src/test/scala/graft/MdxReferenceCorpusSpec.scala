@@ -521,6 +521,31 @@ class MdxReferenceCorpusSpec extends SparkSpec {
           |FROM [Sales]""".stripMargin, cube).collect()
     }
     assert(e.getMessage.contains("mixes"))
+    // a dim-calc member in WHERE is the compound slicer: cells
+    // aggregate under the member's set
+    val sliced = Mdx.execute(
+      """WITH MEMBER [Customers].[CA and WA] AS
+        |  'Aggregate({[Customers].[USA].[CA], [Customers].[USA].[WA]})'
+        |SELECT {[Measures].[Unit Sales]} ON COLUMNS,
+        |  [Product].[Product Family].Members ON ROWS
+        |FROM [Sales]
+        |WHERE ([Customers].[CA and WA])""".stripMargin, cube).collect()
+      .map(r => r.getAs[String]("family") -> r.getAs[Any]("Unit Sales"))
+      .toMap
+    assert(sliced("Drink") === 3L && sliced("Food") === 2L)
+    // the reference's null-member tolerance (mondrian_test.rb:328-335):
+    // a calc member whose formula names a NONEXISTENT member resolves
+    // to the empty set — slicing by it nulls cells without erroring,
+    // and the axis rows survive (no NON EMPTY)
+    val nullSliced = Mdx.execute(
+      """WITH MEMBER [Customers].[NNN] AS '[Customers].[YYY]'
+        |SELECT {[Measures].[Unit Sales]} ON COLUMNS,
+        |  [Product].[Product Family].Members ON ROWS
+        |FROM [Sales]
+        |WHERE ([Customers].[NNN])""".stripMargin, cube).collect()
+    assert(nullSliced.map(_.getAs[String]("family")).sorted.toSeq ===
+      Seq("Drink", "Food"))
+    assert(nullSliced.forall(_.isNullAt(1)))
     // a self-aggregating definition is a loud cycle error
     val cyc = intercept[IllegalArgumentException] {
       Mdx.execute(
