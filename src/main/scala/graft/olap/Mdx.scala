@@ -1738,6 +1738,17 @@ object Mdx {
             next(); eatPunct("."); next()
             sb.append(" __CURRENT_ORDINAL__ ")
             lastTokRef = -1; pendingDiv = false; prevWasIdent = false
+          case Some(TIdent(s)) if s.equalsIgnoreCase("IsDirty") &&
+              peekAt(1).contains(TPunct("(")) =>
+            // IsDirty() — "may this cell be stale mid-cache-flush?"
+            // (jar IsDirtyFunDef; mondrian_test.rb:242-246 expects
+            // false). This engine evaluates every query against source
+            // data under Spark's immutable-plan execution — a cell is
+            // never served from a half-invalidated cache — so the
+            // truthful constant is false.
+            next(); eatPunct("("); eatPunct(")")
+            sb.append(" false ")
+            lastTokRef = -1; pendingDiv = false; prevWasIdent = false
           case Some(TIdent(s)) if s.equalsIgnoreCase("Parameter") &&
               peekAt(1).contains(TPunct("(")) =>
             next()

@@ -387,6 +387,13 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     val instr = corpus.find(_._1 == "instr_null").get._3
     assert(Mdx.execute(instr, cube).collect().head.getAs[Any]("Formula")
       === null)
+    // IsDirty() is false: cells are never served from a
+    // half-invalidated cache (mondrian_test.rb:242-246)
+    assert(Mdx.execute(
+      """WITH MEMBER [Measures].[is dirty] AS 'IsDirty()'
+        |SELECT {[Measures].[is dirty]} ON COLUMNS FROM [Sales]"""
+        .stripMargin, cube).collect().head.getAs[Boolean]("is dirty")
+      === false)
     // the statistics the corpus doesn't pin, from the same arithmetic:
     // y = rank*10, x = rank → slope 10, intercept 0, R2 1
     def stat(fn: String, y: String, x: String): Double =
