@@ -169,7 +169,7 @@ object Mdx {
       val arg = if (m.matches("[A-Za-z_][A-Za-z0-9_ ]*")) s"[Measures].[$m]"
                 else m
       s"$fn(${render(set)}, $arg)"
-    case LinRegCalc(fn, set, y, x, pointX) =>
+    case LinRegCalc(fn, set, y, x, pointX, rankSet) =>
       val fnName = fn match {
         case "SLOPE"     => "LinRegSlope"
         case "INTERCEPT" => "LinRegIntercept"
@@ -194,7 +194,15 @@ object Mdx {
         case Some(d) => s"Rank([$d].CurrentMember, ${render(set)})"
         case None => "__LR_RANK__"
       }
-      def back(e: String): String = e.replace("__LR_RANK__", rank)
+      val xrank = rankSet.map { rs =>
+        dimOf(rs) match {
+          case Some(d) => s"Rank([$d].CurrentMember, ${render(rs)})"
+          case None => "__LR_XRANK__"
+        }
+      }
+      def back(e: String): String =
+        xrank.foldLeft(e.replace("__LR_RANK__", rank))(
+          (s, xr) => s.replace("__LR_XRANK__", xr))
       val lead = pointX.map(px => s"$px, ").getOrElse("")
       s"$fnName($lead${render(set)}, ${back(y)}, ${back(x)})"
     case _ => cm.name
@@ -1419,6 +1427,12 @@ object Mdx {
       */
     private var lrRankSet: Option[SetExpr] = None
 
+    /** A Rank over a DIFFERENT set than the series, captured while
+      * parsing LinReg y/x (at most one distinct auxiliary set per
+      * call) — lowers to `__LR_XRANK__`.
+      */
+    private var lrXRankSet: Option[SetExpr] = None
+
     /** True only while parsing a set-aggregate's set argument, where a
       * braced measure set (`{[Measures].[m]}`) is legal as a crossjoin
       * factor — [[setAggRef]] unwraps it before the IR is stored.
@@ -1583,17 +1597,19 @@ object Mdx {
       val set = setExpr(ws)
       eatPunct(",")
       val saved = lrRankSet
+      val savedX = lrXRankSet
       lrRankSet = Some(set)
-      val (y, x) =
+      lrXRankSet = None
+      val (y, x, xset) =
         try {
           val y0 = scalarExpr(ws)
           eatPunct(",")
-          (y0, scalarExpr(ws))
-        } finally lrRankSet = saved
+          (y0, scalarExpr(ws), lrXRankSet)
+        } finally { lrRankSet = saved; lrXRankSet = savedX }
       eatPunct(")")
       val name = s"__setagg${auxCalcs.size}"
       auxCalcs :+= CalcMember(name,
-        LinRegCalc(fnU.stripPrefix("LINREG"), set, y, x, pointX),
+        LinRegCalc(fnU.stripPrefix("LINREG"), set, y, x, pointX, xset),
         solveOrder = -1000 + auxCalcs.size)
       name
     }
@@ -1677,10 +1693,16 @@ object Mdx {
             eatPunct(",")
             val rset = setExpr(ws)
             eatPunct(")")
-            if (rset != lrRankSet.get) throw MdxException(
-              "Rank inside a LinReg argument must rank over the " +
-                "series set itself")
-            sb.append(" __LR_RANK__ ")
+            if (rset == lrRankSet.get) sb.append(" __LR_RANK__ ")
+            else {
+              // ranking in a DIFFERENT set: member-identity semantics
+              // (position when present at the same level, 0 otherwise)
+              if (lrXRankSet.exists(_ != rset)) throw MdxException(
+                "Rank inside a LinReg call supports at most one set " +
+                  "besides the series itself")
+              lrXRankSet = Some(rset)
+              sb.append(" __LR_XRANK__ ")
+            }
             lastTokRef = -1; pendingDiv = false
             prevWasIdent = false
           case Some(TIdent(s)) if udfByName(s).exists(u =>

@@ -239,7 +239,16 @@ final case class LinRegCalc(
       * the OUTER cell context, so it may reference axis-cell measures;
       * the series rank macro is not available inside it.
       */
-    pointX: Option[String] = None) extends CalcDef
+    pointX: Option[String] = None,
+    /** A `Rank(CurrentMember, otherSet)` inside y/x may rank the
+      * series member in a DIFFERENT set (the reference's All-member
+      * variance test ranks against the Country members,
+      * mondrian_test.rb:765-778): Mondrian member-identity semantics —
+      * the position when the member IS in that set (same level, keyed
+      * join), 0 when absent or when the sets enumerate different
+      * levels. Lowered to the `__LR_XRANK__` macro.
+      */
+    rankSet: Option[SetExpr] = None) extends CalcDef
 
 /** Calc member HOSTED ON a non-Measures hierarchy, defined as
   * Aggregate over a member set — the reference's "aggregate stored

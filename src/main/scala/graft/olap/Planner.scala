@@ -91,8 +91,9 @@ final class Planner(val cube: BoundCube) {
             case ExprCalc(sql)               => Seq(sql)
             case WindowCalc(base, _, _, _)   => Seq(base)
             case SetAggCalc(_, m, set, _)    => m +: exprTexts(set)
-            case LinRegCalc(_, set, y, x, px) =>
-              Seq(y, x) ++ px.toSeq ++ exprTexts(set)
+            case LinRegCalc(_, set, y, x, px, rs) =>
+              Seq(y, x) ++ px.toSeq ++ exprTexts(set) ++
+                rs.toSeq.flatMap(exprTexts)
             case DimAggCalc(_, set)          => exprTexts(set)
           })
           changed = true
@@ -1492,7 +1493,8 @@ final class Planner(val cube: BoundCube) {
       frame.dims.exists(_.d.name == ad.d.name))
     val keptKeys = groupCols(keptAxis)
     val moments = lrMoments.getOrElseUpdate(
-      (lrc.set, lrc.yExpr, lrc.xExpr, keptKeys), {
+      (lrc.set, lrc.yExpr + lrc.rankSet.fold("")("#" + _), lrc.xExpr,
+        keptKeys), {
     val ordBy =
       if (frame.hasOrd) Seq(col(OrdCol).asc)
       else frame.dims.flatMap(fd =>
@@ -1511,13 +1513,43 @@ final class Planner(val cube: BoundCube) {
     // reference's rank-only CASE series span members with no data), so
     // the ranked members LEFT-join their cell values — per axis cell
     // when the axis keeps other dims
-    val series =
+    val series0 =
       if (keptKeys.isEmpty) ranked.join(inner, setKeys, "left")
       else inner.select(keptKeys.map(col): _*).distinct()
         .crossJoin(broadcast(ranked))
         .join(inner, keptKeys ++ setKeys, "left")
+    // Rank over a DIFFERENT set — Mondrian member-identity semantics:
+    // the position when the series member IS in that set (same level
+    // ⇒ identical key columns, keyed join), 0 when absent, and 0
+    // structurally when the sets enumerate different levels (a member
+    // of one level is never a member of another)
+    val series = lrc.rankSet match {
+      case None => series0
+      case Some(rs) =>
+        val rf = evalSet(rs, slicer, withSets)
+        val rKeys = rf.dims.flatMap(fd => levelCols(fd.d, fd.depth))
+        if (rKeys != setKeys)
+          series0.withColumn("__lr_xrank", lit(0))
+        else {
+          val rOrd =
+            if (rf.hasOrd) Seq(col(OrdCol).asc)
+            else rf.dims.flatMap(fd =>
+              fd.d.levelsTo(fd.depth).map(l => col(l.ordinal).asc))
+          val rCols = rf.dims.flatMap(fd =>
+            memberCols(fd.d, fd.depth)) ++
+            (if (rf.hasOrd) Seq(OrdCol) else Nil)
+          val ranked2 = Ords.rowNumber(
+              rf.members.select(rCols.distinct.map(col): _*).distinct(),
+              rOrd, "__lr_xrank", hintOf(rf.dims))
+            .select((rKeys :+ "__lr_xrank").map(col): _*)
+          series0.join(broadcast(ranked2), setKeys, "left")
+            .withColumn("__lr_xrank",
+              coalesce(col("__lr_xrank"), lit(0)))
+        }
+    }
     def lower(e: String): Column =
-      sexpr(e.replace("__LR_RANK__", "__lr_rank")).cast("double")
+      sexpr(e.replace("__LR_RANK__", "__lr_rank")
+        .replace("__LR_XRANK__", "__lr_xrank")).cast("double")
     val pts = series
       .withColumn("__lr_y", lower(lrc.yExpr))
       .withColumn("__lr_x", lower(lrc.xExpr))

@@ -275,20 +275,12 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     * An entry here that PARSES fails the suite (the list must shrink
     * as coverage grows, never silently mask a regression).
     */
-  /** One entry since r11: the per-member-series LinReg formula shape
-    * is implemented ([[graft.olap.LinRegCalc]]) — its corpus entries
-    * reach IR fixpoint, execute, and pin the reference's golden values
-    * below. The one remaining cut is `Rank(CurrentMember, otherSet)`
-    * where the ranked set differs from the SERIES set (the reference's
-    * fourth variance test ranks an All-member series against the
-    * Country members — its y is NULL, so the statistic is NaN
-    * regardless; the engine refuses the cross-set rank loudly instead
-    * of guessing member-matching semantics across depths).
+  /** EMPTY since r11: every corpus entry — including the full LinReg
+    * formula family with cross-set Rank (member-identity semantics:
+    * position when present at the same level, 0 otherwise) — reaches
+    * IR fixpoint, executes, and pins the reference's golden values.
     */
-  private val expectedUnsupported: Map[String, String] = Map(
-    "linregvar_nullset" ->
-      ("Rank over a set different from the LinReg series (All-member " +
-        "series vs Country members)"))
+  private val expectedUnsupported: Map[String, String] = Map.empty
 
   test("reference MDX corpus: parse -> toMdx -> reparse is an IR " +
       "fixpoint; unsupported constructs are enumerated, not silent") {
@@ -424,6 +416,20 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     // NULL-series NaN holds for Variance too (the reference's fourth
     // variance test, mondrian_test.rb:765-778, asserts .nan?)
     assert(stat("LinRegVariance", "NULL", rank).isNaN)
+    // the corpus form of that test: an All-member series (no such
+    // member in this model → empty series) ranked against the COUNTRY
+    // members — cross-set Rank is legal, the empty series gives NaN
+    assert(cell("linregvar_nullset").isNaN)
+    // cross-set Rank with a REAL series: ranking State members in the
+    // Country set is a different level → every position is 0, so a
+    // regression of y = xrank on x = rank has zero y-variance → slope 0
+    assert(Mdx.execute(
+      s"""WITH MEMBER [Measures].[S] AS 'LinRegSlope(
+         |  [Customers].[State].Members,
+         |  Rank([Customers].CurrentMember, [Customers].[Country].Members) * 1.0,
+         |  Rank([Customers].CurrentMember, [Customers].[State].Members))'
+         |SELECT {[Measures].[S]} ON COLUMNS FROM [Sales]"""
+        .stripMargin, cube).collect().head.getAs[Double]("S") === 0.0)
     // LinRegPoint(xSlice, set, y, x): the fitted line y = 10x
     // evaluated at x = 5 → 50; the x-slice lowers in the OUTER
     // context, so it may be a measure expression (Unit Sales = 5 on

@@ -584,17 +584,17 @@ class MdxSpec extends SparkSpec {
     }
     assert(e3.msg.contains("Syntax error"))
     // LinReg misuse fails loudly at parse, never silently mis-ranks:
-    // ranking over a set different from the series is refused
+    // at most ONE auxiliary rank set besides the series itself
     val e4 = intercept[Mdx.MdxException] {
       Mdx.parse(
         """WITH MEMBER [Measures].[S] AS 'LinRegSlope(
           |  [customer].[nation].Members,
           |  Rank([customer].CurrentMember, [customer].[region].Members),
-          |  1)'
+          |  Rank([customer].CurrentMember, [part].[brand].Members))'
           |SELECT {[Measures].[S]} ON COLUMNS FROM [Sales]"""
           .stripMargin, cube)
     }
-    assert(e4.msg.contains("series set"))
+    assert(e4.msg.contains("at most one set"))
     // Rank's first argument inside a series must be CurrentMember
     val e5 = intercept[Mdx.MdxException] {
       Mdx.parse(
