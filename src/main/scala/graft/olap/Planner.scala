@@ -1308,19 +1308,40 @@ final class Planner(val cube: BoundCube) {
     qs.rows match {
       case Some(Members(dim, paths)) if dimCalcs.nonEmpty &&
           paths.exists(p => calcOf(dim, p).isDefined) =>
-        require(paths.forall(p => calcOf(dim, p).isDefined),
-          s"a literal set on [$dim] mixes calculated aggregate " +
-            "members with stored members — split them onto separate " +
-            "queries (member-frame synthesis for dim-hosted calcs is " +
-            "not supported)")
+        // Mixed stored+calculated literal sets (upstream Mondrian
+        // allows them; the calc members of mondrian_test.rb:197-204
+        // are DEFINED against stored siblings): each calc member is a
+        // compound-slicer sub-query; consecutive stored members of one
+        // depth run as a single ordinary sub-query and are labeled by
+        // their leaf name (the member caption), so the axis reads as
+        // Mondrian renders it. All rows surface under the root-level
+        // label column.
         val label = cube.dim(dim).levels.head.col
-        return paths.map { p =>
-          val (cm, dc) = calcOf(dim, p).get
-          val sub = qs.copy(rows = None,
-            slicer = qs.slicer ++
-              slices(resolve(dc.set, Set(cm.name.toLowerCase))))
-          execute(sub).withColumn(label, lit(cm.name))
-            .select((label +: qs.measures).map(col): _*)
+        val runs = paths.foldLeft(Vector.empty[Vector[Seq[Any]]]) {
+          (acc, p) =>
+            val isCalc = calcOf(dim, p).isDefined
+            acc.lastOption match {
+              case Some(run)
+                  if !isCalc && calcOf(dim, run.head).isEmpty &&
+                    run.head.length == p.length =>
+                acc.init :+ (run :+ p)
+              case _ => acc :+ Vector(p)
+            }
+        }
+        return runs.map { run =>
+          calcOf(dim, run.head) match {
+            case Some((cm, dc)) =>
+              val sub = qs.copy(rows = None,
+                slicer = qs.slicer ++
+                  slices(resolve(dc.set, Set(cm.name.toLowerCase))))
+              execute(sub).withColumn(label, lit(cm.name))
+                .select((label +: qs.measures).map(col): _*)
+            case None =>
+              val leaf = cube.dim(dim).levels(run.head.length - 1).col
+              val sub = qs.copy(rows = Some(Members(dim, run)))
+              execute(sub).select(
+                col(leaf).as(label) +: qs.measures.map(col): _*)
+          }
         }.reduce(_.unionByName(_))
       case _ => ()
     }
@@ -1480,7 +1501,8 @@ final class Planner(val cube: BoundCube) {
     * one persisted moments frame.
     */
   private val lrMoments = scala.collection.mutable.HashMap
-    .empty[(SetExpr, String, String, Seq[String]), DataFrame]
+    .empty[(SetExpr, String, String, Seq[String], Seq[SlicerItem],
+      Map[String, SetExpr]), DataFrame]
 
   private def linRegColumn(acc: DataFrame, name: String, lrc: LinRegCalc,
       axisDims: Seq[AxisDim], slicer: Seq[SlicerItem],
@@ -1492,9 +1514,14 @@ final class Planner(val cube: BoundCube) {
     val keptAxis = axisDims.filterNot(ad =>
       frame.dims.exists(_.d.name == ad.d.name))
     val keptKeys = groupCols(keptAxis)
+    // The slicer and WITH-set bindings parameterize evalSet and the
+    // inner aggregate, and the dim-calc axis rewrite re-enters this
+    // Planner with a DIFFERENT compound slicer per calc member — so
+    // both belong in the key, or the second member reads the first
+    // member's moments (stale slope/intercept/R2 cells).
     val moments = lrMoments.getOrElseUpdate(
       (lrc.set, lrc.yExpr + lrc.rankSet.fold("")("#" + _), lrc.xExpr,
-        keptKeys), {
+        keptKeys, slicer, withSets), {
     val ordBy =
       if (frame.hasOrd) Seq(col(OrdCol).asc)
       else frame.dims.flatMap(fd =>

@@ -98,6 +98,23 @@ object MdxQueries {
         |  {[customer].[EU13 and AS2]} ON ROWS
         |FROM [Sales]""".stripMargin) _),
 
+    // MIXED literal set: stored members (one root-level, a two-member
+    // nation-level run) alongside the dim-hosted calc member — upstream
+    // Mondrian allows the mix (the calc members of
+    // mondrian_test.rb:197-204 are defined against stored siblings);
+    // every row surfaces under the root-level label column, stored
+    // rows labeled by their leaf caption
+    "q_mdx_dimcalc_mixed" -> (run(
+      """WITH MEMBER [customer].[EU13 and AS2] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+        |  {[customer].[AMERICA],
+        |   [customer].[EUROPE].[NATION_13],
+        |   [customer].[ASIA].[NATION_2],
+        |   [customer].[EU13 and AS2]} ON ROWS
+        |FROM [Sales]""".stripMargin) _),
+
     "q_mdx_setagg" -> (run(
       """WITH MEMBER [Measures].[h1_rev] AS
         |  Sum({[time].[1995].[1995-Q1] : [time].[1995].[1995-Q2]},
@@ -189,6 +206,18 @@ object MdxQueries {
     "q_mdx_dimcalc" ->
       s"""SELECT 'EU13 and AS2' AS cr_region, $REV AS revenue,
          |  sum(l_quantity) AS sum_qty
+         |$CJOIN WHERE n_name IN ('NATION_13', 'NATION_2')""".stripMargin,
+
+    "q_mdx_dimcalc_mixed" ->
+      s"""SELECT 'AMERICA' AS cr_region, $REV AS revenue,
+         |  sum(l_quantity) AS sum_qty
+         |$CJOIN WHERE r_name = 'AMERICA'
+         |UNION ALL
+         |SELECT n_name, $REV, sum(l_quantity)
+         |$CJOIN WHERE n_name IN ('NATION_13', 'NATION_2')
+         |GROUP BY n_name
+         |UNION ALL
+         |SELECT 'EU13 and AS2', $REV, sum(l_quantity)
          |$CJOIN WHERE n_name IN ('NATION_13', 'NATION_2')""".stripMargin,
 
     "q_mdx_setagg" ->

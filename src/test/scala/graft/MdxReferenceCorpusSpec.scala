@@ -523,17 +523,35 @@ class MdxReferenceCorpusSpec extends SparkSpec {
     // parse -> toMdx -> reparse fixpoint holds for the new WITH shape
     val ir = Mdx.parse(plain, cube)
     assert(Mdx.parse(Mdx.renderQuery(ir, cube.name), cube) === ir)
-    // mixing a calc member with stored members on one literal set is
-    // refused loudly, not silently mis-joined
-    val e = intercept[IllegalArgumentException] {
-      Mdx.execute(
-        """WITH MEMBER [Customers].[CA and WA] AS
-          |  'Aggregate({[Customers].[USA].[CA]})'
-          |SELECT {[Measures].[Unit Sales]} ON COLUMNS,
-          |  {[Customers].[CA and WA], [Customers].[Canada]} ON ROWS
-          |FROM [Sales]""".stripMargin, cube).collect()
-    }
-    assert(e.getMessage.contains("mixes"))
+    // mixing a calc member with stored members on one literal set
+    // unions the member frames (upstream Mondrian allows the mix —
+    // mondrian_test.rb:197-204 defines the calc member against stored
+    // siblings): the stored row keeps its leaf caption, the calc row
+    // aggregates its set
+    def cellOf(r: org.apache.spark.sql.Row): Any =
+      r.get(r.fieldIndex("Unit Sales"))
+    val mixedRows = Mdx.execute(
+      """WITH MEMBER [Customers].[CA and WA] AS
+        |  'Aggregate({[Customers].[USA].[CA]})'
+        |SELECT {[Measures].[Unit Sales]} ON COLUMNS,
+        |  {[Customers].[CA and WA], [Customers].[Canada]} ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+      .map(r => r.getString(0) -> cellOf(r)).toMap
+    val caOnly = cellOf(Mdx.execute(
+      """WITH MEMBER [Customers].[CA and WA] AS
+        |  'Aggregate({[Customers].[USA].[CA]})'
+        |SELECT {[Measures].[Unit Sales]} ON COLUMNS,
+        |  {[Customers].[CA and WA]} ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().head)
+    val canadaOnly = cellOf(Mdx.execute(
+      """SELECT {[Measures].[Unit Sales]} ON COLUMNS,
+        |  {[Customers].[Canada]} ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().head)
+    // Canada has no fixture fact rows — a stored member with no data
+    // is a NULL cell on the mixed axis too, not a dropped row
+    assert(mixedRows === Map("CA and WA" -> caOnly,
+      "Canada" -> canadaOnly))
+    assert(caOnly === 3L && canadaOnly === null)
     // a dim-calc member in WHERE is the compound slicer: cells
     // aggregate under the member's set
     val sliced = Mdx.execute(

@@ -689,6 +689,68 @@ class MdxSpec extends SparkSpec {
       "[customer].[nation].[NATION_11])") === literal)
   }
 
+  test("mixed stored+calculated members on one axis: stored rows keep " +
+      "their leaf caption, calc rows aggregate their set") {
+    val rows = Mdx.execute(
+      """WITH MEMBER [customer].[EU13 and AS2] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  {[customer].[AMERICA],
+        |   [customer].[EUROPE].[NATION_13],
+        |   [customer].[ASIA].[NATION_2],
+        |   [customer].[EU13 and AS2]} ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+      .map(r => r.getAs[String]("cr_region") ->
+        r.getAs[java.math.BigDecimal]("revenue").doubleValue()).toMap
+    assert(rows.keySet === Set("AMERICA", "NATION_13", "NATION_2",
+      "EU13 and AS2"))
+    // the calc member IS the aggregate of its two stored siblings
+    assert(math.abs(rows("EU13 and AS2") -
+      (rows("NATION_13") + rows("NATION_2"))) < 1e-6)
+    // the stored depth-0 row matches a plain single-member query
+    val plain = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  {[customer].[AMERICA]} ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().head
+      .getAs[java.math.BigDecimal]("revenue").doubleValue()
+    assert(rows("AMERICA") === plain)
+  }
+
+  test("LinReg moments are keyed by slicer: dim-calc sub-queries with " +
+      "different compound slicers never share a moment fold") {
+    val slopeDef =
+      """MEMBER [Measures].[qslope] AS
+        |  'LinRegSlope([time].[year].Members, [Measures].[sum_qty],
+        |    Rank([time].CurrentMember, [time].[year].Members))'""".stripMargin
+    val combined = Mdx.execute(
+      s"""WITH MEMBER [customer].[EU and AS] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |MEMBER [customer].[AM one] AS
+        |  'Aggregate({[customer].[AMERICA].[NATION_1]})'
+        |$slopeDef
+        |SELECT {[Measures].[qslope]} ON COLUMNS,
+        |  {[customer].[EU and AS], [customer].[AM one]} ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+      .map(r => r.getAs[String]("cr_region") ->
+        r.getAs[Double]("qslope")).toMap
+    def solo(where: String): Double = Mdx.execute(
+      s"""WITH $slopeDef
+        |SELECT {[Measures].[qslope]} ON COLUMNS
+        |FROM [Sales]
+        |$where""".stripMargin, cube).collect().head
+      .getAs[Double]("qslope")
+    val eu = solo("WHERE {[customer].[EUROPE].[NATION_13], " +
+      "[customer].[ASIA].[NATION_2]}")
+    val am = solo("WHERE ([customer].[AMERICA].[NATION_1])")
+    // before the slicer-keyed cache, the second member silently read
+    // the first member's moments — both cells came back identical
+    assert(combined("EU and AS") === eu)
+    assert(combined("AM one") === am)
+    assert(eu !== am)
+  }
+
   test("DRILLTHROUGH with a computed WHERE slicer resolves at entry") {
     val df = Mdx.execute(
       """DRILLTHROUGH MAXROWS 10
