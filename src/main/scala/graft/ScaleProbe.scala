@@ -265,6 +265,90 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("soak")) {
+      // LONG-CADENCE streaming soak (VERDICT r11 watch-list): 200+
+      // micro-batches through clusterIndexIngest at production
+      // trickle size, compaction wired into the lifecycle vs off.
+      // Claims measured, not extrapolated: (a) with compactEvery=N
+      // the listing surface stays O(ingests since last compaction)
+      // across MANY compaction cycles, (b) per-batch append latency
+      // stays ~flat (no slope from accumulated history), (c) labels
+      // at drain are row-identical to the one-shot batch CC either
+      // way. Telemetry rides a StreamingQueryListener: per-batch
+      // trigger ms from the progress event, dirs counted right after
+      // each batch commits.
+      import graft.olap.Pins
+      val nBatches = args.lift(1).map(_.toInt).getOrElse(200)
+      val compactN = args.lift(2).map(_.toInt).getOrElse(25)
+      val batchDocs = docs.filter(col("doc_id") < 20000)
+      val expect = Pins.scoped {
+        graft.ops.DedupOps.nearDupClusters(batchDocs).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap }
+      def tableDirs(root: String): Int =
+        Seq("shingles", "bands", "edges", "docs", "labels").map { t =>
+          Option(new java.io.File(s"$root/index/$t").listFiles())
+            .map(_.count(f => f.isDirectory &&
+              (f.getName.startsWith("ingest=") ||
+               f.getName.startsWith("gen=")))).getOrElse(0)
+        }.sum
+      for (compactEvery <- Seq(0, compactN)) {
+        val root = s"/tmp/graft_scale_soak_$compactEvery"
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sessionState.newHadoopConf()).delete(
+            new org.apache.hadoop.fs.Path(root), true)
+        batchDocs.repartition(nBatches).write.parquet(s"$root/in")
+        val stream = spark.readStream.schema(batchDocs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        val batchMs = new java.util.concurrent.ConcurrentHashMap[
+          Long, (Long, Int)]()
+        val listener = new org.apache.spark.sql.streaming
+            .StreamingQueryListener {
+          override def onQueryStarted(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: org.apache.spark.sql
+            .streaming.StreamingQueryListener.QueryTerminatedEvent)
+            : Unit = ()
+          override def onQueryProgress(e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryProgressEvent): Unit = {
+            val ms = Option(e.progress.durationMs.get("triggerExecution"))
+              .map(_.longValue).getOrElse(0L)
+            if (e.progress.numInputRows > 0)
+              batchMs.put(e.progress.batchId, (ms, tableDirs(root)))
+          }
+        }
+        spark.streams.addListener(listener)
+        val wall = try {
+          val t0 = System.nanoTime()
+          val got = Pins.scoped {
+            graft.streaming.StreamingCube.clusterIndexIngest(
+                stream, batchDocs, s"$root/index", s"$root/chk",
+                snapshotEvery = 4, compactEvery = compactEvery)
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toMap }
+          require(got == expect,
+            s"soak labels diverge at compactEvery=$compactEvery: " +
+              s"${got.size} vs ${expect.size}")
+          (System.nanoTime() - t0) / 1e9
+        } finally spark.streams.removeListener(listener)
+        // windowed slope table: one row per compaction cycle
+        import scala.jdk.CollectionConverters._
+        val byId = batchMs.asScala.toSeq.sortBy(_._1)
+        val win = math.max(1, if (compactEvery > 0) compactEvery
+                              else nBatches / 8)
+        println(f"-- soak compactEvery=$compactEvery " +
+          f"batches=${byId.size} wall=$wall%6.1f s")
+        byId.grouped(win).zipWithIndex.foreach { case (w, i) =>
+          val ms = w.map(_._2._1)
+          println(f"   batches ${w.head._1}%3d..${w.last._1}%3d  " +
+            f"mean ${ms.sum / ms.size}%5d ms  max ${ms.max}%5d ms  " +
+            f"dirs@end ${w.last._2._2}%4d")
+        }
+        time(s"labels read (compactEvery=$compactEvery)")(Pins.scoped {
+          graft.ops.DedupOps.readClusterLabels(spark, s"$root/index")
+            .count() })
+        println(s"   final dirs: ${tableDirs(root)}")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("snapdup")) {
       // snapshotClusterLabels on a HIGH-dup-mass corpus (VERDICT r10
       // #4): the per-snapshot fold reads the full last-gen label frame

@@ -1317,6 +1317,55 @@ final class Planner(val cube: BoundCube) {
         // Mondrian renders it. All rows surface under the root-level
         // label column.
         val label = cube.dim(dim).levels.head.col
+        // FUSED single-pass path: every axis entry — stored member or
+        // dim-hosted Aggregate calc — lowers to a row predicate over
+        // ONE star frame; a row satisfying several entries explodes
+        // into each label, and one groupBy(label) aggregates all
+        // members: one Exchange for N members instead of N fact
+        // passes (correct for every aggregator incl. avg/distinct —
+        // the group sees raw fact rows, never pre-aggregates). Only
+        // Measures-hosted calcs force the per-member sub-query
+        // fallback below: their evaluation (applyCalcs window/LinReg
+        // frames) is built per sub-query context.
+        if (qs.measures.forall(m => cube.measures.exists(_.name == m))) {
+          pruneFor(qs)
+          val entries = paths.map { p =>
+            calcOf(dim, p) match {
+              case Some((cm, dc)) =>
+                cm.name -> resolveSlicer(
+                  slices(resolve(dc.set, Set(cm.name.toLowerCase))),
+                  qs.withSets)
+              case None =>
+                p.last.toString ->
+                  Seq(MemberSlice(dim, p): SlicerItem)
+            }
+          }
+          val qSlicer = resolveSlicer(qs.slicer, qs.withSets) ++
+            roleSlicer
+          val joinItems = qSlicer ++ entries.flatMap(_._2)
+          val star = joinStar(neededJoins(Nil, joinItems), joinItems)
+          val sliced = star.filter(slicerPredicate(qSlicer))
+          val labelArr = array(entries.map { case (n, its) =>
+            when(slicerPredicate(its), lit(n)) }: _*)
+          val labeled = sliced.withColumn(label,
+            explode(filter(labelArr, _.isNotNull)))
+          val (aggCols, post) = Agg.toColumnsFused(neededMeasures)
+          val agged = labeled.groupBy(col(label))
+            .agg(aggCols.head, aggCols.tail: _*)
+            .select(col(label) +: post: _*)
+          // a member with no satisfying fact rows keeps its axis row
+          // (null cells, as the sub-query path yields), and the
+          // literal set order is preserved through the order index
+          val s = sliced.sparkSession
+          import s.implicits._
+          val frame = entries.map(_._1).zipWithIndex.toDF(label, "__ord")
+          val joined = frame.join(broadcast(agged), Seq(label), "left")
+            .orderBy(col("__ord"))
+            .select((label +: qs.measures).map(col): _*)
+          return if (!qs.nonEmpty) joined
+            else joined.filter(
+              qs.measures.map(col(_).isNotNull).reduce(_ || _))
+        }
         val runs = paths.foldLeft(Vector.empty[Vector[Seq[Any]]]) {
           (acc, p) =>
             val isCalc = calcOf(dim, p).isDefined

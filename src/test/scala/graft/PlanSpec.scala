@@ -166,6 +166,40 @@ class PlanSpec extends SparkSpec {
       s"expected partial aggregation:\n$p")
   }
 
+  test("dim-hosted calc members on one axis fuse into a single fact " +
+      "pass: one hash exchange for three members") {
+    val df = Mdx.execute(
+      """WITH MEMBER [customer].[A] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |MEMBER [customer].[B] AS
+        |  'Aggregate({[customer].[AMERICA].[NATION_1]})'
+        |MEMBER [customer].[C] AS 'Aggregate({[customer].[AFRICA]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  {[customer].[A], [customer].[B], [customer].[C]} ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val p = plan(df)
+    // the explode-label rewrite touches the fact once and groups on
+    // the member label — N members must not mean N fact aggregations
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"expected exactly one hash exchange for the fused axis, got " +
+        s"$hashEx:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimension joins must stay broadcast in the fused pass:\n$p")
+    // and the cells match the per-member sub-query semantics
+    val rows = df.collect().map(r => r.getString(0) ->
+      r.getAs[java.math.BigDecimal]("revenue").doubleValue()).toMap
+    def solo(set: String): Double = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS
+         |FROM [Sales] WHERE $set""".stripMargin, cube).collect()
+      .head.getAs[java.math.BigDecimal]("revenue").doubleValue()
+    assert(rows("A") === solo("{[customer].[EUROPE].[NATION_13], " +
+      "[customer].[ASIA].[NATION_2]}"))
+    assert(rows("B") === solo("([customer].[AMERICA].[NATION_1])"))
+    assert(rows("C") === solo("([customer].[AFRICA])"))
+  }
+
   test("jaccard verify phase never broadcasts the shingled corpus") {
     val docs = Tables.load(spark, Sf, "documents")
     val df = graft.ops.DedupOps.jaccardPairs(docs, 0.5)

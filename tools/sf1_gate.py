@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Standing sf1 correctness gate (VERDICT r11 #4): each round, run a
+rotating ~30-query cross-family subset STRICT against DuckDB on the
+true-10x corpus (/tmp/graft_sf1, materialized by `runMain
+graft.MakeScaledSf`). The r11 sf1 run caught a quadratic LSH cliff that
+three rounds of sf0.1 benches never saw; this keeps that insurance
+cheap and automatic.
+
+Usage: python3 tools/sf1_gate.py <round> [--run]
+
+Rotation: the full battery name list (sorted), minus the two
+quadratic-ORACLE exclusions (q_dedup_embed / q_simhash_pairs — their
+oracles are deliberate all-pairs N^2 joins; the engine sides have
+bucketed scale paths verified at sf0.01/0.1), sliced into consecutive
+30-query windows keyed by round number, wrapping. Prints the subset;
+with --run, executes Verify + check_strict and exits nonzero on any
+failure.
+"""
+import json, subprocess, sys
+
+EXCLUDE = {"q_dedup_embed", "q_simhash_pairs"}
+SF1 = "/tmp/graft_sf1"
+WINDOW = 30
+
+
+def battery():
+    # the authoritative name list is whatever Verify dumps; the latest
+    # committed CORRECTNESS file tracks it one round behind, so prefer
+    # a fresh oracle_sql.json when one exists
+    for src in ("/tmp/verify_r12/oracle_sql.json",
+                "/tmp/verify_out/oracle_sql.json"):
+        try:
+            with open(src) as f:
+                return sorted(json.load(f).keys())
+        except OSError:
+            pass
+    import glob
+    latest = sorted(glob.glob("CORRECTNESS_r*.json"))[-1]
+    with open(latest) as f:
+        return sorted(json.load(f).keys())
+
+
+def subset(rnd):
+    names = [n for n in battery() if n not in EXCLUDE]
+    start = (rnd * WINDOW) % len(names)
+    rot = names[start:] + names[:start]
+    return rot[:WINDOW]
+
+
+def main():
+    rnd = int(sys.argv[1])
+    names = subset(rnd)
+    print(f"sf1 gate round {rnd}: {len(names)} queries")
+    print(",".join(names))
+    if "--run" not in sys.argv:
+        return
+    out = f"/tmp/verify_sf1_r{rnd}"
+    rc = subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.Verify {SF1} {out} {','.join(names)}"]).returncode
+    if rc != 0:
+        sys.exit(rc)
+    rc = subprocess.run(
+        [sys.executable, "tools/check_strict.py", SF1, out]).returncode
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()
