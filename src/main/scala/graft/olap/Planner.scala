@@ -1342,11 +1342,28 @@ final class Planner(val cube: BoundCube) {
           }
           val qSlicer = resolveSlicer(qs.slicer, qs.withSets) ++
             roleSlicer
+          // query-slicer items on a dim that some axis entry also
+          // binds fold into EACH entry's predicate through
+          // resolveSlicer, whose compound grouping ORs same-dim
+          // members (query.rb:379-386 union semantics) — exactly what
+          // the per-member sub-query fallback produces, so the two
+          // paths never diverge; the remaining items filter globally
+          // (and push to the scan)
+          val entryDims = entries.flatMap(_._2).collect {
+            case MemberSlice(d, _) => d
+            case SetSlice(d, _)    => d
+          }.toSet
+          val (overlap, shared) = qSlicer.partition {
+            case MemberSlice(d, _) => entryDims(d)
+            case SetSlice(d, _)    => entryDims(d)
+            case _                 => false
+          }
           val joinItems = qSlicer ++ entries.flatMap(_._2)
           val star = joinStar(neededJoins(Nil, joinItems), joinItems)
-          val sliced = star.filter(slicerPredicate(qSlicer))
+          val sliced = star.filter(slicerPredicate(shared))
           val labelArr = array(entries.map { case (n, its) =>
-            when(slicerPredicate(its), lit(n)) }: _*)
+            when(slicerPredicate(resolveSlicer(overlap ++ its)), lit(n))
+          }: _*)
           val labeled = sliced.withColumn(label,
             explode(filter(labelArr, _.isNotNull)))
           val (aggCols, post) = Agg.toColumnsFused(neededMeasures)

@@ -717,6 +717,43 @@ class MdxSpec extends SparkSpec {
     assert(rows("AMERICA") === plain)
   }
 
+  test("fused and per-member dim-calc paths agree under a same-dim " +
+      "WHERE: the query slicer ORs into each entry (compound union)") {
+    val axis =
+      """{[customer].[EU and AS]} ON ROWS
+        |FROM [Sales]
+        |WHERE ([customer].[AMERICA].[NATION_1])""".stripMargin
+    val calcDef =
+      """MEMBER [customer].[EU and AS] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'""".stripMargin
+    // stored measure -> the FUSED single-pass path
+    val fused = Mdx.execute(
+      s"""WITH $calcDef
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |$axis""".stripMargin, cube).collect().head
+      .getAs[java.math.BigDecimal]("revenue").doubleValue()
+    // a Measures-hosted calc forces the per-member sub-query FALLBACK
+    val viaFallback = Mdx.execute(
+      s"""WITH $calcDef
+        |MEMBER [Measures].[rev2] AS [Measures].[revenue] * 2
+        |SELECT {[Measures].[rev2]} ON COLUMNS,
+        |$axis""".stripMargin, cube).collect().head
+      .getAs[java.math.BigDecimal]("rev2").doubleValue()
+    assert(math.abs(viaFallback - 2 * fused) < 1e-6)
+    // both equal the compound-slicer union over the three nations
+    // (query.rb:379-386: same-dim slicer entries OR)
+    val union = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE {[customer].[AMERICA].[NATION_1],
+        |       [customer].[EUROPE].[NATION_13],
+        |       [customer].[ASIA].[NATION_2]}""".stripMargin, cube)
+      .collect().head
+      .getAs[java.math.BigDecimal]("revenue").doubleValue()
+    assert(fused === union)
+  }
+
   test("LinReg moments are keyed by slicer: dim-calc sub-queries with " +
       "different compound slicers never share a moment fold") {
     val slopeDef =
