@@ -1320,36 +1320,44 @@ final class Planner(val cube: BoundCube) {
         // FUSED single-pass path: every axis entry — stored member or
         // dim-hosted Aggregate calc — lowers to a row predicate over
         // ONE star frame; a row satisfying several entries explodes
-        // into each label, and one groupBy(label) aggregates all
-        // members: one Exchange for N members instead of N fact
-        // passes (correct for every aggregator incl. avg/distinct —
-        // the group sees raw fact rows, never pre-aggregates). Only
-        // Measures-hosted calcs force the per-member sub-query
-        // fallback below: their evaluation (applyCalcs window/LinReg
-        // frames) is built per sub-query context.
-        if (qs.measures.forall(m => cube.measures.exists(_.name == m))) {
+        // into each entry key, and one groupBy aggregates all members:
+        // one Exchange for N members instead of N fact passes (correct
+        // for every aggregator incl. avg/distinct — the group sees raw
+        // fact rows, never pre-aggregates). Taken only when every
+        // requested measure is stored (Measures-hosted calcs need
+        // per-sub-query applyCalcs/window/LinReg context) AND no role
+        // is attached (roles need memberFrame visibility and the
+        // ANDed grant slicer, both of which the sub-query fallback
+        // routes through). This pass reads the raw fact by design —
+        // AggRouter rollups can't serve avg/distinct over arbitrary
+        // member-set filters and the explode key is not a grain the
+        // SegmentCache speaks.
+        if (cube.role.isEmpty &&
+            qs.measures.forall(m => cube.measures.exists(_.name == m))) {
           pruneFor(qs)
-          val entries = paths.map { p =>
+          case class AxisEntry(idx: Int, name: String, isCalc: Boolean,
+            items: Seq[SlicerItem])
+          val entries = paths.zipWithIndex.map { case (p, i) =>
             calcOf(dim, p) match {
               case Some((cm, dc)) =>
-                cm.name -> resolveSlicer(
-                  slices(resolve(dc.set, Set(cm.name.toLowerCase))),
-                  qs.withSets)
+                AxisEntry(i, cm.name, isCalc = true,
+                  resolveSlicer(
+                    slices(resolve(dc.set, Set(cm.name.toLowerCase))),
+                    qs.withSets))
               case None =>
-                p.last.toString ->
-                  Seq(MemberSlice(dim, p): SlicerItem)
+                AxisEntry(i, p.last.toString, isCalc = false,
+                  Seq(MemberSlice(dim, p)))
             }
           }
-          val qSlicer = resolveSlicer(qs.slicer, qs.withSets) ++
-            roleSlicer
-          // query-slicer items on a dim that some axis entry also
-          // binds fold into EACH entry's predicate through
-          // resolveSlicer, whose compound grouping ORs same-dim
-          // members (query.rb:379-386 union semantics) — exactly what
-          // the per-member sub-query fallback produces, so the two
-          // paths never diverge; the remaining items filter globally
-          // (and push to the scan)
-          val entryDims = entries.flatMap(_._2).collect {
+          val qSlicer = resolveSlicer(qs.slicer, qs.withSets)
+          // Same-dim query-slicer items: for a CALC entry they fold
+          // into its predicate through resolveSlicer's compound (OR)
+          // grouping — the union the per-member fallback produces
+          // (query.rb:379-386); for a STORED entry they AND — the
+          // normal axis-path semantics (the slicer restricts the
+          // cells; an excluded member keeps its row, null cells).
+          // Items on other dims filter globally and push to the scan.
+          val entryDims = entries.flatMap(_.items).collect {
             case MemberSlice(d, _) => d
             case SetSlice(d, _)    => d
           }.toSet
@@ -1358,29 +1366,50 @@ final class Planner(val cube: BoundCube) {
             case SetSlice(d, _)    => entryDims(d)
             case _                 => false
           }
-          val joinItems = qSlicer ++ entries.flatMap(_._2)
+          val joinItems = qSlicer ++ entries.flatMap(_.items)
           val star = joinStar(neededJoins(Nil, joinItems), joinItems)
           val sliced = star.filter(slicerPredicate(shared))
-          val labelArr = array(entries.map { case (n, its) =>
-            when(slicerPredicate(resolveSlicer(overlap ++ its)), lit(n))
+          // entries are keyed by POSITION, never display name: leaf
+          // captions repeat across parents (a Q1 under every year)
+          // and a duplicated literal member must stay two rows, not
+          // one doubled group
+          val keyArr = array(entries.map { e =>
+            val pred =
+              if (e.isCalc)
+                slicerPredicate(resolveSlicer(overlap ++ e.items))
+              else if (overlap.isEmpty) slicerPredicate(e.items)
+              else slicerPredicate(e.items) && slicerPredicate(overlap)
+            when(pred, lit(e.idx))
           }: _*)
-          val labeled = sliced.withColumn(label,
-            explode(filter(labelArr, _.isNotNull)))
+          val labeled = sliced.withColumn("__entry",
+            explode(filter(keyArr, _.isNotNull)))
           val (aggCols, post) = Agg.toColumnsFused(neededMeasures)
-          val agged = labeled.groupBy(col(label))
+          val agged = labeled.groupBy(col("__entry"))
             .agg(aggCols.head, aggCols.tail: _*)
-            .select(col(label) +: post: _*)
-          // a member with no satisfying fact rows keeps its axis row
-          // (null cells, as the sub-query path yields), and the
-          // literal set order is preserved through the order index
+            .select(col("__entry") +: post: _*)
+          // a member with no satisfying fact rows keeps its axis row.
+          // A CALC entry's count-aggregated cells coalesce to 0 there
+          // (Aggregate over an empty set COUNTS zero — what the
+          // rows=None fallback sub-query returns); stored entries
+          // stay null like any axis member outside the slicer.
           val s = sliced.sparkSession
           import s.implicits._
-          val frame = entries.map(_._1).zipWithIndex.toDF(label, "__ord")
-          val joined = frame.join(broadcast(agged), Seq(label), "left")
-            .orderBy(col("__ord"))
+          val frame = entries.map(e => (e.idx, e.name, e.isCalc))
+            .toDF("__entry", label, "__calc")
+          val joined0 = frame
+            .join(broadcast(agged), Seq("__entry"), "left")
+          val countish = neededMeasures
+            .filter(m => m.agg == Agg.Count || m.agg == Agg.DistinctCount)
+            .map(_.name).filter(joined0.columns.contains)
+          val joined = countish.foldLeft(joined0) { (df, m) =>
+            df.withColumn(m,
+              when(col("__calc") && col(m).isNull, lit(0L))
+                .otherwise(col(m)))
+          }
+          val out = joined.orderBy(col("__entry"))
             .select((label +: qs.measures).map(col): _*)
-          return if (!qs.nonEmpty) joined
-            else joined.filter(
+          return if (!qs.nonEmpty) out
+            else out.filter(
               qs.measures.map(col(_).isNotNull).reduce(_ || _))
         }
         val runs = paths.foldLeft(Vector.empty[Vector[Seq[Any]]]) {
@@ -1394,21 +1423,35 @@ final class Planner(val cube: BoundCube) {
               case _ => acc :+ Vector(p)
             }
         }
-        return runs.map { run =>
+        // literal-set order survives the union: each part carries the
+        // path's global position (a stored run's sub-query orders by
+        // level ordinals internally, so its rows match back to their
+        // literal slot by level-column equality)
+        val starts = runs.scanLeft(0)(_ + _.length)
+        return runs.zip(starts).map { case (run, start) =>
           calcOf(dim, run.head) match {
             case Some((cm, dc)) =>
               val sub = qs.copy(rows = None,
                 slicer = qs.slicer ++
                   slices(resolve(dc.set, Set(cm.name.toLowerCase))))
               execute(sub).withColumn(label, lit(cm.name))
-                .select((label +: qs.measures).map(col): _*)
+                .withColumn("__ord", lit(start))
+                .select((label +: qs.measures :+ "__ord").map(col): _*)
             case None =>
-              val leaf = cube.dim(dim).levels(run.head.length - 1).col
+              val d = cube.dim(dim)
+              val leaf = d.levels(run.head.length - 1).col
               val sub = qs.copy(rows = Some(Members(dim, run)))
-              execute(sub).select(
-                col(leaf).as(label) +: qs.measures.map(col): _*)
+              val ordCol = run.zipWithIndex.map { case (p, i) =>
+                when(p.zipWithIndex.map { case (v, li) =>
+                  col(d.levels(li).col) === lit(v) }.reduce(_ && _),
+                  lit(start + i))
+              }.reduce((a, b) => coalesce(a, b))
+              execute(sub).withColumn("__ord", ordCol)
+                .select(col(leaf).as(label) +:
+                  (qs.measures :+ "__ord").map(col): _*)
           }
-        }.reduce(_.unionByName(_))
+        }.reduce(_.unionByName(_)).orderBy(col("__ord"))
+          .select((label +: qs.measures).map(col): _*)
       case _ => ()
     }
     val q = qs

@@ -754,6 +754,73 @@ class MdxSpec extends SparkSpec {
     assert(fused === union)
   }
 
+  test("fused-path details: stored entries AND a same-dim WHERE " +
+      "(null cells), duplicated literals stay distinct rows, an empty " +
+      "calc set counts zero") {
+    // stored + calc under a same-dim WHERE: the stored AMERICA row is
+    // outside the slicer -> row kept, cell null (normal axis
+    // semantics); the calc row unions its set with the slicer member
+    // (compound semantics) — never the other way round
+    val rows = Mdx.execute(
+      """WITH MEMBER [customer].[EU and AS] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  {[customer].[AMERICA], [customer].[EU and AS]} ON ROWS
+        |FROM [Sales]
+        |WHERE ([customer].[EUROPE].[NATION_13])""".stripMargin, cube)
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(rows("AMERICA") == null)
+    val union = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE {[customer].[EUROPE].[NATION_13],
+        |       [customer].[ASIA].[NATION_2]}""".stripMargin, cube)
+      .collect().head.get(0)
+    assert(rows("EU and AS") === union)
+    // a literal member listed twice is two axis rows with the SAME
+    // cell value — position-keyed grouping, never a doubled group
+    val dup = Mdx.execute(
+      """WITH MEMBER [customer].[X] AS 'Aggregate({[customer].[ASIA]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  {[customer].[AMERICA], [customer].[AMERICA],
+        |   [customer].[X]} ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(dup.length === 3)
+    val solo = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  {[customer].[AMERICA]} ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().head.get(1)
+    assert(dup(0).getString(0) === "AMERICA" && dup(0).get(1) === solo)
+    assert(dup(1).getString(0) === "AMERICA" && dup(1).get(1) === solo)
+    // Aggregate over a set that matches nothing: count measures are
+    // ZERO on the calc row (a count of an empty subcube), while the
+    // out-of-slicer STORED row above stays null — both pinned
+    val cnt = Mdx.execute(
+      """WITH MEMBER [customer].[none] AS
+        |  'Aggregate({[customer].[EUROPE].[NO_SUCH_NATION]})'
+        |SELECT {[Measures].[count_order]} ON COLUMNS,
+        |  {[customer].[none]} ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().head
+    assert(cnt.get(cnt.fieldIndex("count_order")) === 0L)
+  }
+
+  test("a role forces the per-member fallback: grants AND into " +
+      "dim-calc sets instead of OR-widening them") {
+    val roled = Cubes.sales(spark, Sf).withRole(Role("Europe only",
+      Seq("customer" -> Seq("EUROPE"))))
+    val r = Mdx.execute(
+      """WITH MEMBER [customer].[AS2] AS
+        |  'Aggregate({[customer].[ASIA].[NATION_2]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  {[customer].[AS2]} ON ROWS
+        |FROM [Sales]""".stripMargin, roled).collect().head
+    // Partial policy: the grant is a row filter under the aggregate —
+    // a calc member over an out-of-grant set aggregates NOTHING (the
+    // OR-widened fused predicate would return all of EUROPE here)
+    assert(r.get(r.fieldIndex("revenue")) == null)
+  }
+
   test("LinReg moments are keyed by slicer: dim-calc sub-queries with " +
       "different compound slicers never share a moment fold") {
     val slopeDef =

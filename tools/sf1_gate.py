@@ -26,15 +26,17 @@ WINDOW = 30
 def battery():
     # the authoritative name list is whatever Verify dumps; the latest
     # committed CORRECTNESS file tracks it one round behind, so prefer
-    # a fresh oracle_sql.json when one exists
-    for src in ("/tmp/verify_r12/oracle_sql.json",
-                "/tmp/verify_out/oracle_sql.json"):
+    # the NEWEST oracle_sql.json any Verify run has produced (by mtime
+    # — a hardcoded round-specific path would silently freeze the
+    # rotation on a stale battery next round)
+    import glob, os
+    dumps = glob.glob("/tmp/verify*/oracle_sql.json")
+    for src in sorted(dumps, key=os.path.getmtime, reverse=True):
         try:
             with open(src) as f:
                 return sorted(json.load(f).keys())
         except OSError:
             pass
-    import glob
     latest = sorted(glob.glob("CORRECTNESS_r*.json"))[-1]
     with open(latest) as f:
         return sorted(json.load(f).keys())
