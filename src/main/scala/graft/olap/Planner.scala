@@ -1412,13 +1412,18 @@ final class Planner(val cube: BoundCube) {
             else out.filter(
               qs.measures.map(col(_).isNotNull).reduce(_ || _))
         }
+        // a path already in the current run starts a NEW run: the
+        // Members lowering distincts its member frame, so a
+        // duplicated literal inside one run would collapse to a
+        // single row instead of rendering twice (the fused path keeps
+        // both via position keys; parity)
         val runs = paths.foldLeft(Vector.empty[Vector[Seq[Any]]]) {
           (acc, p) =>
             val isCalc = calcOf(dim, p).isDefined
             acc.lastOption match {
               case Some(run)
                   if !isCalc && calcOf(dim, run.head).isEmpty &&
-                    run.head.length == p.length =>
+                    run.head.length == p.length && !run.contains(p) =>
                 acc.init :+ (run :+ p)
               case _ => acc :+ Vector(p)
             }
@@ -1428,7 +1433,7 @@ final class Planner(val cube: BoundCube) {
         // level ordinals internally, so its rows match back to their
         // literal slot by level-column equality)
         val starts = runs.scanLeft(0)(_ + _.length)
-        return runs.zip(starts).map { case (run, start) =>
+        val parts = runs.zip(starts).map { case (run, start) =>
           calcOf(dim, run.head) match {
             case Some((cm, dc)) =>
               val sub = qs.copy(rows = None,
@@ -1450,8 +1455,16 @@ final class Planner(val cube: BoundCube) {
                 .select(col(leaf).as(label) +:
                   (qs.measures :+ "__ord").map(col): _*)
           }
-        }.reduce(_.unionByName(_)).orderBy(col("__ord"))
+        }
+        val unioned = parts.reduce(_.unionByName(_))
+          .orderBy(col("__ord"))
           .select((label +: qs.measures).map(col): _*)
+        // NON EMPTY prunes fully-empty CALC rows here too — the
+        // rows=None sub-query always yields its one row, but the
+        // fused path and the normal axis path both drop such rows
+        return if (!qs.nonEmpty) unioned
+          else unioned.filter(
+            qs.measures.map(col(_).isNotNull).reduce(_ || _))
       case _ => ()
     }
     val q = qs

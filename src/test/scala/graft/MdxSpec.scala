@@ -805,6 +805,39 @@ class MdxSpec extends SparkSpec {
     assert(cnt.get(cnt.fieldIndex("count_order")) === 0L)
   }
 
+  test("the per-member fallback matches the fused path on duplicate " +
+      "literals and NON EMPTY calc rows") {
+    // a Measures-hosted calc forces the fallback; behaviors must not
+    // change with the requested measure set
+    val dup = Mdx.execute(
+      """WITH MEMBER [customer].[X] AS 'Aggregate({[customer].[ASIA]})'
+        |MEMBER [Measures].[rev2] AS [Measures].[revenue] * 2
+        |SELECT {[Measures].[rev2]} ON COLUMNS,
+        |  {[customer].[AMERICA], [customer].[AMERICA],
+        |   [customer].[X]} ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(dup.length === 3)
+    assert(dup(0).getString(0) === "AMERICA" &&
+      dup(1).getString(0) === "AMERICA" &&
+      dup(0).get(1) === dup(1).get(1))
+    // NON EMPTY drops a calc row whose set matches nothing, on BOTH
+    // paths (the rows=None sub-query always yields its one row, but
+    // axis semantics prune it)
+    def nonEmptyRows(measures: String, withExtra: String): Seq[String] =
+      Mdx.execute(
+        s"""WITH MEMBER [customer].[none] AS
+          |  'Aggregate({[customer].[EUROPE].[NO_SUCH_NATION]})'
+          |$withExtra
+          |SELECT {$measures} ON COLUMNS,
+          |  NON EMPTY {[customer].[AMERICA], [customer].[none]} ON ROWS
+          |FROM [Sales]""".stripMargin, cube).collect()
+        .map(_.getString(0)).toSeq
+    assert(nonEmptyRows("[Measures].[revenue]", "") === Seq("AMERICA"))
+    assert(nonEmptyRows("[Measures].[rev2]",
+      "MEMBER [Measures].[rev2] AS [Measures].[revenue] * 2") ===
+      Seq("AMERICA"))
+  }
+
   test("a role forces the per-member fallback: grants AND into " +
       "dim-calc sets instead of OR-widening them") {
     val roled = Cubes.sales(spark, Sf).withRole(Role("Europe only",

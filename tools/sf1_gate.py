@@ -25,18 +25,24 @@ WINDOW = 30
 
 def battery():
     # the authoritative name list is whatever Verify dumps; the latest
-    # committed CORRECTNESS file tracks it one round behind, so prefer
-    # the NEWEST oracle_sql.json any Verify run has produced (by mtime
-    # — a hardcoded round-specific path would silently freeze the
-    # rotation on a stale battery next round)
+    # committed CORRECTNESS file tracks it one round behind. Verify
+    # writes oracle_sql.json for SUBSET runs too (including this
+    # gate's own output), so newest-by-mtime would self-poison the
+    # rotation down to the last subset: take the dump with the MOST
+    # keys (the full battery only grows), newest mtime as tiebreak.
     import glob, os
-    dumps = glob.glob("/tmp/verify*/oracle_sql.json")
-    for src in sorted(dumps, key=os.path.getmtime, reverse=True):
+    best = None
+    for src in glob.glob("/tmp/verify*/oracle_sql.json"):
         try:
             with open(src) as f:
-                return sorted(json.load(f).keys())
-        except OSError:
+                keys = sorted(json.load(f).keys())
+            rank = (len(keys), os.path.getmtime(src))
+            if best is None or rank > best[0]:
+                best = (rank, keys)
+        except (OSError, ValueError):
             pass
+    if best is not None:
+        return best[1]
     latest = sorted(glob.glob("CORRECTNESS_r*.json"))[-1]
     with open(latest) as f:
         return sorted(json.load(f).keys())
