@@ -62,6 +62,14 @@ def main():
     print(",".join(names))
     if "--run" not in sys.argv:
         return
+    import os
+    if not os.path.exists(f"{SF1}/lineitem.parquet"):
+        print(f"{SF1} missing — materializing the true-10x corpus first")
+        rc = subprocess.run(
+            ["sbt", "-batch",
+             f"runMain graft.MakeScaledSf 10 {SF1}"]).returncode
+        if rc != 0:
+            sys.exit(rc)
     out = f"/tmp/verify_sf1_r{rnd}"
     rc = subprocess.run(
         ["sbt", "-batch",
