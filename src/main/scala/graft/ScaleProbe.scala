@@ -312,6 +312,12 @@ object ScaleProbe {
               .StreamingQueryListener.QueryProgressEvent): Unit = {
             val ms = Option(e.progress.durationMs.get("triggerExecution"))
               .map(_.longValue).getOrElse(0L)
+            // measurement-only telemetry, best-effort by design: this
+            // async callback can race the NEXT micro-batch's in-flight
+            // commits, so the dirs@end count per window is approximate
+            // (±1 batch), and zero-input progress events (empty
+            // triggers) are dropped from the per-window means — fine
+            // for the SCALING.md slope comparison, not an exact ledger
             if (e.progress.numInputRows > 0)
               batchMs.put(e.progress.batchId, (ms, tableDirs(root)))
           }

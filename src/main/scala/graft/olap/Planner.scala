@@ -1232,6 +1232,36 @@ final class Planner(val cube: BoundCube) {
     }
 
   def execute(q0pre: QueryIR): DataFrame = {
+    val dimCalcs = (cube.calcMembers ++ q0pre.withMembers).collect {
+      case cm @ CalcMember(_, dc: DimAggCalc, _, _, _, _) =>
+        cm.name.toLowerCase -> ((cm, dc))
+    }.toMap
+    def calcOf(dim: String, path: Seq[Any]) = path.lastOption
+      .flatMap(n => dimCalcs.get(n.toString.toLowerCase))
+      .filter(_._2.dim.equalsIgnoreCase(dim))
+    // calc-path detection over ANY set tree (axis shapes, computed
+    // slicers): a calc path reaching the ordinary Members lowering
+    // predicate-filters to nothing — silent row loss, the one
+    // unacceptable failure mode
+    def hasCalcPath(s: SetExpr, seen: Set[String]): Boolean = s match {
+      case Members(d, ps) => ps.exists(p => calcOf(d, p).isDefined)
+      case NamedSetRef(n) => !seen(n) &&
+        q0pre.withSets.get(n).exists(hasCalcPath(_, seen + n))
+      // every SetExpr is a case class: walk nested sets generically
+      case other: Product => other.productIterator.exists {
+        case e: SetExpr => hasCalcPath(e, seen)
+        case _          => false
+      }
+    }
+    // computed slicer sets resolve to member rows right below — a calc
+    // path inside one would silently vanish there, so refuse first
+    if (dimCalcs.nonEmpty) q0pre.slicer.foreach {
+      case EvalSlice(set) =>
+        require(!hasCalcPath(set, Set.empty),
+          "calculated member inside a computed slicer set is not " +
+            "supported — name the member directly in WHERE instead")
+      case _ => ()
+    }
     val q0 = q0pre.copy(
       slicer = resolveSlicer(q0pre.slicer, q0pre.withSets))
     // PAGES/CHAPTERS/SECTIONS lower to outer products with ROWS:
@@ -1255,13 +1285,6 @@ final class Planner(val cube: BoundCube) {
     // resolved) set as an extra computed slicer, unioned with the
     // member name as the root-level label. No member-frame synthesis:
     // the set-slicer machinery already computes exactly these cells.
-    val dimCalcs = (cube.calcMembers ++ qPre.withMembers).collect {
-      case cm @ CalcMember(_, dc: DimAggCalc, _, _, _, _) =>
-        cm.name.toLowerCase -> ((cm, dc))
-    }.toMap
-    def calcOf(dim: String, path: Seq[Any]) = path.lastOption
-      .flatMap(n => dimCalcs.get(n.toString.toLowerCase))
-      .filter(_._2.dim.equalsIgnoreCase(dim))
     // nested calc references resolve to the union of their sets;
     // the seen-set breaks definition cycles loudly
     def resolve(s: SetExpr, seen: Set[String]): SetExpr = s match {
@@ -1293,7 +1316,11 @@ final class Planner(val cube: BoundCube) {
     // a dim-calc member in WHERE slices by its (resolved) set — the
     // compound-slicer form; a formula naming a nonexistent member
     // resolves to the empty set, nulling cells without erroring
-    // (mondrian_test.rb:328-335)
+    // (mondrian_test.rb:328-335). A compound (same-dim set) WHERE entry
+    // may mix stored and calc paths: the calc's resolved set joins the
+    // OR union, provided it stays on the host dimension (a cross-dim
+    // set cannot distribute over a same-dim OR — refuse loudly).
+    // Computed slicer sets with a calc path were refused at entry.
     val qs =
       if (dimCalcs.isEmpty) qPre
       else qPre.copy(slicer = qPre.slicer.flatMap {
@@ -1303,169 +1330,319 @@ final class Planner(val cube: BoundCube) {
               slices(resolve(dc.set, Set(cm.name.toLowerCase)))
             case None => Seq(ms)
           }
+        case ss @ SetSlice(dim, paths) =>
+          val (calcPs, stored) =
+            paths.partition(p => calcOf(dim, p).isDefined)
+          if (calcPs.isEmpty) Seq(ss)
+          else {
+            val calcItems = calcPs.flatMap { p =>
+              val (cm, dc) = calcOf(dim, p).get
+              val items =
+                slices(resolve(dc.set, Set(cm.name.toLowerCase)))
+              // mixed with other same-dim entries, the calc set must
+              // stay on the host dim so the compound OR is well-formed;
+              // a lone calc in braces behaves like the member form
+              if (stored.nonEmpty || calcPs.length > 1) {
+                val dims = items.flatMap {
+                  case EvalSlice(set) =>
+                    evalSet(set, Nil, qPre.withSets).dims.map(_.d.name)
+                  case MemberSlice(d, _) => Seq(d)
+                  case SetSlice(d, _)    => Seq(d)
+                  case ExprSlice(_, ds)  => ds
+                }.toSet
+                require(dims == Set(dim),
+                  s"calculated member [${cm.name}] aggregates a set on " +
+                    s"[${dims.mkString(", ")}] and cannot join a " +
+                    s"compound slicer set on [$dim] — slice it as its " +
+                    "own WHERE entry")
+              }
+              items
+            }
+            (if (stored.nonEmpty) Seq(SetSlice(dim, stored)) else Nil) ++
+              calcItems
+          }
         case other => Seq(other)
       })
-    qs.rows match {
-      case Some(Members(dim, paths)) if dimCalcs.nonEmpty &&
-          paths.exists(p => calcOf(dim, p).isDefined) =>
-        // Mixed stored+calculated literal sets (upstream Mondrian
-        // allows them; the calc members of mondrian_test.rb:197-204
-        // are DEFINED against stored siblings): each calc member is a
-        // compound-slicer sub-query; consecutive stored members of one
-        // depth run as a single ordinary sub-query and are labeled by
-        // their leaf name (the member caption), so the axis reads as
-        // Mondrian renders it. All rows surface under the root-level
-        // label column.
-        val label = cube.dim(dim).levels.head.col
-        // FUSED single-pass path: every axis entry — stored member or
-        // dim-hosted Aggregate calc — lowers to a row predicate over
-        // ONE star frame; a row satisfying several entries explodes
-        // into each entry key, and one groupBy aggregates all members:
-        // one Exchange for N members instead of N fact passes (correct
-        // for every aggregator incl. avg/distinct — the group sees raw
-        // fact rows, never pre-aggregates). Taken only when every
-        // requested measure is stored (Measures-hosted calcs need
-        // per-sub-query applyCalcs/window/LinReg context) AND no role
-        // is attached (roles need memberFrame visibility and the
-        // ANDed grant slicer, both of which the sub-query fallback
-        // routes through). This pass reads the raw fact by design —
-        // AggRouter rollups can't serve avg/distinct over arbitrary
-        // member-set filters and the explode key is not a grain the
-        // SegmentCache speaks.
-        if (cube.role.isEmpty &&
-            qs.measures.forall(m => cube.measures.exists(_.name == m))) {
-          pruneFor(qs)
-          case class AxisEntry(idx: Int, name: String, isCalc: Boolean,
-            items: Seq[SlicerItem])
-          val entries = paths.zipWithIndex.map { case (p, i) =>
-            calcOf(dim, p) match {
-              case Some((cm, dc)) =>
-                AxisEntry(i, cm.name, isCalc = true,
-                  resolveSlicer(
-                    slices(resolve(dc.set, Set(cm.name.toLowerCase))),
-                    qs.withSets))
-              case None =>
-                AxisEntry(i, p.last.toString, isCalc = false,
-                  Seq(MemberSlice(dim, p)))
-            }
-          }
-          val qSlicer = resolveSlicer(qs.slicer, qs.withSets)
-          // Same-dim query-slicer items: for a CALC entry they fold
-          // into its predicate through resolveSlicer's compound (OR)
-          // grouping — the union the per-member fallback produces
-          // (query.rb:379-386); for a STORED entry they AND — the
-          // normal axis-path semantics (the slicer restricts the
-          // cells; an excluded member keeps its row, null cells).
-          // Items on other dims filter globally and push to the scan.
-          val entryDims = entries.flatMap(_.items).collect {
-            case MemberSlice(d, _) => d
-            case SetSlice(d, _)    => d
-          }.toSet
-          val (overlap, shared) = qSlicer.partition {
-            case MemberSlice(d, _) => entryDims(d)
-            case SetSlice(d, _)    => entryDims(d)
-            case _                 => false
-          }
-          val joinItems = qSlicer ++ entries.flatMap(_.items)
-          val star = joinStar(neededJoins(Nil, joinItems), joinItems)
-          val sliced = star.filter(slicerPredicate(shared))
-          // entries are keyed by POSITION, never display name: leaf
-          // captions repeat across parents (a Q1 under every year)
-          // and a duplicated literal member must stay two rows, not
-          // one doubled group
-          val keyArr = array(entries.map { e =>
-            val pred =
-              if (e.isCalc)
-                slicerPredicate(resolveSlicer(overlap ++ e.items))
-              else if (overlap.isEmpty) slicerPredicate(e.items)
-              else slicerPredicate(e.items) && slicerPredicate(overlap)
-            when(pred, lit(e.idx))
-          }: _*)
-          val labeled = sliced.withColumn("__entry",
-            explode(filter(keyArr, _.isNotNull)))
-          val (aggCols, post) = Agg.toColumnsFused(neededMeasures)
-          val agged = labeled.groupBy(col("__entry"))
-            .agg(aggCols.head, aggCols.tail: _*)
-            .select(col("__entry") +: post: _*)
-          // a member with no satisfying fact rows keeps its axis row.
-          // A CALC entry's count-aggregated cells coalesce to 0 there
-          // (Aggregate over an empty set COUNTS zero — what the
-          // rows=None fallback sub-query returns); stored entries
-          // stay null like any axis member outside the slicer.
-          val s = sliced.sparkSession
-          import s.implicits._
-          val frame = entries.map(e => (e.idx, e.name, e.isCalc))
-            .toDF("__entry", label, "__calc")
-          val joined0 = frame
-            .join(broadcast(agged), Seq("__entry"), "left")
-          val countish = neededMeasures
-            .filter(m => m.agg == Agg.Count || m.agg == Agg.DistinctCount)
-            .map(_.name).filter(joined0.columns.contains)
-          val joined = countish.foldLeft(joined0) { (df, m) =>
-            df.withColumn(m,
-              when(col("__calc") && col(m).isNull, lit(0L))
-                .otherwise(col(m)))
-          }
-          val out = joined.orderBy(col("__entry"))
-            .select((label +: qs.measures).map(col): _*)
-          return if (!qs.nonEmpty) out
-            else out.filter(
-              qs.measures.map(col(_).isNotNull).reduce(_ || _))
-        }
-        // a path already in the current run starts a NEW run: the
-        // Members lowering distincts its member frame, so a
-        // duplicated literal inside one run would collapse to a
-        // single row instead of rendering twice (the fused path keeps
-        // both via position keys; parity)
-        val runs = paths.foldLeft(Vector.empty[Vector[Seq[Any]]]) {
-          (acc, p) =>
-            val isCalc = calcOf(dim, p).isDefined
-            acc.lastOption match {
-              case Some(run)
-                  if !isCalc && calcOf(dim, run.head).isEmpty &&
-                    run.head.length == p.length && !run.contains(p) =>
-                acc.init :+ (run :+ p)
-              case _ => acc :+ Vector(p)
-            }
-        }
-        // literal-set order survives the union: each part carries the
-        // path's global position (a stored run's sub-query orders by
-        // level ordinals internally, so its rows match back to their
-        // literal slot by level-column equality)
-        val starts = runs.scanLeft(0)(_ + _.length)
-        val parts = runs.zip(starts).map { case (run, start) =>
-          calcOf(dim, run.head) match {
+    // Detect dim-hosted calc members in ANY rows-axis shape — never
+    // just the bare literal Members arm. A calc path that reaches the
+    // ordinary Members lowering predicate-filters to nothing and the
+    // rows vanish SILENTLY (the one unacceptable failure mode), so:
+    // a calc-bearing literal set — alone or CrossJoined with calc-free
+    // factors (query_test.rb:157-174 pins crossjoin iteration over
+    // calc members) — lowers below; every other shape refuses loudly.
+    def deref(s: SetExpr, seen: Set[String]): SetExpr = s match {
+      case NamedSetRef(n) if !seen(n) && qs.withSets.contains(n) =>
+        deref(qs.withSets(n), seen + n)
+      case other => other
+    }
+    def splitCross(s: SetExpr): Seq[SetExpr] = deref(s, Set.empty) match {
+      case CrossJoin(a, b) => splitCross(a) ++ splitCross(b)
+      case other           => Seq(other)
+    }
+    def calcNames(s: SetExpr, seen: Set[String]): Seq[String] = s match {
+      case Members(d, ps) => ps.flatMap(p => calcOf(d, p).map(_._1.name))
+      case NamedSetRef(n) =>
+        if (seen(n)) Nil
+        else qs.withSets.get(n).toSeq.flatMap(calcNames(_, seen + n))
+      case other: Product => other.productIterator.toSeq.flatMap {
+        case e: SetExpr => calcNames(e, seen)
+        case _          => Nil
+      }
+    }
+    val rowsFactors =
+      if (dimCalcs.isEmpty) Nil
+      else qs.rows.map(splitCross).getOrElse(Nil)
+    val calcFactorIdx = rowsFactors.indexWhere(hasCalcPath(_, Set.empty))
+    if (calcFactorIdx >= 0) {
+      def refuse(why: String): Nothing = throw new IllegalArgumentException(
+        "calculated member(s) " +
+          calcNames(qs.rows.get, Set.empty).distinct
+            .mkString("[", "], [", "]") +
+          s" in an unsupported axis set shape ($why): a dim-hosted " +
+          "Aggregate member is supported in a literal member set, " +
+          "optionally CrossJoined with calculated-member-free sets on " +
+          "other dimensions — rewrite the axis set or move the member " +
+          "to WHERE")
+      if (rowsFactors.count(hasCalcPath(_, Set.empty)) > 1)
+        refuse("calc members in more than one CrossJoin factor")
+      val (dim, paths) = rowsFactors(calcFactorIdx) match {
+        case Members(d, ps) => (d, ps)
+        case other => refuse(
+          s"calc path nested inside ${other.getClass.getSimpleName}")
+      }
+      val otherFactors = rowsFactors.patch(calcFactorIdx, Nil, 1)
+      val otherSet = otherFactors.reduceRightOption(CrossJoin(_, _))
+      // the other factors' member frames pin the extra tuple
+      // coordinates; plan-building only (nothing executes here)
+      val qSlicerAll = resolveSlicer(qs.slicer, qs.withSets)
+      val otherFrame0 = otherSet.map(s => evalSet(s, qSlicerAll, qs.withSets))
+      val otherDims = otherFrame0.map(_.dims).getOrElse(Nil)
+      val otherKeys = otherDims.flatMap(ad => levelCols(ad.d, ad.depth))
+      if (otherDims.exists(_.d.name.equalsIgnoreCase(dim)))
+        refuse("the calc member's own hierarchy appears in another " +
+          "CrossJoin factor")
+      // a calc set constraining a dimension ANOTHER factor enumerates
+      // would need MDX context override (the set member replaces the
+      // axis coordinate on its hierarchy) — refuse rather than guess
+      def itemDims(items: Seq[SlicerItem]): Set[String] = items.flatMap {
+        case MemberSlice(d, _) => Seq(d)
+        case SetSlice(d, _)    => Seq(d)
+        case ExprSlice(_, ds)  => ds
+        case EvalSlice(set) =>
+          evalSet(set, Nil, qs.withSets).dims.map(_.d.name)
+      }.toSet
+      if (otherDims.nonEmpty) {
+        val constrained = paths.flatMap(p => calcOf(dim, p).toSeq).flatMap {
+          case (cm, dc) =>
+            itemDims(slices(resolve(dc.set, Set(cm.name.toLowerCase))))
+        }.toSet
+        val clash = otherDims.map(_.d.name).filter(constrained)
+        if (clash.nonEmpty)
+          refuse(s"a calc member's set constrains [${clash.mkString(", ")}]" +
+            ", a dimension enumerated by another CrossJoin factor")
+      }
+      // Mixed stored+calculated literal sets (upstream Mondrian
+      // allows them; the calc members of mondrian_test.rb:197-204
+      // are DEFINED against stored siblings): each calc member is a
+      // compound-slicer sub-query; consecutive stored members of one
+      // depth run as a single ordinary sub-query and are labeled by
+      // their leaf name (the member caption), so the axis reads as
+      // Mondrian renders it. All rows surface under the root-level
+      // label column.
+      val label = cube.dim(dim).levels.head.col
+      // FUSED single-pass path: every axis entry — stored member or
+      // dim-hosted Aggregate calc — lowers to a row predicate over
+      // ONE star frame; a row satisfying several entries explodes
+      // into each entry key, and one groupBy aggregates all members
+      // (× the other factors' level columns when the set is a
+      // crossjoin): one Exchange for N members instead of N fact
+      // passes (correct for every aggregator incl. avg/distinct — the
+      // group sees raw fact rows, never pre-aggregates). Taken only
+      // when every requested measure is stored (Measures-hosted calcs
+      // need per-sub-query applyCalcs/window/LinReg context) AND no
+      // role is attached (roles need memberFrame visibility and the
+      // ANDed grant slicer, both of which the sub-query fallback
+      // routes through) AND the other factors are uniform-depth (the
+      // per-depth cell grain of mixed frames belongs to the normal
+      // path the fallback recurses into). This pass reads the raw
+      // fact by design — AggRouter rollups can't serve avg/distinct
+      // over arbitrary member-set filters and the explode key is not
+      // a grain the SegmentCache speaks.
+      if (cube.role.isEmpty &&
+          qs.measures.forall(m => cube.measures.exists(_.name == m)) &&
+          otherFrame0.forall(of =>
+            of.mixedDim.isEmpty && of.mixedDepths.isEmpty)) {
+        pruneFor(qs)
+        case class AxisEntry(idx: Int, name: String, isCalc: Boolean,
+          items: Seq[SlicerItem])
+        val entries = paths.zipWithIndex.map { case (p, i) =>
+          calcOf(dim, p) match {
             case Some((cm, dc)) =>
-              val sub = qs.copy(rows = None,
-                slicer = qs.slicer ++
-                  slices(resolve(dc.set, Set(cm.name.toLowerCase))))
-              execute(sub).withColumn(label, lit(cm.name))
-                .withColumn("__ord", lit(start))
-                .select((label +: qs.measures :+ "__ord").map(col): _*)
+              AxisEntry(i, cm.name, isCalc = true,
+                resolveSlicer(
+                  slices(resolve(dc.set, Set(cm.name.toLowerCase))),
+                  qs.withSets))
             case None =>
-              val d = cube.dim(dim)
-              val leaf = d.levels(run.head.length - 1).col
-              val sub = qs.copy(rows = Some(Members(dim, run)))
-              val ordCol = run.zipWithIndex.map { case (p, i) =>
-                when(p.zipWithIndex.map { case (v, li) =>
-                  col(d.levels(li).col) === lit(v) }.reduce(_ && _),
-                  lit(start + i))
-              }.reduce((a, b) => coalesce(a, b))
-              execute(sub).withColumn("__ord", ordCol)
-                .select(col(leaf).as(label) +:
-                  (qs.measures :+ "__ord").map(col): _*)
+              AxisEntry(i, p.last.toString, isCalc = false,
+                Seq(MemberSlice(dim, p)))
           }
         }
-        val unioned = parts.reduce(_.unionByName(_))
-          .orderBy(col("__ord"))
-          .select((label +: qs.measures).map(col): _*)
-        // NON EMPTY prunes fully-empty CALC rows here too — the
-        // rows=None sub-query always yields its one row, but the
-        // fused path and the normal axis path both drop such rows
-        return if (!qs.nonEmpty) unioned
-          else unioned.filter(
+        val qSlicer = qSlicerAll
+        // Same-dim query-slicer items: for a CALC entry they fold
+        // into its predicate through resolveSlicer's compound (OR)
+        // grouping — the union the per-member fallback produces
+        // (query.rb:379-386); for a STORED entry they AND — the
+        // normal axis-path semantics (the slicer restricts the
+        // cells; an excluded member keeps its row, null cells).
+        // Items on other dims filter globally and push to the scan.
+        val entryDims = entries.flatMap(_.items).collect {
+          case MemberSlice(d, _) => d
+          case SetSlice(d, _)    => d
+        }.toSet
+        val (overlap, shared) = qSlicer.partition {
+          case MemberSlice(d, _) => entryDims(d)
+          case SetSlice(d, _)    => entryDims(d)
+          case _                 => false
+        }
+        val joinItems = qSlicer ++ entries.flatMap(_.items)
+        val star = joinStar(neededJoins(otherDims, joinItems), joinItems)
+        val sliced0 = star.filter(slicerPredicate(shared))
+        // crossjoined factors restrict the fact to THEIR members early
+        // (broadcast semi-join — the frames are dimension-sized), so
+        // the groupBy never aggregates tuples the axis won't show
+        val sliced = otherFrame0 match {
+          case Some(of) => sliced0.join(
+            broadcast(of.members.select(otherKeys.map(col): _*).distinct()),
+            otherKeys, "left_semi")
+          case None => sliced0
+        }
+        // entries are keyed by POSITION, never display name: leaf
+        // captions repeat across parents (a Q1 under every year)
+        // and a duplicated literal member must stay two rows, not
+        // one doubled group
+        val keyArr = array(entries.map { e =>
+          val pred =
+            if (e.isCalc)
+              slicerPredicate(resolveSlicer(overlap ++ e.items))
+            else if (overlap.isEmpty) slicerPredicate(e.items)
+            else slicerPredicate(e.items) && slicerPredicate(overlap)
+          when(pred, lit(e.idx))
+        }: _*)
+        val labeled = sliced.withColumn("__entry",
+          explode(filter(keyArr, _.isNotNull)))
+        val (aggCols, post) = Agg.toColumnsFused(neededMeasures)
+        val agged = labeled
+          .groupBy(("__entry" +: otherKeys).map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .select((col("__entry") +: otherKeys.map(col)) ++ post: _*)
+        // a member (tuple) with no satisfying fact rows keeps its axis
+        // row. A CALC entry's count-aggregated cells coalesce to 0
+        // there (Aggregate over an empty set COUNTS zero — what the
+        // rows=None fallback sub-query returns); stored entries
+        // stay null like any axis member outside the slicer.
+        val s = sliced.sparkSession
+        import s.implicits._
+        val entryFrame = entries.map(e => (e.idx, e.name, e.isCalc))
+          .toDF("__entry", label, "__calc")
+        val frame = otherFrame0 match {
+          case Some(of) => entryFrame.crossJoin(broadcast(of.members))
+          case None     => entryFrame
+        }
+        val joined0 = frame
+          .join(broadcast(agged), "__entry" +: otherKeys, "left")
+        val countish = neededMeasures
+          .filter(m => m.agg == Agg.Count || m.agg == Agg.DistinctCount)
+          .map(_.name).filter(joined0.columns.contains)
+        val joined = countish.foldLeft(joined0) { (df, m) =>
+          df.withColumn(m,
+            when(col("__calc") && col(m).isNull, lit(0L))
+              .otherwise(col(m)))
+        }
+        // entry-major order (the literal set's position), then the
+        // other factors' own order (explicit __ord when set, else
+        // hierarchical level ordinals — both live on the frame side)
+        val otherSort: Seq[Column] = otherFrame0.toSeq.flatMap { of =>
+          if (of.hasOrd) Seq(col(OrdCol).asc)
+          else of.dims.flatMap(ad =>
+            ad.d.levelsTo(ad.depth).map(l => col(l.ordinal).asc))
+        }
+        val out = joined.orderBy(col("__entry").asc +: otherSort: _*)
+          .select(((label +: otherKeys) ++ qs.measures).map(col): _*)
+        return if (!qs.nonEmpty) out
+          else out.filter(
             qs.measures.map(col(_).isNotNull).reduce(_ || _))
-      case _ => ()
+      }
+      // a path already in the current run starts a NEW run: the
+      // Members lowering distincts its member frame, so a
+      // duplicated literal inside one run would collapse to a
+      // single row instead of rendering twice (the fused path keeps
+      // both via position keys; parity)
+      val runs = paths.foldLeft(Vector.empty[Vector[Seq[Any]]]) {
+        (acc, p) =>
+          val isCalc = calcOf(dim, p).isDefined
+          acc.lastOption match {
+            case Some(run)
+                if !isCalc && calcOf(dim, run.head).isEmpty &&
+                  run.head.length == p.length && !run.contains(p) =>
+              acc.init :+ (run :+ p)
+            case _ => acc :+ Vector(p)
+          }
+      }
+      // literal-set order survives the union: each part carries the
+      // path's global position (a stored run's sub-query orders by
+      // level ordinals internally, so its rows match back to their
+      // literal slot by level-column equality)
+      val starts = runs.scanLeft(0)(_ + _.length)
+      val countishAll = cube.measures
+        .filter(m => m.agg == Agg.Count || m.agg == Agg.DistinctCount)
+        .map(_.name).filter(qs.measures.contains)
+      val parts = runs.zip(starts).map { case (run, start) =>
+        calcOf(dim, run.head) match {
+          case Some((cm, dc)) =>
+            // rows = the remaining crossjoin factors (None for a pure
+            // literal set): each calc row exists per other-factor
+            // tuple; NON EMPTY is applied once at the top, AFTER the
+            // count coalesce, so both paths agree on count-0 rows
+            val sub = qs.copy(rows = otherSet, nonEmpty = false,
+              slicer = qs.slicer ++
+                slices(resolve(dc.set, Set(cm.name.toLowerCase))))
+            val base = execute(sub).withColumn(label, lit(cm.name))
+              .withColumn("__ord", lit(start))
+            // counts over an empty subcube are ZERO on a calc row
+            // (the rows=None sub-query convention); the axis
+            // left-join's nulls coalesce to match the fused path
+            val coalesced =
+              if (otherSet.isEmpty) base
+              else countishAll.foldLeft(base)((df, m) =>
+                df.withColumn(m, coalesce(col(m), lit(0L))))
+            coalesced.select(
+              ((label +: otherKeys) ++ qs.measures :+ "__ord")
+                .map(col): _*)
+          case None =>
+            val d = cube.dim(dim)
+            val leaf = d.levels(run.head.length - 1).col
+            val subRows: SetExpr = (Members(dim, run) +: otherFactors)
+              .reduceRight(CrossJoin(_, _))
+            val sub = qs.copy(rows = Some(subRows))
+            val ordCol = run.zipWithIndex.map { case (p, i) =>
+              when(p.zipWithIndex.map { case (v, li) =>
+                col(d.levels(li).col) === lit(v) }.reduce(_ && _),
+                lit(start + i))
+            }.reduce((a, b) => coalesce(a, b))
+            execute(sub).withColumn("__ord", ordCol)
+              .select(col(leaf).as(label) +:
+                (otherKeys ++ qs.measures :+ "__ord").map(col): _*)
+        }
+      }
+      val unioned = parts.reduce(_.unionByName(_))
+        .orderBy(col("__ord").asc +: otherKeys.map(col(_).asc): _*)
+        .select(((label +: otherKeys) ++ qs.measures).map(col): _*)
+      // NON EMPTY prunes fully-empty CALC rows here too — the
+      // rows=None sub-query always yields its one row, but the
+      // fused path and the normal axis path both drop such rows
+      return if (!qs.nonEmpty) unioned
+        else unioned.filter(
+          qs.measures.map(col(_).isNotNull).reduce(_ || _))
     }
     val q = qs
     pruneFor(q)

@@ -854,6 +854,223 @@ class MdxSpec extends SparkSpec {
     assert(r.get(r.fieldIndex("revenue")) == null)
   }
 
+  private val Eu13As2Def =
+    """MEMBER [customer].[EU13 and AS2] AS
+      |  'Aggregate({[customer].[EUROPE].[NATION_13],
+      |              [customer].[ASIA].[NATION_2]})'""".stripMargin
+
+  test("a dim-hosted calc member inside a CrossJoin axis set executes: " +
+      "each (entry, other-member) tuple aggregates the set in that " +
+      "member's context — never a silent zero-row result") {
+    val df = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[AMERICA], [customer].[EU13 and AS2]},
+        |            {[time].[1995], [time].[1996]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(df.columns.toSeq === Seq("cr_region", "d_year", "revenue"))
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> Option(
+        r.getAs[java.math.BigDecimal]("revenue")).map(_.doubleValue()))
+      .toMap
+    assert(rows.size === 4) // 2 entries x 2 years, no dropped tuples
+    def solo(where: String): Double = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE $where""".stripMargin, cube).collect().head
+      .getAs[java.math.BigDecimal]("revenue").doubleValue()
+    assert(rows(("EU13 and AS2", 1995)).get === solo(
+      "({[customer].[EUROPE].[NATION_13], [customer].[ASIA].[NATION_2]}," +
+        " [time].[1995])"))
+    assert(rows(("EU13 and AS2", 1996)).get === solo(
+      "({[customer].[EUROPE].[NATION_13], [customer].[ASIA].[NATION_2]}," +
+        " [time].[1996])"))
+    assert(rows(("AMERICA", 1995)).get ===
+      solo("([customer].[AMERICA], [time].[1995])"))
+    assert(rows(("AMERICA", 1996)).get ===
+      solo("([customer].[AMERICA], [time].[1996])"))
+    // a computed other factor (LevelMembers) keeps every tuple too
+    val years = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  [time].[year].Members ON ROWS
+        |FROM [Sales]""".stripMargin, cube).count()
+    val cj = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[AMERICA], [customer].[EU13 and AS2]},
+        |            [time].[year].Members) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).count()
+    assert(cj === 2 * years)
+  }
+
+  test("the crossjoined dim-calc fallback (Measures-hosted calc) " +
+      "matches the fused path cell for cell") {
+    def run(measure: String, extra: String) = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |$extra
+        |SELECT {[Measures].[$measure]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[AMERICA], [customer].[EU13 and AS2]},
+        |            {[time].[1995], [time].[1996]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        r.getAs[java.math.BigDecimal](measure).doubleValue()).toMap
+    val fused = run("revenue", "")
+    val viaFallback = run("rev2",
+      "MEMBER [Measures].[rev2] AS [Measures].[revenue] * 2")
+    assert(viaFallback.keySet === fused.keySet)
+    fused.foreach { case (k, v) =>
+      assert(math.abs(viaFallback(k) - 2 * v) < 1e-6, s"tuple $k") }
+  }
+
+  test("PAGES crossed with a dim-calc rows axis works through the " +
+      "same lowering (the folded outer product is a CrossJoin)") {
+    val rows = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  {[customer].[EU13 and AS2]} ON ROWS,
+        |  [returnflag].[returnflag].Members ON PAGES
+        |FROM [Sales]""".stripMargin, cube).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        r.getAs[java.math.BigDecimal]("revenue").doubleValue()).toMap
+    assert(rows.keySet === Set("A", "N", "R"))
+    val soloA = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE ({[customer].[EUROPE].[NATION_13],
+        |        [customer].[ASIA].[NATION_2]},
+        |       [returnflag].[A])""".stripMargin, cube).collect().head
+      .getAs[java.math.BigDecimal]("revenue").doubleValue()
+    assert(rows("A") === soloA)
+  }
+
+  test("NON EMPTY prunes empty dim-calc tuples on the crossjoined " +
+      "axis, fused and fallback alike") {
+    def rows(measures: String, extra: String): Seq[String] = Mdx.execute(
+      s"""WITH MEMBER [customer].[none] AS
+        |  'Aggregate({[customer].[EUROPE].[NO_SUCH_NATION]})'
+        |$extra
+        |SELECT {$measures} ON COLUMNS,
+        |  NON EMPTY CROSSJOIN({[customer].[AMERICA], [customer].[none]},
+        |                      {[time].[1995]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+      .map(_.getString(0)).toSeq
+    assert(rows("[Measures].[revenue]", "") === Seq("AMERICA"))
+    assert(rows("[Measures].[rev2]",
+      "MEMBER [Measures].[rev2] AS [Measures].[revenue] * 2") ===
+      Seq("AMERICA"))
+  }
+
+  test("a role routes the crossjoined dim-calc axis through the " +
+      "fallback: grants AND into the calc set per tuple") {
+    val roled = Cubes.sales(spark, Sf).withRole(Role("Europe only",
+      Seq("customer" -> Seq("EUROPE"))))
+    val r = Mdx.execute(
+      """WITH MEMBER [customer].[AS2] AS
+        |  'Aggregate({[customer].[ASIA].[NATION_2]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[AS2]}, {[time].[1995]}) ON ROWS
+        |FROM [Sales]""".stripMargin, roled).collect()
+    assert(r.length === 1)
+    assert(r.head.get(r.head.fieldIndex("revenue")) == null)
+  }
+
+  test("a calc member in a compound WHERE set joins the OR union; " +
+      "cross-dim calc sets and computed slicer sets refuse loudly") {
+    def cell(mdx: String): Any =
+      Mdx.execute(mdx, cube).collect().head.get(0)
+    // mixed stored + calc in one braced WHERE set = the OR of the
+    // calc's resolved members with the stored entries — never a
+    // silently-missing calc contribution
+    val mixed = cell(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE {[customer].[EU13 and AS2],
+        |       [customer].[AMERICA].[NATION_1]}""".stripMargin)
+    val literal = cell(
+      """SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE {[customer].[EUROPE].[NATION_13],
+        |       [customer].[ASIA].[NATION_2],
+        |       [customer].[AMERICA].[NATION_1]}""".stripMargin)
+    assert(mixed === literal)
+    // two calc members OR together the same way
+    val twoCalcs = cell(
+      s"""WITH $Eu13As2Def
+        |MEMBER [customer].[AM1] AS
+        |  'Aggregate({[customer].[AMERICA].[NATION_1]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE {[customer].[EU13 and AS2],
+        |       [customer].[AM1]}""".stripMargin)
+    assert(twoCalcs === literal)
+    // a calc aggregating a cross-dim set cannot distribute over a
+    // same-dim OR: refuse, never under-count
+    val e = intercept[IllegalArgumentException] {
+      Mdx.execute(
+        """WITH MEMBER [customer].[AS95] AS
+          |  'Aggregate(CROSSJOIN({[customer].[ASIA]}, {[time].[1995]}))'
+          |SELECT {[Measures].[revenue]} ON COLUMNS
+          |FROM [Sales]
+          |WHERE {[customer].[AS95],
+          |       [customer].[AMERICA].[NATION_1]}""".stripMargin, cube)
+        .collect()
+    }
+    assert(e.getMessage.contains("compound slicer"), e.getMessage)
+    // a computed slicer set containing a calc path refuses (the set
+    // machinery would silently filter the calc member to nothing)
+    val e2 = intercept[IllegalArgumentException] {
+      Mdx.execute(
+        s"""WITH $Eu13As2Def
+          |SELECT {[Measures].[revenue]} ON COLUMNS
+          |FROM [Sales]
+          |WHERE (HEAD({[customer].[EU13 and AS2],
+          |             [customer].[AMERICA]}, 2))""".stripMargin, cube)
+        .collect()
+    }
+    assert(e2.getMessage.contains("computed slicer"), e2.getMessage)
+  }
+
+  test("a dim-calc member in any OTHER axis set shape refuses loudly " +
+      "instead of silently dropping rows") {
+    def refusal(mdx: String): String = {
+      val e = intercept[IllegalArgumentException] {
+        Mdx.execute(mdx, cube).collect()
+      }
+      assert(e.getMessage.contains("unsupported axis set shape"),
+        e.getMessage)
+      e.getMessage
+    }
+    def q(axis: String) =
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  $axis ON ROWS
+        |FROM [Sales]""".stripMargin
+    refusal(q("UNION({[customer].[EU13 and AS2]}, {[customer].[AMERICA]})"))
+    refusal(q("HEAD({[customer].[EU13 and AS2]}, 1)"))
+    refusal(q("FILTER({[customer].[EU13 and AS2]}, " +
+      "[Measures].[revenue] > 0)"))
+    // the calc member's own hierarchy in another factor
+    refusal(q("CROSSJOIN({[customer].[EU13 and AS2]}, " +
+      "{[customer].[ASIA]})"))
+    // calc members on BOTH factors
+    refusal(
+      s"""WITH $Eu13As2Def
+        |MEMBER [time].[Y95] AS 'Aggregate({[time].[1995]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[EU13 and AS2]}, {[time].[Y95]}) ON ROWS
+        |FROM [Sales]""".stripMargin)
+    // a calc set constraining a dimension another factor enumerates
+    // (MDX context override) refuses rather than guessing
+    refusal(
+      """WITH MEMBER [customer].[AS95] AS
+        |  'Aggregate(CROSSJOIN({[customer].[ASIA]}, {[time].[1995]}))'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[AS95]},
+        |            {[time].[1995], [time].[1996]}) ON ROWS
+        |FROM [Sales]""".stripMargin)
+  }
+
   test("LinReg moments are keyed by slicer: dim-calc sub-queries with " +
       "different compound slicers never share a moment fold") {
     val slopeDef =

@@ -200,6 +200,32 @@ class PlanSpec extends SparkSpec {
     assert(rows("C") === solo("([customer].[AFRICA])"))
   }
 
+  test("the fused dim-calc axis crossjoined with another factor stays " +
+      "a single fact pass: exchange count constant in the entry count") {
+    def planFor(entries: String): String = plan(Mdx.execute(
+      s"""WITH MEMBER [customer].[A] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |MEMBER [customer].[B] AS
+        |  'Aggregate({[customer].[AMERICA].[NATION_1]})'
+        |MEMBER [customer].[C] AS 'Aggregate({[customer].[AFRICA]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({$entries},
+        |            {[time].[1995], [time].[1996]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube))
+    def hashEx(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    val one = planFor("[customer].[A]")
+    val three = planFor("[customer].[A], [customer].[B], [customer].[C]")
+    // the other factor's member frame contributes a fixed number of
+    // exchanges (its distinct); what must NOT happen is one fact
+    // aggregation per entry — N members, same plan shape
+    assert(hashEx(three) === hashEx(one),
+      s"exchange count grew with the entry count:\n$three")
+    assert(three.contains("BroadcastHashJoin"),
+      s"dimension joins must stay broadcast in the fused pass:\n$three")
+  }
+
   test("jaccard verify phase never broadcasts the shingled corpus") {
     val docs = Tables.load(spark, Sf, "documents")
     val df = graft.ops.DedupOps.jaccardPairs(docs, 0.5)

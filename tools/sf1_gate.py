@@ -28,11 +28,19 @@ def battery():
     # committed CORRECTNESS file tracks it one round behind. Verify
     # writes oracle_sql.json for SUBSET runs too (including this
     # gate's own output), so newest-by-mtime would self-poison the
-    # rotation down to the last subset: take the dump with the MOST
-    # keys (the full battery only grows), newest mtime as tiebreak.
+    # rotation down to the last subset: take the LIST with the MOST
+    # keys (the full battery only grows), newest mtime as tiebreak —
+    # and rank the committed CORRECTNESS list inside the SAME max, so
+    # after a /tmp wipe (when only this gate's 30-key subset dumps
+    # survive) the full battery still wins and the rotation never
+    # collapses to a fixed 30-query window (ADVICE r12).
     import glob, os
+    candidates = glob.glob("/tmp/verify*/oracle_sql.json")
+    committed = sorted(glob.glob("CORRECTNESS_r*.json"))
+    if committed:
+        candidates.append(committed[-1])
     best = None
-    for src in glob.glob("/tmp/verify*/oracle_sql.json"):
+    for src in candidates:
         try:
             with open(src) as f:
                 keys = sorted(json.load(f).keys())
@@ -41,11 +49,10 @@ def battery():
                 best = (rank, keys)
         except (OSError, ValueError):
             pass
-    if best is not None:
-        return best[1]
-    latest = sorted(glob.glob("CORRECTNESS_r*.json"))[-1]
-    with open(latest) as f:
-        return sorted(json.load(f).keys())
+    if best is None:
+        sys.exit("no oracle_sql.json dump and no CORRECTNESS_r*.json — "
+                 "run graft.Verify once to seed the battery list")
+    return best[1]
 
 
 def subset(rnd):
