@@ -974,6 +974,52 @@ class MdxSpec extends SparkSpec {
     assert(r.head.get(r.head.fieldIndex("revenue")) == null)
   }
 
+  test("a three-way crossjoin with a dim-calc factor groups by both " +
+      "other factors' level columns") {
+    val df = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN(CROSSJOIN(
+        |    {[customer].[AMERICA], [customer].[EU13 and AS2]},
+        |    {[time].[1995]}),
+        |    [returnflag].[returnflag].Members) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val rows = df.collect()
+    assert(rows.length === 2 * 1 * 3) // entries x year x {A,N,R}
+    val cell = rows.map(r => (r.getString(0), r.getAs[String]("l_returnflag"))
+      -> r.getAs[java.math.BigDecimal]("revenue").doubleValue()).toMap
+    val solo = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE ({[customer].[EUROPE].[NATION_13],
+        |        [customer].[ASIA].[NATION_2]},
+        |       [time].[1995], [returnflag].[R])""".stripMargin, cube)
+      .collect().head.getAs[java.math.BigDecimal]("revenue").doubleValue()
+    assert(cell(("EU13 and AS2", "R")) === solo)
+  }
+
+  test("a mixed-depth other factor routes the dim-calc crossjoin " +
+      "through the fallback and keeps per-depth tuples") {
+    val rows = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[EU13 and AS2]},
+        |            {[time].[1995], [time].[1995].[1995-Q1]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(rows.length === 2)
+    def solo(where: String): Double = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE ({[customer].[EUROPE].[NATION_13],
+        |        [customer].[ASIA].[NATION_2]}, $where)""".stripMargin,
+      cube).collect().head
+      .getAs[java.math.BigDecimal]("revenue").doubleValue()
+    val byQ = rows.map(r => Option(r.getAs[String]("d_yq")) ->
+      r.getAs[java.math.BigDecimal]("revenue").doubleValue()).toMap
+    assert(byQ(None) === solo("[time].[1995]"))
+    assert(byQ(Some("1995-Q1")) === solo("[time].[1995].[1995-Q1]"))
+  }
+
   test("a calc member in a compound WHERE set joins the OR union; " +
       "cross-dim calc sets and computed slicer sets refuse loudly") {
     def cell(mdx: String): Any =
@@ -1053,6 +1099,9 @@ class MdxSpec extends SparkSpec {
     // the calc member's own hierarchy in another factor
     refusal(q("CROSSJOIN({[customer].[EU13 and AS2]}, " +
       "{[customer].[ASIA]})"))
+    // NonEmptyCrossJoin does not decompose into plain factors
+    refusal(q("NONEMPTYCROSSJOIN({[customer].[EU13 and AS2]}, " +
+      "{[time].[1995]})"))
     // calc members on BOTH factors
     refusal(
       s"""WITH $Eu13As2Def
