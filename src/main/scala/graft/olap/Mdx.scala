@@ -307,8 +307,15 @@ object Mdx {
       case _ => None
     }
     val returnIdx = kwIdx("RETURN", selectIdx + 1)
-    val inner = if (returnIdx < 0) toks.drop(selectIdx)
-                else toks.slice(selectIdx, returnIdx)
+    // a WITH clause ahead of the SELECT belongs to the inner query
+    // (calc members / named sets are legal in a drilled statement);
+    // dropping it would leave the member names unexpanded downstream
+    val withIdx = kwIdx("WITH", 0) match {
+      case i if i >= 0 && i < selectIdx => i
+      case _                            => selectIdx
+    }
+    val inner = if (returnIdx < 0) toks.drop(withIdx)
+                else toks.slice(withIdx, returnIdx)
     // RETURN field forms (reference result.rb parse_return_fields):
     //   Name([dim].[level])            → the level's name column
     //   Property([dim].[level], 'p')   → a member-property column
@@ -390,7 +397,8 @@ object Mdx {
     }
     val ir = new P(inner, cube).query()
     new Planner(cube).drillThrough(ir.slicer, returnCols,
-      dims = dimLevels, maxRows = maxRows)
+      dims = dimLevels, maxRows = maxRows,
+      withMembers = ir.withMembers, withSets = ir.withSets)
   }
 
   private final class P(toks0: Vector[Tok], cube: BoundCube,

@@ -36,6 +36,10 @@ final class Planner(val cube: BoundCube) {
     */
   private var neededMeasures: Seq[Measure] = cube.measures
   private var neededCalcs: Seq[CalcMember] = cube.calcMembers
+  // every calc member in scope (schema + WITH), unfiltered: member-path
+  // LITERALS in sets don't register in pruneFor's text scan, so
+  // "is this path a calc member" checks must not rely on neededCalcs
+  private var allCalcMembers: Seq[CalcMember] = cube.calcMembers
 
   /** Expression strings referenced anywhere in a set tree (filter
     * conditions, order keys, top-k measures).
@@ -75,6 +79,7 @@ final class Planner(val cube: BoundCube) {
     */
   private def pruneFor(q: QueryIR): Unit = {
     val allCalcs = cube.calcMembers ++ q.withMembers
+    allCalcMembers = allCalcs
     spacedMeasureRx = buildSpacedRx(
       cube.measures.map(_.name) ++ allCalcs.map(_.name))
     var texts: Seq[String] =
@@ -1231,70 +1236,38 @@ final class Planner(val cube: BoundCube) {
       }
     }
 
-  def execute(q0pre: QueryIR): DataFrame = {
-    val dimCalcs = (cube.calcMembers ++ q0pre.withMembers).collect {
+  /** Dim-hosted Aggregate calc members (mondrian_test.rb:197-246):
+    * name resolution, recursive set resolution, and the WHERE lowering
+    * shared by execute() and drillThrough(). Each member enumerates as
+    * ONE root-level member whose cells are the measures aggregated
+    * under its set's compound filter — in WHERE that means the set's
+    * per-dimension slicer items. A calc path reaching the ordinary
+    * Members lowering would predicate-filter to nothing (silent row
+    * loss, the one unacceptable failure mode), so every entry point
+    * expands through here or refuses loudly.
+    */
+  private final class DimCalcLowering(withMembers: Seq[CalcMember],
+      withSets: Map[String, SetExpr]) {
+    private val byName = (cube.calcMembers ++ withMembers).collect {
       case cm @ CalcMember(_, dc: DimAggCalc, _, _, _, _) =>
         cm.name.toLowerCase -> ((cm, dc))
     }.toMap
-    def calcOf(dim: String, path: Seq[Any]) = path.lastOption
-      .flatMap(n => dimCalcs.get(n.toString.toLowerCase))
-      .filter(_._2.dim.equalsIgnoreCase(dim))
-    // calc-path detection over ANY set tree (axis shapes, computed
-    // slicers): a calc path reaching the ordinary Members lowering
-    // predicate-filters to nothing — silent row loss, the one
-    // unacceptable failure mode
-    def hasCalcPath(s: SetExpr, seen: Set[String]): Boolean = s match {
-      case Members(d, ps) => ps.exists(p => calcOf(d, p).isDefined)
-      case NamedSetRef(n) => !seen(n) &&
-        q0pre.withSets.get(n).exists(hasCalcPath(_, seen + n))
-      // every SetExpr is a case class: walk nested sets generically
-      case other: Product => other.productIterator.exists {
-        case e: SetExpr => hasCalcPath(e, seen)
-        case _          => false
-      }
-    }
-    // computed slicer sets resolve to member rows right below — a calc
-    // path inside one would silently vanish there, so refuse first
-    if (dimCalcs.nonEmpty) q0pre.slicer.foreach {
-      case EvalSlice(set) =>
-        require(!hasCalcPath(set, Set.empty),
-          "calculated member inside a computed slicer set is not " +
-            "supported — name the member directly in WHERE instead")
-      case _ => ()
-    }
-    val q0 = q0pre.copy(
-      slicer = resolveSlicer(q0pre.slicer, q0pre.withSets))
-    // PAGES/CHAPTERS/SECTIONS lower to outer products with ROWS:
-    // CrossJoin order is left-major, which is exactly Mondrian's
-    // axis-ordinal iteration (higher axes vary slowest, so SECTIONS is
-    // outermost). A query naming no measures gets the cube's default
-    // measure (reference: queries without a COLUMNS axis still
-    // evaluate cells, query_test.rb:743-746).
-    val outerAxes = Seq(q0.sections, q0.chapters, q0.pages).flatten
-    val q1 =
-      if (outerAxes.isEmpty) q0
-      else q0.copy(
-        rows = Some((outerAxes ++ q0.rows.toSeq).reduceRight(CrossJoin(_, _))),
-        pages = None, chapters = None, sections = None)
-    val qPre = if (q1.measures.nonEmpty) q1
-               else q1.copy(measures = Seq(cube.defaultMeasureName))
-    // dim-hosted Aggregate calc members on the axis (mondrian_test.rb
-    // :197-246): each enumerates as ONE root-level member whose cells
-    // are the measures aggregated under its set's compound filter —
-    // lowered to a per-member sub-query with the (recursively
-    // resolved) set as an extra computed slicer, unioned with the
-    // member name as the root-level label. No member-frame synthesis:
-    // the set-slicer machinery already computes exactly these cells.
+    def isEmpty: Boolean = byName.isEmpty
+    /** The calc member a literal path denotes, if its LAST segment
+      * names one hosted on `dim` (member names are unique per dim).
+      */
+    def of(dim: String, path: Seq[Any]): Option[(CalcMember, DimAggCalc)] =
+      path.lastOption.flatMap(n => byName.get(n.toString.toLowerCase))
+        .filter(_._2.dim.equalsIgnoreCase(dim))
     // nested calc references resolve to the union of their sets;
     // the seen-set breaks definition cycles loudly
     def resolve(s: SetExpr, seen: Set[String]): SetExpr = s match {
       case Members(dm, ps) =>
-        val (calc, plain) =
-          ps.partition(p => calcOf(dm, p).isDefined)
+        val (calc, plain) = ps.partition(p => of(dm, p).isDefined)
         val sets =
           (if (plain.nonEmpty) Seq(Members(dm, plain)) else Nil) ++
           calc.map { p =>
-            val (cm, dc) = calcOf(dm, p).get
+            val (cm, dc) = of(dm, p).get
             require(!seen(cm.name.toLowerCase),
               s"calculated member [${cm.name}] aggregates itself")
             resolve(dc.set, seen + cm.name.toLowerCase)
@@ -1309,43 +1282,69 @@ final class Planner(val cube: BoundCube) {
     // a top-level crossjoin pins several dimensions: one slicer
     // entry per side (the computed-slicer resolver is per-dim,
     // same decomposition as the MDX WHERE lowering)
-    def slices(s: SetExpr): Seq[SlicerItem] = s match {
+    private def slices(s: SetExpr): Seq[SlicerItem] = s match {
       case CrossJoin(a, b) => slices(a) ++ slices(b)
-      case other => Seq(EvalSlice(other))
+      case other           => Seq(EvalSlice(other))
     }
-    // a dim-calc member in WHERE slices by its (resolved) set — the
-    // compound-slicer form; a formula naming a nonexistent member
-    // resolves to the empty set, nulling cells without erroring
-    // (mondrian_test.rb:328-335). A compound (same-dim set) WHERE entry
-    // may mix stored and calc paths: the calc's resolved set joins the
-    // OR union, provided it stays on the host dimension (a cross-dim
-    // set cannot distribute over a same-dim OR — refuse loudly).
-    // Computed slicer sets with a calc path were refused at entry.
-    val qs =
-      if (dimCalcs.isEmpty) qPre
-      else qPre.copy(slicer = qPre.slicer.flatMap {
+    /** The calc member's resolved set as compound slicer items. */
+    def sliceOf(cm: CalcMember, dc: DimAggCalc): Seq[SlicerItem] =
+      slices(resolve(dc.set, Set(cm.name.toLowerCase)))
+    /** True when any literal path anywhere in the set tree names a
+      * calc member (named-set refs chased; cycles tolerated).
+      */
+    def hasCalcPath(s: SetExpr, seen: Set[String]): Boolean = s match {
+      case Members(d, ps) => ps.exists(p => of(d, p).isDefined)
+      case NamedSetRef(n) => !seen(n) &&
+        withSets.get(n).exists(hasCalcPath(_, seen + n))
+      // every SetExpr is a case class: walk nested sets generically
+      case other: Product => other.productIterator.exists {
+        case e: SetExpr => hasCalcPath(e, seen)
+        case _          => false
+      }
+    }
+    def calcNames(s: SetExpr, seen: Set[String]): Seq[String] = s match {
+      case Members(d, ps) => ps.flatMap(p => of(d, p).map(_._1.name))
+      case NamedSetRef(n) =>
+        if (seen(n)) Nil
+        else withSets.get(n).toSeq.flatMap(calcNames(_, seen + n))
+      case other: Product => other.productIterator.toSeq.flatMap {
+        case e: SetExpr => calcNames(e, seen)
+        case _          => Nil
+      }
+    }
+    /** WHERE lowering, applied BEFORE slicer resolution: a calc member
+      * slices by its (recursively resolved) set — the compound-slicer
+      * form; a formula naming a nonexistent member resolves to the
+      * empty set, nulling cells without erroring
+      * (mondrian_test.rb:328-335). A compound (same-dim set) entry may
+      * mix stored and calc paths: the calc's resolved set joins the OR
+      * union, provided it stays on the host dimension (a cross-dim set
+      * cannot distribute over a same-dim OR — refuse loudly). Computed
+      * slicer sets containing a calc path refuse loudly too: they
+      * resolve to member rows where the calc would silently vanish.
+      */
+    def expandSlicer(slicer: Seq[SlicerItem]): Seq[SlicerItem] =
+      if (isEmpty) slicer
+      else slicer.flatMap {
         case ms @ MemberSlice(dim, path) =>
-          calcOf(dim, path) match {
-            case Some((cm, dc)) =>
-              slices(resolve(dc.set, Set(cm.name.toLowerCase)))
-            case None => Seq(ms)
+          of(dim, path) match {
+            case Some((cm, dc)) => sliceOf(cm, dc)
+            case None           => Seq(ms)
           }
         case ss @ SetSlice(dim, paths) =>
-          val (calcPs, stored) =
-            paths.partition(p => calcOf(dim, p).isDefined)
+          val (calcPs, stored) = paths.partition(p => of(dim, p).isDefined)
           if (calcPs.isEmpty) Seq(ss)
           else {
             val calcItems = calcPs.flatMap { p =>
-              val (cm, dc) = calcOf(dim, p).get
-              val items =
-                slices(resolve(dc.set, Set(cm.name.toLowerCase)))
+              val (cm, dc) = of(dim, p).get
+              val items = sliceOf(cm, dc)
               // mixed with other same-dim entries, the calc set must
               // stay on the host dim so the compound OR is well-formed;
               // a lone calc in braces behaves like the member form
               if (stored.nonEmpty || calcPs.length > 1) {
                 val dims = items.flatMap {
                   case EvalSlice(set) =>
-                    evalSet(set, Nil, qPre.withSets).dims.map(_.d.name)
+                    evalSet(set, Nil, withSets).dims.map(_.d.name)
                   case MemberSlice(d, _) => Seq(d)
                   case SetSlice(d, _)    => Seq(d)
                   case ExprSlice(_, ds)  => ds
@@ -1361,8 +1360,48 @@ final class Planner(val cube: BoundCube) {
             (if (stored.nonEmpty) Seq(SetSlice(dim, stored)) else Nil) ++
               calcItems
           }
+        case es @ EvalSlice(set) =>
+          require(!hasCalcPath(set, Set.empty),
+            "calculated member inside a computed slicer set is not " +
+              "supported — name the member directly in WHERE instead")
+          Seq(es)
         case other => Seq(other)
-      })
+      }
+  }
+
+  /** Expand dim-hosted calc members in a slicer against THIS cube's
+    * schema-level members (VirtualCube routes each base cube's slicer
+    * through here so a base-defined calc never silently filters the
+    * conformed grain to nothing).
+    */
+  private[olap] def expandDimCalcSlicer(
+      slicer: Seq[SlicerItem]): Seq[SlicerItem] =
+    new DimCalcLowering(Nil, Map.empty).expandSlicer(slicer)
+
+  def execute(q0pre: QueryIR): DataFrame = {
+    // dim-hosted Aggregate calc members in WHERE expand to their
+    // compound set slicers (and unsupported slicer shapes refuse)
+    // BEFORE resolution — a calc path reaching the ordinary set
+    // machinery would predicate-filter to nothing silently
+    val dcl = new DimCalcLowering(q0pre.withMembers, q0pre.withSets)
+    val q0 = q0pre.copy(
+      slicer = resolveSlicer(dcl.expandSlicer(q0pre.slicer),
+        q0pre.withSets))
+    // PAGES/CHAPTERS/SECTIONS lower to outer products with ROWS:
+    // CrossJoin order is left-major, which is exactly Mondrian's
+    // axis-ordinal iteration (higher axes vary slowest, so SECTIONS is
+    // outermost). A query naming no measures gets the cube's default
+    // measure (reference: queries without a COLUMNS axis still
+    // evaluate cells, query_test.rb:743-746).
+    val outerAxes = Seq(q0.sections, q0.chapters, q0.pages).flatten
+    val q1 =
+      if (outerAxes.isEmpty) q0
+      else q0.copy(
+        rows = Some((outerAxes ++ q0.rows.toSeq).reduceRight(CrossJoin(_, _))),
+        pages = None, chapters = None, sections = None)
+    val qPre = if (q1.measures.nonEmpty) q1
+               else q1.copy(measures = Seq(cube.defaultMeasureName))
+    val qs = qPre
     // Detect dim-hosted calc members in ANY rows-axis shape — never
     // just the bare literal Members arm. A calc path that reaches the
     // ordinary Members lowering predicate-filters to nothing and the
@@ -1379,31 +1418,22 @@ final class Planner(val cube: BoundCube) {
       case CrossJoin(a, b) => splitCross(a) ++ splitCross(b)
       case other           => Seq(other)
     }
-    def calcNames(s: SetExpr, seen: Set[String]): Seq[String] = s match {
-      case Members(d, ps) => ps.flatMap(p => calcOf(d, p).map(_._1.name))
-      case NamedSetRef(n) =>
-        if (seen(n)) Nil
-        else qs.withSets.get(n).toSeq.flatMap(calcNames(_, seen + n))
-      case other: Product => other.productIterator.toSeq.flatMap {
-        case e: SetExpr => calcNames(e, seen)
-        case _          => Nil
-      }
-    }
     val rowsFactors =
-      if (dimCalcs.isEmpty) Nil
+      if (dcl.isEmpty) Nil
       else qs.rows.map(splitCross).getOrElse(Nil)
-    val calcFactorIdx = rowsFactors.indexWhere(hasCalcPath(_, Set.empty))
+    val calcFactorIdx =
+      rowsFactors.indexWhere(dcl.hasCalcPath(_, Set.empty))
     if (calcFactorIdx >= 0) {
       def refuse(why: String): Nothing = throw new IllegalArgumentException(
         "calculated member(s) " +
-          calcNames(qs.rows.get, Set.empty).distinct
+          dcl.calcNames(qs.rows.get, Set.empty).distinct
             .mkString("[", "], [", "]") +
           s" in an unsupported axis set shape ($why): a dim-hosted " +
           "Aggregate member is supported in a literal member set, " +
           "optionally CrossJoined with calculated-member-free sets on " +
           "other dimensions — rewrite the axis set or move the member " +
           "to WHERE")
-      if (rowsFactors.count(hasCalcPath(_, Set.empty)) > 1)
+      if (rowsFactors.count(dcl.hasCalcPath(_, Set.empty)) > 1)
         refuse("calc members in more than one CrossJoin factor")
       val (dim, paths) = rowsFactors(calcFactorIdx) match {
         case Members(d, ps) => (d, ps)
@@ -1432,9 +1462,8 @@ final class Planner(val cube: BoundCube) {
           evalSet(set, Nil, qs.withSets).dims.map(_.d.name)
       }.toSet
       if (otherDims.nonEmpty) {
-        val constrained = paths.flatMap(p => calcOf(dim, p).toSeq).flatMap {
-          case (cm, dc) =>
-            itemDims(slices(resolve(dc.set, Set(cm.name.toLowerCase))))
+        val constrained = paths.flatMap(p => dcl.of(dim, p).toSeq).flatMap {
+          case (cm, dc) => itemDims(dcl.sliceOf(cm, dc))
         }.toSet
         val clash = otherDims.map(_.d.name).filter(constrained)
         if (clash.nonEmpty)
@@ -1476,12 +1505,10 @@ final class Planner(val cube: BoundCube) {
         case class AxisEntry(idx: Int, name: String, isCalc: Boolean,
           items: Seq[SlicerItem])
         val entries = paths.zipWithIndex.map { case (p, i) =>
-          calcOf(dim, p) match {
+          dcl.of(dim, p) match {
             case Some((cm, dc)) =>
               AxisEntry(i, cm.name, isCalc = true,
-                resolveSlicer(
-                  slices(resolve(dc.set, Set(cm.name.toLowerCase))),
-                  qs.withSets))
+                resolveSlicer(dcl.sliceOf(cm, dc), qs.withSets))
             case None =>
               AxisEntry(i, p.last.toString, isCalc = false,
                 Seq(MemberSlice(dim, p)))
@@ -1579,10 +1606,10 @@ final class Planner(val cube: BoundCube) {
       // both via position keys; parity)
       val runs = paths.foldLeft(Vector.empty[Vector[Seq[Any]]]) {
         (acc, p) =>
-          val isCalc = calcOf(dim, p).isDefined
+          val isCalc = dcl.of(dim, p).isDefined
           acc.lastOption match {
             case Some(run)
-                if !isCalc && calcOf(dim, run.head).isEmpty &&
+                if !isCalc && dcl.of(dim, run.head).isEmpty &&
                   run.head.length == p.length && !run.contains(p) =>
               acc.init :+ (run :+ p)
             case _ => acc :+ Vector(p)
@@ -1597,15 +1624,14 @@ final class Planner(val cube: BoundCube) {
         .filter(m => m.agg == Agg.Count || m.agg == Agg.DistinctCount)
         .map(_.name).filter(qs.measures.contains)
       val parts = runs.zip(starts).map { case (run, start) =>
-        calcOf(dim, run.head) match {
+        dcl.of(dim, run.head) match {
           case Some((cm, dc)) =>
             // rows = the remaining crossjoin factors (None for a pure
             // literal set): each calc row exists per other-factor
             // tuple; NON EMPTY is applied once at the top, AFTER the
             // count coalesce, so both paths agree on count-0 rows
             val sub = qs.copy(rows = otherSet, nonEmpty = false,
-              slicer = qs.slicer ++
-                slices(resolve(dc.set, Set(cm.name.toLowerCase))))
+              slicer = qs.slicer ++ dcl.sliceOf(cm, dc))
             val base = execute(sub).withColumn(label, lit(cm.name))
               .withColumn("__ord", lit(start))
             // counts over an empty subcube are ZERO on a calc row
@@ -1714,9 +1740,43 @@ final class Planner(val cube: BoundCube) {
     * grain. One extra aggregation + a broadcast join — the set member
     * frame stays on the dimension side, never a fact re-scan per cell.
     */
+  /** Sum/Avg/Aggregate(set) and LinReg series sets iterate member
+    * VALUES; a dim-hosted calc member inside one would need per-member
+    * cell evaluation (its value is itself an aggregate), which the
+    * subcube-fold lowering cannot express — and the ordinary set
+    * machinery would silently filter the synthetic name to nothing.
+    * Refuse loudly instead (the engine-wide dim-calc principle:
+    * execute or refuse, never drop). Checked against ALL calc members
+    * in scope — a member-path literal never registers in pruneFor's
+    * text scan, so neededCalcs would miss it.
+    */
+  private def requireNoDimCalcMember(set: SetExpr,
+      withSets: Map[String, SetExpr], ctx: String): Unit = {
+    val hosted = allCalcMembers.collect {
+      case CalcMember(n, dc: DimAggCalc, _, _, _, _) =>
+        n.toLowerCase -> dc.dim.toLowerCase
+    }.toMap
+    if (hosted.isEmpty) return
+    def walk(s: SetExpr, seen: Set[String]): Boolean = s match {
+      case Members(d, ps) => ps.exists(p => p.lastOption.exists(n =>
+        hosted.get(n.toString.toLowerCase).contains(d.toLowerCase)))
+      case NamedSetRef(n) => !seen(n) &&
+        withSets.get(n).exists(walk(_, seen + n))
+      case other: Product => other.productIterator.exists {
+        case e: SetExpr => walk(e, seen)
+        case _          => false
+      }
+    }
+    require(!walk(set, Set.empty),
+      s"calculated member inside $ctx is not supported — aggregate " +
+        "the member's own set there instead")
+  }
+
   private def setAggColumn(acc: DataFrame, name: String, sac: SetAggCalc,
       axisDims: Seq[AxisDim], slicer: Seq[SlicerItem],
       withSets: Map[String, SetExpr]): DataFrame = {
+    requireNoDimCalcMember(sac.set, withSets,
+      s"the ${sac.fn}(set) of measure [$name]")
     val frame = evalSet(sac.set, slicer, withSets)
     val setKeys = frame.dims.flatMap(fd => levelCols(fd.d, fd.depth))
     if (sac.fn == "COUNT" && sac.includeEmpty) {
@@ -1806,6 +1866,8 @@ final class Planner(val cube: BoundCube) {
   private def linRegColumn(acc: DataFrame, name: String, lrc: LinRegCalc,
       axisDims: Seq[AxisDim], slicer: Seq[SlicerItem],
       withSets: Map[String, SetExpr]): DataFrame = {
+    requireNoDimCalcMember(lrc.set, withSets,
+      s"the LinReg series set of measure [$name]")
     val frame = evalSet(lrc.set, slicer, withSets)
     val setKeys = frame.dims.flatMap(fd => levelCols(fd.d, fd.depth))
     // context override as in setAggColumn: a series over a hierarchy
@@ -2029,10 +2091,18 @@ final class Planner(val cube: BoundCube) {
       dims: Map[String, String] = Map.empty,
       nonEmptyCol: Option[String] = None,
       maxRows: Option[Int] = None,
-      groupByFields: Boolean = false): DataFrame = {
+      groupByFields: Boolean = false,
+      withMembers: Seq[CalcMember] = Nil,
+      withSets: Map[String, SetExpr] = Map.empty): DataFrame = {
     // computed (EvalSlice) entries resolve here too — DRILLTHROUGH
-    // with a computed WHERE arrives unresolved (Mdx drillThrough path)
-    val allSlicer = resolveSlicer(slicer) ++ roleSlicer
+    // with a computed WHERE arrives unresolved (Mdx drillThrough path).
+    // Dim-hosted Aggregate calc members in WHERE expand to their
+    // compound set first: drilling the calc cell returns the rows of
+    // its aggregated region (the execute() WHERE convention) — the
+    // synthetic name would otherwise filter to zero rows silently.
+    val expanded = new DimCalcLowering(withMembers, withSets)
+      .expandSlicer(slicer)
+    val allSlicer = resolveSlicer(expanded) ++ roleSlicer
     val depths = dims.map { case (d, lvl) => d -> cube.dim(d).levelIndex(lvl) }
     val needed = neededJoins(Nil, allSlicer) ++ depths
     val star = joinStar(needed, allSlicer, returnCols)

@@ -143,7 +143,7 @@ final class Query private (
       maxRows: Option[Int] = None,
       groupBy: Boolean = false): DataFrame =
     new Planner(cube).drillThrough(slicer, returnCols, dims, nonEmptyCol,
-      maxRows, groupBy)
+      maxRows, groupBy, withMembers = withMembers, withSets = withSets)
 }
 
 object Query {

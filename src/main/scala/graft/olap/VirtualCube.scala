@@ -32,7 +32,25 @@ final class VirtualCube(
     * filters per base cube like any other (a base cube lacking the
     * dimension skips it instead of crashing on an unknown dim).
     */
-  private def resolveComputed(slicer: Seq[SlicerItem]): Seq[SlicerItem] =
+  /** Dim-hosted calc members defined on a base cube expand to their
+    * compound set against the FIRST base that knows them; the
+    * conformed-dimension result then applies to every base sharing the
+    * dimension (Mondrian virtual cubes import calculated members).
+    * Without this, the synthetic member name would predicate-filter
+    * every base to zero rows silently. Refusals (cross-dim compound
+    * mixes, calc in a computed set) propagate loudly.
+    */
+  private def expandCalcs(slicer: Seq[SlicerItem]): Seq[SlicerItem] =
+    slicer.flatMap { item =>
+      bases.iterator
+        .map { case (bc, _) =>
+          new Planner(bc).expandDimCalcSlicer(Seq(item)) }
+        .find(_ != Seq(item))
+        .getOrElse(Seq(item))
+    }
+
+  private def resolveComputed(slicer0: Seq[SlicerItem]): Seq[SlicerItem] = {
+    val slicer = expandCalcs(slicer0)
     slicer.map {
       case e @ EvalSlice(_) =>
         // try each base cube; keep every failure so a GENUINE error
@@ -50,6 +68,7 @@ final class VirtualCube(
             s"cube '$name':\n  " + errs.result().mkString("\n  ")))
       case other => other
     }
+  }
 
   /** Aggregate every base cube at the conformed (dim, level) grain and
     * align on the shared level key columns.

@@ -1154,6 +1154,50 @@ class MdxSpec extends SparkSpec {
     assert(eu !== am)
   }
 
+  test("a dim-calc member inside a Measures-hosted Aggregate/Sum set " +
+      "or a LinReg series set refuses loudly") {
+    // Sum({calc}) iterates member VALUES — the subcube fold can't
+    // express a member whose value is itself an aggregate; the old
+    // behavior was a silent null cell
+    val e = intercept[IllegalArgumentException] {
+      Mdx.execute(
+        s"""WITH $Eu13As2Def
+          |MEMBER [Measures].[x] AS
+          |  'Sum({[customer].[EU13 and AS2]}, [Measures].[revenue])'
+          |SELECT {[Measures].[x]} ON COLUMNS
+          |FROM [Sales]""".stripMargin, cube).collect()
+    }
+    assert(e.getMessage.contains("not supported"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Mdx.execute(
+        s"""WITH $Eu13As2Def
+          |MEMBER [Measures].[sl] AS
+          |  'LinRegSlope({[customer].[EU13 and AS2],
+          |                [customer].[AMERICA]},
+          |    [Measures].[sum_qty], [Measures].[revenue])'
+          |SELECT {[Measures].[sl]} ON COLUMNS
+          |FROM [Sales]""".stripMargin, cube).collect()
+    }
+    assert(e2.getMessage.contains("not supported"), e2.getMessage)
+  }
+
+  test("DRILLTHROUGH on a dim-calc WHERE returns the rows of the " +
+      "aggregated region, never a silent zero") {
+    def keys(withC: String, where: String): Set[String] = Mdx.execute(
+      s"""DRILLTHROUGH $withC
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE $where
+        |RETURN [l_orderkey], [l_linenumber]""".stripMargin, cube)
+      .collect().map(r => s"${r.get(0)}:${r.get(1)}").toSet
+    val viaCalc = keys(s"WITH $Eu13As2Def",
+      "([customer].[EU13 and AS2])")
+    val viaUnion = keys("",
+      "{[customer].[EUROPE].[NATION_13], [customer].[ASIA].[NATION_2]}")
+    assert(viaUnion.nonEmpty)
+    assert(viaCalc === viaUnion)
+  }
+
   test("DRILLTHROUGH with a computed WHERE slicer resolves at entry") {
     val df = Mdx.execute(
       """DRILLTHROUGH MAXROWS 10

@@ -128,6 +128,30 @@ class ModelSpec extends SparkSpec {
       "non-overlapping years must yield one-sided (empty) cells")
   }
 
+  test("a base-cube dim-calc member in a virtual-cube slicer expands " +
+      "to its compound set on the conformed grain") {
+    import graft.olap._
+    val calc = CalcMember("EU13 and AS2", DimAggCalc("customer",
+      Members("customer", Seq(Seq("EUROPE", "NATION_13"),
+        Seq("ASIA", "NATION_2")))))
+    val salesWithCalc = Cubes.sales(spark, Sf)
+      .copy(calcMembers = Cubes.sales(spark, Sf).calcMembers :+ calc)
+    val vc = new VirtualCube("SalesAndEvents", Seq(
+      salesWithCalc -> Seq("revenue"),
+      Cubes.events(spark, Sf) -> Seq("n_events")))
+    def total(slicer: Seq[SlicerItem]): Any = {
+      val df = vc.aggregate(Seq(("time", "year")), slicer)
+      df.agg(org.apache.spark.sql.functions.sum("revenue")).collect()
+        .head.get(0)
+    }
+    val viaCalc = total(
+      Seq(MemberSlice("customer", Seq("EU13 and AS2"))))
+    val viaUnion = total(Seq(SetSlice("customer",
+      Seq(Seq("EUROPE", "NATION_13"), Seq("ASIA", "NATION_2")))))
+    assert(viaCalc != null, "the calc member silently matched nothing")
+    assert(viaCalc === viaUnion)
+  }
+
   test("virtual-cube drill-through sources the owning cube; foreign fields empty") {
     val vc = new VirtualCube("SalesAndEvents", Seq(
       Cubes.sales(spark, Sf) -> Seq("revenue"),
