@@ -974,6 +974,50 @@ class MdxSpec extends SparkSpec {
     assert(r.head.get(r.head.fieldIndex("revenue")) == null)
   }
 
+  test("crossjoined dim-calc details: duplicate literals stay distinct " +
+      "tuples, and a same-dim WHERE ORs into calc entries but ANDs " +
+      "into stored ones — fused and fallback alike") {
+    // duplicate literal member x other factor: two identical rows per
+    // year, never a doubled group (position-keyed entries)
+    val dup = Mdx.execute(
+      """WITH MEMBER [customer].[X] AS 'Aggregate({[customer].[ASIA]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[AMERICA], [customer].[AMERICA],
+        |             [customer].[X]}, {[time].[1995]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(dup.length === 3)
+    val am = dup.filter(_.getString(0) == "AMERICA")
+    assert(am.length === 2 && am(0).get(2) === am(1).get(2))
+    // same-dim WHERE: stored row kept with a null cell (slicer ANDs),
+    // calc row unions the slicer member into its set (compound OR)
+    def cells(measure: String, extra: String) = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |$extra
+        |SELECT {[Measures].[$measure]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[AMERICA], [customer].[EU13 and AS2]},
+        |            {[time].[1995]}) ON ROWS
+        |FROM [Sales]
+        |WHERE ([customer].[EUROPE].[NATION_13])""".stripMargin, cube)
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    val fused = cells("revenue", "")
+    assert(fused("AMERICA").isEmpty, "stored row must AND the slicer")
+    val union = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE ({[customer].[EUROPE].[NATION_13],
+        |        [customer].[ASIA].[NATION_2]}, [time].[1995])""".stripMargin,
+      cube).collect().head.get(0)
+    assert(fused("EU13 and AS2").get === union)
+    // the Measures-hosted calc forces the fallback; same semantics
+    val fb = cells("rev2",
+      "MEMBER [Measures].[rev2] AS [Measures].[revenue] * 2")
+    assert(fb("AMERICA").isEmpty)
+    assert(math.abs(
+      fb("EU13 and AS2").get.asInstanceOf[java.math.BigDecimal]
+        .doubleValue() -
+      2 * union.asInstanceOf[java.math.BigDecimal].doubleValue()) < 1e-6)
+  }
+
   test("a three-way crossjoin with a dim-calc factor groups by both " +
       "other factors' level columns") {
     val df = Mdx.execute(
