@@ -1534,14 +1534,22 @@ final class Planner(val cube: BoundCube) {
         val joinItems = qSlicer ++ entries.flatMap(_.items)
         val star = joinStar(neededJoins(otherDims, joinItems), joinItems)
         val sliced0 = star.filter(slicerPredicate(shared))
+        // a HIGH-CARDINALITY other factor (reference high_cardinality
+        // opt-out) must never ride a broadcast: its member frame and
+        // the (entry x member)-grained aggregate are both
+        // axis-cardinality-sized, which at scale is millions of rows —
+        // those joins stay shuffles; only the entry frame (N rows) is
+        // always broadcast-safe
+        val otherHighCard = otherDims.exists(_.d.highCardinality)
         // crossjoined factors restrict the fact to THEIR members early
-        // (broadcast semi-join — the frames are dimension-sized), so
-        // the groupBy never aggregates tuples the axis won't show
+        // (broadcast semi-join — dimension-sized), so the groupBy
+        // never aggregates tuples the axis won't show; skipped for a
+        // high-card factor, whose stray groups the final join drops
         val sliced = otherFrame0 match {
-          case Some(of) => sliced0.join(
+          case Some(of) if !otherHighCard => sliced0.join(
             broadcast(of.members.select(otherKeys.map(col): _*).distinct()),
             otherKeys, "left_semi")
-          case None => sliced0
+          case _ => sliced0
         }
         // entries are keyed by POSITION, never display name: leaf
         // captions repeat across parents (a Q1 under every year)
@@ -1571,12 +1579,15 @@ final class Planner(val cube: BoundCube) {
         import s.implicits._
         val entryFrame = entries.map(e => (e.idx, e.name, e.isCalc))
           .toDF("__entry", label, "__calc")
+        // the N-row entry frame is the broadcast side of the axis
+        // cross product, whatever the other factor's size
         val frame = otherFrame0 match {
-          case Some(of) => entryFrame.crossJoin(broadcast(of.members))
+          case Some(of) => of.members.crossJoin(broadcast(entryFrame))
           case None     => entryFrame
         }
+        val aggedSide = if (otherHighCard) agged else broadcast(agged)
         val joined0 = frame
-          .join(broadcast(agged), "__entry" +: otherKeys, "left")
+          .join(aggedSide, "__entry" +: otherKeys, "left")
         val countish = neededMeasures
           .filter(m => m.agg == Agg.Count || m.agg == Agg.DistinctCount)
           .map(_.name).filter(joined0.columns.contains)

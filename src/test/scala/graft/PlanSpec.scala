@@ -226,6 +226,27 @@ class PlanSpec extends SparkSpec {
       s"dimension joins must stay broadcast in the fused pass:\n$three")
   }
 
+  test("a high-cardinality other factor keeps the fused dim-calc " +
+      "crossjoin off the broadcast path with identical cells") {
+    def cells(c: graft.olap.BoundCube) = Mdx.execute(
+      """WITH MEMBER [customer].[A] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[A], [customer].[AFRICA]},
+        |            [time].[year].Members) ON ROWS
+        |FROM [Sales]""".stripMargin, c).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.get(2)).toMap
+    val normal = cells(cube)
+    // the flag reroutes the member frame and the (entry x member)
+    // aggregate off the broadcast hints (they are axis-cardinality-
+    // sized at scale); the cells must not change
+    val hc = cells(cube.copy(dims = cube.dims.map(d =>
+      if (d.name == "time") d.copy(highCardinality = true) else d)))
+    assert(hc === normal)
+    assert(normal.nonEmpty)
+  }
+
   test("jaccard verify phase never broadcasts the shingled corpus") {
     val docs = Tables.load(spark, Sf, "documents")
     val df = graft.ops.DedupOps.jaccardPairs(docs, 0.5)
