@@ -941,6 +941,17 @@ class MdxSpec extends SparkSpec {
         |       [returnflag].[A])""".stripMargin, cube).collect().head
       .getAs[java.math.BigDecimal]("revenue").doubleValue()
     assert(rows("A") === soloA)
+    // the REVERSE shape — the calc member ON PAGES itself — folds to
+    // the same crossjoin factor and must carry the same cells
+    val reversed = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  [returnflag].[returnflag].Members ON ROWS,
+        |  {[customer].[EU13 and AS2]} ON PAGES
+        |FROM [Sales]""".stripMargin, cube).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        r.getAs[java.math.BigDecimal]("revenue").doubleValue()).toMap
+    assert(reversed === rows)
   }
 
   test("NON EMPTY prunes empty dim-calc tuples on the crossjoined " +
