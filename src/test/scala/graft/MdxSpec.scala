@@ -985,6 +985,16 @@ class MdxSpec extends SparkSpec {
     assert(r.head.get(r.head.fieldIndex("revenue")) == null)
   }
 
+  test("the crossjoined dim-calc query round-trips through toMdx") {
+    val ir = Mdx.parse(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[AMERICA], [customer].[EU13 and AS2]},
+        |            {[time].[1995], [time].[1996]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(Mdx.parse(Mdx.renderQuery(ir, cube.name), cube) === ir)
+  }
+
   test("crossjoined dim-calc details: duplicate literals stay distinct " +
       "tuples, and a same-dim WHERE ORs into calc entries but ANDs " +
       "into stored ones — fused and fallback alike") {
