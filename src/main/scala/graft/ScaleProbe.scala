@@ -83,6 +83,27 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("dimcalccj")) {
+      // fused dim-calc crossjoin at scale: a computed (LevelMembers)
+      // other factor at sf0.1 vs the true-10x corpus — the plan is one
+      // fact pass whatever the entry count, so wall should track the
+      // fact scan, not N. Second arg = sf dir (default sf0.1).
+      import graft.olap.Mdx
+      val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val cube = graft.Cubes.sales(spark, dir)
+      val q =
+        """WITH MEMBER [customer].[EU13 and AS2] AS
+          |  'Aggregate({[customer].[EUROPE].[NATION_13],
+          |              [customer].[ASIA].[NATION_2]})'
+          |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+          |  CROSSJOIN({[customer].[AMERICA], [customer].[EU13 and AS2],
+          |             [customer].[AFRICA], [customer].[EUROPE]},
+          |            [time].[month].Members) ON ROWS
+          |FROM [Sales]""".stripMargin
+      for (pass <- 1 to 2)
+        time(s"dimcalc cj x months p$pass")(Mdx.execute(q, cube).count())
+      return
+    }
     if (args.headOption.contains("components")) {
       // componentsAuto crossover probe: the driver union-find path is
       // capped at 2M deduped edges; above it the distributed star
