@@ -236,6 +236,16 @@ object Mdx {
           (c == '.' && i + 1 < n && in(i + 1).isDigit)) {
         val start = i
         while (i < n && (in(i).isDigit || in(i) == '.')) i += 1
+        // approximate-numeric exponent suffix (1.05E8, 2e-3) — part of
+        // the literal, not a trailing identifier
+        if (i < n && (in(i) == 'e' || in(i) == 'E')) {
+          var j = i + 1
+          if (j < n && (in(j) == '+' || in(j) == '-')) j += 1
+          if (j < n && in(j).isDigit) {
+            i = j
+            while (i < n && in(i).isDigit) i += 1
+          }
+        }
         out += TNum(in.substring(start, i))
       } else if (c.isLetter || c == '_') {
         val start = i
@@ -709,6 +719,9 @@ object Mdx {
               f.equalsIgnoreCase("STRTOSET") ||
               f.equalsIgnoreCase("STRTOMEMBER") ||
               withSets.contains(f)
+          // a nested braced set ({{a}, {b}} — set concatenation,
+          // duplicates kept, like Mondrian's SetListCalc over subsets)
+          case Some(TPunct("{")) => true
           case _ => false
         }
         // `.Members`-style suffixes inside braces ({[d].[l].Members},

@@ -965,6 +965,52 @@ final class Planner(val cube: BoundCube) {
         s"cast(${levelCols(ad.d, ad.depth).last} as string)")
     }
 
+  /** Apply evaluate-then-prune [[EntryOp]]s to a calc-bearing axis
+    * result keyed by a 1-based `__pos` position column: Filter prunes
+    * rows by the cell predicate, Order(B) re-ranks by the computed key
+    * (prior position breaks ties — a stable sort, like Mondrian's),
+    * Head/Tail/Subset slice the surviving order. Positions renumber
+    * after each op so downstream positional ops see MDX's "current
+    * order" (FilterFunDef preserves input order; a Head above it
+    * counts the FILTERED set). The frame is entry-count-sized — the
+    * literal member list, never the fact — so the single-partition
+    * rank window is cheap by construction and no op re-touches the
+    * scan.
+    */
+  private def applyEntryOps(df0: DataFrame, ops: Seq[EntryOp],
+      dim: String, label: String): DataFrame = {
+    def resolve(e: String): Column = {
+      var c = e.replace(s"__CURRENT_NAME_${dim}__",
+        s"cast(`$label` as string)")
+      if (c.contains("__CURRENT_ORDINAL__"))
+        c = c.replace("__CURRENT_ORDINAL__", "(`__pos` - 1)")
+      require(!c.contains("__CURRENT_"),
+        "CurrentMember macros over a calculated-member-bearing set " +
+          s"support only [$dim].CurrentMember.Name and CurrentOrdinal " +
+          s"(a calc member has no dimension row to read): $e")
+      sexpr(c)
+    }
+    def renum(df: DataFrame): DataFrame =
+      df.withColumn("__pos",
+        row_number().over(Window.orderBy(col("__pos").asc)).cast("long"))
+    ops.foldLeft(df0) { (df, op) => op match {
+      case EntryFilter(cond) => renum(df.filter(resolve(cond)))
+      case EntryOrder(e, dir) =>
+        val key = resolve(e)
+        val sort =
+          if (dir == SortDir.BDesc) key.desc_nulls_last
+          else key.asc_nulls_last
+        df.withColumn("__pos", row_number()
+          .over(Window.orderBy(sort, col("__pos").asc)).cast("long"))
+      case EntryHead(n) => df.filter(col("__pos") <= n)
+      case EntryTail(n) =>
+        renum(Ords.withTotal(df, "__cnt")
+          .filter(col("__pos") > col("__cnt") - n).drop("__cnt"))
+      case EntrySubset(start, n) =>
+        renum(df.filter(col("__pos") > start && col("__pos") <= start + n))
+    }}
+  }
+
   /** Resolve `[dim].CurrentMember.Properties('P')` macros: join the
     * dimension's property column in by the deepest level key (one
     * broadcast of a two-column dim projection), then substitute the
@@ -1312,6 +1358,69 @@ final class Planner(val cube: BoundCube) {
         case _          => Nil
       }
     }
+    /** Flatten a calc-bearing set-function tree to ONE literal entry
+      * list on one dimension, plus post-evaluation [[EntryOp]]s. Union
+      * concatenates position-keyed entries (UnionFunDef: the non-ALL
+      * form dedups, first occurrence wins); Head/Tail/Subset/Distinct
+      * BELOW any Filter/Order slice the path list directly (positions
+      * are known before any cell exists); ABOVE one they become
+      * post-evaluation ops, as do Filter/Order themselves (their
+      * conditions need cell values first — evaluate-then-prune). Left
+      * = the reason the shape stays unsupported (refused by the
+      * caller, never silently dropped).
+      */
+    def flatten(s0: SetExpr)
+        : Either[String, (String, Vector[Seq[Any]], Vector[EntryOp])] = {
+      def deref(s: SetExpr, seen: Set[String]): SetExpr = s match {
+        case NamedSetRef(n) if !seen(n) && withSets.contains(n) =>
+          deref(withSets(n), seen + n)
+        case other => other
+      }
+      def go(s: SetExpr)
+          : Either[String, (String, Vector[Seq[Any]], Vector[EntryOp])] =
+        deref(s, Set.empty) match {
+          case Members(d, ps) => Right((d, ps.toVector, Vector.empty))
+          case UnionSet(a, b, all) =>
+            go(a).flatMap { case (da, pa, oa) =>
+              go(b).flatMap { case (db, pb, ob) =>
+                if (!da.equalsIgnoreCase(db))
+                  Left(s"Union of sets on [$da] and [$db]")
+                else if (oa.nonEmpty || ob.nonEmpty)
+                  Left("Union over a filtered/ordered side")
+                else Right((da,
+                  if (all) pa ++ pb else (pa ++ pb).distinct,
+                  Vector.empty))
+              }
+            }
+          case DistinctSet(inner) => go(inner).flatMap {
+            case (d, ps, ops) if ops.isEmpty => Right((d, ps.distinct, ops))
+            case _ => Left("Distinct over a filtered/ordered set")
+          }
+          case HeadSet(inner, n) => go(inner).map {
+            case (d, ps, ops) if ops.isEmpty => (d, ps.take(n max 0), ops)
+            case (d, ps, ops)                => (d, ps, ops :+ EntryHead(n))
+          }
+          case TailSet(inner, n) => go(inner).map {
+            case (d, ps, ops) if ops.isEmpty =>
+              (d, ps.takeRight(n max 0), ops)
+            case (d, ps, ops) => (d, ps, ops :+ EntryTail(n))
+          }
+          case SubsetSet(inner, start, n) => go(inner).map {
+            case (d, ps, ops) if ops.isEmpty =>
+              (d, ps.slice(start, start + n), ops)
+            case (d, ps, ops) => (d, ps, ops :+ EntrySubset(start, n))
+          }
+          case FilterSet(inner, cond) => go(inner).map {
+            case (d, ps, ops) => (d, ps, ops :+ EntryFilter(cond))
+          }
+          case OrderSet(inner, e, dir) => go(inner).map {
+            case (d, ps, ops) => (d, ps, ops :+ EntryOrder(e, dir))
+          }
+          case other =>
+            Left(s"calc path nested inside ${other.getClass.getSimpleName}")
+        }
+      go(s0)
+    }
     /** WHERE lowering, applied BEFORE slicer resolution: a calc member
       * slices by its (recursively resolved) set — the compound-slicer
       * form; a formula naming a nonexistent member resolves to the
@@ -1361,10 +1470,21 @@ final class Planner(val cube: BoundCube) {
               calcItems
           }
         case es @ EvalSlice(set) =>
-          require(!hasCalcPath(set, Set.empty),
-            "calculated member inside a computed slicer set is not " +
-              "supported — name the member directly in WHERE instead")
-          Seq(es)
+          if (!hasCalcPath(set, Set.empty)) Seq(es)
+          else flatten(set) match {
+            // a computed slicer set that flattens to a literal entry
+            // list (Union/Head/Tail/Subset/Distinct over literal
+            // braces) re-enters as the compound same-dim set form;
+            // cell-valued ops (Filter/Order) in a slicer would need
+            // slicer-context cell evaluation — still refused
+            case Right((d, ps, ops)) if ops.isEmpty && ps.nonEmpty =>
+              expandSlicer(Seq(SetSlice(d, ps)))
+            case _ => throw new IllegalArgumentException(
+              "calculated member inside a computed slicer set is " +
+                "supported only for Union/Head/Tail/Subset/Distinct " +
+                "over literal member sets — name the member directly " +
+                "in WHERE instead")
+          }
         case other => Seq(other)
       }
   }
@@ -1429,18 +1549,47 @@ final class Planner(val cube: BoundCube) {
           dcl.calcNames(qs.rows.get, Set.empty).distinct
             .mkString("[", "], [", "]") +
           s" in an unsupported axis set shape ($why): a dim-hosted " +
-          "Aggregate member is supported in a literal member set, " +
-          "optionally CrossJoined with calculated-member-free sets on " +
-          "other dimensions — rewrite the axis set or move the member " +
-          "to WHERE")
+          "Aggregate member is supported in a literal member set — " +
+          "optionally combined via Union/Head/Tail/Subset/Distinct, " +
+          "filtered/ordered by Filter or Order(BASC/BDESC), and " +
+          "CrossJoined with calculated-member-free sets on other " +
+          "dimensions — rewrite the axis set or move the member to " +
+          "WHERE")
       if (rowsFactors.count(dcl.hasCalcPath(_, Set.empty)) > 1)
         refuse("calc members in more than one CrossJoin factor")
-      val (dim, paths) = rowsFactors(calcFactorIdx) match {
-        case Members(d, ps) => (d, ps)
-        case other => refuse(
-          s"calc path nested inside ${other.getClass.getSimpleName}")
-      }
+      val (dim, paths, entryOps) =
+        dcl.flatten(rowsFactors(calcFactorIdx)) match {
+          case Right(t)   => t
+          case Left(why)  => refuse(why)
+        }
+      if (paths.isEmpty)
+        refuse("the entry list is empty after positional slicing")
       val otherFactors = rowsFactors.patch(calcFactorIdx, Nil, 1)
+      // Filter/Order and post-slicing need the entries' CELLS first
+      // (evaluate-then-prune); with another CrossJoin factor present
+      // the MDX condition context is per-set-member (pre-crossjoin),
+      // not per-tuple — refuse rather than guess the wrong grain
+      if (entryOps.nonEmpty && otherFactors.nonEmpty)
+        refuse("Filter/Order/positional ops over the calc-bearing " +
+          "factor of a CrossJoin — the condition evaluates before the " +
+          "crossjoin, a context this lowering cannot reproduce")
+      entryOps.foreach {
+        case EntryOrder(_, SortDir.Asc | SortDir.Desc) =>
+          refuse("non-breaking Order over a calc-bearing set (a calc " +
+            "member has no hierarchical position) — use BASC/BDESC")
+        case _ => ()
+      }
+      val opTexts = entryOps.collect {
+        case EntryFilter(c)   => c
+        case EntryOrder(e, _) => e
+      }
+      // Measures-hosted calc measures referenced by a Filter/Order op:
+      // the fused agg computes stored measures only, so those shapes
+      // route to the per-entry fallback (whose sub-queries run the
+      // full applyCalcs layer)
+      val opCalcNames = (cube.calcMembers ++ qs.withMembers)
+        .filter(c => !c.calc.isInstanceOf[DimAggCalc])
+        .map(_.name).filter(n => referencedIn(n, opTexts))
       val otherSet = otherFactors.reduceRightOption(CrossJoin(_, _))
       // the other factors' member frames pin the extra tuple
       // coordinates; plan-building only (nothing executes here)
@@ -1497,7 +1646,7 @@ final class Planner(val cube: BoundCube) {
       // fact by design — AggRouter rollups can't serve avg/distinct
       // over arbitrary member-set filters and the explode key is not
       // a grain the SegmentCache speaks.
-      if (cube.role.isEmpty &&
+      if (cube.role.isEmpty && opCalcNames.isEmpty &&
           qs.measures.forall(m => cube.measures.exists(_.name == m)) &&
           otherFrame0.forall(of =>
             of.mixedDim.isEmpty && of.mixedDepths.isEmpty)) {
@@ -1604,7 +1753,17 @@ final class Planner(val cube: BoundCube) {
           else of.dims.flatMap(ad =>
             ad.d.levelsTo(ad.depth).map(l => col(l.ordinal).asc))
         }
-        val out = joined.orderBy(col("__entry").asc +: otherSort: _*)
+        // evaluate-then-prune: Filter/Order/slice ops run on the N
+        // aggregated entry rows (never the fact), positions seeded
+        // from the literal order; ops imply no other factors (gated)
+        val posed =
+          if (entryOps.isEmpty) joined
+          else applyEntryOps(
+            joined.withColumn("__pos", (col("__entry") + 1).cast("long")),
+            entryOps, dim, label)
+        val entrySort =
+          if (entryOps.isEmpty) col("__entry") else col("__pos")
+        val out = posed.orderBy(entrySort.asc +: otherSort: _*)
           .select(((label +: otherKeys) ++ qs.measures).map(col): _*)
         return if (!qs.nonEmpty) out
           else out.filter(
@@ -1631,9 +1790,16 @@ final class Planner(val cube: BoundCube) {
       // level ordinals internally, so its rows match back to their
       // literal slot by level-column equality)
       val starts = runs.scanLeft(0)(_ + _.length)
+      // extra measures a Filter/Order op references beyond the
+      // displayed ones: the sub-queries compute them (incl.
+      // Measures-hosted calcs via applyCalcs), the final select drops
+      // them
+      val qsM = qs.copy(measures =
+        (qs.measures ++ opCalcNames ++ cube.measures.map(_.name)
+          .filter(n => referencedIn(n, opTexts))).distinct)
       val countishAll = cube.measures
         .filter(m => m.agg == Agg.Count || m.agg == Agg.DistinctCount)
-        .map(_.name).filter(qs.measures.contains)
+        .map(_.name).filter(qsM.measures.contains)
       val parts = runs.zip(starts).map { case (run, start) =>
         dcl.of(dim, run.head) match {
           case Some((cm, dc)) =>
@@ -1641,10 +1807,10 @@ final class Planner(val cube: BoundCube) {
             // literal set): each calc row exists per other-factor
             // tuple; NON EMPTY is applied once at the top, AFTER the
             // count coalesce, so both paths agree on count-0 rows
-            val sub = qs.copy(rows = otherSet, nonEmpty = false,
+            val sub = qsM.copy(rows = otherSet, nonEmpty = false,
               slicer = qs.slicer ++ dcl.sliceOf(cm, dc))
             val base = execute(sub).withColumn(label, lit(cm.name))
-              .withColumn("__ord", lit(start))
+              .withColumn("__epos", lit(start))
             // counts over an empty subcube are ZERO on a calc row
             // (the rows=None sub-query convention); the axis
             // left-join's nulls coalesce to match the fused path
@@ -1653,32 +1819,73 @@ final class Planner(val cube: BoundCube) {
               else countishAll.foldLeft(base)((df, m) =>
                 df.withColumn(m, coalesce(col(m), lit(0L))))
             coalesced.select(
-              ((label +: otherKeys) ++ qs.measures :+ "__ord")
+              ((label +: otherKeys) ++ qsM.measures :+ "__epos")
                 .map(col): _*)
           case None =>
             val d = cube.dim(dim)
             val leaf = d.levels(run.head.length - 1).col
             val subRows: SetExpr = (Members(dim, run) +: otherFactors)
               .reduceRight(CrossJoin(_, _))
-            val sub = qs.copy(rows = Some(subRows))
+            val sub = qsM.copy(rows = Some(subRows))
             val ordCol = run.zipWithIndex.map { case (p, i) =>
               when(p.zipWithIndex.map { case (v, li) =>
                 col(d.levels(li).col) === lit(v) }.reduce(_ && _),
                 lit(start + i))
             }.reduce((a, b) => coalesce(a, b))
-            execute(sub).withColumn("__ord", ordCol)
+            execute(sub).withColumn("__epos", ordCol)
               .select(col(leaf).as(label) +:
-                (otherKeys ++ qs.measures :+ "__ord").map(col): _*)
+                (otherKeys ++ qsM.measures :+ "__epos").map(col): _*)
         }
       }
-      val unioned = parts.reduce(_.unionByName(_))
-        .orderBy(col("__ord").asc +: otherKeys.map(col(_).asc): _*)
-        .select(((label +: otherKeys) ++ qs.measures).map(col): _*)
+      val unioned0 = parts.reduce(_.unionByName(_))
+      val finalDf =
+        if (entryOps.nonEmpty)
+          // evaluate-then-prune on the entry-count-sized union (ops
+          // imply no other factors — gated above); extra op measures
+          // drop at the select
+          applyEntryOps(unioned0.withColumn("__pos",
+              (col("__epos") + 1).cast("long")), entryOps, dim, label)
+            .orderBy(col("__pos").asc)
+            .select((label +: qs.measures).map(col): _*)
+        else otherFrame0 match {
+          case Some(of) =>
+            // other-factor rows sort by their OWN order — explicit
+            // __ord when the set was explicitly ordered, else
+            // hierarchical level ordinals — matching the fused path's
+            // otherSort (r13 ADVICE: the name-key sort destroyed an
+            // Order()'d or ordinal_column'd factor's internal order).
+            // Ordinals live on the member frame; a dimension-sized
+            // broadcast joins them back (null-safe equality:
+            // mixed-depth frames pad deeper keys with null)
+            val ordCols: Seq[String] =
+              if (of.hasOrd) Seq(OrdCol)
+              else of.dims.flatMap(ad =>
+                ad.d.levelsTo(ad.depth).map(_.ordinal))
+            val extraOrds = ordCols.filterNot(otherKeys.contains)
+            val base =
+              if (extraOrds.isEmpty) unioned0
+              else {
+                val frame = of.members
+                  .select((otherKeys ++ extraOrds).map(col): _*)
+                  .distinct()
+                otherKeys.foldLeft(unioned0.join(broadcast(frame),
+                    otherKeys.map(k => unioned0(k) <=> frame(k))
+                      .reduce(_ && _), "left")) {
+                  (df, k) => df.drop(frame(k))
+                }
+              }
+            base
+              .orderBy(col("__epos").asc +: ordCols.map(col(_).asc): _*)
+              .select(((label +: otherKeys) ++ qs.measures).map(col): _*)
+          case None =>
+            unioned0.orderBy(col("__epos").asc)
+              .select((label +: qs.measures).map(col): _*)
+        }
       // NON EMPTY prunes fully-empty CALC rows here too — the
       // rows=None sub-query always yields its one row, but the
       // fused path and the normal axis path both drop such rows
-      return if (!qs.nonEmpty) unioned
-        else unioned.filter(
+      return if (!qs.nonEmpty) finalDf
+        else finalDf.filter(
           qs.measures.map(col(_).isNotNull).reduce(_ || _))
     }
     val q = qs
@@ -2138,6 +2345,25 @@ final class Planner(val cube: BoundCube) {
 
 object Planner {
   val OrdCol = "__ord"
+
+  /** Post-evaluation ops a calc-bearing axis factor carries ABOVE its
+    * literal entry list (the evaluate-then-prune pattern, same shape as
+    * NON EMPTY): the fused single pass aggregates every entry first,
+    * then Filter prunes the N-row result by the cell predicate, Order
+    * re-ranks it, Head/Tail/Subset slice the surviving order. Upstream
+    * Mondrian's set functions iterate calc members like any member
+    * (FilterFunDef/OrderFunDef/HeadTailFunDef; query_test.rb:282-299
+    * Filter, :473-484 Head) — this reproduces that on the aggregated
+    * axis rows instead of per-member cell reads.
+    */
+  private[olap] sealed trait EntryOp
+  private[olap] final case class EntryFilter(cond: String) extends EntryOp
+  private[olap] final case class EntryOrder(expr: String, dir: SortDir)
+      extends EntryOp
+  private[olap] final case class EntryHead(n: Int) extends EntryOp
+  private[olap] final case class EntryTail(n: Int) extends EntryOp
+  private[olap] final case class EntrySubset(start: Int, n: Int)
+      extends EntryOp
 
   /** SQL literal for a member-path segment (role deny predicates):
     * numbers raw, strings single-quoted with quotes doubled.

@@ -129,6 +129,56 @@ object MdxQueries {
         |   [customer].[EU13 and AS2]} ON ROWS
         |FROM [Sales]""".stripMargin) _),
 
+    // set functions over a calc-bearing literal set (r13 refused these
+    // shapes; Mondrian's UnionFunDef/HeadTailFunDef iterate calc
+    // members like any member): Union concatenates position-keyed
+    // entries, the non-ALL form dedups keeping first occurrence
+    "q_mdx_dimcalc_union" -> (run(
+      """WITH MEMBER [customer].[EU13 and AS2] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+        |  UNION({[customer].[AMERICA], [customer].[EU13 and AS2]},
+        |        {[customer].[EUROPE], [customer].[AMERICA]}) ON ROWS
+        |FROM [Sales]""".stripMargin) _),
+
+    // positional slicing happens on the entry list BEFORE any cell is
+    // computed — the dropped member costs nothing
+    "q_mdx_dimcalc_head" -> (run(
+      """WITH MEMBER [customer].[EU13 and AS2] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+        |  HEAD({[customer].[ASIA], [customer].[EU13 and AS2],
+        |        [customer].[AMERICA]}, 2) ON ROWS
+        |FROM [Sales]""".stripMargin) _),
+
+    // Filter over a calc-bearing set: evaluate-then-prune — the fused
+    // single pass aggregates every entry, the predicate prunes the
+    // N-row result (query_test.rb:282-299 pins Filter semantics)
+    "q_mdx_dimcalc_filter" -> (run(
+      """WITH MEMBER [customer].[EU13 and AS2] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+        |  FILTER({[customer].[AMERICA], [customer].[EU13 and AS2],
+        |          [customer].[AFRICA]},
+        |         [Measures].[sum_qty] > 200000) ON ROWS
+        |FROM [Sales]""".stripMargin) _),
+
+    // Order(BDESC) re-ranks the evaluated entries; Head above it takes
+    // the top — the selection (not just the row order, which the
+    // oracle compare normalizes away) pins the sort
+    "q_mdx_dimcalc_order" -> (run(
+      """WITH MEMBER [customer].[EU13 and AS2] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+        |  HEAD(ORDER({[customer].[AFRICA], [customer].[EU13 and AS2],
+        |              [customer].[AMERICA], [customer].[ASIA]},
+        |             [Measures].[revenue], BDESC), 2) ON ROWS
+        |FROM [Sales]""".stripMargin) _),
+
     "q_mdx_setagg" -> (run(
       """WITH MEMBER [Measures].[h1_rev] AS
         |  Sum({[time].[1995].[1995-Q1] : [time].[1995].[1995-Q2]},
@@ -247,6 +297,58 @@ object MdxQueries {
          |UNION ALL
          |SELECT 'EU13 and AS2', $REV, sum(l_quantity)
          |$CJOIN WHERE n_name IN ('NATION_13', 'NATION_2')""".stripMargin,
+
+    // UNION({AMERICA, calc}, {EUROPE, AMERICA}) dedups to three entries
+    "q_mdx_dimcalc_union" ->
+      s"""SELECT 'AMERICA' AS cr_region, $REV AS revenue,
+         |  sum(l_quantity) AS sum_qty
+         |$CJOIN WHERE r_name = 'AMERICA'
+         |UNION ALL
+         |SELECT 'EU13 and AS2', $REV, sum(l_quantity)
+         |$CJOIN WHERE n_name IN ('NATION_13', 'NATION_2')
+         |UNION ALL
+         |SELECT 'EUROPE', $REV, sum(l_quantity)
+         |$CJOIN WHERE r_name = 'EUROPE'""".stripMargin,
+
+    // HEAD({ASIA, calc, AMERICA}, 2) keeps the first two entries
+    "q_mdx_dimcalc_head" ->
+      s"""SELECT 'ASIA' AS cr_region, $REV AS revenue,
+         |  sum(l_quantity) AS sum_qty
+         |$CJOIN WHERE r_name = 'ASIA'
+         |UNION ALL
+         |SELECT 'EU13 and AS2', $REV, sum(l_quantity)
+         |$CJOIN WHERE n_name IN ('NATION_13', 'NATION_2')""".stripMargin,
+
+    "q_mdx_dimcalc_filter" ->
+      s"""WITH entries AS (
+         |  SELECT 'AMERICA' AS cr_region, $REV AS revenue,
+         |    sum(l_quantity) AS sum_qty
+         |  $CJOIN WHERE r_name = 'AMERICA'
+         |  UNION ALL
+         |  SELECT 'EU13 and AS2', $REV, sum(l_quantity)
+         |  $CJOIN WHERE n_name IN ('NATION_13', 'NATION_2')
+         |  UNION ALL
+         |  SELECT 'AFRICA', $REV, sum(l_quantity)
+         |  $CJOIN WHERE r_name = 'AFRICA')
+         |SELECT cr_region, revenue, sum_qty FROM entries
+         |WHERE sum_qty > 200000""".stripMargin,
+
+    "q_mdx_dimcalc_order" ->
+      s"""WITH entries AS (
+         |  SELECT 'AFRICA' AS cr_region, $REV AS revenue,
+         |    sum(l_quantity) AS sum_qty
+         |  $CJOIN WHERE r_name = 'AFRICA'
+         |  UNION ALL
+         |  SELECT 'EU13 and AS2', $REV, sum(l_quantity)
+         |  $CJOIN WHERE n_name IN ('NATION_13', 'NATION_2')
+         |  UNION ALL
+         |  SELECT 'AMERICA', $REV, sum(l_quantity)
+         |  $CJOIN WHERE r_name = 'AMERICA'
+         |  UNION ALL
+         |  SELECT 'ASIA', $REV, sum(l_quantity)
+         |  $CJOIN WHERE r_name = 'ASIA')
+         |SELECT cr_region, revenue, sum_qty FROM entries
+         |ORDER BY revenue DESC LIMIT 2""".stripMargin,
 
     "q_mdx_setagg" ->
       s"""WITH base AS (

@@ -1128,18 +1128,133 @@ class MdxSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.contains("compound slicer"), e.getMessage)
-    // a computed slicer set containing a calc path refuses (the set
-    // machinery would silently filter the calc member to nothing)
+    // a computed slicer set that flattens to literal entries
+    // (Head/Union/Tail/Subset over braces) EXECUTES as the compound
+    // OR form — r13 refused these shapes; the set machinery would
+    // have silently filtered the calc member to nothing
+    val headSlicer = cell(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE (HEAD({[customer].[EU13 and AS2],
+        |             [customer].[AMERICA].[NATION_1]}, 2))""".stripMargin)
+    assert(headSlicer === mixed)
+    val unionSlicer = cell(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE (UNION({[customer].[EU13 and AS2]},
+        |             {[customer].[AMERICA].[NATION_1]}))""".stripMargin)
+    assert(unionSlicer === mixed)
+    // a positional slice DROPPING the stored entry leaves the calc
+    // member alone — the member-form WHERE
+    val calcOnly = cell(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE ([customer].[EU13 and AS2])""".stripMargin)
+    val headOne = cell(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE (HEAD({[customer].[EU13 and AS2],
+        |             [customer].[AMERICA].[NATION_1]}, 1))""".stripMargin)
+    assert(headOne === calcOnly)
+    // a cell-valued op (Filter) in a slicer still refuses: its
+    // condition would need slicer-context cell evaluation
     val e2 = intercept[IllegalArgumentException] {
       Mdx.execute(
         s"""WITH $Eu13As2Def
           |SELECT {[Measures].[revenue]} ON COLUMNS
           |FROM [Sales]
-          |WHERE (HEAD({[customer].[EU13 and AS2],
-          |             [customer].[AMERICA]}, 2))""".stripMargin, cube)
+          |WHERE (FILTER({[customer].[EU13 and AS2],
+          |               [customer].[AMERICA]},
+          |              [Measures].[revenue] > 0))""".stripMargin, cube)
         .collect()
     }
     assert(e2.getMessage.contains("computed slicer"), e2.getMessage)
+  }
+
+  test("Union/Head/Tail/Subset over a calc-bearing axis set execute " +
+      "position-keyed (r13 refused these shapes)") {
+    def rows(axis: String): Seq[(String, Double)] = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  $axis ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq
+      .map(r => r.getString(0) ->
+        r.getAs[java.math.BigDecimal]("revenue").doubleValue())
+    val mixed = rows("{[customer].[AMERICA], [customer].[EU13 and AS2]}")
+    assert(mixed.map(_._1) === Seq("AMERICA", "EU13 and AS2"))
+    // Union concatenates position-keyed entries in order
+    assert(rows("UNION({[customer].[AMERICA]}, " +
+      "{[customer].[EU13 and AS2]})") === mixed)
+    // nested braces are the ALL form — duplicates stay
+    assert(rows("{{[customer].[AMERICA]}, {[customer].[EU13 and AS2]}}")
+      === mixed)
+    // non-ALL Union dedups, first occurrence wins (UnionFunDef)
+    assert(rows("UNION({[customer].[AMERICA], [customer].[EU13 and AS2]}, " +
+      "{[customer].[AMERICA]})") === mixed)
+    // positional slicing before any cell exists
+    assert(rows("HEAD({[customer].[AMERICA], [customer].[EU13 and AS2]}, 1)")
+      === mixed.take(1))
+    assert(rows("TAIL({[customer].[AMERICA], [customer].[EU13 and AS2]}, 1)")
+      === mixed.drop(1))
+    assert(rows("SUBSET({[customer].[ASIA], [customer].[EU13 and AS2], " +
+      "[customer].[AMERICA]}, 1, 1)") === mixed.drop(1))
+    // a sliced calc set still crossjoins with other factors (the
+    // flattened entries re-enter the fused single-pass machinery)
+    val cj = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN(
+        |    HEAD({[customer].[EU13 and AS2], [customer].[AMERICA]}, 1),
+        |    {[time].[1995], [time].[1996]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(cj.length === 2)
+    assert(cj.forall(_.getString(0) == "EU13 and AS2"))
+  }
+
+  test("Filter/Order over a calc-bearing axis set evaluate then prune " +
+      "(r13 refused these shapes)") {
+    val SetLit = "{[customer].[AMERICA], [customer].[EU13 and AS2], " +
+      "[customer].[EUROPE]}"
+    def rows(axis: String, extraWith: String = ""): Seq[(String, Double)] =
+      Mdx.execute(
+        s"""WITH $Eu13As2Def
+          |$extraWith
+          |SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  $axis ON ROWS
+          |FROM [Sales]""".stripMargin, cube).collect().toSeq
+        .map(r => r.getString(0) ->
+          r.getAs[java.math.BigDecimal]("revenue").doubleValue())
+    val base = rows(SetLit)
+    assert(base.length === 3)
+    // a threshold between the min and max keeps a strict subset
+    val t = base.map(_._2).sorted.apply(1) - 0.5
+    val kept = base.filter(_._2 > t)
+    assert(kept.length < 3 && kept.nonEmpty)
+    // Filter prunes by the cell predicate, input order preserved
+    assert(rows(s"FILTER($SetLit, [Measures].[revenue] > $t)") === kept)
+    // Order(BDESC) re-ranks by value; Head above it takes the top
+    val desc = base.sortBy(-_._2)
+    assert(rows(s"ORDER($SetLit, [Measures].[revenue], BDESC)") === desc)
+    assert(rows(s"HEAD(ORDER($SetLit, [Measures].[revenue], BDESC), 2)")
+      === desc.take(2))
+    // Head above a Filter counts the FILTERED set
+    assert(rows(s"HEAD(FILTER($SetLit, [Measures].[revenue] > $t), 1)")
+      === kept.take(1))
+    // a condition over a Measures-hosted calc routes through the
+    // per-entry fallback (applyCalcs computes it) — same surviving
+    // rows as the stored-measure condition, extra measure dropped
+    val viaCalc = rows(
+      s"FILTER($SetLit, [Measures].[rev2] > ${2 * t})",
+      "MEMBER [Measures].[rev2] AS '[Measures].[revenue] * 2'")
+    assert(viaCalc === kept)
+    // CurrentMember.Name resolves against the entry label
+    assert(rows(s"FILTER($SetLit, " +
+      "[customer].CurrentMember.Name = \"EU13 and AS2\")")
+      === base.filter(_._1 == "EU13 and AS2"))
   }
 
   test("a dim-calc member in any OTHER axis set shape refuses loudly " +
@@ -1157,10 +1272,16 @@ class MdxSpec extends SparkSpec {
         |SELECT {[Measures].[revenue]} ON COLUMNS,
         |  $axis ON ROWS
         |FROM [Sales]""".stripMargin
-    refusal(q("UNION({[customer].[EU13 and AS2]}, {[customer].[AMERICA]})"))
-    refusal(q("HEAD({[customer].[EU13 and AS2]}, 1)"))
-    refusal(q("FILTER({[customer].[EU13 and AS2]}, " +
-      "[Measures].[revenue] > 0)"))
+    // Union of sets on different hierarchies
+    refusal(q("UNION({[customer].[EU13 and AS2]}, {[time].[1995]})"))
+    // non-breaking Order: a calc member has no hierarchical position
+    refusal(q("ORDER({[customer].[EU13 and AS2], [customer].[AMERICA]}, " +
+      "[Measures].[revenue], ASC)"))
+    // Filter over the calc factor of a CrossJoin: the condition
+    // evaluates pre-crossjoin, a context the lowering can't reproduce
+    refusal(q("CROSSJOIN(FILTER({[customer].[EU13 and AS2], " +
+      "[customer].[AMERICA]}, [Measures].[revenue] > 0), " +
+      "{[time].[1995]})"))
     // the calc member's own hierarchy in another factor
     refusal(q("CROSSJOIN({[customer].[EU13 and AS2]}, " +
       "{[customer].[ASIA]})"))
