@@ -102,6 +102,7 @@ object ScaleProbe {
           |FROM [Sales]""".stripMargin
       for (pass <- 1 to 2)
         time(s"dimcalc cj x months p$pass")(Mdx.execute(q, cube).count())
+      spark.stop()
       return
     }
     if (args.headOption.contains("components")) {

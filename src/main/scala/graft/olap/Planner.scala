@@ -1636,24 +1636,25 @@ final class Planner(val cube: BoundCube) {
       // crossjoin): one Exchange for N members instead of N fact
       // passes (correct for every aggregator incl. avg/distinct — the
       // group sees raw fact rows, never pre-aggregates). Taken only
-      // when every requested measure is stored (Measures-hosted calcs
-      // need per-sub-query applyCalcs/window/LinReg context) AND no
-      // role is attached (roles need memberFrame visibility and the
-      // ANDed grant slicer, both of which the sub-query fallback
-      // routes through) AND the other factors are uniform-depth (the
-      // per-depth cell grain of mixed frames belongs to the normal
-      // path the fallback recurses into). This pass reads the raw
+      // when every requested measure is stored — incl. any a
+      // Filter/Order entry op references (Measures-hosted calcs need
+      // per-sub-query applyCalcs/window/LinReg context) — AND the
+      // other factors are uniform-depth (the per-depth cell grain of
+      // mixed frames belongs to the normal path the fallback recurses
+      // into). Roles ride the fused pass too (r14): stored entries are
+      // visibility-filtered against the role-restricted member frame
+      // and the grant slicer ANDs into the scan. This pass reads the raw
       // fact by design — AggRouter rollups can't serve avg/distinct
       // over arbitrary member-set filters and the explode key is not
       // a grain the SegmentCache speaks.
-      if (cube.role.isEmpty && opCalcNames.isEmpty &&
+      if (opCalcNames.isEmpty &&
           qs.measures.forall(m => cube.measures.exists(_.name == m)) &&
           otherFrame0.forall(of =>
             of.mixedDim.isEmpty && of.mixedDepths.isEmpty)) {
         pruneFor(qs)
         case class AxisEntry(idx: Int, name: String, isCalc: Boolean,
           items: Seq[SlicerItem])
-        val entries = paths.zipWithIndex.map { case (p, i) =>
+        val entries0 = paths.zipWithIndex.map { case (p, i) =>
           dcl.of(dim, p) match {
             case Some((cm, dc)) =>
               AxisEntry(i, cm.name, isCalc = true,
@@ -1663,6 +1664,36 @@ final class Planner(val cube: BoundCube) {
                 Seq(MemberSlice(dim, p)))
           }
         }
+        // a role hides out-of-grant STORED members from the axis
+        // (memberFrame visibility, connection_role_test.rb:46-90);
+        // calc members are synthetic and always render. One filtered
+        // dimension-frame probe per literal depth covers all entries
+        // (the collect is <= N rows — the frame filter pushes to the
+        // dimension scan). r13 routed ANY roled cube to the per-entry
+        // fallback; the fused pass now reproduces both role effects —
+        // this visibility filter plus the grant slicer ANDed into the
+        // scan below — so N entries still cost ONE fact pass.
+        val entries =
+          if (cube.role.isEmpty) entries0
+          else {
+            val d = cube.dim(dim)
+            val storedPaths = entries0.collect {
+              case e if !e.isCalc =>
+                e.items.head.asInstanceOf[MemberSlice].path
+            }
+            val visible: Set[Seq[String]] = storedPaths
+              .groupBy(_.length).iterator.flatMap { case (len, ps) =>
+                val cols = levelCols(d, len - 1)
+                memberFrame(d, len - 1)
+                  .filter(ps.map(p => ancestorPredicate(d, p))
+                    .reduce(_ || _))
+                  .select(cols.map(col): _*).distinct().collect()
+                  .map(r => cols.indices.map(i => String.valueOf(r.get(i))))
+              }.map(_.toSeq).toSet
+            entries0.filter(e => e.isCalc || visible(
+              e.items.head.asInstanceOf[MemberSlice].path
+                .map(String.valueOf)))
+          }
         val qSlicer = qSlicerAll
         // Same-dim query-slicer items: for a CALC entry they fold
         // into its predicate through resolveSlicer's compound (OR)
@@ -1680,9 +1711,13 @@ final class Planner(val cube: BoundCube) {
           case SetSlice(d, _)    => entryDims(d)
           case _                 => false
         }
-        val joinItems = qSlicer ++ entries.flatMap(_.items)
+        // the grant/deny slicer (Partial rollup policy) ANDs into the
+        // scan GLOBALLY — for every entry, calc or stored — never into
+        // the per-entry compound OR (a grant OR-folded into a calc
+        // set would WIDEN it; the role spec pins AND semantics)
+        val joinItems = qSlicer ++ roleSlicer ++ entries.flatMap(_.items)
         val star = joinStar(neededJoins(otherDims, joinItems), joinItems)
-        val sliced0 = star.filter(slicerPredicate(shared))
+        val sliced0 = star.filter(slicerPredicate(shared ++ roleSlicer))
         // a HIGH-CARDINALITY other factor (reference high_cardinality
         // opt-out) must never ride a broadcast: its member frame and
         // the (entry x member)-grained aggregate are both

@@ -32,21 +32,36 @@ final class VirtualCube(
     * filters per base cube like any other (a base cube lacking the
     * dimension skips it instead of crashing on an unknown dim).
     */
+  // one planner per base, reused across slicer items and calls —
+  // expandDimCalcSlicer/resolveSlicer never touch the per-query
+  // mutable pruning state, so sharing is safe
+  private lazy val basePlanners: Seq[(BoundCube, Planner)] =
+    bases.map { case (bc, _) => bc -> new Planner(bc) }
+
   /** Dim-hosted calc members defined on a base cube expand to their
-    * compound set against the FIRST base that knows them; the
-    * conformed-dimension result then applies to every base sharing the
-    * dimension (Mondrian virtual cubes import calculated members).
-    * Without this, the synthetic member name would predicate-filter
-    * every base to zero rows silently. Refusals (cross-dim compound
-    * mixes, calc in a computed set) propagate loudly.
+    * compound set; the conformed-dimension result then applies to
+    * every base sharing the dimension (Mondrian virtual cubes import
+    * calculated members). Without this, the synthetic member name
+    * would predicate-filter every base to zero rows silently. When
+    * SEVERAL bases define a same-named member, their expansions must
+    * agree — silently using whichever base iterates first could
+    * aggregate the wrong set; refuse loudly instead. Refusals
+    * (cross-dim compound mixes, calc in a computed set) propagate.
     */
   private def expandCalcs(slicer: Seq[SlicerItem]): Seq[SlicerItem] =
     slicer.flatMap { item =>
-      bases.iterator
-        .map { case (bc, _) =>
-          new Planner(bc).expandDimCalcSlicer(Seq(item)) }
-        .find(_ != Seq(item))
-        .getOrElse(Seq(item))
+      val expansions = basePlanners
+        .map { case (bc, p) => bc.name -> p.expandDimCalcSlicer(Seq(item)) }
+        .filter(_._2 != Seq(item))
+      expansions.map(_._2).distinct match {
+        case Seq()    => Seq(item)
+        case Seq(one) => one
+        case _ => throw new IllegalArgumentException(
+          "calculated member in a virtual-cube slicer is defined " +
+            s"differently by base cubes [${expansions.map(_._1)
+              .mkString(", ")}] of '$name' — the expansions disagree; " +
+            "rename one of the members or align their sets")
+      }
     }
 
   private def resolveComputed(slicer0: Seq[SlicerItem]): Seq[SlicerItem] = {
@@ -57,8 +72,8 @@ final class VirtualCube(
         // (oversized set, multi-dimension set, analysis failure) is
         // not masked behind "no base cube knows the dimension"
         val errs = Seq.newBuilder[String]
-        bases.iterator.flatMap { case (bc, _) =>
-          try new Planner(bc).resolveSlicer(Seq(e))
+        basePlanners.iterator.flatMap { case (bc, p) =>
+          try p.resolveSlicer(Seq(e))
           catch { case ex: Exception =>
             errs += s"[${bc.name}] ${ex.getMessage}"
             Nil

@@ -838,8 +838,8 @@ class MdxSpec extends SparkSpec {
       Seq("AMERICA"))
   }
 
-  test("a role forces the per-member fallback: grants AND into " +
-      "dim-calc sets instead of OR-widening them") {
+  test("a roled dim-calc axis: grants AND into dim-calc sets instead " +
+      "of OR-widening them (fused in r14, same cells)") {
     val roled = Cubes.sales(spark, Sf).withRole(Role("Europe only",
       Seq("customer" -> Seq("EUROPE"))))
     val r = Mdx.execute(
@@ -971,8 +971,8 @@ class MdxSpec extends SparkSpec {
       Seq("AMERICA"))
   }
 
-  test("a role routes the crossjoined dim-calc axis through the " +
-      "fallback: grants AND into the calc set per tuple") {
+  test("a roled crossjoined dim-calc axis (fused in r14): grants AND " +
+      "into the calc set per tuple, hidden stored members drop") {
     val roled = Cubes.sales(spark, Sf).withRole(Role("Europe only",
       Seq("customer" -> Seq("EUROPE"))))
     val r = Mdx.execute(
@@ -983,6 +983,27 @@ class MdxSpec extends SparkSpec {
         |FROM [Sales]""".stripMargin, roled).collect()
     assert(r.length === 1)
     assert(r.head.get(r.head.fieldIndex("revenue")) == null)
+    // mixed literal set under the role: the out-of-grant stored member
+    // (AMERICA) vanishes from the axis (memberFrame visibility), the
+    // granted one stays with its granted total, and the calc entry
+    // always renders (synthetic member, grant ANDed into its set)
+    val mixed = Mdx.execute(
+      """WITH MEMBER [customer].[AS2] AS
+        |  'Aggregate({[customer].[ASIA].[NATION_2]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  {[customer].[AMERICA], [customer].[EUROPE],
+        |   [customer].[AS2]} ON ROWS
+        |FROM [Sales]""".stripMargin, roled).collect()
+    assert(mixed.map(_.getString(0)).toSeq === Seq("EUROPE", "AS2"))
+    val euRoled = mixed.head
+      .getAs[java.math.BigDecimal]("revenue").doubleValue()
+    val euOpen = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales] WHERE ([customer].[EUROPE])""".stripMargin,
+      Cubes.sales(spark, Sf)).collect().head
+      .getAs[java.math.BigDecimal]("revenue").doubleValue()
+    assert(euRoled === euOpen)
+    assert(mixed(1).get(mixed(1).fieldIndex("revenue")) == null)
   }
 
   test("the crossjoined dim-calc query round-trips through toMdx") {

@@ -152,6 +152,35 @@ class ModelSpec extends SparkSpec {
     assert(viaCalc === viaUnion)
   }
 
+  test("same-named dim-calc members on two base cubes: agreeing " +
+      "definitions expand, disagreeing ones refuse loudly") {
+    import graft.olap._
+    def withCalc(set: Seq[Seq[String]]): BoundCube = {
+      val base = Cubes.sales(spark, Sf)
+      base.copy(calcMembers = base.calcMembers :+
+        CalcMember("Picked", DimAggCalc("customer",
+          Members("customer", set))))
+    }
+    val setA = Seq(Seq("EUROPE", "NATION_13"), Seq("ASIA", "NATION_2"))
+    val setB = Seq(Seq("AMERICA", "NATION_1"))
+    val slicer = Seq(MemberSlice("customer", Seq("Picked")))
+    // agreement: both bases expand to the same compound set — executes
+    val agreeing = new VirtualCube("TwoSales", Seq(
+      withCalc(setA) -> Seq("revenue"),
+      withCalc(setA).copy(name = "Sales2") -> Seq("sum_qty")))
+    assert(agreeing.aggregate(Seq(("time", "year")), slicer)
+      .collect().nonEmpty)
+    // disagreement: silently using whichever base iterates first
+    // would aggregate the wrong set — refuse loudly
+    val clashing = new VirtualCube("TwoSales", Seq(
+      withCalc(setA) -> Seq("revenue"),
+      withCalc(setB).copy(name = "Sales2") -> Seq("sum_qty")))
+    val e = intercept[IllegalArgumentException] {
+      clashing.aggregate(Seq(("time", "year")), slicer).collect()
+    }
+    assert(e.getMessage.contains("expansions disagree"), e.getMessage)
+  }
+
   test("virtual-cube drill-through sources the owning cube; foreign fields empty") {
     val vc = new VirtualCube("SalesAndEvents", Seq(
       Cubes.sales(spark, Sf) -> Seq("revenue"),

@@ -200,6 +200,37 @@ class PlanSpec extends SparkSpec {
     assert(rows("C") === solo("([customer].[AFRICA])"))
   }
 
+  test("a role keeps the fused dim-calc axis a single fact pass: the " +
+      "grant slicer is a scan filter, not a per-entry sub-query") {
+    val roled = Cubes.sales(spark, Sf).withRole(Role("Europe only",
+      Seq("customer" -> Seq("EUROPE"))))
+    val df = Mdx.execute(
+      """WITH MEMBER [customer].[N13] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13]})'
+        |MEMBER [customer].[N18] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_18]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  {[customer].[EUROPE], [customer].[N13],
+        |   [customer].[N18]} ON ROWS
+        |FROM [Sales]""".stripMargin, roled)
+    val p = plan(df)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"expected exactly one hash exchange for the roled fused axis, " +
+        s"got $hashEx:\n$p")
+    // and the granted cells equal the open-cube cells (the grant only
+    // restricts, and every set here is inside it)
+    val rows = df.collect().map(r => r.getString(0) ->
+      r.getAs[java.math.BigDecimal]("revenue").doubleValue()).toMap
+    val open = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE ([customer].[EUROPE].[NATION_13])""".stripMargin,
+      cube).collect().head
+      .getAs[java.math.BigDecimal]("revenue").doubleValue()
+    assert(rows("N13") === open)
+  }
+
   test("the fused dim-calc axis crossjoined with another factor stays " +
       "a single fact pass: exchange count constant in the entry count") {
     def planFor(entries: String): String = plan(Mdx.execute(
