@@ -824,6 +824,43 @@ final class Planner(val cube: BoundCube) {
   private def ancestorOrds(a: AxisFrame): Seq[String] =
     a.dims.flatMap(ad => ad.d.levelsTo(ad.depth).dropRight(1).map(_.ordinal))
 
+  /** Enumerate a calc-free single-dimension NAVIGATIONAL set to
+    * literal member paths in presentation order — the bridge that lets
+    * Union/Head/Tail/Subset compose enumerable sets (Level.Members,
+    * Children, ranges) with dim-calc entries. Cell-dependent sets
+    * (Filter/Order/Top*) are not enumerable here: they would need the
+    * query-slicer cell context this plan-time expansion doesn't carry.
+    * Bounded like computed slicers: an entry list is a plan-sized
+    * object (it becomes the broadcast side of the axis), never a
+    * data-sized one — more than 10k members refuse.
+    */
+  private def enumerateEntryPaths(set: SetExpr,
+      withSets: Map[String, SetExpr])
+      : Either[String, (String, Vector[Seq[Any]])] = {
+    if (exprTexts(set).nonEmpty)
+      return Left("a cell-dependent set (Filter/Order/Top...) " +
+        "combined with a calc-bearing set")
+    val a = realizeOrd(evalSet(set, Nil, withSets))
+    if (a.dims.length != 1)
+      return Left("a multi-dimension set combined with a calc-bearing " +
+        "set")
+    val d = a.dims.head.d
+    val lvls = levelCols(d, a.dims.head.depth)
+    val rows = a.members.orderBy(col(OrdCol).asc)
+      .select(lvls.map(col): _*).limit(10001).collect()
+    if (rows.length > 10000)
+      return Left(s"a set of more than 10000 members on [${d.name}] " +
+        "combined with a calc-bearing set")
+    // mixed-depth frames null-pad deeper levels: a member's path is
+    // its level values up to the first null (same as computed slicers)
+    val paths = rows.toVector.map { r =>
+      val vals = lvls.indices.map(r.get)
+      val cut = vals.indexWhere(_ == null)
+      (if (cut < 0) vals else vals.take(cut)).toSeq
+    }.filter(_.nonEmpty)
+    Right((d.name, paths))
+  }
+
   /** Ensure an explicit __ord column exists (hierarchical order default). */
   private def realizeOrd(a: AxisFrame): AxisFrame =
     if (a.hasOrd) a
@@ -1417,7 +1454,14 @@ final class Planner(val cube: BoundCube) {
             case (d, ps, ops) => (d, ps, ops :+ EntryOrder(e, dir))
           }
           case other =>
-            Left(s"calc path nested inside ${other.getClass.getSimpleName}")
+            if (hasCalcPath(other, Set.empty))
+              Left(s"calc path nested inside ${other.getClass.getSimpleName}")
+            else
+              // a calc-FREE navigational side enumerates to literal
+              // entries (bounded) so the set functions compose it
+              // with calc members — Union({calc}, [d].[lvl].Members)
+              enumerateEntryPaths(other, withSets)
+                .map { case (d, ps) => (d, ps, Vector.empty[EntryOp]) }
         }
       go(s0)
     }
@@ -1534,9 +1578,20 @@ final class Planner(val cube: BoundCube) {
         deref(qs.withSets(n), seen + n)
       case other => other
     }
+    // a NonEmptyCrossJoin on the path to a calc factor decomposes like
+    // CrossJoin plus a tuple-existence filter: NECJ keeps exactly the
+    // tuples with fact support, which the fused pass knows from a
+    // count over the same single scan (calc-free NECJ subtrees stay
+    // whole — the ordinary set machinery evaluates them)
+    var necjTuples = false
     def splitCross(s: SetExpr): Seq[SetExpr] = deref(s, Set.empty) match {
       case CrossJoin(a, b) => splitCross(a) ++ splitCross(b)
-      case other           => Seq(other)
+      case NonEmptyCrossJoin(a, b)
+          if dcl.hasCalcPath(a, Set.empty) ||
+            dcl.hasCalcPath(b, Set.empty) =>
+        necjTuples = true
+        splitCross(a) ++ splitCross(b)
+      case other => Seq(other)
     }
     val rowsFactors =
       if (dcl.isEmpty) Nil
@@ -1550,11 +1605,12 @@ final class Planner(val cube: BoundCube) {
             .mkString("[", "], [", "]") +
           s" in an unsupported axis set shape ($why): a dim-hosted " +
           "Aggregate member is supported in a literal member set — " +
-          "optionally combined via Union/Head/Tail/Subset/Distinct, " +
-          "filtered/ordered by Filter or Order(BASC/BDESC), and " +
-          "CrossJoined with calculated-member-free sets on other " +
-          "dimensions — rewrite the axis set or move the member to " +
-          "WHERE")
+          "optionally combined with enumerable same-dimension sets " +
+          "via Union/Head/Tail/Subset/Distinct, filtered/ordered by " +
+          "Filter or Order(BASC/BDESC), and CrossJoined (or " +
+          "NonEmptyCrossJoined) with calculated-member-free sets on " +
+          "other dimensions — rewrite the axis set or move the " +
+          "member to WHERE")
       if (rowsFactors.count(dcl.hasCalcPath(_, Set.empty)) > 1)
         refuse("calc members in more than one CrossJoin factor")
       val (dim, paths, entryOps) =
@@ -1749,7 +1805,14 @@ final class Planner(val cube: BoundCube) {
         }: _*)
         val labeled = sliced.withColumn("__entry",
           explode(filter(keyArr, _.isNotNull)))
-        val (aggCols, post) = Agg.toColumnsFused(neededMeasures)
+        val (aggCols0, post0) = Agg.toColumnsFused(neededMeasures)
+        // NECJ tuple existence = at least one fact row in the group —
+        // a count over the SAME single scan, no second pass
+        val aggCols =
+          if (!necjTuples) aggCols0
+          else aggCols0 :+ count(lit(1L)).as("__nrows")
+        val post =
+          if (!necjTuples) post0 else post0 :+ col("__nrows")
         val agged = labeled
           .groupBy(("__entry" +: otherKeys).map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
@@ -1788,13 +1851,19 @@ final class Planner(val cube: BoundCube) {
           else of.dims.flatMap(ad =>
             ad.d.levelsTo(ad.depth).map(l => col(l.ordinal).asc))
         }
+        // NECJ drops axis tuples without fact support (the left join
+        // leaves __nrows null there); plain CrossJoin keeps them with
+        // null/zero cells
+        val tupled =
+          if (!necjTuples) joined
+          else joined.filter(col("__nrows") >= 1).drop("__nrows")
         // evaluate-then-prune: Filter/Order/slice ops run on the N
         // aggregated entry rows (never the fact), positions seeded
         // from the literal order; ops imply no other factors (gated)
         val posed =
-          if (entryOps.isEmpty) joined
+          if (entryOps.isEmpty) tupled
           else applyEntryOps(
-            joined.withColumn("__pos", (col("__entry") + 1).cast("long")),
+            tupled.withColumn("__pos", (col("__entry") + 1).cast("long")),
             entryOps, dim, label)
         val entrySort =
           if (entryOps.isEmpty) col("__entry") else col("__pos")
@@ -1804,6 +1873,12 @@ final class Planner(val cube: BoundCube) {
           else out.filter(
             qs.measures.map(col(_).isNotNull).reduce(_ || _))
       }
+      // the per-entry fallback unions sub-queries that always yield
+      // their axis rows — it cannot observe NECJ tuple support
+      if (necjTuples)
+        refuse("NonEmptyCrossJoin with a calc factor alongside " +
+          "Measures-hosted calc measures or mixed-depth factors — " +
+          "only the fused single-pass lowering computes tuple support")
       // a path already in the current run starts a NEW run: the
       // Members lowering distincts its member frame, so a
       // duplicated literal inside one run would collapse to a

@@ -1278,6 +1278,62 @@ class MdxSpec extends SparkSpec {
       === base.filter(_._1 == "EU13 and AS2"))
   }
 
+  test("an enumerable calc-free set composes with calc entries: " +
+      "Union({calc}, level.Members) and positional ops over it") {
+    def rows(axis: String): Seq[String] = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  $axis ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq
+      .map(_.getString(0))
+    // region.Members enumerates in hierarchical order and concatenates
+    // after the calc entry (position-keyed)
+    assert(rows("UNION({[customer].[EU13 and AS2]}, " +
+      "[customer].[region].Members)") ===
+      "EU13 and AS2" +: rows("[customer].[region].Members"))
+    // Head over the combined list slices before any cell is computed
+    assert(rows("HEAD(UNION({[customer].[EU13 and AS2]}, " +
+      "[customer].[region].Members), 3)").length === 3)
+    // values survive: the calc cell equals its solo compound WHERE
+    val df = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  UNION({[customer].[EU13 and AS2]},
+        |        [customer].[region].Members) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    val solo = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE {[customer].[EUROPE].[NATION_13],
+        |       [customer].[ASIA].[NATION_2]}""".stripMargin, cube)
+      .collect().head.getAs[java.math.BigDecimal]("revenue")
+    assert(df.head.getAs[java.math.BigDecimal]("revenue") === solo)
+  }
+
+  test("NonEmptyCrossJoin with a calc factor keeps exactly the tuples " +
+      "with fact support (r13 refused the shape)") {
+    // a calc over a nonexistent member aggregates the EMPTY set: its
+    // tuples have no fact support and NECJ must drop them, while the
+    // plain CrossJoin keeps them with count-0/null cells
+    def q(cj: String) = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |MEMBER [customer].[Ghost] AS
+        |  'Aggregate({[customer].[EUROPE].[NO_SUCH_NATION]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  $cj({[customer].[EU13 and AS2], [customer].[Ghost]},
+        |      {[time].[1995], [time].[1996]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    val cj = q("CROSSJOIN")
+    assert(cj.length === 4)
+    val necj = q("NONEMPTYCROSSJOIN")
+    assert(necj.length === 2)
+    assert(necj.forall(_.getString(0) == "EU13 and AS2"))
+    // surviving cells identical between the two forms
+    val cjCells = cj.filter(_.getString(0) == "EU13 and AS2")
+      .map(r => r.getInt(1) -> r.get(2)).toMap
+    necj.foreach(r => assert(r.get(2) === cjCells(r.getInt(1))))
+  }
+
   test("a dim-calc member in any OTHER axis set shape refuses loudly " +
       "instead of silently dropping rows") {
     def refusal(mdx: String): String = {
@@ -1306,9 +1362,19 @@ class MdxSpec extends SparkSpec {
     // the calc member's own hierarchy in another factor
     refusal(q("CROSSJOIN({[customer].[EU13 and AS2]}, " +
       "{[customer].[ASIA]})"))
-    // NonEmptyCrossJoin does not decompose into plain factors
-    refusal(q("NONEMPTYCROSSJOIN({[customer].[EU13 and AS2]}, " +
-      "{[time].[1995]})"))
+    // NECJ with a calc factor is fused-only: the tuple-support count
+    // rides the single scan, which Measures-hosted calc measures skip
+    refusal(
+      s"""WITH $Eu13As2Def
+        |MEMBER [Measures].[rev2] AS '[Measures].[revenue] * 2'
+        |SELECT {[Measures].[rev2]} ON COLUMNS,
+        |  NONEMPTYCROSSJOIN({[customer].[EU13 and AS2]},
+        |                    {[time].[1995]}) ON ROWS
+        |FROM [Sales]""".stripMargin)
+    // a cell-dependent calc-free side cannot enumerate (it would need
+    // the query-slicer context)
+    refusal(q("UNION({[customer].[EU13 and AS2]}, " +
+      "FILTER([customer].[region].Members, [Measures].[revenue] > 0))"))
     // calc members on BOTH factors
     refusal(
       s"""WITH $Eu13As2Def
