@@ -1611,21 +1611,43 @@ final class Planner(val cube: BoundCube) {
           "NonEmptyCrossJoined) with calculated-member-free sets on " +
           "other dimensions — rewrite the axis set or move the " +
           "member to WHERE")
-      if (rowsFactors.count(dcl.hasCalcPath(_, Set.empty)) > 1)
-        refuse("calc members in more than one CrossJoin factor")
-      val (dim, paths, entryOps) =
-        dcl.flatten(rowsFactors(calcFactorIdx)) match {
-          case Right(t)   => t
-          case Left(why)  => refuse(why)
+      // every calc-bearing factor flattens to ONE entry list (several
+      // factors are allowed — the fused pass evaluates the full entry
+      // cross product in the same single scan; the per-entry fallback
+      // handles exactly one)
+      val calcIdxs = rowsFactors.indices
+        .filter(i => dcl.hasCalcPath(rowsFactors(i), Set.empty))
+      case class CalcFactor(dim: String, paths: Vector[Seq[Any]],
+        ops: Vector[EntryOp], label: String, entryCol: String,
+        calcCol: String)
+      val factors = calcIdxs.zipWithIndex.map { case (fi, k) =>
+        dcl.flatten(rowsFactors(fi)) match {
+          case Right((d, ps, ops)) =>
+            if (ps.isEmpty)
+              refuse("the entry list is empty after positional slicing")
+            // factor 0 keeps the bare column names so the single-factor
+            // plan (and the entry-op machinery) is unchanged
+            val tag = if (k == 0) "" else s"_$k"
+            CalcFactor(d, ps, ops, cube.dim(d).levels.head.col,
+              s"__entry$tag", s"__calc$tag")
+          case Left(why) => refuse(why)
         }
-      if (paths.isEmpty)
-        refuse("the entry list is empty after positional slicing")
-      val otherFactors = rowsFactors.patch(calcFactorIdx, Nil, 1)
+      }
+      if (factors.map(_.dim.toLowerCase).distinct.length < factors.length)
+        refuse("two calc-bearing factors on the same hierarchy")
+      val cf0 = factors.head
+      val dim = cf0.dim
+      val paths = cf0.paths
+      val entryOps = cf0.ops
+      val otherFactors =
+        rowsFactors.indices.filterNot(calcIdxs.contains)
+          .map(rowsFactors)
       // Filter/Order and post-slicing need the entries' CELLS first
       // (evaluate-then-prune); with another CrossJoin factor present
       // the MDX condition context is per-set-member (pre-crossjoin),
       // not per-tuple — refuse rather than guess the wrong grain
-      if (entryOps.nonEmpty && otherFactors.nonEmpty)
+      if (factors.exists(_.ops.nonEmpty) &&
+          (otherFactors.nonEmpty || factors.length > 1))
         refuse("Filter/Order/positional ops over the calc-bearing " +
           "factor of a CrossJoin — the condition evaluates before the " +
           "crossjoin, a context this lowering cannot reproduce")
@@ -1653,9 +1675,11 @@ final class Planner(val cube: BoundCube) {
       val otherFrame0 = otherSet.map(s => evalSet(s, qSlicerAll, qs.withSets))
       val otherDims = otherFrame0.map(_.dims).getOrElse(Nil)
       val otherKeys = otherDims.flatMap(ad => levelCols(ad.d, ad.depth))
-      if (otherDims.exists(_.d.name.equalsIgnoreCase(dim)))
-        refuse("the calc member's own hierarchy appears in another " +
-          "CrossJoin factor")
+      factors.foreach { f =>
+        if (otherDims.exists(_.d.name.equalsIgnoreCase(f.dim)))
+          refuse("the calc member's own hierarchy appears in another " +
+            "CrossJoin factor")
+      }
       // a calc set constraining a dimension ANOTHER factor enumerates
       // would need MDX context override (the set member replaces the
       // axis coordinate on its hierarchy) — refuse rather than guess
@@ -1666,11 +1690,15 @@ final class Planner(val cube: BoundCube) {
         case EvalSlice(set) =>
           evalSet(set, Nil, qs.withSets).dims.map(_.d.name)
       }.toSet
-      if (otherDims.nonEmpty) {
-        val constrained = paths.flatMap(p => dcl.of(dim, p).toSeq).flatMap {
+      val constrainedOf: Map[String, Set[String]] = factors.map { f =>
+        f.dim -> f.paths.flatMap(p => dcl.of(f.dim, p).toSeq).flatMap {
           case (cm, dc) => itemDims(dcl.sliceOf(cm, dc))
         }.toSet
-        val clash = otherDims.map(_.d.name).filter(constrained)
+      }.toMap
+      factors.foreach { f =>
+        val enumerated = otherDims.map(_.d.name) ++
+          factors.filterNot(_ eq f).map(_.dim)
+        val clash = enumerated.filter(constrainedOf(f.dim))
         if (clash.nonEmpty)
           refuse(s"a calc member's set constrains [${clash.mkString(", ")}]" +
             ", a dimension enumerated by another CrossJoin factor")
@@ -1683,7 +1711,7 @@ final class Planner(val cube: BoundCube) {
       // their leaf name (the member caption), so the axis reads as
       // Mondrian renders it. All rows surface under the root-level
       // label column.
-      val label = cube.dim(dim).levels.head.col
+      val label = cf0.label
       // FUSED single-pass path: every axis entry — stored member or
       // dim-hosted Aggregate calc — lowers to a row predicate over
       // ONE star frame; a row satisfying several entries explodes
@@ -1710,16 +1738,6 @@ final class Planner(val cube: BoundCube) {
         pruneFor(qs)
         case class AxisEntry(idx: Int, name: String, isCalc: Boolean,
           items: Seq[SlicerItem])
-        val entries0 = paths.zipWithIndex.map { case (p, i) =>
-          dcl.of(dim, p) match {
-            case Some((cm, dc)) =>
-              AxisEntry(i, cm.name, isCalc = true,
-                resolveSlicer(dcl.sliceOf(cm, dc), qs.withSets))
-            case None =>
-              AxisEntry(i, p.last.toString, isCalc = false,
-                Seq(MemberSlice(dim, p)))
-          }
-        }
         // a role hides out-of-grant STORED members from the axis
         // (memberFrame visibility, connection_role_test.rb:46-90);
         // calc members are synthetic and always render. One filtered
@@ -1729,11 +1747,21 @@ final class Planner(val cube: BoundCube) {
         // fallback; the fused pass now reproduces both role effects —
         // this visibility filter plus the grant slicer ANDed into the
         // scan below — so N entries still cost ONE fact pass.
-        val entries =
-          if (cube.role.isEmpty) entries0
+        def entriesOf(f: CalcFactor): Seq[AxisEntry] = {
+          val es = f.paths.zipWithIndex.map { case (p, i) =>
+            dcl.of(f.dim, p) match {
+              case Some((cm, dc)) =>
+                AxisEntry(i, cm.name, isCalc = true,
+                  resolveSlicer(dcl.sliceOf(cm, dc), qs.withSets))
+              case None =>
+                AxisEntry(i, p.last.toString, isCalc = false,
+                  Seq(MemberSlice(f.dim, p)))
+            }
+          }
+          if (cube.role.isEmpty) es
           else {
-            val d = cube.dim(dim)
-            val storedPaths = entries0.collect {
+            val d = cube.dim(f.dim)
+            val storedPaths = es.collect {
               case e if !e.isCalc =>
                 e.items.head.asInstanceOf[MemberSlice].path
             }
@@ -1746,10 +1774,13 @@ final class Planner(val cube: BoundCube) {
                   .select(cols.map(col): _*).distinct().collect()
                   .map(r => cols.indices.map(i => String.valueOf(r.get(i))))
               }.map(_.toSeq).toSet
-            entries0.filter(e => e.isCalc || visible(
+            es.filter(e => e.isCalc || visible(
               e.items.head.asInstanceOf[MemberSlice].path
                 .map(String.valueOf)))
           }
+        }
+        val factorEntries: Seq[(CalcFactor, Seq[AxisEntry])] =
+          factors.map(f => f -> entriesOf(f))
         val qSlicer = qSlicerAll
         // Same-dim query-slicer items: for a CALC entry they fold
         // into its predicate through resolveSlicer's compound (OR)
@@ -1758,20 +1789,32 @@ final class Planner(val cube: BoundCube) {
         // normal axis-path semantics (the slicer restricts the
         // cells; an excluded member keeps its row, null cells).
         // Items on other dims filter globally and push to the scan.
-        val entryDims = entries.flatMap(_.items).collect {
-          case MemberSlice(d, _) => d
-          case SetSlice(d, _)    => d
-        }.toSet
-        val (overlap, shared) = qSlicer.partition {
-          case MemberSlice(d, _) => entryDims(d)
-          case SetSlice(d, _)    => entryDims(d)
-          case _                 => false
+        // With several calc factors, each overlap item folds into
+        // exactly ONE factor's entry predicates (its effect reaches
+        // every tuple through that factor's explode key).
+        def itemDim(i: SlicerItem): Option[String] = i match {
+          case MemberSlice(d, _) => Some(d)
+          case SetSlice(d, _)    => Some(d)
+          case _                 => None
         }
+        val factorItemDims: Seq[Set[String]] = factorEntries.map {
+          case (_, es) => es.flatMap(_.items).flatMap(itemDim).toSet
+        }
+        val (overlap, shared) = qSlicer.partition(i =>
+          itemDim(i).exists(d => factorItemDims.exists(_.contains(d))))
+        overlap.foreach { i =>
+          if (factorItemDims.count(s => itemDim(i).exists(s)) > 1)
+            refuse("a WHERE item on a dimension constrained by calc " +
+              "members of more than one CrossJoin factor")
+        }
+        def overlapOf(k: Int): Seq[SlicerItem] =
+          overlap.filter(i => itemDim(i).exists(factorItemDims(k)))
         // the grant/deny slicer (Partial rollup policy) ANDs into the
         // scan GLOBALLY — for every entry, calc or stored — never into
         // the per-entry compound OR (a grant OR-folded into a calc
         // set would WIDEN it; the role spec pins AND semantics)
-        val joinItems = qSlicer ++ roleSlicer ++ entries.flatMap(_.items)
+        val joinItems = qSlicer ++ roleSlicer ++
+          factorEntries.flatMap(_._2.flatMap(_.items))
         val star = joinStar(neededJoins(otherDims, joinItems), joinItems)
         val sliced0 = star.filter(slicerPredicate(shared ++ roleSlicer))
         // a HIGH-CARDINALITY other factor (reference high_cardinality
@@ -1794,17 +1837,25 @@ final class Planner(val cube: BoundCube) {
         // entries are keyed by POSITION, never display name: leaf
         // captions repeat across parents (a Q1 under every year)
         // and a duplicated literal member must stay two rows, not
-        // one doubled group
-        val keyArr = array(entries.map { e =>
-          val pred =
-            if (e.isCalc)
-              slicerPredicate(resolveSlicer(overlap ++ e.items))
-            else if (overlap.isEmpty) slicerPredicate(e.items)
-            else slicerPredicate(e.items) && slicerPredicate(overlap)
-          when(pred, lit(e.idx))
-        }: _*)
-        val labeled = sliced.withColumn("__entry",
-          explode(filter(keyArr, _.isNotNull)))
+        // one doubled group. With several calc factors the explodes
+        // CHAIN — a row multiplies into every (e1, .., eK) combination
+        // it satisfies — and one groupBy aggregates the whole entry
+        // cross product, still in the same single scan.
+        val entryCols = factors.map(_.entryCol)
+        val labeled = factorEntries.zipWithIndex.foldLeft(sliced) {
+          case (df, ((f, es), k)) =>
+            val ovl = overlapOf(k)
+            val keyArr = array(es.map { e =>
+              val pred =
+                if (e.isCalc)
+                  slicerPredicate(resolveSlicer(ovl ++ e.items))
+                else if (ovl.isEmpty) slicerPredicate(e.items)
+                else slicerPredicate(e.items) && slicerPredicate(ovl)
+              when(pred, lit(e.idx))
+            }: _*)
+            df.withColumn(f.entryCol,
+              explode(filter(keyArr, _.isNotNull)))
+        }
         val (aggCols0, post0) = Agg.toColumnsFused(neededMeasures)
         // NECJ tuple existence = at least one fact row in the group —
         // a count over the SAME single scan, no second pass
@@ -1814,9 +1865,9 @@ final class Planner(val cube: BoundCube) {
         val post =
           if (!necjTuples) post0 else post0 :+ col("__nrows")
         val agged = labeled
-          .groupBy(("__entry" +: otherKeys).map(col): _*)
+          .groupBy((entryCols ++ otherKeys).map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
-          .select((col("__entry") +: otherKeys.map(col)) ++ post: _*)
+          .select((entryCols ++ otherKeys).map(col) ++ post: _*)
         // a member (tuple) with no satisfying fact rows keeps its axis
         // row. A CALC entry's count-aggregated cells coalesce to 0
         // there (Aggregate over an empty set COUNTS zero — what the
@@ -1824,23 +1875,30 @@ final class Planner(val cube: BoundCube) {
         // stay null like any axis member outside the slicer.
         val s = sliced.sparkSession
         import s.implicits._
-        val entryFrame = entries.map(e => (e.idx, e.name, e.isCalc))
-          .toDF("__entry", label, "__calc")
-        // the N-row entry frame is the broadcast side of the axis
+        // the N-row entry frames are the broadcast sides of the axis
         // cross product, whatever the other factor's size
+        val entryFrames = factorEntries.map { case (f, es) =>
+          es.map(e => (e.idx, e.name, e.isCalc))
+            .toDF(f.entryCol, f.label, f.calcCol)
+        }
         val frame = otherFrame0 match {
-          case Some(of) => of.members.crossJoin(broadcast(entryFrame))
-          case None     => entryFrame
+          case Some(of) => entryFrames.foldLeft(of.members)(
+            (acc, ef) => acc.crossJoin(broadcast(ef)))
+          case None => entryFrames.tail.foldLeft(entryFrames.head)(
+            (acc, ef) => acc.crossJoin(broadcast(ef)))
         }
         val aggedSide = if (otherHighCard) agged else broadcast(agged)
         val joined0 = frame
-          .join(aggedSide, "__entry" +: otherKeys, "left")
+          .join(aggedSide, entryCols ++ otherKeys, "left")
         val countish = neededMeasures
           .filter(m => m.agg == Agg.Count || m.agg == Agg.DistinctCount)
           .map(_.name).filter(joined0.columns.contains)
+        // a tuple is "calc" when ANY factor coordinate is a calc
+        // member — Aggregate over an empty set COUNTS zero there
+        val calcAny = factors.map(f => col(f.calcCol)).reduce(_ || _)
         val joined = countish.foldLeft(joined0) { (df, m) =>
           df.withColumn(m,
-            when(col("__calc") && col(m).isNull, lit(0L))
+            when(calcAny && col(m).isNull, lit(0L))
               .otherwise(col(m)))
         }
         // entry-major order (the literal set's position), then the
@@ -1865,16 +1923,25 @@ final class Planner(val cube: BoundCube) {
           else applyEntryOps(
             tupled.withColumn("__pos", (col("__entry") + 1).cast("long")),
             entryOps, dim, label)
-        val entrySort =
-          if (entryOps.isEmpty) col("__entry") else col("__pos")
-        val out = posed.orderBy(entrySort.asc +: otherSort: _*)
-          .select(((label +: otherKeys) ++ qs.measures).map(col): _*)
+        val entrySort: Seq[Column] =
+          if (entryOps.isEmpty) entryCols.map(col(_).asc)
+          else Seq(col("__pos").asc)
+        val out = posed.orderBy(entrySort ++ otherSort: _*)
+          .select(((factors.map(_.label) ++ otherKeys) ++ qs.measures)
+            .map(col): _*)
         return if (!qs.nonEmpty) out
           else out.filter(
             qs.measures.map(col(_).isNotNull).reduce(_ || _))
       }
-      // the per-entry fallback unions sub-queries that always yield
-      // their axis rows — it cannot observe NECJ tuple support
+      // the per-entry fallback unions sub-queries over ONE calc
+      // factor's entries and always yields its axis rows — it can
+      // neither evaluate the multi-factor entry cross product nor
+      // observe NECJ tuple support
+      if (factors.length > 1)
+        refuse("calc members in more than one CrossJoin factor " +
+          "alongside Measures-hosted calc measures or mixed-depth " +
+          "factors — only the fused single-pass lowering evaluates " +
+          "the multi-factor entry cross product")
       if (necjTuples)
         refuse("NonEmptyCrossJoin with a calc factor alongside " +
           "Measures-hosted calc measures or mixed-depth factors — " +

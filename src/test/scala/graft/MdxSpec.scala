@@ -1334,6 +1334,51 @@ class MdxSpec extends SparkSpec {
     necj.foreach(r => assert(r.get(2) === cjCells(r.getInt(1))))
   }
 
+  test("calc members in SEVERAL CrossJoin factors execute: the fused " +
+      "pass evaluates the full entry cross product in one scan " +
+      "(r13 refused the shape)") {
+    val defs =
+      s"""WITH $Eu13As2Def
+        |MEMBER [time].[Y9596] AS
+        |  'Aggregate({[time].[1995], [time].[1996]})'""".stripMargin
+    val df = Mdx.execute(
+      s"""$defs
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[AMERICA], [customer].[EU13 and AS2]},
+        |            {[time].[Y9596], [time].[1995]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[java.math.BigDecimal]("revenue").doubleValue()).toMap
+    assert(rows.size === 4) // 2 customer entries x 2 time entries
+    def solo(where: String): Double = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE $where""".stripMargin, cube).collect().head
+      .getAs[java.math.BigDecimal]("revenue").doubleValue()
+    val eu = "{[customer].[EUROPE].[NATION_13], [customer].[ASIA].[NATION_2]}"
+    val yy = "{[time].[1995], [time].[1996]}"
+    assert(rows(("AMERICA", "Y9596")) ===
+      solo(s"([customer].[AMERICA], $yy)"))
+    assert(rows(("AMERICA", "1995")) ===
+      solo("([customer].[AMERICA], [time].[1995])"))
+    assert(rows(("EU13 and AS2", "Y9596")) === solo(s"($eu, $yy)"))
+    assert(rows(("EU13 and AS2", "1995")) ===
+      solo(s"($eu, [time].[1995])"))
+    // a third, calc-free factor still groups by its level columns
+    val three = Mdx.execute(
+      s"""$defs
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN(CROSSJOIN(
+        |    {[customer].[EU13 and AS2]}, {[time].[Y9596]}),
+        |    [returnflag].[returnflag].Members) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(three.length === 3) // 1 x 1 x {A,N,R}
+    val rCell = three.find(_.getAs[String]("l_returnflag") == "R").get
+      .getAs[java.math.BigDecimal]("revenue").doubleValue()
+    assert(rCell === solo(s"($eu, $yy, [returnflag].[R])"))
+  }
+
   test("a dim-calc member in any OTHER axis set shape refuses loudly " +
       "instead of silently dropping rows") {
     def refusal(mdx: String): String = {
@@ -1375,12 +1420,23 @@ class MdxSpec extends SparkSpec {
     // the query-slicer context)
     refusal(q("UNION({[customer].[EU13 and AS2]}, " +
       "FILTER([customer].[region].Members, [Measures].[revenue] > 0))"))
-    // calc members on BOTH factors
+    // calc members on BOTH factors of a NECJ still refuse when the
+    // measures are calc-hosted (fused-only shapes meet the fallback)
     refusal(
       s"""WITH $Eu13As2Def
         |MEMBER [time].[Y95] AS 'Aggregate({[time].[1995]})'
-        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |MEMBER [Measures].[rev2] AS '[Measures].[revenue] * 2'
+        |SELECT {[Measures].[rev2]} ON COLUMNS,
         |  CROSSJOIN({[customer].[EU13 and AS2]}, {[time].[Y95]}) ON ROWS
+        |FROM [Sales]""".stripMargin)
+    // two calc-bearing factors on the SAME hierarchy
+    refusal(
+      s"""WITH $Eu13As2Def
+        |MEMBER [customer].[AM1] AS
+        |  'Aggregate({[customer].[AMERICA].[NATION_1]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[EU13 and AS2]},
+        |            {[customer].[AM1]}) ON ROWS
         |FROM [Sales]""".stripMargin)
     // a calc set constraining a dimension another factor enumerates
     // (MDX context override) refuses rather than guessing

@@ -200,6 +200,32 @@ class PlanSpec extends SparkSpec {
     assert(rows("C") === solo("([customer].[AFRICA])"))
   }
 
+  test("calc members in TWO CrossJoin factors stay a single fact " +
+      "pass: chained explodes, exchange count constant in both entry " +
+      "counts") {
+    def planFor(cust: String, time: String): String = plan(Mdx.execute(
+      s"""WITH MEMBER [customer].[A] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |MEMBER [time].[Y9596] AS
+        |  'Aggregate({[time].[1995], [time].[1996]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({$cust}, {$time}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube))
+    def hashEx(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    // the time-dim cached-relation printout contributes a fixed count;
+    // what must NOT happen is one fact aggregation per entry pair —
+    // 2x2 entries, same plan shape as 1x1
+    val small = planFor("[customer].[A]", "[time].[Y9596]")
+    val cross = planFor("[customer].[A], [customer].[AMERICA]",
+      "[time].[Y9596], [time].[1995]")
+    assert(hashEx(cross) === hashEx(small),
+      s"exchange count grew with the entry cross product:\n$cross")
+    assert(cross.contains("BroadcastHashJoin"),
+      s"dimension joins must stay broadcast:\n$cross")
+  }
+
   test("a role keeps the fused dim-calc axis a single fact pass: the " +
       "grant slicer is a scan filter, not a per-entry sub-query") {
     val roled = Cubes.sales(spark, Sf).withRole(Role("Europe only",
