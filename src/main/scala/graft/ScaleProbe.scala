@@ -102,6 +102,23 @@ object ScaleProbe {
           |FROM [Sales]""".stripMargin
       for (pass <- 1 to 2)
         time(s"dimcalc cj x months p$pass")(Mdx.execute(q, cube).count())
+      // two calc-bearing factors (r14): the chained explodes stay one
+      // fact pass — wall should match the single-factor shape, not
+      // multiply by the second factor's entry count
+      val q2 =
+        """WITH MEMBER [customer].[EU13 and AS2] AS
+          |  'Aggregate({[customer].[EUROPE].[NATION_13],
+          |              [customer].[ASIA].[NATION_2]})'
+          |MEMBER [time].[Y9596] AS
+          |  'Aggregate({[time].[1995], [time].[1996]})'
+          |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+          |  CROSSJOIN({[customer].[AMERICA], [customer].[EU13 and AS2],
+          |             [customer].[AFRICA], [customer].[EUROPE]},
+          |            {[time].[Y9596], [time].[1995], [time].[1996]})
+          |    ON ROWS
+          |FROM [Sales]""".stripMargin
+      for (pass <- 1 to 2)
+        time(s"dimcalc 2-factor cj p$pass")(Mdx.execute(q2, cube).count())
       spark.stop()
       return
     }
