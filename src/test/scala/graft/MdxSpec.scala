@@ -920,6 +920,24 @@ class MdxSpec extends SparkSpec {
     assert(viaFallback.keySet === fused.keySet)
     fused.foreach { case (k, v) =>
       assert(math.abs(viaFallback(k) - 2 * v) < 1e-6, s"tuple $k") }
+    // an Order()'d other factor keeps ITS order through the fallback
+    // too — the fallback joins the member frame's __ord back instead
+    // of re-sorting by name keys (r13 ADVICE): row order must equal
+    // the fused twin's
+    def order(measure: String, extra: String): Seq[(String, Int)] =
+      Mdx.execute(
+        s"""WITH $Eu13As2Def
+          |$extra
+          |SELECT {[Measures].[$measure]} ON COLUMNS,
+          |  CROSSJOIN({[customer].[AMERICA], [customer].[EU13 and AS2]},
+          |            ORDER({[time].[1995], [time].[1996]},
+          |                  [Measures].[revenue], BDESC)) ON ROWS
+          |FROM [Sales]""".stripMargin, cube).collect().toSeq
+        .map(r => (r.getString(0), r.getInt(1)))
+    val fusedOrder = order("revenue", "")
+    val fallbackOrder = order("rev2",
+      "MEMBER [Measures].[rev2] AS [Measures].[revenue] * 2")
+    assert(fallbackOrder === fusedOrder)
   }
 
   test("PAGES crossed with a dim-calc rows axis works through the " +
