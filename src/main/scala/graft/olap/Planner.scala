@@ -1815,8 +1815,24 @@ final class Planner(val cube: BoundCube) {
         // set would WIDEN it; the role spec pins AND semantics)
         val joinItems = qSlicer ++ roleSlicer ++
           factorEntries.flatMap(_._2.flatMap(_.items))
-        val star = joinStar(neededJoins(otherDims, joinItems), joinItems)
-        val sliced0 = star.filter(slicerPredicate(shared ++ roleSlicer))
+        // AggRouter (SURVEY §4 #6) serves the fused axis too: when a
+        // declared rollup covers every dimension the entries, the
+        // slicer, and the other factors touch — at the depths they
+        // touch — and every needed measure is a decomposable partial,
+        // the single pass reads the ROLLUP rows instead of the fact
+        // (the entry predicates explode level columns the rollup
+        // carries; the group then MERGES partials — sum of sums and
+        // counts, min of mins). avg/distinct keep the raw-fact scan.
+        val routedAt = AggRouter.route(cube,
+          neededJoins(otherDims, joinItems), joinItems, neededMeasures)
+        val sliced0 = routedAt match {
+          case Some(at) =>
+            AggRouter.lastHit = Some(at.name)
+            at.df.filter(slicerPredicate(shared ++ roleSlicer))
+          case None =>
+            joinStar(neededJoins(otherDims, joinItems), joinItems)
+              .filter(slicerPredicate(shared ++ roleSlicer))
+        }
         // a HIGH-CARDINALITY other factor (reference high_cardinality
         // opt-out) must never ride a broadcast: its member frame and
         // the (entry x member)-grained aggregate are both
@@ -1856,9 +1872,21 @@ final class Planner(val cube: BoundCube) {
             df.withColumn(f.entryCol,
               explode(filter(keyArr, _.isNotNull)))
         }
-        val (aggCols0, post0) = Agg.toColumnsFused(neededMeasures)
+        val (aggCols0, post0) =
+          if (routedAt.isEmpty) Agg.toColumnsFused(neededMeasures)
+          else (neededMeasures.map { m =>
+            (m.agg match {
+              case Agg.Sum | Agg.SumExact | Agg.Count => sum(col(m.name))
+              case Agg.Min => min(col(m.name))
+              case Agg.Max => max(col(m.name))
+              case other => throw new IllegalStateException(
+                s"non-decomposable aggregator routed: $other")
+            }).as(m.name)
+          }, neededMeasures.map(m => col(m.name)))
         // NECJ tuple existence = at least one fact row in the group —
-        // a count over the SAME single scan, no second pass
+        // a count over the SAME single scan, no second pass. Over a
+        // routed rollup the count is of ROLLUP rows — existence-
+        // equivalent (a rollup row exists iff fact rows did)
         val aggCols =
           if (!necjTuples) aggCols0
           else aggCols0 :+ count(lit(1L)).as("__nrows")

@@ -63,6 +63,29 @@ class CacheSpec extends SparkSpec {
     assert(viaAgg.toSeq === direct.toSeq)
   }
 
+  test("agg router serves the FUSED dim-calc axis: the explode keys " +
+      "work on rollup level columns and the group merges partials") {
+    val base = Cubes.sales(spark, Sf)
+    val at = new Planner(base).buildAggTable("nation_year",
+      Seq(("customer", "nation"), ("time", "year")),
+      Seq("revenue", "sum_qty"))
+    val routed = base.withAggTables(at)
+    def q(c: BoundCube) = Mdx.execute(
+      """WITH MEMBER [customer].[EU13 and AS2] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[AMERICA], [customer].[EU13 and AS2]},
+        |            {[time].[1995], [time].[1996]}) ON ROWS
+        |FROM [Sales]""".stripMargin, c).collect()
+    AggRouter.lastHit = None
+    val viaAgg = q(routed)
+    assert(AggRouter.lastHit === Some("nation_year"),
+      "the fused axis must be served from the rollup, not the fact")
+    val direct = q(base)
+    assert(viaAgg.toSeq === direct.toSeq)
+  }
+
   test("declared AggPattern matches physical rollups, applies excludes, and routes") {
     val base = Cubes.sales(spark, Sf)
     // simulate PRE-EXISTING physical rollup tables (an external build
