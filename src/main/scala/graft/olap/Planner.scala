@@ -1643,14 +1643,13 @@ final class Planner(val cube: BoundCube) {
         rowsFactors.indices.filterNot(calcIdxs.contains)
           .map(rowsFactors)
       // Filter/Order and post-slicing need the entries' CELLS first
-      // (evaluate-then-prune); with another CrossJoin factor present
-      // the MDX condition context is per-set-member (pre-crossjoin),
-      // not per-tuple — refuse rather than guess the wrong grain
-      if (factors.exists(_.ops.nonEmpty) &&
-          (otherFactors.nonEmpty || factors.length > 1))
-        refuse("Filter/Order/positional ops over the calc-bearing " +
-          "factor of a CrossJoin — the condition evaluates before the " +
-          "crossjoin, a context this lowering cannot reproduce")
+      // (evaluate-then-prune). With calc-free other factors present
+      // the fused path runs a PRE-crossjoin pass (the MDX condition
+      // context is per-set-member); alongside a second calc-bearing
+      // factor the pre-pass grain is ambiguous — refuse
+      if (factors.exists(_.ops.nonEmpty) && factors.length > 1)
+        refuse("Filter/Order/positional ops over a calc-bearing " +
+          "factor alongside another calc-bearing factor")
       entryOps.foreach {
         case EntryOrder(_, SortDir.Asc | SortDir.Desc) =>
           refuse("non-breaking Order over a calc-bearing set (a calc " +
@@ -1850,28 +1849,6 @@ final class Planner(val cube: BoundCube) {
             otherKeys, "left_semi")
           case _ => sliced0
         }
-        // entries are keyed by POSITION, never display name: leaf
-        // captions repeat across parents (a Q1 under every year)
-        // and a duplicated literal member must stay two rows, not
-        // one doubled group. With several calc factors the explodes
-        // CHAIN — a row multiplies into every (e1, .., eK) combination
-        // it satisfies — and one groupBy aggregates the whole entry
-        // cross product, still in the same single scan.
-        val entryCols = factors.map(_.entryCol)
-        val labeled = factorEntries.zipWithIndex.foldLeft(sliced) {
-          case (df, ((f, es), k)) =>
-            val ovl = overlapOf(k)
-            val keyArr = array(es.map { e =>
-              val pred =
-                if (e.isCalc)
-                  slicerPredicate(resolveSlicer(ovl ++ e.items))
-                else if (ovl.isEmpty) slicerPredicate(e.items)
-                else slicerPredicate(e.items) && slicerPredicate(ovl)
-              when(pred, lit(e.idx))
-            }: _*)
-            df.withColumn(f.entryCol,
-              explode(filter(keyArr, _.isNotNull)))
-        }
         val (aggCols0, post0) =
           if (routedAt.isEmpty) Agg.toColumnsFused(neededMeasures)
           else (neededMeasures.map { m =>
@@ -1883,6 +1860,76 @@ final class Planner(val cube: BoundCube) {
                 s"non-decomposable aggregator routed: $other")
             }).as(m.name)
           }, neededMeasures.map(m => col(m.name)))
+        // entries are keyed by POSITION, never display name: leaf
+        // captions repeat across parents (a Q1 under every year)
+        // and a duplicated literal member must stay two rows, not
+        // one doubled group.
+        def keyArrOf(es: Seq[AxisEntry], ovl: Seq[SlicerItem]): Column =
+          // an emptied entry list (ops pruned everything) keeps the
+          // array typed with one never-matching element: the explode
+          // yields nothing and the empty entry frame empties the axis
+          if (es.isEmpty) array(when(lit(false), lit(0)))
+          else array(es.map { e =>
+            val pred =
+              if (e.isCalc)
+                slicerPredicate(resolveSlicer(ovl ++ e.items))
+              else if (ovl.isEmpty) slicerPredicate(e.items)
+              else slicerPredicate(e.items) && slicerPredicate(ovl)
+            when(pred, lit(e.idx))
+          }: _*)
+        // Filter/Order over the calc factor of a CrossJoin evaluates
+        // PRE-crossjoin (FilterFunDef: per member of the set, in the
+        // query context — the other factor's coordinate is NOT set):
+        // a first fused pass at ENTRY grain over the un-semi-joined
+        // scan computes each entry's context cells, the ops prune and
+        // reorder the N-row result, and the surviving ordered entries
+        // drive the main pass. Two scans, both rollup-servable; the
+        // collect is N rows — plan-sized, same convention as the
+        // computed-slicer and role-visibility probes.
+        val factorEntries2 =
+          if (entryOps.isEmpty || otherFactors.isEmpty) factorEntries
+          else {
+            val (f0, es0) = factorEntries.head
+            val s2 = sliced0.sparkSession
+            import s2.implicits._
+            val p1 = sliced0.withColumn(f0.entryCol,
+                explode(filter(keyArrOf(es0, overlapOf(0)), _.isNotNull)))
+              .groupBy(col(f0.entryCol))
+              .agg(aggCols0.head, aggCols0.tail: _*)
+              .select(col(f0.entryCol) +: post0: _*)
+            val ef = es0.map(e => (e.idx, e.name, e.isCalc))
+              .toDF(f0.entryCol, f0.label, f0.calcCol)
+            val j0 = ef.join(broadcast(p1), Seq(f0.entryCol), "left")
+            val countishP = neededMeasures
+              .filter(m => m.agg == Agg.Count || m.agg == Agg.DistinctCount)
+              .map(_.name).filter(j0.columns.contains)
+            val j = countishP.foldLeft(j0)((df, m) => df.withColumn(m,
+              when(col(f0.calcCol) && col(m).isNull, lit(0L))
+                .otherwise(col(m))))
+            val kept = applyEntryOps(j.withColumn("__pos",
+                (col(f0.entryCol) + 1).cast("long")),
+                entryOps, f0.dim, f0.label)
+              .orderBy(col("__pos").asc)
+              .select(col(f0.entryCol)).collect().map(_.getInt(0))
+            val byIdx = es0.map(e => e.idx -> e).toMap
+            val reindexed = kept.toSeq.zipWithIndex.map {
+              case (old, i) => byIdx(old).copy(idx = i)
+            }
+            (f0, reindexed) +: factorEntries.tail
+          }
+        // ops with other factors were consumed by the pre-pass above
+        val opsDownstream =
+          if (otherFactors.isEmpty) entryOps else Vector.empty[EntryOp]
+        // With several calc factors the explodes CHAIN — a row
+        // multiplies into every (e1, .., eK) combination it satisfies
+        // — and one groupBy aggregates the whole entry cross product,
+        // still in the same single scan.
+        val entryCols = factors.map(_.entryCol)
+        val labeled = factorEntries2.zipWithIndex.foldLeft(sliced) {
+          case (df, ((f, es), k)) =>
+            df.withColumn(f.entryCol,
+              explode(filter(keyArrOf(es, overlapOf(k)), _.isNotNull)))
+        }
         // NECJ tuple existence = at least one fact row in the group —
         // a count over the SAME single scan, no second pass. Over a
         // routed rollup the count is of ROLLUP rows — existence-
@@ -1905,7 +1952,7 @@ final class Planner(val cube: BoundCube) {
         import s.implicits._
         // the N-row entry frames are the broadcast sides of the axis
         // cross product, whatever the other factor's size
-        val entryFrames = factorEntries.map { case (f, es) =>
+        val entryFrames = factorEntries2.map { case (f, es) =>
           es.map(e => (e.idx, e.name, e.isCalc))
             .toDF(f.entryCol, f.label, f.calcCol)
         }
@@ -1945,14 +1992,15 @@ final class Planner(val cube: BoundCube) {
           else joined.filter(col("__nrows") >= 1).drop("__nrows")
         // evaluate-then-prune: Filter/Order/slice ops run on the N
         // aggregated entry rows (never the fact), positions seeded
-        // from the literal order; ops imply no other factors (gated)
+        // from the literal order (ops with other factors ran in the
+        // pre-crossjoin pass instead)
         val posed =
-          if (entryOps.isEmpty) tupled
+          if (opsDownstream.isEmpty) tupled
           else applyEntryOps(
             tupled.withColumn("__pos", (col("__entry") + 1).cast("long")),
-            entryOps, dim, label)
+            opsDownstream, dim, label)
         val entrySort: Seq[Column] =
-          if (entryOps.isEmpty) entryCols.map(col(_).asc)
+          if (opsDownstream.isEmpty) entryCols.map(col(_).asc)
           else Seq(col("__pos").asc)
         val out = posed.orderBy(entrySort ++ otherSort: _*)
           .select(((factors.map(_.label) ++ otherKeys) ++ qs.measures)
@@ -1974,6 +2022,11 @@ final class Planner(val cube: BoundCube) {
         refuse("NonEmptyCrossJoin with a calc factor alongside " +
           "Measures-hosted calc measures or mixed-depth factors — " +
           "only the fused single-pass lowering computes tuple support")
+      if (entryOps.nonEmpty && otherFactors.nonEmpty)
+        refuse("Filter/Order/positional ops over the calc factor of " +
+          "a CrossJoin alongside Measures-hosted calc measures or " +
+          "mixed-depth factors — the pre-crossjoin condition pass " +
+          "needs the fused lowering")
       // a path already in the current run starts a NEW run: the
       // Members lowering distincts its member frame, so a
       // duplicated literal inside one run would collapse to a

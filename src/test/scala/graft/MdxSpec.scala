@@ -1352,6 +1352,68 @@ class MdxSpec extends SparkSpec {
     necj.foreach(r => assert(r.get(2) === cjCells(r.getInt(1))))
   }
 
+  test("Filter/Order over a crossjoined calc factor evaluate " +
+      "PRE-crossjoin: the condition sees the entry's context cell, " +
+      "not the per-tuple values (r13 refused the shape)") {
+    val SetLit = "{[customer].[AMERICA], [customer].[EU13 and AS2], " +
+      "[customer].[EUROPE]}"
+    def solo(axis: String): Seq[(String, Double)] = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  $axis ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq
+      .map(r => r.getString(0) ->
+        r.getAs[java.math.BigDecimal]("revenue").doubleValue())
+    val base = solo(SetLit)
+    // threshold ABOVE every per-year cell but BELOW the smallest
+    // entry's all-years total: per-tuple filtering would drop every
+    // row of that entry; the pre-crossjoin context keeps them all
+    val t = base.map(_._2).min * 0.9
+    val kept = base.filter(_._2 > t) // all three, by construction
+    assert(kept.length === 3)
+    val rows = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN(FILTER($SetLit, [Measures].[revenue] > $t),
+        |            {[time].[1995], [time].[1996]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(rows.length === 6) // 3 surviving entries x 2 years
+    // the yearly cells themselves sit BELOW t — proof the condition
+    // ran pre-crossjoin, not per tuple
+    assert(rows.forall(r =>
+      r.getAs[java.math.BigDecimal]("revenue").doubleValue() < t))
+    // a REAL prune: threshold between the entries' totals
+    val t2 = base.map(_._2).sorted.apply(1) - 0.5
+    val kept2 = base.filter(_._2 > t2).map(_._1)
+    val rows2 = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN(FILTER($SetLit, [Measures].[revenue] > $t2),
+        |            {[time].[1995], [time].[1996]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(rows2.map(_.getString(0)).distinct.toSeq === kept2)
+    assert(rows2.length === kept2.length * 2)
+    // Head(Order(..., BDESC), 2) crossjoined: top-2 by CONTEXT value
+    val top2 = base.sortBy(-_._2).take(2).map(_._1)
+    val rows3 = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN(HEAD(ORDER($SetLit, [Measures].[revenue], BDESC),
+        |                 2),
+        |            {[time].[1995], [time].[1996]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(rows3.map(_.getString(0)).distinct.toSeq === top2)
+    // surviving cells equal the unfiltered crossjoin's cells
+    val full = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN($SetLit, {[time].[1995], [time].[1996]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.get(2)).toMap
+    rows3.foreach(r =>
+      assert(r.get(2) === full((r.getString(0), r.getInt(1)))))
+  }
+
   test("calc members in SEVERAL CrossJoin factors execute: the fused " +
       "pass evaluates the full entry cross product in one scan " +
       "(r13 refused the shape)") {
@@ -1417,11 +1479,16 @@ class MdxSpec extends SparkSpec {
     // non-breaking Order: a calc member has no hierarchical position
     refusal(q("ORDER({[customer].[EU13 and AS2], [customer].[AMERICA]}, " +
       "[Measures].[revenue], ASC)"))
-    // Filter over the calc factor of a CrossJoin: the condition
-    // evaluates pre-crossjoin, a context the lowering can't reproduce
-    refusal(q("CROSSJOIN(FILTER({[customer].[EU13 and AS2], " +
-      "[customer].[AMERICA]}, [Measures].[revenue] > 0), " +
-      "{[time].[1995]})"))
+    // Filter/Order ops on a calc factor alongside ANOTHER calc factor
+    refusal(
+      s"""WITH $Eu13As2Def
+        |MEMBER [time].[Y95] AS 'Aggregate({[time].[1995]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN(FILTER({[customer].[EU13 and AS2],
+        |                    [customer].[AMERICA]},
+        |                   [Measures].[revenue] > 0),
+        |            {[time].[Y95]}) ON ROWS
+        |FROM [Sales]""".stripMargin)
     // the calc member's own hierarchy in another factor
     refusal(q("CROSSJOIN({[customer].[EU13 and AS2]}, " +
       "{[customer].[ASIA]})"))
