@@ -824,23 +824,22 @@ final class Planner(val cube: BoundCube) {
   private def ancestorOrds(a: AxisFrame): Seq[String] =
     a.dims.flatMap(ad => ad.d.levelsTo(ad.depth).dropRight(1).map(_.ordinal))
 
-  /** Enumerate a calc-free single-dimension NAVIGATIONAL set to
-    * literal member paths in presentation order — the bridge that lets
+  /** Enumerate a calc-free single-dimension set to literal member
+    * paths in presentation order — the bridge that lets
     * Union/Head/Tail/Subset compose enumerable sets (Level.Members,
-    * Children, ranges) with dim-calc entries. Cell-dependent sets
-    * (Filter/Order/Top*) are not enumerable here: they would need the
-    * query-slicer cell context this plan-time expansion doesn't carry.
-    * Bounded like computed slicers: an entry list is a plan-sized
-    * object (it becomes the broadcast side of the axis), never a
-    * data-sized one — more than 10k members refuse.
+    * Children, ranges, and cell-dependent Filter/Order/Top* — their
+    * cells evaluate under `slicer`: the query context on an axis, the
+    * default context in a computed WHERE set, matching the
+    * computed-slicer convention) with dim-calc entries. Bounded like
+    * computed slicers: an entry list is a plan-sized object (it
+    * becomes the broadcast side of the axis), never a data-sized one
+    * — more than 10k members refuse.
     */
   private def enumerateEntryPaths(set: SetExpr,
-      withSets: Map[String, SetExpr])
+      withSets: Map[String, SetExpr],
+      slicer: Seq[SlicerItem])
       : Either[String, (String, Vector[Seq[Any]])] = {
-    if (exprTexts(set).nonEmpty)
-      return Left("a cell-dependent set (Filter/Order/Top...) " +
-        "combined with a calc-bearing set")
-    val a = realizeOrd(evalSet(set, Nil, withSets))
+    val a = realizeOrd(evalSet(set, slicer, withSets))
     if (a.dims.length != 1)
       return Left("a multi-dimension set combined with a calc-bearing " +
         "set")
@@ -1406,7 +1405,7 @@ final class Planner(val cube: BoundCube) {
       * = the reason the shape stays unsupported (refused by the
       * caller, never silently dropped).
       */
-    def flatten(s0: SetExpr)
+    def flatten(s0: SetExpr, slicer: Seq[SlicerItem] = Nil)
         : Either[String, (String, Vector[Seq[Any]], Vector[EntryOp])] = {
       def deref(s: SetExpr, seen: Set[String]): SetExpr = s match {
         case NamedSetRef(n) if !seen(n) && withSets.contains(n) =>
@@ -1417,6 +1416,13 @@ final class Planner(val cube: BoundCube) {
           : Either[String, (String, Vector[Seq[Any]], Vector[EntryOp])] =
         deref(s, Set.empty) match {
           case Members(d, ps) => Right((d, ps.toVector, Vector.empty))
+          // an entirely calc-FREE subtree — navigational OR
+          // cell-dependent (Filter/Order/Top* evaluate under `slicer`)
+          // — enumerates to literal entries wholesale (bounded), so
+          // the set functions compose it with calc members
+          case other if !hasCalcPath(other, Set.empty) =>
+            enumerateEntryPaths(other, withSets, slicer)
+              .map { case (d, ps) => (d, ps, Vector.empty[EntryOp]) }
           case UnionSet(a, b, all) =>
             go(a).flatMap { case (da, pa, oa) =>
               go(b).flatMap { case (db, pb, ob) =>
@@ -1454,14 +1460,7 @@ final class Planner(val cube: BoundCube) {
             case (d, ps, ops) => (d, ps, ops :+ EntryOrder(e, dir))
           }
           case other =>
-            if (hasCalcPath(other, Set.empty))
-              Left(s"calc path nested inside ${other.getClass.getSimpleName}")
-            else
-              // a calc-FREE navigational side enumerates to literal
-              // entries (bounded) so the set functions compose it
-              // with calc members — Union({calc}, [d].[lvl].Members)
-              enumerateEntryPaths(other, withSets)
-                .map { case (d, ps) => (d, ps, Vector.empty[EntryOp]) }
+            Left(s"calc path nested inside ${other.getClass.getSimpleName}")
         }
       go(s0)
     }
@@ -1620,8 +1619,9 @@ final class Planner(val cube: BoundCube) {
       case class CalcFactor(dim: String, paths: Vector[Seq[Any]],
         ops: Vector[EntryOp], label: String, entryCol: String,
         calcCol: String)
+      val qSlicerAll = resolveSlicer(qs.slicer, qs.withSets)
       val factors = calcIdxs.zipWithIndex.map { case (fi, k) =>
-        dcl.flatten(rowsFactors(fi)) match {
+        dcl.flatten(rowsFactors(fi), qSlicerAll) match {
           case Right((d, ps, ops)) =>
             if (ps.isEmpty)
               refuse("the entry list is empty after positional slicing")
@@ -1670,7 +1670,6 @@ final class Planner(val cube: BoundCube) {
       val otherSet = otherFactors.reduceRightOption(CrossJoin(_, _))
       // the other factors' member frames pin the extra tuple
       // coordinates; plan-building only (nothing executes here)
-      val qSlicerAll = resolveSlicer(qs.slicer, qs.withSets)
       val otherFrame0 = otherSet.map(s => evalSet(s, qSlicerAll, qs.withSets))
       val otherDims = otherFrame0.map(_.dims).getOrElse(Nil)
       val otherKeys = otherDims.flatMap(ad => levelCols(ad.d, ad.depth))

@@ -1326,6 +1326,14 @@ class MdxSpec extends SparkSpec {
         |       [customer].[ASIA].[NATION_2]}""".stripMargin, cube)
       .collect().head.getAs[java.math.BigDecimal]("revenue")
     assert(df.head.getAs[java.math.BigDecimal]("revenue") === solo)
+    // a CELL-DEPENDENT calc-free side enumerates too, its condition
+    // evaluated in the query context (TopCount here: the two largest
+    // regions by revenue join the calc entry)
+    val top2 = rows("TOPCOUNT([customer].[region].Members, 2, " +
+      "[Measures].[revenue])")
+    assert(rows("UNION({[customer].[EU13 and AS2]}, " +
+      "TOPCOUNT([customer].[region].Members, 2, " +
+      "[Measures].[revenue]))") === "EU13 and AS2" +: top2)
   }
 
   test("NonEmptyCrossJoin with a calc factor keeps exactly the tuples " +
@@ -1501,10 +1509,9 @@ class MdxSpec extends SparkSpec {
         |  NONEMPTYCROSSJOIN({[customer].[EU13 and AS2]},
         |                    {[time].[1995]}) ON ROWS
         |FROM [Sales]""".stripMargin)
-    // a cell-dependent calc-free side cannot enumerate (it would need
-    // the query-slicer context)
+    // a multi-dimension calc-free side cannot join the entry list
     refusal(q("UNION({[customer].[EU13 and AS2]}, " +
-      "FILTER([customer].[region].Members, [Measures].[revenue] > 0))"))
+      "CROSSJOIN([customer].[region].Members, {[time].[1995]}))"))
     // calc members on BOTH factors of a NECJ still refuse when the
     // measures are calc-hosted (fused-only shapes meet the fallback)
     refusal(
