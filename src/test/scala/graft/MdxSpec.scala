@@ -1025,13 +1025,49 @@ class MdxSpec extends SparkSpec {
   }
 
   test("the crossjoined dim-calc query round-trips through toMdx") {
-    val ir = Mdx.parse(
+    def roundTrips(mdx: String): Unit = {
+      val ir = Mdx.parse(mdx, cube)
+      assert(Mdx.parse(Mdx.renderQuery(ir, cube.name), cube) === ir)
+    }
+    roundTrips(
       s"""WITH $Eu13As2Def
         |SELECT {[Measures].[revenue]} ON COLUMNS,
         |  CROSSJOIN({[customer].[AMERICA], [customer].[EU13 and AS2]},
         |            {[time].[1995], [time].[1996]}) ON ROWS
-        |FROM [Sales]""".stripMargin, cube)
-    assert(Mdx.parse(Mdx.renderQuery(ir, cube.name), cube) === ir)
+        |FROM [Sales]""".stripMargin)
+    // the r14 executed shapes render and re-parse too
+    roundTrips(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  UNION({[customer].[EU13 and AS2]},
+        |        [customer].[region].Members) ON ROWS
+        |FROM [Sales]""".stripMargin)
+    roundTrips(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  HEAD(ORDER({[customer].[AMERICA], [customer].[EU13 and AS2]},
+        |             [Measures].[revenue], BDESC), 1) ON ROWS
+        |FROM [Sales]""".stripMargin)
+    roundTrips(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  FILTER({[customer].[AMERICA], [customer].[EU13 and AS2]},
+        |         [Measures].[revenue] > 1000000.0) ON ROWS
+        |FROM [Sales]""".stripMargin)
+    roundTrips(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  NONEMPTYCROSSJOIN({[customer].[EU13 and AS2]},
+        |                    {[time].[1995]}) ON ROWS
+        |FROM [Sales]""".stripMargin)
+    roundTrips(
+      s"""WITH $Eu13As2Def
+        |MEMBER [time].[Y9596] AS
+        |  'Aggregate({[time].[1995], [time].[1996]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[EU13 and AS2]},
+        |            {[time].[Y9596], [time].[1995]}) ON ROWS
+        |FROM [Sales]""".stripMargin)
   }
 
   test("crossjoined dim-calc details: duplicate literals stay distinct " +
