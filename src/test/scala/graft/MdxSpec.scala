@@ -1503,6 +1503,65 @@ class MdxSpec extends SparkSpec {
     assert(rCell === solo(s"($eu, $yy, [returnflag].[R])"))
   }
 
+  test("r14 edge shapes: calc-only unions, tail over enumerated " +
+      "sides, NECJ+NON EMPTY, PAGES folding, and drill-through with " +
+      "a computed WHERE set") {
+    def rows(axis: String, extra: String = ""): Seq[String] = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |$extra
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  $axis ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq
+      .map(_.getString(0))
+    // two calc members joined by Union behave like the literal pair
+    val amDef = "MEMBER [customer].[AM1] AS " +
+      "'Aggregate({[customer].[AMERICA].[NATION_1]})'"
+    assert(rows("UNION({[customer].[EU13 and AS2]}, {[customer].[AM1]})",
+      amDef) === rows("{[customer].[EU13 and AS2], [customer].[AM1]}",
+      amDef))
+    // Tail over a calc+enumerated union slices the combined list
+    val regions = rows("[customer].[region].Members")
+    assert(rows("TAIL(UNION({[customer].[EU13 and AS2]}, " +
+      "[customer].[region].Members), 2)") === regions.takeRight(2))
+    // NECJ and NON EMPTY compose (ghost entry dropped either way)
+    val ghostDef = "MEMBER [customer].[Ghost] AS " +
+      "'Aggregate({[customer].[EUROPE].[NO_SUCH]})'"
+    val ne = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |$ghostDef
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  NON EMPTY NONEMPTYCROSSJOIN(
+        |    {[customer].[EU13 and AS2], [customer].[Ghost]},
+        |    {[time].[1995]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(ne.map(_.getString(0)).toSeq === Seq("EU13 and AS2"))
+    // a union-shaped calc factor under a PAGES fold (outer product
+    // lowers to CrossJoin) keeps every tuple
+    val paged = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  UNION({[customer].[EU13 and AS2]},
+        |        {[customer].[AMERICA]}) ON ROWS,
+        |  [returnflag].[returnflag].Members ON PAGES
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(paged.length === 2 * 3)
+    // DRILLTHROUGH with a flattenable computed WHERE set returns the
+    // union region's rows (the r13 drill guarantee extends to the
+    // r14 slicer shapes)
+    def drillKeys(where: String): Set[String] = Mdx.execute(
+      s"""DRILLTHROUGH WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE $where
+        |RETURN [l_orderkey], [l_linenumber]""".stripMargin, cube)
+      .collect().map(r => s"${r.get(0)}:${r.get(1)}").toSet
+    val viaUnion = drillKeys("(UNION({[customer].[EU13 and AS2]}, " +
+      "{[customer].[AMERICA].[NATION_1]}))")
+    val viaLiteral = drillKeys("{[customer].[EUROPE].[NATION_13], " +
+      "[customer].[ASIA].[NATION_2], [customer].[AMERICA].[NATION_1]}")
+    assert(viaUnion === viaLiteral && viaUnion.nonEmpty)
+  }
+
   test("a dim-calc member in any OTHER axis set shape refuses loudly " +
       "instead of silently dropping rows") {
     def refusal(mdx: String): String = {
