@@ -33,9 +33,20 @@ object Bench {
     // star fact (Cubes.inMemoryFact); q_aggroute builds + persists its
     // registered rollup (pool-cached cube) so the timed passes measure
     // routed-probe cost, not the one-time build.
+    // force(df) executes the query's OWN physical plan and counts
+    // its InternalRows. A bare df.count() re-optimizes `count over
+    // plan`, and Catalyst ELIMINATES a left join whose build side is
+    // unique on the join keys when only the row count is needed — the
+    // OLAP axis shape (member frame LEFT JOIN aggregated cells on the
+    // grain keys) compiles to `count over LocalTableScan` and the
+    // whole aggregation never runs (r14 finding: the fused dim-calc
+    // count-plan had 0 scans and 0 joins). toRdd runs the compiled
+    // plan as-is, measuring the real work without a driver collect.
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     val buildT0 = System.nanoTime()
     for (w <- Seq("q1_agg", "q_star_region", "q_aggroute"))
-      try SparkEntry.queries(w)(spark, sfDir).count()
+      try force(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }
     val warmupSec = (System.nanoTime() - buildT0) / 1e9
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
@@ -58,12 +69,12 @@ object Bench {
       order.map { name =>
         val t0 = System.nanoTime()
         // Pins.scoped: every load-bearing persist the query creates is
-        // released when its count() returns, so query N+1 starts with
+        // released when its action returns, so query N+1 starts with
         // query N's storage freed — the r6 official bench ran
         // q_pipeline_curate with ~30 stale frames resident and paid 5×
         // (18.5s vs 3.7s clean) for the eviction/recompute thrash.
         try graft.olap.Pins.scoped {
-          SparkEntry.queries(name)(spark, sfDir).count()
+          force(SparkEntry.queries(name)(spark, sfDir))
         }
         catch {
           case t: Throwable =>

@@ -100,11 +100,8 @@ object ScaleProbe {
           |             [customer].[AFRICA], [customer].[EUROPE]},
           |            [time].[month].Members) ON ROWS
           |FROM [Sales]""".stripMargin
-      for (pass <- 1 to 2)
-        time(s"dimcalc cj x months p$pass")(Mdx.execute(q, cube).count())
       // two calc-bearing factors (r14): the chained explodes stay one
-      // fact pass — wall should match the single-factor shape, not
-      // multiply by the second factor's entry count
+      // fact pass
       val q2 =
         """WITH MEMBER [customer].[EU13 and AS2] AS
           |  'Aggregate({[customer].[EUROPE].[NATION_13],
@@ -117,8 +114,31 @@ object ScaleProbe {
           |            {[time].[Y9596], [time].[1995], [time].[1996]})
           |    ON ROWS
           |FROM [Sales]""".stripMargin
+      // Filter over a crossjoined calc factor (r14): the pre-crossjoin
+      // condition pass adds a SECOND entry-grain scan
+      val q3 =
+        """WITH MEMBER [customer].[EU13 and AS2] AS
+          |  'Aggregate({[customer].[EUROPE].[NATION_13],
+          |              [customer].[ASIA].[NATION_2]})'
+          |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+          |  CROSSJOIN(
+          |    FILTER({[customer].[AMERICA], [customer].[EU13 and AS2],
+          |            [customer].[AFRICA], [customer].[EUROPE]},
+          |           [Measures].[revenue] > 0),
+          |    [time].[month].Members) ON ROWS
+          |FROM [Sales]""".stripMargin
+      // force(df) runs the query's own physical plan (a bare count()
+      // re-optimizes and Catalyst eliminates the axis left join whose
+      // build side is key-unique — the aggregation never executes and
+      // the probe times nothing; r14 finding)
+      def force(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.toRdd.count()
       for (pass <- 1 to 2)
-        time(s"dimcalc 2-factor cj p$pass")(Mdx.execute(q2, cube).count())
+        time(s"dimcalc cj x months p$pass")(force(Mdx.execute(q, cube)))
+      for (pass <- 1 to 2)
+        time(s"dimcalc 2-factor cj p$pass")(force(Mdx.execute(q2, cube)))
+      for (pass <- 1 to 2)
+        time(s"dimcalc filtered cj p$pass")(force(Mdx.execute(q3, cube)))
       spark.stop()
       return
     }

@@ -1029,7 +1029,10 @@ final class Planner(val cube: BoundCube) {
     def renum(df: DataFrame): DataFrame =
       df.withColumn("__pos",
         row_number().over(Window.orderBy(col("__pos").asc)).cast("long"))
-    ops.foldLeft(df0) { (df, op) => op match {
+    // densify the seed positions first: they only need correct ORDER
+    // (a role-hidden stored entry leaves a gap in the raw entry ids,
+    // which would break Head/Subset's `__pos <= n` arithmetic)
+    ops.foldLeft(renum(df0)) { (df, op) => op match {
       case EntryFilter(cond) => renum(df.filter(resolve(cond)))
       case EntryOrder(e, dir) =>
         val key = resolve(e)
@@ -1863,19 +1866,28 @@ final class Planner(val cube: BoundCube) {
         // captions repeat across parents (a Q1 under every year)
         // and a duplicated literal member must stay two rows, not
         // one doubled group.
-        def keyArrOf(es: Seq[AxisEntry], ovl: Seq[SlicerItem]): Column =
+        def entryPreds(es: Seq[AxisEntry],
+            ovl: Seq[SlicerItem]): Seq[Column] =
+          es.map { e =>
+            if (e.isCalc)
+              slicerPredicate(resolveSlicer(ovl ++ e.items))
+            else if (ovl.isEmpty) slicerPredicate(e.items)
+            else slicerPredicate(e.items) && slicerPredicate(ovl)
+          }
+        // the null slots explode through and a plain IS NOT NULL
+        // filter drops them AFTER the generator: the obvious
+        // `filter(arr, isNotNull)` lambda is a higher-order function
+        // Spark CANNOT codegen (CodegenFallback — interpreted per fact
+        // row; measured 2-3x the whole aggregation at sf1), while
+        // explode + WHERE stays inside whole-stage codegen at the
+        // aggregation's own floor
+        def keyArrOf(es: Seq[AxisEntry], preds: Seq[Column]): Column =
           // an emptied entry list (ops pruned everything) keeps the
           // array typed with one never-matching element: the explode
           // yields nothing and the empty entry frame empties the axis
           if (es.isEmpty) array(when(lit(false), lit(0)))
-          else array(es.map { e =>
-            val pred =
-              if (e.isCalc)
-                slicerPredicate(resolveSlicer(ovl ++ e.items))
-              else if (ovl.isEmpty) slicerPredicate(e.items)
-              else slicerPredicate(e.items) && slicerPredicate(ovl)
-            when(pred, lit(e.idx))
-          }: _*)
+          else array(es.zip(preds).map { case (e, p) =>
+            when(p, lit(e.idx)) }: _*)
         // Filter/Order over the calc factor of a CrossJoin evaluates
         // PRE-crossjoin (FilterFunDef: per member of the set, in the
         // query context — the other factor's coordinate is NOT set):
@@ -1891,8 +1903,10 @@ final class Planner(val cube: BoundCube) {
             val (f0, es0) = factorEntries.head
             val s2 = sliced0.sparkSession
             import s2.implicits._
-            val p1 = sliced0.withColumn(f0.entryCol,
-                explode(filter(keyArrOf(es0, overlapOf(0)), _.isNotNull)))
+            val preds0 = entryPreds(es0, overlapOf(0))
+            val p1 = sliced0.where(preds0.reduce(_ || _))
+              .withColumn(f0.entryCol, explode(keyArrOf(es0, preds0)))
+              .where(col(f0.entryCol).isNotNull)
               .groupBy(col(f0.entryCol))
               .agg(aggCols0.head, aggCols0.tail: _*)
               .select(col(f0.entryCol) +: post0: _*)
@@ -1924,10 +1938,20 @@ final class Planner(val cube: BoundCube) {
         // — and one groupBy aggregates the whole entry cross product,
         // still in the same single scan.
         val entryCols = factors.map(_.entryCol)
-        val labeled = factorEntries2.zipWithIndex.foldLeft(sliced) {
-          case (df, ((f, es), k)) =>
-            df.withColumn(f.entryCol,
-              explode(filter(keyArrOf(es, overlapOf(k)), _.isNotNull)))
+        val factorPreds: Seq[Seq[Column]] =
+          factorEntries2.zipWithIndex.map { case ((_, es), k) =>
+            entryPreds(es, overlapOf(k)) }
+        // rows matching NO entry of some factor never form a tuple:
+        // the any-match disjunction filters them BEFORE the first
+        // explode — a plain codegen'd predicate Catalyst pushes toward
+        // the scan, which for a selective entry set (two nations of a
+        // 25-nation dim) prunes the fact before any row multiplies
+        val pruned = factorPreds.filter(_.nonEmpty)
+          .foldLeft(sliced)((df, ps) => df.where(ps.reduce(_ || _)))
+        val labeled = factorEntries2.zip(factorPreds).foldLeft(pruned) {
+          case (df, ((f, es), preds)) =>
+            df.withColumn(f.entryCol, explode(keyArrOf(es, preds)))
+              .where(col(f.entryCol).isNotNull)
         }
         // NECJ tuple existence = at least one fact row in the group —
         // a count over the SAME single scan, no second pass. Over a
