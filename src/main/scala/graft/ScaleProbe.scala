@@ -18,6 +18,12 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($r)")
     }
+    // force(df) executes the query's OWN compiled plan (a bare count()
+    // re-optimizes, and Catalyst can eliminate joins under it — the
+    // r14 bench-integrity finding); EVERY timed reading goes through
+    // it so the class of bug cannot recur silently in a probe branch
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text", "source", "n_chars")
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
@@ -28,33 +34,33 @@ object ScaleProbe {
       import graft.olap.Pins
       for (_ <- 1 to 2) {
         time("profile (quality feats)")(Pins.scoped {
-          TextOps.profile(docs).count() })
+          force(TextOps.profile(docs)) })
         time("exact dedup agg+join")(Pins.scoped {
           val k1 = TextOps.qualityFilter(docs, 30, 0.04)
           val keep = DedupOps.exactDedup(k1).select("doc_id")
-          k1.join(keep, "doc_id").count() })
+          force(k1.join(keep, "doc_id")) })
         time("exact dedup min_by")(Pins.scoped {
           val k1 = TextOps.qualityFilter(docs, 30, 0.04)
-          k1.groupBy(expr("md5(text)").as("fp"))
+          force(k1.groupBy(expr("md5(text)").as("fp"))
             .agg(expr("min_by(struct(doc_id, text, source, n_chars), doc_id)")
               .as("r"))
             .select(col("r.doc_id"), col("r.text"), col("r.source"),
-              col("r.n_chars")).count() })
+              col("r.n_chars"))) })
         time("shingled materialize")(Pins.scoped {
           val sh = Pins.pin(DedupOps.shingled(docs).persist())
-          sh.count() })
+          force(sh) })
         time("jaccardPairs")(Pins.scoped {
-          DedupOps.jaccardPairs(docs, 0.5).count() })
+          force(DedupOps.jaccardPairs(docs, 0.5)) })
         time("componentsStar on pairs")(Pins.scoped {
           val pairs = Pins.pin(DedupOps.jaccardPairs(docs, 0.5)
             .select("doc_a", "doc_b").persist())
           val nodes = pairs.select(col("doc_a").as("doc_id"))
             .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-          DedupOps.componentsStar(pairs, nodes).count() })
+          force(DedupOps.componentsStar(pairs, nodes)) })
         time("clean (full)")(Pins.scoped {
-          CleanPipeline.clean(docs).count() })
+          force(CleanPipeline.clean(docs)) })
         time("curate (full)")(Pins.scoped {
-          CleanPipeline.curate(docs).count() })
+          force(CleanPipeline.curate(docs)) })
       }
       // the persisted fate artifact vs re-running the stages, at 1x
       // and 8x (replicas textually distinct, same convention as the
@@ -70,15 +76,15 @@ object ScaleProbe {
         val p = s"/tmp/graft_scale_cleanidx_$mult"
         time(s"fate index write x$mult")(Pins.scoped {
           CleanPipeline.writeCleanIndex(big, p)
-          CleanPipeline.readCleanFates(spark, p).count() })
+          force(CleanPipeline.readCleanFates(spark, p)) })
         time(s"fate read+stats x$mult")(Pins.scoped {
-          CleanPipeline.cleanStatsOver(CleanPipeline.cleanFrom(big,
-            CleanPipeline.readCleanFates(spark, p))).count() })
+          force(CleanPipeline.cleanStatsOver(CleanPipeline.cleanFrom(
+            big, CleanPipeline.readCleanFates(spark, p)))) })
         time(s"fate read+curate x$mult")(Pins.scoped {
-          CleanPipeline.curateOver(CleanPipeline.cleanFrom(big,
-            CleanPipeline.readCleanFates(spark, p))).count() })
+          force(CleanPipeline.curateOver(CleanPipeline.cleanFrom(
+            big, CleanPipeline.readCleanFates(spark, p)))) })
         time(s"stats re-running stages x$mult")(Pins.scoped {
-          CleanPipeline.cleanStats(big).count() })
+          force(CleanPipeline.cleanStats(big)) })
         big.unpersist()
       }
       spark.stop(); return
@@ -127,12 +133,10 @@ object ScaleProbe {
           |           [Measures].[revenue] > 0),
           |    [time].[month].Members) ON ROWS
           |FROM [Sales]""".stripMargin
-      // force(df) runs the query's own physical plan (a bare count()
-      // re-optimizes and Catalyst eliminates the axis left join whose
-      // build side is key-unique — the aggregation never executes and
-      // the probe times nothing; r14 finding)
-      def force(df: org.apache.spark.sql.DataFrame): Long =
-        df.queryExecution.toRdd.count()
+      // the shared force(df) runs the query's own physical plan (a bare
+      // count() re-optimizes and Catalyst eliminates the axis left
+      // join whose build side is key-unique — the aggregation never
+      // executes and the probe times nothing; r14 finding)
       for (pass <- 1 to 2)
         time(s"dimcalc cj x months p$pass")(force(Mdx.execute(q, cube)))
       for (pass <- 1 to 2)
@@ -163,16 +167,16 @@ object ScaleProbe {
         val edges = Pins.pin(chain.repartition(32).persist())
         println(s"-- edges=${edges.count()} nodes=${nodes.count()}")
         time(s"driver union-find $nEdges")(Pins.scoped {
-          DedupOps.componentsAuto(edges, nodes,
+          force(DedupOps.componentsAuto(edges, nodes,
               driverEdgeLimit = 10000000L)
-            .select(col("cluster_id")).distinct().count() })
+            .select(col("cluster_id")).distinct()) })
         time(s"distributed star $nEdges")(Pins.scoped {
-          DedupOps.componentsAuto(edges, nodes,
+          force(DedupOps.componentsAuto(edges, nodes,
               driverEdgeLimit = 0L)
-            .select(col("cluster_id")).distinct().count() })
+            .select(col("cluster_id")).distinct()) })
         time(s"auto (cap 2M) $nEdges")(Pins.scoped {
-          DedupOps.componentsAuto(edges, nodes)
-            .select(col("cluster_id")).distinct().count() })
+          force(DedupOps.componentsAuto(edges, nodes)
+            .select(col("cluster_id")).distinct()) })
         // label-level equality, not just cluster counts
         time(s"label equality $nEdges")(Pins.scoped {
           val a = DedupOps.componentsAuto(edges, nodes,
@@ -221,7 +225,7 @@ object ScaleProbe {
         .map(t => dirCount(s"$path/$t")).sum
       println(s"   partition dirs fragmented: ${tableDirs()}")
       time("labels read (fragmented)")(Pins.scoped {
-        DedupOps.readClusterLabels(spark, path).count() })
+        force(DedupOps.readClusterLabels(spark, path)) })
       time("append+snap (fragmented)")(Pins.scoped {
         DedupOps.appendEdgesToClusterIndex(idx, slice(nAppends + 1),
           (nAppends + 1).toLong)
@@ -240,7 +244,7 @@ object ScaleProbe {
       require(compLabels == expect,
         s"compacted labels diverge: ${compLabels.size} vs ${expect.size}")
       time("labels read (compacted)")(Pins.scoped {
-        DedupOps.readClusterLabels(spark, path).count() })
+        force(DedupOps.readClusterLabels(spark, path)) })
       time("append+snap (compacted)")(Pins.scoped {
         DedupOps.appendToClusterIndex(idx,
           corpus.filter(col("doc_id") % (nAppends + 2) === 0)
@@ -262,14 +266,14 @@ object ScaleProbe {
             emb.filter(col("vec_id") % 17 === r), r.toLong) } })
       println(s"   ivfpq ingest dirs fragmented: ${dirCount(pqPath)}")
       time("ivfpq query (fragmented)")(Pins.scoped {
-        SimilarityOps.queryIvfPqIndex(spark, pq,
-          emb.filter(col("vec_id") < 50), k = 10, nprobe = 4).count() })
+        force(SimilarityOps.queryIvfPqIndex(spark, pq,
+          emb.filter(col("vec_id") < 50), k = 10, nprobe = 4)) })
       time("compactIvfPqIndex")(
         SimilarityOps.compactIvfPqIndex(spark, pq))
       println(s"   ivfpq ingest dirs compacted:  ${dirCount(pqPath)}")
       time("ivfpq query (compacted)")(Pins.scoped {
-        SimilarityOps.queryIvfPqIndex(spark, pq,
-          emb.filter(col("vec_id") < 50), k = 10, nprobe = 4).count() })
+        force(SimilarityOps.queryIvfPqIndex(spark, pq,
+          emb.filter(col("vec_id") < 50), k = 10, nprobe = 4)) })
       spark.stop(); return
     }
     if (args.headOption.contains("streamclusters")) {
@@ -408,8 +412,8 @@ object ScaleProbe {
             f"dirs@end ${w.last._2._2}%4d")
         }
         time(s"labels read (compactEvery=$compactEvery)")(Pins.scoped {
-          graft.ops.DedupOps.readClusterLabels(spark, s"$root/index")
-            .count() })
+          force(graft.ops.DedupOps.readClusterLabels(
+            spark, s"$root/index")) })
         println(s"   final dirs: ${tableDirs(root)}")
       }
       spark.stop(); return
@@ -507,16 +511,16 @@ object ScaleProbe {
         var idx: DedupOps.ClusterIndex = null
         time(s"index write x$mult")(Pins.scoped {
           idx = DedupOps.writeClusterIndex(big, p)
-          DedupOps.readClusterLabels(spark, p).count() })
+          force(DedupOps.readClusterLabels(spark, p)) })
         time(s"index append x$mult")(Pins.scoped {
           DedupOps.appendToClusterIndex(idx, gen2, 1L)
-          DedupOps.readClusterLabels(spark, p).count() })
+          force(DedupOps.readClusterLabels(spark, p)) })
         time(s"policy read x$mult")(Pins.scoped {
-          DedupOps.keepBestPerClusterFrom(
+          force(DedupOps.keepBestPerClusterFrom(
             DedupOps.readClusterLabels(spark, p),
-            big.union(gen2)).count() })
+            big.union(gen2))) })
         time(s"in-memory CC x$mult")(Pins.scoped {
-          DedupOps.nearDupClusters(big).count() })
+          force(DedupOps.nearDupClusters(big)) })
         big.unpersist()
       }
       spark.stop(); return
@@ -535,60 +539,60 @@ object ScaleProbe {
           col("embedding"))
         .repartition(32).persist()
       println(s"-- mult=$mult docs=${big.count()} embs=${bigEmb.count()}")
-      time(s"jaccard x$mult")(
-        graft.ops.DedupOps.jaccardPairs(big, 0.5).count())
-      time(s"minhash x$mult")(
-        graft.ops.DedupOps.minhashLsh(big, 4, 2, 0.5).count())
-      time(s"embed_lsh x$mult")(
-        graft.ops.DedupOps.embeddingPairsLshAuto(bigEmb, 0.47).count())
-      time(s"repetition x$mult")(
-        graft.ops.TextOps.repetition(big).count())
-      time(s"curate_cap x$mult")(
-        graft.ops.CurationOps.capPerSource(big, 40).count())
-      time(s"pack_shards x$mult")(
-        graft.ops.CurationOps.packShards(big, 2000L).count())
-      time(s"pack_shards_dist x$mult")(
+      time(s"jaccard x$mult")(force(
+        graft.ops.DedupOps.jaccardPairs(big, 0.5)))
+      time(s"minhash x$mult")(force(
+        graft.ops.DedupOps.minhashLsh(big, 4, 2, 0.5)))
+      time(s"embed_lsh x$mult")(force(
+        graft.ops.DedupOps.embeddingPairsLshAuto(bigEmb, 0.47)))
+      time(s"repetition x$mult")(force(
+        graft.ops.TextOps.repetition(big)))
+      time(s"curate_cap x$mult")(force(
+        graft.ops.CurationOps.capPerSource(big, 40)))
+      time(s"pack_shards x$mult")(force(
+        graft.ops.CurationOps.packShards(big, 2000L)))
+      time(s"pack_shards_dist x$mult")(force(
         graft.ops.CurationOps.packShards(big, 2000L,
-          hint = graft.olap.Ords.Large).count())
-      time(s"dup_spans x$mult")(
-        graft.ops.DedupOps.dupSpans(big).count())
-      time(s"bloom_decontam x$mult")(
+          hint = graft.olap.Ords.Large)))
+      time(s"dup_spans x$mult")(force(
+        graft.ops.DedupOps.dupSpans(big)))
+      time(s"bloom_decontam x$mult")(force(
         graft.ops.DedupOps.decontaminateBloom(
-          big, docs.limit(5000)).count())
+          big, docs.limit(5000))))
       // SemDeDup's knob: k grows with the corpus so per-cell pair work
       // stays bounded (k=8 at 1x -> k=64 at 8x keeps E[|cell|] fixed)
-      time(s"semantic_dedup k=${8 * mult} x$mult")(
+      time(s"semantic_dedup k=${8 * mult} x$mult")(force(
         graft.ops.SimilarityOps.semanticDedup(bigEmb,
-          k = 8 * mult, iters = 2, tau = 0.47).count())
-      time(s"chunk_text x$mult")(
-        graft.ops.TextOps.chunkText(big, 32, 8).count())
-      time(s"keywords x$mult")(
-        graft.ops.TextOps.keywords(big).count())
-      time(s"char_entropy x$mult")(
-        graft.ops.TextOps.charEntropy(big).count())
-      time(s"quantize_int8 x$mult")(
-        graft.ops.SimilarityOps.quantizeInt8(bigEmb).count())
-      time(s"pq_encode x$mult")(
+          k = 8 * mult, iters = 2, tau = 0.47)))
+      time(s"chunk_text x$mult")(force(
+        graft.ops.TextOps.chunkText(big, 32, 8)))
+      time(s"keywords x$mult")(force(
+        graft.ops.TextOps.keywords(big)))
+      time(s"char_entropy x$mult")(force(
+        graft.ops.TextOps.charEntropy(big)))
+      time(s"quantize_int8 x$mult")(force(
+        graft.ops.SimilarityOps.quantizeInt8(bigEmb)))
+      time(s"pq_encode x$mult")(force(
         graft.ops.SimilarityOps.pqEncode(bigEmb, m = 4, kSub = 8,
-          iters = 2).count())
-      time(s"pq_topk x$mult")(
+          iters = 2)))
+      time(s"pq_topk x$mult")(force(
         graft.ops.SimilarityOps.pqTopK(bigEmb,
           bigEmb.filter(col("vec_id") < 5), m = 4, kSub = 8,
-          iters = 2, k = 10).count())
-      time(s"lm_score x$mult")(
-        graft.ops.TextOps.lmScore(big).count())
-      time(s"keep_best_cluster x$mult")(
-        graft.ops.DedupOps.keepBestPerCluster(big).count())
-      time(s"bm25 x$mult")(
+          iters = 2, k = 10)))
+      time(s"lm_score x$mult")(force(
+        graft.ops.TextOps.lmScore(big)))
+      time(s"keep_best_cluster x$mult")(force(
+        graft.ops.DedupOps.keepBestPerCluster(big)))
+      time(s"bm25 x$mult")(force(
         graft.ops.RetrievalOps.bm25(big,
-          graft.queries.FeatureQueries.BM25_QUERIES).count())
-      time(s"lm_bigram x$mult")(
-        graft.ops.TextOps.lmScoreBigram(big).count())
-      time(s"eval_overlap x$mult")(
+          graft.queries.FeatureQueries.BM25_QUERIES)))
+      time(s"lm_bigram x$mult")(force(
+        graft.ops.TextOps.lmScoreBigram(big)))
+      time(s"eval_overlap x$mult")(force(
         graft.ops.DedupOps.evalNgramOverlap(
-          big, docs.limit(2000)).count())
-      time(s"quality_gate x$mult")(
-        graft.ops.CurationOps.qualityGateTopFraction(big, 0.5).count())
+          big, docs.limit(2000))))
+      time(s"quality_gate x$mult")(force(
+        graft.ops.CurationOps.qualityGateTopFraction(big, 0.5)))
       // events replicate by user shift: the as-of window partitions by
       // user, so Nx users at fixed per-user history is the 100 TB shape
       val ev = graft.Tables.load(spark, "/root/testdata/sf0.1", "events")
@@ -600,16 +604,16 @@ object ScaleProbe {
           col("ts"), col("event_type"), col("value"))
         .repartition(32).persist()
       println(s"-- events x$mult = ${bigEv.count()}")
-      time(s"asof_join x$mult")(
+      time(s"asof_join x$mult")(force(
         graft.ops.TimeOps.asOfJoin(
           bigEv.filter(col("event_type") === "purchase")
             .select("event_id", "user_id", "ts"),
           bigEv.filter(col("event_type") === "click"),
-          "user_id", "ts", "event_id", Seq("value")).count())
-      time(s"rolling_features x$mult")(
+          "user_id", "ts", "event_id", Seq("value"))))
+      time(s"rolling_features x$mult")(force(
         graft.ops.TimeOps.rollingFeatures(bigEv, "user_id", "ts",
-          "event_id", "value", 5).count())
-      time(s"range_join x$mult")(
+          "event_id", "value", 5)))
+      time(s"range_join x$mult")(force(
         graft.ops.TimeOps.rangeJoin(
           bigEv.filter(col("event_type") === "click")
             .select("event_id", "user_id", "ts"),
@@ -617,7 +621,7 @@ object ScaleProbe {
             .select(col("event_id").as("win_id"), col("user_id"),
               col("ts").as("t_start"),
               (col("ts") + expr("INTERVAL 30 MINUTES")).as("t_end")),
-          "user_id", "ts", "t_start", "t_end", 1800000000L).count())
+          "user_id", "ts", "t_start", "t_end", 1800000000L)))
       bigEv.unpersist()
       big.unpersist(); bigEmb.unpersist()
     }

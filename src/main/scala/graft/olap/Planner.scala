@@ -1014,7 +1014,8 @@ final class Planner(val cube: BoundCube) {
     * scan.
     */
   private def applyEntryOps(df0: DataFrame, ops: Seq[EntryOp],
-      dim: String, label: String): DataFrame = {
+      dim: String, label: String,
+      hier: Option[EntryHier] = None): DataFrame = {
     def resolve(e: String): Column = {
       var c = e.replace(s"__CURRENT_NAME_${dim}__",
         s"cast(`$label` as string)")
@@ -1034,6 +1035,50 @@ final class Planner(val cube: BoundCube) {
     // which would break Head/Subset's `__pos <= n` arithmetic)
     ops.foldLeft(renum(df0)) { (df, op) => op match {
       case EntryFilter(cond) => renum(df.filter(resolve(cond)))
+      // NON-breaking Order: hierarchical sort over the N entry rows.
+      // Per-depth sibling ranks (value in the requested direction,
+      // stored-before-calc on ties, prior position last) compose into
+      // each entry's ancestor-rank chain; the lexicographic array
+      // order puts every ancestor (a strict key prefix) before its
+      // descendants and orders sibling subtrees by the ancestors'
+      // own cells — Sorter.sortMembers(brk=false). All joins are
+      // N-row broadcasts; the fact is never re-touched.
+      case EntryOrder(e, dir)
+          if dir == SortDir.Asc || dir == SortDir.Desc =>
+        val h = hier.getOrElse(throw new IllegalArgumentException(
+          "non-breaking Order over a calculated-member-bearing set " +
+            "needs entry hierarchy metadata — use BASC/BDESC"))
+        val key = resolve(e)
+        val idc = col(h.entryCol).cast("int")
+        val sortVal =
+          if (dir == SortDir.Desc) col("__hval").desc_nulls_last
+          else col("__hval").asc_nulls_last
+        val parEx = coalesce(
+          element_at(typedLit(h.parentOf), idc), lit(-1))
+        val calcEx = coalesce(
+          element_at(typedLit(h.isCalcOf), idc), lit(false))
+        val ranked = df.withColumn("__hval", key)
+          .withColumn("__hr", row_number().over(
+            Window.partitionBy(parEx)
+              .orderBy(sortVal, calcEx.asc, col("__pos").asc))
+            .cast("long"))
+        val s = df.sparkSession
+        import s.implicits._
+        val chain = h.chainOf.toSeq.flatMap { case (i, ch) =>
+          ch.zipWithIndex.map { case (a, lvl) => (i, lvl, a) }
+        }.toDF("__ci", "__clvl", "__canc")
+        val keyArr = chain
+          .join(ranked.select(idc.as("__canc"), col("__hr")), "__canc")
+          .groupBy("__ci")
+          .agg(expr("transform(array_sort(collect_list(" +
+            "struct(__clvl, __hr))), x -> x.__hr)").as("__hkey"))
+        val joined = ranked
+          .join(broadcast(keyArr), idc === keyArr("__ci"), "left")
+        joined.withColumn("__pos", row_number()
+            .over(Window.orderBy(
+              col("__hkey").asc_nulls_last, col("__pos").asc))
+            .cast("long"))
+          .drop("__ci", "__hkey", "__hval", "__hr")
       case EntryOrder(e, dir) =>
         val key = resolve(e)
         val sort =
@@ -1415,6 +1460,15 @@ final class Planner(val cube: BoundCube) {
           deref(withSets(n), seen + n)
         case other => other
       }
+      // dedup on a NORMALIZED key: literal Members paths carry parser
+      // Strings while enumerated sides carry native column values (an
+      // Integer year), and Mondrian's UnionFunDef treats them as one
+      // member — first occurrence wins, matching the role-visibility
+      // probe's String.valueOf convention
+      def distinctNorm(ps: Vector[Seq[Any]]): Vector[Seq[Any]] = {
+        val seen = scala.collection.mutable.HashSet.empty[Seq[String]]
+        ps.filter(p => seen.add(p.map(String.valueOf)))
+      }
       def go(s: SetExpr)
           : Either[String, (String, Vector[Seq[Any]], Vector[EntryOp])] =
         deref(s, Set.empty) match {
@@ -1434,12 +1488,13 @@ final class Planner(val cube: BoundCube) {
                 else if (oa.nonEmpty || ob.nonEmpty)
                   Left("Union over a filtered/ordered side")
                 else Right((da,
-                  if (all) pa ++ pb else (pa ++ pb).distinct,
+                  if (all) pa ++ pb else distinctNorm(pa ++ pb),
                   Vector.empty))
               }
             }
           case DistinctSet(inner) => go(inner).flatMap {
-            case (d, ps, ops) if ops.isEmpty => Right((d, ps.distinct, ops))
+            case (d, ps, ops) if ops.isEmpty =>
+              Right((d, distinctNorm(ps), ops))
             case _ => Left("Distinct over a filtered/ordered set")
           }
           case HeadSet(inner, n) => go(inner).map {
@@ -1586,18 +1641,31 @@ final class Planner(val cube: BoundCube) {
     // count over the same single scan (calc-free NECJ subtrees stay
     // whole — the ordinary set machinery evaluates them)
     var necjTuples = false
-    def splitCross(s: SetExpr): Seq[SetExpr] = deref(s, Set.empty) match {
-      case CrossJoin(a, b) => splitCross(a) ++ splitCross(b)
-      case NonEmptyCrossJoin(a, b)
-          if dcl.hasCalcPath(a, Set.empty) ||
-            dcl.hasCalcPath(b, Set.empty) =>
-        necjTuples = true
-        splitCross(a) ++ splitCross(b)
-      case other => Seq(other)
-    }
-    val rowsFactors =
+    var necjGroupN = 0
+    // each factor carries the id of the OUTERMOST calc-bearing NECJ
+    // it sits under (-1 = none): tuple support is evaluated per NECJ
+    // over ITS OWN factors' coordinates — an outer CrossJoin factor
+    // is not in the NECJ's context, so CROSSJOIN(NECJ({calc}, years),
+    // flags.Members) keeps unsupported flag combinations as null-cell
+    // rows (Mondrian NonEmptyCrossJoinFunDef). An NECJ nested inside
+    // another keeps the outer group: full-grain support implies the
+    // inner grain's.
+    def splitCross(s: SetExpr, g: Int): Seq[(SetExpr, Int)] =
+      deref(s, Set.empty) match {
+        case CrossJoin(a, b) => splitCross(a, g) ++ splitCross(b, g)
+        case NonEmptyCrossJoin(a, b)
+            if dcl.hasCalcPath(a, Set.empty) ||
+              dcl.hasCalcPath(b, Set.empty) =>
+          necjTuples = true
+          val gid = if (g >= 0) g else { necjGroupN += 1; necjGroupN - 1 }
+          splitCross(a, gid) ++ splitCross(b, gid)
+        case other => Seq((other, g))
+      }
+    val rowsFactorsTagged =
       if (dcl.isEmpty) Nil
-      else qs.rows.map(splitCross).getOrElse(Nil)
+      else qs.rows.map(splitCross(_, -1)).getOrElse(Nil)
+    val rowsFactors = rowsFactorsTagged.map(_._1)
+    val factorGroup = rowsFactorsTagged.map(_._2)
     val calcFactorIdx =
       rowsFactors.indexWhere(dcl.hasCalcPath(_, Set.empty))
     if (calcFactorIdx >= 0) {
@@ -1642,24 +1710,54 @@ final class Planner(val cube: BoundCube) {
       val dim = cf0.dim
       val paths = cf0.paths
       val entryOps = cf0.ops
-      val otherFactors =
+      val otherIdxs =
         rowsFactors.indices.filterNot(calcIdxs.contains)
-          .map(rowsFactors)
+      val otherFactors = otherIdxs.map(rowsFactors)
       // Filter/Order and post-slicing need the entries' CELLS first
-      // (evaluate-then-prune). With calc-free other factors present
-      // the fused path runs a PRE-crossjoin pass (the MDX condition
-      // context is per-set-member); alongside a second calc-bearing
-      // factor the pre-pass grain is ambiguous — refuse
-      if (factors.exists(_.ops.nonEmpty) && factors.length > 1)
-        refuse("Filter/Order/positional ops over a calc-bearing " +
-          "factor alongside another calc-bearing factor")
-      entryOps.foreach {
-        case EntryOrder(_, SortDir.Asc | SortDir.Desc) =>
-          refuse("non-breaking Order over a calc-bearing set (a calc " +
-            "member has no hierarchical position) — use BASC/BDESC")
-        case _ => ()
-      }
-      val opTexts = entryOps.collect {
+      // (evaluate-then-prune). With calc-free other factors OR a
+      // second calc-bearing factor present, the fused path runs a
+      // PRE-crossjoin pass per op-bearing factor at ITS OWN entry
+      // grain (the MDX condition context carries no other factor's
+      // coordinate — FilterFunDef evaluates its own set before the
+      // crossjoin exists; r14 refused the two-calc-factor form)
+      // NON-breaking Order (OrderFunDef's default ASC/DESC) executes
+      // when every comparison resolves within the set: Mondrian's
+      // hierarchical sort puts ancestors before descendants and
+      // compares SIBLING ancestors by their cells
+      // (FunUtil.compareHierarchicallyButSiblingsByValue), so each
+      // entry's strict ancestor paths must themselves be entries — a
+      // flat root-hosted set, the common shape, trivially qualifies;
+      // a set missing an ancestor still refuses (its cell would have
+      // to be computed for a member outside the set)
+      def hierFor(f: CalcFactor): Option[EntryHier] =
+        if (!f.ops.exists {
+          case EntryOrder(_, SortDir.Asc | SortDir.Desc) => true
+          case _ => false
+        }) None
+        else {
+          val norm = f.paths.map(_.map(String.valueOf))
+          // first occurrence wins for duplicated literals
+          val posOf = norm.zipWithIndex.reverse.toMap
+          val parentOf = norm.indices.map { i =>
+            i -> (if (norm(i).length <= 1) -1
+              else posOf.getOrElse(norm(i).init, refuse(
+                "non-breaking Order over a set where entry [" +
+                  f.paths(i).mkString("].[") + "]'s ancestor is not " +
+                  "itself an entry — the hierarchical comparison " +
+                  "needs the ancestor's cell; add the ancestor to " +
+                  "the set or use BASC/BDESC")))
+          }.toMap
+          val chainOf = norm.indices.map { i =>
+            i -> ((1 until norm(i).length)
+              .map(k => posOf(norm(i).take(k))) :+ i)
+          }.toMap
+          val isCalcOf = f.paths.indices.map { i =>
+            i -> dcl.of(f.dim, f.paths(i)).isDefined
+          }.toMap
+          Some(EntryHier("", parentOf, chainOf, isCalcOf))
+        }
+      val entryHier: Option[EntryHier] = hierFor(factors.head)
+      val opTexts = factors.flatMap(_.ops).collect {
         case EntryFilter(c)   => c
         case EntryOrder(e, _) => e
       }
@@ -1897,42 +1995,52 @@ final class Planner(val cube: BoundCube) {
         // drive the main pass. Two scans, both rollup-servable; the
         // collect is N rows — plan-sized, same convention as the
         // computed-slicer and role-visibility probes.
+        val preCross = factors.length > 1 || otherFactors.nonEmpty
         val factorEntries2 =
-          if (entryOps.isEmpty || otherFactors.isEmpty) factorEntries
-          else {
-            val (f0, es0) = factorEntries.head
-            val s2 = sliced0.sparkSession
-            import s2.implicits._
-            val preds0 = entryPreds(es0, overlapOf(0))
-            val p1 = sliced0.where(preds0.reduce(_ || _))
-              .withColumn(f0.entryCol, explode(keyArrOf(es0, preds0)))
-              .where(col(f0.entryCol).isNotNull)
-              .groupBy(col(f0.entryCol))
-              .agg(aggCols0.head, aggCols0.tail: _*)
-              .select(col(f0.entryCol) +: post0: _*)
-            val ef = es0.map(e => (e.idx, e.name, e.isCalc))
-              .toDF(f0.entryCol, f0.label, f0.calcCol)
-            val j0 = ef.join(broadcast(p1), Seq(f0.entryCol), "left")
-            val countishP = neededMeasures
-              .filter(m => m.agg == Agg.Count || m.agg == Agg.DistinctCount)
-              .map(_.name).filter(j0.columns.contains)
-            val j = countishP.foldLeft(j0)((df, m) => df.withColumn(m,
-              when(col(f0.calcCol) && col(m).isNull, lit(0L))
-                .otherwise(col(m))))
-            val kept = applyEntryOps(j.withColumn("__pos",
-                (col(f0.entryCol) + 1).cast("long")),
-                entryOps, f0.dim, f0.label)
-              .orderBy(col("__pos").asc)
-              .select(col(f0.entryCol)).collect().map(_.getInt(0))
-            val byIdx = es0.map(e => e.idx -> e).toMap
-            val reindexed = kept.toSeq.zipWithIndex.map {
-              case (old, i) => byIdx(old).copy(idx = i)
+          if (!preCross) factorEntries
+          else factorEntries.zipWithIndex.map { case ((f0, es0), k) =>
+            // an entry list emptied BEFORE the pre-pass (a below-ops
+            // positional slice dropped the calc and a role hid every
+            // remaining stored entry): skip the pre-pass — the main
+            // pass's keyArrOf already turns an empty entry list into
+            // an empty axis, and reducing zero predicates would throw
+            if (f0.ops.isEmpty || es0.isEmpty) (f0, es0)
+            else {
+              val s2 = sliced0.sparkSession
+              import s2.implicits._
+              val preds0 = entryPreds(es0, overlapOf(k))
+              val p1 = sliced0.where(preds0.reduce(_ || _))
+                .withColumn(f0.entryCol, explode(keyArrOf(es0, preds0)))
+                .where(col(f0.entryCol).isNotNull)
+                .groupBy(col(f0.entryCol))
+                .agg(aggCols0.head, aggCols0.tail: _*)
+                .select(col(f0.entryCol) +: post0: _*)
+              val ef = es0.map(e => (e.idx, e.name, e.isCalc))
+                .toDF(f0.entryCol, f0.label, f0.calcCol)
+              val j0 = ef.join(broadcast(p1), Seq(f0.entryCol), "left")
+              val countishP = neededMeasures
+                .filter(m =>
+                  m.agg == Agg.Count || m.agg == Agg.DistinctCount)
+                .map(_.name).filter(j0.columns.contains)
+              val j = countishP.foldLeft(j0)((df, m) => df.withColumn(m,
+                when(col(f0.calcCol) && col(m).isNull, lit(0L))
+                  .otherwise(col(m))))
+              val kept = applyEntryOps(j.withColumn("__pos",
+                  (col(f0.entryCol) + 1).cast("long")),
+                  f0.ops, f0.dim, f0.label,
+                  hierFor(f0).map(_.copy(entryCol = f0.entryCol)))
+                .orderBy(col("__pos").asc)
+                .select(col(f0.entryCol)).collect().map(_.getInt(0))
+              val byIdx = es0.map(e => e.idx -> e).toMap
+              val reindexed = kept.toSeq.zipWithIndex.map {
+                case (old, i) => byIdx(old).copy(idx = i)
+              }
+              (f0, reindexed)
             }
-            (f0, reindexed) +: factorEntries.tail
           }
         // ops with other factors were consumed by the pre-pass above
         val opsDownstream =
-          if (otherFactors.isEmpty) entryOps else Vector.empty[EntryOp]
+          if (!preCross) entryOps else Vector.empty[EntryOp]
         // With several calc factors the explodes CHAIN — a row
         // multiplies into every (e1, .., eK) combination it satisfies
         // — and one groupBy aggregates the whole entry cross product,
@@ -1954,14 +2062,20 @@ final class Planner(val cube: BoundCube) {
               .where(col(f.entryCol).isNotNull)
         }
         // NECJ tuple existence = at least one fact row in the group —
-        // a count over the SAME single scan, no second pass. Over a
+        // a count over the SAME single scan, no second pass, WHEN the
+        // NECJ spans the whole axis (the common shape: one group, all
+        // factors in it — support grain == group grain). Over a
         // routed rollup the count is of ROLLUP rows — existence-
-        // equivalent (a rollup row exists iff fact rows did)
+        // equivalent (a rollup row exists iff fact rows did). An NECJ
+        // nested under an outer CrossJoin evaluates support at its
+        // OWN factors' grain instead — see the support pass below.
+        val necjFullGrain = necjTuples &&
+          necjGroupN == 1 && factorGroup.forall(_ == 0)
         val aggCols =
-          if (!necjTuples) aggCols0
+          if (!necjFullGrain) aggCols0
           else aggCols0 :+ count(lit(1L)).as("__nrows")
         val post =
-          if (!necjTuples) post0 else post0 :+ col("__nrows")
+          if (!necjFullGrain) post0 else post0 :+ col("__nrows")
         val agged = labeled
           .groupBy((entryCols ++ otherKeys).map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
@@ -2009,10 +2123,39 @@ final class Planner(val cube: BoundCube) {
         }
         // NECJ drops axis tuples without fact support (the left join
         // leaves __nrows null there); plain CrossJoin keeps them with
-        // null/zero cells
+        // null/zero cells. When the NECJ is NESTED under an outer
+        // CrossJoin, support is evaluated at the NECJ's own grain —
+        // its factors' entry/key columns only, from the scan BEFORE
+        // the outer factors' member restriction (the NECJ context has
+        // no outer-factor coordinate; Mondrian keeps unsupported
+        // outer combinations as null-cell rows) — one small
+        // distinct-support pass per NECJ group, semi-joined in.
         val tupled =
           if (!necjTuples) joined
-          else joined.filter(col("__nrows") >= 1).drop("__nrows")
+          else if (necjFullGrain)
+            joined.filter(col("__nrows") >= 1).drop("__nrows")
+          else (0 until necjGroupN).foldLeft(joined) { (df, g) =>
+            val gCalcKs = factors.indices
+              .filter(k => factorGroup(calcIdxs(k)) == g)
+            val gOtherCols = otherIdxs.filter(factorGroup(_) == g)
+              .flatMap { oi =>
+                evalSet(rowsFactors(oi), qSlicerAll, qs.withSets)
+                  .dims.flatMap(ad => levelCols(ad.d, ad.depth))
+              }
+            val supBase = gCalcKs.map(k => factorPreds(k))
+              .filter(_.nonEmpty)
+              .foldLeft(sliced0)((d, ps) => d.where(ps.reduce(_ || _)))
+            val supLabeled = gCalcKs.foldLeft(supBase) { (d, k) =>
+              val (f, es) = factorEntries2(k)
+              d.withColumn(f.entryCol,
+                  explode(keyArrOf(es, factorPreds(k))))
+                .where(col(f.entryCol).isNotNull)
+            }
+            val gCols =
+              gCalcKs.map(k => factors(k).entryCol) ++ gOtherCols
+            df.join(supLabeled.select(gCols.map(col): _*).distinct(),
+              gCols, "left_semi")
+          }
         // evaluate-then-prune: Filter/Order/slice ops run on the N
         // aggregated entry rows (never the fact), positions seeded
         // from the literal order (ops with other factors ran in the
@@ -2021,7 +2164,8 @@ final class Planner(val cube: BoundCube) {
           if (opsDownstream.isEmpty) tupled
           else applyEntryOps(
             tupled.withColumn("__pos", (col("__entry") + 1).cast("long")),
-            opsDownstream, dim, label)
+            opsDownstream, dim, label,
+            entryHier.map(_.copy(entryCol = cf0.entryCol)))
         val entrySort: Seq[Column] =
           if (opsDownstream.isEmpty) entryCols.map(col(_).asc)
           else Seq(col("__pos").asc)
@@ -2125,7 +2269,8 @@ final class Planner(val cube: BoundCube) {
           // imply no other factors — gated above); extra op measures
           // drop at the select
           applyEntryOps(unioned0.withColumn("__pos",
-              (col("__epos") + 1).cast("long")), entryOps, dim, label)
+              (col("__epos") + 1).cast("long")), entryOps, dim, label,
+              entryHier.map(_.copy(entryCol = "__epos")))
             .orderBy(col("__pos").asc)
             .select((label +: qs.measures).map(col): _*)
         else otherFrame0 match {
@@ -2645,6 +2790,22 @@ object Planner {
   private[olap] final case class EntryTail(n: Int) extends EntryOp
   private[olap] final case class EntrySubset(start: Int, n: Int)
       extends EntryOp
+
+  /** Entry-list hierarchy metadata for NON-breaking Order (Mondrian
+    * `Sorter.sortMembers` with brk=false: ancestors always precede
+    * descendants; SIBLINGS compare by the sort expression's value —
+    * `FunUtil.compareHierarchicallyButSiblingsByValue`). Keyed by SET
+    * POSITION (the stable entry id every lowering carries): `chainOf`
+    * is each entry's ancestor-entry chain root-first ending at itself,
+    * `parentOf` its parent entry (-1 = hierarchy root), `isCalcOf`
+    * breaks value ties stored-before-calc (compareSiblingMembers'
+    * calc-collates-last). Built only when every strict ancestor path
+    * is itself an entry — the comparisons then resolve entirely
+    * within the N aggregated rows.
+    */
+  private[olap] final case class EntryHier(entryCol: String,
+      parentOf: Map[Int, Int], chainOf: Map[Int, Seq[Int]],
+      isCalcOf: Map[Int, Boolean])
 
   /** SQL literal for a member-path segment (role deny predicates):
     * numbers raw, strings single-quoted with quotes doubled.

@@ -179,6 +179,23 @@ object MdxQueries {
         |             [Measures].[revenue], BDESC), 2) ON ROWS
         |FROM [Sales]""".stripMargin) _),
 
+    // NON-breaking Order (r14 refused the shape): hierarchical sort —
+    // ancestors precede descendants, siblings compare by value. [N13
+    // solo] aggregates a strict subset of EUROPE so it sorts first at
+    // the root WHATEVER the scale factor; NATION_18 stays under its
+    // parent EUROPE; HEAD(..., 2) therefore keeps {N13 solo, EUROPE} —
+    // a breaking (BASC) sort would keep the two SMALLEST rows and drop
+    // EUROPE, so the selection pins the hierarchical semantics
+    "q_mdx_dimcalc_order_h" -> (run(
+      """WITH MEMBER [customer].[N13 solo] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13]})'
+        |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+        |  HEAD(ORDER({[customer].[EUROPE].[NATION_18],
+        |              [customer].[EUROPE],
+        |              [customer].[N13 solo]},
+        |             [Measures].[revenue], ASC), 2) ON ROWS
+        |FROM [Sales]""".stripMargin) _),
+
     "q_mdx_setagg" -> (run(
       """WITH MEMBER [Measures].[h1_rev] AS
         |  Sum({[time].[1995].[1995-Q1] : [time].[1995].[1995-Q2]},
@@ -349,6 +366,16 @@ object MdxQueries {
          |  $CJOIN WHERE r_name = 'ASIA')
          |SELECT cr_region, revenue, sum_qty FROM entries
          |ORDER BY revenue DESC LIMIT 2""".stripMargin,
+
+    // hierarchical ASC puts the strict-subset calc first, then EUROPE
+    // (its child NATION_18 follows its parent, beyond the HEAD cut)
+    "q_mdx_dimcalc_order_h" ->
+      s"""SELECT 'N13 solo' AS cr_region, $REV AS revenue,
+         |  sum(l_quantity) AS sum_qty
+         |$CJOIN WHERE n_name = 'NATION_13'
+         |UNION ALL
+         |SELECT 'EUROPE', $REV, sum(l_quantity)
+         |$CJOIN WHERE r_name = 'EUROPE'""".stripMargin,
 
     "q_mdx_setagg" ->
       s"""WITH base AS (

@@ -1372,6 +1372,72 @@ class MdxSpec extends SparkSpec {
       "[Measures].[revenue]))") === "EU13 and AS2" +: top2)
   }
 
+  test("non-breaking Order over a calc-bearing set sorts " +
+      "hierarchically: ancestors before descendants, siblings by " +
+      "value (Sorter.sortMembers brk=false; r14 refused the shape)") {
+    def rows(axis: String, extra: String = ""): Seq[String] =
+      Mdx.execute(
+        s"""WITH $Eu13As2Def
+          |MEMBER [customer].[N13 solo] AS
+          |  'Aggregate({[customer].[EUROPE].[NATION_13]})'
+          |$extra
+          |SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  $axis ON ROWS
+          |FROM [Sales]""".stripMargin, cube).collect().toSeq
+        .map(_.getString(0))
+    // a FLAT root-hosted set: every entry is a sibling, so the
+    // hierarchical sort degenerates to the value sort — ASC == BASC
+    val flat = "{[customer].[AMERICA], [customer].[EU13 and AS2], " +
+      "[customer].[EUROPE], [customer].[AFRICA]}"
+    assert(rows(s"ORDER($flat, [Measures].[revenue], ASC)") ===
+      rows(s"ORDER($flat, [Measures].[revenue], BASC)"))
+    // a MIXED-depth set: [N13 solo] aggregates a strict subset of
+    // EUROPE, so it sorts before EUROPE at the root; EUROPE's child
+    // NATION_18 stays directly under its parent whatever its value
+    val hier = "{[customer].[EUROPE].[NATION_18], [customer].[EUROPE], " +
+      "[customer].[N13 solo]}"
+    assert(rows(s"ORDER($hier, [Measures].[revenue], ASC)") ===
+      Seq("N13 solo", "EUROPE", "NATION_18"))
+    // DESC flips sibling order but ancestors still precede children
+    assert(rows(s"ORDER($hier, [Measures].[revenue], DESC)") ===
+      Seq("EUROPE", "NATION_18", "N13 solo"))
+    // two children sort by value among themselves, under their parent
+    val hier2 = "{[customer].[EUROPE], [customer].[EUROPE].[NATION_13]," +
+      " [customer].[EUROPE].[NATION_18], [customer].[N13 solo]}"
+    val asc2 = rows(s"ORDER($hier2, [Measures].[revenue], ASC)")
+    def rev(nation: String): Double = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE ([customer].[EUROPE].[$nation])""".stripMargin, cube)
+      .collect().head.getAs[java.math.BigDecimal]("revenue")
+      .doubleValue()
+    val n13First = rev("NATION_13") < rev("NATION_18")
+    val kids = if (n13First) Seq("NATION_13", "NATION_18")
+      else Seq("NATION_18", "NATION_13")
+    assert(asc2 === ("N13 solo" +: "EUROPE" +: kids))
+    // a Measures-hosted calc in the sort expression routes through
+    // the per-entry fallback — same hierarchical order
+    assert(rows(s"ORDER($hier, [Measures].[rev2], ASC)",
+      "MEMBER [Measures].[rev2] AS '[Measures].[revenue] * 2'") ===
+      Seq("N13 solo", "EUROPE", "NATION_18"))
+  }
+
+  test("non-ALL Union dedups a literal member against an ENUMERATED " +
+      "side on a non-string level: parser Strings and native column " +
+      "values normalize to one member (UnionFunDef)") {
+    // [time].[1995] parses as the String "1995"; HEAD(year.Members, 2)
+    // enumerates native Integer years — the same member either way,
+    // and Mondrian's non-ALL Union renders it ONCE (first wins)
+    val rows = Mdx.execute(
+      """WITH MEMBER [time].[Y96] AS 'Aggregate({[time].[1996]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  UNION({[time].[Y96], [time].[1995]},
+        |        HEAD([time].[year].Members, 2)) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq
+      .map(_.getString(0))
+    assert(rows === Seq("Y96", "1995", "1996"))
+  }
+
   test("NonEmptyCrossJoin with a calc factor keeps exactly the tuples " +
       "with fact support (r13 refused the shape)") {
     // a calc over a nonexistent member aggregates the EMPTY set: its
@@ -1394,6 +1460,46 @@ class MdxSpec extends SparkSpec {
     val cjCells = cj.filter(_.getString(0) == "EU13 and AS2")
       .map(r => r.getInt(1) -> r.get(2)).toMap
     necj.foreach(r => assert(r.get(2) === cjCells(r.getInt(1))))
+  }
+
+  test("NECJ nested under an outer CrossJoin evaluates tuple support " +
+      "at the NECJ's OWN grain: unsupported outer combinations keep " +
+      "their null-cell rows (Mondrian NonEmptyCrossJoinFunDef)") {
+    // Customer#000000112 (EUROPE/NATION_13) has fact support in 1996
+    // and 1997, but no flag-N lineitems in 1996 and only flag-A in
+    // 1997 (sf0.001) — the NECJ keeps both (C112, year) pairs, and
+    // the OUTER crossjoin with the flag level must keep all 6 rows,
+    // 3 of them null-cell; full-axis-grain support would drop those 3
+    val C112Def =
+      """MEMBER [customer].[C112] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13]
+        |               .[Customer#000000112]})'
+        |MEMBER [customer].[Ghost] AS
+        |  'Aggregate({[customer].[EUROPE].[NO_SUCH_NATION]})'"""
+        .stripMargin
+    def q(inner: String) = Mdx.execute(
+      s"""WITH $C112Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN($inner({[customer].[C112], [customer].[Ghost]},
+        |                   {[time].[1996], [time].[1997]}),
+        |            [returnflag].[returnflag].Members) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    val cj = q("CROSSJOIN") // 2 entries x 2 years x 3 flags
+    assert(cj.length === 12)
+    val necj = q("NONEMPTYCROSSJOIN")
+    // Ghost pairs dropped (no support at the NECJ grain); C112 keeps
+    // BOTH years x ALL 3 flags even where the (year, flag) cell is
+    // empty — the outer factor is not in the NECJ's context
+    assert(necj.length === 6)
+    assert(necj.forall(_.getString(0) == "C112"))
+    val empties = necj.filter(_.isNullAt(3))
+      .map(r => (r.getInt(1), r.getString(2))).toSet
+    assert(empties === Set((1996, "N"), (1997, "N"), (1997, "R")))
+    // supported cells identical to the plain CrossJoin's
+    val cjCells = cj.filter(_.getString(0) == "C112")
+      .map(r => (r.getInt(1), r.getString(2)) -> r.get(3)).toMap
+    necj.filterNot(_.isNullAt(3)).foreach(r =>
+      assert(r.get(3) === cjCells((r.getInt(1), r.getString(2)))))
   }
 
   test("Filter/Order over a crossjoined calc factor evaluate " +
@@ -1456,6 +1562,67 @@ class MdxSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1)) -> r.get(2)).toMap
     rows3.foreach(r =>
       assert(r.get(2) === full((r.getString(0), r.getInt(1)))))
+  }
+
+  test("Filter/Order over a calc factor alongside a SECOND " +
+      "calc-bearing factor evaluates pre-crossjoin, per factor " +
+      "(r14 refused the shape)") {
+    val TimeDef = "MEMBER [time].[Y9596] AS " +
+      "'Aggregate({[time].[1995], [time].[1996]})'"
+    val CustSet = "{[customer].[AMERICA], [customer].[EU13 and AS2]}"
+    val TimeSet = "{[time].[Y9596], [time].[1995]}"
+    def solo(axis: String): Seq[(String, Double)] = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  $axis ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq
+      .map(r => r.getString(0) ->
+        r.getAs[java.math.BigDecimal]("revenue").doubleValue())
+    val base = solo(CustSet)
+    // threshold between the two entries' CONTEXT totals: exactly one
+    // survives, and the filter grain is the whole query context —
+    // the time factor's coordinate is not set when it evaluates
+    val t = base.map(_._2).sorted.apply(0) + 0.5
+    val kept = base.filter(_._2 > t).map(_._1)
+    assert(kept.length === 1)
+    val rows = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |$TimeDef
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN(FILTER($CustSet, [Measures].[revenue] > $t),
+        |            $TimeSet) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(rows.map(_.getString(0)).distinct.toSeq === kept)
+    assert(rows.length === 2) // survivor x {Y9596, 1995}
+    // cells equal the unfiltered two-calc-factor crossjoin's
+    val full = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |$TimeDef
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN($CustSet, $TimeSet) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.get(2)).toMap
+    rows.foreach(r =>
+      assert(r.get(2) === full((r.getString(0), r.getString(1)))))
+    // ops on the SECOND factor reorder ITS entries (pre-crossjoin,
+    // its own grain), the first factor's literal order unchanged.
+    // Y9596 aggregates a strict superset of 1995, so BDESC puts it
+    // first at every scale factor
+    val timeOrdered = Seq("Y9596", "1995")
+    val rows2 = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |$TimeDef
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN($CustSet,
+        |            ORDER($TimeSet, [Measures].[revenue], BDESC))
+        |    ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(rows2.map(_.getString(0)).toSeq ===
+      Seq("AMERICA", "AMERICA", "EU13 and AS2", "EU13 and AS2"))
+    assert(rows2.map(_.getString(1)).toSeq ===
+      (timeOrdered ++ timeOrdered))
+    rows2.foreach(r =>
+      assert(r.get(2) === full((r.getString(0), r.getString(1)))))
   }
 
   test("calc members in SEVERAL CrossJoin factors execute: the fused " +
@@ -1579,14 +1746,20 @@ class MdxSpec extends SparkSpec {
         |FROM [Sales]""".stripMargin
     // Union of sets on different hierarchies
     refusal(q("UNION({[customer].[EU13 and AS2]}, {[time].[1995]})"))
-    // non-breaking Order: a calc member has no hierarchical position
-    refusal(q("ORDER({[customer].[EU13 and AS2], [customer].[AMERICA]}, " +
-      "[Measures].[revenue], ASC)"))
-    // Filter/Order ops on a calc factor alongside ANOTHER calc factor
+    // non-breaking Order over a set missing an entry's ancestor: the
+    // hierarchical comparison would need the ancestor's cell (a
+    // member outside the set) — flat and ancestor-complete sets
+    // execute, this refuses
+    refusal(q("ORDER({[customer].[EUROPE].[NATION_13], " +
+      "[customer].[EU13 and AS2]}, [Measures].[revenue], ASC)"))
+    // Filter/Order ops alongside ANOTHER calc factor are fused-only:
+    // a Measures-hosted calc measure forces the per-entry fallback,
+    // which cannot evaluate the multi-factor entry cross product
     refusal(
       s"""WITH $Eu13As2Def
         |MEMBER [time].[Y95] AS 'Aggregate({[time].[1995]})'
-        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |MEMBER [Measures].[rev2] AS '[Measures].[revenue] * 2'
+        |SELECT {[Measures].[rev2]} ON COLUMNS,
         |  CROSSJOIN(FILTER({[customer].[EU13 and AS2],
         |                    [customer].[AMERICA]},
         |                   [Measures].[revenue] > 0),
