@@ -1575,16 +1575,46 @@ final class Planner(val cube: BoundCube) {
           else flatten(set) match {
             // a computed slicer set that flattens to a literal entry
             // list (Union/Head/Tail/Subset/Distinct over literal
-            // braces) re-enters as the compound same-dim set form;
-            // cell-valued ops (Filter/Order) in a slicer would need
-            // slicer-context cell evaluation — still refused
+            // braces) re-enters as the compound same-dim set form
             case Right((d, ps, ops)) if ops.isEmpty && ps.nonEmpty =>
               expandSlicer(Seq(SetSlice(d, ps)))
+            // cell-valued Filter/Order over the calc-bearing set (r14
+            // refused): the ops evaluate in the DEFAULT context (the
+            // computed-slicer convention — WHERE is being BUILT, so
+            // no slicer applies) through a rows-axis sub-query, the
+            // single-factor evaluate-then-prune path; the SURVIVORS
+            // re-enter as the compound same-dim set. Order inside a
+            // slicer only matters through positional ops above it —
+            // flatten already folded those into `ops` — so mapping
+            // survivors back by caption loses nothing. The sub-query
+            // is one fact pass over N literal entries, plan-sized.
+            case Right((d, ps, ops)) if ps.nonEmpty =>
+              val names = ps.map(p => of(d, p) match {
+                case Some((cm, _)) => cm.name
+                case None          => String.valueOf(p.last)
+              })
+              require(names.distinct.length == names.length,
+                "cell-valued Filter/Order in a computed WHERE set " +
+                  "needs distinct entry captions to map the " +
+                  "surviving rows back to members")
+              val sub = QueryIR(
+                measures = Seq(cube.defaultMeasureName),
+                rows = Some(set), withSets = withSets,
+                withMembers = withMembers)
+              val label = cube.dim(d).levels.head.col
+              val byName = names.zip(ps).toMap
+              val kept = execute(sub).select(label).collect()
+                .map(r => byName(String.valueOf(r.get(0)))).toVector
+              if (kept.isEmpty)
+              // every entry pruned: the slicer matches nothing — the
+              // empty-computed-slicer totality convention (cells null)
+                Seq(ExprSlice("false", Seq(d)))
+              else expandSlicer(Seq(SetSlice(d, kept)))
             case _ => throw new IllegalArgumentException(
               "calculated member inside a computed slicer set is " +
                 "supported only for Union/Head/Tail/Subset/Distinct " +
-                "over literal member sets — name the member directly " +
-                "in WHERE instead")
+                "and cell-valued Filter/Order over literal member " +
+                "sets — name the member directly in WHERE instead")
           }
         case other => Seq(other)
       }
@@ -1677,7 +1707,8 @@ final class Planner(val cube: BoundCube) {
           "Aggregate member is supported in a literal member set — " +
           "optionally combined with enumerable same-dimension sets " +
           "via Union/Head/Tail/Subset/Distinct, filtered/ordered by " +
-          "Filter or Order(BASC/BDESC), and CrossJoined (or " +
+          "Filter or Order (non-breaking ASC/DESC needs every " +
+          "entry's ancestors in the set), and CrossJoined (or " +
           "NonEmptyCrossJoined) with calculated-member-free sets on " +
           "other dimensions — rewrite the axis set or move the " +
           "member to WHERE")

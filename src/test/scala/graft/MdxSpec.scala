@@ -1235,19 +1235,44 @@ class MdxSpec extends SparkSpec {
         |WHERE (HEAD({[customer].[EU13 and AS2],
         |             [customer].[AMERICA].[NATION_1]}, 1))""".stripMargin)
     assert(headOne === calcOnly)
-    // a cell-valued op (Filter) in a slicer still refuses: its
-    // condition would need slicer-context cell evaluation
-    val e2 = intercept[IllegalArgumentException] {
-      Mdx.execute(
-        s"""WITH $Eu13As2Def
-          |SELECT {[Measures].[revenue]} ON COLUMNS
-          |FROM [Sales]
-          |WHERE (FILTER({[customer].[EU13 and AS2],
-          |               [customer].[AMERICA]},
-          |              [Measures].[revenue] > 0))""".stripMargin, cube)
-        .collect()
-    }
-    assert(e2.getMessage.contains("computed slicer"), e2.getMessage)
+    // a cell-valued op (Filter/Order) in a slicer EXECUTES (r14
+    // refused): the condition evaluates in the DEFAULT context — the
+    // computed-slicer convention; WHERE is being built, so no slicer
+    // applies — and the SURVIVORS form the compound OR
+    val filterSlicer = cell(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE (FILTER({[customer].[EU13 and AS2],
+        |               [customer].[AMERICA].[NATION_1]},
+        |              [Measures].[revenue] > 0))""".stripMargin)
+    assert(filterSlicer === mixed)
+    // pruned to EMPTY: the slicer matches nothing — null cell (the
+    // empty-computed-slicer totality convention), never a crash
+    val noneLeft = cell(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE (FILTER({[customer].[EU13 and AS2],
+        |               [customer].[AMERICA]},
+        |              [Measures].[revenue] < 0))""".stripMargin)
+    assert(noneLeft == null)
+    // ORDER(BDESC) + HEAD(1) keeps whichever entry's CONTEXT total
+    // is larger
+    def dv(a: Any): Double =
+      a.asInstanceOf[java.math.BigDecimal].doubleValue()
+    val soloAm = cell(
+      """SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE ([customer].[AMERICA])""".stripMargin)
+    val top1 = cell(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE (HEAD(ORDER({[customer].[EU13 and AS2],
+        |                   [customer].[AMERICA]},
+        |                  [Measures].[revenue], BDESC), 1))""".stripMargin)
+    assert(dv(top1) === math.max(dv(calcOnly), dv(soloAm)))
   }
 
   test("Union/Head/Tail/Subset over a calc-bearing axis set execute " +
@@ -1727,6 +1752,11 @@ class MdxSpec extends SparkSpec {
     val viaLiteral = drillKeys("{[customer].[EUROPE].[NATION_13], " +
       "[customer].[ASIA].[NATION_2], [customer].[AMERICA].[NATION_1]}")
     assert(viaUnion === viaLiteral && viaUnion.nonEmpty)
+    // cell-valued Filter in a drill WHERE (r15): the survivors'
+    // region — both entries pass revenue > 0, so the same rows
+    val viaFilter = drillKeys("(FILTER({[customer].[EU13 and AS2], " +
+      "[customer].[AMERICA].[NATION_1]}, [Measures].[revenue] > 0))")
+    assert(viaFilter === viaLiteral)
   }
 
   test("a dim-calc member in any OTHER axis set shape refuses loudly " +
