@@ -143,6 +143,34 @@ object ScaleProbe {
         time(s"dimcalc 2-factor cj p$pass")(force(Mdx.execute(q2, cube)))
       for (pass <- 1 to 2)
         time(s"dimcalc filtered cj p$pass")(force(Mdx.execute(q3, cube)))
+      // r15: NECJ nested under an outer CrossJoin — support evaluated
+      // at the NECJ's own grain adds ONE distinct-support pass whose
+      // output is axis-sized (entries x months), semi-joined in
+      val q4 =
+        """WITH MEMBER [customer].[EU13 and AS2] AS
+          |  'Aggregate({[customer].[EUROPE].[NATION_13],
+          |              [customer].[ASIA].[NATION_2]})'
+          |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+          |  CROSSJOIN(
+          |    NONEMPTYCROSSJOIN({[customer].[AMERICA],
+          |                       [customer].[EU13 and AS2]},
+          |                      [time].[month].Members),
+          |    [returnflag].[returnflag].Members) ON ROWS
+          |FROM [Sales]""".stripMargin
+      for (pass <- 1 to 2)
+        time(s"dimcalc nested NECJ p$pass")(force(Mdx.execute(q4, cube)))
+      // r15: non-breaking hierarchical Order — in-plan rank windows
+      // over the N entry rows, still one fact scan
+      val q5 =
+        """WITH MEMBER [customer].[N13 solo] AS
+          |  'Aggregate({[customer].[EUROPE].[NATION_13]})'
+          |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+          |  ORDER({[customer].[EUROPE].[NATION_18], [customer].[EUROPE],
+          |         [customer].[N13 solo], [customer].[AMERICA]},
+          |        [Measures].[revenue], ASC) ON ROWS
+          |FROM [Sales]""".stripMargin
+      for (pass <- 1 to 2)
+        time(s"dimcalc hier order p$pass")(force(Mdx.execute(q5, cube)))
       spark.stop()
       return
     }

@@ -1033,16 +1033,21 @@ final class Planner(val cube: BoundCube) {
     // densify the seed positions first: they only need correct ORDER
     // (a role-hidden stored entry leaves a gap in the raw entry ids,
     // which would break Head/Subset's `__pos <= n` arithmetic)
-    ops.foldLeft(renum(df0)) { (df, op) => op match {
+    val seed = renum(df0)
+    ops.foldLeft(seed) { (df, op) => op match {
       case EntryFilter(cond) => renum(df.filter(resolve(cond)))
       // NON-breaking Order: hierarchical sort over the N entry rows.
       // Per-depth sibling ranks (value in the requested direction,
-      // stored-before-calc on ties, prior position last) compose into
+      // stored-before-calc on ties, seed position last) compose into
       // each entry's ancestor-rank chain; the lexicographic array
       // order puts every ancestor (a strict key prefix) before its
       // descendants and orders sibling subtrees by the ancestors'
-      // own cells — Sorter.sortMembers(brk=false). All joins are
-      // N-row broadcasts; the fact is never re-touched.
+      // own cells — Sorter.sortMembers(brk=false). Ranks come from
+      // the SEED frame (every entry, pre-Filter): Mondrian evaluates
+      // an ancestor's cell whether or not a Filter below the Order
+      // kept it in the set, and relative ranks over the full list
+      // order any surviving subset identically. All joins are N-row
+      // broadcasts; the fact is never re-touched.
       case EntryOrder(e, dir)
           if dir == SortDir.Asc || dir == SortDir.Desc =>
         val h = hier.getOrElse(throw new IllegalArgumentException(
@@ -1057,7 +1062,7 @@ final class Planner(val cube: BoundCube) {
           element_at(typedLit(h.parentOf), idc), lit(-1))
         val calcEx = coalesce(
           element_at(typedLit(h.isCalcOf), idc), lit(false))
-        val ranked = df.withColumn("__hval", key)
+        val ranked = seed.withColumn("__hval", key)
           .withColumn("__hr", row_number().over(
             Window.partitionBy(parEx)
               .orderBy(sortVal, calcEx.asc, col("__pos").asc))
@@ -1072,13 +1077,13 @@ final class Planner(val cube: BoundCube) {
           .groupBy("__ci")
           .agg(expr("transform(array_sort(collect_list(" +
             "struct(__clvl, __hr))), x -> x.__hr)").as("__hkey"))
-        val joined = ranked
+        val joined = df
           .join(broadcast(keyArr), idc === keyArr("__ci"), "left")
         joined.withColumn("__pos", row_number()
             .over(Window.orderBy(
               col("__hkey").asc_nulls_last, col("__pos").asc))
             .cast("long"))
-          .drop("__ci", "__hkey", "__hval", "__hr")
+          .drop("__ci", "__hkey")
       case EntryOrder(e, dir) =>
         val key = resolve(e)
         val sort =
@@ -2229,14 +2234,19 @@ final class Planner(val cube: BoundCube) {
       // Members lowering distincts its member frame, so a
       // duplicated literal inside one run would collapse to a
       // single row instead of rendering twice (the fused path keeps
-      // both via position keys; parity)
+      // both via position keys; parity). The duplicate check
+      // NORMALIZES values — a parser-String literal and its
+      // enumerated native-typed twin (Integer year) are the same
+      // member, matching distinctNorm's convention
       val runs = paths.foldLeft(Vector.empty[Vector[Seq[Any]]]) {
         (acc, p) =>
           val isCalc = dcl.of(dim, p).isDefined
+          val pN = p.map(String.valueOf)
           acc.lastOption match {
             case Some(run)
                 if !isCalc && dcl.of(dim, run.head).isEmpty &&
-                  run.head.length == p.length && !run.contains(p) =>
+                  run.head.length == p.length &&
+                  !run.exists(_.map(String.valueOf) == pN) =>
               acc.init :+ (run :+ p)
             case _ => acc :+ Vector(p)
           }

@@ -33,8 +33,11 @@ final class VirtualCube(
     * dimension skips it instead of crashing on an unknown dim).
     */
   // one planner per base, reused across slicer items and calls —
-  // expandDimCalcSlicer/resolveSlicer never touch the per-query
-  // mutable pruning state, so sharing is safe
+  // expandDimCalcSlicer/resolveSlicer leave no per-query residue: a
+  // cell-valued computed set runs a self-contained sub-query whose
+  // pruneFor resets the planner's mutable pruning state to the
+  // schema-level defaults a fresh planner would carry, and every
+  // execute() re-derives that state up front, so sharing stays safe
   private lazy val basePlanners: Seq[(BoundCube, Planner)] =
     bases.map { case (bc, _) => bc -> new Planner(bc) }
 

@@ -1445,6 +1445,17 @@ class MdxSpec extends SparkSpec {
     assert(rows(s"ORDER($hier, [Measures].[rev2], ASC)",
       "MEMBER [Measures].[rev2] AS '[Measures].[revenue] * 2'") ===
       Seq("N13 solo", "EUROPE", "NATION_18"))
+    // Order ABOVE a Filter that pruned an ANCESTOR still ranks
+    // through the ancestor's cell (Mondrian evaluates out-of-set
+    // members): dropping EUROPE must not collapse its children's
+    // group rank against the root-level calc
+    val vEur = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE ([customer].[EUROPE])""".stripMargin, cube).collect()
+      .head.getAs[java.math.BigDecimal]("revenue").doubleValue()
+    assert(rows(s"ORDER(FILTER($hier2, [Measures].[revenue] < $vEur)," +
+      " [Measures].[revenue], ASC)") === ("N13 solo" +: kids))
   }
 
   test("non-ALL Union dedups a literal member against an ENUMERATED " +
@@ -1525,6 +1536,63 @@ class MdxSpec extends SparkSpec {
       .map(r => (r.getInt(1), r.getString(2)) -> r.get(3)).toMap
     necj.filterNot(_.isNullAt(3)).foreach(r =>
       assert(r.get(3) === cjCells((r.getInt(1), r.getString(2)))))
+  }
+
+  test("TWO disjoint NECJs under one CrossJoin evaluate support " +
+      "independently, each at its own grain") {
+    // g0: C112 has flag-A/N/R support overall; Ghost drops. g1: 1997
+    // has all five priorities. The CROSSJOIN of the two NECJs keeps
+    // the full 3x5 grid even though C112's 1997 activity is exactly
+    // ONE lineitem (flag A, priority 2-HIGH) — joint emptiness never
+    // prunes, only each NECJ's own marginal support does
+    val rows = Mdx.execute(
+      """WITH MEMBER [customer].[C112] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13]
+        |               .[Customer#000000112]})'
+        |MEMBER [customer].[Ghost] AS
+        |  'Aggregate({[customer].[EUROPE].[NO_SUCH_NATION]})'
+        |MEMBER [time].[Y97] AS 'Aggregate({[time].[1997]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN(
+        |    NONEMPTYCROSSJOIN({[customer].[C112], [customer].[Ghost]},
+        |                      [returnflag].[returnflag].Members),
+        |    NONEMPTYCROSSJOIN({[time].[Y97]},
+        |                      [priority].[priority].Members)) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(rows.length === 15) // 3 flags x 5 priorities, Ghost gone
+    assert(rows.forall(r =>
+      r.getString(0) == "C112" && r.getString(1) == "Y97"))
+    val nonNull = rows.filterNot(_.isNullAt(4))
+      .map(r => (r.getString(2), r.getString(3))).toSet
+    assert(nonNull === Set(("A", "2-HIGH")))
+  }
+
+  test("an NECJ nested INSIDE another NECJ keeps the outer grain: " +
+      "full-tuple support subsumes the inner filter") {
+    def q(axis: String) = Mdx.execute(
+      s"""WITH MEMBER [customer].[C112] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13]
+        |               .[Customer#000000112]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  $axis ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    val nested = q(
+      """NONEMPTYCROSSJOIN(
+        |    NONEMPTYCROSSJOIN({[customer].[C112]},
+        |                      {[time].[1996], [time].[1997]}),
+        |    [returnflag].[returnflag].Members)""".stripMargin)
+    // twin: NON EMPTY over the plain CrossJoin prunes the same rows
+    // here (one SumExact measure — null exactly where support is 0)
+    val flat = q(
+      """NON EMPTY CROSSJOIN(
+        |    CROSSJOIN({[customer].[C112]},
+        |              {[time].[1996], [time].[1997]}),
+        |    [returnflag].[returnflag].Members)""".stripMargin)
+    // joint support at sf0.001: 1996 x {A, R}, 1997 x {A}
+    assert(nested === flat)
+    assert(nested.toSet ===
+      Set(("C112", 1996, "A"), ("C112", 1996, "R"), ("C112", 1997, "A")))
   }
 
   test("Filter/Order over a crossjoined calc factor evaluate " +
