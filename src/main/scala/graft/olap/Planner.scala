@@ -1797,13 +1797,31 @@ final class Planner(val cube: BoundCube) {
         case EntryFilter(c)   => c
         case EntryOrder(e, _) => e
       }
-      // Measures-hosted calc measures referenced by a Filter/Order op:
-      // the fused agg computes stored measures only, so those shapes
-      // route to the per-entry fallback (whose sub-queries run the
-      // full applyCalcs layer)
-      val opCalcNames = (cube.calcMembers ++ qs.withMembers)
-        .filter(c => !c.calc.isInstanceOf[DimAggCalc])
+      // Measures-hosted calc measures: the fused agg computes stored
+      // measures; an EXPRESSION calc over them (margin = a/b — the
+      // common type) computes POST-aggregation on the N-row frame,
+      // exactly the normal path's applyExprCalcs, so it rides the
+      // fused pass (r15 — r14 forced the fallback). Context-dependent
+      // calcs (window/SetAgg/LinReg, or CurrentMember-macro
+      // expressions) still need the per-sub-query applyCalcs layer.
+      val calcsByName = (cube.calcMembers ++ qs.withMembers)
+        .filterNot(_.calc.isInstanceOf[DimAggCalc])
+        .groupBy(_.name.toLowerCase).map { case (k, v) => k -> v.head }
+      def exprServable(n: String, seen: Set[String]): Boolean =
+        cube.measures.exists(_.name == n) ||
+          (!seen(n) && calcsByName.get(n.toLowerCase).exists(_.calc match {
+            case ExprCalc(sql) if !sql.contains("__CURRENT_") =>
+              (cube.measures.map(_.name) ++
+                calcsByName.values.map(_.name))
+                .filter(x => x != n && referencedIn(x, Seq(sql)))
+                .forall(exprServable(_, seen + n))
+            case _ => false
+          }))
+      // calc names referenced by a Filter/Order op (or requested as
+      // measures) that the fused frame CANNOT compute post-agg
+      val opCalcNames = calcsByName.values
         .map(_.name).filter(n => referencedIn(n, opTexts))
+        .filterNot(exprServable(_, Set.empty)).toSeq
       val otherSet = otherFactors.reduceRightOption(CrossJoin(_, _))
       // the other factors' member frames pin the extra tuple
       // coordinates; plan-building only (nothing executes here)
@@ -1854,10 +1872,12 @@ final class Planner(val cube: BoundCube) {
       // (× the other factors' level columns when the set is a
       // crossjoin): one Exchange for N members instead of N fact
       // passes (correct for every aggregator incl. avg/distinct — the
-      // group sees raw fact rows, never pre-aggregates). Taken only
-      // when every requested measure is stored — incl. any a
-      // Filter/Order entry op references (Measures-hosted calcs need
-      // per-sub-query applyCalcs/window/LinReg context) — AND the
+      // group sees raw fact rows, never pre-aggregates). Taken when
+      // every requested measure is stored OR an expression calc over
+      // stored measures, computed post-agg on the N-row frame — incl.
+      // any a Filter/Order entry op references (context-dependent
+      // calcs — window/SetAgg/LinReg, CurrentMember macros — still
+      // need the per-sub-query applyCalcs layer) — AND the
       // other factors are uniform-depth (the per-depth cell grain of
       // mixed frames belongs to the normal path the fallback recurses
       // into). Roles ride the fused pass too (r14): stored entries are
@@ -1867,10 +1887,25 @@ final class Planner(val cube: BoundCube) {
       // over arbitrary member-set filters and the explode key is not
       // a grain the SegmentCache speaks.
       if (opCalcNames.isEmpty &&
-          qs.measures.forall(m => cube.measures.exists(_.name == m)) &&
+          qs.measures.forall(exprServable(_, Set.empty)) &&
           otherFrame0.forall(of =>
             of.mixedDim.isEmpty && of.mixedDepths.isEmpty)) {
         pruneFor(qs)
+        // Measures-hosted ExprCalcs ride the fused pass: computed on
+        // the aggregated N-row frame in solve order, after the count
+        // coalesce (an expr over a count sees the calc entry's 0)
+        def applyFusedExprCalcs(df0c: DataFrame): DataFrame =
+          neededCalcs.sortBy(_.solveOrder).foldLeft(df0c) { (acc, cm) =>
+            cm.calc match {
+              case ExprCalc(sql) if !acc.columns.contains(cm.name) &&
+                  !sql.contains("__CURRENT_") =>
+                try acc.withColumn(cm.name, sexpr(sql))
+                catch {
+                  case _: org.apache.spark.sql.AnalysisException => acc
+                }
+              case _ => acc
+            }
+          }
         case class AxisEntry(idx: Int, name: String, isCalc: Boolean,
           items: Seq[SlicerItem])
         // a role hides out-of-grant STORED members from the axis
@@ -2058,9 +2093,10 @@ final class Planner(val cube: BoundCube) {
                 .filter(m =>
                   m.agg == Agg.Count || m.agg == Agg.DistinctCount)
                 .map(_.name).filter(j0.columns.contains)
-              val j = countishP.foldLeft(j0)((df, m) => df.withColumn(m,
-                when(col(f0.calcCol) && col(m).isNull, lit(0L))
-                  .otherwise(col(m))))
+              val j = applyFusedExprCalcs(
+                countishP.foldLeft(j0)((df, m) => df.withColumn(m,
+                  when(col(f0.calcCol) && col(m).isNull, lit(0L))
+                    .otherwise(col(m)))))
               val kept = applyEntryOps(j.withColumn("__pos",
                   (col(f0.entryCol) + 1).cast("long")),
                   f0.ops, f0.dim, f0.label,
@@ -2144,11 +2180,12 @@ final class Planner(val cube: BoundCube) {
         // a tuple is "calc" when ANY factor coordinate is a calc
         // member — Aggregate over an empty set COUNTS zero there
         val calcAny = factors.map(f => col(f.calcCol)).reduce(_ || _)
-        val joined = countish.foldLeft(joined0) { (df, m) =>
-          df.withColumn(m,
-            when(calcAny && col(m).isNull, lit(0L))
-              .otherwise(col(m)))
-        }
+        val joined = applyFusedExprCalcs(
+          countish.foldLeft(joined0) { (df, m) =>
+            df.withColumn(m,
+              when(calcAny && col(m).isNull, lit(0L))
+                .otherwise(col(m)))
+          })
         // entry-major order (the literal set's position), then the
         // other factors' own order (explicit __ord when set, else
         // hierarchical level ordinals — both live on the frame side)
@@ -2218,16 +2255,18 @@ final class Planner(val cube: BoundCube) {
       // observe NECJ tuple support
       if (factors.length > 1)
         refuse("calc members in more than one CrossJoin factor " +
-          "alongside Measures-hosted calc measures or mixed-depth " +
-          "factors — only the fused single-pass lowering evaluates " +
-          "the multi-factor entry cross product")
+          "alongside context-dependent (window/set-aggregating) calc " +
+          "measures or mixed-depth factors — only the fused " +
+          "single-pass lowering evaluates the multi-factor entry " +
+          "cross product")
       if (necjTuples)
         refuse("NonEmptyCrossJoin with a calc factor alongside " +
-          "Measures-hosted calc measures or mixed-depth factors — " +
-          "only the fused single-pass lowering computes tuple support")
+          "context-dependent (window/set-aggregating) calc measures " +
+          "or mixed-depth factors — only the fused single-pass " +
+          "lowering computes tuple support")
       if (entryOps.nonEmpty && otherFactors.nonEmpty)
         refuse("Filter/Order/positional ops over the calc factor of " +
-          "a CrossJoin alongside Measures-hosted calc measures or " +
+          "a CrossJoin alongside context-dependent calc measures or " +
           "mixed-depth factors — the pre-crossjoin condition pass " +
           "needs the fused lowering")
       // a path already in the current run starts a NEW run: the

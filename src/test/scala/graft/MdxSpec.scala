@@ -1538,6 +1538,45 @@ class MdxSpec extends SparkSpec {
       assert(r.get(3) === cjCells((r.getInt(1), r.getString(2)))))
   }
 
+  test("Measures-hosted EXPRESSION calcs ride the fused dim-calc " +
+      "pass: NECJ and multi-factor shapes execute with them " +
+      "(r14 refused; context-dependent calcs still fall back)") {
+    // NECJ + expr calc: r14 refused this exact shape (fused-only +
+    // calc-hosted measure). Now the expr computes post-agg on the
+    // fused frame: same tuple support, each cell 2x the stored twin
+    def q(measure: String, sel: String) = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |MEMBER [customer].[Ghost] AS
+        |  'Aggregate({[customer].[EUROPE].[NO_SUCH_NATION]})'
+        |MEMBER [Measures].[rev2] AS '[Measures].[revenue] * 2'
+        |SELECT {$sel} ON COLUMNS,
+        |  NONEMPTYCROSSJOIN({[customer].[EU13 and AS2],
+        |                     [customer].[Ghost]},
+        |                    {[time].[1995], [time].[1996]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        r.getAs[java.math.BigDecimal](measure).doubleValue()).toMap
+    val doubled = q("rev2", "[Measures].[rev2]")
+    val stored = q("revenue", "[Measures].[revenue]")
+    assert(doubled.keySet === stored.keySet && doubled.size === 2)
+    doubled.foreach { case (k, v) => assert(v === stored(k) * 2) }
+    // two calc factors + expr measure: also fused now
+    val two = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |MEMBER [time].[Y9596] AS
+        |  'Aggregate({[time].[1995], [time].[1996]})'
+        |MEMBER [Measures].[rev2] AS '[Measures].[revenue] * 2'
+        |SELECT {[Measures].[rev2], [Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[customer].[AMERICA], [customer].[EU13 and AS2]},
+        |            {[time].[Y9596]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(two.length === 2)
+    two.foreach { r =>
+      assert(r.getAs[java.math.BigDecimal]("rev2").doubleValue() ===
+        r.getAs[java.math.BigDecimal]("revenue").doubleValue() * 2)
+    }
+  }
+
   test("TWO disjoint NECJs under one CrossJoin evaluate support " +
       "independently, each at its own grain") {
     // g0: C112 has flag-A/N/R support overall; Ghost drops. g1: 1997
@@ -1851,13 +1890,15 @@ class MdxSpec extends SparkSpec {
     refusal(q("ORDER({[customer].[EUROPE].[NATION_13], " +
       "[customer].[EU13 and AS2]}, [Measures].[revenue], ASC)"))
     // Filter/Order ops alongside ANOTHER calc factor are fused-only:
-    // a Measures-hosted calc measure forces the per-entry fallback,
+    // a CONTEXT-DEPENDENT calc measure (SetAgg here — an ExprCalc
+    // rides the fused pass since r15) forces the per-entry fallback,
     // which cannot evaluate the multi-factor entry cross product
     refusal(
       s"""WITH $Eu13As2Def
         |MEMBER [time].[Y95] AS 'Aggregate({[time].[1995]})'
-        |MEMBER [Measures].[rev2] AS '[Measures].[revenue] * 2'
-        |SELECT {[Measures].[rev2]} ON COLUMNS,
+        |MEMBER [Measures].[rev95] AS
+        |  Sum({[time].[1995]}, [Measures].[revenue])
+        |SELECT {[Measures].[rev95]} ON COLUMNS,
         |  CROSSJOIN(FILTER({[customer].[EU13 and AS2],
         |                    [customer].[AMERICA]},
         |                   [Measures].[revenue] > 0),
@@ -1867,24 +1908,27 @@ class MdxSpec extends SparkSpec {
     refusal(q("CROSSJOIN({[customer].[EU13 and AS2]}, " +
       "{[customer].[ASIA]})"))
     // NECJ with a calc factor is fused-only: the tuple-support count
-    // rides the single scan, which Measures-hosted calc measures skip
+    // rides the single scan, which CONTEXT-DEPENDENT calc measures
+    // skip (an ExprCalc like revenue*2 rides the fused pass — r15)
     refusal(
       s"""WITH $Eu13As2Def
-        |MEMBER [Measures].[rev2] AS '[Measures].[revenue] * 2'
-        |SELECT {[Measures].[rev2]} ON COLUMNS,
+        |MEMBER [Measures].[rev95] AS
+        |  Sum({[time].[1995]}, [Measures].[revenue])
+        |SELECT {[Measures].[rev95]} ON COLUMNS,
         |  NONEMPTYCROSSJOIN({[customer].[EU13 and AS2]},
         |                    {[time].[1995]}) ON ROWS
         |FROM [Sales]""".stripMargin)
     // a multi-dimension calc-free side cannot join the entry list
     refusal(q("UNION({[customer].[EU13 and AS2]}, " +
       "CROSSJOIN([customer].[region].Members, {[time].[1995]}))"))
-    // calc members on BOTH factors of a NECJ still refuse when the
-    // measures are calc-hosted (fused-only shapes meet the fallback)
+    // calc members on BOTH factors still refuse when a measure is
+    // CONTEXT-DEPENDENT (fused-only shapes meet the fallback)
     refusal(
       s"""WITH $Eu13As2Def
         |MEMBER [time].[Y95] AS 'Aggregate({[time].[1995]})'
-        |MEMBER [Measures].[rev2] AS '[Measures].[revenue] * 2'
-        |SELECT {[Measures].[rev2]} ON COLUMNS,
+        |MEMBER [Measures].[rev95] AS
+        |  Sum({[time].[1995]}, [Measures].[revenue])
+        |SELECT {[Measures].[rev95]} ON COLUMNS,
         |  CROSSJOIN({[customer].[EU13 and AS2]}, {[time].[Y95]}) ON ROWS
         |FROM [Sales]""".stripMargin)
     // two calc-bearing factors on the SAME hierarchy
