@@ -196,6 +196,24 @@ object MdxQueries {
         |             [Measures].[revenue], ASC), 2) ON ROWS
         |FROM [Sales]""".stripMargin) _),
 
+    // cell-valued ops in a computed WHERE set (r15): the entries
+    // evaluate in the DEFAULT context; ORDER(BDESC)+HEAD(1) keeps
+    // the AMERICA region — a whole region outranks a single-nation
+    // aggregate at EVERY scale factor — and the slicer proceeds as
+    // that survivor. An implementation that ignored the ops would
+    // OR both entries and fail on values; one that sorted ascending
+    // would keep the nation
+    "q_mdx_dimcalc_where_filter" -> (run(
+      """WITH MEMBER [customer].[N13 solo] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13]})'
+        |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+        |  [time].[year].Members ON ROWS
+        |FROM [Sales]
+        |WHERE (HEAD(ORDER({[customer].[N13 solo],
+        |                   [customer].[AMERICA]},
+        |                  [Measures].[revenue], BDESC), 1))"""
+        .stripMargin) _),
+
     "q_mdx_setagg" -> (run(
       """WITH MEMBER [Measures].[h1_rev] AS
         |  Sum({[time].[1995].[1995-Q1] : [time].[1995].[1995-Q2]},
@@ -376,6 +394,13 @@ object MdxQueries {
          |UNION ALL
          |SELECT 'EUROPE', $REV, sum(l_quantity)
          |$CJOIN WHERE r_name = 'EUROPE'""".stripMargin,
+
+    // the ops keep AMERICA; rows = years over that region
+    "q_mdx_dimcalc_where_filter" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS d_year,
+         |  $REV AS revenue, sum(l_quantity) AS sum_qty
+         |$CJOIN WHERE r_name = 'AMERICA'
+         |GROUP BY 1""".stripMargin,
 
     "q_mdx_setagg" ->
       s"""WITH base AS (

@@ -38,6 +38,12 @@ class MdxRoundtripSpec extends SparkSpec {
         TopCount(a, 4, "revenue")),
       1 -> (for { a <- nodeGen(depth - 1) } yield
         OrderSet(a, "revenue", SortDir.BDesc)),
+      // non-breaking directions execute since r15 — pin their
+      // render/parse alongside the breaking ones
+      1 -> (for { a <- nodeGen(depth - 1) } yield
+        OrderSet(a, "revenue", SortDir.Asc)),
+      1 -> (for { a <- nodeGen(depth - 1) } yield
+        OrderSet(a, "revenue", SortDir.Desc)),
       1 -> (for { a <- nodeGen(depth - 1); b <- nodeGen(depth - 1) }
         yield UnionSet(a, b)),
       1 -> (for { a <- nodeGen(depth - 1); b <- nodeGen(depth - 1) }
