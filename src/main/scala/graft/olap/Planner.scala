@@ -1032,9 +1032,19 @@ final class Planner(val cube: BoundCube) {
         row_number().over(Window.orderBy(col("__pos").asc)).cast("long"))
     // densify the seed positions first: they only need correct ORDER
     // (a role-hidden stored entry leaves a gap in the raw entry ids,
-    // which would break Head/Subset's `__pos <= n` arithmetic)
+    // which would break Head/Subset's `__pos <= n` arithmetic).
+    // Hidden ancestor entries (injected for the hierarchical Order's
+    // rank computation) stay in the SEED — their cells rank like any
+    // sibling — but never enter the live frame: they are not set
+    // members, so no Filter/positional op sees them and no axis row
+    // renders them.
     val seed = renum(df0)
-    ops.foldLeft(seed) { (df, op) => op match {
+    val live = hier.filter(_.hidden.nonEmpty) match {
+      case Some(h) => renum(seed.where(!col(h.entryCol).cast("int")
+          .isin(h.hidden.toSeq: _*)))
+      case None => seed
+    }
+    ops.foldLeft(live) { (df, op) => op match {
       case EntryFilter(cond) => renum(df.filter(resolve(cond)))
       // NON-breaking Order: hierarchical sort over the N entry rows.
       // Per-depth sibling ranks (value in the requested direction,
@@ -1712,8 +1722,7 @@ final class Planner(val cube: BoundCube) {
           "Aggregate member is supported in a literal member set — " +
           "optionally combined with enumerable same-dimension sets " +
           "via Union/Head/Tail/Subset/Distinct, filtered/ordered by " +
-          "Filter or Order (non-breaking ASC/DESC needs every " +
-          "entry's ancestors in the set), and CrossJoined (or " +
+          "Filter or Order, and CrossJoined (or " +
           "NonEmptyCrossJoined) with calculated-member-free sets on " +
           "other dimensions — rewrite the axis set or move the " +
           "member to WHERE")
@@ -1725,8 +1734,34 @@ final class Planner(val cube: BoundCube) {
         .filter(i => dcl.hasCalcPath(rowsFactors(i), Set.empty))
       case class CalcFactor(dim: String, paths: Vector[Seq[Any]],
         ops: Vector[EntryOp], label: String, entryCol: String,
-        calcCol: String)
+        calcCol: String, hidden: Set[Int] = Set.empty)
       val qSlicerAll = resolveSlicer(qs.slicer, qs.withSets)
+      // non-breaking Order needs every entry's strict ancestors' CELLS
+      // for the hierarchical comparison (Mondrian evaluates them
+      // whether or not they are set members): ancestors missing from
+      // the set join the entry list as HIDDEN entries — aggregated in
+      // the same pass, ranked like any sibling, dropped before the
+      // axis renders (applyEntryOps excludes them from the live frame)
+      def injectHiddenAncestors(f: CalcFactor): CalcFactor = {
+        val needs = f.ops.exists {
+          case EntryOrder(_, SortDir.Asc | SortDir.Desc) => true
+          case _ => false
+        }
+        if (!needs) return f
+        val norm = f.paths.map(_.map(String.valueOf))
+        val have = norm.toSet
+        val missing = norm.flatMap(p => (1 until p.length).map(p.take))
+          .distinct.filterNot(have)
+        if (missing.isEmpty) return f
+        val missingOrig = missing.map { mp =>
+          val src = f.paths.zip(norm)
+            .find(_._2.take(mp.length) == mp).get._1
+          src.take(mp.length)
+        }
+        f.copy(paths = f.paths ++ missingOrig,
+          hidden = (f.paths.length until
+            f.paths.length + missingOrig.length).toSet)
+      }
       val factors = calcIdxs.zipWithIndex.map { case (fi, k) =>
         dcl.flatten(rowsFactors(fi), qSlicerAll) match {
           case Right((d, ps, ops)) =>
@@ -1735,8 +1770,9 @@ final class Planner(val cube: BoundCube) {
             // factor 0 keeps the bare column names so the single-factor
             // plan (and the entry-op machinery) is unchanged
             val tag = if (k == 0) "" else s"_$k"
-            CalcFactor(d, ps, ops, cube.dim(d).levels.head.col,
-              s"__entry$tag", s"__calc$tag")
+            injectHiddenAncestors(
+              CalcFactor(d, ps, ops, cube.dim(d).levels.head.col,
+                s"__entry$tag", s"__calc$tag"))
           case Left(why) => refuse(why)
         }
       }
@@ -1772,16 +1808,16 @@ final class Planner(val cube: BoundCube) {
         }) None
         else {
           val norm = f.paths.map(_.map(String.valueOf))
-          // first occurrence wins for duplicated literals
+          // first occurrence wins for duplicated literals; hidden
+          // ancestors were injected above, so every strict prefix of
+          // every path resolves (the getOrElse is an invariant guard)
           val posOf = norm.zipWithIndex.reverse.toMap
           val parentOf = norm.indices.map { i =>
             i -> (if (norm(i).length <= 1) -1
               else posOf.getOrElse(norm(i).init, refuse(
-                "non-breaking Order over a set where entry [" +
-                  f.paths(i).mkString("].[") + "]'s ancestor is not " +
-                  "itself an entry — the hierarchical comparison " +
-                  "needs the ancestor's cell; add the ancestor to " +
-                  "the set or use BASC/BDESC")))
+                "internal: entry [" + f.paths(i).mkString("].[") +
+                  "]'s ancestor missing after hidden-ancestor " +
+                  "injection")))
           }.toMap
           val chainOf = norm.indices.map { i =>
             i -> ((1 until norm(i).length)
@@ -1790,7 +1826,7 @@ final class Planner(val cube: BoundCube) {
           val isCalcOf = f.paths.indices.map { i =>
             i -> dcl.of(f.dim, f.paths(i)).isDefined
           }.toMap
-          Some(EntryHier("", parentOf, chainOf, isCalcOf))
+          Some(EntryHier("", parentOf, chainOf, isCalcOf, f.hidden))
         }
       val entryHier: Option[EntryHier] = hierFor(factors.head)
       val opTexts = factors.flatMap(_.ops).collect {
@@ -2885,7 +2921,7 @@ object Planner {
     */
   private[olap] final case class EntryHier(entryCol: String,
       parentOf: Map[Int, Int], chainOf: Map[Int, Seq[Int]],
-      isCalcOf: Map[Int, Boolean])
+      isCalcOf: Map[Int, Boolean], hidden: Set[Int] = Set.empty)
 
   /** SQL literal for a member-path segment (role deny predicates):
     * numbers raw, strings single-quoted with quotes doubled.

@@ -1456,6 +1456,15 @@ class MdxSpec extends SparkSpec {
       .head.getAs[java.math.BigDecimal]("revenue").doubleValue()
     assert(rows(s"ORDER(FILTER($hier2, [Measures].[revenue] < $vEur)," +
       " [Measures].[revenue], ASC)") === ("N13 solo" +: kids))
+    // an entry whose ancestor is MISSING from the set (r15: the
+    // ancestor joins as a hidden rank-only entry — Mondrian evaluates
+    // out-of-set members): NATION_13 ranks through hidden EUROPE,
+    // which outranks the equal-valued calc at the root
+    val miss = "{[customer].[EUROPE].[NATION_13], [customer].[N13 solo]}"
+    assert(rows(s"ORDER($miss, [Measures].[revenue], ASC)") ===
+      Seq("N13 solo", "NATION_13"))
+    assert(rows(s"ORDER($miss, [Measures].[revenue], DESC)") ===
+      Seq("NATION_13", "N13 solo"))
   }
 
   test("non-ALL Union dedups a literal member against an ENUMERATED " +
@@ -1883,12 +1892,9 @@ class MdxSpec extends SparkSpec {
         |FROM [Sales]""".stripMargin
     // Union of sets on different hierarchies
     refusal(q("UNION({[customer].[EU13 and AS2]}, {[time].[1995]})"))
-    // non-breaking Order over a set missing an entry's ancestor: the
-    // hierarchical comparison would need the ancestor's cell (a
-    // member outside the set) — flat and ancestor-complete sets
-    // execute, this refuses
-    refusal(q("ORDER({[customer].[EUROPE].[NATION_13], " +
-      "[customer].[EU13 and AS2]}, [Measures].[revenue], ASC)"))
+    // (non-breaking Order executes for EVERY literal set since r15 —
+    // missing ancestors join as hidden rank-only entries; see the
+    // "sorts hierarchically" spec)
     // Filter/Order ops alongside ANOTHER calc factor are fused-only:
     // a CONTEXT-DEPENDENT calc measure (SetAgg here — an ExprCalc
     // rides the fused pass since r15) forces the per-entry fallback,
