@@ -79,4 +79,103 @@ class ComboSpec extends SparkSpec {
       .execute().collect()
     assert(rows.length == 5)
   }
+
+  test("property: hierarchical Order over random calc-bearing sets " +
+      "matches a driver-side Mondrian comparator (seeded)") {
+    import graft.olap.Mdx
+    // member pool: (mdx path, label, path segments). Calc members are
+    // root-hosted; their defining sets give their values
+    val Defs =
+      """MEMBER [customer].[C EU] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |MEMBER [customer].[C AM] AS
+        |  'Aggregate({[customer].[AMERICA].[NATION_1]})'""".stripMargin
+    val pool: Seq[(String, String, Seq[String])] = Seq(
+      ("[customer].[AMERICA]", "AMERICA", Seq("AMERICA")),
+      ("[customer].[EUROPE]", "EUROPE", Seq("EUROPE")),
+      ("[customer].[ASIA]", "ASIA", Seq("ASIA")),
+      ("[customer].[EUROPE].[NATION_13]", "NATION_13",
+        Seq("EUROPE", "NATION_13")),
+      ("[customer].[EUROPE].[NATION_18]", "NATION_18",
+        Seq("EUROPE", "NATION_18")),
+      ("[customer].[ASIA].[NATION_2]", "NATION_2",
+        Seq("ASIA", "NATION_2")),
+      ("[customer].[C EU]", "C EU", Seq("C EU")),
+      ("[customer].[C AM]", "C AM", Seq("C AM")))
+    val calcNames = Set("C EU", "C AM")
+    // every pool member's context value, one solo query each (the
+    // ancestors of a set entry need values even when not in the set)
+    def solo(mdxMember: String): Double = {
+      val where =
+        if (mdxMember == "[customer].[C EU]")
+          "{[customer].[EUROPE].[NATION_13], [customer].[ASIA].[NATION_2]}"
+        else if (mdxMember == "[customer].[C AM]")
+          "([customer].[AMERICA].[NATION_1])"
+        else s"($mdxMember)"
+      Mdx.execute(
+        s"""SELECT {[Measures].[revenue]} ON COLUMNS
+          |FROM [Sales]
+          |WHERE $where""".stripMargin, cube).collect().head
+        .getAs[java.math.BigDecimal]("revenue").doubleValue()
+    }
+    val valueOf: Map[String, Double] =
+      pool.map(p => p._2 -> solo(p._1)).toMap
+    val byLabel = pool.map(p => p._2 -> p).toMap
+    // driver-side Sorter.sortMembers(brk=false): per-depth sibling
+    // ranks compose into ancestor-rank chains, lexicographic order
+    def expectedOrder(entries: Seq[(String, String, Seq[String])],
+        desc: Boolean): Seq[String] = {
+      // rank scope = the entry list plus any missing ancestors
+      val withAnc = (entries ++ entries.flatMap(e =>
+        (1 until e._3.length).map(k => byLabel(e._3(k - 1))))).distinct
+      val posOf = entries.map(_._2).zipWithIndex.toMap
+      def rank(group: Seq[(String, String, Seq[String])])
+          : Map[String, Int] =
+        group.sortBy { m =>
+          val v = valueOf(m._2)
+          ((if (desc) -v else v), calcNames(m._2),
+            posOf.getOrElse(m._2, Int.MaxValue))
+        }.map(_._2).zipWithIndex.toMap
+      val byParent = withAnc.groupBy(m =>
+        if (m._3.length <= 1) "" else m._3(m._3.length - 2))
+      val ranks: Map[String, Map[String, Int]] =
+        byParent.map { case (p, g) => p -> rank(g) }
+      def key(m: (String, String, Seq[String])): Seq[Int] =
+        m._3.indices.map { k =>
+          val anc = byLabel(m._3(k))
+          val par = if (k == 0) "" else m._3(k - 1)
+          ranks(par)(anc._2)
+        }
+      import scala.math.Ordering.Implicits._
+      entries.sortBy(e => (key(e).toList, posOf(e._2))).map(_._2)
+    }
+    val rnd = new scala.util.Random(0x5eed15L)
+    for (case_ <- 1 to 12) {
+      val size = 3 + rnd.nextInt(4)
+      val entries = rnd.shuffle(pool).take(size)
+      val desc = rnd.nextBoolean()
+      val setLit = entries.map(_._1).mkString("{", ", ", "}")
+      val dir = if (desc) "DESC" else "ASC"
+      // a calc-bearing set renders one label column (leaf captions);
+      // a pure-stored mixed-depth set renders padded level columns —
+      // the caption is the deepest non-null level value
+      val dfr = Mdx.execute(
+        s"""WITH $Defs
+          |SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  ORDER($setLit, [Measures].[revenue], $dir) ON ROWS
+          |FROM [Sales]""".stripMargin, cube)
+      val cols = dfr.columns
+      val got = dfr.collect().toSeq.map { r =>
+        Seq("cr_nation", "cr_region").collectFirst {
+          case c if cols.contains(c) &&
+            !r.isNullAt(cols.indexOf(c)) =>
+            r.getString(cols.indexOf(c))
+        }.get
+      }
+      val want = expectedOrder(entries, desc)
+      assert(got === want,
+        s"case $case_ dir=$dir set=$setLit: got $got want $want")
+    }
+  }
 }
