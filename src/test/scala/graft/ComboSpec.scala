@@ -80,6 +80,58 @@ class ComboSpec extends SparkSpec {
     assert(rows.length == 5)
   }
 
+  test("property: nested-NECJ tuple support equals the marginal " +
+      "non-emptiness of the plain CrossJoin twin (full-level outer " +
+      "factors, so the marginal is computable from the twin)") {
+    import graft.olap.Mdx
+    val Defs =
+      """MEMBER [customer].[C112] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13]
+        |               .[Customer#000000112]})'
+        |MEMBER [customer].[EU13 and AS2] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |MEMBER [customer].[Ghost] AS
+        |  'Aggregate({[customer].[EUROPE].[NO_SUCH_NATION]})'"""
+        .stripMargin
+    val custSets = Seq(
+      "{[customer].[C112], [customer].[Ghost]}",
+      "{[customer].[EU13 and AS2], [customer].[AMERICA]}",
+      "{[customer].[C112], [customer].[AMERICA]}")
+    val levelSets = Seq(
+      "[returnflag].[returnflag].Members",
+      "[priority].[priority].Members",
+      "[linestatus].[linestatus].Members")
+    def collect(axis: String): Seq[(String, String, String, Any)] =
+      Mdx.execute(
+        s"""WITH $Defs
+          |SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  $axis ON ROWS
+          |FROM [Sales]""".stripMargin, cube).collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.get(3)))
+    for {
+      cs <- custSets
+      f1 <- levelSets
+      f2 <- levelSets if f1 != f2
+    } {
+      val cj = collect(s"CROSSJOIN(CROSSJOIN($cs, $f1), $f2)")
+      val necj = collect(s"CROSSJOIN(NONEMPTYCROSSJOIN($cs, $f1), $f2)")
+      // NECJ grain = (entry, f1 member): supported when ANY f2 cell
+      // is non-null in the full twin (f2 enumerates its whole level)
+      val supported = cj.groupBy(r => (r._1, r._2))
+        .filter(_._2.exists(_._4 != null)).keySet
+      val expected = cj.filter(r => supported((r._1, r._2)))
+        .map(r => (r._1, r._2, r._3)).toSet
+      assert(necj.map(r => (r._1, r._2, r._3)).toSet === expected,
+        s"$cs x $f1 x $f2")
+      // surviving cells identical
+      val cjCells = cj.map(r => ((r._1, r._2, r._3), r._4)).toMap
+      necj.foreach(r =>
+        assert(r._4 === cjCells((r._1, r._2, r._3))))
+    }
+  }
+
   test("property: hierarchical Order over random calc-bearing sets " +
       "matches a driver-side Mondrian comparator (seeded)") {
     import graft.olap.Mdx
