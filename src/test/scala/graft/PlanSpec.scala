@@ -618,4 +618,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"per-query top-k must run under WindowGroupLimit:\n$p")
   }
+
+  test("an expression calc measure keeps the fused dim-calc plan: " +
+      "same exchange count as the stored-measure twin (r15 — no " +
+      "per-entry fallback fork)") {
+    def planFor(measures: String): String = plan(Mdx.execute(
+      s"""WITH MEMBER [customer].[EU13 and AS2] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |MEMBER [Measures].[rev2] AS '[Measures].[revenue] * 2'
+        |SELECT {$measures} ON COLUMNS,
+        |  NONEMPTYCROSSJOIN({[customer].[AMERICA],
+        |                     [customer].[EU13 and AS2]},
+        |                    {[time].[1995], [time].[1996]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube))
+    def hashEx(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    val withCalc = planFor("[Measures].[rev2]")
+    val stored = planFor("[Measures].[revenue]")
+    assert(hashEx(withCalc) === hashEx(stored),
+      s"the expr calc changed the fused plan's exchange count " +
+        s"(${hashEx(withCalc)} vs ${hashEx(stored)}):\n$withCalc")
+  }
 }
