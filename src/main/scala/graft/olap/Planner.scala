@@ -1792,15 +1792,12 @@ final class Planner(val cube: BoundCube) {
       // grain (the MDX condition context carries no other factor's
       // coordinate — FilterFunDef evaluates its own set before the
       // crossjoin exists; r14 refused the two-calc-factor form)
-      // NON-breaking Order (OrderFunDef's default ASC/DESC) executes
-      // when every comparison resolves within the set: Mondrian's
-      // hierarchical sort puts ancestors before descendants and
-      // compares SIBLING ancestors by their cells
-      // (FunUtil.compareHierarchicallyButSiblingsByValue), so each
-      // entry's strict ancestor paths must themselves be entries — a
-      // flat root-hosted set, the common shape, trivially qualifies;
-      // a set missing an ancestor still refuses (its cell would have
-      // to be computed for a member outside the set)
+      // NON-breaking Order (OrderFunDef's default ASC/DESC):
+      // Mondrian's hierarchical sort puts ancestors before
+      // descendants and compares SIBLING ancestors by their cells
+      // (FunUtil.compareHierarchicallyButSiblingsByValue). Every
+      // comparison resolves within the ENTRY LIST because ancestors
+      // missing from the set were injected above as hidden entries
       def hierFor(f: CalcFactor): Option[EntryHier] =
         if (!f.ops.exists {
           case EntryOrder(_, SortDir.Asc | SortDir.Desc) => true
@@ -2915,9 +2912,9 @@ object Planner {
     * is each entry's ancestor-entry chain root-first ending at itself,
     * `parentOf` its parent entry (-1 = hierarchy root), `isCalcOf`
     * breaks value ties stored-before-calc (compareSiblingMembers'
-    * calc-collates-last). Built only when every strict ancestor path
-    * is itself an entry — the comparisons then resolve entirely
-    * within the N aggregated rows.
+    * calc-collates-last). Ancestors missing from the set are injected
+    * as `hidden` entries (aggregated and ranked, never rendered), so
+    * the comparisons resolve entirely within the N aggregated rows.
     */
   private[olap] final case class EntryHier(entryCol: String,
       parentOf: Map[Int, Int], chainOf: Map[Int, Seq[Int]],
