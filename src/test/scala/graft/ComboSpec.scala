@@ -80,6 +80,42 @@ class ComboSpec extends SparkSpec {
     assert(rows.length == 5)
   }
 
+  test("a dim-calc AXIS composes with cell-valued ops in a computed " +
+      "WHERE on another dimension (the slicer sub-query nests inside " +
+      "the outer plan build)") {
+    import graft.olap.Mdx
+    val Defs =
+      """MEMBER [customer].[EU13 and AS2] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |MEMBER [time].[Y95] AS 'Aggregate({[time].[1995]})'"""
+        .stripMargin
+    def q(where: String): Map[String, Any] = Mdx.execute(
+      s"""WITH $Defs
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  {[customer].[AMERICA], [customer].[EU13 and AS2]} ON ROWS
+        |FROM [Sales]
+        |WHERE $where""".stripMargin, cube).collect()
+      .map(r => r.getString(0) -> r.get(1)).toMap
+    def total(where: String): Double = Mdx.execute(
+      s"""WITH $Defs
+        |SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE $where""".stripMargin, cube).collect().head
+      .getAs[java.math.BigDecimal]("revenue").doubleValue()
+    // BASC+HEAD(1) keeps whichever time entry's default-context total
+    // is smaller; the dim-calc axis then evaluates under THAT slicer
+    val winner =
+      if (total("([time].[Y95])") <= total("([time].[1996])"))
+        "([time].[Y95])"
+      else "([time].[1996])"
+    val composed = q("(HEAD(ORDER({[time].[Y95], [time].[1996]}, " +
+      "[Measures].[revenue], BASC), 1))")
+    assert(composed === q(winner))
+    assert(composed.size === 2 &&
+      composed.keySet === Set("AMERICA", "EU13 and AS2"))
+  }
+
   test("property: nested-NECJ tuple support equals the marginal " +
       "non-emptiness of the plain CrossJoin twin (full-level outer " +
       "factors, so the marginal is computable from the twin)") {
