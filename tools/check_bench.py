@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""In-band check for a forced-execution Bench reading (BASELINE.md
+"Forced-execution per-query floors" contract, r15):
+
+  * total within 0.51-0.69 s/query (100-135 s at the 195-query size),
+  * no query over max(2x its floor, floor + 0.5 s) — the absolute
+    slack keeps sub-0.2 s queries' scheduler jitter from reading as
+    regressions,
+  * errs must be empty.
+
+Usage: python3 tools/check_bench.py <bench.json> [floors.json]
+  <bench.json>  the SPARK_GRAFT_BENCH_OUT dump (full per-query map) or
+                the one-line stdout JSON (heaviest-queries subset —
+                the per-query check then covers only those).
+Exits nonzero when out of band. Queries with no recorded floor (new
+battery entries) are reported informationally, never failed — record
+their floor in the floors file once measured on an idle box.
+"""
+import json
+import sys
+
+
+def main(bench_path, floors_path):
+    bench = json.load(open(bench_path))
+    floors = json.load(open(floors_path))["floors"]
+    queries = bench["queries"]
+    total = bench.get("total", bench.get("value"))
+    n = bench.get("n_queries", len(queries))
+    errs = bench.get("errs", {})
+    ok = True
+    if errs:
+        print(f"FAIL errs nonempty: {errs}")
+        ok = False
+    per = total / n
+    if not (0.51 <= per <= 0.69):
+        print(f"FAIL total {total}s / {n} queries = {per:.3f} s/query "
+              "outside [0.51, 0.69]")
+        ok = False
+    new = []
+    for name, sec in sorted(queries.items()):
+        f = floors.get(name)
+        if f is None:
+            new.append((name, sec))
+            continue
+        bound = max(2 * f, f + 0.5)
+        if sec > bound:
+            print(f"FAIL {name}: {sec}s over bound {bound:.2f}s "
+                  f"(floor {f}s)")
+            ok = False
+    for name, sec in new:
+        print(f"note: no floor recorded for {name} ({sec}s) — add it "
+              "to the floors file from an idle-box run")
+    print(("== in-band: " if ok else "== OUT OF BAND: ")
+          + f"{total}s / {n} queries ({per:.3f} s/query), "
+          + f"{len(queries)} checked, {len(new)} without floors ==")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    bench = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench.json"
+    floors = (sys.argv[2] if len(sys.argv) > 2
+              else "tools/bench_floors_r15.json")
+    sys.exit(main(bench, floors))
