@@ -144,11 +144,10 @@ final class Planner(val cube: BoundCube) {
                   bottom.exists(b => depth > d.levelIndex(b)) }))
           base.filter(lit(false))
         else {
-          val pred = r.grants.filter(_._1 == d.name)
+          val pred = orAll(r.grants.filter(_._1 == d.name)
             .map { case (_, path) =>
               ancestorPredicate(d, path.take(depth + 1))
-            }
-            .reduce(_ || _)
+            })
           // a deny hides the node and everything below it; a deny
           // DEEPER than this frame's level leaves the ancestors visible
           val denied = r.denies.filter(_._1 == d.name)
@@ -280,7 +279,7 @@ final class Planner(val cube: BoundCube) {
       require(paths.nonEmpty, "empty member set")
       if (paths.forall(_.length == paths.head.length)) {
         val depth = math.min(paths.head.length, d.levels.length) - 1
-        val pred = paths.map(p => ancestorPredicate(d, p)).reduce(_ || _)
+        val pred = orAll(paths.map(p => ancestorPredicate(d, p)))
         AxisFrame(memberFrame(d, depth).filter(pred), Seq(AxisDim(d, depth)))
       } else {
         // mixed-depth literal set ({[d].[a], [d].[a].[b]}): lower to a
@@ -515,14 +514,14 @@ final class Planner(val cube: BoundCube) {
     case OrderSet(s, e, dir) =>
       val a = evalSet(s, slicer, withSets)
       val cells = cellsFor(a, slicer)
-      val key = sexpr(resolveCurrent(e, a.dims))
-      val sortCols: Seq[Column] = dir match {
-        case SortDir.BAsc  => Seq(key.asc)
-        case SortDir.BDesc => Seq(key.desc)
-        case SortDir.Asc   => ancestorOrds(a).map(col(_).asc) :+ key.asc
-        case SortDir.Desc  => ancestorOrds(a).map(col(_).asc) :+ key.desc
+      dir match {
+        case SortDir.BAsc | SortDir.BDesc =>
+          val key = sexpr(resolveCurrent(e, a.dims))
+          ordered(a, cells,
+            Seq(if (dir == SortDir.BAsc) key.asc else key.desc))
+        case _ =>
+          hierOrderSet(a, cells, e, dir == SortDir.Desc, slicer)
       }
-      ordered(a, cells, sortCols)
 
     case TopCount(s, n, e, bottom) if e.isEmpty =>
       // no sort expression (the parser's optional third arg): MDX
@@ -824,6 +823,117 @@ final class Planner(val cube: BoundCube) {
   private def ancestorOrds(a: AxisFrame): Seq[String] =
     a.dims.flatMap(ad => ad.d.levelsTo(ad.depth).dropRight(1).map(_.ordinal))
 
+  /** NON-breaking Order (MDX's default ASC/DESC) over an ordinary set:
+    * Mondrian's `Sorter.sortMembers(brk=false)` — a parent precedes its
+    * descendants, and sibling subtrees order by the SIBLING ANCESTORS'
+    * OWN CELL VALUES of the sort expression
+    * (FunUtil.compareHierarchicallyButSiblingsByValue), NOT by member
+    * ordinals (r16 — the pre-r16 ordinal composite diverged from the
+    * reference whenever a level's value order disagreed with its
+    * declared order; the calc-bearing axis path got the value-based
+    * semantics in r15, this unifies the ordinary path with it).
+    *
+    * Execution: ancestor cells for every strict member-path prefix come
+    * from ONE pass over the fact (the mixedCells grouping-sets shape
+    * when several prefix depths exist), windowed into per-level sibling
+    * ranks partitioned by the parent prefix — a distributed window
+    * everywhere except the root group, which is level-0-cardinality-
+    * sized. The deepest level's ranks reuse the already-computed set
+    * cells (no second scan at the finest grain — the one that matters
+    * for a high-cardinality leaf). The member frame left-joins the rank
+    * frames (broadcast unless the dimension is high_cardinality) and
+    * sorts lexicographically on the rank chain: null ranks — a member
+    * shallower than the column's level — sort first, which is exactly
+    * parent-before-child. No collect, no driver loop; the fact is
+    * touched once beyond the set's own cells.
+    *
+    * A MULTI-hierarchy (tuple) set keeps the composite sort (per-dim
+    * ancestor ordinals, then the key): Mondrian's tuple comparator
+    * evaluates each position with the other tuple coordinates in
+    * context, which a single column-wise sort cannot express — a
+    * documented divergence, pinned in PlannerSpec.
+    */
+  private def hierOrderSet(a: AxisFrame, cells: DataFrame, e: String,
+      desc: Boolean, slicer: Seq[SlicerItem]): AxisFrame = {
+    require(!e.contains("__CURRENT_ORDINAL__"),
+      "CurrentOrdinal in a non-breaking Order key is not supported — " +
+        "the hierarchical sort evaluates ancestors outside the live " +
+        "positional order; use BASC/BDESC")
+    def rankSort(v: Column) = if (desc) v.desc_nulls_last else v.asc_nulls_last
+    if (a.dims.length != 1) {
+      val key = sexpr(resolveCurrent(e, a.dims))
+      return ordered(a, cells,
+        ancestorOrds(a).map(col(_).asc) :+
+          (if (desc) key.desc else key.asc))
+    }
+    val ad = a.dims.head
+    val d = ad.d
+    val dMax = ad.depth
+    if (dMax == 0) {
+      // single-level set: no hierarchy to preserve — value sort
+      return ordered(a, cells,
+        Seq(rankSort(sexpr(resolveCurrent(e, a.dims)))))
+    }
+    val lvls = levelCols(d, dMax)
+    val mixed = a.mixedDepths.nonEmpty
+    // strict prefixes of every member path at depths 0..dMax-1 — the
+    // ancestors Mondrian evaluates whether or not they are set members
+    val types = d.df.schema.map(sf => sf.name -> sf.dataType).toMap
+    val prefixDepths = 0 until dMax
+    val pfFrame: AxisFrame =
+      if (dMax == 1) {
+        val src = if (mixed) a.members.filter(col(DepthCol) >= 0)
+                  else a.members
+        AxisFrame(src.select(col(lvls.head)).distinct(),
+          Seq(AxisDim(d, 0)))
+      } else {
+        val pfLvls = lvls.take(dMax)
+        val union = prefixDepths.map { k =>
+          val src = if (mixed) a.members.filter(col(DepthCol) >= k)
+                    else a.members
+          val proj = src.select(lvls.take(k + 1).map(col): _*).distinct()
+          pfLvls.drop(k + 1).foldLeft(proj)((df2, c) =>
+            df2.withColumn(c, lit(null).cast(types(c))))
+            .withColumn(DepthCol, lit(k))
+        }.reduce(_ unionByName _)
+        AxisFrame(union, Seq(AxisDim(d, dMax - 1)),
+          mixedDepths = prefixDepths, mixedDim = Some(d.name))
+      }
+    val pfCells = cellsFor(pfFrame, slicer)
+    // per-level sibling ranks: level k partitions by the parent prefix
+    // and orders by the ancestor's cell value of the sort expression
+    // (resolved at ITS depth — CurrentMember macros see the ancestor)
+    val rankFrames: Seq[DataFrame] = (0 to dMax).map { k =>
+      val src =
+        if (k < dMax) {
+          val f = if (dMax == 1) pfCells
+                  else pfCells.filter(col(DepthCol) === k)
+          f
+        } else if (mixed) cells.filter(col(DepthCol) === dMax)
+        else cells
+      val key = sexpr(resolveCurrent(e, Seq(AxisDim(d, k))))
+      val w = Window.partitionBy(lvls.take(k).map(col): _*)
+        .orderBy(rankSort(key), col(lvls(k)).asc)
+      src.select(lvls.take(k + 1).map(c => col(c).as(s"__rk${k}_$c")) :+
+        row_number().over(w).cast("long").as(s"__hr$k"): _*)
+    }
+    val joined = rankFrames.zipWithIndex.foldLeft(a.members) {
+      case (acc, (rf0, k)) =>
+        val rf = if (hintOf(a.dims) == Ords.Small) broadcast(rf0) else rf0
+        val cond = lvls.take(k + 1)
+          .map(c => acc(c) <=> rf(s"__rk${k}_$c")).reduce(_ && _)
+        // a mixed frame's shallow member null-pads deeper levels; the
+        // depth guard keeps a genuine-null level value from matching it
+        val guard = if (mixed) acc(DepthCol) >= k else lit(true)
+        acc.join(rf, cond && guard, "left")
+          .drop(lvls.take(k + 1).map(c => s"__rk${k}_$c"): _*)
+    }
+    val sortCols = col("__hr0").asc +:
+      (1 to dMax).map(k => col(s"__hr$k").asc) // asc = nulls first:
+    // a depth-j member's null rank beyond j precedes its descendants
+    ordered(a, joined, sortCols)
+  }
+
   /** Enumerate a calc-free single-dimension set to literal member
     * paths in presentation order — the bridge that lets
     * Union/Head/Tail/Subset compose enumerable sets (Level.Members,
@@ -1063,6 +1173,14 @@ final class Planner(val cube: BoundCube) {
         val h = hier.getOrElse(throw new IllegalArgumentException(
           "non-breaking Order over a calculated-member-bearing set " +
             "needs entry hierarchy metadata — use BASC/BDESC"))
+        // ranks evaluate against the SEED frame (pre-op positions), so
+        // a position-relative key would silently read stale ordinals —
+        // refuse rather than diverge from the breaking branch (ADVICE
+        // r15)
+        require(!e.contains("__CURRENT_ORDINAL__"),
+          "CurrentOrdinal in a non-breaking Order key is not " +
+            "supported — the hierarchical sort ranks entries outside " +
+            "the live positional order; use BASC/BDESC")
         val key = resolve(e)
         val idc = col(h.entryCol).cast("int")
         val sortVal =
@@ -1156,8 +1274,7 @@ final class Planner(val cube: BoundCube) {
         // empty member set (computed slicer matched nothing): no cell
         // satisfies the slicer — empty result, not a crash
         if (paths.isEmpty) lit(false)
-        else paths.map(p => ancestorPredicate(cube.dim(dim), p))
-          .reduce(_ || _)
+        else orAll(paths.map(p => ancestorPredicate(cube.dim(dim), p)))
       case ExprSlice(sql, _) => sexpr(sql)
       case EvalSlice(_) => throw new IllegalStateException(
         "EvalSlice must be resolved at plan entry (resolveSlicer)")
@@ -1625,6 +1742,13 @@ final class Planner(val cube: BoundCube) {
               // empty-computed-slicer totality convention (cells null)
                 Seq(ExprSlice("false", Seq(d)))
               else expandSlicer(Seq(SetSlice(d, kept)))
+            // surface flatten's own reason (e.g. the 10k entry bound —
+            // the entry list is PLAN-sized by contract: it becomes the
+            // broadcast side of the sub-query; a data-sized side must
+            // refuse, never collect) ahead of the generic guidance
+            case Left(why) => throw new IllegalArgumentException(
+              s"calculated member inside a computed slicer set: $why " +
+                "— name the member directly in WHERE instead")
             case _ => throw new IllegalArgumentException(
               "calculated member inside a computed slicer set is " +
                 "supported only for Union/Head/Tail/Subset/Distinct " +
@@ -1934,6 +2058,19 @@ final class Planner(val cube: BoundCube) {
                   !sql.contains("__CURRENT_") =>
                 try acc.withColumn(cm.name, sexpr(sql))
                 catch {
+                  // a calc the query SELECTS must not be dropped
+                  // silently: exprServable gated entry into the fused
+                  // path, so a resolution failure here means its
+                  // regex-based reference scan mis-classified — fail
+                  // loudly with the calc's name instead of letting the
+                  // final measure select die with an unrelated
+                  // column-not-found (ADVICE r15)
+                  case ex: org.apache.spark.sql.AnalysisException
+                      if qs.measures.exists(_.equalsIgnoreCase(cm.name)) =>
+                    throw new IllegalArgumentException(
+                      s"calculated measure '${cm.name}' failed to " +
+                        "resolve on the fused dim-calc frame: " +
+                        ex.getMessage, ex)
                   case _: org.apache.spark.sql.AnalysisException => acc
                 }
               case _ => acc
@@ -1972,14 +2109,42 @@ final class Planner(val cube: BoundCube) {
               .groupBy(_.length).iterator.flatMap { case (len, ps) =>
                 val cols = levelCols(d, len - 1)
                 memberFrame(d, len - 1)
-                  .filter(ps.map(p => ancestorPredicate(d, p))
-                    .reduce(_ || _))
+                  .filter(orAll(ps.map(p => ancestorPredicate(d, p))))
                   .select(cols.map(col): _*).distinct().collect()
                   .map(r => cols.indices.map(i => String.valueOf(r.get(i))))
               }.map(_.toSeq).toSet
-            es.filter(e => e.isCalc || visible(
-              e.items.head.asInstanceOf[MemberSlice].path
+            // injected hidden ancestors are rank-only — aggregated for
+            // the hierarchical Order's comparison, never rendered — so
+            // role visibility does not apply to them (dropping one
+            // would silently shorten descendants' rank chains and
+            // mis-order instead of refusing; ADVICE r15)
+            val kept = es.filter(e => e.isCalc || f.hidden(e.idx) ||
+              visible(e.items.head.asInstanceOf[MemberSlice].path
                 .map(String.valueOf)))
+            // a role-hidden STORED entry that is an ancestor of a
+            // surviving entry would also shorten the rank chain — the
+            // non-breaking Order cannot rank through a member the role
+            // removed, so refuse loudly rather than mis-order
+            if (f.ops.exists {
+              case EntryOrder(_, SortDir.Asc | SortDir.Desc) => true
+              case _ => false
+            }) {
+              val keptIdx = kept.map(_.idx).toSet
+              val norm = f.paths.map(_.map(String.valueOf))
+              val brokenAnc = es.map(_.idx).filterNot(keptIdx).filter {
+                di =>
+                  kept.exists(k => k.idx != di &&
+                    norm(k.idx).length > norm(di).length &&
+                    norm(k.idx).take(norm(di).length) == norm(di))
+              }
+              if (brokenAnc.nonEmpty)
+                refuse("a non-breaking Order over a set whose ancestor " +
+                  "entry [" +
+                  f.paths(brokenAnc.head).mkString("].[") +
+                  "] is hidden by the role (its sibling rank chain " +
+                  "would be incomplete) — use BASC/BDESC")
+            }
+            kept
           }
         }
         val factorEntries: Seq[(CalcFactor, Seq[AxisEntry])] =
@@ -2113,7 +2278,7 @@ final class Planner(val cube: BoundCube) {
               val s2 = sliced0.sparkSession
               import s2.implicits._
               val preds0 = entryPreds(es0, overlapOf(k))
-              val p1 = sliced0.where(preds0.reduce(_ || _))
+              val p1 = sliced0.where(orAll(preds0))
                 .withColumn(f0.entryCol, explode(keyArrOf(es0, preds0)))
                 .where(col(f0.entryCol).isNotNull)
                 .groupBy(col(f0.entryCol))
@@ -2160,7 +2325,7 @@ final class Planner(val cube: BoundCube) {
         // the scan, which for a selective entry set (two nations of a
         // 25-nation dim) prunes the fact before any row multiplies
         val pruned = factorPreds.filter(_.nonEmpty)
-          .foldLeft(sliced)((df, ps) => df.where(ps.reduce(_ || _)))
+          .foldLeft(sliced)((df, ps) => df.where(orAll(ps)))
         val labeled = factorEntries2.zip(factorPreds).foldLeft(pruned) {
           case (df, ((f, es), preds)) =>
             df.withColumn(f.entryCol, explode(keyArrOf(es, preds)))
@@ -2250,7 +2415,7 @@ final class Planner(val cube: BoundCube) {
               }
             val supBase = gCalcKs.map(k => factorPreds(k))
               .filter(_.nonEmpty)
-              .foldLeft(sliced0)((d, ps) => d.where(ps.reduce(_ || _)))
+              .foldLeft(sliced0)((d, ps) => d.where(orAll(ps)))
             val supLabeled = gCalcKs.foldLeft(supBase) { (d, k) =>
               val (f, es) = factorEntries2(k)
               d.withColumn(f.entryCol,
@@ -2976,6 +3141,21 @@ object Planner {
   /** All level key columns (root..depth) of the dims — the aggregation
     * grain and the axis→cells join key.
     */
+  /** Balanced OR over a plan-sized predicate list. A linear
+    * `reduce(_ || _)` builds a list-deep Column tree, which overflows
+    * the analyzer's recursive converter around ~1k terms — well under
+    * the 10k entry bound the compound-slicer contract allows. The
+    * balanced tree keeps expression depth at log2(n) (r16).
+    */
+  def orAll(cs: Seq[Column]): Column = {
+    require(cs.nonEmpty, "orAll of an empty predicate list")
+    if (cs.length == 1) cs.head
+    else {
+      val (l, r) = cs.splitAt(cs.length / 2)
+      orAll(l) || orAll(r)
+    }
+  }
+
   def groupCols(dims: Seq[AxisDim]): Seq[String] =
     dims.flatMap(ad => levelCols(ad.d, ad.depth))
 

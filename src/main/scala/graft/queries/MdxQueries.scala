@@ -214,6 +214,23 @@ object MdxQueries {
         |                  [Measures].[revenue], BDESC), 1))"""
         .stripMargin) _),
 
+    // r16: NON-breaking Order over a PURE-STORED mixed-depth set ranks
+    // sibling subtrees by the ancestors' CELL VALUES (Sorter.sortMembers
+    // brk=false), not by member ordinals — the ordinary OrderSet path
+    // now shares the r15 calc-bearing semantics. The oracle computes
+    // the same ranking with SQL windows, so the pin is scale-free: at
+    // every SF the HEAD(3) cut keeps the top region AND its in-set
+    // children in value order, where an ordinal-based sort would keep
+    // the alphabetically-first regions instead
+    "q_mdx_order_h" -> (run(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  HEAD(ORDER({[customer].[AFRICA], [customer].[AMERICA],
+        |              [customer].[EUROPE],
+        |              [customer].[EUROPE].[NATION_13],
+        |              [customer].[EUROPE].[NATION_18]},
+        |             [Measures].[revenue], DESC), 3) ON ROWS
+        |FROM [Sales]""".stripMargin) _),
+
     "q_mdx_setagg" -> (run(
       """WITH MEMBER [Measures].[h1_rev] AS
         |  Sum({[time].[1995].[1995-Q1] : [time].[1995].[1995-Q2]},
@@ -401,6 +418,36 @@ object MdxQueries {
          |  $REV AS revenue, sum(l_quantity) AS sum_qty
          |$CJOIN WHERE r_name = 'AMERICA'
          |GROUP BY 1""".stripMargin,
+
+    // hierarchical-value rank computed IN SQL (windows), so the oracle
+    // pins Mondrian's brk=false semantics at any scale factor
+    "q_mdx_order_h" ->
+      s"""WITH nrev AS (
+         |  SELECT r_name, n_name, $REV AS revenue
+         |  $CJOIN
+         |  GROUP BY 1, 2),
+         |rr AS (
+         |  SELECT r_name, sum(revenue) AS revenue,
+         |         row_number() OVER (ORDER BY sum(revenue) DESC, r_name)
+         |           AS rk
+         |  FROM nrev WHERE r_name IN ('AFRICA', 'AMERICA', 'EUROPE')
+         |  GROUP BY 1),
+         |nn AS (
+         |  SELECT r_name, n_name, revenue,
+         |         row_number() OVER (PARTITION BY r_name
+         |                            ORDER BY revenue DESC, n_name)
+         |           AS nrk
+         |  FROM nrev
+         |  WHERE r_name = 'EUROPE'
+         |    AND n_name IN ('NATION_13', 'NATION_18')),
+         |entries AS (
+         |  SELECT r_name AS cr_region, CAST(NULL AS VARCHAR) AS cr_nation,
+         |         revenue, rk, 0 AS d, 0 AS nrk FROM rr
+         |  UNION ALL
+         |  SELECT n.r_name, n.n_name, n.revenue, r.rk, 1, n.nrk
+         |  FROM nn n JOIN rr r ON n.r_name = r.r_name)
+         |SELECT cr_region, cr_nation, revenue FROM entries
+         |ORDER BY rk, d, nrk LIMIT 3""".stripMargin,
 
     "q_mdx_setagg" ->
       s"""WITH base AS (

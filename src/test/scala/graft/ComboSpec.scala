@@ -239,10 +239,21 @@ class ComboSpec extends SparkSpec {
       entries.sortBy(e => (key(e).toList, posOf(e._2))).map(_._2)
     }
     val rnd = new scala.util.Random(0x5eed15L)
-    for (case_ <- 1 to 12) {
-      val size = 3 + rnd.nextInt(4)
-      val entries = rnd.shuffle(pool).take(size)
-      val desc = rnd.nextBoolean()
+    // r16: the ordinary (calc-free) OrderSet path is value-based too —
+    // force both routings deterministically so neither depends on what
+    // the seeded shuffle happens to sample: case -3/-2 are PURE-STORED
+    // (mixed-depth, both directions — the hierOrderSet path), case -1
+    // is maximal calc-bearing (the applyEntryOps path)
+    val stored = pool.filterNot(p => calcNames(p._2))
+    val forced: Seq[(Seq[(String, String, Seq[String])], Boolean)] = Seq(
+      (stored, false), (stored, true), (pool, true))
+    for (case_ <- Seq(-3, -2, -1) ++ (1 to 12)) {
+      val (entries, desc) =
+        if (case_ < 0) forced(case_ + 3)
+        else {
+          val size = 3 + rnd.nextInt(4)
+          (rnd.shuffle(pool).take(size), rnd.nextBoolean())
+        }
       val setLit = entries.map(_._1).mkString("{", ", ", "}")
       val dir = if (desc) "DESC" else "ASC"
       // a calc-bearing set renders one label column (leaf captions);

@@ -1024,6 +1024,59 @@ class MdxSpec extends SparkSpec {
     assert(mixed(1).get(mixed(1).fieldIndex("revenue")) == null)
   }
 
+  test("a level-bounded role + non-breaking Order: an injected hidden " +
+      "ancestor is EXEMPT from role visibility (rank-only, never " +
+      "rendered), while a role-hidden STORED member that anchors " +
+      "descendants' ranks refuses loudly (ADVICE r15)") {
+    // topLevel=nation: the region level is invisible to the role, so
+    // EUROPE cannot appear on an axis — but the hierarchical Order
+    // still needs its CELL to rank the subtree against the root calc
+    val roled = Cubes.sales(spark, Sf).withRole(Role("nation up",
+      Seq("customer" -> Seq("EUROPE")),
+      levelBounds = Map("customer" -> Seq((Some("nation"), None)))))
+    def rev(nation: String): Double = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE ([customer].[EUROPE].[$nation])""".stripMargin, cube)
+      .collect().head.getAs[java.math.BigDecimal]("revenue")
+      .doubleValue()
+    val kids =
+      if (rev("NATION_13") < rev("NATION_18"))
+        Seq("NATION_13", "NATION_18")
+      else Seq("NATION_18", "NATION_13")
+    // EUROPE is injected as a hidden rank-only ancestor of the two
+    // nations; pre-r16 the role's level bound silently dropped it from
+    // the seed, shortening the nations' rank chains — now it stays
+    // (aggregated under the grant slicer, never rendered) and the calc
+    // (a strict subset of EUROPE) sorts first at the root
+    val got = Mdx.execute(
+      """WITH MEMBER [customer].[N13 solo] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  ORDER({[customer].[EUROPE].[NATION_13],
+        |         [customer].[EUROPE].[NATION_18],
+        |         [customer].[N13 solo]},
+        |        [Measures].[revenue], ASC) ON ROWS
+        |FROM [Sales]""".stripMargin, roled).collect().toSeq
+      .map(_.getString(0))
+    assert(got === ("N13 solo" +: kids))
+    // EUROPE as an explicit SET MEMBER is a stored entry the role
+    // hides; its descendants' rank chains would silently shorten —
+    // refuse instead
+    val ex = intercept[IllegalArgumentException] {
+      Mdx.execute(
+        """WITH MEMBER [customer].[N13 solo] AS
+          |  'Aggregate({[customer].[EUROPE].[NATION_13]})'
+          |SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  ORDER({[customer].[EUROPE],
+          |         [customer].[EUROPE].[NATION_13],
+          |         [customer].[N13 solo]},
+          |        [Measures].[revenue], ASC) ON ROWS
+          |FROM [Sales]""".stripMargin, roled).collect()
+    }
+    assert(ex.getMessage.contains("hidden by the role"))
+  }
+
   test("the crossjoined dim-calc query round-trips through toMdx") {
     def roundTrips(mdx: String): Unit = {
       val ir = Mdx.parse(mdx, cube)
@@ -1465,6 +1518,80 @@ class MdxSpec extends SparkSpec {
       Seq("N13 solo", "NATION_13"))
     assert(rows(s"ORDER($miss, [Measures].[revenue], DESC)") ===
       Seq("NATION_13", "N13 solo"))
+  }
+
+  test("non-breaking Order over a PURE-STORED set is value-based too " +
+      "(r16): sibling subtrees rank by the ancestors' cells, not by " +
+      "member ordinals — the ordinary path shares Sorter.sortMembers " +
+      "brk=false with the calc-bearing branch") {
+    def rows(axis: String): Seq[String] =
+      Mdx.execute(
+        s"""SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  $axis ON ROWS
+          |FROM [Sales]""".stripMargin, cube).collect().toSeq
+        .map { r =>
+          val cols = r.schema.fieldNames
+          Seq("cr_nation", "cr_region").collectFirst {
+            case c if cols.contains(c) && !r.isNullAt(r.fieldIndex(c)) =>
+              r.getString(r.fieldIndex(c))
+          }.get
+        }
+    def ctxRev(where: String): Double = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales] WHERE ($where)""".stripMargin, cube)
+      .collect().head.getAs[java.math.BigDecimal]("revenue")
+      .doubleValue()
+    // single-level stored set: no hierarchy — ASC degenerates to BASC
+    assert(rows("ORDER([customer].[region].Members, " +
+      "[Measures].[revenue], ASC)") ===
+      rows("ORDER([customer].[region].Members, " +
+        "[Measures].[revenue], BASC)"))
+    // mixed-depth stored set: regions rank by their OWN cells (the
+    // pre-r16 ordinal sort would pin ASIA before EUROPE whatever the
+    // values); a child follows its parent whatever its value
+    val eu = ctxRev("[customer].[EUROPE]")
+    val as = ctxRev("[customer].[ASIA]")
+    val regionsAsc =
+      if (eu < as) Seq("EUROPE", "NATION_18", "ASIA")
+      else Seq("ASIA", "EUROPE", "NATION_18")
+    assert(rows("ORDER({[customer].[EUROPE].[NATION_18], " +
+      "[customer].[EUROPE], [customer].[ASIA]}, " +
+      "[Measures].[revenue], ASC)") === regionsAsc)
+    // uniform leaf set spanning parents: parent groups rank by the
+    // PARENTS' cells (evaluated out-of-set — neither region is a set
+    // member), nations rank by value within their parent
+    val n13 = ctxRev("[customer].[EUROPE].[NATION_13]")
+    val n18 = ctxRev("[customer].[EUROPE].[NATION_18]")
+    val euKids =
+      if (n13 < n18) Seq("NATION_13", "NATION_18")
+      else Seq("NATION_18", "NATION_13")
+    val leaves =
+      if (eu < as) euKids :+ "NATION_2" else "NATION_2" +: euKids
+    assert(rows("ORDER({[customer].[EUROPE].[NATION_13], " +
+      "[customer].[EUROPE].[NATION_18], " +
+      "[customer].[ASIA].[NATION_2]}, " +
+      "[Measures].[revenue], ASC)") === leaves)
+    // DESC flips both rank layers
+    val leavesDesc =
+      if (eu < as) "NATION_2" +: euKids.reverse
+      else euKids.reverse :+ "NATION_2"
+    assert(rows("ORDER({[customer].[EUROPE].[NATION_13], " +
+      "[customer].[EUROPE].[NATION_18], " +
+      "[customer].[ASIA].[NATION_2]}, " +
+      "[Measures].[revenue], DESC)") === leavesDesc)
+    // a MULTI-hierarchy (tuple) set keeps the composite sort — per-dim
+    // ancestor ORDINALS then the key (documented divergence from
+    // Mondrian's context-carrying tuple comparator; hierOrderSet
+    // Scaladoc): ASIA's nation precedes EUROPE's whatever the values
+    val tuples = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  ORDER(CROSSJOIN({[customer].[EUROPE].[NATION_13],
+        |                   [customer].[ASIA].[NATION_2]},
+        |                  {[time].[1995]}),
+        |        [Measures].[revenue], ASC) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq
+      .map(r => r.getString(r.fieldIndex("cr_nation")))
+    assert(tuples === Seq("NATION_2", "NATION_13"))
   }
 
   test("non-ALL Union dedups a literal member against an ENUMERATED " +
@@ -2033,6 +2160,45 @@ class MdxSpec extends SparkSpec {
       "{[customer].[EUROPE].[NATION_13], [customer].[ASIA].[NATION_2]}")
     assert(viaUnion.nonEmpty)
     assert(viaCalc === viaUnion)
+  }
+
+  test("a cell-valued computed WHERE stays plan-sized: the entry " +
+      "enumeration refuses past the 10k bound instead of collecting " +
+      "a data-sized side (VERDICT r15 #6 durability pin)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def bigCube(n: Int): BoundCube = {
+      val dim = spark.range(n.toLong).select(
+        (col("id") % 100).cast("string").as("grp"),
+        col("id").cast("string").as("item"))
+      val fact = spark.range(n.toLong).select(
+        col("id").cast("string").as("item_fk"),
+        lit(1.0).as("amount"))
+      BoundCube("Big", fact,
+        dims = Seq(BoundDim("d", foreignKey = "item_fk",
+          primaryKey = "item",
+          levels = Seq(BoundLevel("grp", "grp"),
+            BoundLevel("item", "item")),
+          df = dim)),
+        measures = Seq(Measure("amount", Agg.Sum, "amount")))
+    }
+    def mdx = """WITH MEMBER [d].[one] AS 'Aggregate({[d].[0].[0]})'
+      |SELECT {[Measures].[amount]} ON COLUMNS,
+      |  [d].[grp].Members ON ROWS
+      |FROM [Big]
+      |WHERE (HEAD(ORDER(UNION({[d].[one]}, [d].[item].Members),
+      |                  [Measures].[amount], BDESC), 1))""".stripMargin
+    // 10,001 stored members on the computed side: the lowering must
+    // REFUSE (the entry list is the broadcast side of the sub-query's
+    // plan — letting it grow data-sized would put a fact-cardinality
+    // collect on the driver)
+    val ex = intercept[Exception] {
+      Mdx.execute(mdx, bigCube(10001)).collect()
+    }
+    assert(ex.getMessage.contains("10000"), ex.getMessage)
+    // the same shape under the bound executes: one plan-sized fact
+    // pass evaluates the entries, the survivor re-enters as the slicer
+    val small = Mdx.execute(mdx, bigCube(500)).collect()
+    assert(small.length === 100)
   }
 
   test("DRILLTHROUGH with a computed WHERE slicer resolves at entry") {

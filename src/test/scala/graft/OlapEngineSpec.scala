@@ -44,6 +44,27 @@ class OlapEngineSpec extends SparkSpec {
     assert(df.count() === 3)
   }
 
+  test("CurrentOrdinal in a non-breaking Order key refuses — the " +
+      "hierarchical sort evaluates ancestors outside the live " +
+      "positional order (ADVICE r15)") {
+    val ex = intercept[IllegalArgumentException] {
+      Query.from(cube)
+        .columns("revenue")
+        .rows(LevelMembers("customer", "nation"))
+        .order("__CURRENT_ORDINAL__ + revenue", SortDir.Asc)
+        .execute().collect()
+    }
+    assert(ex.getMessage.contains("non-breaking Order key"))
+    // the breaking directions still accept it (position-relative keys
+    // are well-defined against the live frame there)
+    val ok = Query.from(cube)
+      .columns("revenue")
+      .rows(LevelMembers("customer", "nation"))
+      .order("revenue", SortDir.BAsc)
+      .execute()
+    assert(ok.count() > 0)
+  }
+
   test("filter preserves explicit order of the input set (ADVICE r1)") {
     val df = Query.from(cube)
       .columns("revenue")

@@ -9,9 +9,12 @@
   * errs must be empty.
 
 Usage: python3 tools/check_bench.py <bench.json> [floors.json]
-  <bench.json>  the SPARK_GRAFT_BENCH_OUT dump (full per-query map) or
-                the one-line stdout JSON (heaviest-queries subset —
-                the per-query check then covers only those).
+  <bench.json>  any of:
+                 - the SPARK_GRAFT_BENCH_OUT dump (full per-query map),
+                 - the one-line stdout JSON (heaviest-queries subset —
+                   the per-query check then covers only those),
+                 - the driver's BENCH_rN.json wrapper (the payload is
+                   unwrapped from its "parsed" key automatically).
 Exits nonzero when out of band. Queries with no recorded floor (new
 battery entries) are reported informationally, never failed — record
 their floor in the floors file once measured on an idle box.
@@ -20,13 +23,34 @@ import json
 import sys
 
 
+def fail(msg):
+    print(f"FAIL {msg}")
+    return 1
+
+
 def main(bench_path, floors_path):
-    bench = json.load(open(bench_path))
-    floors = json.load(open(floors_path))["floors"]
-    queries = bench["queries"]
+    try:
+        bench = json.load(open(bench_path))
+    except (OSError, ValueError) as e:
+        return fail(f"cannot read bench json {bench_path}: {e}")
+    # the driver's BENCH_rN.json wraps the Bench stdout line in "parsed"
+    if isinstance(bench, dict) and "parsed" in bench \
+            and isinstance(bench["parsed"], dict):
+        bench = bench["parsed"]
+    try:
+        floors_doc = json.load(open(floors_path))
+        floors = floors_doc["floors"]
+    except (OSError, ValueError, KeyError, TypeError) as e:
+        return fail(f"malformed floors file {floors_path}: {e}")
+    queries = bench.get("queries")
+    if not isinstance(queries, dict) or not queries:
+        return fail(f"bench dump has no per-query map "
+                    f"(keys: {sorted(bench)[:8]})")
     total = bench.get("total", bench.get("value"))
     n = bench.get("n_queries", len(queries))
     errs = bench.get("errs", {})
+    if not isinstance(total, (int, float)) or not n:
+        return fail(f"bench dump malformed: total={total!r} n={n!r}")
     ok = True
     if errs:
         print(f"FAIL errs nonempty: {errs}")
