@@ -1991,8 +1991,16 @@ final class Planner(val cube: BoundCube) {
             "CrossJoin factor")
       }
       // a calc set constraining a dimension ANOTHER factor enumerates
-      // would need MDX context override (the set member replaces the
-      // axis coordinate on its hierarchy) — refuse rather than guess
+      // executes through MDX context override since r16 (AggregateFunDef
+      // evaluates each set member via Evaluator.setContext, which
+      // REPLACES the current coordinate on the member's hierarchy — so
+      // the cell is CONSTANT across the overridden factor's members):
+      // such queries route to the per-entry fallback, which drops the
+      // overridden factor from the sub-query rows and cross-joins its
+      // member frame back. A set constraining another CALC factor's
+      // hierarchy still refuses (the override would have to rewrite
+      // that factor's own entry predicates — no Mondrian precedent to
+      // pin the combination against).
       def itemDims(items: Seq[SlicerItem]): Set[String] = items.flatMap {
         case MemberSlice(d, _) => Seq(d)
         case SetSlice(d, _)    => Seq(d)
@@ -2005,13 +2013,16 @@ final class Planner(val cube: BoundCube) {
           case (cm, dc) => itemDims(dcl.sliceOf(cm, dc))
         }.toSet
       }.toMap
+      val otherDimsLc = otherDims.map(_.d.name.toLowerCase).toSet
+      val hasOverride = factors.exists(f =>
+        constrainedOf(f.dim).exists(d => otherDimsLc(d.toLowerCase)))
       factors.foreach { f =>
-        val enumerated = otherDims.map(_.d.name) ++
-          factors.filterNot(_ eq f).map(_.dim)
-        val clash = enumerated.filter(constrainedOf(f.dim))
+        val calcEnum = factors.filterNot(_ eq f).map(_.dim)
+        val clash = calcEnum.filter(d => constrainedOf(f.dim)
+          .exists(_.equalsIgnoreCase(d)))
         if (clash.nonEmpty)
           refuse(s"a calc member's set constrains [${clash.mkString(", ")}]" +
-            ", a dimension enumerated by another CrossJoin factor")
+            ", a hierarchy another CALC factor enumerates")
       }
       // Mixed stored+calculated literal sets (upstream Mondrian
       // allows them; the calc members of mondrian_test.rb:197-204
@@ -2043,7 +2054,7 @@ final class Planner(val cube: BoundCube) {
       // fact by design — AggRouter rollups can't serve avg/distinct
       // over arbitrary member-set filters and the explode key is not
       // a grain the SegmentCache speaks.
-      if (opCalcNames.isEmpty &&
+      if (!hasOverride && opCalcNames.isEmpty &&
           qs.measures.forall(exprServable(_, Set.empty)) &&
           otherFrame0.forall(of =>
             of.mixedDim.isEmpty && of.mixedDepths.isEmpty)) {
@@ -2503,25 +2514,64 @@ final class Planner(val cube: BoundCube) {
       val countishAll = cube.measures
         .filter(m => m.agg == Agg.Count || m.agg == Agg.DistinctCount)
         .map(_.name).filter(qsM.measures.contains)
+      // per-other-factor hierarchy names (plan-building only): an
+      // overriding calc entry drops the factors its set constrains
+      // from its sub-query rows
+      lazy val otherFactorDims: Seq[Set[String]] = otherFactors.map(f =>
+        evalSet(f, Nil, qs.withSets).dims.map(_.d.name.toLowerCase).toSet)
       val parts = runs.zip(starts).map { case (run, start) =>
         dcl.of(dim, run.head) match {
           case Some((cm, dc)) =>
-            // rows = the remaining crossjoin factors (None for a pure
-            // literal set): each calc row exists per other-factor
-            // tuple; NON EMPTY is applied once at the top, AFTER the
-            // count coalesce, so both paths agree on count-0 rows
-            val sub = qsM.copy(rows = otherSet, nonEmpty = false,
-              slicer = qs.slicer ++ dcl.sliceOf(cm, dc))
-            val base = execute(sub).withColumn(label, lit(cm.name))
+            val items = dcl.sliceOf(cm, dc)
+            val ovDims = itemDims(items).map(_.toLowerCase)
+              .intersect(otherDimsLc)
+            val (ovFactors, keepFactors) = otherFactors
+              .zip(otherFactorDims).partition(_._2.exists(ovDims))
+            ovFactors.foreach { case (_, ds) =>
+              if (!ds.forall(ovDims))
+                refuse("a calc member's set overrides PART of a " +
+                  "multi-hierarchy CrossJoin factor — split the " +
+                  "factor so the overridden hierarchy stands alone")
+            }
+            // MDX context override (r16): the set's members REPLACE
+            // the overridden hierarchies' coordinates (AggregateFunDef
+            // via Evaluator.setContext), so the cell is CONSTANT
+            // across those factors' members and a WHERE item on them
+            // is overridden too — the sub-query drops the factors
+            // from its rows and their items from its slicer, then the
+            // member frames cross-join back (dimension-bounded
+            // broadcasts; the value replicates, making the override
+            // literal). rows = the remaining crossjoin factors (None
+            // for a pure literal set); NON EMPTY is applied once at
+            // the top, AFTER the count coalesce, so both paths agree
+            // on count-0 rows
+            val keepSet = keepFactors.map(_._1)
+              .reduceRightOption(CrossJoin(_, _))
+            val subSlicer =
+              if (ovDims.isEmpty) qs.slicer ++ items
+              else qs.slicer.filterNot(i =>
+                itemDims(Seq(i)).exists(d => ovDims(d.toLowerCase))) ++
+                items
+            val sub = qsM.copy(rows = keepSet, nonEmpty = false,
+              slicer = subSlicer)
+            val base0 = execute(sub).withColumn(label, lit(cm.name))
               .withColumn("__epos", lit(start))
             // counts over an empty subcube are ZERO on a calc row
             // (the rows=None sub-query convention); the axis
             // left-join's nulls coalesce to match the fused path
             val coalesced =
-              if (otherSet.isEmpty) base
-              else countishAll.foldLeft(base)((df, m) =>
+              if (keepSet.isEmpty) base0
+              else countishAll.foldLeft(base0)((df, m) =>
                 df.withColumn(m, coalesce(col(m), lit(0L))))
-            coalesced.select(
+            val withOv = ovFactors.foldLeft(coalesced) {
+              case (df, (f, _)) =>
+                val af = evalSet(f, qSlicerAll, qs.withSets)
+                val cols = af.dims.flatMap(ad =>
+                  levelCols(ad.d, ad.depth))
+                df.crossJoin(broadcast(
+                  af.members.select(cols.map(col): _*)))
+            }
+            withOv.select(
               ((label +: otherKeys) ++ qsM.measures :+ "__epos")
                 .map(col): _*)
           case None =>
@@ -2535,8 +2585,14 @@ final class Planner(val cube: BoundCube) {
                 col(d.levels(li).col) === lit(v) }.reduce(_ && _),
                 lit(start + i))
             }.reduce((a, b) => coalesce(a, b))
+            // the label column is STRING by convention (the fused path
+            // renders entry NAMES): a native-typed leaf (a numeric time
+            // level) unioned with a calc entry's string label would
+            // otherwise coerce the label to the numeric under ANSI and
+            // fail the cast (r16 — surfaced by the time-hosted
+            // context-override shape)
             execute(sub).withColumn("__epos", ordCol)
-              .select(col(leaf).as(label) +:
+              .select(col(leaf).cast("string").as(label) +:
                 (otherKeys ++ qsM.measures :+ "__epos").map(col): _*)
         }
       }

@@ -214,6 +214,21 @@ object MdxQueries {
         |                  [Measures].[revenue], BDESC), 1))"""
         .stripMargin) _),
 
+    // r16: a calc set constraining a dimension ANOTHER factor
+    // enumerates executes via MDX context override (Mondrian's
+    // AggregateFunDef sets each set member into the evaluator, which
+    // REPLACES the coordinate on that member's hierarchy) — the
+    // [EU all] rows carry EUROPE's all-time total for EVERY customer
+    // coordinate; an intersecting implementation would return null
+    // (EUROPE ∩ AMERICA is empty), a grouping one would split by region
+    "q_mdx_dimcalc_override" -> (run(
+      """WITH MEMBER [time].[EU all] AS
+        |  'Aggregate({[customer].[EUROPE]})'
+        |SELECT {[Measures].[revenue], [Measures].[sum_qty]} ON COLUMNS,
+        |  CROSSJOIN({[time].[1995], [time].[EU all]},
+        |            {[customer].[AMERICA], [customer].[ASIA]}) ON ROWS
+        |FROM [Sales]""".stripMargin) _),
+
     // r16: NON-breaking Order over a PURE-STORED mixed-depth set ranks
     // sibling subtrees by the ancestors' CELL VALUES (Sorter.sortMembers
     // brk=false), not by member ordinals — the ordinary OrderSet path
@@ -418,6 +433,29 @@ object MdxQueries {
          |  $REV AS revenue, sum(l_quantity) AS sum_qty
          |$CJOIN WHERE r_name = 'AMERICA'
          |GROUP BY 1""".stripMargin,
+
+    // the override rows replicate EUROPE's all-time totals across the
+    // enumerated customer coordinates (the label column is STRING by
+    // the engine's fused-label convention)
+    "q_mdx_dimcalc_override" ->
+      s"""WITH eu AS (
+         |  SELECT $REV AS revenue, sum(l_quantity) AS sum_qty
+         |  $CJOIN WHERE r_name = 'EUROPE'),
+         |r95 AS (
+         |  SELECT r_name AS cr_region, $REV AS revenue,
+         |         sum(l_quantity) AS sum_qty
+         |  $CJOIN
+         |  WHERE r_name IN ('AMERICA', 'ASIA')
+         |    AND year(o_orderdate) = 1995
+         |  GROUP BY 1)
+         |SELECT CAST('1995' AS VARCHAR) AS d_year, cr_region,
+         |       revenue, sum_qty
+         |FROM r95
+         |UNION ALL
+         |SELECT 'EU all', r.cr_region, eu.revenue, eu.sum_qty
+         |FROM (SELECT 'AMERICA' AS cr_region
+         |      UNION ALL SELECT 'ASIA') r
+         |CROSS JOIN eu""".stripMargin,
 
     // hierarchical-value rank computed IN SQL (windows), so the oracle
     // pins Mondrian's brk=false semantics at any scale factor

@@ -1077,6 +1077,74 @@ class MdxSpec extends SparkSpec {
     assert(ex.getMessage.contains("hidden by the role"))
   }
 
+  test("a calc set constraining a dimension ANOTHER factor enumerates " +
+      "executes via MDX context override (r16 — was refused): the set " +
+      "member REPLACES the axis coordinate on its hierarchy " +
+      "(AggregateFunDef via Evaluator.setContext), so the cell is " +
+      "CONSTANT across the overridden factor's members") {
+    def solo(where: String): Double = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales] WHERE $where""".stripMargin, cube)
+      .collect().head.getAs[java.math.BigDecimal]("revenue")
+      .doubleValue()
+    val df = Mdx.execute(
+      """WITH MEMBER [time].[EU agg] AS
+        |  'Aggregate({[customer].[EUROPE]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[time].[1995], [time].[EU agg]},
+        |            {[customer].[AMERICA], [customer].[ASIA]}) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    val label = df.columns.head
+    val rows = df.collect().toSeq.map { r =>
+      (String.valueOf(r.get(r.fieldIndex(label))),
+        r.getString(r.fieldIndex("cr_region")),
+        r.getAs[java.math.BigDecimal]("revenue").doubleValue())
+    }
+    assert(rows.length === 4)
+    val euAllTime = solo("([customer].[EUROPE])")
+    // the overridden rows carry EUROPE's all-time total for EVERY
+    // customer coordinate — the customer axis member is replaced, and
+    // the value is NOT the (EUROPE ∩ AMERICA) = empty intersection
+    val ov = rows.filter(_._1 == "EU agg")
+    assert(ov.map(_._2).toSet === Set("AMERICA", "ASIA"))
+    ov.foreach { case (_, _, v) => assert(v === euAllTime) }
+    // the stored factor rows keep normal tuple semantics
+    val am95 = solo("([time].[1995], [customer].[AMERICA])")
+    val as95 = solo("([time].[1995], [customer].[ASIA])")
+    assert(rows.find(r => r._1 == "1995" && r._2 == "AMERICA")
+      .get._3 === am95)
+    assert(rows.find(r => r._1 == "1995" && r._2 == "ASIA")
+      .get._3 === as95)
+    // a WHERE coordinate on the overridden hierarchy is replaced too
+    // for the overriding rows (the stored rows AND it per the axis
+    // convention)
+    val sliced = Mdx.execute(
+      """WITH MEMBER [time].[EU agg] AS
+        |  'Aggregate({[customer].[EUROPE]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN({[time].[EU agg]},
+        |            {[customer].[AMERICA]}) ON ROWS
+        |FROM [Sales]
+        |WHERE ([customer].[AMERICA].[NATION_1])""".stripMargin, cube)
+      .collect()
+    assert(sliced.length === 1)
+    assert(sliced.head.getAs[java.math.BigDecimal]("revenue")
+      .doubleValue() === euAllTime)
+    // a set constraining another CALC factor's hierarchy still
+    // refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      Mdx.execute(
+        """WITH MEMBER [time].[EU agg] AS
+          |  'Aggregate({[customer].[EUROPE]})'
+          |MEMBER [customer].[AS2] AS
+          |  'Aggregate({[customer].[ASIA].[NATION_2]})'
+          |SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  CROSSJOIN({[time].[EU agg]}, {[customer].[AS2]}) ON ROWS
+          |FROM [Sales]""".stripMargin, cube).collect()
+    }
+    assert(ex.getMessage.contains("CALC factor"))
+  }
+
   test("the crossjoined dim-calc query round-trips through toMdx") {
     def roundTrips(mdx: String): Unit = {
       val ir = Mdx.parse(mdx, cube)
@@ -2074,14 +2142,25 @@ class MdxSpec extends SparkSpec {
         |            {[customer].[AM1]}) ON ROWS
         |FROM [Sales]""".stripMargin)
     // a calc set constraining a dimension another factor enumerates
-    // (MDX context override) refuses rather than guessing
-    refusal(
+    // EXECUTES since r16 via MDX context override (dedicated spec
+    // below): the set's explicit time member replaces the axis year,
+    // so BOTH rows carry the (ASIA, 1995) subcube total
+    val ov = Mdx.execute(
       """WITH MEMBER [customer].[AS95] AS
         |  'Aggregate(CROSSJOIN({[customer].[ASIA]}, {[time].[1995]}))'
         |SELECT {[Measures].[revenue]} ON COLUMNS,
         |  CROSSJOIN({[customer].[AS95]},
         |            {[time].[1995], [time].[1996]}) ON ROWS
-        |FROM [Sales]""".stripMargin)
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(ov.length === 2)
+    val as95 = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales]
+        |WHERE ([customer].[ASIA], [time].[1995])""".stripMargin, cube)
+      .collect().head.getAs[java.math.BigDecimal]("revenue")
+      .doubleValue()
+    ov.foreach(r => assert(r.getAs[java.math.BigDecimal]("revenue")
+      .doubleValue() === as95))
   }
 
   test("LinReg moments are keyed by slicer: dim-calc sub-queries with " +
