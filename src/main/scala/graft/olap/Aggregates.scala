@@ -344,6 +344,28 @@ final class SegmentCache {
         segments.putIfAbsent(key, df).getOrElse(df)
     }
 
+  /** [[getOrCompute]] variant that stores an EAGER checkpoint
+    * ([[Pins.rawCut]]) instead of a lazy persist. Use for segments
+    * whose compute plan contains grouping sets: Spark's cached-plan
+    * substitution fails to match an `Expand` subtree once a self-join
+    * dedup re-aliases its second occurrence in one query (the
+    * Filter/Order-over-a-mixed-set shape joins the SAME segment on
+    * both sides), so a persisted gs segment silently recomputed the
+    * whole fact pass per consumer (r16 finding: ~9 s per mixed-set
+    * cell operator at sf1 with a WARM cache). A checkpoint frame is a
+    * LogicalRDD leaf — re-aliasing keeps the materialized RDD, every
+    * occurrence reads the blocks. evictFrame already releases both
+    * storage kinds.
+    */
+  def getOrComputeCut(key: SegKey)(compute: => DataFrame): DataFrame =
+    segments.get(key) match {
+      case Some(df) => hitCount += 1; df
+      case None =>
+        missCount += 1
+        val df = Pins.rawCut(compute)
+        segments.putIfAbsent(key, df).getOrElse(df)
+    }
+
   /** Flush every segment of a cube (reference flush_schema_cache). */
   def flushCube(cubeId: Long): Unit =
     segments.keys.filter(_.cubeId == cubeId).foreach(evict)

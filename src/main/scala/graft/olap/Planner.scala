@@ -260,7 +260,12 @@ final class Planner(val cube: BoundCube) {
     if (!SegmentCache.enabled) compute
     else {
       val cache = SegmentCache.global
-      cache.getOrCompute(cache.SegKey(cube.cubeId,
+      // rawCut storage (not persist): the gs plan's Expand subtree
+      // defeats Spark's cached-plan matching under self-join re-alias
+      // (see getOrComputeCut) — mixed segments are the one segment
+      // kind a single query joins against itself (members derived
+      // from the cells side)
+      cache.getOrComputeCut(cache.SegKey(cube.cubeId,
         (groupCols(others) ++ levels) :+
           s"__depths=${sortedDepths.mkString(",")}",
         allSlicer, neededMeasures.map(_.name)))(compute)

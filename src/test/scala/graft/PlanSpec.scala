@@ -42,13 +42,30 @@ class PlanSpec extends SparkSpec {
         |  ASCENDANTS([time].[1995].[1995-Q2].[1995-05]) ON ROWS
         |FROM [Sales]""".stripMargin, cube)
     val p = plan(df)
-    // the per-depth path has ZERO Expands (one plain aggregate per
-    // grain); exactly one Expand = the single grouping-sets fact pass.
-    // (Don't count fact scans textually: persisted member frames print
-    // their InMemoryRelation children, whose subtree content depends on
-    // which suites materialized them first.)
+    // r16: the grouping-sets pass runs ONCE at segment build (an eager
+    // checkpoint — getOrComputeCut; the Expand plan defeated Spark's
+    // cached-plan matching under self-join re-alias, silently
+    // recomputing the fact pass per consumer), so the CONSUMING plan
+    // contains ZERO Expands and reads the materialized segment as an
+    // RDD scan. Still one fact pass: exactly ONE cache miss, and the
+    // per-depth fallback (one aggregate per grain) would miss once per
+    // depth through the aggregate() path instead.
     val expands = "Expand".r.findAllIn(p).length
-    assert(expands === 1, s"expected exactly one Expand, got $expands:\n$p")
+    assert(expands === 0, s"expected no Expand in the consuming plan " +
+      s"(the gs pass materializes at segment build), got $expands:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"expected the checkpointed segment scan in the plan:\n$p")
+    assert(SegmentCache.global.misses >= 1)
+    // the single-pass contract: repeating the query adds NO miss (the
+    // one gs compute is cached), and one run never misses twice for
+    // the four grains
+    val missesAfter = SegmentCache.global.misses
+    Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  ASCENDANTS([time].[1995].[1995-Q2].[1995-05]) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect()
+    assert(SegmentCache.global.misses === missesAfter,
+      "the mixed-grain segment must serve repeat queries from cache")
   }
 
   test("unique_key_level_name eliminates member-enumeration distinct") {
