@@ -857,6 +857,17 @@ final class Planner(val cube: BoundCube) {
     * evaluates each position with the other tuple coordinates in
     * context, which a single column-wise sort cannot express — a
     * documented divergence, pinned in PlannerSpec.
+    *
+    * Scale note: the deepest level's rank window partitions by the
+    * parent prefix, so a high-cardinality LEAF degenerates to one
+    * per-parent sort task per parent — the same cost class as the
+    * in-memory sibling sort Mondrian performs for the identical
+    * query, and strictly better than a breaking sort's global order
+    * when parents are plentiful. (A windowless value-lexicographic
+    * variant was considered and rejected: a padded-null level of a
+    * SHALLOW member must sort before its subtree while a genuinely
+    * EMPTY cell must sort after its siblings, and a single value
+    * column cannot carry both null meanings.)
     */
   private def hierOrderSet(a: AxisFrame, cells: DataFrame, e: String,
       desc: Boolean, slicer: Seq[SlicerItem]): AxisFrame = {
