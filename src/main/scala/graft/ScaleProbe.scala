@@ -171,6 +171,33 @@ object ScaleProbe {
           |FROM [Sales]""".stripMargin
       for (pass <- 1 to 2)
         time(s"dimcalc hier order p$pass")(force(Mdx.execute(q5, cube)))
+      // r16: ordinary-path (pure-stored) hierarchical Order — the
+      // ancestor-cell pass at the coarser grain + per-level rank
+      // windows; the gs segment serves repeat consumers from its
+      // checkpoint (pass 2 pins the warm cost)
+      val q6 =
+        """SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  ORDER({[customer].[AFRICA], [customer].[AMERICA],
+          |         [customer].[EUROPE],
+          |         [customer].[EUROPE].[NATION_13],
+          |         [customer].[EUROPE].[NATION_18]},
+          |        [Measures].[revenue], DESC) ON ROWS
+          |FROM [Sales]""".stripMargin
+      for (pass <- 1 to 2)
+        time(s"stored hier order p$pass")(force(Mdx.execute(q6, cube)))
+      // r16: MDX context override — the overriding entry aggregates
+      // ONE subcube (scan-pushed predicate) and replicates across the
+      // overridden factor's members; stored rows ride the star shape
+      val q7 =
+        """WITH MEMBER [time].[EU all] AS
+          |  'Aggregate({[customer].[EUROPE]})'
+          |SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  CROSSJOIN({[time].[1995], [time].[EU all]},
+          |            {[customer].[AMERICA], [customer].[ASIA]})
+          |    ON ROWS
+          |FROM [Sales]""".stripMargin
+      for (pass <- 1 to 2)
+        time(s"context override p$pass")(force(Mdx.execute(q7, cube)))
       spark.stop()
       return
     }
