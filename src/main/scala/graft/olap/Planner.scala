@@ -856,7 +856,8 @@ final class Planner(val cube: BoundCube) {
     * ancestor ordinals, then the key): Mondrian's tuple comparator
     * evaluates each position with the other tuple coordinates in
     * context, which a single column-wise sort cannot express — a
-    * documented divergence, pinned in PlannerSpec.
+    * documented divergence, pinned in MdxSpec ("non-breaking Order
+    * over a PURE-STORED set is value-based too").
     *
     * Scale note: the deepest level's rank window partitions by the
     * parent prefix, so a high-cardinality LEAF degenerates to one
