@@ -1662,6 +1662,46 @@ class MdxSpec extends SparkSpec {
     assert(tuples === Seq("NATION_2", "NATION_13"))
   }
 
+  test("value-based non-breaking Order over a THREE-level stored set " +
+      "(the mixed-prefix grouping-sets branch of hierOrderSet): " +
+      "ancestors precede descendants through every depth, sibling " +
+      "quarters rank by their own cells") {
+    def caption(r: org.apache.spark.sql.Row): String = {
+      val cols = r.schema.fieldNames
+      Seq("d_ym", "d_yq", "d_year").collectFirst {
+        case c if cols.contains(c) && !r.isNullAt(r.fieldIndex(c)) =>
+          String.valueOf(r.get(r.fieldIndex(c)))
+      }.get
+    }
+    def rows(axis: String): Seq[String] = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  $axis ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq.map(caption)
+    // a single ancestor chain (year > quarter > month): hierarchical
+    // order is the chain order in BOTH directions — depth beats value
+    val chain = "{[time].[1995].[1995-Q2].[1995-05], [time].[1995], " +
+      "[time].[1995].[1995-Q2]}"
+    assert(rows(s"ORDER($chain, [Measures].[revenue], ASC)") ===
+      Seq("1995", "1995-Q2", "1995-05"))
+    assert(rows(s"ORDER($chain, [Measures].[revenue], DESC)") ===
+      Seq("1995", "1995-Q2", "1995-05"))
+    // two quarter subtrees with a month each: quarters rank by their
+    // OWN cells, each month stays under its quarter
+    def qRev(q: String): Double = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales] WHERE ([time].[1995].[$q])""".stripMargin, cube)
+      .collect().head.getAs[java.math.BigDecimal]("revenue")
+      .doubleValue()
+    val q1First = qRev("1995-Q1") > qRev("1995-Q2") // DESC
+    val two = "{[time].[1995].[1995-Q1], [time].[1995].[1995-Q2], " +
+      "[time].[1995].[1995-Q1].[1995-02], " +
+      "[time].[1995].[1995-Q2].[1995-05]}"
+    val want =
+      if (q1First) Seq("1995-Q1", "1995-02", "1995-Q2", "1995-05")
+      else Seq("1995-Q2", "1995-05", "1995-Q1", "1995-02")
+    assert(rows(s"ORDER($two, [Measures].[revenue], DESC)") === want)
+  }
+
   test("non-ALL Union dedups a literal member against an ENUMERATED " +
       "side on a non-string level: parser Strings and native column " +
       "values normalize to one member (UnionFunDef)") {
