@@ -2597,11 +2597,14 @@ final class Planner(val cube: BoundCube) {
             val subRows: SetExpr = (Members(dim, run) +: otherFactors)
               .reduceRight(CrossJoin(_, _))
             val sub = qsM.copy(rows = Some(subRows))
-            val ordCol = run.zipWithIndex.map { case (p, i) =>
+            // flat coalesce, not a nested reduce: a stored run can be
+            // entry-list-sized (10k bound) and a run-deep Column tree
+            // overflows the analyzer around ~1k terms (the orAll class)
+            val ordCol = coalesce(run.zipWithIndex.map { case (p, i) =>
               when(p.zipWithIndex.map { case (v, li) =>
                 col(d.levels(li).col) === lit(v) }.reduce(_ && _),
                 lit(start + i))
-            }.reduce((a, b) => coalesce(a, b))
+            }: _*)
             // the label column is STRING by convention (the fused path
             // renders entry NAMES): a native-typed leaf (a numeric time
             // level) unioned with a calc entry's string label would
