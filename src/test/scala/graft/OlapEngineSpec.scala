@@ -44,6 +44,19 @@ class OlapEngineSpec extends SparkSpec {
     assert(df.count() === 3)
   }
 
+  test("high_cardinality opt-out keeps the value-based non-breaking " +
+      "Order's answers identical (rank frames join without the " +
+      "forced broadcast — AQE decides from runtime sizes)") {
+    def ordered(c: BoundCube): Seq[String] =
+      Query.from(c).columns("revenue")
+        .rows(LevelMembers("customer", "nation"))
+        .order("revenue", SortDir.Asc)
+        .execute().select("cr_nation").collect().map(_.getString(0)).toSeq
+    val hc = cube.copy(dims = cube.dims.map(d =>
+      if (d.name == "customer") d.copy(highCardinality = true) else d))
+    assert(ordered(hc) === ordered(cube))
+  }
+
   test("CurrentOrdinal in a non-breaking Order key refuses — the " +
       "hierarchical sort evaluates ancestors outside the live " +
       "positional order (ADVICE r15)") {
