@@ -473,6 +473,65 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("segchurn")) {
+      // r17: lifecycle soak for the r16 EAGER-CHECKPOINT grouping-sets
+      // segments (Aggregates.getOrComputeCut). The checkpoint trades
+      // executor blocks for the per-consumer recompute fix; this curve
+      // proves the trade stays bounded under churn: N DISTINCT
+      // mixed-set queries (distinct slicers → distinct SegKeys) grow
+      // storage linearly in LIVE segments only, and a region flush /
+      // cube flush releases the checkpointed blocks (persistent-RDD
+      // count and block bytes return to baseline).
+      import graft.olap.{Mdx, SegmentCache}
+      val cube = graft.Cubes.sales(spark, "/root/testdata/sf0.1")
+      val sc = spark.sparkContext
+      def storage: (Int, Long) = {
+        val infos = sc.getRDDStorageInfo
+        (infos.length, infos.map(i => i.memSize + i.diskSize).sum)
+      }
+      def mixedQ(where: String): Long = graft.olap.Pins.scoped {
+        force(Mdx.execute(
+          s"""SELECT {[Measures].[revenue]} ON COLUMNS,
+             |  ORDER({[customer].[EUROPE],
+             |         [customer].[EUROPE].[NATION_13],
+             |         [customer].[ASIA],
+             |         [customer].[ASIA].[NATION_2]},
+             |        [Measures].[revenue], DESC) ON ROWS
+             |FROM [Sales] WHERE ($where)""".stripMargin, cube))
+      }
+      val c = SegmentCache.global
+      c.clear()
+      val (rdd0, bytes0) = storage
+      println(f"baseline: rdds=$rdd0%d bytes=$bytes0%d segs=${c.size}%d")
+      val slicers =
+        (1995 to 2001).map(y => s"[time].[$y]") ++
+        (1995 to 2001).flatMap(y =>
+          (1 to 4).map(q => s"[time].[$y].[$y-Q$q]"))
+      slicers.zipWithIndex.foreach { case (w, i) =>
+        mixedQ(w)
+        if ((i + 1) % 7 == 0) {
+          val (r, b) = storage
+          println(f"after ${i + 1}%3d distinct queries: segs=${c.size}%3d " +
+            f"rdds=${r - rdd0}%3d bytes=${b - bytes0}%d")
+        }
+      }
+      val (rFull, bFull) = storage
+      println(f"peak: segs=${c.size} rdds=${rFull - rdd0} " +
+        f"bytes=${bFull - bytes0}")
+      // region flush releases every segment that can contain EUROPE
+      // cells (all of them — the queries have no customer slicer)
+      c.flushRegion(cube.cubeId, "customer", Seq("EUROPE"))
+      val (rFlush, bFlush) = storage
+      println(f"after flushRegion(EUROPE): segs=${c.size} " +
+        f"rdds=${rFlush - rdd0} bytes=${bFlush - bytes0}")
+      // the queries repeat fine after the flush (cold recompute)
+      mixedQ("[time].[1995]")
+      c.flushCube(cube.cubeId)
+      val (rEnd, bEnd) = storage
+      println(f"after flushCube: segs=${c.size} rdds=${rEnd - rdd0} " +
+        f"bytes=${bEnd - bytes0}")
+    }
+
     if (args.headOption.contains("snapdup")) {
       // snapshotClusterLabels on a HIGH-dup-mass corpus (VERDICT r10
       // #4): the per-snapshot fold reads the full last-gen label frame

@@ -852,12 +852,10 @@ final class Planner(val cube: BoundCube) {
     * parent-before-child. No collect, no driver loop; the fact is
     * touched once beyond the set's own cells.
     *
-    * A MULTI-hierarchy (tuple) set keeps the composite sort (per-dim
-    * ancestor ordinals, then the key): Mondrian's tuple comparator
-    * evaluates each position with the other tuple coordinates in
-    * context, which a single column-wise sort cannot express — a
-    * documented divergence, pinned in MdxSpec ("non-breaking Order
-    * over a PURE-STORED set is value-based too").
+    * A MULTI-hierarchy (tuple) set routes to [[tupleHierOrderSet]]
+    * (r17) — Mondrian's HierarchicalTupleComparator, one rank pass
+    * per tuple position. (Through r16 tuples kept a composite
+    * per-dim-ordinal sort; that divergence is closed.)
     *
     * Scale note: the deepest level's rank window partitions by the
     * parent prefix, so a high-cardinality LEAF degenerates to one
@@ -877,12 +875,8 @@ final class Planner(val cube: BoundCube) {
         "the hierarchical sort evaluates ancestors outside the live " +
         "positional order; use BASC/BDESC")
     def rankSort(v: Column) = if (desc) v.desc_nulls_last else v.asc_nulls_last
-    if (a.dims.length != 1) {
-      val key = sexpr(resolveCurrent(e, a.dims))
-      return ordered(a, cells,
-        ancestorOrds(a).map(col(_).asc) :+
-          (if (desc) key.desc else key.asc))
-    }
+    if (a.dims.length != 1)
+      return tupleHierOrderSet(a, cells, e, desc, slicer)
     val ad = a.dims.head
     val d = ad.d
     val dMax = ad.depth
@@ -949,6 +943,132 @@ final class Planner(val cube: BoundCube) {
       (1 to dMax).map(k => col(s"__hr$k").asc) // asc = nulls first:
     // a depth-j member's null rank beyond j precedes its descendants
     ordered(a, joined, sortCols)
+  }
+
+  /** NON-breaking Order over a MULTI-hierarchy (tuple) set: Mondrian's
+    * HierarchicalTupleComparator (FunUtil.sortTuples brk=false, via
+    * mondrian-olap's query.rb order with :asc/:desc) — tuple positions
+    * compare LEFT TO RIGHT; the first position whose members differ
+    * decides, compared hierarchically with sibling ancestors ranked by
+    * the sort expression's CELL VALUE evaluated with the EARLIER tuple
+    * coordinates fixed to the (equal) members already compared and the
+    * LATER coordinates at their hierarchy defaults (the comparator only
+    * calls Evaluator.setContext for positions it has found equal; later
+    * hierarchies keep the evaluator's entry context).
+    *
+    * Execution: one rank pass per tuple position. Position i's pass
+    * computes ancestor cells at grain (dims 0..i-1 at FULL path ×
+    * dim_i's prefix depths) — ONE grouping-sets fact scan via
+    * [[mixedCells]] when several depths exist, with every LATER
+    * dimension absent from the frame and therefore rolled up, exactly
+    * the comparator's default-context semantics. Per-level sibling
+    * ranks window over (earlier dims' full paths + dim_i's parent
+    * prefix); the LAST position's deepest level reuses the set's own
+    * tuple-grain cells, so the finest grain is never re-scanned. The
+    * member frame left-joins the rank frames (broadcast unless a
+    * hierarchy is high_cardinality) and sorts position-major on the
+    * rank chains. Lexicographic rank order IS the comparator's order:
+    * equal members share every rank (same partitions, same rows), and
+    * differing members first diverge at their shallowest differing
+    * level, whose sibling rank realizes
+    * compareHierarchicallyButSiblingsByValue. Ties break by the level
+    * key ascending in both directions — the engine's deterministic
+    * convention, shared with the single-hierarchy path.
+    *
+    * Supported mixed-depth shape: only the LAST tuple position may mix
+    * depths. A mixed hierarchy BEFORE a later position would need that
+    * later position's cells at every ancestor grain of the mixed
+    * coordinate — two simultaneously-mixed hierarchies in one
+    * grouping-sets pass — and refuses loudly (use BASC/BDESC). A sort
+    * key reading CurrentMember of a position AFTER the one being
+    * compared also refuses: Mondrian evaluates it at the hierarchy
+    * default there, a shape no real query exercises.
+    */
+  private def tupleHierOrderSet(a: AxisFrame, cells: DataFrame, e: String,
+      desc: Boolean, slicer: Seq[SlicerItem]): AxisFrame = {
+    def rankSort(v: Column) = if (desc) v.desc_nulls_last else v.asc_nulls_last
+    a.mixedDim.foreach { md =>
+      require(md == a.dims.last.d.name,
+        s"non-breaking Order over a tuple set where [$md] (not the " +
+          "last tuple position) mixes member depths is not supported — " +
+          "later positions' sibling ranks would need cells at every " +
+          "ancestor grain of the mixed coordinate; use BASC/BDESC")
+    }
+    var joined = a.members
+    val sortCols = Seq.newBuilder[Column]
+    for (i <- a.dims.indices) {
+      val ad = a.dims(i)
+      val d = ad.d
+      val dMax = ad.depth
+      val prevDims = a.dims.take(i)
+      val prevCols = prevDims.flatMap(pd => levelCols(pd.d, pd.depth))
+      val lvls = levelCols(d, dMax)
+      val last = i == a.dims.length - 1
+      val mixed = last && a.mixedDim.contains(d.name)
+      // depths needing a dedicated cell pass: every depth for a
+      // non-last position (later dims must roll up, so the set's own
+      // cells are the wrong grain even at dMax); strict prefixes for
+      // the last (its deepest level reuses the set's cells)
+      val passDepths: Seq[Int] = if (last) 0 until dMax else 0 to dMax
+      val passCells: Option[DataFrame] =
+        if (passDepths.isEmpty) None
+        else {
+          val tps = d.df.schema.map(sf => sf.name -> sf.dataType).toMap
+          val frame =
+            if (passDepths.length == 1) {
+              val src = if (mixed) a.members.filter(col(DepthCol) >= 0)
+                        else a.members
+              AxisFrame(
+                src.select((prevCols :+ lvls.head).map(col): _*).distinct(),
+                prevDims :+ AxisDim(d, 0))
+            } else {
+              val pfLvls = lvls.take(passDepths.max + 1)
+              val union = passDepths.map { k =>
+                val src = if (mixed) a.members.filter(col(DepthCol) >= k)
+                          else a.members
+                val proj = src
+                  .select((prevCols ++ lvls.take(k + 1)).map(col): _*)
+                  .distinct()
+                pfLvls.drop(k + 1).foldLeft(proj)((df2, c) =>
+                  df2.withColumn(c, lit(null).cast(tps(c))))
+                  .withColumn(DepthCol, lit(k))
+              }.reduce(_ unionByName _)
+              AxisFrame(union, prevDims :+ AxisDim(d, passDepths.max),
+                mixedDepths = passDepths, mixedDim = Some(d.name))
+            }
+          Some(cellsFor(frame, slicer))
+        }
+      for (k <- 0 to dMax) {
+        val src =
+          if (passDepths.contains(k)) {
+            val pc = passCells.get
+            if (passDepths.length > 1) pc.filter(col(DepthCol) === k)
+            else pc
+          } else if (mixed) cells.filter(col(DepthCol) === dMax)
+          else cells
+        val resolved = resolveCurrent(e, prevDims :+ AxisDim(d, k))
+        require(!resolved.contains("__CURRENT_NAME_"),
+          "non-breaking Order key reads CurrentMember of a tuple " +
+            "position AFTER the one being compared — Mondrian would " +
+            "evaluate it at the hierarchy default; use BASC/BDESC")
+        val w = Window
+          .partitionBy((prevCols ++ lvls.take(k)).map(col): _*)
+          .orderBy(rankSort(sexpr(resolved)), col(lvls(k)).asc)
+        val keyCols = prevCols ++ lvls.take(k + 1)
+        val rf0 = src.select(
+          keyCols.map(c => col(c).as(s"__rk${i}_${k}_$c")) :+
+            row_number().over(w).cast("long").as(s"__hr${i}_$k"): _*)
+        val rf = if (hintOf(a.dims) == Ords.Small) broadcast(rf0) else rf0
+        val cond = keyCols
+          .map(c => joined(c) <=> rf(s"__rk${i}_${k}_$c")).reduce(_ && _)
+        val guard = if (mixed) joined(DepthCol) >= k else lit(true)
+        joined = joined.join(rf, cond && guard, "left")
+          .drop(keyCols.map(c => s"__rk${i}_${k}_$c"): _*)
+        sortCols += col(s"__hr${i}_$k").asc // asc = nulls first: a
+        // shallow member of a mixed LAST position precedes its subtree
+      }
+    }
+    ordered(a, joined, sortCols.result())
   }
 
   /** Enumerate a calc-free single-dimension set to literal member

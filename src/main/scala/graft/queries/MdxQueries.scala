@@ -246,6 +246,23 @@ object MdxQueries {
         |             [Measures].[revenue], DESC), 3) ON ROWS
         |FROM [Sales]""".stripMargin) _),
 
+    // r17: NON-breaking Order over a TUPLE (multi-hierarchy) set —
+    // Mondrian's HierarchicalTupleComparator. Positions compare left to
+    // right: nations rank hierarchically (regions by the REGIONS' full
+    // cells — time at its default, not the year coordinates — then
+    // in-set nations by their own full cells within the region), and
+    // years rank WITHIN each nation's context by the tuple cells. The
+    // HEAD(3) cut makes all three rank layers content-visible, so the
+    // window-SQL oracle pins the comparator at any scale factor.
+    "q_mdx_order_tuple_h" -> (run(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  HEAD(ORDER(CROSSJOIN({[customer].[EUROPE].[NATION_13],
+        |                        [customer].[EUROPE].[NATION_18],
+        |                        [customer].[ASIA].[NATION_2]},
+        |                       {[time].[1995], [time].[1996]}),
+        |             [Measures].[revenue], DESC), 3) ON ROWS
+        |FROM [Sales]""".stripMargin) _),
+
     "q_mdx_setagg" -> (run(
       """WITH MEMBER [Measures].[h1_rev] AS
         |  Sum({[time].[1995].[1995-Q1] : [time].[1995].[1995-Q2]},
@@ -486,6 +503,48 @@ object MdxQueries {
          |  FROM nn n JOIN rr r ON n.r_name = r.r_name)
          |SELECT cr_region, cr_nation, revenue FROM entries
          |ORDER BY rk, d, nrk LIMIT 3""".stripMargin,
+
+    // the tuple comparator computed IN SQL: region rank over the
+    // regions' FULL cells, nation rank within region over the nations'
+    // full cells, year rank within each nation over the tuple cells —
+    // position-major, exactly tupleHierOrderSet's rank chains
+    "q_mdx_order_tuple_h" ->
+      s"""WITH nrev AS (
+         |  SELECT r_name, n_name, $REV AS revenue
+         |  $CJOIN GROUP BY 1, 2),
+         |rr AS (
+         |  SELECT r_name,
+         |         row_number() OVER (ORDER BY sum(revenue) DESC NULLS LAST,
+         |                            r_name) AS rrk
+         |  FROM nrev WHERE r_name IN ('EUROPE', 'ASIA') GROUP BY 1),
+         |nn AS (
+         |  SELECT r_name, n_name,
+         |         row_number() OVER (PARTITION BY r_name
+         |                            ORDER BY revenue DESC NULLS LAST,
+         |                            n_name) AS nrk
+         |  FROM nrev
+         |  WHERE (r_name = 'EUROPE'
+         |         AND n_name IN ('NATION_13', 'NATION_18'))
+         |     OR (r_name = 'ASIA' AND n_name = 'NATION_2')),
+         |yy AS (
+         |  SELECT n.r_name, n.n_name, n.nrk, y.yr, t.revenue
+         |  FROM nn n
+         |  CROSS JOIN (SELECT 1995 AS yr UNION ALL SELECT 1996) y
+         |  LEFT JOIN (
+         |    SELECT n_name, year(o_orderdate) AS yr, $REV AS revenue
+         |    $CJOIN WHERE year(o_orderdate) IN (1995, 1996)
+         |    GROUP BY 1, 2) t
+         |  ON t.n_name = n.n_name AND t.yr = y.yr),
+         |ranked AS (
+         |  SELECT r.rrk, yy.nrk,
+         |         row_number() OVER (PARTITION BY yy.n_name
+         |                            ORDER BY yy.revenue DESC NULLS LAST,
+         |                            yy.yr) AS yrk,
+         |         yy.r_name AS cr_region, yy.n_name AS cr_nation,
+         |         yy.yr AS d_year, yy.revenue
+         |  FROM yy JOIN rr r ON yy.r_name = r.r_name)
+         |SELECT cr_region, cr_nation, d_year, revenue
+         |FROM ranked ORDER BY rrk, nrk, yrk LIMIT 3""".stripMargin,
 
     "q_mdx_setagg" ->
       s"""WITH base AS (

@@ -41,6 +41,49 @@ class CacheSpec extends SparkSpec {
     assert(c.hits > hitsBefore, "disjoint-slicer segment must survive")
   }
 
+  test("checkpointed grouping-sets segments release their executor " +
+      "blocks on flush (getOrComputeCut lifecycle — the r16 eager cut " +
+      "must not leak under churn)") {
+    val c = SegmentCache.global
+    val sc = spark.sparkContext
+    def pids: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def run(): Unit = Pins.scoped {
+      // mixed-depth set + value Order: joinCells routes through
+      // mixedCells → getOrComputeCut (an eager localCheckpoint)
+      Mdx.execute(
+        """SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  ORDER({[customer].[EUROPE],
+          |         [customer].[EUROPE].[NATION_13],
+          |         [customer].[ASIA]},
+          |        [Measures].[revenue], DESC) ON ROWS
+          |FROM [Sales] WHERE ([time].[1996])""".stripMargin, cube)
+        .collect()
+    }
+    run() // warm-up: builds the cube and persists its dim frames —
+    // those long-lived RDDs must not count against the flush assert
+    c.flushCube(cube.cubeId)
+    val before = pids
+    val missesBefore = c.misses
+    run()
+    assert(c.misses > missesBefore, "the mixed-set query must create " +
+      "fresh segments")
+    val added = pids -- before
+    assert(added.nonEmpty, "checkpointed segments must hold " +
+      "block-manager RDDs while cached (Pins.scoped released the " +
+      "transient pins, so survivors are cache-held)")
+    // a second identical query HITS (no new misses beyond warm-up)
+    val missesWarm = c.misses
+    run()
+    assert(c.misses === missesWarm, "second run must serve every " +
+      "segment from the cache")
+    // region flush evicts the intersecting segments AND frees their
+    // checkpoint blocks (evictFrame → Pins.freeCut on the LogicalRDD)
+    c.flushRegion(cube.cubeId, "customer", Seq("EUROPE"))
+    val survivors = pids intersect added
+    assert(survivors.isEmpty, s"flushed checkpoint blocks must " +
+      s"unpersist; still live: $survivors")
+  }
+
   test("agg router answers a coarser query from a registered rollup") {
     val base = Cubes.sales(spark, Sf)
     val at = new Planner(base).buildAggTable("nation_month",

@@ -1647,10 +1647,12 @@ class MdxSpec extends SparkSpec {
       "[customer].[EUROPE].[NATION_18], " +
       "[customer].[ASIA].[NATION_2]}, " +
       "[Measures].[revenue], DESC)") === leavesDesc)
-    // a MULTI-hierarchy (tuple) set keeps the composite sort — per-dim
-    // ancestor ORDINALS then the key (documented divergence from
-    // Mondrian's context-carrying tuple comparator; hierOrderSet
-    // Scaladoc): ASIA's nation precedes EUROPE's whatever the values
+    // a MULTI-hierarchy (tuple) set is value-based too (r17 —
+    // tupleHierOrderSet, Mondrian's HierarchicalTupleComparator):
+    // position 0 decides first, compared hierarchically — N13 vs N2
+    // walk up to their REGIONS, ranked by the regions' OWN cells with
+    // time at the default (all years, NOT the 1995 coordinate). The
+    // pre-r17 composite-ordinal sort pinned ASIA first unconditionally.
     val tuples = Mdx.execute(
       """SELECT {[Measures].[revenue]} ON COLUMNS,
         |  ORDER(CROSSJOIN({[customer].[EUROPE].[NATION_13],
@@ -1659,7 +1661,86 @@ class MdxSpec extends SparkSpec {
         |        [Measures].[revenue], ASC) ON ROWS
         |FROM [Sales]""".stripMargin, cube).collect().toSeq
       .map(r => r.getString(r.fieldIndex("cr_nation")))
-    assert(tuples === Seq("NATION_2", "NATION_13"))
+    val tupleWant =
+      if (eu < as) Seq("NATION_13", "NATION_2")
+      else Seq("NATION_2", "NATION_13")
+    assert(tuples === tupleWant)
+  }
+
+  test("non-breaking Order over a tuple set — the later position " +
+      "ranks WITHIN the earlier coordinate's context, and a " +
+      "mixed-depth hierarchy before the last position refuses " +
+      "(tupleHierOrderSet)") {
+    def ctxRev(where: String): Double = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales] WHERE ($where)""".stripMargin, cube)
+      .collect().head.getAs[java.math.BigDecimal]("revenue")
+      .doubleValue()
+    // two nations × two years, DESC: nations order by their own
+    // all-time cells (same region — the region rank ties); within each
+    // nation, years order by THAT nation's yearly cells — Mondrian
+    // setContext semantics. A composite sort could not express a year
+    // order that differs between the two nations.
+    val got = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  ORDER(CROSSJOIN({[customer].[EUROPE].[NATION_13],
+        |                   [customer].[EUROPE].[NATION_18]},
+        |                  {[time].[1995], [time].[1996]}),
+        |        [Measures].[revenue], DESC) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq
+      .map(r => (r.getString(r.fieldIndex("cr_nation")),
+        String.valueOf(r.get(r.fieldIndex("d_year")))))
+    // null cell (no sales that year) ranks LAST under DESC
+    // (desc_nulls_last) — model it as -inf
+    def yrRev(n: String, y: String): Double = {
+      val r = Mdx.execute(
+        s"""SELECT {[Measures].[revenue]} ON COLUMNS
+          |FROM [Sales]
+          |WHERE ([customer].[EUROPE].[$n], [time].[$y])""".stripMargin,
+        cube).collect().head
+      if (r.isNullAt(r.fieldIndex("revenue"))) Double.NegativeInfinity
+      else r.getAs[java.math.BigDecimal]("revenue").doubleValue()
+    }
+    def years(n: String): Seq[(String, String)] = {
+      val ys = Seq("1995", "1996")
+        .sortBy(y => -yrRev(n, y))
+      ys.map(y => (n, y))
+    }
+    val nOrder =
+      if (ctxRev("[customer].[EUROPE].[NATION_13]") >=
+          ctxRev("[customer].[EUROPE].[NATION_18]"))
+        Seq("NATION_13", "NATION_18")
+      else Seq("NATION_18", "NATION_13")
+    assert(got === nOrder.flatMap(years))
+    // a mixed-depth FIRST position under a two-position tuple refuses
+    // loudly (two simultaneously-mixed grouping-sets grains)
+    val err = intercept[IllegalArgumentException] {
+      Mdx.execute(
+        """SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  ORDER(CROSSJOIN({[customer].[EUROPE],
+          |                   [customer].[EUROPE].[NATION_13]},
+          |                  {[time].[1995], [time].[1996]}),
+          |        [Measures].[revenue], ASC) ON ROWS
+          |FROM [Sales]""".stripMargin, cube).collect()
+    }
+    assert(err.getMessage.contains("mixes member depths"))
+    // the SAME mixed set is fine as the LAST position
+    val lastMixed = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  ORDER(CROSSJOIN({[time].[1995], [time].[1996]},
+        |                  {[customer].[EUROPE],
+        |                   [customer].[EUROPE].[NATION_13]}),
+        |        [Measures].[revenue], ASC) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq
+      .map(r => (String.valueOf(r.get(r.fieldIndex("d_year"))),
+        if (r.isNullAt(r.fieldIndex("cr_nation"))) "EUROPE"
+        else r.getString(r.fieldIndex("cr_nation"))))
+    // years rank by their own cells (customer at default); within each
+    // year EUROPE precedes its nation (parent-before-child)
+    val yOrder = Seq("1995", "1996")
+      .sortBy(y => ctxRev(s"[time].[$y]"))
+    assert(lastMixed === yOrder.flatMap(y =>
+      Seq((y, "EUROPE"), (y, "NATION_13"))))
   }
 
   test("value-based non-breaking Order over a THREE-level stored set " +
