@@ -42,6 +42,10 @@ def main(bench_path, floors_path):
         floors = floors_doc["floors"]
     except (OSError, ValueError, KeyError, TypeError) as e:
         return fail(f"malformed floors file {floors_path}: {e}")
+    # per-query absolute bound overrides: queries whose SAME-CODE
+    # cross-session spread is documented wider than the generic
+    # max(2x floor, floor+0.5) rule (BASELINE.md r16 A/B attribution)
+    overrides = floors_doc.get("bound_overrides", {})
     queries = bench.get("queries")
     if not isinstance(queries, dict) or not queries:
         return fail(f"bench dump has no per-query map "
@@ -66,7 +70,7 @@ def main(bench_path, floors_path):
         if f is None:
             new.append((name, sec))
             continue
-        bound = max(2 * f, f + 0.5)
+        bound = max(2 * f, f + 0.5, overrides.get(name, 0.0))
         if sec > bound:
             print(f"FAIL {name}: {sec}s over bound {bound:.2f}s "
                   f"(floor {f}s)")
@@ -83,5 +87,5 @@ def main(bench_path, floors_path):
 if __name__ == "__main__":
     bench = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench.json"
     floors = (sys.argv[2] if len(sys.argv) > 2
-              else "tools/bench_floors_r15.json")
+              else "tools/bench_floors_r17.json")
     sys.exit(main(bench, floors))
