@@ -975,25 +975,25 @@ final class Planner(val cube: BoundCube) {
     * key ascending in both directions — the engine's deterministic
     * convention, shared with the single-hierarchy path.
     *
-    * Supported mixed-depth shape: only the LAST tuple position may mix
-    * depths. A mixed hierarchy BEFORE a later position would need that
-    * later position's cells at every ancestor grain of the mixed
-    * coordinate — two simultaneously-mixed hierarchies in one
-    * grouping-sets pass — and refuses loudly (use BASC/BDESC). A sort
-    * key reading CurrentMember of a position AFTER the one being
-    * compared also refuses: Mondrian evaluates it at the hierarchy
-    * default there, a shape no real query exercises.
+    * Mixed-depth hierarchies are supported at ANY tuple position
+    * (r17): at its own position the single grouping-sets pass covers
+    * every prefix depth and the rank joins carry a depth guard; at a
+    * LATER position, the later dim's prefix cells come one pass per
+    * prefix depth k — mixed on the EARLIER dim with the later dim
+    * fixed at k ([[mixedCells]] supports exactly one mixed hierarchy
+    * per pass), the earlier dim's depth marker riding the partition
+    * and join keys so padded-null levels never cross-match genuine
+    * nulls. Pass count stays plan-shaped: depths(dim_i)+1 scans for
+    * that position, each grain-sized and segment-cached. Two loud
+    * refusals: a sort key reading CurrentMember of a position AFTER
+    * the one being compared (Mondrian evaluates it at the hierarchy
+    * default — no real query does this), and CurrentMember of a
+    * mixed-depth earlier position (the name column differs per member
+    * depth).
     */
   private def tupleHierOrderSet(a: AxisFrame, cells: DataFrame, e: String,
       desc: Boolean, slicer: Seq[SlicerItem]): AxisFrame = {
     def rankSort(v: Column) = if (desc) v.desc_nulls_last else v.asc_nulls_last
-    a.mixedDim.foreach { md =>
-      require(md == a.dims.last.d.name,
-        s"non-breaking Order over a tuple set where [$md] (not the " +
-          "last tuple position) mixes member depths is not supported — " +
-          "later positions' sibling ranks would need cells at every " +
-          "ancestor grain of the mixed coordinate; use BASC/BDESC")
-    }
     var joined = a.members
     val sortCols = Seq.newBuilder[Column]
     for (i <- a.dims.indices) {
@@ -1004,68 +1004,94 @@ final class Planner(val cube: BoundCube) {
       val prevCols = prevDims.flatMap(pd => levelCols(pd.d, pd.depth))
       val lvls = levelCols(d, dMax)
       val last = i == a.dims.length - 1
-      val mixed = last && a.mixedDim.contains(d.name)
+      val selfMixed = a.mixedDim.contains(d.name)
+      val prevMixed = prevDims.find(pd => a.mixedDim.contains(pd.d.name))
+      prevMixed.foreach { pm =>
+        require(!e.contains(s"__CURRENT_NAME_${pm.d.name}__"),
+          s"non-breaking Order key reads [${pm.d.name}].CurrentMember " +
+            "while that tuple position mixes member depths — the name " +
+            "column differs per member depth; use BASC/BDESC")
+      }
       // depths needing a dedicated cell pass: every depth for a
       // non-last position (later dims must roll up, so the set's own
       // cells are the wrong grain even at dMax); strict prefixes for
       // the last (its deepest level reuses the set's cells)
       val passDepths: Seq[Int] = if (last) 0 until dMax else 0 to dMax
-      val passCells: Option[DataFrame] =
-        if (passDepths.isEmpty) None
-        else {
-          val tps = d.df.schema.map(sf => sf.name -> sf.dataType).toMap
-          val frame =
-            if (passDepths.length == 1) {
-              val src = if (mixed) a.members.filter(col(DepthCol) >= 0)
+      // rank-source cells per prefix depth k, at grain (earlier dims'
+      // full paths × dim_i depth k), later dims rolled up:
+      //  - no mixed hierarchy here: ONE fact pass for all depths (a
+      //    grouping-sets scan when several);
+      //  - THIS dim mixes depths: the same single pass; rank joins
+      //    carry a depth guard (a shallow member has no deep ranks);
+      //  - an EARLIER dim mixes depths: one pass PER depth k, mixed on
+      //    the earlier dim with dim_i FIXED at k (mixedCells supports
+      //    exactly one mixed hierarchy per pass); the earlier dim's
+      //    depth marker rides the partition/join keys so a padded-null
+      //    level never cross-matches a genuine null.
+      val passCellsByDepth: Map[Int, DataFrame] =
+        if (passDepths.isEmpty) Map.empty
+        else prevMixed match {
+          case Some(_) =>
+            passDepths.map { k =>
+              val members = a.members
+                .select((prevCols ++ lvls.take(k + 1) :+ DepthCol)
+                  .map(col): _*)
+                .distinct()
+              val frame = AxisFrame(members, prevDims :+ AxisDim(d, k),
+                mixedDepths = a.mixedDepths, mixedDim = a.mixedDim)
+              k -> cellsFor(frame, slicer)
+            }.toMap
+          case None if passDepths.length == 1 =>
+            val src = if (selfMixed) a.members.filter(col(DepthCol) >= 0)
+                      else a.members
+            val frame = AxisFrame(
+              src.select((prevCols :+ lvls.head).map(col): _*).distinct(),
+              prevDims :+ AxisDim(d, 0))
+            Map(0 -> cellsFor(frame, slicer))
+          case None =>
+            val tps = d.df.schema.map(sf => sf.name -> sf.dataType).toMap
+            val pfLvls = lvls.take(passDepths.max + 1)
+            val union = passDepths.map { k =>
+              val src = if (selfMixed) a.members.filter(col(DepthCol) >= k)
                         else a.members
-              AxisFrame(
-                src.select((prevCols :+ lvls.head).map(col): _*).distinct(),
-                prevDims :+ AxisDim(d, 0))
-            } else {
-              val pfLvls = lvls.take(passDepths.max + 1)
-              val union = passDepths.map { k =>
-                val src = if (mixed) a.members.filter(col(DepthCol) >= k)
-                          else a.members
-                val proj = src
-                  .select((prevCols ++ lvls.take(k + 1)).map(col): _*)
-                  .distinct()
-                pfLvls.drop(k + 1).foldLeft(proj)((df2, c) =>
-                  df2.withColumn(c, lit(null).cast(tps(c))))
-                  .withColumn(DepthCol, lit(k))
-              }.reduce(_ unionByName _)
-              AxisFrame(union, prevDims :+ AxisDim(d, passDepths.max),
-                mixedDepths = passDepths, mixedDim = Some(d.name))
-            }
-          Some(cellsFor(frame, slicer))
+              val proj = src
+                .select((prevCols ++ lvls.take(k + 1)).map(col): _*)
+                .distinct()
+              pfLvls.drop(k + 1).foldLeft(proj)((df2, c) =>
+                df2.withColumn(c, lit(null).cast(tps(c))))
+                .withColumn(DepthCol, lit(k))
+            }.reduce(_ unionByName _)
+            val pc = cellsFor(AxisFrame(union,
+              prevDims :+ AxisDim(d, passDepths.max),
+              mixedDepths = passDepths, mixedDim = Some(d.name)), slicer)
+            passDepths.map(k => k -> pc.filter(col(DepthCol) === k)).toMap
         }
       for (k <- 0 to dMax) {
-        val src =
-          if (passDepths.contains(k)) {
-            val pc = passCells.get
-            if (passDepths.length > 1) pc.filter(col(DepthCol) === k)
-            else pc
-          } else if (mixed) cells.filter(col(DepthCol) === dMax)
-          else cells
+        val src = passCellsByDepth.getOrElse(k,
+          if (selfMixed) cells.filter(col(DepthCol) === dMax) else cells)
         val resolved = resolveCurrent(e, prevDims :+ AxisDim(d, k))
         require(!resolved.contains("__CURRENT_NAME_"),
           "non-breaking Order key reads CurrentMember of a tuple " +
             "position AFTER the one being compared — Mondrian would " +
             "evaluate it at the hierarchy default; use BASC/BDESC")
+        // an earlier mixed dim keys rank partitions and joins by its
+        // depth marker too (padded vs genuine nulls)
+        val depthKey = if (prevMixed.isDefined) Seq(DepthCol) else Nil
         val w = Window
-          .partitionBy((prevCols ++ lvls.take(k)).map(col): _*)
+          .partitionBy((depthKey ++ prevCols ++ lvls.take(k)).map(col): _*)
           .orderBy(rankSort(sexpr(resolved)), col(lvls(k)).asc)
-        val keyCols = prevCols ++ lvls.take(k + 1)
+        val keyCols = depthKey ++ prevCols ++ lvls.take(k + 1)
         val rf0 = src.select(
           keyCols.map(c => col(c).as(s"__rk${i}_${k}_$c")) :+
             row_number().over(w).cast("long").as(s"__hr${i}_$k"): _*)
         val rf = if (hintOf(a.dims) == Ords.Small) broadcast(rf0) else rf0
         val cond = keyCols
           .map(c => joined(c) <=> rf(s"__rk${i}_${k}_$c")).reduce(_ && _)
-        val guard = if (mixed) joined(DepthCol) >= k else lit(true)
+        val guard = if (selfMixed) joined(DepthCol) >= k else lit(true)
         joined = joined.join(rf, cond && guard, "left")
           .drop(keyCols.map(c => s"__rk${i}_${k}_$c"): _*)
         sortCols += col(s"__hr${i}_$k").asc // asc = nulls first: a
-        // shallow member of a mixed LAST position precedes its subtree
+        // shallow member of a mixed position precedes its subtree
       }
     }
     ordered(a, joined, sortCols.result())

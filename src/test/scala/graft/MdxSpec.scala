@@ -1668,8 +1668,8 @@ class MdxSpec extends SparkSpec {
   }
 
   test("non-breaking Order over a tuple set — the later position " +
-      "ranks WITHIN the earlier coordinate's context, and a " +
-      "mixed-depth hierarchy before the last position refuses " +
+      "ranks WITHIN the earlier coordinate's context, and mixed-depth " +
+      "hierarchies execute at ANY tuple position " +
       "(tupleHierOrderSet)") {
     def ctxRev(where: String): Double = Mdx.execute(
       s"""SELECT {[Measures].[revenue]} ON COLUMNS
@@ -1712,18 +1712,40 @@ class MdxSpec extends SparkSpec {
         Seq("NATION_13", "NATION_18")
       else Seq("NATION_18", "NATION_13")
     assert(got === nOrder.flatMap(years))
-    // a mixed-depth FIRST position under a two-position tuple refuses
-    // loudly (two simultaneously-mixed grouping-sets grains)
-    val err = intercept[IllegalArgumentException] {
-      Mdx.execute(
-        """SELECT {[Measures].[revenue]} ON COLUMNS,
-          |  ORDER(CROSSJOIN({[customer].[EUROPE],
-          |                   [customer].[EUROPE].[NATION_13]},
-          |                  {[time].[1995], [time].[1996]}),
-          |        [Measures].[revenue], ASC) ON ROWS
-          |FROM [Sales]""".stripMargin, cube).collect()
+    // a mixed-depth FIRST position executes too (r17): EUROPE is
+    // NATION_13's ancestor so it leads both blocks whatever the
+    // values; each block's YEARS rank by the cells at ITS depth's
+    // grain — EUROPE's years by EUROPE totals, NATION_13's by the
+    // nation's own (per-depth passes mixed on the earlier dim)
+    val mixedFirst = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  ORDER(CROSSJOIN({[customer].[EUROPE],
+        |                   [customer].[EUROPE].[NATION_13]},
+        |                  {[time].[1995], [time].[1996]}),
+        |        [Measures].[revenue], ASC) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq
+      .map(r => (if (r.isNullAt(r.fieldIndex("cr_nation"))) "EUROPE"
+        else r.getString(r.fieldIndex("cr_nation")),
+        String.valueOf(r.get(r.fieldIndex("d_year")))))
+    // ASC = values ascending, empty cells last, year-asc tie-break
+    def ascYears(rev: String => Double): Seq[String] = {
+      val (nn, nul) = Seq("1995", "1996")
+        .partition(y => rev(y) != Double.NegativeInfinity)
+      nn.sortBy(rev) ++ nul
     }
-    assert(err.getMessage.contains("mixes member depths"))
+    def tupRev(where: String): Double = {
+      val r = Mdx.execute(
+        s"""SELECT {[Measures].[revenue]} ON COLUMNS
+          |FROM [Sales] WHERE ($where)""".stripMargin, cube)
+        .collect().head
+      if (r.isNullAt(r.fieldIndex("revenue"))) Double.NegativeInfinity
+      else r.getAs[java.math.BigDecimal]("revenue").doubleValue()
+    }
+    val euYears = ascYears(y => tupRev(s"[customer].[EUROPE], [time].[$y]"))
+    val n13Years = ascYears(y =>
+      tupRev(s"[customer].[EUROPE].[NATION_13], [time].[$y]"))
+    assert(mixedFirst === euYears.map(("EUROPE", _)) ++
+      n13Years.map(("NATION_13", _)))
     // the SAME mixed set is fine as the LAST position
     val lastMixed = Mdx.execute(
       """SELECT {[Measures].[revenue]} ON COLUMNS,
@@ -1741,6 +1763,31 @@ class MdxSpec extends SparkSpec {
       .sortBy(y => ctxRev(s"[time].[$y]"))
     assert(lastMixed === yOrder.flatMap(y =>
       Seq((y, "EUROPE"), (y, "NATION_13"))))
+    // mixed FIRST position with a DEEP last dim (quarters, dMax=1):
+    // the quarter prefix pass runs per depth of the earlier dim —
+    // EUROPE's quarters rank by EUROPE cells, NATION_13's by the
+    // nation's own (the per-depth mixedCells path; k=0 year ranks tie
+    // inside the single 1995 year)
+    val deepLast = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  ORDER(CROSSJOIN({[customer].[EUROPE],
+        |                   [customer].[EUROPE].[NATION_13]},
+        |                  {[time].[1995].[1995-Q1],
+        |                   [time].[1995].[1995-Q2]}),
+        |        [Measures].[revenue], DESC) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq
+      .map(r => (if (r.isNullAt(r.fieldIndex("cr_nation"))) "EUROPE"
+        else r.getString(r.fieldIndex("cr_nation")),
+        r.getString(r.fieldIndex("d_yq"))))
+    def descQs(ctx: String): Seq[String] = {
+      val qs = Seq("1995-Q1", "1995-Q2")
+      val (nn, nul) = qs.partition(q =>
+        tupRev(s"$ctx, [time].[1995].[$q]") != Double.NegativeInfinity)
+      nn.sortBy(q => -tupRev(s"$ctx, [time].[1995].[$q]")) ++ nul
+    }
+    assert(deepLast ===
+      descQs("[customer].[EUROPE]").map(("EUROPE", _)) ++
+      descQs("[customer].[EUROPE].[NATION_13]").map(("NATION_13", _)))
   }
 
   test("value-based non-breaking Order over a THREE-level stored set " +
