@@ -532,6 +532,34 @@ object ScaleProbe {
         f"bytes=${bEnd - bytes0}")
     }
 
+    if (args.headOption.contains("tupleplan")) {
+      // r17: physical-plan audit of the tuple non-breaking Order
+      // (tupleHierOrderSet) — rank frames must broadcast-join, no
+      // sort-merge joins, and the per-position cell passes must stay
+      // grouping-sets scans (Expand), at both probe SFs
+      import graft.olap.Mdx
+      for (sf <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")
+           if new java.io.File(sf).isDirectory) {
+        val cube = graft.Cubes.sales(spark, sf)
+        val df = Mdx.execute(
+          """SELECT {[Measures].[revenue]} ON COLUMNS,
+            |  HEAD(ORDER(CROSSJOIN({[customer].[EUROPE].[NATION_13],
+            |                        [customer].[EUROPE].[NATION_18],
+            |                        [customer].[ASIA].[NATION_2]},
+            |                       {[time].[1995], [time].[1996]}),
+            |             [Measures].[revenue], DESC), 3) ON ROWS
+            |FROM [Sales]""".stripMargin, cube)
+        time(s"tuple order $sf")(force(df))
+        val plan = df.queryExecution.executedPlan.toString
+        def cnt(p: String) = p.r.findAllIn(plan).size
+        println(s"  plan[$sf]: bhj=${cnt("BroadcastHashJoin")} " +
+          s"smj=${cnt("SortMergeJoin")} " +
+          s"exch=${cnt("Exchange hashpartitioning")} " +
+          s"expand=${cnt("Expand")} window=${cnt("Window")} " +
+          s"scans=${cnt("Scan parquet")} nlj=${cnt("NestedLoop")}")
+      }
+    }
+
     if (args.headOption.contains("snapdup")) {
       // snapshotClusterLabels on a HIGH-dup-mass corpus (VERDICT r10
       // #4): the per-snapshot fold reads the full last-gen label frame
