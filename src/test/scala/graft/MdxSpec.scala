@@ -1790,6 +1790,50 @@ class MdxSpec extends SparkSpec {
       descQs("[customer].[EUROPE].[NATION_13]").map(("NATION_13", _)))
   }
 
+  test("non-breaking Order over a THREE-position tuple: each position " +
+      "ranks within ALL earlier coordinates' context (the comparator " +
+      "generalizes past two hierarchies)") {
+    def tupRev(where: String): Double = {
+      val r = Mdx.execute(
+        s"""SELECT {[Measures].[revenue]} ON COLUMNS
+          |FROM [Sales] WHERE ($where)""".stripMargin, cube)
+        .collect().head
+      if (r.isNullAt(r.fieldIndex("revenue"))) Double.NegativeInfinity
+      else r.getAs[java.math.BigDecimal]("revenue").doubleValue()
+    }
+    val flags = Seq("A", "N")
+    val got = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  ORDER(CROSSJOIN(CROSSJOIN(
+        |           {[customer].[EUROPE].[NATION_13],
+        |            [customer].[EUROPE].[NATION_18]},
+        |           {[time].[1995], [time].[1996]}),
+        |         {[returnflag].[A], [returnflag].[N]}),
+        |        [Measures].[revenue], DESC) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq
+      .map(r => (r.getString(r.fieldIndex("cr_nation")),
+        String.valueOf(r.get(r.fieldIndex("d_year"))),
+        r.getString(r.fieldIndex("l_returnflag"))))
+    // expected: nations by their FULL cells (same region — region rank
+    // ties), years by (nation, year) cells within each nation, flags
+    // by (nation, year, flag) cells within each (nation, year)
+    def descBy[T](xs: Seq[T])(rev: T => Double): Seq[T] = {
+      val (nn, nul) = xs.partition(rev(_) != Double.NegativeInfinity)
+      nn.sortBy(x => -rev(x)) ++ nul
+    }
+    val nOrder = descBy(Seq("NATION_13", "NATION_18"))(n =>
+      tupRev(s"[customer].[EUROPE].[$n]"))
+    val want = nOrder.flatMap { n =>
+      descBy(Seq("1995", "1996"))(y =>
+        tupRev(s"[customer].[EUROPE].[$n], [time].[$y]")).flatMap { y =>
+        descBy(flags)(f => tupRev(
+          s"[customer].[EUROPE].[$n], [time].[$y], [returnflag].[$f]"))
+          .map(f => (n, y, f))
+      }
+    }
+    assert(got === want)
+  }
+
   test("value-based non-breaking Order over a THREE-level stored set " +
       "(the mixed-prefix grouping-sets branch of hierOrderSet): " +
       "ancestors precede descendants through every depth, sibling " +
