@@ -1790,6 +1790,42 @@ class MdxSpec extends SparkSpec {
       descQs("[customer].[EUROPE].[NATION_13]").map(("NATION_13", _)))
   }
 
+  test("non-breaking Order over a tuple set evaluates its ranks UNDER " +
+      "the query slicer (the comparator's evaluator carries the WHERE " +
+      "context into every sibling comparison)") {
+    def slRev(where: String): Double = {
+      val r = Mdx.execute(
+        s"""SELECT {[Measures].[revenue]} ON COLUMNS
+          |FROM [Sales] WHERE ($where)""".stripMargin, cube)
+        .collect().head
+      if (r.isNullAt(r.fieldIndex("revenue"))) Double.NegativeInfinity
+      else r.getAs[java.math.BigDecimal]("revenue").doubleValue()
+    }
+    val got = Mdx.execute(
+      """SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  ORDER(CROSSJOIN({[customer].[EUROPE].[NATION_13],
+        |                   [customer].[EUROPE].[NATION_18]},
+        |                  {[time].[1995], [time].[1996]}),
+        |        [Measures].[revenue], DESC) ON ROWS
+        |FROM [Sales] WHERE ([returnflag].[R])""".stripMargin, cube)
+      .collect().toSeq
+      .map(r => (r.getString(r.fieldIndex("cr_nation")),
+        String.valueOf(r.get(r.fieldIndex("d_year")))))
+    def descBy[T](xs: Seq[T])(rev: T => Double): Seq[T] = {
+      val (nn, nul) = xs.partition(rev(_) != Double.NegativeInfinity)
+      nn.sortBy(x => -rev(x)) ++ nul
+    }
+    // every rank layer reads R-flag cells, not unsliced totals
+    val want = descBy(Seq("NATION_13", "NATION_18"))(n =>
+      slRev(s"[customer].[EUROPE].[$n], [returnflag].[R]"))
+      .flatMap { n =>
+        descBy(Seq("1995", "1996"))(y => slRev(
+          s"[customer].[EUROPE].[$n], [time].[$y], [returnflag].[R]"))
+          .map(y => (n, y))
+      }
+    assert(got === want)
+  }
+
   test("non-breaking Order over a THREE-position tuple: each position " +
       "ranks within ALL earlier coordinates' context (the comparator " +
       "generalizes past two hierarchies)") {
