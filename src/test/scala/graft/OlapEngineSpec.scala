@@ -57,6 +57,23 @@ class OlapEngineSpec extends SparkSpec {
     assert(ordered(hc) === ordered(cube))
   }
 
+  test("high_cardinality opt-out parity holds on the TUPLE " +
+      "non-breaking Order path too (r17 — tupleHierOrderSet shares " +
+      "the rank-frame broadcast hint)") {
+    def ordered(c: BoundCube): Seq[(String, String)] =
+      Mdx.execute(
+        """SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  ORDER(CROSSJOIN([customer].[nation].Members,
+          |                  {[time].[1995], [time].[1996]}),
+          |        [Measures].[revenue], DESC) ON ROWS
+          |FROM [Sales]""".stripMargin, c).collect().toSeq
+        .map(r => (r.getString(r.fieldIndex("cr_nation")),
+          String.valueOf(r.get(r.fieldIndex("d_year")))))
+    val hc = cube.copy(dims = cube.dims.map(d =>
+      if (d.name == "customer") d.copy(highCardinality = true) else d))
+    assert(ordered(hc) === ordered(cube))
+  }
+
   test("CurrentOrdinal in a non-breaking Order key refuses — the " +
       "hierarchical sort evaluates ancestors outside the live " +
       "positional order (ADVICE r15)") {
