@@ -84,7 +84,39 @@ def main(bench_path, floors_path):
     return 0 if ok else 1
 
 
+def selftest():
+    """Prove the checker fails and passes where it must, incl. the
+    bound_overrides path (r17)."""
+    import tempfile, os
+    def run(bench, floors):
+        bp = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+        fp = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+        json.dump(bench, bp); json.dump(floors, fp)
+        bp.close(); fp.close()
+        try:
+            return main(bp.name, fp.name)
+        finally:
+            os.unlink(bp.name); os.unlink(fp.name)
+    base = {"total": 60.0, "n_queries": 100, "errs": {},
+            "queries": {"q_a": 3.9}}
+    floors = {"floors": {"q_a": 1.9}}
+    assert run(base, floors) == 1, "3.9s over max(2x1.9, 2.4) must FAIL"
+    withov = {"floors": {"q_a": 1.9}, "bound_overrides": {"q_a": 4.5}}
+    assert run(base, withov) == 0, "the 4.5s override must admit 3.9s"
+    over_ov = dict(base, queries={"q_a": 4.6})
+    assert run(over_ov, withov) == 1, "4.6s must fail even the override"
+    errs = dict(base, errs={"q_a": "Boom"}, queries={"q_a": 0.1})
+    assert run(errs, withov) == 1, "nonempty errs must FAIL"
+    slow = dict(base, total=80.0, queries={"q_a": 1.9})
+    assert run(slow, floors) == 1, "0.80 s/query total must FAIL"
+    print("selftest OK: generic bound, override admit/deny, errs, "
+          "total band")
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     bench = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench.json"
     floors = (sys.argv[2] if len(sys.argv) > 2
               else "tools/bench_floors_r17.json")
