@@ -1826,6 +1826,105 @@ class MdxSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("PROPERTY: tuple non-breaking Order matches an independent " +
+      "reference comparator over randomized member sets, both " +
+      "directions (HierarchicalTupleComparator reimplemented in-test " +
+      "from cell maps fetched in four passes)") {
+    // cell maps at every grain the comparator can read, one pass each
+    def cellMap(axis: String, keyCols: Seq[String]): Map[Seq[String], Double] =
+      Mdx.execute(
+        s"""SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  $axis ON ROWS
+          |FROM [Sales]""".stripMargin, cube).collect().toSeq.map { r =>
+        keyCols.map(c => String.valueOf(r.get(r.fieldIndex(c)))) ->
+          (if (r.isNullAt(r.fieldIndex("revenue"))) Double.NaN
+           else r.getAs[java.math.BigDecimal]("revenue").doubleValue())
+      }.toMap
+    val regionRev = cellMap("[customer].[region].Members", Seq("cr_region"))
+    val nationRev = cellMap("[customer].[nation].Members",
+      Seq("cr_region", "cr_nation"))
+    val regionYear = cellMap(
+      "CROSSJOIN([customer].[region].Members, [time].[year].Members)",
+      Seq("cr_region", "d_year"))
+    val nationYear = cellMap(
+      "CROSSJOIN([customer].[nation].Members, [time].[year].Members)",
+      Seq("cr_region", "cr_nation", "d_year"))
+    val regions = regionRev.keys.map(_.head).toSeq.sorted
+    val nations = nationRev.keys.toSeq.sortBy(_.mkString("/"))
+    // customer member = its full path (region) or (region, nation)
+    type M = Seq[String]
+    // value compare in direction `desc`: empty cells LAST either way
+    // (desc_nulls_last/asc_nulls_last), ties by key ascending
+    def byValue(v1: Double, v2: Double, k1: String, k2: String,
+        desc: Boolean): Int = {
+      val c =
+        if (v1.isNaN && v2.isNaN) 0
+        else if (v1.isNaN) 1
+        else if (v2.isNaN) -1
+        else {
+          val raw = java.lang.Double.compare(v1, v2)
+          if (desc) -raw else raw
+        }
+      if (c != 0) c else k1.compareTo(k2)
+    }
+    // FunUtil.compareHierarchicallyButSiblingsByValue over customer
+    // paths, sibling values read from the maps at the sibling's depth
+    def cmpCust(a: M, b: M, desc: Boolean): Int = {
+      if (a == b) 0
+      else if (a.length < b.length) {
+        if (b.startsWith(a)) -1 // ancestor precedes its descendant
+        else cmpCust(a, b.dropRight(1), desc)
+      } else if (a.length > b.length) {
+        if (a.startsWith(b)) 1
+        else cmpCust(a.dropRight(1), b, desc)
+      } else if (a.dropRight(1) != b.dropRight(1))
+        cmpCust(a.dropRight(1), b.dropRight(1), desc)
+      else { // siblings
+        val (v1, v2) =
+          if (a.length == 1) (regionRev(a), regionRev(b))
+          else (nationRev(a), nationRev(b))
+        byValue(v1, v2, a.last, b.last, desc)
+      }
+    }
+    def cmpYear(ctx: M, y1: String, y2: String, desc: Boolean): Int = {
+      val m = if (ctx.length == 1) regionYear else nationYear
+      byValue(m.getOrElse(ctx :+ y1, Double.NaN),
+        m.getOrElse(ctx :+ y2, Double.NaN), y1, y2, desc)
+    }
+    def mdxOf(m: M): String =
+      "[customer]." + m.map(p => s"[$p]").mkString(".")
+    val rnd = new scala.util.Random(0x517cafe)
+    val years = Seq("1995", "1996", "1997")
+    for (trial <- 1 to 10) {
+      val pool = rnd.shuffle(regions.map(Seq(_)) ++ nations)
+      val custSet: Seq[M] = pool.take(2 + rnd.nextInt(4))
+      val yrSet = rnd.shuffle(years).take(1 + rnd.nextInt(3)).sorted
+      val desc = rnd.nextBoolean()
+      val got = Mdx.execute(
+        s"""SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  ORDER(CROSSJOIN({${custSet.map(mdxOf).mkString(", ")}},
+          |                  {${yrSet.map(y => s"[time].[$y]").mkString(", ")}}),
+          |        [Measures].[revenue], ${if (desc) "DESC" else "ASC"})
+          |    ON ROWS
+          |FROM [Sales]""".stripMargin, cube).collect().toSeq
+        .map { r =>
+          val reg = r.getString(r.fieldIndex("cr_region"))
+          val nat = // an all-region trial's frame has no nation column
+            if (!r.schema.fieldNames.contains("cr_nation")) None
+            else if (r.isNullAt(r.fieldIndex("cr_nation"))) None
+            else Some(r.getString(r.fieldIndex("cr_nation")))
+          (Seq(reg) ++ nat, String.valueOf(r.get(r.fieldIndex("d_year"))))
+        }
+      val want = custSet.flatMap(c => yrSet.map(y => (c, y)))
+        .sortWith { case ((c1, y1), (c2, y2)) =>
+          val c = cmpCust(c1, c2, desc)
+          if (c != 0) c < 0 else cmpYear(c1, y1, y2, desc) < 0
+        }
+      assert(got === want, s"trial $trial: set=$custSet years=$yrSet " +
+        s"desc=$desc")
+    }
+  }
+
   test("non-breaking Order over a THREE-position tuple: each position " +
       "ranks within ALL earlier coordinates' context (the comparator " +
       "generalizes past two hierarchies)") {
