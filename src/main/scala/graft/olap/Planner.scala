@@ -874,7 +874,9 @@ final class Planner(val cube: BoundCube) {
       "CurrentOrdinal in a non-breaking Order key is not supported — " +
         "the hierarchical sort evaluates ancestors outside the live " +
         "positional order; use BASC/BDESC")
-    def rankSort(v: Column) = if (desc) v.desc_nulls_last else v.asc_nulls_last
+    // empty cell = -infinity (FunUtil.compareValues): ASC empties
+    // FIRST, DESC empties last — r18, was empties-last both ways
+    def rankSort(v: Column) = if (desc) v.desc_nulls_last else v.asc_nulls_first
     if (a.dims.length != 1)
       return tupleHierOrderSet(a, cells, e, desc, slicer)
     val ad = a.dims.head
@@ -965,15 +967,20 @@ final class Planner(val cube: BoundCube) {
     * ranks window over (earlier dims' full paths + dim_i's parent
     * prefix); the LAST position's deepest level reuses the set's own
     * tuple-grain cells, so the finest grain is never re-scanned. The
-    * member frame left-joins the rank frames (broadcast unless a
-    * hierarchy is high_cardinality) and sorts position-major on the
+    * member frame left-joins the rank frames (each broadcast unless a
+    * hierarchy IN ITS OWN GRAIN — positions 0..i — is
+    * high_cardinality; a later high-card position never forces an
+    * early tiny frame onto a shuffle) and sorts position-major on the
     * rank chains. Lexicographic rank order IS the comparator's order:
     * equal members share every rank (same partitions, same rows), and
     * differing members first diverge at their shallowest differing
     * level, whose sibling rank realizes
     * compareHierarchicallyButSiblingsByValue. Ties break by the level
     * key ascending in both directions — the engine's deterministic
-    * convention, shared with the single-hierarchy path.
+    * convention, shared with the single-hierarchy path. An EMPTY cell
+    * compares as -infinity (FunUtil.compareValues): ASC empties first,
+    * DESC empties last (r18 — asc_nulls_last before, a silent ASC-path
+    * divergence).
     *
     * Mixed-depth hierarchies are supported at ANY tuple position
     * (r17): at its own position the single grouping-sets pass covers
@@ -993,7 +1000,8 @@ final class Planner(val cube: BoundCube) {
     */
   private def tupleHierOrderSet(a: AxisFrame, cells: DataFrame, e: String,
       desc: Boolean, slicer: Seq[SlicerItem]): AxisFrame = {
-    def rankSort(v: Column) = if (desc) v.desc_nulls_last else v.asc_nulls_last
+    // empty cell = -infinity (FunUtil.compareValues): ASC empties FIRST
+    def rankSort(v: Column) = if (desc) v.desc_nulls_last else v.asc_nulls_first
     var joined = a.members
     val sortCols = Seq.newBuilder[Column]
     for (i <- a.dims.indices) {
@@ -1084,7 +1092,13 @@ final class Planner(val cube: BoundCube) {
         val rf0 = src.select(
           keyCols.map(c => col(c).as(s"__rk${i}_${k}_$c")) :+
             row_number().over(w).cast("long").as(s"__hr${i}_$k"): _*)
-        val rf = if (hintOf(a.dims) == Ords.Small) broadcast(rf0) else rf0
+        // hint from the dims actually in THIS frame's grain (positions
+        // 0..i): an early-position frame of a tuple whose LATER
+        // position is high_cardinality is still tiny — broadcast it
+        // (ADVICE r17; hintOf(a.dims) shuffled every frame of a mixed
+        // small×high-card tuple)
+        val rf = if (hintOf(a.dims.take(i + 1)) == Ords.Small)
+          broadcast(rf0) else rf0
         val cond = keyCols
           .map(c => joined(c) <=> rf(s"__rk${i}_${k}_$c")).reduce(_ && _)
         val guard = if (selfMixed) joined(DepthCol) >= k else lit(true)
@@ -1346,9 +1360,9 @@ final class Planner(val cube: BoundCube) {
             "the live positional order; use BASC/BDESC")
         val key = resolve(e)
         val idc = col(h.entryCol).cast("int")
-        val sortVal =
+        val sortVal = // empty cell = -infinity (FunUtil.compareValues)
           if (dir == SortDir.Desc) col("__hval").desc_nulls_last
-          else col("__hval").asc_nulls_last
+          else col("__hval").asc_nulls_first
         val parEx = coalesce(
           element_at(typedLit(h.parentOf), idc), lit(-1))
         val calcEx = coalesce(
@@ -1377,9 +1391,11 @@ final class Planner(val cube: BoundCube) {
           .drop("__ci", "__hkey")
       case EntryOrder(e, dir) =>
         val key = resolve(e)
+        // empty cell = -infinity (FunUtil.compareValues), matching the
+        // ordinary OrderSet breaking path's Spark-default null order
         val sort =
           if (dir == SortDir.BDesc) key.desc_nulls_last
-          else key.asc_nulls_last
+          else key.asc_nulls_first
         df.withColumn("__pos", row_number()
           .over(Window.orderBy(sort, col("__pos").asc)).cast("long"))
       case EntryHead(n) => df.filter(col("__pos") <= n)

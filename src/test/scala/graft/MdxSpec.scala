@@ -1727,11 +1727,12 @@ class MdxSpec extends SparkSpec {
       .map(r => (if (r.isNullAt(r.fieldIndex("cr_nation"))) "EUROPE"
         else r.getString(r.fieldIndex("cr_nation")),
         String.valueOf(r.get(r.fieldIndex("d_year")))))
-    // ASC = values ascending, empty cells last, year-asc tie-break
+    // ASC = values ascending, empty cells FIRST (-infinity per
+    // FunUtil.compareValues, r18), year-asc tie-break
     def ascYears(rev: String => Double): Seq[String] = {
       val (nn, nul) = Seq("1995", "1996")
         .partition(y => rev(y) != Double.NegativeInfinity)
-      nn.sortBy(rev) ++ nul
+      nul ++ nn.sortBy(rev)
     }
     def tupRev(where: String): Double = {
       val r = Mdx.execute(
@@ -1853,14 +1854,15 @@ class MdxSpec extends SparkSpec {
     val nations = nationRev.keys.toSeq.sortBy(_.mkString("/"))
     // customer member = its full path (region) or (region, nation)
     type M = Seq[String]
-    // value compare in direction `desc`: empty cells LAST either way
-    // (desc_nulls_last/asc_nulls_last), ties by key ascending
+    // value compare in direction `desc`: an empty cell is -infinity
+    // (FunUtil.compareValues — ASC empties first, DESC empties last),
+    // ties by key ascending
     def byValue(v1: Double, v2: Double, k1: String, k2: String,
         desc: Boolean): Int = {
       val c =
         if (v1.isNaN && v2.isNaN) 0
-        else if (v1.isNaN) 1
-        else if (v2.isNaN) -1
+        else if (v1.isNaN) { if (desc) 1 else -1 }
+        else if (v2.isNaN) { if (desc) -1 else 1 }
         else {
           val raw = java.lang.Double.compare(v1, v2)
           if (desc) -raw else raw
