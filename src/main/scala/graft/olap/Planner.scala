@@ -2553,10 +2553,33 @@ final class Planner(val cube: BoundCube) {
           es.map(e => (e.idx, e.name, e.isCalc))
             .toDF(f.entryCol, f.label, f.calcCol)
         }
-        val frame = otherFrame0 match {
-          case Some(of) => entryFrames.foldLeft(of.members)(
+        // left-major axis rendering (r18): the final sort and the axis
+        // columns interleave by each factor's ORIGINAL crossjoin
+        // position — Mondrian iterates axis ordinals left-to-right
+        // (query.rb:47-57; axis shapes pinned by query_test.rb:
+        // 157-174,408-432), so CROSSJOIN(years, {…calc…}) renders
+        // year-major, not hoisted calc-first (the last user-visible
+        // divergence from the reference's axis contract, VERDICT r17).
+        // PER-FACTOR member frames (not the combined otherSet product,
+        // whose single renumbered __ord cannot decompose) keep each
+        // stored factor's own explicit order when a calc factor sits
+        // between two stored ones.
+        val otherByIdx: Seq[(Int, AxisFrame, Seq[String], Seq[Column])] =
+          otherIdxs.map { oi =>
+            val rs = evalSet(rowsFactors(oi), qSlicerAll, qs.withSets)
+            val keys = rs.dims.flatMap(ad => levelCols(ad.d, ad.depth))
+            if (rs.hasOrd) {
+              val oc = s"__oord$oi"
+              (oi, rs.copy(members =
+                rs.members.withColumnRenamed(OrdCol, oc)),
+                keys, Seq(col(oc).asc))
+            } else (oi, rs, keys, rs.dims.flatMap(ad =>
+              ad.d.levelsTo(ad.depth).map(l => col(l.ordinal).asc)))
+          }
+        val frame = otherByIdx.map(_._2.members) match {
+          case Seq() => entryFrames.tail.foldLeft(entryFrames.head)(
             (acc, ef) => acc.crossJoin(broadcast(ef)))
-          case None => entryFrames.tail.foldLeft(entryFrames.head)(
+          case oms => entryFrames.foldLeft(oms.reduce(_ crossJoin _))(
             (acc, ef) => acc.crossJoin(broadcast(ef)))
         }
         val aggedSide = if (otherHighCard) agged else broadcast(agged)
@@ -2574,14 +2597,6 @@ final class Planner(val cube: BoundCube) {
               when(calcAny && col(m).isNull, lit(0L))
                 .otherwise(col(m)))
           })
-        // entry-major order (the literal set's position), then the
-        // other factors' own order (explicit __ord when set, else
-        // hierarchical level ordinals — both live on the frame side)
-        val otherSort: Seq[Column] = otherFrame0.toSeq.flatMap { of =>
-          if (of.hasOrd) Seq(col(OrdCol).asc)
-          else of.dims.flatMap(ad =>
-            ad.d.levelsTo(ad.depth).map(l => col(l.ordinal).asc))
-        }
         // NECJ drops axis tuples without fact support (the left join
         // leaves __nrows null there); plain CrossJoin keeps them with
         // null/zero cells. When the NECJ is NESTED under an outer
@@ -2627,12 +2642,23 @@ final class Planner(val cube: BoundCube) {
             tupled.withColumn("__pos", (col("__entry") + 1).cast("long")),
             opsDownstream, dim, label,
             entryHier.map(_.copy(entryCol = cf0.entryCol)))
-        val entrySort: Seq[Column] =
-          if (opsDownstream.isEmpty) entryCols.map(col(_).asc)
-          else Seq(col("__pos").asc)
-        val out = posed.orderBy(entrySort ++ otherSort: _*)
-          .select(((factors.map(_.label) ++ otherKeys) ++ qs.measures)
-            .map(col): _*)
+        // sort keys and axis columns in factor-position order: a calc
+        // factor sorts by its entry position (post-op __pos when ops
+        // ran downstream — single-factor shape, nothing to interleave),
+        // a stored factor by its own __oord / level ordinals
+        val axisSort: Seq[Column] = rowsFactors.indices.flatMap { fi =>
+          val k = calcIdxs.indexOf(fi)
+          if (k < 0) otherByIdx.find(_._1 == fi).get._4
+          else if (k == 0 && opsDownstream.nonEmpty) Seq(col("__pos").asc)
+          else Seq(col(factors(k).entryCol).asc)
+        }
+        val axisCols: Seq[String] = rowsFactors.indices.flatMap { fi =>
+          val k = calcIdxs.indexOf(fi)
+          if (k < 0) otherByIdx.find(_._1 == fi).get._3
+          else Seq(factors(k).label)
+        }
+        val out = posed.orderBy(axisSort: _*)
+          .select((axisCols ++ qs.measures).map(col): _*)
         return if (!qs.nonEmpty) out
           else out.filter(
             qs.measures.map(col(_).isNotNull).reduce(_ || _))
@@ -2790,35 +2816,54 @@ final class Planner(val cube: BoundCube) {
             .orderBy(col("__pos").asc)
             .select((label +: qs.measures).map(col): _*)
         else otherFrame0 match {
-          case Some(of) =>
-            // other-factor rows sort by their OWN order — explicit
-            // __ord when the set was explicitly ordered, else
-            // hierarchical level ordinals — matching the fused path's
-            // otherSort (r13 ADVICE: the name-key sort destroyed an
-            // Order()'d or ordinal_column'd factor's internal order).
-            // Ordinals live on the member frame; a dimension-sized
-            // broadcast joins them back (null-safe equality:
-            // mixed-depth frames pad deeper keys with null)
-            val ordCols: Seq[String] =
-              if (of.hasOrd) Seq(OrdCol)
-              else of.dims.flatMap(ad =>
-                ad.d.levelsTo(ad.depth).map(_.ordinal))
-            val extraOrds = ordCols.filterNot(otherKeys.contains)
-            val base =
-              if (extraOrds.isEmpty) unioned0
-              else {
-                val frame = of.members
-                  .select((otherKeys ++ extraOrds).map(col): _*)
-                  .distinct()
-                otherKeys.foldLeft(unioned0.join(broadcast(frame),
-                    otherKeys.map(k => unioned0(k) <=> frame(k))
-                      .reduce(_ && _), "left")) {
-                  (df, k) => df.drop(frame(k))
-                }
+          case Some(_) =>
+            // left-major axis rendering (r18, matching the fused path):
+            // sort keys interleave by each factor's ORIGINAL crossjoin
+            // position — the calc factor by its entry position, stored
+            // factors by their OWN order (explicit __ord when the set
+            // was explicitly ordered, else hierarchical level ordinals;
+            // r13 ADVICE: a name-key sort destroyed an Order()'d or
+            // ordinal_column'd factor's internal order). Ordinals live
+            // on the member frames; dimension-sized broadcasts join
+            // them back per factor (null-safe equality: mixed-depth
+            // frames pad deeper keys with null)
+            val perFactor: Seq[(Int, Seq[String], Seq[String],
+                DataFrame)] =
+              otherIdxs.map { oi =>
+                val rs = evalSet(rowsFactors(oi), qSlicerAll, qs.withSets)
+                val keys = rs.dims.flatMap(ad => levelCols(ad.d, ad.depth))
+                if (rs.hasOrd) {
+                  val oc = s"__oord$oi"
+                  (oi, keys, Seq(oc),
+                    rs.members.withColumnRenamed(OrdCol, oc))
+                } else (oi, keys, rs.dims.flatMap(ad =>
+                  ad.d.levelsTo(ad.depth).map(_.ordinal)), rs.members)
               }
-            base
-              .orderBy(col("__epos").asc +: ordCols.map(col(_).asc): _*)
-              .select(((label +: otherKeys) ++ qs.measures).map(col): _*)
+            val base = perFactor.foldLeft(unioned0) {
+              case (acc, (_, keys, ordCols, members)) =>
+                val extra = ordCols.filterNot(acc.columns.contains)
+                if (extra.isEmpty) acc
+                else {
+                  val fr = members.select((keys ++ extra).map(col): _*)
+                    .distinct()
+                  keys.foldLeft(acc.join(broadcast(fr),
+                      keys.map(k => acc(k) <=> fr(k)).reduce(_ && _),
+                      "left")) {
+                    (df, k) => df.drop(fr(k))
+                  }
+                }
+            }
+            val cfi = calcIdxs.head
+            val sortCols: Seq[Column] = rowsFactors.indices.flatMap { fi =>
+              if (fi == cfi) Seq(col("__epos").asc)
+              else perFactor.find(_._1 == fi).get._3.map(col(_).asc)
+            }
+            val axisCols: Seq[String] = rowsFactors.indices.flatMap { fi =>
+              if (fi == cfi) Seq(label)
+              else perFactor.find(_._1 == fi).get._2
+            }
+            base.orderBy(sortCols: _*)
+              .select((axisCols ++ qs.measures).map(col): _*)
           case None =>
             unioned0.orderBy(col("__epos").asc)
               .select((label +: qs.measures).map(col): _*)

@@ -903,6 +903,73 @@ class MdxSpec extends SparkSpec {
     assert(cj === 2 * years)
   }
 
+  test("the crossjoin axis renders LEFT-MAJOR in axis-ordinal order " +
+      "(r18): a calc factor in the SECOND position keeps the stored " +
+      "factor varying slowest, its label column at its own position — " +
+      "fused and fallback alike (query.rb:47-57 axis iteration)") {
+    def run(measure: String, extra: String): (Seq[String], Seq[(Int, String)]) = {
+      val df = Mdx.execute(
+        s"""WITH $Eu13As2Def
+          |$extra
+          |SELECT {[Measures].[$measure]} ON COLUMNS,
+          |  CROSSJOIN({[time].[1996], [time].[1995]},
+          |            {[customer].[AMERICA], [customer].[EU13 and AS2]})
+          |    ON ROWS
+          |FROM [Sales]""".stripMargin, cube)
+      (df.columns.toSeq, df.collect().toSeq
+        .map(r => (r.getInt(0), r.getString(1))))
+    }
+    val (cols, got) = run("revenue", "")
+    // the year column sits at the year factor's position (first)
+    assert(cols === Seq("d_year", "cr_region", "revenue"))
+    // the literal {1996, 1995} Members set has no explicit order —
+    // level ordinals render years ascending; within each year the
+    // entries keep their literal positions. Year-major = left-major.
+    assert(got === Seq((1995, "AMERICA"), (1995, "EU13 and AS2"),
+      (1996, "AMERICA"), (1996, "EU13 and AS2")))
+    // the per-entry fallback (Measures-hosted calc) agrees
+    val (fbCols, fbGot) = run("rev2",
+      "MEMBER [Measures].[rev2] AS [Measures].[revenue] * 2")
+    assert(fbCols === Seq("d_year", "cr_region", "rev2"))
+    assert(fbGot === got)
+    // an ORDER()'d FIRST factor keeps ITS explicit order as the major
+    // key with the calc factor second (the per-factor __ord path)
+    def rev(y: Int): Double = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS
+        |FROM [Sales] WHERE ([time].[$y])""".stripMargin, cube)
+      .collect().head.getAs[java.math.BigDecimal]("revenue").doubleValue()
+    val yDesc = Seq(1995, 1996).sortBy(y => -rev(y))
+    val ordered = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN(ORDER({[time].[1995], [time].[1996]},
+        |                  [Measures].[revenue], BDESC),
+        |            {[customer].[AMERICA], [customer].[EU13 and AS2]})
+        |    ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(ordered === yDesc.flatMap(y =>
+      Seq((y, "AMERICA"), (y, "EU13 and AS2"))))
+    // a calc factor BETWEEN two stored factors: each stored factor
+    // sorts at its own position (the ordered years stay major, flags
+    // vary fastest) — the combined otherSet's single renumbered __ord
+    // could not decompose this shape
+    val between = Mdx.execute(
+      s"""WITH $Eu13As2Def
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  CROSSJOIN(ORDER({[time].[1995], [time].[1996]},
+        |                  [Measures].[revenue], BDESC),
+        |    CROSSJOIN({[customer].[EU13 and AS2]},
+        |              {[returnflag].[A], [returnflag].[N]})) ON ROWS
+        |FROM [Sales]""".stripMargin, cube)
+    assert(between.columns.toSeq ===
+      Seq("d_year", "cr_region", "l_returnflag", "revenue"))
+    val bGot = between.collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(bGot === yDesc.flatMap(y => Seq(
+      (y, "EU13 and AS2", "A"), (y, "EU13 and AS2", "N"))))
+  }
+
   test("the crossjoined dim-calc fallback (Measures-hosted calc) " +
       "matches the fused path cell for cell") {
     def run(measure: String, extra: String) = Mdx.execute(
@@ -2152,10 +2219,12 @@ class MdxSpec extends SparkSpec {
         |                      [priority].[priority].Members)) ON ROWS
         |FROM [Sales]""".stripMargin, cube).collect()
     assert(rows.length === 15) // 3 flags x 5 priorities, Ghost gone
+    // left-major axis layout (r18): each factor at its own crossjoin
+    // position — (customer calc, flag, time calc, priority)
     assert(rows.forall(r =>
-      r.getString(0) == "C112" && r.getString(1) == "Y97"))
+      r.getString(0) == "C112" && r.getString(2) == "Y97"))
     val nonNull = rows.filterNot(_.isNullAt(4))
-      .map(r => (r.getString(2), r.getString(3))).toSet
+      .map(r => (r.getString(1), r.getString(3))).toSet
     assert(nonNull === Set(("A", "2-HIGH")))
   }
 
