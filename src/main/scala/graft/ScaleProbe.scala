@@ -532,6 +532,68 @@ object ScaleProbe {
         f"bytes=${bEnd - bytes0}")
     }
 
+    if (args.headOption.contains("seglru")) {
+      // r18: byte-budget LRU soak — 200 DISTINCT mixed-set queries
+      // (distinct slicers → distinct SegKeys) under a resident-byte
+      // budget. Without the cap the r17 segchurn curve grows linearly
+      // in live segments forever (nothing evicts without an explicit
+      // flush); with it, peak resident bytes must stay bounded by the
+      // budget while every query still answers (evicted segments
+      // recompute lazily). Prints segs / residentBytes / evictions /
+      // block-manager delta every 25 queries.
+      import graft.olap.{Mdx, SegmentCache}
+      val cube = graft.Cubes.sales(spark, "/root/testdata/sf0.1")
+      val sc = spark.sparkContext
+      def storage: Long =
+        sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+      def mixedQ(where: String): Long = graft.olap.Pins.scoped {
+        force(Mdx.execute(
+          s"""SELECT {[Measures].[revenue]} ON COLUMNS,
+             |  ORDER({[customer].[EUROPE],
+             |         [customer].[EUROPE].[NATION_13],
+             |         [customer].[ASIA],
+             |         [customer].[ASIA].[NATION_2]},
+             |        [Measures].[revenue], DESC) ON ROWS
+             |FROM [Sales] WHERE ($where)""".stripMargin, cube))
+      }
+      val c = SegmentCache.global
+      c.clear()
+      // ~2 KB/segment at sf0.1 (grain-sized, r17 segchurn) — a 256 KiB
+      // budget forces steady eviction well before the 200th query
+      val budget = 256L * 1024
+      c.setByteBudget(budget)
+      val bytes0 = storage
+      val quarters = (1995 to 2001).flatMap(y =>
+        (1 to 4).map(q => s"[time].[$y].[$y-Q$q]"))
+      val slicers = ((1995 to 2001).map(y => s"[time].[$y]") ++
+        quarters ++
+        quarters.flatMap(q => Seq("A", "N", "R").map(f =>
+          s"$q, [returnflag].[$f]")) ++
+        quarters.flatMap(q => Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW").map(p =>
+          s"$q, [priority].[$p]"))).take(200)
+      var peak = 0L
+      slicers.zipWithIndex.foreach { case (w, i) =>
+        mixedQ(w)
+        peak = math.max(peak, c.residentBytes)
+        if ((i + 1) % 25 == 0)
+          println(f"after ${i + 1}%3d distinct queries: segs=${c.size}%3d " +
+            f"resident=${c.residentBytes}%d evictions=${c.evictions}%d " +
+            f"blockDelta=${storage - bytes0}%d")
+      }
+      println(f"peak resident=$peak%d (budget=$budget%d) " +
+        f"segs=${c.size} evictions=${c.evictions}")
+      assert(peak <= budget * 2,
+        s"peak resident bytes $peak must stay near the $budget budget " +
+          "(2x slack: one oversized in-flight segment may overshoot " +
+          "before the post-insert enforcement)")
+      // evicted segments recompute fine: re-run the first slicer cold
+      mixedQ(slicers.head)
+      c.setByteBudget(0L) // restore unlimited
+      c.clear()
+      println("seglru: OK")
+    }
+
     if (args.headOption.contains("tupleplan")) {
       // r17: physical-plan audit of the tuple non-breaking Order
       // (tupleHierOrderSet) — rank frames must broadcast-join, no

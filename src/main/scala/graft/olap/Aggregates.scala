@@ -337,11 +337,13 @@ final class SegmentCache {
 
   def getOrCompute(key: SegKey)(compute: => DataFrame): DataFrame =
     segments.get(key) match {
-      case Some(df) => hitCount += 1; df
+      case Some(df) => hitCount += 1; touch(key); df
       case None =>
         missCount += 1
         val df = compute.persist()
-        segments.putIfAbsent(key, df).getOrElse(df)
+        val out = segments.putIfAbsent(key, df).getOrElse(df)
+        touch(key); enforceBudget()
+        out
     }
 
   /** [[getOrCompute]] variant that stores an EAGER checkpoint
@@ -359,12 +361,91 @@ final class SegmentCache {
     */
   def getOrComputeCut(key: SegKey)(compute: => DataFrame): DataFrame =
     segments.get(key) match {
-      case Some(df) => hitCount += 1; df
+      case Some(df) => hitCount += 1; touch(key); df
       case None =>
         missCount += 1
         val df = Pins.rawCut(compute)
-        segments.putIfAbsent(key, df).getOrElse(df)
+        val out = segments.putIfAbsent(key, df).getOrElse(df)
+        touch(key); enforceBudget()
+        out
     }
+
+  // ---- byte-budget LRU (r18) -------------------------------------
+  // Nothing evicted without an explicit flush before this cap, so a
+  // long-lived serving session with an unbounded distinct-query
+  // working set grew forever — and grain-sized is NOT small for
+  // high-cardinality dims at 100 TB. The budget bounds RESIDENT
+  // segment bytes; eviction reuses the flush path (evictFrame →
+  // unpersist + Pins.freeCut), so an evicted segment just recomputes
+  // lazily on next use. Default unlimited: the cap is a deployment
+  // knob, not a behavior change.
+
+  @volatile private var budgetBytes: Long = Long.MaxValue
+  private val tick = new java.util.concurrent.atomic.AtomicLong
+  private val lastUse = TrieMap.empty[SegKey, Long]
+  @volatile private var evictedCount = 0L
+  def evictions: Long = evictedCount
+  def byteBudget: Long = budgetBytes
+
+  /** Set the resident-byte budget (<= 0 = unlimited) and enforce it
+    * immediately against the currently materialized segments.
+    */
+  def setByteBudget(n: Long): Unit = {
+    budgetBytes = if (n <= 0) Long.MaxValue else n
+    enforceBudget()
+  }
+
+  private def touch(k: SegKey): Unit =
+    lastUse.put(k, tick.incrementAndGet())
+
+  /** Materialized bytes behind one segment: block-manager storage for
+    * checkpointed frames (LogicalRDD leaves), the CachedRDDBuilder's
+    * size accumulator for `.persist()`ed ones (0 until a consumer
+    * materializes the buffers — an unmaterialized segment occupies
+    * nothing, so it neither counts against the budget nor is worth
+    * evicting).
+    */
+  private def bytesOf(df: DataFrame): Long = {
+    val sc = df.sparkSession.sparkContext
+    lazy val infos = sc.getRDDStorageInfo
+    val ckpt = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.distinct.map { id =>
+      infos.find(_.id == id).map(i => i.memSize + i.diskSize).getOrElse(0L)
+    }.sum
+    val persisted = df.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cacheBuilder.sizeInBytesStats.value.longValue
+    }.sum
+    ckpt + persisted
+  }
+
+  /** Total materialized bytes across all resident segments. */
+  def residentBytes: Long = segments.values.map(bytesOf).sum
+
+  /** Evict least-recently-hit segments until resident bytes fit the
+    * budget. The most recently used segment is never evicted (the one
+    * just inserted or hit — evicting it would thrash: its consumer is
+    * about to read it). Zero-byte (unmaterialized) segments are
+    * skipped — eviction frees nothing there. Driver-side only and
+    * plan-sized; with no budget set this is a no-op on every call.
+    */
+  private def enforceBudget(): Unit = {
+    if (budgetBytes == Long.MaxValue) return
+    synchronized {
+      val entries = segments.toSeq.map { case (k, df) => (k, bytesOf(df)) }
+      var total = entries.map(_._2).sum
+      if (total <= budgetBytes) return
+      val byLru = entries.sortBy { case (k, _) => lastUse.getOrElse(k, 0L) }
+      val newest = byLru.lastOption.map(_._1)
+      for ((k, bytes) <- byLru
+           if total > budgetBytes && !newest.contains(k) && bytes > 0) {
+        evict(k)
+        evictedCount += 1
+        total -= bytes
+      }
+    }
+  }
 
   /** Flush every segment of a cube (reference flush_schema_cache). */
   def flushCube(cubeId: Long): Unit =
@@ -458,8 +539,10 @@ final class SegmentCache {
 
   def clear(): Unit = segments.keys.foreach(evict)
 
-  private def evict(k: SegKey): Unit =
+  private def evict(k: SegKey): Unit = {
+    lastUse.remove(k)
     segments.remove(k).foreach(evictFrame)
+  }
 
   /** A segment is either `.persist()`ed (getOrCompute) or a merged
     * checkpoint (mergeOrEvict) — release both storage paths; each is

@@ -84,6 +84,57 @@ class CacheSpec extends SparkSpec {
       s"unpersist; still live: $survivors")
   }
 
+  test("byte-budget LRU (r18): least-recently-HIT segments evict " +
+      "first, the newest survives, unmaterialized segments cost " +
+      "nothing, and eviction releases the blocks") {
+    val sc = spark.sparkContext
+    val c = new SegmentCache
+    def storageBytes: Long =
+      sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    def seg(n: Int): c.SegKey =
+      c.SegKey(99L, Seq(s"seg$n"), Nil, Seq("m"))
+    def insert(n: Int, rows: Long): Unit = {
+      c.getOrCompute(seg(n))(
+        spark.range(rows).toDF("m").repartition(2)).count()
+      // a second consumer materializes the persisted buffers fully
+      c.getOrCompute(seg(n))(fail("must hit")).count()
+    }
+    insert(1, 40000)
+    insert(2, 40000)
+    assert(c.residentBytes > 0, "materialized segments must be sized")
+    val stBefore = storageBytes
+    // hit 1 so 2 becomes least-recently-used
+    c.getOrCompute(seg(1))(fail("must hit")).count()
+    val total = c.residentBytes
+    c.setByteBudget(total - 1)
+    assert(c.size === 1 && c.evictions === 1,
+      "one segment over budget must evict exactly one")
+    assert(c.evictions === 1)
+    // the survivor is the recently-hit seg1: re-reading it HITS
+    val missesBefore = c.misses
+    c.getOrCompute(seg(1))(fail("must hit")).count()
+    assert(c.misses === missesBefore, "the recently-hit segment survives")
+    // evicted blocks are released from the block manager
+    assert(storageBytes < stBefore,
+      "eviction must free the evicted segment's storage")
+    // an UNMATERIALIZED insert occupies nothing: it neither counts
+    // against the budget nor evicts the resident survivor
+    c.setByteBudget(c.residentBytes + 1)
+    val lazySeg = c.getOrCompute(seg(3))(spark.range(1000000).toDF("m"))
+    assert(c.size === 2 && c.evictions === 1,
+      "a lazy (unmaterialized) segment must not trigger eviction")
+    // materialize it, then shrink the budget to one byte: everything
+    // but the most recently used segment evicts (never the newest —
+    // its consumer is about to read it)
+    lazySeg.count()
+    c.setByteBudget(1L)
+    assert(c.size === 1, "budget=1 keeps only the newest segment")
+    val keptMisses = c.misses
+    c.getOrCompute(seg(3))(fail("newest must survive")).count()
+    assert(c.misses === keptMisses)
+    c.clear()
+  }
+
   test("agg router answers a coarser query from a registered rollup") {
     val base = Cubes.sales(spark, Sf)
     val at = new Planner(base).buildAggTable("nation_month",
