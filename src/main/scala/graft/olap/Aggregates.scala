@@ -342,7 +342,7 @@ final class SegmentCache {
         missCount += 1
         val df = compute.persist()
         val out = segments.putIfAbsent(key, df).getOrElse(df)
-        touch(key); enforceBudget()
+        touch(key); refreshBudget(out); enforceBudget()
         out
     }
 
@@ -366,7 +366,7 @@ final class SegmentCache {
         missCount += 1
         val df = Pins.rawCut(compute)
         val out = segments.putIfAbsent(key, df).getOrElse(df)
-        touch(key); enforceBudget()
+        touch(key); refreshBudget(out); enforceBudget()
         out
     }
 
@@ -397,6 +397,19 @@ final class SegmentCache {
 
   private def touch(k: SegKey): Unit =
     lastUse.put(k, tick.incrementAndGet())
+
+  /** Deployment knob: spark conf `spark.graft.segcache.maxBytes`
+    * (<= 0 = unlimited), read on each miss so a live session can
+    * resize without code — same convention as
+    * `spark.graft.ord.smallBytes`. An explicit [[setByteBudget]] call
+    * is overridden by the conf only when the conf is set.
+    */
+  private def refreshBudget(df: DataFrame): Unit =
+    df.sparkSession.conf.getOption("spark.graft.segcache.maxBytes")
+      .foreach { v =>
+        val n = v.toLong
+        budgetBytes = if (n <= 0) Long.MaxValue else n
+      }
 
   /** Materialized bytes behind one segment: block-manager storage for
     * checkpointed frames (LogicalRDD leaves), the CachedRDDBuilder's

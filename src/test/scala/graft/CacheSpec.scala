@@ -132,6 +132,12 @@ class CacheSpec extends SparkSpec {
     val keptMisses = c.misses
     c.getOrCompute(seg(3))(fail("newest must survive")).count()
     assert(c.misses === keptMisses)
+    // the spark-conf knob resizes a live cache on the next miss
+    spark.conf.set("spark.graft.segcache.maxBytes", "123456")
+    try {
+      c.getOrCompute(seg(4))(spark.range(10).toDF("m"))
+      assert(c.byteBudget === 123456L)
+    } finally spark.conf.unset("spark.graft.segcache.maxBytes")
     c.clear()
   }
 
