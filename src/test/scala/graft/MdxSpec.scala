@@ -1039,6 +1039,49 @@ class MdxSpec extends SparkSpec {
     assert(reversed === rows)
   }
 
+  test("an EMPTY cell orders as -infinity (FunUtil.compareValues, " +
+      "r18): ASC puts it FIRST, DESC and BDESC put it last — " +
+      "deterministic via an empty Aggregate entry, plus an adaptive " +
+      "stored-path check") {
+    // [none] aggregates an empty set → its revenue cell is NULL at
+    // every scale factor, so the pin is guaranteed, not data-lucky
+    def order(dir: String): Seq[String] = Mdx.execute(
+      s"""WITH MEMBER [customer].[none] AS
+        |  'Aggregate({[customer].[EUROPE].[NO_SUCH_NATION]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  ORDER({[customer].[AMERICA], [customer].[none],
+        |         [customer].[EUROPE]},
+        |        [Measures].[revenue], $dir) ON ROWS
+        |FROM [Sales]""".stripMargin, cube).collect().toSeq
+      .map(_.getString(0))
+    assert(order("ASC").head === "none", "ASC: empty cell = -inf, first")
+    assert(order("BASC").head === "none", "BASC: empty cell first")
+    assert(order("DESC").last === "none", "DESC: empty cell last")
+    assert(order("BDESC").last === "none", "BDESC: empty cell last")
+    // ordinary stored path (hierOrderSet): expected order computed
+    // from the engine's own cells with the -inf rule — pins equality
+    // with the reference comparator whatever the scale factor's data
+    val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    def cell(r: String): Double = {
+      val row = Mdx.execute(
+        s"""SELECT {[Measures].[revenue]} ON COLUMNS
+          |FROM [Sales]
+          |WHERE ([customer].[$r], [time].[1995].[1995-Q1],
+          |       [returnflag].[R])""".stripMargin, cube).collect().head
+      if (row.isNullAt(row.fieldIndex("revenue"))) Double.NegativeInfinity
+      else row.getAs[java.math.BigDecimal]("revenue").doubleValue()
+    }
+    val got = Mdx.execute(
+      s"""SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  ORDER({${regions.map(r => s"[customer].[$r]").mkString(", ")}},
+        |        [Measures].[revenue], ASC) ON ROWS
+        |FROM [Sales]
+        |WHERE ([time].[1995].[1995-Q1], [returnflag].[R])""".stripMargin,
+      cube).collect().toSeq.map(_.getString(0))
+    val (nul, nn) = regions.partition(cell(_) == Double.NegativeInfinity)
+    assert(got === nul.sorted ++ nn.sortBy(r => (cell(r), r)))
+  }
+
   test("NON EMPTY prunes empty dim-calc tuples on the crossjoined " +
       "axis, fused and fallback alike") {
     def rows(measures: String, extra: String): Seq[String] = Mdx.execute(

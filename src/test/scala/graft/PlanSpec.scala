@@ -657,4 +657,32 @@ class PlanSpec extends SparkSpec {
       s"the expr calc changed the fused plan's exchange count " +
         s"(${hashEx(withCalc)} vs ${hashEx(stored)}):\n$withCalc")
   }
+
+  test("left-major rendering (r18) kept the fused plan shape: the " +
+      "calc-SECOND crossjoin has the same hash-exchange count as the " +
+      "calc-first mirror, and the per-factor frames ride broadcasts") {
+    def planFor(axis: String): String = plan(Mdx.execute(
+      s"""WITH MEMBER [customer].[EU13 and AS2] AS
+        |  'Aggregate({[customer].[EUROPE].[NATION_13],
+        |              [customer].[ASIA].[NATION_2]})'
+        |SELECT {[Measures].[revenue]} ON COLUMNS,
+        |  $axis ON ROWS
+        |FROM [Sales]""".stripMargin, cube))
+    def hashEx(p: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    val calcFirst = planFor(
+      "CROSSJOIN({[customer].[AMERICA], [customer].[EU13 and AS2]}, " +
+        "{[time].[1995], [time].[1996]})")
+    val calcSecond = planFor(
+      "CROSSJOIN({[time].[1995], [time].[1996]}, " +
+        "{[customer].[AMERICA], [customer].[EU13 and AS2]})")
+    assert(hashEx(calcSecond) === hashEx(calcFirst),
+      s"factor position changed the fused plan's exchange count " +
+        s"(${hashEx(calcSecond)} vs ${hashEx(calcFirst)}):\n$calcSecond")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(calcSecond).nonEmpty,
+      "the axis frames must ride broadcasts")
+    assert(!calcSecond.contains("SortMergeJoin"),
+      s"no sort-merge join in the plan-sized axis product:\n$calcSecond")
+  }
 }
