@@ -132,6 +132,25 @@ class CacheSpec extends SparkSpec {
     val keptMisses = c.misses
     c.getOrCompute(seg(3))(fail("newest must survive")).count()
     assert(c.misses === keptMisses)
+    // CHECKPOINTED segments (getOrComputeCut) size from block-manager
+    // storage and evict through Pins.freeCut: budget-evicting one
+    // releases its LogicalRDD blocks
+    c.setByteBudget(0L)
+    c.getOrComputeCut(seg(10))(spark.range(30000).toDF("m"))
+    assert(c.residentBytes > 0, "checkpointed segment must be sized")
+    // make seg(10) the LRU loser, then shrink under the pair's size
+    c.getOrComputeCut(seg(11))(spark.range(30000).toDF("m"))
+    val stBoth = storageBytes
+    c.setByteBudget(c.residentBytes - 1)
+    // freeCut unpersists with blocking=false — poll for the release
+    val deadline = System.currentTimeMillis + 10000
+    while (storageBytes >= stBoth && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
+    assert(storageBytes < stBoth,
+      "budget eviction must free the checkpointed blocks")
+    val ckptMisses = c.misses
+    c.getOrComputeCut(seg(11))(fail("newest cut must survive"))
+    assert(c.misses === ckptMisses)
     // the spark-conf knob resizes a live cache on the next miss
     spark.conf.set("spark.graft.segcache.maxBytes", "123456")
     try {
