@@ -970,6 +970,47 @@ class MdxSpec extends SparkSpec {
       (y, "EU13 and AS2", "A"), (y, "EU13 and AS2", "N"))))
   }
 
+  test("PROPERTY: left-major axis rendering over randomized factor " +
+      "permutations — the row order is the factor-position-major " +
+      "cartesian of each factor's own order, fused and fallback alike") {
+    // factors with statically-known internal orders: the calc-bearing
+    // literal set renders in LITERAL position order (position-keyed
+    // entries), plain literal/level sets in level-ordinal order
+    val calcFactor = ("""{[customer].[ASIA], [customer].[EU13 and AS2],
+      |[customer].[AMERICA]}""".stripMargin.replace("\n", " "),
+      Seq("ASIA", "EU13 and AS2", "AMERICA"), "cr_region")
+    val yearFactor = ("{[time].[1996], [time].[1995]}",
+      Seq("1995", "1996"), "d_year") // ordinal order, not literal
+    val flagFactor = ("{[returnflag].[N], [returnflag].[A]}",
+      Seq("A", "N"), "l_returnflag")
+    val rnd = new scala.util.Random(0x18afe17)
+    for (trial <- 1 to 6) {
+      val pool = rnd.shuffle(Seq(yearFactor, flagFactor))
+        .take(1 + rnd.nextInt(2))
+      val factors = rnd.shuffle(calcFactor +: pool)
+      val axis = factors.map(_._1).reduceRight((a, b) => s"CROSSJOIN($a, $b)")
+      def rows(measure: String, extra: String): Seq[Seq[String]] =
+        Mdx.execute(
+          s"""WITH $Eu13As2Def
+            |$extra
+            |SELECT {[Measures].[$measure]} ON COLUMNS,
+            |  $axis ON ROWS
+            |FROM [Sales]""".stripMargin, cube).collect().toSeq
+          .map(r => factors.map(f =>
+            String.valueOf(r.get(r.fieldIndex(f._3)))))
+      // expected: position-major cartesian of the factors' own orders
+      val want = factors.map(_._2).foldLeft(Seq(Seq.empty[String]))(
+        (acc, vals) => acc.flatMap(p => vals.map(p :+ _)))
+      val got = rows("revenue", "")
+      assert(got === want, s"trial $trial axis=$axis")
+      // the per-entry fallback (Measures-hosted calc) renders the
+      // same order
+      val fb = rows("rev2",
+        "MEMBER [Measures].[rev2] AS [Measures].[revenue] * 2")
+      assert(fb === want, s"trial $trial (fallback) axis=$axis")
+    }
+  }
+
   test("the crossjoined dim-calc fallback (Measures-hosted calc) " +
       "matches the fused path cell for cell") {
     def run(measure: String, extra: String) = Mdx.execute(
