@@ -2398,16 +2398,47 @@ final class Planner(val cube: BoundCube) {
         // those joins stay shuffles; only the entry frame (N rows) is
         // always broadcast-safe
         val otherHighCard = otherDims.exists(_.d.highCardinality)
+        // left-major axis rendering (r18): the final sort and the axis
+        // columns interleave by each factor's ORIGINAL crossjoin
+        // position — Mondrian iterates axis ordinals left-to-right
+        // (query.rb:47-57; axis shapes pinned by query_test.rb:
+        // 157-174,408-432), so CROSSJOIN(years, {…calc…}) renders
+        // year-major, not hoisted calc-first (the last user-visible
+        // divergence from the reference's axis contract, VERDICT r17).
+        // PER-FACTOR member frames (not the combined otherSet product,
+        // whose single renumbered __ord cannot decompose) keep each
+        // stored factor's own explicit order when a calc factor sits
+        // between two stored ones.
+        val otherByIdx: Seq[(Int, AxisFrame, Seq[String], Seq[Column])] =
+          otherIdxs.map { oi =>
+            val rs = evalSet(rowsFactors(oi), qSlicerAll, qs.withSets)
+            val keys = rs.dims.flatMap(ad => levelCols(ad.d, ad.depth))
+            if (rs.hasOrd) {
+              val oc = s"__oord$oi"
+              (oi, rs.copy(members =
+                rs.members.withColumnRenamed(OrdCol, oc)),
+                keys, Seq(col(oc).asc))
+            } else (oi, rs, keys, rs.dims.flatMap(ad =>
+              ad.d.levelsTo(ad.depth).map(l => col(l.ordinal).asc)))
+          }
         // crossjoined factors restrict the fact to THEIR members early
         // (broadcast semi-join — dimension-sized), so the groupBy
         // never aggregates tuples the axis won't show; skipped for a
-        // high-card factor, whose stray groups the final join drops
-        val sliced = otherFrame0 match {
-          case Some(of) if !otherHighCard => sliced0.join(
-            broadcast(of.members.select(otherKeys.map(col): _*).distinct()),
-            otherKeys, "left_semi")
-          case _ => sliced0
-        }
+        // high-card factor, whose stray groups the final join drops.
+        // ONE semi-join PER FACTOR (r18): the combined otherSet frame
+        // is the factors' cross PRODUCT — m×n rows broadcast where
+        // m+n suffice (the per-factor member predicates are
+        // independent, so chained semi-joins filter identically);
+        // at two mid-sized dims the product broadcast is the
+        // difference between kilobytes and a multi-GB build side
+        val sliced =
+          if (otherHighCard) sliced0
+          else otherByIdx.foldLeft(sliced0) {
+            case (df, (_, rs, keys, _)) =>
+              df.join(
+                broadcast(rs.members.select(keys.map(col): _*).distinct()),
+                keys, "left_semi")
+          }
         val (aggCols0, post0) =
           if (routedAt.isEmpty) Agg.toColumnsFused(neededMeasures)
           else (neededMeasures.map { m =>
@@ -2553,29 +2584,6 @@ final class Planner(val cube: BoundCube) {
           es.map(e => (e.idx, e.name, e.isCalc))
             .toDF(f.entryCol, f.label, f.calcCol)
         }
-        // left-major axis rendering (r18): the final sort and the axis
-        // columns interleave by each factor's ORIGINAL crossjoin
-        // position — Mondrian iterates axis ordinals left-to-right
-        // (query.rb:47-57; axis shapes pinned by query_test.rb:
-        // 157-174,408-432), so CROSSJOIN(years, {…calc…}) renders
-        // year-major, not hoisted calc-first (the last user-visible
-        // divergence from the reference's axis contract, VERDICT r17).
-        // PER-FACTOR member frames (not the combined otherSet product,
-        // whose single renumbered __ord cannot decompose) keep each
-        // stored factor's own explicit order when a calc factor sits
-        // between two stored ones.
-        val otherByIdx: Seq[(Int, AxisFrame, Seq[String], Seq[Column])] =
-          otherIdxs.map { oi =>
-            val rs = evalSet(rowsFactors(oi), qSlicerAll, qs.withSets)
-            val keys = rs.dims.flatMap(ad => levelCols(ad.d, ad.depth))
-            if (rs.hasOrd) {
-              val oc = s"__oord$oi"
-              (oi, rs.copy(members =
-                rs.members.withColumnRenamed(OrdCol, oc)),
-                keys, Seq(col(oc).asc))
-            } else (oi, rs, keys, rs.dims.flatMap(ad =>
-              ad.d.levelsTo(ad.depth).map(l => col(l.ordinal).asc)))
-          }
         val frame = otherByIdx.map(_._2.members) match {
           case Seq() => entryFrames.tail.foldLeft(entryFrames.head)(
             (acc, ef) => acc.crossJoin(broadcast(ef)))

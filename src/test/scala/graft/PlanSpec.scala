@@ -684,5 +684,17 @@ class PlanSpec extends SparkSpec {
       "the axis frames must ride broadcasts")
     assert(!calcSecond.contains("SortMergeJoin"),
       s"no sort-merge join in the plan-sized axis product:\n$calcSecond")
+    // TWO stored factors: the fact-scan restriction is one semi-join
+    // PER FACTOR (m+n build rows), never one semi-join against the
+    // factors' cross PRODUCT (m*n rows — a multi-GB build side at two
+    // mid-sized dims)
+    val twoOthers = planFor(
+      "CROSSJOIN({[time].[1995], [time].[1996]}, " +
+        "CROSSJOIN({[customer].[AMERICA], [customer].[EU13 and AS2]}, " +
+        "[returnflag].[returnflag].Members))")
+    val semis = "LeftSemi".r.findAllIn(twoOthers).length
+    assert(semis >= 2,
+      s"expected per-factor semi-joins (>=2 LeftSemi), got $semis:\n" +
+        twoOthers)
   }
 }
