@@ -2423,22 +2423,24 @@ final class Planner(val cube: BoundCube) {
           }
         // crossjoined factors restrict the fact to THEIR members early
         // (broadcast semi-join — dimension-sized), so the groupBy
-        // never aggregates tuples the axis won't show; skipped for a
-        // high-card factor, whose stray groups the final join drops.
-        // ONE semi-join PER FACTOR (r18): the combined otherSet frame
-        // is the factors' cross PRODUCT — m×n rows broadcast where
-        // m+n suffice (the per-factor member predicates are
-        // independent, so chained semi-joins filter identically);
-        // at two mid-sized dims the product broadcast is the
-        // difference between kilobytes and a multi-GB build side
-        val sliced =
-          if (otherHighCard) sliced0
-          else otherByIdx.foldLeft(sliced0) {
-            case (df, (_, rs, keys, _)) =>
-              df.join(
-                broadcast(rs.members.select(keys.map(col): _*).distinct()),
-                keys, "left_semi")
-          }
+        // never aggregates tuples the axis won't show. ONE semi-join
+        // PER FACTOR (r18): the combined otherSet frame is the
+        // factors' cross PRODUCT — m×n rows broadcast where m+n
+        // suffice (the per-factor member predicates are independent,
+        // so chained semi-joins filter identically); at two mid-sized
+        // dims the product broadcast is the difference between
+        // kilobytes and a multi-GB build side. A high-card FACTOR
+        // skips ITS semi-join (its stray groups the final join drops,
+        // same opt-out as the rank-frame hint) without costing the
+        // small factors theirs — pre-r18 one high-card factor
+        // disabled every factor's restriction
+        val sliced = otherByIdx.foldLeft(sliced0) {
+          case (df, (_, rs, keys, _)) =>
+            if (rs.dims.exists(_.d.highCardinality)) df
+            else df.join(
+              broadcast(rs.members.select(keys.map(col): _*).distinct()),
+              keys, "left_semi")
+        }
         val (aggCols0, post0) =
           if (routedAt.isEmpty) Agg.toColumnsFused(neededMeasures)
           else (neededMeasures.map { m =>
