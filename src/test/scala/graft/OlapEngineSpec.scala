@@ -74,6 +74,28 @@ class OlapEngineSpec extends SparkSpec {
     assert(ordered(hc) === ordered(cube))
   }
 
+  test("high_cardinality opt-out parity holds on the fused dim-calc " +
+      "crossjoin/NECJ path (r18 — a high-card factor skips ITS scan " +
+      "semi-join and the aggregate broadcast; small factors keep " +
+      "theirs; answers identical)") {
+    def rows(c: BoundCube): Seq[(String, String, Any)] =
+      Mdx.execute(
+        """WITH MEMBER [time].[Y56] AS
+          |  'Aggregate({[time].[1995], [time].[1996]})'
+          |SELECT {[Measures].[revenue]} ON COLUMNS,
+          |  NON EMPTY CROSSJOIN({[time].[Y56], [time].[1997]},
+          |    CROSSJOIN([customer].[nation].Members,
+          |              {[returnflag].[A], [returnflag].[R]})) ON ROWS
+          |FROM [Sales]""".stripMargin, c).collect().toSeq
+        .map(r => (String.valueOf(r.get(0)),
+          r.getString(r.fieldIndex("cr_nation")) +
+            "/" + r.getString(r.fieldIndex("l_returnflag")),
+          r.get(r.fieldIndex("revenue"))))
+    val hc = cube.copy(dims = cube.dims.map(d =>
+      if (d.name == "customer") d.copy(highCardinality = true) else d))
+    assert(rows(hc) === rows(cube))
+  }
+
   test("CurrentOrdinal in a non-breaking Order key refuses — the " +
       "hierarchical sort evaluates ancestors outside the live " +
       "positional order (ADVICE r15)") {
