@@ -73,8 +73,12 @@ object Bench {
         // query N's storage freed — the r6 official bench ran
         // q_pipeline_curate with ~30 stale frames resident and paid 5×
         // (18.5s vs 3.7s clean) for the eviction/recompute thrash.
+        // withLease: pins this query's segments (plan through force)
+        // against a concurrent enforceBudget — see SegmentCache
         try graft.olap.Pins.scoped {
-          force(SparkEntry.queries(name)(spark, sfDir))
+          graft.olap.SegmentCache.global.withLease {
+            force(SparkEntry.queries(name)(spark, sfDir))
+          }
         }
         catch {
           case t: Throwable =>

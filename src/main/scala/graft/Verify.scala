@@ -52,7 +52,10 @@ object Verify {
       // scope, so each query's load-bearing persists release as soon as
       // its parquet is on disk — storage stays bounded by one query's
       // working set across the whole 140-query dump.
+      // withLease: segments the query touches (plan time through the
+      // parquet write) are pinned against concurrent budget eviction
       try graft.olap.Pins.scoped {
+       graft.olap.SegmentCache.global.withLease {
         val raw = fn(spark, sfDir)
         val decs = raw.schema.fields.collect {
           case f if f.dataType.isInstanceOf[DecimalType] => f.name
@@ -78,6 +81,7 @@ object Verify {
           else col(c)
         }.toIndexedSeq: _*)
         out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+       }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -337,12 +337,12 @@ final class SegmentCache {
 
   def getOrCompute(key: SegKey)(compute: => DataFrame): DataFrame =
     segments.get(key) match {
-      case Some(df) => hitCount += 1; touch(key); df
+      case Some(df) => hitCount += 1; touch(key); leasePin(key); df
       case None =>
         missCount += 1
         val df = compute.persist()
         val out = segments.putIfAbsent(key, df).getOrElse(df)
-        touch(key); refreshBudget(out); enforceBudget()
+        touch(key); leasePin(key); refreshBudget(out); enforceBudget()
         out
     }
 
@@ -361,14 +361,92 @@ final class SegmentCache {
     */
   def getOrComputeCut(key: SegKey)(compute: => DataFrame): DataFrame =
     segments.get(key) match {
-      case Some(df) => hitCount += 1; touch(key); df
+      case Some(df) => hitCount += 1; touch(key); leasePin(key); df
       case None =>
         missCount += 1
         val df = Pins.rawCut(compute)
         val out = segments.putIfAbsent(key, df).getOrElse(df)
-        touch(key); refreshBudget(out); enforceBudget()
+        ckptKeys.add(key)
+        touch(key); leasePin(key); refreshBudget(out); enforceBudget()
         out
     }
+
+  // ---- read leases (r19) -----------------------------------------
+  // Budget eviction (r18) made releasing a segment ROUTINE where it
+  // used to be flush-rare, and a checkpointed segment is lineage-free:
+  // freeing its blocks while a concurrent query's job is still
+  // reading them fails that job's stage (SCALING.md hazard row). A
+  // lease pins every segment a query touches (hit or miss) from plan
+  // time until the query's actions have run; enforceBudget skips
+  // pinned segments and moves to the next LRU candidate. Explicit
+  // invalidation (flushCube/flushRegion/clear/mergeOrEvict) still
+  // evicts regardless of pins — those are correctness flushes, and
+  // deferring them would serve stale cells. Same thread-scoped
+  // contract and placement as [[Pins.scoped]]: wrap query build AND
+  // collect in [[withLease]] (Bench/Verify do; long-lived servers
+  // should). Reference analog: the jar's SegmentCacheManager actor
+  // serializes eviction against in-flight readers
+  // (mondrian/rolap/agg/SegmentCacheManager, SURVEY §4#5).
+
+  private val pinCounts = TrieMap.empty[SegKey, Int]
+  @volatile private var pinnedSkipCount = 0L
+  /** Budget-eviction candidates skipped because a lease pinned them. */
+  def pinnedSkips: Long = pinnedSkipCount
+  /** Keys whose stored frame is an eager checkpoint (lineage-free). */
+  private val ckptKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SegKey]()
+
+  /** Outstanding read leases on a segment. */
+  def pinCount(k: SegKey): Int = pinCounts.getOrElse(k, 0)
+
+  /** Take a read lease: the segment will not be BUDGET-evicted until
+    * a matching [[unpin]]. Counts balance across evict/re-insert of
+    * the same key (counts are per-key, each pin has one unpin).
+    */
+  def pin(k: SegKey): Unit = synchronized {
+    pinCounts.put(k, pinCounts.getOrElse(k, 0) + 1)
+  }
+
+  def unpin(k: SegKey): Unit = synchronized {
+    pinCounts.get(k) match {
+      case Some(n) if n > 1 => pinCounts.put(k, n - 1)
+      case Some(_)          => pinCounts.remove(k)
+      case None             => ()
+    }
+  }
+
+  // per-thread stack of open lease scopes (scopes may nest; the
+  // innermost scope owns pins taken inside it)
+  private val leases = new ThreadLocal[
+      java.util.ArrayDeque[java.util.ArrayList[SegKey]]] {
+    override def initialValue() =
+      new java.util.ArrayDeque[java.util.ArrayList[SegKey]]
+  }
+
+  private def leasePin(k: SegKey): Unit = {
+    val stack = leases.get()
+    if (!stack.isEmpty) { pin(k); stack.peekLast().add(k) }
+    else leases.remove()
+  }
+
+  /** Run `body` with a read-lease scope on this thread: every segment
+    * [[getOrCompute]]/[[getOrComputeCut]] returns inside the block
+    * (hit or miss) is pinned against budget eviction until the block
+    * exits — normally or exceptionally. Collect the query's results
+    * INSIDE the block; that is what makes a concurrent enforceBudget
+    * safe for this query's in-flight jobs.
+    */
+  def withLease[T](body: => T): T = {
+    val stack = leases.get()
+    val mine = new java.util.ArrayList[SegKey]
+    stack.addLast(mine)
+    try body
+    finally {
+      stack.removeLast()
+      mine.forEach(k => unpin(k))
+      if (stack.isEmpty) leases.remove()
+    }
+  }
 
   // ---- byte-budget LRU (r18) -------------------------------------
   // Nothing evicted without an explicit flush before this cap, so a
@@ -401,61 +479,112 @@ final class SegmentCache {
   /** Deployment knob: spark conf `spark.graft.segcache.maxBytes`
     * (<= 0 = unlimited), read on each miss so a live session can
     * resize without code — same convention as
-    * `spark.graft.ord.smallBytes`. An explicit [[setByteBudget]] call
-    * is overridden by the conf only when the conf is set.
+    * `spark.graft.ord.smallBytes`. The conf is applied only when its
+    * VALUE changes, so an explicit [[setByteBudget]] call survives
+    * until the conf is re-set (conf-wins-on-change precedence). A
+    * malformed value ("256k") is ignored with a one-time warning — a
+    * bad deployment knob must not turn cache misses into query
+    * failures (r18 ADVICE).
     */
-  private def refreshBudget(df: DataFrame): Unit =
-    df.sparkSession.conf.getOption("spark.graft.segcache.maxBytes")
-      .foreach { v =>
-        val n = v.toLong
-        budgetBytes = if (n <= 0) Long.MaxValue else n
+  @volatile private var lastConfSeen: Option[String] = None
+  @volatile private var warnedBadConf = false
+  private def refreshBudget(df: DataFrame): Unit = {
+    val v = df.sparkSession.conf.getOption("spark.graft.segcache.maxBytes")
+    if (v != lastConfSeen) {
+      lastConfSeen = v
+      v.foreach { s =>
+        scala.util.Try(s.trim.toLong) match {
+          case scala.util.Success(n) =>
+            budgetBytes = if (n <= 0) Long.MaxValue else n
+          case scala.util.Failure(_) =>
+            if (!warnedBadConf) {
+              warnedBadConf = true
+              System.err.println("[graft] ignoring malformed " +
+                s"spark.graft.segcache.maxBytes='$s' (expected a long)")
+            }
+        }
       }
-
-  /** Materialized bytes behind one segment: block-manager storage for
-    * checkpointed frames (LogicalRDD leaves), the CachedRDDBuilder's
-    * size accumulator for `.persist()`ed ones (0 until a consumer
-    * materializes the buffers — an unmaterialized segment occupies
-    * nothing, so it neither counts against the budget nor is worth
-    * evicting).
-    */
-  private def bytesOf(df: DataFrame): Long = {
-    val sc = df.sparkSession.sparkContext
-    lazy val infos = sc.getRDDStorageInfo
-    val ckpt = df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
-    }.distinct.map { id =>
-      infos.find(_.id == id).map(i => i.memSize + i.diskSize).getOrElse(0L)
-    }.sum
-    val persisted = df.queryExecution.withCachedData.collect {
-      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        r.cacheBuilder.sizeInBytesStats.value.longValue
-    }.sum
-    ckpt + persisted
+    }
   }
 
-  /** Total materialized bytes across all resident segments. */
-  def residentBytes: Long = segments.values.map(bytesOf).sum
+  /** One block-manager storage snapshot for a whole budget pass —
+    * `getRDDStorageInfo` walks every RDD in the cluster, so fetching
+    * it per segment made one enforcement O(segments × rddInfos)
+    * driver work per miss (r18 ADVICE).
+    */
+  private def storageSnapshot(): Array[org.apache.spark.storage.RDDInfo] =
+    segments.values.headOption
+      .map(_.sparkSession.sparkContext.getRDDStorageInfo)
+      .getOrElse(Array.empty)
+
+  /** Materialized bytes behind one segment — attributed to the
+    * segment's OWN storage root, never to upstream frames its plan
+    * happens to reference (a segment derived from another cached
+    * segment must not double-count the shared blocks — r18 ADVICE):
+    * a checkpointed segment (getOrComputeCut / merge) is a LogicalRDD
+    * ROOT, so only that root's block-manager bytes count; a
+    * `.persist()`ed one counts its root InMemoryRelation's size
+    * accumulator (0 until a consumer materializes the buffers — an
+    * unmaterialized segment occupies nothing, so it neither counts
+    * against the budget nor is worth evicting).
+    */
+  private def bytesOf(df: DataFrame, isCkpt: Boolean,
+      infos: Array[org.apache.spark.storage.RDDInfo]): Long =
+    if (isCkpt) df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        infos.find(_.id == l.rdd.id)
+          .map(i => i.memSize + i.diskSize).getOrElse(0L)
+      case _ => 0L
+    }
+    else df.queryExecution.withCachedData match {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cacheBuilder.sizeInBytesStats.value.longValue
+      case other => other.collect {
+        // un-rooted fallback (cache manager substituted deeper): sum
+        // every cached subtree — the pre-r19 behavior
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          r.cacheBuilder.sizeInBytesStats.value.longValue
+      }.sum
+    }
+
+  /** Total materialized bytes across all resident segments (one
+    * storage snapshot for the whole sum).
+    */
+  def residentBytes: Long = {
+    val infos = storageSnapshot()
+    segments.map { case (k, df) =>
+      bytesOf(df, ckptKeys.contains(k), infos) }.sum
+  }
 
   /** Evict least-recently-hit segments until resident bytes fit the
     * budget. The most recently used segment is never evicted (the one
     * just inserted or hit — evicting it would thrash: its consumer is
-    * about to read it). Zero-byte (unmaterialized) segments are
-    * skipped — eviction frees nothing there. Driver-side only and
-    * plan-sized; with no budget set this is a no-op on every call.
+    * about to read it), and a LEASE-PINNED segment is skipped — a
+    * concurrent query's in-flight job may still be reading its blocks,
+    * and for a checkpointed (lineage-free) segment freeing them fails
+    * that job's stage; enforcement moves to the next LRU candidate
+    * instead. Zero-byte (unmaterialized) segments are skipped —
+    * eviction frees nothing there. Driver-side only and plan-sized;
+    * with no budget set this is a no-op on every call.
     */
   private def enforceBudget(): Unit = {
     if (budgetBytes == Long.MaxValue) return
     synchronized {
-      val entries = segments.toSeq.map { case (k, df) => (k, bytesOf(df)) }
+      val infos = storageSnapshot()
+      val entries = segments.toSeq.map { case (k, df) =>
+        (k, bytesOf(df, ckptKeys.contains(k), infos)) }
       var total = entries.map(_._2).sum
       if (total <= budgetBytes) return
       val byLru = entries.sortBy { case (k, _) => lastUse.getOrElse(k, 0L) }
       val newest = byLru.lastOption.map(_._1)
       for ((k, bytes) <- byLru
            if total > budgetBytes && !newest.contains(k) && bytes > 0) {
-        evict(k)
-        evictedCount += 1
-        total -= bytes
+        if (pinCount(k) > 0) pinnedSkipCount += 1
+        else {
+          evict(k)
+          evictedCount += 1
+          total -= bytes
+        }
       }
     }
   }
@@ -487,6 +616,7 @@ final class SegmentCache {
           // checkpoint only Pins.freeCut can do
           val merged = Pins.rawCut(mergeFrames(old, delta, k.grain, mergeFns))
           segments.put(k, merged)
+          ckptKeys.add(k)
           evictFrame(old)
           mergedCount += 1
         }
@@ -554,6 +684,7 @@ final class SegmentCache {
 
   private def evict(k: SegKey): Unit = {
     lastUse.remove(k)
+    ckptKeys.remove(k)
     segments.remove(k).foreach(evictFrame)
   }
 

@@ -285,7 +285,28 @@ final class Planner(val cube: BoundCube) {
       if (paths.forall(_.length == paths.head.length)) {
         val depth = math.min(paths.head.length, d.levels.length) - 1
         val pred = orAll(paths.map(p => ancestorPredicate(d, p)))
-        AxisFrame(memberFrame(d, depth).filter(pred), Seq(AxisDim(d, depth)))
+        val base = memberFrame(d, depth).filter(pred)
+        if (paths.length == 1)
+          AxisFrame(base, Seq(AxisDim(d, depth)))
+        else {
+          // a literal set is an ORDERED list: Mondrian renders it in
+          // WRITTEN order, not level-ordinal order (SetFunDef — the
+          // reference's axis expectations enumerate literal entries as
+          // authored, e.g. query_test.rb:157-174). First-match
+          // position per member (a duplicated literal keeps one row
+          // here — the fused calc path keeps duplicates via entry
+          // keys); renumber closes the gaps an unmatched path leaves
+          // so positional ops (Head/Subset) stay contiguous. One flat
+          // CaseWhen, plan-sized.
+          val ordExpr = paths.tail.zipWithIndex.foldLeft(
+            when(ancestorPredicate(d, paths.head), 1L)) {
+            case (acc, (p, i)) =>
+              acc.when(ancestorPredicate(d, p), (i + 2).toLong)
+          }
+          AxisFrame(renumber(base.withColumn(OrdCol, ordExpr),
+              hasOrd = true, hintOf(Seq(AxisDim(d, depth)))),
+            Seq(AxisDim(d, depth)), hasOrd = true)
+        }
       } else {
         // mixed-depth literal set ({[d].[a], [d].[a].[b]}): lower to a
         // union of the per-depth subsets (padded-frame path)
@@ -2854,13 +2875,22 @@ final class Planner(val cube: BoundCube) {
                 val extra = ordCols.filterNot(acc.columns.contains)
                 if (extra.isEmpty) acc
                 else {
-                  val fr = members.select((keys ++ extra).map(col): _*)
+                  // rename the broadcast side's keys: acc already
+                  // carries attributes from the SAME cached member
+                  // frame (the override branch crossjoins it back), so
+                  // an exprId-identical join key would be an ambiguous
+                  // self-join reference (surfaced in r19 when literal
+                  // sets began carrying __ord — a self-ordinal level
+                  // like a numeric year skipped this join before)
+                  val fr0 = members.select((keys ++ extra).map(col): _*)
                     .distinct()
-                  keys.foldLeft(acc.join(broadcast(fr),
-                      keys.map(k => acc(k) <=> fr(k)).reduce(_ && _),
-                      "left")) {
-                    (df, k) => df.drop(fr(k))
-                  }
+                  val fr = keys.foldLeft(fr0)((f, k) =>
+                    f.withColumnRenamed(k, s"__frk_$k"))
+                  acc.join(broadcast(fr),
+                      keys.map(k => acc(k) <=> fr(s"__frk_$k"))
+                        .reduce(_ && _),
+                      "left")
+                    .drop(keys.map(k => s"__frk_$k"): _*)
                 }
             }
             val cfi = calcIdxs.head

@@ -160,6 +160,135 @@ class CacheSpec extends SparkSpec {
     c.clear()
   }
 
+  test("read lease (r19): a leased checkpointed segment is skipped by " +
+      "budget eviction while pinned, evicts after the lease closes") {
+    val c = new SegmentCache
+    def seg(n: Int): c.SegKey =
+      c.SegKey(98L, Seq(s"lease$n"), Nil, Seq("m"))
+    c.setByteBudget(1L)
+    var held: org.apache.spark.sql.DataFrame = null
+    c.withLease {
+      held = c.getOrComputeCut(seg(1))(spark.range(20000).toDF("m"))
+      assert(c.pinCount(seg(1)) === 1)
+      // misses under a 1-byte budget: each enforcement wants to evict
+      // the LRU loser — the pinned seg(1) — and must SKIP it
+      c.getOrComputeCut(seg(2))(spark.range(20000).toDF("m"))
+      c.getOrComputeCut(seg(3))(spark.range(20000).toDF("m"))
+      assert(c.pinnedSkips > 0, "enforcement must have skipped the pin")
+      val missesBefore = c.misses
+      c.getOrComputeCut(seg(1))(fail("pinned segment must be resident"))
+      assert(c.misses === missesBefore)
+      // the in-flight reader's job still sees the blocks
+      assert(held.count() === 20000L)
+    }
+    assert(c.pinCount(seg(1)) === 0, "lease exit releases the pin")
+    // with the pin gone the next enforcement may evict it
+    c.getOrComputeCut(seg(4))(spark.range(20000).toDF("m"))
+    val missesAfter = c.misses
+    c.getOrComputeCut(seg(1))(spark.range(20000).toDF("m"))
+    assert(c.misses === missesAfter + 1,
+      "unpinned LRU segment evicts once the lease is closed")
+    c.clear()
+  }
+
+  test("read lease (r19): a CONCURRENT evictor under a 1-byte budget " +
+      "cannot fail a reader's in-flight stage on a checkpointed " +
+      "segment (the SCALING.md lineage-free hazard)") {
+    val c = new SegmentCache
+    def seg(n: Int): c.SegKey =
+      c.SegKey(97L, Seq(s"conc$n"), Nil, Seq("m"))
+    c.setByteBudget(1L)
+    val pinned = new java.util.concurrent.CountDownLatch(1)
+    val evicted = new java.util.concurrent.CountDownLatch(1)
+    @volatile var readerSum = -1L
+    @volatile var readerErr: Option[Throwable] = None
+    val reader = new Thread(() =>
+      try c.withLease {
+        val df = c.getOrComputeCut(seg(0))(
+          spark.range(50000).toDF("m"))
+        pinned.countDown()
+        // wait until the evictor has run enforcement passes that would
+        // have freed seg(0)'s blocks, THEN run the reading job
+        assert(evicted.await(30, java.util.concurrent.TimeUnit.SECONDS))
+        readerSum = df.agg(sum(col("m"))).collect().head.getLong(0)
+      } catch { case t: Throwable => readerErr = Some(t) })
+    reader.start()
+    assert(pinned.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // concurrent misses: every enforcement targets the LRU seg(0)
+    (1 to 4).foreach(n =>
+      c.getOrComputeCut(seg(n))(spark.range(1000).toDF("m")))
+    assert(c.pinnedSkips > 0)
+    evicted.countDown()
+    reader.join(60000)
+    assert(readerErr.isEmpty, s"reader stage failed: $readerErr")
+    assert(readerSum === 50000L * 49999 / 2)
+    c.clear()
+  }
+
+  test("budget conf (r19): a malformed spark.graft.segcache.maxBytes " +
+      "is ignored, and an unchanged conf does not clobber an explicit " +
+      "setByteBudget") {
+    val c = new SegmentCache
+    def seg(n: Int): c.SegKey =
+      c.SegKey(96L, Seq(s"conf$n"), Nil, Seq("m"))
+    spark.conf.set("spark.graft.segcache.maxBytes", "256k")
+    try {
+      // the malformed value must not fail the query path
+      c.getOrCompute(seg(1))(spark.range(10).toDF("m")).count()
+      assert(c.byteBudget === Long.MaxValue)
+      // a VALID conf value applies on the next miss
+      spark.conf.set("spark.graft.segcache.maxBytes", "65536")
+      c.getOrCompute(seg(2))(spark.range(10).toDF("m")).count()
+      assert(c.byteBudget === 65536L)
+      // conf unchanged since last read: an explicit call wins
+      c.setByteBudget(1234L)
+      c.getOrCompute(seg(3))(spark.range(10).toDF("m")).count()
+      assert(c.byteBudget === 1234L,
+        "an unchanged conf must not re-apply over setByteBudget")
+      // conf CHANGED: conf wins again
+      spark.conf.set("spark.graft.segcache.maxBytes", "65537")
+      c.getOrCompute(seg(4))(spark.range(10).toDF("m")).count()
+      assert(c.byteBudget === 65537L)
+    } finally spark.conf.unset("spark.graft.segcache.maxBytes")
+    c.clear()
+  }
+
+  test("concurrent queries (r19): two threads against one BoundCube " +
+      "with a tight segment budget match their serial results") {
+    val c = SegmentCache.global
+    def qa() = Query.from(cube).columns("revenue")
+      .rows(LevelMembers("customer", "nation")).execute().collect()
+      .map(_.toSeq).toSeq
+    // mixed-depth literal set: exercises the CHECKPOINTED
+    // (getOrComputeCut) segment kind under the budget
+    def qb() = Query.from(cube).columns("revenue")
+      .rows(Members("customer",
+        Seq(Seq("ASIA"), Seq("ASIA", "NATION_2")))).execute().collect()
+      .map(_.toSeq).toSeq
+    val serialA = qa(); val serialB = qb()
+    val budgetBefore = c.byteBudget
+    c.setByteBudget(64 * 1024)
+    try {
+      @volatile var ra: Seq[Seq[Any]] = Nil
+      @volatile var rb: Seq[Seq[Any]] = Nil
+      @volatile var errs = List.empty[Throwable]
+      def thread(body: => Unit) = new Thread(() =>
+        try body catch { case t: Throwable =>
+          errs.synchronized { errs = t :: errs } })
+      (1 to 3).foreach { _ =>
+        val ta = thread { c.withLease { ra = qa() } }
+        val tb = thread { c.withLease { rb = qb() } }
+        ta.start(); tb.start(); ta.join(120000); tb.join(120000)
+        assert(errs.isEmpty, s"concurrent query failed: $errs")
+        assert(ra === serialA, "thread A diverged from its serial run")
+        assert(rb === serialB, "thread B diverged from its serial run")
+      }
+    } finally {
+      c.setByteBudget(
+        if (budgetBefore == Long.MaxValue) 0L else budgetBefore)
+    }
+  }
+
   test("agg router answers a coarser query from a registered rollup") {
     val base = Cubes.sales(spark, Sf)
     val at = new Planner(base).buildAggTable("nation_month",

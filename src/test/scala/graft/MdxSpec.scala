@@ -922,11 +922,13 @@ class MdxSpec extends SparkSpec {
     val (cols, got) = run("revenue", "")
     // the year column sits at the year factor's position (first)
     assert(cols === Seq("d_year", "cr_region", "revenue"))
-    // the literal {1996, 1995} Members set has no explicit order —
-    // level ordinals render years ascending; within each year the
-    // entries keep their literal positions. Year-major = left-major.
-    assert(got === Seq((1995, "AMERICA"), (1995, "EU13 and AS2"),
-      (1996, "AMERICA"), (1996, "EU13 and AS2")))
+    // the literal {1996, 1995} set is an ORDERED list — Mondrian
+    // renders it in WRITTEN order (r19; was level-ordinal, the last
+    // axis-contract divergence): 1996 first, and within each year the
+    // calc entries keep their literal positions. Year-major =
+    // left-major.
+    assert(got === Seq((1996, "AMERICA"), (1996, "EU13 and AS2"),
+      (1995, "AMERICA"), (1995, "EU13 and AS2")))
     // the per-entry fallback (Measures-hosted calc) agrees
     val (fbCols, fbGot) = run("rev2",
       "MEMBER [Measures].[rev2] AS [Measures].[revenue] * 2")
@@ -973,16 +975,18 @@ class MdxSpec extends SparkSpec {
   test("PROPERTY: left-major axis rendering over randomized factor " +
       "permutations — the row order is the factor-position-major " +
       "cartesian of each factor's own order, fused and fallback alike") {
-    // factors with statically-known internal orders: the calc-bearing
-    // literal set renders in LITERAL position order (position-keyed
-    // entries), plain literal/level sets in level-ordinal order
+    // factors with statically-known internal orders: EVERY literal
+    // set — calc-bearing or stored — renders in WRITTEN order (r19:
+    // a set literal is an ordered list, Mondrian renders it as
+    // authored; stored literal sets carried level-ordinal order
+    // until r18)
     val calcFactor = ("""{[customer].[ASIA], [customer].[EU13 and AS2],
       |[customer].[AMERICA]}""".stripMargin.replace("\n", " "),
       Seq("ASIA", "EU13 and AS2", "AMERICA"), "cr_region")
     val yearFactor = ("{[time].[1996], [time].[1995]}",
-      Seq("1995", "1996"), "d_year") // ordinal order, not literal
+      Seq("1996", "1995"), "d_year")
     val flagFactor = ("{[returnflag].[N], [returnflag].[A]}",
-      Seq("A", "N"), "l_returnflag")
+      Seq("N", "A"), "l_returnflag")
     val rnd = new scala.util.Random(0x18afe17)
     for (trial <- 1 to 6) {
       val pool = rnd.shuffle(Seq(yearFactor, flagFactor))
