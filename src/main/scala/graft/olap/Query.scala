@@ -124,7 +124,13 @@ final class Query private (
   /** Execute and materialize into the cell-set Result (axis positions,
     * value transposition, formatted values — reference result.rb).
     */
-  def executeResult(): Result = {
+  def executeResult(): Result = SegmentCache.global.withLease {
+    // read lease (r19): this is the fully-scoped serving call — it
+    // both plans (segment hits/misses pin here) and collects
+    // (Result.fromDataFrame), so a concurrent budget eviction cannot
+    // free a checkpointed segment under this query's jobs. execute()
+    // returns a lazy DataFrame, so callers of THAT scope their own
+    // lease around build + actions (as Bench/Verify do).
     // every outer axis (sections slowest, then chapters, then pages)
     // contributes page-key columns, in grid-major order
     val pageCols = Seq(sectionsSet, chaptersSet, pagesSet).flatten

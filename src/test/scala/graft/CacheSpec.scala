@@ -289,6 +289,40 @@ class CacheSpec extends SparkSpec {
     }
   }
 
+  test("executeResult (r19) self-leases: concurrent cell-set queries " +
+      "under a tight budget need no explicit withLease") {
+    val c = SegmentCache.global
+    def flat(r: Result): Seq[Seq[Any]] =
+      r.rowAxis.zip(r.values()).map { case (ax, vs) => ax ++ vs }
+    def qa() = flat(Query.from(cube).columns("revenue")
+      .rows(LevelMembers("customer", "nation")).executeResult())
+    // mixed-depth literal set: the CHECKPOINTED segment kind
+    def qb() = flat(Query.from(cube).columns("revenue")
+      .rows(Members("customer",
+        Seq(Seq("ASIA"), Seq("ASIA", "NATION_2")))).executeResult())
+    val serialA = qa(); val serialB = qb()
+    val budgetBefore = c.byteBudget
+    c.setByteBudget(64 * 1024)
+    try {
+      @volatile var ra: Seq[Seq[Any]] = Nil
+      @volatile var rb: Seq[Seq[Any]] = Nil
+      @volatile var errs = List.empty[Throwable]
+      def thread(body: => Unit) = new Thread(() =>
+        try body catch { case t: Throwable =>
+          errs.synchronized { errs = t :: errs } })
+      // no withLease here: the serving call scopes its own
+      val ta = thread { ra = qa() }
+      val tb = thread { rb = qb() }
+      ta.start(); tb.start(); ta.join(120000); tb.join(120000)
+      assert(errs.isEmpty, s"concurrent executeResult failed: $errs")
+      assert(ra === serialA)
+      assert(rb === serialB)
+    } finally {
+      c.setByteBudget(
+        if (budgetBefore == Long.MaxValue) 0L else budgetBefore)
+    }
+  }
+
   test("agg router answers a coarser query from a registered rollup") {
     val base = Cubes.sales(spark, Sf)
     val at = new Planner(base).buildAggTable("nation_month",
