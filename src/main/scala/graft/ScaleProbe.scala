@@ -546,15 +546,23 @@ object ScaleProbe {
       val sc = spark.sparkContext
       def storage: Long =
         sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+      // r19: each query runs under a read lease (the serving posture —
+      // executeResult does the same): its segments pin against budget
+      // eviction until the query's actions finish, so the soak now
+      // also proves the plateau CONVERGES with pins active (leases
+      // release between queries; pinnedSkips counts mid-query
+      // deferrals)
       def mixedQ(where: String): Long = graft.olap.Pins.scoped {
-        force(Mdx.execute(
-          s"""SELECT {[Measures].[revenue]} ON COLUMNS,
-             |  ORDER({[customer].[EUROPE],
-             |         [customer].[EUROPE].[NATION_13],
-             |         [customer].[ASIA],
-             |         [customer].[ASIA].[NATION_2]},
-             |        [Measures].[revenue], DESC) ON ROWS
-             |FROM [Sales] WHERE ($where)""".stripMargin, cube))
+        SegmentCache.global.withLease {
+          force(Mdx.execute(
+            s"""SELECT {[Measures].[revenue]} ON COLUMNS,
+               |  ORDER({[customer].[EUROPE],
+               |         [customer].[EUROPE].[NATION_13],
+               |         [customer].[ASIA],
+               |         [customer].[ASIA].[NATION_2]},
+               |        [Measures].[revenue], DESC) ON ROWS
+               |FROM [Sales] WHERE ($where)""".stripMargin, cube))
+        }
       }
       val c = SegmentCache.global
       c.clear()
@@ -582,7 +590,8 @@ object ScaleProbe {
             f"blockDelta=${storage - bytes0}%d")
       }
       println(f"peak resident=$peak%d (budget=$budget%d) " +
-        f"segs=${c.size} evictions=${c.evictions}")
+        f"segs=${c.size} evictions=${c.evictions} " +
+        f"pinnedSkips=${c.pinnedSkips}")
       assert(peak <= budget * 2,
         s"peak resident bytes $peak must stay near the $budget budget " +
           "(2x slack: one oversized in-flight segment may overshoot " +
