@@ -603,6 +603,109 @@ object ScaleProbe {
       println("seglru: OK")
     }
 
+    if (args.headOption.contains("servesoak")) {
+      // r19: multi-thread serving soak — 8 threads hammer ONE
+      // BoundCube through a pool of mixed query shapes (persisted
+      // groupBy segments, CHECKPOINTED mixed-depth cut segments,
+      // dim-calc fused axes, window/topcount) under a 64 KiB budget,
+      // every query leased (the executeResult posture). Eviction runs
+      // constantly and concurrently; the CacheSpec smoke is 2 threads
+      // x 2 shapes — this is the load test: every result must equal
+      // its serial run, no stage may fail, and the pinned-skip path
+      // must actually fire.
+      import graft.olap.{Mdx, Pins, Query, SegmentCache,
+        LevelMembers, Members, MemberSlice}
+      val cube = graft.Cubes.sales(spark, "/root/testdata/sf0.1")
+      val c = SegmentCache.global
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      val shapes: Seq[(String, () => Seq[String])] = Seq(
+        "nation_rev" -> (() => canon(Query.from(cube)
+          .columns("revenue")
+          .rows(LevelMembers("customer", "nation")).execute())),
+        "mixed_cut" -> (() => canon(Mdx.execute(
+          """SELECT {[Measures].[revenue]} ON COLUMNS,
+            |  ORDER({[customer].[EUROPE],
+            |         [customer].[EUROPE].[NATION_13],
+            |         [customer].[ASIA]},
+            |        [Measures].[revenue], DESC) ON ROWS
+            |FROM [Sales] WHERE ([time].[1996])""".stripMargin, cube))),
+        "dimcalc" -> (() => canon(Mdx.execute(
+          """WITH MEMBER [customer].[EU and AS] AS
+            |  'Aggregate({[customer].[EUROPE], [customer].[ASIA]})'
+            |SELECT {[Measures].[revenue]} ON COLUMNS,
+            |  {[customer].[AMERICA], [customer].[EU and AS]} ON ROWS
+            |FROM [Sales]""".stripMargin, cube))),
+        "sliced_part" -> (() => canon(Query.from(cube)
+          .columns("sum_qty")
+          .rows(LevelMembers("part", "brand"))
+          .where(MemberSlice("customer", Seq("ASIA"))).execute())),
+        "topcount" -> (() => canon(Mdx.execute(
+          """SELECT {[Measures].[revenue]} ON COLUMNS,
+            |  TOPCOUNT([customer].[nation].Members, 5,
+            |    [Measures].[revenue]) ON ROWS
+            |FROM [Sales]""".stripMargin, cube))),
+        "literal_set" -> (() => canon(Query.from(cube)
+          .columns("revenue")
+          .rows(Members("customer",
+            Seq(Seq("ASIA"), Seq("ASIA", "NATION_2")))).execute())),
+        "year_flag" -> (() => canon(Mdx.execute(
+          """SELECT {[Measures].[revenue], [Measures].[sum_qty]}
+            |  ON COLUMNS,
+            |  CROSSJOIN({[time].[1995], [time].[1996]},
+            |            {[returnflag].[A], [returnflag].[N]}) ON ROWS
+            |FROM [Sales]""".stripMargin, cube))),
+        "ytd_like" -> (() => canon(Mdx.execute(
+          """SELECT {[Measures].[revenue]} ON COLUMNS,
+            |  {[time].[1995].Children} ON ROWS
+            |FROM [Sales] WHERE ([customer].[EUROPE])""".stripMargin,
+          cube))))
+      // serial ground truth, unlimited budget
+      c.clear(); c.setByteBudget(0L)
+      val serial = shapes.map { case (n, f) =>
+        n -> Pins.scoped { c.withLease { f() } } }.toMap
+      c.clear()
+      // 1-byte budget = maximum churn: EVERY miss tries to evict every
+      // materialized unpinned segment, so threads constantly evict
+      // each other's working sets and recompute — only the leases
+      // stand between a reader's in-flight stage and the eviction of
+      // its checkpointed blocks (a 64 KiB first cut never evicted:
+      // the 7-segment pool is ~10 KB resident)
+      c.setByteBudget(1L)
+      val nThreads = 8; val iters = 25
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val done = new java.util.concurrent.atomic.AtomicInteger
+      val t0 = System.nanoTime()
+      val threads = (0 until nThreads).map { tid =>
+        new Thread(() => {
+          var i = 0
+          while (i < iters) {
+            val (name, f) = shapes((tid + i) % shapes.length)
+            try {
+              val got = Pins.scoped { c.withLease { f() } }
+              if (got != serial(name))
+                errs.add(s"t$tid i$i $name: result diverged " +
+                  s"(${got.length} vs ${serial(name).length} rows)")
+            } catch { case t: Throwable =>
+              errs.add(s"t$tid i$i $name: ${t.getClass.getSimpleName} " +
+                s"${String.valueOf(t.getMessage).take(200)}")
+            }
+            done.incrementAndGet(); i += 1
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(600000))
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"servesoak: ${done.get()}/${nThreads * iters} queries " +
+        f"in $secs%.1f s, errors=${errs.size} " +
+        f"evictions=${c.evictions} pinnedSkips=${c.pinnedSkips} " +
+        f"resident=${c.residentBytes} segs=${c.size}")
+      errs.forEach(e => println(s"  ERR $e"))
+      assert(errs.isEmpty, s"${errs.size} concurrent failures")
+      c.setByteBudget(0L); c.clear()
+      println("servesoak: OK")
+    }
+
     if (args.headOption.contains("tupleplan")) {
       // r17: physical-plan audit of the tuple non-breaking Order
       // (tupleHierOrderSet) — rank frames must broadcast-join, no
