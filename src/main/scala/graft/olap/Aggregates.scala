@@ -341,7 +341,14 @@ final class SegmentCache {
       case None =>
         missCount += 1
         val df = compute.persist()
-        val out = segments.putIfAbsent(key, df).getOrElse(df)
+        val out = segments.putIfAbsent(key, df) match {
+          case Some(winner) =>
+            // lost a first-touch race: release the loser's persist
+            // mark (unmaterialized, so this frees no blocks — but it
+            // must not stay registered with the cache manager forever)
+            df.unpersist(blocking = false); winner
+          case None => df
+        }
         touch(key); leasePin(key); refreshBudget(out); enforceBudget()
         out
     }
@@ -365,7 +372,15 @@ final class SegmentCache {
       case None =>
         missCount += 1
         val df = Pins.rawCut(compute)
-        val out = segments.putIfAbsent(key, df).getOrElse(df)
+        val out = segments.putIfAbsent(key, df) match {
+          case Some(winner) =>
+            // lost a first-touch race: the loser is an EAGER
+            // checkpoint — its blocks are already materialized, so
+            // free them (evictFrame handles the LogicalRDD kind) or
+            // they leak for the session's lifetime
+            evictFrame(df); winner
+          case None => df
+        }
         ckptKeys.add(key)
         touch(key); leasePin(key); refreshBudget(out); enforceBudget()
         out

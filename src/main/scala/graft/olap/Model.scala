@@ -391,7 +391,21 @@ final case class BoundDim(
       // that may not fit in memory — recompute from the (columnar,
       // pruned) scan each time
       enumerate
-    else memberFrames.getOrElseUpdate(depth, enumerate.persist())
+    else memberFrames.get(depth) match {
+      case Some(f) => f
+      case None =>
+        // persist only the frame that WINS the first-touch race — a
+        // TrieMap getOrElseUpdate may evaluate the default on two
+        // threads at once, and the loser's persist mark would stay
+        // registered with the cache manager for the session (r19
+        // concurrency hygiene; the race is real under servesoak's
+        // 8-way first touch)
+        val f = enumerate
+        memberFrames.putIfAbsent(depth, f) match {
+          case Some(winner) => winner
+          case None         => f.persist(); f
+        }
+    }
   }
 
   def levelIndex(levelName: String): Int = {
