@@ -57,6 +57,112 @@ object MultimodalOps {
   /** One media row: id + opaque payload. */
   final case class MediaRow(doc_id: Long, content: Array[Byte])
 
+  // ---------------------------------------------------------- codec aid
+  // Per-partition ImageIO plumbing (opt r19, guide §1.2 step 2 "per-task
+  // work"): the convenience entry points pay three hidden per-CALL costs
+  // that dominate the pixel work at our payload sizes —
+  //   * ImageIO.read/write re-resolve the codec through the service
+  //     registry on every call;
+  //   * ImageIO.createImageInput/OutputStream honors useCache=true (the
+  //     default) and backs every call with a DISK temp cache file;
+  //   * per-pixel get/setRGB round-trips the color model one sample at
+  //     a time.
+  // The helpers below resolve the codec once per partition, use
+  // memory-cached streams, and touch rasters in bulk. The codec and its
+  // default params are unchanged, so encoded bytes and decoded rasters
+  // are identical to the ImageIO.read/write defaults.
+
+  private val PngMagic = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47,
+    0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def hasPngMagic(b: Array[Byte]): Boolean =
+    b.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(b, 0, 8), PngMagic)
+
+  /** One reader/writer set per partition. Callers dispose() at iterator
+    * exhaustion (`it ++ { codec.dispose(); Iterator.empty }`).
+    */
+  private final class PartitionImageCodec {
+    private var pngReader: javax.imageio.ImageReader = _
+    private var jpgReader: javax.imageio.ImageReader = _
+    private var jpgWriter: javax.imageio.ImageWriter = _
+    private var pngWriter: javax.imageio.ImageWriter = _
+
+    private def memIn(b: Array[Byte], off: Int, len: Int) =
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(b, off, len))
+
+    /** Decode with a reused reader (no registry walk, no disk cache). */
+    private def readWith(r: javax.imageio.ImageReader, b: Array[Byte],
+        off: Int, len: Int): java.awt.image.BufferedImage = {
+      val iis = memIn(b, off, len)
+      try { r.setInput(iis); r.read(0) } finally iis.close()
+    }
+
+    /** PNG fast path by magic; anything else falls back to the registry
+      * lookup (fresh reader per call, as ImageIO.read does) so the path
+      * stays format-generic. Returns (image, lowercase format name).
+      */
+    def readAny(b: Array[Byte]): (java.awt.image.BufferedImage, String) =
+      if (hasPngMagic(b)) {
+        if (pngReader == null) pngReader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        (readWith(pngReader, b, 0, b.length), "png")
+      } else {
+        val iis = memIn(b, 0, b.length)
+        val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+        try {
+          reader.setInput(iis)
+          (reader.read(0),
+            reader.getFormatName.toLowerCase(java.util.Locale.ROOT))
+        } finally { reader.dispose(); iis.close() }
+      }
+
+    def readJpeg(b: Array[Byte], off: Int,
+        len: Int): java.awt.image.BufferedImage = {
+      if (jpgReader == null) jpgReader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("jpeg").next()
+      readWith(jpgReader, b, off, len)
+    }
+
+    private def writeWith(w: javax.imageio.ImageWriter,
+        img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(img) // default params — same bytes as ImageIO.write
+      ios.close()
+      bos.toByteArray
+    }
+
+    def writeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      if (jpgWriter == null) jpgWriter = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      writeWith(jpgWriter, img)
+    }
+
+    def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      if (pngWriter == null) pngWriter = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      writeWith(pngWriter, img)
+    }
+
+    def dispose(): Unit = {
+      if (pngReader != null) pngReader.dispose()
+      if (jpgReader != null) jpgReader.dispose()
+      if (jpgWriter != null) jpgWriter.dispose()
+      if (pngWriter != null) pngWriter.dispose()
+    }
+  }
+
+  /** Fill a TYPE_INT_RGB image with one color in bulk — stores exactly
+    * the ints the per-pixel setRGB loop stored.
+    */
+  private def fillSolid(img: java.awt.image.BufferedImage,
+      rgb: Int): Unit =
+    java.util.Arrays.fill(img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData, rgb)
+
   /** Typed decode output: id + image metadata. */
   final case class ImageMeta(doc_id: Long, width: Int, height: Int,
       n_bytes: Long, format: String)
@@ -113,23 +219,16 @@ object MultimodalOps {
     docs.select(col("doc_id"), col("n_chars").cast("long"))
       .as[(Long, Long)]
       .mapPartitions { it =>
+        val codec = new PartitionImageCodec
         it.map { case (id, nChars) =>
           val w = 8 + (id % 40).toInt
           val h = 8 + (nChars % 40).toInt
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           val g = (id % 256).toInt
-          val rgb = (g << 16) | (g << 8) | g
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          (id, bos.toByteArray)
-        }
+          fillSolid(img, (g << 16) | (g << 8) | g)
+          (id, codec.writePng(img))
+        } ++ { codec.dispose(); Iterator.empty }
       }
       .toDF("doc_id", "content")
   }
@@ -143,18 +242,12 @@ object MultimodalOps {
   def decodeImage(media: Dataset[MediaRow]): Dataset[ImagePixels] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      val codec = new PartitionImageCodec
       it.map { r =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.content))
-        val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
-        try {
-          reader.setInput(iis)
-          val img = reader.read(0)
-          ImagePixels(r.doc_id, img.getWidth, img.getHeight,
-            reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
-            meanRed(img))
-        } finally { reader.dispose(); iis.close() }
-      }
+        val (img, fmt) = codec.readAny(r.content)
+        ImagePixels(r.doc_id, img.getWidth, img.getHeight, fmt,
+          meanRed(img))
+      } ++ { codec.dispose(); Iterator.empty }
     }
   }
 
@@ -178,11 +271,28 @@ object MultimodalOps {
   private def meanRed(img: java.awt.image.BufferedImage): Int = {
     val (w, h) = (img.getWidth, img.getHeight)
     var sum = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
-      y += 1
+    val t = img.getType
+    if (t == java.awt.image.BufferedImage.TYPE_INT_RGB ||
+        t == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) {
+      // 8-bit sRGB layouts: band 0 IS the red channel getRGB returns
+      // ((rgb >> 16) & 0xff) — bulk row reads skip the per-pixel color
+      // model round trip
+      val raster = img.getRaster
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        raster.getSamples(0, y, w, 1, 0, row)
+        var x = 0
+        while (x < w) { sum += row(x); x += 1 }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+        y += 1
+      }
     }
     (sum / (w.toLong * h)).toInt
   }
@@ -213,9 +323,9 @@ object MultimodalOps {
     import spark.implicits._
     require(box > 0, s"box $box must be positive")
     withPngPayload(docs).as[MediaRow].mapPartitions { it =>
+      val codec = new PartitionImageCodec
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.content))
+        val (img, _) = codec.readAny(r.content)
         val (ow, oh) = fitBox(box, img.getWidth, img.getHeight)
         val out = new java.awt.image.BufferedImage(ow, oh,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -226,7 +336,7 @@ object MultimodalOps {
         g.drawImage(img, 0, 0, ow, oh, null)
         g.dispose()
         ResizedImage(r.doc_id, ow, oh, meanRed(out))
-      }
+      } ++ { codec.dispose(); Iterator.empty }
     }.toDF()
   }
 
@@ -473,16 +583,16 @@ object MultimodalOps {
     * (geometry from doc metadata, shade varying per frame) each
     * ENCODED through the JDK's lossy JPEG writer and packetized with
     * a length prefix. All pixel and codec work happens inside the
-    * executor-side iterator; one reusable writer per partition would
-    * be the production refinement (ImageIO.write re-resolves it per
-    * call — acceptable at this payload size, and the amortization
-    * point the mapPartitions shape exists for).
+    * executor-side iterator with ONE reusable writer per partition
+    * ([[PartitionImageCodec]]) — the amortization the mapPartitions
+    * shape exists for.
     */
   def withMjpegPayload(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("n_chars").cast("long"))
       .as[(Long, Long)]
       .mapPartitions { it =>
+        val codec = new PartitionImageCodec
         it.map { case (id, nChars) =>
           val w = 16 + (id % 8).toInt * 4
           val h = 16 + (nChars % 8).toInt * 4
@@ -491,23 +601,15 @@ object MultimodalOps {
             val img = new java.awt.image.BufferedImage(w, h,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
             val shade = ((id + 17 * f) % 256).toInt
-            val rgb = (shade << 16) | (shade << 8) | shade
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-              y += 1
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "jpg", bos)
-            bos.toByteArray
+            fillSolid(img, (shade << 16) | (shade << 8) | shade)
+            codec.writeJpeg(img)
           }
           val buf = java.nio.ByteBuffer.allocate(
             16 + packets.map(4 + _.length).sum)
           buf.put(MjpegMagic).putInt(w).putInt(h).putInt(n)
           packets.foreach(p => buf.putInt(p.length).put(p))
           (id, buf.array())
-        }
+        } ++ { codec.dispose(); Iterator.empty }
       }
       .toDF("doc_id", "content")
   }
@@ -525,49 +627,45 @@ object MultimodalOps {
       stride: Int): Dataset[MjpegFrame] = {
     import media.sparkSession.implicits._
     require(stride > 0, s"stride $stride must be positive")
-    media.flatMap { r =>
-      val buf = java.nio.ByteBuffer.wrap(r.content)
-      val magic = new Array[Byte](4)
-      buf.get(magic)
-      require(java.util.Arrays.equals(magic, MjpegMagic),
-        s"doc ${r.doc_id}: not a GVJM payload")
-      val (w, h, n) = (buf.getInt, buf.getInt, buf.getInt)
-      require(w > 0 && h > 0 && n >= 0 && w <= 32768 && h <= 32768,
-        s"doc ${r.doc_id}: corrupt GVJM header (w=$w h=$h n=$n)")
-      val out = Vector.newBuilder[MjpegFrame]
-      var f = 0
-      while (f < n) {
-        require(buf.remaining() >= 4,
-          s"doc ${r.doc_id}: GVJM truncated at frame $f length prefix")
-        val len = buf.getInt
-        require(len > 0 && len <= buf.remaining(),
-          s"doc ${r.doc_id}: GVJM frame $f claims $len bytes, " +
-            s"${buf.remaining()} remain")
-        if (f % stride == 0) {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(
-              r.content, buf.position(), len))
-          require(img != null,
-            s"doc ${r.doc_id}: frame $f is not decodable JPEG")
-          require(img.getWidth == w && img.getHeight == h,
-            s"doc ${r.doc_id}: frame $f decodes ${img.getWidth}x" +
-              s"${img.getHeight}, header says ${w}x$h")
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1
-            }
-            y += 1
+    media.mapPartitions { it =>
+      val codec = new PartitionImageCodec
+      it.flatMap { r =>
+        val buf = java.nio.ByteBuffer.wrap(r.content)
+        val magic = new Array[Byte](4)
+        buf.get(magic)
+        require(java.util.Arrays.equals(magic, MjpegMagic),
+          s"doc ${r.doc_id}: not a GVJM payload")
+        val (w, h, n) = (buf.getInt, buf.getInt, buf.getInt)
+        require(w > 0 && h > 0 && n >= 0 && w <= 32768 && h <= 32768,
+          s"doc ${r.doc_id}: corrupt GVJM header (w=$w h=$h n=$n)")
+        val out = Vector.newBuilder[MjpegFrame]
+        var f = 0
+        while (f < n) {
+          require(buf.remaining() >= 4,
+            s"doc ${r.doc_id}: GVJM truncated at frame $f length prefix")
+          val len = buf.getInt
+          require(len > 0 && len <= buf.remaining(),
+            s"doc ${r.doc_id}: GVJM frame $f claims $len bytes, " +
+              s"${buf.remaining()} remain")
+          if (f % stride == 0) {
+            val img =
+              try codec.readJpeg(r.content, buf.position(), len)
+              catch {
+                case e: java.io.IOException => throw new
+                    IllegalArgumentException(
+                      s"doc ${r.doc_id}: frame $f is not decodable " +
+                        s"JPEG (${e.getMessage})")
+              }
+            require(img.getWidth == w && img.getHeight == h,
+              s"doc ${r.doc_id}: frame $f decodes ${img.getWidth}x" +
+                s"${img.getHeight}, header says ${w}x$h")
+            out += MjpegFrame(r.doc_id, f, w, h, n, len, meanRed(img))
           }
-          out += MjpegFrame(r.doc_id, f, w, h, n, len,
-            (sum / (w.toLong * h)).toInt)
+          buf.position(buf.position() + len)
+          f += 1
         }
-        buf.position(buf.position() + len)
-        f += 1
-      }
-      out.result()
+        out.result()
+      } ++ { codec.dispose(); Iterator.empty }
     }
   }
 
