@@ -1546,6 +1546,19 @@ final class Planner(val cube: BoundCube) {
     * native `rollup` (partial aggregation applies per grain; distinct-count
     * is recomputed per grain by the Expand, never rolled up from sums).
     * `mode` ∈ rollup | cube.
+    *
+    * Opt r19 (guide §2.3 "aggregate before you shuffle"): Spark plans
+    * rollup/cube as Expand BEFORE the first partial aggregate, so every
+    * fact row is hashed k+1 (rollup) / 2^k (cube) times and, with a
+    * distinct-count present, the first exchange carries the expanded
+    * (grouping-set × distinct-key) stream. When EVERY requested measure
+    * merges exactly from partials — decimal SumExact, Count (merges as
+    * sum of partial counts), Min/Max, DistinctCount (its argument joins
+    * the pre-agg grain, so per-grain re-count stays exact) — the fact is
+    * first aggregated ONCE at (keys ++ distinct args) grain and the
+    * Expand runs over that group-sized frame instead. Plain double
+    * Sum/Avg/stats/percentile measures keep the single-pass plan: their
+    * merge would reassociate float arithmetic or is not decomposable.
     */
   def rollupAggregate(dimLevels: Seq[(String, String)],
       slicer: Seq[SlicerItem], measureNames: Seq[String],
@@ -1557,13 +1570,52 @@ final class Planner(val cube: BoundCube) {
     val allSlicer = slicer ++ roleSlicer
     val star = joinStar(neededJoins(axisDims, allSlicer), allSlicer)
     val sliced = star.filter(slicerPredicate(allSlicer))
-    val (aggCols, post) = Agg.toColumnsFused(neededMeasures)
     val keys = groupCols(axisDims)
-    val grouped =
-      if (mode == "cube") sliced.cube(keys.map(col): _*)
-      else sliced.rollup(keys.map(col): _*)
-    grouped.agg(aggCols.head, aggCols.tail: _*)
-      .select(keys.map(col) ++ post: _*)
+    val exactMerge = neededMeasures.forall(_.agg match {
+      case Agg.SumExact | Agg.Count | Agg.Min | Agg.Max |
+          Agg.DistinctCount => true
+      case _ => false
+    })
+    if (exactMerge) {
+      val distincts = neededMeasures.collect {
+        case m if m.agg == Agg.DistinctCount => m.expr
+      }.distinct
+      val dcols = distincts.zipWithIndex.map { case (e, i) =>
+        expr(e).as(s"__dc_$i")
+      }
+      val dname = distincts.zipWithIndex
+        .map { case (e, i) => e -> s"__dc_$i" }.toMap
+      val partials = neededMeasures.zipWithIndex.collect {
+        case (m, i) if m.agg != Agg.DistinctCount =>
+          Agg.toColumn(m.agg, m.expr).as(s"__pa_$i")
+      }
+      val pre = {
+        val g = sliced.groupBy(keys.map(col) ++ dcols: _*)
+        if (partials.nonEmpty) g.agg(partials.head, partials.tail: _*)
+        else g.agg(count(lit(1)).as("__pa_rows")) // all-distinct case
+      }
+      val merged = neededMeasures.zipWithIndex.map {
+        case (m, i) => m.agg match {
+          case Agg.DistinctCount =>
+            expr(s"count(DISTINCT ${dname(m.expr)})").as(m.name)
+          case Agg.SumExact | Agg.Count => sum(col(s"__pa_$i")).as(m.name)
+          case Agg.Min                  => min(col(s"__pa_$i")).as(m.name)
+          case _                        => max(col(s"__pa_$i")).as(m.name)
+        }
+      }
+      val grouped =
+        if (mode == "cube") pre.cube(keys.map(col): _*)
+        else pre.rollup(keys.map(col): _*)
+      grouped.agg(merged.head, merged.tail: _*)
+        .select(keys.map(col) ++ neededMeasures.map(m => col(m.name)): _*)
+    } else {
+      val (aggCols, post) = Agg.toColumnsFused(neededMeasures)
+      val grouped =
+        if (mode == "cube") sliced.cube(keys.map(col): _*)
+        else sliced.rollup(keys.map(col): _*)
+      grouped.agg(aggCols.head, aggCols.tail: _*)
+        .select(keys.map(col) ++ post: _*)
+    }
   }
 
   /** Role member grants become row filters under the aggregate — the

@@ -164,6 +164,34 @@ class OlapEngineSpec extends SparkSpec {
     assert(total.length === 1)
   }
 
+  test("two-phase rollup (pre-agg before Expand, opt r19) equals the " +
+      "single-pass plan row-for-row on every exact-merge aggregator") {
+    // revenue=SumExact, count_order=Count, min/max_price, n_orders +
+    // n_bulk_parts = DistinctCount (incl. a NULL-producing CASE arg) —
+    // all five mergeable kinds, so this routes through the pre-agg path
+    val fast = new Planner(cube).rollupAggregate(
+      Seq(("customer", "region"), ("customer", "nation")), Nil,
+      Seq("revenue", "count_order", "min_price", "max_price",
+        "n_orders", "n_bulk_parts"))
+    // sum_qty is a plain double Sum → exactMerge=false → the reference
+    // single-pass Expand plan; the shared columns must agree exactly
+    val ref = new Planner(cube).rollupAggregate(
+      Seq(("customer", "region"), ("customer", "nation")), Nil,
+      Seq("revenue", "count_order", "min_price", "max_price",
+        "n_orders", "n_bulk_parts", "sum_qty"))
+      .drop("sum_qty")
+    def key(r: org.apache.spark.sql.Row): String =
+      (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|")
+    assert(fast.collect().map(key).sorted.toSeq ===
+      ref.collect().map(key).sorted.toSeq)
+    // and the fast plan really pre-aggregates: the partial-sum alias
+    // only exists on the pre-agg path, and the reference plan must not
+    // have it
+    val plan = fast.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__pa_0"), s"expected pre-agg partials in:\n$plan")
+    assert(!ref.queryExecution.optimizedPlan.toString.contains("__pa_0"))
+  }
+
   test("union keeps left-first order; intersect/except respect sets") {
     val eu = Children("customer", Seq("EUROPE"))
     val asia = Children("customer", Seq("ASIA"))
