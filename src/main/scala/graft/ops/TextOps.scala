@@ -124,6 +124,8 @@ object TextOps {
       docs.select(explode(expr(TOKENS)).as("w"))
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .select(expr(CHARS).as("s"), col("freq")))
+    var lastCut = words
+    var sinceCut = 0
     val merges = Vector.newBuilder[(Int, String, String, Long)]
     var r = 0
     var exhausted = false
@@ -145,14 +147,27 @@ object TextOps {
         val p = row.getStruct(row.fieldIndex("p"))
         val (a, b) = (p.getString(0), p.getString(1))
         merges += ((r, a, b, row.getAs[Long]("n")))
-        val next = graft.olap.Pins.rawCut(words
-          .select(expr(mergeFoldSql(a, b)).as("s"), col("freq")))
-        graft.olap.Pins.freeCut(words)
-        words = next
+        // lineage cut every third fold, not every fold (opt r19): a
+        // rawCut is a localCheckpoint — one materialization job per
+        // round — while the fold itself is a cheap map transform over
+        // the distinct-word table, so re-evaluating up to two pending
+        // folds inside the next round's pair count is cheaper than
+        // checkpointing each one. Depth stays bounded (≤3 nested
+        // transforms) so planning/codegen never sees the full chain.
+        val folded = words
+          .select(expr(mergeFoldSql(a, b)).as("s"), col("freq"))
+        sinceCut += 1
+        if (sinceCut >= 3) {
+          val next = graft.olap.Pins.rawCut(folded)
+          graft.olap.Pins.freeCut(lastCut)
+          lastCut = next
+          sinceCut = 0
+          words = next
+        } else words = folded
         r += 1
       }
     }
-    graft.olap.Pins.freeCut(words)
+    graft.olap.Pins.freeCut(lastCut)
     merges.result()
       .toDF("rank", "left", "right", "pair_count")
   }
@@ -536,11 +551,17 @@ object TextOps {
     val counts = DedupOps.pin(
       bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).persist())
     val vocabOut = counts.select("w2").distinct().count()
-    // model frame: per-bigram count + its first-token total (both
-    // model-sized; the w1 join shuffles vocab-keyed partials only)
-    val model = counts.join(
-      counts.groupBy("w1").agg(sum(col("c12")).as("c1")).hint("shuffle_hash"),
-      "w1")
+    // model frame: per-bigram count + its first-token total. Opt r19
+    // (guide §2.4 "two operations keyed the same way share one
+    // exchange"): the total is a window sum over the counts frame
+    // partitioned by w1 — one exchange of the model-sized frame —
+    // instead of the former groupBy(w1) + shuffle_hash join back,
+    // which exchanged counts twice and built a per-partition hash
+    // table. Identical integer totals; partitions are per-w1 successor
+    // sets, model-sized by construction.
+    val model = counts.withColumn("c1",
+      sum(col("c12")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("w1")))
     val hot = broadcast(model
       .orderBy(col("c12").desc, col("w1").asc, col("w2").asc).limit(hotK))
     val scoredHot = bg.join(hot, Seq("w1", "w2"))
