@@ -19,6 +19,29 @@ import org.apache.spark.sql.functions._
   */
 object TimeOps {
 
+  /** Latest-wins collapse of exact (`key`, `tsCol`) duplicates: keep
+    * each payload column of the row with the highest `tieCol`.
+    *
+    * Opt r19 (guide §1.2 step 2): the former single
+    * `max_by(struct(tie, payload...), tie)` carried a STRUCT-typed
+    * aggregation buffer, which is not UnsafeRow-mutable, so both
+    * halves of the aggregate planned as SortAggregate — a full sort of
+    * the right side on each side of the exchange. Per-payload
+    * `max_by(p, tie)` buffers are scalar, so the collapse stays a
+    * HashAggregate. With `tieCol` unique per (key, ts) group — the
+    * caller contract; both forms are tie-nondeterministic without it —
+    * every per-column max_by selects the same row, so the collapsed
+    * row is identical to the struct form's.
+    */
+  private def latestWins(df: DataFrame, key: String, tsCol: String,
+      tieCol: String, payload: Seq[String], prefix: String): DataFrame = {
+    val aggs = max(col(tieCol)).as("__tie") +:
+      payload.map(p => max_by(col(p), col(tieCol)).as(s"$prefix$p"))
+    df.groupBy(col(key), col(tsCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__tie")
+  }
+
   /** Point-in-time (as-of) join: for every row of `left`, attach the
     * payload of the most recent `right` row with the same `key` and
     * `right.tsCol <= left.tsCol` (inclusive, the ASOF JOIN convention).
@@ -49,12 +72,9 @@ object TimeOps {
     // latest-wins collapse of exact (key, ts) ties on the right side;
     // max_by is a map-side-combinable aggregate, so the collapse rides
     // the same exchange budget as any groupBy on the key
-    val rightUniq = right.filter(col(key).isNotNull)
-      .groupBy(col(key), col(tsCol))
-      .agg(max_by(struct((tieCol +: payload).map(col): _*), col(tieCol))
-        .as("__p"))
-      .select(col(key) +: col(tsCol).as("__ts") +:
-        payload.map(p => col(s"__p.$p").as(s"__r_$p")): _*)
+    val rightUniq = latestWins(right.filter(col(key).isNotNull),
+        key, tsCol, tieCol, payload, "__r_")
+      .withColumnRenamed(tsCol, "__ts")
       .withColumn("__side", lit(0))
     val leftTagged = left.withColumn("__ts", col(tsCol))
       .withColumn("__side", lit(1))
@@ -146,11 +166,8 @@ object TimeOps {
   def asOfStateIntervals(right: DataFrame, key: String, tsCol: String,
       tieCol: String, payload: Seq[String],
       toleranceUs: Long): DataFrame = {
-    val uniq = right.groupBy(col(key), col(tsCol))
-      .agg(max_by(struct((tieCol +: payload).map(col): _*), col(tieCol))
-        .as("__p"))
-      .select(col(key) +: col(tsCol).as("asof_ts") +:
-        payload.map(p => col(s"__p.$p").as(s"asof_$p")): _*)
+    val uniq = latestWins(right, key, tsCol, tieCol, payload, "asof_")
+      .withColumnRenamed(tsCol, "asof_ts")
     val w = Window.partitionBy(key).orderBy(col("asof_ts").asc)
     uniq
       .withColumn("t_start_us", unix_micros(col("asof_ts")))
