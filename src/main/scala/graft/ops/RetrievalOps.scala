@@ -47,13 +47,6 @@ object RetrievalOps {
     // for two driver scalars would double the dominant map cost)
     val base = DedupOps.pin(
       docs.select(col("doc_id"), expr(TextOps.TOKENS).as("t")).persist())
-    // (doc_id, dl, term) -> tf: dl rides the explode
-    // (first() is exact — dl is constant per doc)
-    val tf = base
-      .select(col("doc_id"), size(col("t")).as("dl"),
-        explode(col("t")).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     // corpus scalars: N and the exact token total (long sum), so
     // avgdl is the same IEEE division both engines perform
     val totals = base.select(size(col("t")).as("dl"))
@@ -62,9 +55,21 @@ object RetrievalOps {
     val avgdl = totals.getLong(1).toDouble / nDocs
     val terms = queryTerms.flatMap { case (q, ts) => ts.map((q, _)) }
       .toDF("query_id", "term")
-    // postings restricted to query terms (broadcast semi-shape), then
-    // per-term df from the distinct (doc, term) postings themselves
-    val tfq = tf.join(broadcast(terms.select("term").distinct()), "term")
+    // postings restricted to query terms BEFORE the tf aggregation
+    // (opt r19, guide §2.3 "filter before the exchange"): the former
+    // shape grouped the FULL corpus postings by (doc, term) and only
+    // then broadcast-semi-joined the query terms, so the tf exchange
+    // carried every posting in the corpus; the map-side broadcast
+    // filter drops non-query terms first, and the exchange carries
+    // only matching postings. tf/df/dl per surviving (doc, term) are
+    // unchanged (dl rides the explode; first() is exact — dl is
+    // constant per doc).
+    val tfq = base
+      .select(col("doc_id"), size(col("t")).as("dl"),
+        explode(col("t")).as("term"))
+      .join(broadcast(terms.select("term").distinct()), "term")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val dfT = tfq.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tfq
       .join(broadcast(dfT), "term")
