@@ -1402,10 +1402,27 @@ object DedupOps {
     * per-doc combining aggregate. No per-pair work anywhere.
     */
   def evalNgramOverlap(train: DataFrame, eval0: DataFrame,
-      w: Int = 8): DataFrame = {
-    val evalSpans = spanFrameRaw(eval0, w)
-      .select(col("doc_id"), col("sh")).distinct()
-    val trainSpans = spanFrameRaw(train, w).select("sh").distinct()
+      w: Int = 8, bloomBits: Long = 1L << 24): DataFrame = {
+    graft.functions.SketchFns.register(train.sparkSession)
+    val evalSpans = pin(spanFrameRaw(eval0, w)
+      .select(col("doc_id"), col("sh")).distinct().persist())
+    // Bloom prefilter of the TRAIN span stream against the eval span
+    // hashes (opt r19, guide §3.2): only train spans that also occur
+    // in the eval side can ever flag a hit, so the train-side
+    // distinct + join exchange — the corpus-sized cost of this op —
+    // need only carry bloom-positive spans. A false positive merely
+    // survives to the equi-join and matches nothing: the result is
+    // EXACT at any fp rate, a saturated filter just degrades to the
+    // old full shuffle. The filter is built over the (small, probe-
+    // sized) eval side — never the train corpus; `bloomBits` sizes it
+    // (default 16 Mbit ≈ 2 MB, ~0.1% fp at 1M eval spans — raise it
+    // proportionally for bigger eval suites).
+    val bf = evalSpans
+      .agg(expr(s"bloom_agg(sh, ${1L << 20}L, ${bloomBits}L)"))
+      .head().getAs[Array[Byte]](0)
+    val trainSpans = spanFrameRaw(train, w)
+      .filter(call_function("bloom_contains", lit(bf), col("sh")))
+      .select("sh").distinct()
       .withColumn("hit", lit(1L))
     val agg = evalSpans
       .join(trainSpans.hint("shuffle_hash"), Seq("sh"), "left")

@@ -283,6 +283,16 @@ class TimeOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(short.length === 1)
     assert(short(0).getLong(1) === 0L && short(0).getLong(2) === 0L)
     assert(short(0).isNullAt(3), "overlap_frac must be NULL, not 0/0")
+    // the r19 bloom prefilter is exact at ANY false-positive rate: a
+    // deliberately saturated 64-bit filter (every probe positive) must
+    // reproduce the default-sized result row-for-row — FPs only
+    // survive to the equi-join and match nothing
+    val saturated = graft.ops.DedupOps
+      .evalNgramOverlap(train, ev, w, bloomBits = 64L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    for ((id, (gn, gh, _)) <- got)
+      assert(saturated(id) === ((gn, gh)), s"doc $id under saturated bloom")
   }
 
   test("bm25ScoreWith literal-model scorer == the shuffled aggregation") {
