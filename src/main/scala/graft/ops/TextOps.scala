@@ -586,8 +586,9 @@ object TextOps {
     * the standard Church–Hanks guard). Multiword-expression discovery
     * for tokenizer vocab seeding and boilerplate fingerprinting.
     *
-    * Two map-side-combining count aggregates (distinct-bigram and
-    * distinct-token partials on the shuffle), two vocab-keyed
+    * ONE map-side-combining count aggregate over (token, next-token)
+    * pairs — bigram counts and unigram marginals both fold out of it
+    * (r19; the old shape tokenized the corpus twice) — two vocab-keyed
     * `shuffle_hash` joins to attach the marginals (model-sized — the
     * corpus never re-shuffles), and a TakeOrdered top-k on the
     * 9-dp-rounded PMI (float rank keys can flip near-ties in the last
@@ -596,12 +597,29 @@ object TextOps {
     */
   def collocations(docs: DataFrame, minCount: Long = 5,
       topK: Int = 50): DataFrame = {
-    val bg = DedupOps.pin(
-      bigramFrame(docs).groupBy("w1", "w2")
-        .agg(count(lit(1)).as("c12")).persist())
-    val uni = DedupOps.pin(
-      tokenized(docs).select(explode(col("t")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c")).persist())
+    // ONE corpus tokenize pass (opt r19, guide §1.2 step 1): every
+    // token position emits (w1 = t[i], w2 = next token or NULL at the
+    // doc end), so the bigram table (w2 non-null rows) AND the unigram
+    // counts (each occurrence appears exactly once as w1, so
+    // c(tok) = Σ c12 over (tok, *)) both derive from one explode + one
+    // aggregation. The former shape tokenized and exploded the corpus
+    // twice — once per count table. Counts are integer-identical:
+    // single-token (and empty-split) docs contribute only their
+    // (token, NULL) unigram row, exactly the docs bigramFrame's
+    // size >= 2 filter excluded from pairs.
+    val bgc = DedupOps.pin(docs.select(expr(TOKENS).as("t"))
+      .select(explode(expr(
+        """transform(sequence(1, size(t)),
+          |  i -> struct(element_at(t, i) as w1,
+          |              if(i < size(t), element_at(t, i + 1),
+          |                 cast(null as string)) as w2))""".stripMargin))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist())
+    val bg = bgc.filter(col("w2").isNotNull)
+    val uni = bgc.groupBy("w1").agg(sum(col("c12")).as("c"))
+      .withColumnRenamed("w1", "tok")
     val nTok = uni.agg(sum(col("c"))).head().getLong(0)
     val nBg = bg.agg(sum(col("c12"))).head().getLong(0)
     bg.filter(col("c12") >= minCount)
