@@ -49,6 +49,32 @@ object Bench {
       try force(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }
     val warmupSec = (System.nanoTime() - buildT0) / 1e9
+    // Machine-calibration probe (opt r20, VERDICT r19 "what's wrong"
+    // #1): a FIXED synthetic shuffle+aggregate — independent of the
+    // query code, the sf dir, and any engine state — timed once after
+    // warmup and once after the passes. A degraded session (the r19
+    // official bench read 688 s on a pass that takes ~200 s idle) is
+    // otherwise indistinguishable from a regressed tree;
+    // tools/check_bench.py compares calib_sec against the recorded
+    // calib floor and flags the SESSION, not the code. Additions-only:
+    // the JSON line gains calib_sec/calib_runs keys, nothing else
+    // changes.
+    def calibProbe(): Double = {
+      val t0 = System.nanoTime()
+      force(spark.range(0L, 4000000L, 1L, 32)
+        .selectExpr("pmod(xxhash64(id), 100000) AS k",
+          // bounded values: summing raw 64-bit hashes overflows long
+          // under this build's ANSI mode
+          "pmod(xxhash64(id + 7), 1000000) AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v").as("s"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+        .agg(org.apache.spark.sql.functions.sum("s"),
+          org.apache.spark.sql.functions.sum("n")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibPre = calibProbe()
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -87,7 +113,9 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
+    val calibPost = calibProbe()
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    val calibSec = ms(math.min(calibPre, calibPost))
     val best = names.map(n => n -> ms(perPass.map(_(n)).min))
     val total = ms(best.map(_._2).sum)
     val passTotals = perPass.map(p => ms(p.values.sum))
@@ -107,7 +135,7 @@ object Bench {
     val errsJson = errs
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.size},"passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"agg":"min","order":"seeded-shuffle-per-pass","pins":"scoped-per-query","warmup_sec":${ms(warmupSec)},"errs":$errsJson,"queries":$qs,"omitted":${omitted.size},"omitted_sec":${ms(omitted.map(_._2).sum)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.size},"passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"agg":"min","order":"seeded-shuffle-per-pass","pins":"scoped-per-query","warmup_sec":${ms(warmupSec)},"calib_sec":$calibSec,"calib_runs":[${ms(calibPre)},${ms(calibPost)}],"errs":$errsJson,"queries":$qs,"omitted":${omitted.size},"omitted_sec":${ms(omitted.map(_._2).sum)},"sf":"$sfDir"}""")
     // SPARK_GRAFT_BENCH_OUT=<file>: also dump the COMPLETE per-query
     // map (untruncated — the stdout line keeps only the heaviest
     // queries under a byte budget) for offline scale-curve analysis.
@@ -115,7 +143,7 @@ object Bench {
       val full = best.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val w = new java.io.PrintWriter(out)
-      try w.println(s"""{"total":$total,"passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"warmup_sec":${ms(warmupSec)},"errs":$errsJson,"queries":$full,"sf":"$sfDir"}""")
+      try w.println(s"""{"total":$total,"passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"warmup_sec":${ms(warmupSec)},"calib_sec":$calibSec,"calib_runs":[${ms(calibPre)},${ms(calibPost)}],"errs":$errsJson,"queries":$full,"sf":"$sfDir"}""")
       finally w.close()
     }
     spark.stop()

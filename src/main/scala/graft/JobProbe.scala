@@ -26,6 +26,11 @@ object JobProbe {
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger
     val shufW = new AtomicLong; val shufR = new AtomicLong
+    // GRAFT_STAGE_DETAIL=1: per-stage lines (id, wall, shuffle bytes,
+    // first plan-node line of the stage name) — the stage-level
+    // attribution VERDICT r19 item 3 asks for (which stage carries the
+    // bytes / the wall, not just the per-query total).
+    val detail = sys.env.get("GRAFT_STAGE_DETAIL").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
@@ -33,9 +38,21 @@ object JobProbe {
           s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
-        shufW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        shufR.addAndGet(s.stageInfo.taskMetrics.shuffleReadMetrics.remoteBytesRead
-          + s.stageInfo.taskMetrics.shuffleReadMetrics.localBytesRead)
+        val w = s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        val r = s.stageInfo.taskMetrics.shuffleReadMetrics.remoteBytesRead +
+          s.stageInfo.taskMetrics.shuffleReadMetrics.localBytesRead
+        shufW.addAndGet(w)
+        shufR.addAndGet(r)
+        if (detail) {
+          val wall = (for {
+            a <- s.stageInfo.completionTime
+            b <- s.stageInfo.submissionTime
+          } yield (a - b) / 1000.0).getOrElse(-1.0)
+          val nm = s.stageInfo.name.takeWhile(_ != '\n').take(70)
+          println(f"    stage ${s.stageInfo.stageId}%4d ${wall}%7.3f s " +
+            f"tasks=${s.stageInfo.numTasks}%4d shufW=${w / 1024}%8d KiB " +
+            f"shufR=${r / 1024}%8d KiB  $nm")
+        }
       }
     })
     def force(df: org.apache.spark.sql.DataFrame): Long =

@@ -1598,9 +1598,16 @@ final class Planner(val cube: BoundCube) {
         case (m, i) => m.agg match {
           case Agg.DistinctCount =>
             expr(s"count(DISTINCT ${dname(m.expr)})").as(m.name)
-          case Agg.SumExact | Agg.Count => sum(col(s"__pa_$i")).as(m.name)
-          case Agg.Min                  => min(col(s"__pa_$i")).as(m.name)
-          case _                        => max(col(s"__pa_$i")).as(m.name)
+          // Count merges as sum(partial counts), whose type is nullable
+          // LongType where the single-pass count() is non-nullable; the
+          // coalesce restores the non-nullable schema (ADVICE r19 —
+          // value-identical: every Expand group descends from >= 1 pre
+          // row, so the sum is never null)
+          case Agg.Count =>
+            coalesce(sum(col(s"__pa_$i")), lit(0L)).as(m.name)
+          case Agg.SumExact => sum(col(s"__pa_$i")).as(m.name)
+          case Agg.Min      => min(col(s"__pa_$i")).as(m.name)
+          case _            => max(col(s"__pa_$i")).as(m.name)
         }
       }
       val grouped =

@@ -102,9 +102,20 @@ object DedupOps {
     // inflate root sizeInBytes multiplicatively, which would skip the
     // fan-out exactly on the joined inputs (CleanPipeline's filtered
     // corpus) that need it most
-    val bytes = df.queryExecution.optimizedPlan.collectLeaves()
-      .map(_.stats.sizeInBytes).sum
-    if (bytes <= 2L * 134217728L) df.repartition(p) else df
+    val plan = df.queryExecution.optimizedPlan
+    // PROVABLY-EMPTY fast path (opt r20): the optimizer folds limit(0)
+    // / contradictory filters to an empty LocalRelation; repartitioning
+    // it fans one empty frame into p empty tasks — the empty base build
+    // of the streaming cluster index paid six 32-task stages for
+    // schema-only writes. Repartition of empty == empty, so skipping is
+    // value-identical.
+    plan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if l.data.isEmpty => df
+      case _ =>
+        val bytes = plan.collectLeaves().map(_.stats.sizeInBytes).sum
+        if (bytes <= 2L * 134217728L) df.repartition(p) else df
+    }
   }
 
   /** (doc_id, shingles) with short docs dropped — the pure projection,
@@ -170,19 +181,40 @@ object DedupOps {
     val buckets = rawPosts.groupBy("shh")
       .agg(expr(s"collect_capped(struct(doc_id, n_sh), $maxDf)").as("ps"))
       .filter(col("ps").isNotNull && size(col("ps")) >= 2)
+    // Opt r20 (guide §2.3 "shuffle fewer bytes", VERDICT r19 item 1):
+    // two exact cuts on the pair stream BEFORE its exchange — the
+    // dominant shuffle of this query (21.3 of 31 MB at sf0.1):
+    //  * SIZE-RATIO PRUNE at emission: J(A,B) <= min(|A|,|B|) /
+    //    max(|A|,|B|) (intersection <= min, union >= max), so a pair
+    //    with least/greatest < threshold can never verify. The double
+    //    division is the same correctly-rounded, monotone operation
+    //    verify's jaccard uses, so the prune can only drop pairs whose
+    //    exact check would also fail (x >= y in reals implies
+    //    fl(x) >= fl(y)). Kills ~25% of emissions at sf0.1 (uniform
+    //    10-100-token docs); more on corpora with real length spread.
+    //  * ONE size column, ONE min buffer: the threshold test
+    //    c/(n_a+n_b-c) only needs the SUM n_a+n_b, and first()'s
+    //    aggregation buffer serializes as TWO fields (value + valueSet
+    //    flag) where min()'s is one — so carrying min(n_a+n_b) instead
+    //    of first(n_a), first(n_b) drops the partial row from 7 to 4
+    //    slots. min == the value (n_sh is a function of doc_id, so
+    //    n_sum is constant within a pair group) — integer-identical
+    //    filter input.
     val pairRows = buckets
       .select(col("ps"), explode(col("ps")).as("a"))
       .select(col("a"), explode(col("ps")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n_sh"), col("b.n_sh")).cast("double") /
+          greatest(col("a.n_sh"), col("b.n_sh")) >= threshold)
     val cand = pairRows
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       // count(1), not countDistinct: posting multiplicity from hash
       // collisions only ADDS rows, so the plain count stays an upper
       // bound — and avoids a distinct-aggregate over the pair stream
       .agg(count(lit(1)).as("n_common_ub"),
-        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
+        min(col("a.n_sh") + col("b.n_sh")).as("n_sum"))
       .filter(col("n_common_ub").cast("double") /
-        (col("n_a") + col("n_b") - col("n_common_ub")) >= threshold)
+        (col("n_sum") - col("n_common_ub")) >= threshold)
       .select("doc_a", "doc_b")
     verifyJaccard(sh, cand, threshold)
   }
@@ -194,16 +226,13 @@ object DedupOps {
     * aggregate reassembles (sa, sb) for the intersect. The former shape
     * (id-distinct → semi-join → one shuffle join per side) shuffled the
     * same corpus once but spent 3 extra exchanges and a persist on the
-    * candidate frame; this one consumes candidates once, so nothing
-    * needs caching. The join stays `shuffle_hash`, never broadcast: the
-    * candidate set is unbounded on a near-duplicate-heavy corpus, and
-    * the shingle side is corpus-sized by definition. (A BROADCAST semi
-    * of candidate ids would prune the corpus map-side when candidates
-    * are provably sparse, but an unbounded build side is exactly the
-    * 100 TB OOM this module bans — the old shuffle-semi shape
-    * exchanged the full corpus just the same; Spark's runtime bloom
-    * filter can inject the sparse-candidate prune into this join's
-    * scan without the OOM risk.) The per-pair
+    * candidate frame. The join stays `shuffle_hash`, never broadcast:
+    * the candidate set is unbounded on a near-duplicate-heavy corpus,
+    * and the shingle side is corpus-sized by definition. (A BROADCAST
+    * semi of candidate ids would prune the corpus map-side when
+    * candidates are provably sparse, but an unbounded build side is
+    * exactly the 100 TB OOM this module bans; a fixed-size Bloom prune
+    * was tried in r20 and reverted — see the inline note.) The per-pair
     * aggregate buffers exactly two (side, shingles) entries — via
     * [[graft.functions.CollectCapped collect_capped]], a
     * TypedImperativeAggregate, so it plans as ObjectHashAggregate;
@@ -215,6 +244,13 @@ object DedupOps {
   private def verifyJaccard(sh: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
     graft.functions.CollectCapped.register(sh.sparkSession)
+    // Tried and REVERTED (r20): a candidate-doc Bloom prune of the
+    // corpus side via scalar subquery (guide §3.2) — exact, and it cut
+    // the verify exchange's bytes, but the candidate persist + filter
+    // build added a job to EVERY verify consumer and measurably
+    // regressed q_dedup_minhash/clusters/stream_clusters at sf0.1
+    // (1.45→2.27 / 1.97→2.89 / 4.73→5.50 min-of-4); the corpus-side
+    // exchange it saves is only ~3.7 MB here. See OPTIMIZATION_r20.md.
     cand
       .select(struct(col("doc_a"), col("doc_b")).as("pk"))
       .select(col("pk"),
@@ -700,7 +736,12 @@ object DedupOps {
     * [[Artifacts.claimIndexDir]]).
     */
   def writeClusterIndex(docs: DataFrame, path: String, bands: Int = 4,
-      rows: Int = 2, threshold: Double = 0.5): ClusterIndex = {
+      rows: Int = 2, threshold: Double = 0.5): ClusterIndex =
+      graft.olap.Pins.scoped {
+    // Pins.scoped (opt r20): every consumer of the pinned frames (the
+    // five table writes) executes inside; callers on threads without a
+    // query scope (direct library use, streaming setup) otherwise paid
+    // one eager count() per pin in the global registry.
     val spark = docs.sparkSession
     Artifacts.claimIndexDir(spark, path, ClusterMarker,
       clusterMarkerJson(bands, rows, threshold))
@@ -854,7 +895,15 @@ object DedupOps {
     * — idempotent for deterministic batches.
     */
   def appendEdgesToClusterIndex(index: ClusterIndex, newDocs: DataFrame,
-      ingestId: Long): Unit = {
+      ingestId: Long): Unit = graft.olap.Pins.scoped {
+    // Pins.scoped (opt r20): this runs on the streaming micro-batch
+    // thread, where no query-boundary scope is open — unscoped, every
+    // pin() below fell to the global registry, whose EAGER materialize
+    // added one count() job per pinned frame per batch (two extra jobs
+    // per micro-batch) and held the cache entries long past the batch.
+    // Every consumer of the pinned frames executes inside this body
+    // (the concurrent table writes are awaited), so scope-exit release
+    // is safe.
     require(ingestId > 0, "ingest id 0 is the base build")
     val spark = newDocs.sparkSession
     // validate the target BEFORE any write: the path must be a real
@@ -910,6 +959,13 @@ object DedupOps {
         }
     val shNew = pin(shingled(newDocs).persist())
     val bNew = pin(bandTable(shNew, index.bands, index.rows).persist())
+    // fill BOTH caches with ONE job before the concurrent table writes
+    // below (bNew scans shNew, so its count materializes both): lazy
+    // scoped pins would leave the three parallel writes racing to fill
+    // the entries under BlockManager locks (measured +0.7 s on
+    // q_stream_clusters), while the old global-registry pins paid two
+    // eager counts for the same warmth
+    bNew.count()
     // candidates draw only from COMMITTED prior ingests plus this
     // batch's IN-MEMORY frames: a crashed earlier append may have
     // landed shingle/band partitions whose docs never committed —
@@ -1032,6 +1088,11 @@ object DedupOps {
       s"${index.path}/docs", "ingest=", requireSuccess = true)
     val target = committed.foldLeft(0L)(math.max)
     if (target <= lastGen) return lastGen
+    // Pins.scoped (opt r20, same rationale as appendEdgesToClusterIndex):
+    // on the micro-batch thread the CC pins would otherwise eagerly
+    // count() in the global registry; the labels write below consumes
+    // everything before the scope exits.
+    graft.olap.Pins.scoped {
     val old = spark.read.parquet(s"${index.path}/labels")
       .filter(col("gen").cast("long") === lastGen)
       .select("doc_id", "cluster_id")
@@ -1058,6 +1119,7 @@ object DedupOps {
       s"${index.path}/labels/gen=$target")
     spark.catalog.refreshByPath(index.path)
     target
+    }
   }
 
   /** Incrementally append `newDocs` AND publish labels in one step —
@@ -1402,7 +1464,7 @@ object DedupOps {
     * per-doc combining aggregate. No per-pair work anywhere.
     */
   def evalNgramOverlap(train: DataFrame, eval0: DataFrame,
-      w: Int = 8, bloomBits: Long = 1L << 24): DataFrame = {
+      w: Int = 8, bloomBits: Long = 0L): DataFrame = {
     graft.functions.SketchFns.register(train.sparkSession)
     val evalSpans = pin(spanFrameRaw(eval0, w)
       .select(col("doc_id"), col("sh")).distinct().persist())
@@ -1414,14 +1476,36 @@ object DedupOps {
     // survives to the equi-join and matches nothing: the result is
     // EXACT at any fp rate, a saturated filter just degrades to the
     // old full shuffle. The filter is built over the (small, probe-
-    // sized) eval side — never the train corpus; `bloomBits` sizes it
-    // (default 16 Mbit ≈ 2 MB, ~0.1% fp at 1M eval spans — raise it
-    // proportionally for bigger eval suites).
+    // sized) eval side — never the train corpus.
+    //
+    // Opt r20 (VERDICT r19 "what's wrong" #2): the r19 build collected
+    // the filter with .head() — a BLOCKING driver job before the main
+    // query — and inlined it as a multi-MB hex literal serialized with
+    // every stage. The filter argument is now a SCALAR SUBQUERY
+    // (BloomFilterMightContain accepts one — it is exactly how Spark's
+    // own runtime-filter injection wires it): no driver round trip in
+    // this code, no giant literal in the plan, and the build pipelines
+    // inside the one query execution. bloomBits also auto-sizes from
+    // the eval side's plan-stats byte estimate instead of a fixed
+    // 16 Mbit (a large eval suite would saturate a fixed filter and
+    // silently degrade to the full shuffle); pass bloomBits > 0 to
+    // override (the exactness spec pins a deliberately saturated 64-bit
+    // filter). Sizes clamp to Spark's BloomFilterAggregate validation
+    // caps (maxNumItems/maxNumBits default 4M items / 64 Mbit).
+    val bits = if (bloomBits > 0) bloomBits else {
+      val estBytes = eval0.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.sizeInBytes).sum
+      // ~6 bytes/token => spans ~ bytes/6; 16 bits/span ~ 0.05% fp.
+      // BigInt math until the clamp — a stats-less leaf reports 8 EB.
+      val estSpans = estBytes / 6
+      (BigInt(1L << 24).max(estSpans * 16)).min(BigInt(1L << 26)).toLong
+    }
+    val estItems = math.max(1L << 20, math.min(4000000L, bits / 16))
     val bf = evalSpans
-      .agg(expr(s"bloom_agg(sh, ${1L << 20}L, ${bloomBits}L)"))
-      .head().getAs[Array[Byte]](0)
+      .agg(expr(s"bloom_agg(sh, ${estItems}L, ${bits}L)"))
+      .scalar()
     val trainSpans = spanFrameRaw(train, w)
-      .filter(call_function("bloom_contains", lit(bf), col("sh")))
+      .filter(call_function("bloom_contains", bf, col("sh")))
       .select("sh").distinct()
       .withColumn("hit", lit(1L))
     val agg = evalSpans

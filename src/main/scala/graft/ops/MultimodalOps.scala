@@ -79,8 +79,10 @@ object MultimodalOps {
     b.length >= 8 && java.util.Arrays.equals(
       java.util.Arrays.copyOfRange(b, 0, 8), PngMagic)
 
-  /** One reader/writer set per partition. Callers dispose() at iterator
-    * exhaustion (`it ++ { codec.dispose(); Iterator.empty }`).
+  /** One reader/writer set per partition. Construct via
+    * [[PartitionImageCodec.open]], which registers dispose() with the
+    * task completion listener; the iterator-exhaustion tail dispose is
+    * a harmless (idempotent) second line of defense.
     */
   private final class PartitionImageCodec {
     private var pngReader: javax.imageio.ImageReader = _
@@ -147,11 +149,33 @@ object MultimodalOps {
       writeWith(pngWriter, img)
     }
 
-    def dispose(): Unit = {
+    private var disposed = false
+
+    def dispose(): Unit = if (!disposed) {
+      disposed = true
       if (pngReader != null) pngReader.dispose()
       if (jpgReader != null) jpgReader.dispose()
       if (jpgWriter != null) jpgWriter.dispose()
       if (pngWriter != null) pngWriter.dispose()
+    }
+  }
+
+  private object PartitionImageCodec {
+    /** One codec per task, disposed at TASK COMPLETION (ADVICE r19):
+      * the iterator-tail `++ {{ codec.dispose(); ... }}` only runs if a
+      * downstream consumer exhausts the partition iterator, so an
+      * early-terminating consumer (limit/take, an exception
+      * mid-partition) would leak reader/writer instances per task. The
+      * listener fires on success, failure, and cancellation alike;
+      * dispose() is idempotent, so the exhaustion-path call staying in
+      * place is harmless (and covers non-task driver use in unit
+      * tests, where TaskContext is null).
+      */
+    def open(): PartitionImageCodec = {
+      val c = new PartitionImageCodec
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => c.dispose())
+      c
     }
   }
 
@@ -219,7 +243,7 @@ object MultimodalOps {
     docs.select(col("doc_id"), col("n_chars").cast("long"))
       .as[(Long, Long)]
       .mapPartitions { it =>
-        val codec = new PartitionImageCodec
+        val codec = PartitionImageCodec.open()
         it.map { case (id, nChars) =>
           val w = 8 + (id % 40).toInt
           val h = 8 + (nChars % 40).toInt
@@ -242,7 +266,7 @@ object MultimodalOps {
   def decodeImage(media: Dataset[MediaRow]): Dataset[ImagePixels] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      val codec = new PartitionImageCodec
+      val codec = PartitionImageCodec.open()
       it.map { r =>
         val (img, fmt) = codec.readAny(r.content)
         ImagePixels(r.doc_id, img.getWidth, img.getHeight, fmt,
@@ -323,7 +347,7 @@ object MultimodalOps {
     import spark.implicits._
     require(box > 0, s"box $box must be positive")
     withPngPayload(docs).as[MediaRow].mapPartitions { it =>
-      val codec = new PartitionImageCodec
+      val codec = PartitionImageCodec.open()
       it.map { r =>
         val (img, _) = codec.readAny(r.content)
         val (ow, oh) = fitBox(box, img.getWidth, img.getHeight)
@@ -592,7 +616,7 @@ object MultimodalOps {
     docs.select(col("doc_id"), col("n_chars").cast("long"))
       .as[(Long, Long)]
       .mapPartitions { it =>
-        val codec = new PartitionImageCodec
+        val codec = PartitionImageCodec.open()
         it.map { case (id, nChars) =>
           val w = 16 + (id % 8).toInt * 4
           val h = 16 + (nChars % 8).toInt * 4
@@ -628,7 +652,7 @@ object MultimodalOps {
     import media.sparkSession.implicits._
     require(stride > 0, s"stride $stride must be positive")
     media.mapPartitions { it =>
-      val codec = new PartitionImageCodec
+      val codec = PartitionImageCodec.open()
       it.flatMap { r =>
         val buf = java.nio.ByteBuffer.wrap(r.content)
         val magic = new Array[Byte](4)

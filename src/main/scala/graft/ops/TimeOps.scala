@@ -22,19 +22,44 @@ object TimeOps {
   /** Latest-wins collapse of exact (`key`, `tsCol`) duplicates: keep
     * each payload column of the row with the highest `tieCol`.
     *
+    * CONTRACT (r19 verdict/advice): `tieCol` MUST be unique within
+    * every (`key`, `tsCol`) group. Each payload column takes an
+    * independent `max_by(p, tie)`; with a DUPLICATED tie the columns
+    * can each come from a DIFFERENT tied row, emitting a "torn" row
+    * that never existed in the input — strictly worse than the old
+    * struct form's pick-one-whole-row nondeterminism. Every caller in
+    * this repo passes an event-id key (unique by schema). New callers
+    * with a non-unique tie must either make the tie unique
+    * (e.g. a monotonic ingest id) or revert to
+    * `max_by(struct(tie, payload...), tie)` and accept its
+    * SortAggregate plan. Setting `spark.graft.asof.tieCheck=true`
+    * (BATCH frames only — it runs a blocking scan) makes the collapse
+    * fail fast on a duplicate tie instead of emitting torn rows.
+    *
     * Opt r19 (guide §1.2 step 2): the former single
     * `max_by(struct(tie, payload...), tie)` carried a STRUCT-typed
     * aggregation buffer, which is not UnsafeRow-mutable, so both
     * halves of the aggregate planned as SortAggregate — a full sort of
     * the right side on each side of the exchange. Per-payload
     * `max_by(p, tie)` buffers are scalar, so the collapse stays a
-    * HashAggregate. With `tieCol` unique per (key, ts) group — the
-    * caller contract; both forms are tie-nondeterministic without it —
-    * every per-column max_by selects the same row, so the collapsed
-    * row is identical to the struct form's.
+    * HashAggregate. With `tieCol` unique per (key, ts) group every
+    * per-column max_by selects the same row, so the collapsed row is
+    * identical to the struct form's.
     */
   private def latestWins(df: DataFrame, key: String, tsCol: String,
       tieCol: String, payload: Seq[String], prefix: String): DataFrame = {
+    if (df.sparkSession.conf.getOption("spark.graft.asof.tieCheck")
+        .contains("true") && !df.isStreaming) {
+      val dup = df.groupBy(col(key), col(tsCol))
+        .agg(count(col(tieCol)).as("__n"),
+          count_distinct(col(tieCol)).as("__nd"))
+        .filter(col("__n") > col("__nd"))
+        .limit(1).count()
+      require(dup == 0L,
+        s"latestWins: duplicate $tieCol within a ($key, $tsCol) group " +
+          "— per-payload max_by would mix columns from different tied " +
+          "rows (torn row); see the latestWins contract")
+    }
     val aggs = max(col(tieCol)).as("__tie") +:
       payload.map(p => max_by(col(p), col(tieCol)).as(s"$prefix$p"))
     df.groupBy(col(key), col(tsCol))
@@ -51,7 +76,10 @@ object TimeOps {
     * Right rows sharing an exact (key, timestamp) are first collapsed
     * to the one with the highest `tieCol` — without this the "latest
     * state at time t" is ill-defined and engines (and DuckDB's ASOF
-    * JOIN oracle) would disagree on ties.
+    * JOIN oracle) would disagree on ties. `tieCol` must be UNIQUE
+    * within each (key, ts) group — see the [[latestWins]] contract
+    * (duplicate ties can emit torn rows; `spark.graft.asof.tieCheck`
+    * fails fast).
     *
     * Lowering: tag each side, union, and take a running
     * `last(payload, ignoreNulls)` over (key ORDER BY ts, side) with
@@ -159,9 +187,10 @@ object TimeOps {
     * each right row becomes the half-open validity interval
     * [ts, min(next ts, ts + tolerance]] during which it IS the latest
     * state (exact-timestamp ties collapsed latest-wins first, like
-    * [[asOfJoin]]). Interval ends are micros longs; the tolerance cap
-    * is what keeps a later bucket-explosion bounded — an uncapped last
-    * interval would be open-ended.
+    * [[asOfJoin]]; `tieCol` must be unique per (key, ts) group — see
+    * the [[latestWins]] contract). Interval ends are micros longs; the
+    * tolerance cap is what keeps a later bucket-explosion bounded — an
+    * uncapped last interval would be open-ended.
     */
   def asOfStateIntervals(right: DataFrame, key: String, tsCol: String,
       tieCol: String, payload: Seq[String],

@@ -523,6 +523,13 @@ object StreamingCube {
   def runStreamStreamJoin(spark: SparkSession, sfDir: String,
       name: String = "stream_sjoin"): DataFrame = {
     val s = isolated(spark)
+    // Tried and REVERTED (r20, VERDICT r19 item 3): disabling no-data
+    // micro-batches for this inner join (result-identical — inner-join
+    // rows emit in data batches, the no-data batch only evicts state)
+    // measured 2.98 → 10.36 s min-of-4: AvailableNow's prompt
+    // termination rides the no-data batch, and without it the drain
+    // idles on the termination-check interval. The trailing batch is
+    // load-bearing machinery, not waste. See OPTIMIZATION_r20.md.
     val clicks = eventStream(s, sfDir)
       .filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))

@@ -122,6 +122,41 @@ class TimeOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
       s"matched row's NULL payload must survive: ${r(0)}")
   }
 
+  test("latestWins tieCheck: duplicate ties fail fast, unique ties pass") {
+    import spark.implicits._
+    // two right rows share (user_id=1, ts=100) AND event_id=7 — the
+    // torn-row hazard the latestWins contract bans: per-payload
+    // max_by(p, tie) could take v from one tied row and w from the
+    // other. With spark.graft.asof.tieCheck=true the collapse must
+    // refuse instead of emitting a row that never existed.
+    val dupTie = Seq(
+        (7L, 1L, new Timestamp(100000L), 5.0, "a"),
+        (7L, 1L, new Timestamp(100000L), 9.0, "b"))
+      .toDF("event_id", "user_id", "ts", "v", "w")
+    val left = Seq((10L, 1L, new Timestamp(300000L)))
+      .toDF("event_id", "user_id", "ts")
+    spark.conf.set("spark.graft.asof.tieCheck", "true")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        TimeOps.asOfJoin(left, dupTie, "user_id", "ts", "event_id",
+          Seq("v", "w")).collect()
+      }
+      assert(err.getMessage.contains("duplicate event_id"))
+      // unique ties pass the check and collapse to the max-tie row's
+      // WHOLE payload (both columns from event_id=8)
+      val uniqTie = Seq(
+          (7L, 1L, new Timestamp(100000L), 5.0, "a"),
+          (8L, 1L, new Timestamp(100000L), 9.0, "b"))
+        .toDF("event_id", "user_id", "ts", "v", "w")
+      val r = TimeOps.asOfJoin(left, uniqTie, "user_id", "ts",
+        "event_id", Seq("v", "w")).collect()
+      assert(r.length === 1)
+      assert(r(0).getAs[Double]("asof_v") === 9.0 &&
+        r(0).getAs[String]("asof_w") === "b",
+        s"collapse must keep the max-tie row atomically: ${r(0)}")
+    } finally spark.conf.unset("spark.graft.asof.tieCheck")
+  }
+
   test("asOfJoin: NULL join keys never match (both lowerings agree)") {
     import spark.implicits._
     // a NULL-key click and a NULL-key purchase: SQL ASOF (and the

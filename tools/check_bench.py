@@ -59,6 +59,27 @@ def main(bench_path, floors_path):
     if errs:
         print(f"FAIL errs nonempty: {errs}")
         ok = False
+    # Session-health calibration (r20): Bench times a fixed synthetic
+    # shuffle+agg (code- and sf-independent) and emits it as calib_sec.
+    # A probe reading far over its idle-box floor means the SESSION is
+    # degraded — per-query regressions in that run indict the machine,
+    # not the tree (the r19 official session read a 688 s first pass).
+    calib = bench.get("calib_sec")
+    calib_floor = floors_doc.get("calib_floor_sec")
+    if calib is not None and calib_floor:
+        ratio = calib / calib_floor
+        if ratio > 1.5:
+            print(f"DEGRADED SESSION: calib probe {calib}s is "
+                  f"{ratio:.2f}x its idle floor {calib_floor}s — "
+                  "per-query numbers from this run are not "
+                  "code-attribution evidence")
+            ok = False
+        else:
+            print(f"calib probe {calib}s vs floor {calib_floor}s "
+                  f"({ratio:.2f}x) — session healthy")
+    elif calib is not None:
+        print(f"note: calib probe {calib}s (no calib_floor_sec in "
+              "floors file — record one from an idle box)")
     per = total / n
     if not (0.51 <= per <= 0.69):
         print(f"FAIL total {total}s / {n} queries = {per:.3f} s/query "
@@ -109,8 +130,18 @@ def selftest():
     assert run(errs, withov) == 1, "nonempty errs must FAIL"
     slow = dict(base, total=80.0, queries={"q_a": 1.9})
     assert run(slow, floors) == 1, "0.80 s/query total must FAIL"
+    calfloors = {"floors": {"q_a": 1.9}, "bound_overrides": {"q_a": 4.5},
+                 "calib_floor_sec": 0.5}
+    degraded = dict(base, calib_sec=1.2)
+    assert run(degraded, calfloors) == 1, \
+        "calib 2.4x floor must flag a degraded session"
+    healthy = dict(base, calib_sec=0.6)
+    assert run(healthy, calfloors) == 0, "calib 1.2x floor must pass"
+    nofloor = dict(base, calib_sec=9.9)
+    assert run(nofloor, withov) == 0, \
+        "calib without a recorded floor is informational only"
     print("selftest OK: generic bound, override admit/deny, errs, "
-          "total band")
+          "total band, calib degraded/healthy/no-floor")
     return 0
 
 
